@@ -1,0 +1,47 @@
+"""Table registry / loader (SURVEY.md §2.1 S1, S6).
+
+Mirrors the DuckDB oracle's pre-registered views: every fixture table
+is loadable by name from a scale-factor directory and optionally
+registered as a temp view so ``spark.sql`` / ``spark.table`` work.
+
+At 100 TB these reads would be partitioned-parquet directory scans;
+the API is identical (``spark.read.parquet`` on a directory), and
+predicate pushdown / partition pruning happen in the scan node, so
+nothing here changes with scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any realistic scale.
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (name -> DF registry)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,79 @@
+"""Deterministic aggregate forms for oracle-checked queries.
+
+Problem (SURVEY.md §5.3, FIXTURES.md determinism notes): the fixtures'
+money-like columns are doubles with float noise (e.g. 2171.9700000000003),
+so a plain ``SUM(double)`` depends on addition order — Spark's partial
+aggregation over N partitions and DuckDB's row-group-parallel sum will
+differ in the last ulps, and the driver's value-hash comparison has no
+tolerance we can rely on.
+
+Fix: scale each row to an integer deterministically, sum integers
+(associative, order-independent, exact below 2**63), then unscale.
+``FLOOR(x * 10^s + 0.5)`` is identical IEEE arithmetic in Spark and
+DuckDB — no rounding-mode ties (unlike ROUND, which is HALF_UP in
+Spark vs HALF_EVEN in DuckDB), no order dependence.
+
+Each helper exists in a Spark form and a SQL-text form so query
+modules can declare both sides from one vocabulary. Columns whose
+values are integral doubles (``l_quantity``) sum exactly in either
+engine and need no scaling.
+
+At 100 TB this costs one extra projection inside the partial
+aggregate — still whole-stage-codegen'd, no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- Spark side
+
+
+def dsum(c: Column, scale: int = 2) -> Column:
+    """Order-independent SUM of a noisy-double column, as double."""
+    m = 10**scale
+    return F.sum(F.floor(c * m + F.lit(0.5))) / float(m)
+
+
+def davg(c: Column, scale: int = 2) -> Column:
+    """Order-independent AVG of a noisy-double column, as double."""
+    m = 10**scale
+    return F.sum(F.floor(c * m + F.lit(0.5))) / float(m) / F.count(c)
+
+
+def dstddev_samp(c: Column, scale: int = 4) -> Column:
+    """Order-independent sample stddev via scaled integer moments.
+
+    stddev = sqrt((n*sum(x^2) - sum(x)^2) / (n*(n-1))) computed from
+    integer-scaled x so both engines see identical integer sums.
+    """
+    m = float(10**scale)
+    xi = F.floor(c * m + F.lit(0.5))  # long
+    n = F.count(c).cast("double")
+    s1 = F.sum(xi).cast("double")
+    s2 = F.sum(xi * xi).cast("double")
+    return F.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) / m
+
+
+# ----------------------------------------------------------------- SQL side
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    m = 10**scale
+    return f"SUM(CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT)) / {m}.0"
+
+
+def sql_davg(expr: str, scale: int = 2) -> str:
+    m = 10**scale
+    return f"SUM(CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT)) / {m}.0 / COUNT({expr})"
+
+
+def sql_dstddev_samp(expr: str, scale: int = 4) -> str:
+    m = 10**scale
+    xi = f"CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT)"
+    return (
+        f"SQRT((COUNT({expr}) * CAST(SUM({xi} * {xi}) AS DOUBLE)"
+        f" - CAST(SUM({xi}) AS DOUBLE) * CAST(SUM({xi}) AS DOUBLE))"
+        f" / (COUNT({expr}) * (COUNT({expr}) - 1.0))) / {m}.0"
+    )

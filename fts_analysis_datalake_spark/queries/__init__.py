@@ -1,0 +1,7 @@
+"""Declared driver queries. Importing this package populates
+``fts_analysis_datalake_spark.registry.REGISTRY`` (side-effect imports).
+
+Each module covers one tranche of SURVEY.md §2.
+"""
+
+from fts_analysis_datalake_spark.queries import relational_core  # noqa: F401

@@ -1,0 +1,75 @@
+"""Query registry — the bridge between the operator library and the
+driver contract (``__spark_entry__.py``).
+
+Each declared query is registered once with its name, a Spark builder
+``(spark, sf_dir) -> DataFrame``, and (when SQL-expressible) the
+equivalent DuckDB oracle SQL. The driver hash-compares the two
+(row count + schema + order-insensitive value hash), so:
+
+- every computed column is aliased identically on both sides;
+- every aggregate over noisy doubles uses the deterministic scaled
+  forms from :mod:`fts_analysis_datalake_spark.functions.deterministic`;
+- queries avoid nondeterministic *values* (sampling, approx sketches,
+  arbitrary group survivors) unless declared oracle-less.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL twin; None -> rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 row ids
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a declared query.
+
+    ``oracle`` is the DuckDB SQL twin run over the same parquet tables
+    (pre-registered views). ``tags`` cite SURVEY.md §2 operator rows
+    this query exercises (traceability for the coverage checklist).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every query module exactly once to populate REGISTRY."""
+    global _LOADED
+    if _LOADED:
+        return
+    import fts_analysis_datalake_spark.queries  # noqa: F401  (side-effect imports)
+
+    _LOADED = True
