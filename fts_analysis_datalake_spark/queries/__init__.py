@@ -5,3 +5,4 @@ Each module covers one tranche of SURVEY.md §2.
 """
 
 from fts_analysis_datalake_spark.queries import relational_core  # noqa: F401
+from fts_analysis_datalake_spark.queries import scalar_functions  # noqa: F401

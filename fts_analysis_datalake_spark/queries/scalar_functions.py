@@ -1,0 +1,320 @@
+"""Scalar-function layer queries (SURVEY.md §7 step 3; §2.8 F1-F11).
+
+The FTS-analysis trio re-expressed on the fixtures:
+- time-bucketed throughput (date_trunc hour — THE FTS grouping key),
+- JSON metadata-blob extraction (events.props ~ FTS job metadata),
+- regex parsing (error categories / SURL hosts ~ document tokens/URLs).
+
+Cross-engine determinism notes applied here (SURVEY §5.3):
+- dayofweek: Spark is 1=Sunday..7, DuckDB 0=Sunday..6 → Spark side
+  subtracts 1.
+- epoch seconds: Spark unix_timestamp floors; DuckDB epoch() is
+  fractional → FLOOR() on the oracle side.
+- cast double->int: Spark truncates, DuckDB rounds → always FLOOR
+  explicitly before casting.
+- regex: common Java/RE2 subset only (char classes, anchors, groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# F4: hourly time-bucketed event report (the FTS per-hour link report)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_events_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_dsum('value')} AS total_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
+    GROUP BY 1, 2
+    """,
+    tags=("F4", "A1", "A3", "P4"),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type event rollup over a 3-day window. At 100 TB the
+    time predicate prunes parquet row groups / partitions before the
+    single groupBy shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        )
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value")).alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F10: JSON metadata extraction (events.props ~ FTS job-metadata blob)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_events_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    GROUP BY event_type
+    """,
+    tags=("F10", "A1", "P2"),
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the semi-structured props column on demand; the JSON path
+    evaluation stays JVM-side (no UDF)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F2/P6: regex extraction + LIKE/rlike filtering (error-category analog)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_leading_token_regex",
+    oracle="""
+    SELECT regexp_extract(text, '^([a-z]+)', 1) AS lead_token, lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    WHERE text LIKE '%query%' OR regexp_matches(text, 'join [a-z]+ scan')
+    GROUP BY 1, 2
+    """,
+    tags=("F2", "P6", "A1"),
+)
+def q_doc_leading_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex category extraction + LIKE/regex predicates (the FTS
+    error-message classifier pattern), common Java/RE2 dialect subset."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").like("%query%") | F.col("text").rlike("join [a-z]+ scan"))
+        .groupBy(
+            F.regexp_extract(F.col("text"), "^([a-z]+)", 1).alias("lead_token"),
+            F.col("lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# F3: URL host parsing (SURL/storage-element analog) — regex version
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_url_host_parse",
+    oracle="""
+    SELECT regexp_extract('gsiftp://' || source || '.example.org/store/' || CAST(doc_id AS VARCHAR),
+                          '://([^/]+)/', 1) AS host,
+           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("F3", "F1", "A1"),
+)
+def q_url_host_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build transfer-URL-shaped strings and parse the host back out —
+    the portable (regex) version of parse_url, identical in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("gsiftp://"), F.col("source"), F.lit(".example.org/store/"), F.col("doc_id").cast("string")
+    )
+    return (
+        d.select(F.regexp_extract(url, "://([^/]+)/", 1).alias("host"), "n_chars")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+# --------------------------------------------------------------------------
+# F1: string-function stack on customer names
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_customer_name_funcs",
+    oracle="""
+    SELECT c_custkey,
+           CAST(str_split(c_name, '#')[2] AS BIGINT) AS name_id,
+           upper(str_split(c_name, '#')[1]) AS kind_upper,
+           length(c_name) AS name_len,
+           substring(c_name, 1, 4) AS prefix,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           replace(c_name, 'Customer', 'Cust') AS short_name,
+           instr(c_name, '#') AS hash_pos,
+           c_name LIKE 'Customer%' AS is_customer
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    """,
+    tags=("F1", "P1", "P9"),
+)
+def q_customer_name_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/upper/length/substring/lpad/concat_ws/replace/instr/
+    startswith — all JVM-side codegen'd expressions."""
+    c = load_table(spark, sf_dir, "customer").filter((F.col("c_custkey") % 10) == 0)
+    parts = F.split(F.col("c_name"), "#")
+    return c.select(
+        "c_custkey",
+        parts.getItem(1).cast("bigint").alias("name_id"),
+        F.upper(parts.getItem(0)).alias("kind_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring(F.col("c_name"), 1, 4).alias("prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.regexp_replace(F.col("c_name"), "Customer", "Cust").alias("short_name"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.col("c_name").startswith("Customer").alias("is_customer"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F4/F5: date parts + interval arithmetic on orders
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_order_date_parts",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(quarter FROM o_orderdate) AS qtr,
+           COUNT(*) AS n_orders,
+           MIN(dayofweek(o_orderdate)) AS min_dow,
+           MAX(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS max_days_since,
+           MIN(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)) AS min_epoch
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("F4", "F5", "A1"),
+)
+def q_order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/quarter bucketing + dow + day-diff + epoch seconds, with
+    the Spark↔DuckDB convention fixes (dow -1; floor epoch)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.dayofweek("o_orderdate") - 1).cast("bigint").alias("min_dow"),
+            F.max(
+                F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            ).cast("bigint").alias("max_days_since"),
+            F.min(F.unix_timestamp("o_orderdate")).alias("min_epoch"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F6: math-function stack (per-quantity profile)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_quantity_math",
+    oracle="""
+    SELECT l_quantity,
+           COUNT(*) AS n,
+           sqrt(l_quantity) AS sqrt_qty,
+           FLOOR(ln(l_quantity) * 1000000000 + 0.5) / 1000000000.0 AS ln_qty,
+           abs(l_quantity - 25.0) AS dist_from_25,
+           CAST(FLOOR(sqrt(l_quantity)) AS BIGINT) AS floor_sqrt,
+           CAST(CEIL(sqrt(l_quantity)) AS BIGINT) AS ceil_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+    FROM lineitem
+    GROUP BY l_quantity
+    """,
+    tags=("F6", "A1"),
+)
+def q_quantity_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt (IEEE-exact), ln (libm-agreement verified by parity test),
+    abs/floor/ceil/pmod — all on the integral quantity domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_quantity").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sqrt(q).alias("sqrt_qty"),
+        # JVM Math.log and DuckDB libm disagree in the last ulp for some
+        # inputs -> quantize to 1e-9 on both sides (diff ~2e-16, safe).
+        (F.floor(F.log(q) * 1e9 + F.lit(0.5)) / 1e9).alias("ln_qty"),
+        F.abs(q - 25.0).alias("dist_from_25"),
+        F.floor(F.sqrt(q)).alias("floor_sqrt"),
+        F.ceil(F.sqrt(q)).alias("ceil_sqrt"),
+        (q * q).alias("qty_sq"),
+        (q.cast("bigint") % 7).alias("qty_mod7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P7/P9: null handling + casts (missing JSON key -> coalesce default)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_null_handling_casts",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.missing') AS INTEGER), -1)) AS BIGINT)
+               AS sum_missing_defaulted,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("P7", "P9", "F10", "A7"),
+)
+def q_null_handling_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isNull / coalesce / explicit floor-then-cast (the portable
+    double->int conversion; raw CAST truncates in Spark but rounds in
+    DuckDB, so the engine never relies on bare casts of noisy doubles)."""
+    e = load_table(spark, sf_dir, "events")
+    missing = F.get_json_object(F.col("props"), "$.missing").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(missing, F.lit(-1))).cast("bigint").alias("sum_missing_defaulted"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+        F.sum(F.floor(F.col("value"))).cast("bigint").alias("sum_floor_value"),
+    )
