@@ -6,3 +6,6 @@ Each module covers one tranche of SURVEY.md §2.
 
 from fts_analysis_datalake_spark.queries import relational_core  # noqa: F401
 from fts_analysis_datalake_spark.queries import scalar_functions  # noqa: F401
+from fts_analysis_datalake_spark.queries import windows_dedup  # noqa: F401
+from fts_analysis_datalake_spark.queries import joins_sets  # noqa: F401
+from fts_analysis_datalake_spark.queries import advanced_agg  # noqa: F401

@@ -1,0 +1,349 @@
+"""Advanced aggregation tranche (SURVEY.md §7 step 6; §2.4 A4-A6,
+A8-A9, A11-A14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.functions.deterministic import (
+    dstddev_samp,
+    dsum,
+    sql_davg,
+    sql_dstddev_samp,
+    sql_dsum,
+)
+from fts_analysis_datalake_spark.registry import query
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# --------------------------------------------------------------------------
+# A11: rollup / cube / grouping sets with grouping_id
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_rollup_lang_source",
+    oracle="""
+    SELECT COALESCE(lang, 'ALL') AS lang_g, COALESCE(source, 'ALL') AS source_g,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP(lang, source)
+    """,
+    tags=("A11", "P7"),
+)
+def q_rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang,source) + per-lang + grand-total in ONE pass — the
+    FTS per-link/per-site/total report without re-scanning (Spark
+    expands grouping sets map-side; still a single shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang_g"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source_g"),
+            "gid",
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@query(
+    "q_cube_flag_status",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, '*') AS flag_g, COALESCE(l_linestatus, '*') AS status_g,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n, {sql_dsum('l_extendedprice')} AS total_price
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("A11",),
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (flag, status): all 2^2 grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("*")).alias("flag_g"),
+            F.coalesce(F.col("l_linestatus"), F.lit("*")).alias("status_g"),
+            "gid",
+            "n",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "q_grouping_sets_events",
+    oracle="""
+    SELECT COALESCE(event_type, '*') AS type_g,
+           COALESCE(CAST(user_id AS VARCHAR), '*') AS user_g,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id), ())
+    """,
+    tags=("A11",),
+)
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: by type, by user, and grand total —
+    disjoint rollup axes in one scan."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupingSets([["event_type"], ["user_id"], []], "event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("*")).alias("type_g"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("*")).alias("user_g"),
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A12/A13: pivot matrix + unpivot back to long form
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_pivot_user_event_matrix",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("A12", "A7"),
+)
+def q_pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user x event_type count matrix (the FTS source x dest heatmap
+    input). Explicit pivot value list => stable output schema and a
+    single-pass plan; zero-filled to match the CASE-based oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@query(
+    "q_unpivot_money_columns",
+    oracle="""
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(FLOOR(amount * 100 + 0.5) AS BIGINT)) / 100.0 AS total
+    FROM (
+      SELECT 'extendedprice' AS metric, l_extendedprice AS amount FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem
+    )
+    GROUP BY metric
+    """,
+    tags=("A13", "U1"),
+)
+def q_unpivot_money_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt/unpivot three money columns to long form then aggregate
+    per metric (matrix back to tidy rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        [
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        ],
+        "metric",
+        "amount",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("amount")).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A14: histogram / bucketed counts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_order_price_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket_lo,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("A14", "F6"),
+)
+def q_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram (duration-histogram analog)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        (F.floor(F.col("o_totalprice") / 50000) * 50000).cast("bigint").alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5: exact percentiles (integral domain -> interpolation bit-equal)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_quantity_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           median(l_quantity) AS med
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A5",),
+)
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles on the integral quantity
+    domain (p50/p95-style transfer-duration metrics). Interpolation
+    at quarter fractions of integers is exact in double, so Spark's
+    percentile and DuckDB's quantile_cont agree bitwise (verified)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.median("l_quantity").alias("med"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: stddev / variance (deterministic scaled-moment form)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_value_dispersion",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {sql_dstddev_samp('value', 2)} AS sd_value,
+           {sql_davg('value', 2)} AS mean_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("A6", "A1"),
+)
+def q_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev + mean of event value per type (throughput
+    variability), via order-independent scaled integer moments."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dstddev_samp(F.col("value"), 2).alias("sd_value"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0 / F.count(F.lit(1))).alias(
+            "mean_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# A8: deterministic representative row via min_by / max_by
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_first_last_event_argminmax",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, event_id) AS first_type,
+           arg_max(event_type, event_id) AS last_type,
+           arg_max(value, event_id) AS last_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("A8",),
+)
+def q_first_last_event_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last per group the deterministic way: min_by/max_by on a
+    unique ordering column (event_id), not F.first/F.last which depend
+    on partition arrival order."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A9: collect_set / collect_list with sorted determinism
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_event_types_per_user",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_seen,
+           CAST(len(list_distinct(list(event_type))) AS INTEGER) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("A9", "F7"),
+)
+def q_event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set of event types per user, sort_array'd for
+    deterministic order then array_join'd — declared outputs avoid
+    array-typed columns so the driver's value hash can't diverge on
+    list representation (engine-side the operator is the array)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_seen"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: approx_count_distinct (no oracle — engine-specific sketch)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_approx_distinct_parts",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+    tags=("A4",),
+)
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct at 2% rsd — the 100 TB cardinality path
+    (exact distinct shuffles every key; HLL merges fixed sketches).
+    Declared without oracle; a local test checks |approx-exact|/exact
+    <= 5*rsd."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,316 @@
+"""Full join matrix + set operations (SURVEY.md §7 step 5; §2.3
+J7-J11, §2.7 U2-U4).
+
+Scale notes: every non-equi join here carries an equi-prefix (same
+size / same user / same lang) so Spark plans a hash/sort-merge join on
+the prefix instead of a nested-loop cartesian; the tiny-side joins
+(interval grid) broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# J7: theta/band join with equi-prefix blocking
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_part_price_band_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_size,
+           a.p_retailprice AS price_a, b.p_retailprice AS price_b
+    FROM part a JOIN part b
+      ON a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+     AND abs(a.p_retailprice - b.p_retailprice) < 2.0
+    """,
+    tags=("J7", "J11"),
+)
+def q_part_price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (theta) self-join: equal size AND price within tolerance.
+    The p_size equi-key makes it a hash join with a residual band
+    filter — the blocking pattern that avoids O(n^2) at scale."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    return a.join(
+        b,
+        (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice")) < 2.0),
+    ).select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.col("a.p_size").alias("p_size"),
+        F.col("a.p_retailprice").alias("price_a"),
+        F.col("b.p_retailprice").alias("price_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J8: point-in-interval join against a generated weekly grid
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_events_weekly_interval",
+    oracle="""
+    WITH grid AS (
+      SELECT w AS week_start, w + INTERVAL 7 DAY AS week_end
+      FROM unnest(generate_series(TIMESTAMP '2024-01-01',
+                                  TIMESTAMP '2024-01-28',
+                                  INTERVAL 7 DAY)) t(w)
+    )
+    SELECT week_start, event_type, COUNT(*) AS n,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+    FROM events JOIN grid
+      ON ts >= week_start AND ts < week_end
+    GROUP BY week_start, event_type
+    """,
+    tags=("J8", "J5", "F4", "F7"),
+)
+def q_events_weekly_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: events against a generated weekly grid.
+    The grid side is rows-scale-of-weeks tiny -> broadcast nested loop
+    is the *correct* plan (at 100 TB the stream side never shuffles)."""
+    e = load_table(spark, sf_dir, "events")
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-28").cast("timestamp"),
+                F.expr("INTERVAL 7 DAYS"),
+            )
+        ).alias("week_start")
+    ).select("week_start", (F.col("week_start") + F.expr("INTERVAL 7 DAYS")).alias("week_end"))
+    return (
+        e.join(
+            F.broadcast(grid),
+            (F.col("ts") >= F.col("week_start")) & (F.col("ts") < F.col("week_end")),
+        )
+        .groupBy("week_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J9: as-of join (latest signup state at purchase time)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_asof_purchase_signup",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           s.ts AS signup_ts,
+           CAST(FLOOR(epoch(p.ts)) - FLOOR(epoch(s.ts)) AS BIGINT) AS age_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+    tags=("J9", "W1"),
+)
+def q_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest signup at-or-before
+    it for the same user. Spark emulation: equi-join on user + range
+    predicate, then keep the max-ts match per purchase via
+    row_number — one shuffle per side on user_id, no nested loop.
+    Oracle uses DuckDB's *native* ASOF JOIN (semantics verified equal:
+    inner, latest s.ts <= p.ts)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user_id"), F.col("ts").alias("signup_ts")
+    )
+    joined = p.join(
+        s,
+        (F.col("user_id") == F.col("s_user_id")) & (F.col("signup_ts") <= F.col("purchase_ts")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(F.col("signup_ts").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "signup_ts",
+            (F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts"))
+            .cast("bigint")
+            .alias("age_s"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J10: cross join — full (lang x source) grid with zero-filled counts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_lang_source_grid",
+    oracle="""
+    WITH langs AS (SELECT DISTINCT lang FROM documents),
+         srcs  AS (SELECT DISTINCT source FROM documents),
+         counts AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source)
+    SELECT l.lang, s.source, COALESCE(c.n, 0) AS n_docs
+    FROM langs l CROSS JOIN srcs s
+    LEFT JOIN counts c ON c.lang = l.lang AND c.source = s.source
+    """,
+    tags=("J10", "J2", "P7", "A10"),
+)
+def q_lang_source_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (lang x source) matrix with explicit zero cells — the
+    FTS source x dest transfer-matrix shape, cross join of two tiny
+    distinct sets then left join of real counts."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = d.select("lang").distinct()
+    srcs = d.select("source").distinct()
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        langs.crossJoin(srcs)
+        .join(
+            counts.withColumnsRenamed({"lang": "c_lang", "source": "c_source"}),
+            (F.col("lang") == F.col("c_lang")) & (F.col("source") == F.col("c_source")),
+            "left",
+        )
+        .select("lang", "source", F.coalesce(F.col("n"), F.lit(0)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J11: self-join candidate pairs (same lang, same length)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_length_pairs",
+    oracle="""
+    SELECT a.lang, COUNT(*) AS n_pairs
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    GROUP BY a.lang
+    """,
+    tags=("J11", "A1"),
+)
+def q_doc_length_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked self-join: near-dup candidates must share (lang,
+    n_chars) — the candidate-pair generation shape of MinHash-LSH
+    banding (D3) with a cheap blocking key."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.lang").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# U2-U4: set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_active_both_periods",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1999-01-01' AND TIMESTAMP '1999-12-31'
+    """,
+    tags=("U3",),
+)
+def q_active_both_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in both 1995 and 1999 — INTERSECT (distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def keys(lo: str, hi: str) -> DataFrame:
+        return o.filter(
+            F.col("o_orderdate").between(F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp"))
+        ).select("o_custkey")
+
+    return keys("1995-01-01", "1995-12-31").intersect(keys("1999-01-01", "1999-12-31"))
+
+
+@query(
+    "q_churned_customers",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    """,
+    tags=("U4",),
+)
+def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in 1995 never seen after — EXCEPT (distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"), F.lit("1995-12-31").cast("timestamp")
+        )
+    ).select("o_custkey")
+    later = o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")).select(
+        "o_custkey"
+    )
+    return y95.subtract(later)
+
+
+@query(
+    "q_quantity_multiset_diff",
+    oracle="""
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("U4",),
+)
+def q_quantity_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiset difference of the quantity
+    distributions of two flags)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    return a.exceptAll(r)
+
+
+@query(
+    "q_union_distinct_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    tags=("U2",),
+)
+def q_union_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two slices."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .unionByName(o.filter(F.col("o_totalprice") > 400000).select("o_custkey"))
+        .distinct()
+    )

@@ -1,0 +1,358 @@
+"""Window-function + dedup declared queries (SURVEY.md §7 step 4;
+§2.5 W1-W8, §2.4 A10, §2.10 D1/D2).
+
+Flagship: gap-and-island sessionization over the events table — the
+batch twin of the streaming session window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.registry import query
+from fts_analysis_datalake_spark.operators.windows import (
+    running_scaled_sum,
+    sessionize,
+    with_prev_gap_seconds,
+)
+
+SESSION_GAP_S = 1800  # 30 minutes
+
+
+# --------------------------------------------------------------------------
+# W8 flagship: sessionization -> per-session report
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sessionize_events",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("W8", "W3", "W4", "A1", "F5"),
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each user's event stream into sessions on >30 min gaps,
+    then aggregate per session (count, bounds, duration, value)."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", "event_id", SESSION_GAP_S)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_s"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0).alias("session_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W3: lag/lead inter-event gaps
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_user_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+             - CAST(FLOOR(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                 AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_s) AS n_gaps,
+           MIN(gap_s) AS min_gap_s,
+           MAX(gap_s) AS max_gap_s,
+           CAST(SUM(gap_s) AS BIGINT) AS total_gap_s
+    FROM gaps
+    GROUP BY user_id
+    """,
+    tags=("W3", "A1", "P7"),
+)
+def q_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap profile (the FTS retry-gap metric);
+    COUNT(col) drops each user's first-row null gap."""
+    e = load_table(spark, sf_dir, "events")
+    g = with_prev_gap_seconds(e, "user_id", "ts", "event_id")
+    return g.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum("gap_s").cast("bigint").alias("total_gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W4: running cumulative sum (deterministic scaled)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_running_user_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+               AS running_sum,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS event_seq
+    FROM events
+    WHERE user_id % 5 = 0
+    """,
+    tags=("W4", "W1"),
+)
+def q_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative value per user (FTS cumulative-bytes analog)."""
+    e = load_table(spark, sf_dir, "events").filter((F.col("user_id") % 5) == 0)
+    out = running_scaled_sum(
+        e, "value", ["user_id"], [F.col("ts"), F.col("event_id")], alias="running_sum"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "running_sum",
+        F.row_number().over(w).cast("bigint").alias("event_seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W1/W2: full ranking-function stack
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_customer_rank_stack",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ROW_NUMBER()  OVER w AS BIGINT) AS rn,
+           CAST(RANK()        OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK()  OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4)      OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("W1", "W2"),
+)
+def q_customer_rank_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank/ntile/percent_rank/cume_dist per
+    segment; rank ties use exact double equality (same both engines),
+    custkey breaks order ties."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W5/W6: moving average (row frame) + time-range frame
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_moving_avg_value",
+    oracle="""
+    SELECT event_id, user_id,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / 100.0
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+               AS moving_avg
+    FROM events
+    WHERE user_id % 7 = 0
+    """,
+    tags=("W5",),
+)
+def q_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-row moving average (throughput smoothing), scaled-sum/count
+    so frame-combine order can't matter."""
+    e = load_table(spark, sf_dir, "events").filter((F.col("user_id") % 7) == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    scaled = F.floor(F.col("value") * 100 + F.lit(0.5))
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(scaled).over(w) / 100.0 / F.count(F.lit(1)).over(w)).alias("moving_avg"),
+    )
+
+
+@query(
+    "q_range_frame_hour",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(1) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_last_hour,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 100.0
+               AS value_last_hour
+    FROM events
+    WHERE user_id % 9 = 0
+    """,
+    tags=("W6",),
+)
+def q_range_frame_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row trailing-1h window (range frame over epoch seconds) —
+    'events in the last hour' per event, the FTS rolling-rate metric."""
+    e = load_table(spark, sf_dir, "events").filter((F.col("user_id") % 9) == 0)
+    epoch = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    scaled = F.floor(F.col("value") * 100 + F.lit(0.5))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+        (F.sum(scaled).over(w) / 100.0).alias("value_last_hour"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W7: first/last value over full-partition frame
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_first_last_per_user",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           first_value(ts) OVER w AS first_ts,
+           last_value(ts)  OVER w AS last_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("W7", "A10"),
+)
+def q_first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event per user via full-partition window frame (the
+    as-of state propagation primitive), deduped to one row per user."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.first("ts").over(w).alias("first_ts"),
+        F.last("ts").over(w).alias("last_ts"),
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# D1: exact text dedup; D2: keyed dedup with deterministic survivor
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_exact_dedup_docs",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+    tags=("D1", "F11", "A1"),
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (byte-identical) duplicate groups by md5, canonical row =
+    min doc_id — the deterministic survivor rule. At 100 TB the hash
+    groupBy shuffles 16-byte keys instead of full texts."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "q_latest_event_per_user_type",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    tags=("D2", "W1", "A10"),
+)
+def q_latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup with deterministic survivor (latest, then highest
+    id) — never dropDuplicates, whose survivor is arbitrary."""
+    from fts_analysis_datalake_spark.operators.relational import dedup_keyed
+
+    e = load_table(spark, sf_dir, "events")
+    return dedup_keyed(
+        e, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+
+
+@query(
+    "q_distinct_flag_status",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("A10",),
+)
+def q_distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT — map-side partial dedup then one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
