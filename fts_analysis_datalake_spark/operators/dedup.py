@@ -1,0 +1,214 @@
+"""Deduplication operators for the LLM-data pipeline (SURVEY.md §2.10
+D1-D4): exact, keyed, MinHash-LSH near-dup candidate generation,
+exact-Jaccard verification, and SimHash.
+
+Scale design (the whole point of these at 100 TB):
+- exact dedup shuffles 16-byte md5 keys, never full texts (D1);
+- MinHash reduces each document to a fixed k-longs signature before
+  any pairwise work; LSH banding turns all-pairs O(n^2) into a
+  self-join on (band_idx, band_hash) buckets — only probable
+  near-dups ever meet;
+- the exact-Jaccard pass (D4) runs ONLY on LSH candidates, so the
+  expensive token-set intersection touches a vanishing fraction of
+  pairs;
+- everything is DataFrame ops: shingle explode -> min-hash groupBy
+  (map-side partial min) -> band explode -> bucket self-join.
+
+xxhash64(seed, value) provides the k independent hash families
+in-JVM; these are Spark-specific values, so MinHash/SimHash queries
+are declared rows-only and verified by property tests
+(tests/test_minhash.py) + the SQL-expressible Jaccard pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd  # module-level so pandas_udf type hints resolve
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.operators.text import ngrams, normalize_text, tokens
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — word n-gram shingles of the
+    normalized text."""
+    return df.select(
+        F.col(id_col),
+        F.explode(ngrams(tokens(normalize_text(F.col(text_col))), n)).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig: array<bigint>) — k-permutation MinHash signature.
+
+    One shuffle: groupBy(id) with k partial-min aggregates; the k hash
+    families are xxhash64 seeded by constant column prefixes.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*mins)
+    return sigs.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs: documents sharing >=1 LSH band.
+
+    Bands the signature into ``bands`` slices of r = k/bands rows;
+    band key = xxhash64 of the slice. Self-join per bucket with
+    id_a < id_b, then distinct. With b=8, r=4 the collision
+    probability is ~1-(1-j^4)^8 — steep around Jaccard ~0.6.
+    """
+    r = num_hashes // bands
+    band_rows = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.lit(b), F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard_for_pairs(
+    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, shingle_n: int | None = None
+) -> DataFrame:
+    """D4: exact set-Jaccard for given (id_a, id_b) pairs —
+    array_intersect/array_union on pre-deduped element arrays; only
+    candidate pairs pay the cost.
+
+    ``shingle_n=None`` compares token sets; an integer compares n-gram
+    shingle sets — use the same granularity as the candidate
+    generator (MinHash signatures hash shingles, so near_dup_pairs
+    verifies in shingle space; token sets are too coarse on
+    small-vocabulary corpora where every doc shares most words).
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    elems = toks if shingle_n is None else ngrams(toks, shingle_n)
+    tok = df.select(F.col(id_col), F.array_distinct(elems).alias("toks"))
+    return (
+        pairs.join(tok.withColumnsRenamed({id_col: "id_a", "toks": "toks_a"}), "id_a")
+        .join(tok.withColumnsRenamed({id_col: "id_b", "toks": "toks_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+                / F.size(F.array_union("toks_a", "toks_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full D3+D4 pipeline: MinHash -> LSH candidates -> exact-Jaccard
+    filter at ``threshold``."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return exact_jaccard_for_pairs(df, id_col, text_col, cands, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (pandas-UDF surface: the X1/X2 vectorized-Python example)
+# --------------------------------------------------------------------------
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint 64-bit-as-signed) via an Arrow-batched
+    pandas UDF — the designated vectorized-Python surface (X1): token
+    hashing + bit-vote accumulation are numpy loops over md5 prefixes,
+    which Catalyst can't express without 64 array-fold passes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            toks = [w for w in (t or "").lower().split() if w]
+            if not toks:
+                out.append(0)
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for w in toks:
+                digest = hashlib.md5(w.encode()).digest()[:8]
+                bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+                votes += 2 * bits.astype(np.int64) - 1
+            sig = int.from_bytes(np.packbits((votes > 0).astype(np.uint8)).tobytes(), "big")
+            out.append(sig - (1 << 64) if sig >= 1 << 63 else sig)  # to signed
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidate_pairs(sim_df: DataFrame, id_col: str) -> DataFrame:
+    """Near-dup candidates: docs sharing any of the four 16-bit
+    simhash chunks (Hamming-distance blocking)."""
+    chunks = sim_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "c.chunk_idx", "c.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )

@@ -1,0 +1,160 @@
+"""Similarity-search operators over embedding columns (SURVEY.md
+§2.10 D5-D7 + ANN extension).
+
+- brute-force cosine top-k: the 100 TB-honest baseline — a single
+  scan + per-row built-in vector math + TakeOrderedAndProject (no
+  global sort materializes);
+- label-blocked all-pairs: bounded self-join for near-dup mining;
+- IVF (inverted-file) bucketed ANN: the scale path — assign every
+  vector to its nearest coarse centroid once (broadcast centroids,
+  argmin over an array fold), then probe only the nprobe nearest
+  buckets per query. At 1000 executors the probe touches
+  nprobe/ncentroids of the data instead of all of it.
+
+All distance math uses functions/vector.py built-ins (no UDFs in the
+hot path); a pandas-UDF cosine twin exists as the X1 surface demo.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd  # module-level so pandas_udf type hints resolve
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.functions.vector import cosine, dot, norm
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)).cast("float") for x in vec])
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force top-k by cosine to a literal query vector.
+
+    orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    heap of k, then a k*partitions merge on the driver side of the
+    exchange — no full sort, no full shuffle."""
+    cos = cosine(F.col(vec_col), _vec_lit(query_vec))
+    return (
+        emb.select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def allpairs_above_threshold(
+    emb: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold, blocked by ``block_col`` so
+    the self-join is an equi hash join per block, not a cartesian."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("blk", "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF bucketed ANN
+# --------------------------------------------------------------------------
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (broadcast join +
+    per-row argmax via row_number over the tiny centroid fan-out)."""
+    from pyspark.sql import Window
+
+    joined = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(cent_id),
+        cosine(F.col(vec_col), F.col(cent_vec)).alias("cent_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cent_cos").desc(), F.col(cent_id))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, cent_id)
+    )
+
+
+def deterministic_centroids(
+    emb: DataFrame, every: int = 53, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Seed centroids deterministically (every Nth vector) — a stand-in
+    for a k-means fit; the IVF plumbing is identical either way."""
+    return emb.filter((F.col(id_col) % every) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 3,
+    every: int = 53,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe only the ``nprobe`` centroids nearest the
+    query, scan only their buckets. Recall vs brute force is checked
+    by tests/test_similarity.py."""
+    cents = deterministic_centroids(emb, every, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    probe = (
+        cents.select("cent_id", cosine(F.col("cent_vec"), _vec_lit(query_vec)).alias("qc"))
+        .orderBy(F.col("qc").desc(), F.col("cent_id"))
+        .limit(nprobe)
+        .select("cent_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cent_id")
+        .select(F.col(id_col), cosine(F.col(vec_col), _vec_lit(query_vec)).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# X1: pandas-UDF cosine twin (UDF surface demo; built-in is the hot path)
+# --------------------------------------------------------------------------
+
+
+def cosine_pandas_udf(query_vec: list[float]):
+    """Arrow-batched scalar pandas UDF computing cosine to a fixed
+    query — numpy dot over the batch. ~10-100x faster than row-at-a-
+    time Python UDFs; still slower than the built-in fold, which is
+    why the engine defaults to functions/vector.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @pandas_udf("double")
+    def cos_udf(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # float32 accumulation loses ~1e-7
+        return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
+
+    return cos_udf

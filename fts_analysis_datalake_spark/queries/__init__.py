@@ -9,3 +9,6 @@ from fts_analysis_datalake_spark.queries import scalar_functions  # noqa: F401
 from fts_analysis_datalake_spark.queries import windows_dedup  # noqa: F401
 from fts_analysis_datalake_spark.queries import joins_sets  # noqa: F401
 from fts_analysis_datalake_spark.queries import advanced_agg  # noqa: F401
+from fts_analysis_datalake_spark.queries import llm_text  # noqa: F401
+from fts_analysis_datalake_spark.queries import llm_vectors  # noqa: F401
+from fts_analysis_datalake_spark.queries import llm_dedup  # noqa: F401

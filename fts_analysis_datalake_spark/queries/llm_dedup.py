@@ -1,0 +1,108 @@
+"""LLM-pipeline dedup declared queries (SURVEY.md §2.10 D1-D4;
+exact dedup D1/D2 live in windows_dedup.py).
+
+MinHash-LSH and SimHash depend on Spark-side hash functions
+(xxhash64 / md5-prefix votes), so they're declared rows-only and
+property-tested (tests/test_minhash.py). The exact-Jaccard pass (D4)
+is SQL-expressible and oracle-checked on blocked candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.operators.dedup import (
+    exact_jaccard_for_pairs,
+    near_dup_pairs,
+    simhash_candidate_pairs,
+    simhash_table,
+)
+from fts_analysis_datalake_spark.operators.text import sql_tokens
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# D4: exact Jaccard on (lang, n_chars)-blocked candidate pairs — oracle ✅
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_jaccard_blocked_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars,
+                      list_distinct({sql_tokens('text')}) AS toks
+               FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(a.toks || b.toks)) AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    """,
+    tags=("D4", "J11", "F7"),
+)
+def q_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs blocked on
+    (lang, n_chars) — the verify pass that would follow LSH; here the
+    blocking key doubles as a cheap candidate generator so the oracle
+    can reproduce the exact pair set."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return exact_jaccard_for_pairs(d, "doc_id", "text", pairs)
+
+
+# --------------------------------------------------------------------------
+# D3: MinHash-LSH near-dup mining — rows-only (property-tested)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_minhash_near_dups",
+    oracle=None,  # xxhash64-based; verified by tests/test_minhash.py
+    tags=("D3", "D4", "J11", "W1"),
+)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: 3-gram shingles -> 32-perm MinHash ->
+    8-band LSH candidates -> exact-Jaccard >= 0.8 confirm. At 100 TB
+    only LSH-bucket collisions ever pay the exact-Jaccard cost."""
+    d = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup candidates — rows-only (pandas-UDF surface, X1)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_simhash_candidates",
+    oracle=None,  # md5-prefix bit votes; verified by tests/test_minhash.py
+    tags=("D3", "X1"),
+)
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit signatures (Arrow-batched pandas UDF) ->
+    16-bit-chunk blocking -> candidate pairs with Hamming distance."""
+    d = load_table(spark, sf_dir, "documents")
+    sim = simhash_table(d, "doc_id", "text")
+    pairs = simhash_candidate_pairs(sim, "doc_id")
+    a = sim.withColumnsRenamed({"doc_id": "id_a", "simhash": "sh_a"})
+    b = sim.withColumnsRenamed({"doc_id": "id_b", "simhash": "sh_b"})
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 16)
+    )

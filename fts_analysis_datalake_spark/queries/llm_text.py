@@ -1,0 +1,295 @@
+"""LLM-pipeline text-analysis declared queries (SURVEY.md §7 step 7;
+§2.10 D8-D13 + F7 explode pipelines).
+
+Oracle strategy: every op here is SQL-expressible, so each query has
+a DuckDB twin built from the sql_* helpers in operators/text.py (kept
+in lockstep with the Spark expressions). MinHash/SimHash (engine-hash
+dependent) live in llm_dedup.py as rows-only + property-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    LID_PROFILES,
+    language_id,
+    min_shingle_fingerprint,
+    normalize_text,
+    ngrams,
+    quality_score,
+    sql_ngrams,
+    sql_normalize_text,
+    sql_tokens,
+    tf_idf,
+    token_count_bpe_ish,
+    tokens,
+)
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# D8/D9: normalize + tokenize + token counting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_normalize_tokenize",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_normalize_text('text')} AS norm_text,
+           CAST(len({sql_tokens('text')}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+           array_to_string(list_slice({sql_tokens('text')}, 1, 3), ' ') AS first_tokens
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
+    tags=("D8", "D9", "F1", "F7"),
+)
+def q_normalize_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization + whitespace tokens + BPE-ish regex token count
+    (the pre-tokenizer cost estimate used for corpus budgeting)."""
+    d = load_table(spark, sf_dir, "documents").filter((F.col("doc_id") % 7) == 0)
+    toks = tokens(normalize_text(F.col("text")))
+    return d.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("norm_text"),
+        F.size(toks).alias("n_tokens"),
+        token_count_bpe_ish(F.col("text")).alias("n_bpe_tokens"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D9: corpus vocabulary — top terms
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_vocab_top_terms",
+    oracle=f"""
+    SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents)
+    GROUP BY term
+    ORDER BY n_occurrences DESC, term
+    LIMIT 25
+    """,
+    tags=("D9", "F7", "A1", "O1", "O2"),
+)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-25 terms by occurrence (explode ->
+    two-level count; map-side combine keeps the shuffle tiny)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# D10: TF-IDF
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tfidf_sample",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           tf.tf * (FLOOR(ln(CAST(n_docs AS DOUBLE) / dfreq.df) * 1000000000 + 0.5) / 1000000000.0)
+               AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    WHERE tf.doc_id % 100 = 0
+    """,
+    tags=("D10", "D9", "J5", "F6"),
+)
+def q_tfidf_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights (idf = ln(N/df), quantized 1e-9 for libm
+    agreement); df/idf computed over the whole corpus, output sampled
+    to doc_id%100 docs. The docfreq join is broadcast — at 100 TB the
+    vocabulary is millions of rows vs billions of (doc, term) pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    out = tf_idf(d, "doc_id", "text")
+    return out.filter((F.col("doc_id") % 100) == 0).select("doc_id", "term", "tf", "df", "tfidf")
+
+
+# --------------------------------------------------------------------------
+# D11: n-gram shingles + fingerprint
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_shingle_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents WHERE doc_id % 11 = 0),
+         s AS (SELECT doc_id, unnest({sql_ngrams('toks', 3)}) AS shingle FROM t)
+    SELECT doc_id, COUNT(*) AS n_shingles, COUNT(DISTINCT shingle) AS n_distinct,
+           MIN(md5(shingle)) AS fingerprint
+    FROM s
+    GROUP BY doc_id
+    """,
+    tags=("D11", "F7", "F11", "A1"),
+)
+def q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle counts + min-md5 fingerprint per doc (the
+    1-permutation MinHash used as a cheap near-dup blocking key)."""
+    d = load_table(spark, sf_dir, "documents").filter((F.col("doc_id") % 11) == 0)
+    sh = d.select(
+        "doc_id", F.explode(ngrams(tokens(normalize_text(F.col("text"))), 3)).alias("shingle")
+    )
+    return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        F.min(F.md5("shingle")).alias("fingerprint"),
+    )
+
+
+@query(
+    "q_fingerprint_clusters",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+         f AS (SELECT doc_id, list_min(list_transform({sql_ngrams('toks', 3)}, s -> md5(s))) AS fp
+               FROM t WHERE len(toks) >= 3)
+    SELECT fp, COUNT(*) AS cluster_size, CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM f
+    GROUP BY fp
+    HAVING COUNT(*) > 1
+    """,
+    tags=("D11", "D1", "F11"),
+)
+def q_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate clusters: docs sharing a min-shingle
+    fingerprint (exact-dup clusters plus shingle-collision cousins)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(normalize_text(F.col("text")))
+    f = d.select("doc_id", min_shingle_fingerprint(toks, 3).alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    return (
+        f.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# D12/D13: language-ID heuristic + quality scoring + corpus slice stats
+# --------------------------------------------------------------------------
+
+
+def _sql_language_id() -> str:
+    """DuckDB twin of operators.text.language_id, generated from the
+    same LID_PROFILES so the two can't drift apart."""
+    toks = sql_tokens("text")
+    scores = {}
+    for lang, words in sorted(LID_PROFILES.items()):
+        if not words:
+            continue
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = (
+            f"(CAST(len(list_filter({toks}, t -> list_contains([{lst}], t))) AS DOUBLE)"
+            f" / greatest(len({toks}), 1))"
+        )
+    m = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {expr} = __m THEN '{lang}'" for lang, expr in sorted(scores.items())
+    )
+    cjk = (
+        "(CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)"
+        " / greatest(length(text), 1))"
+    )
+    return (
+        f"CASE WHEN {cjk} > 0.3 THEN 'zh' ELSE "
+        f"(SELECT CASE WHEN __m <= 0 THEN 'und' {cases} END FROM (SELECT {m} AS __m)) END"
+    )
+
+
+@query(
+    "q_language_id_confusion",
+    oracle=f"""
+    SELECT lang AS labeled_lang, {_sql_language_id()} AS predicted_lang, COUNT(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("D12", "F2", "F8"),
+)
+def q_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic LID (CJK-ratio + stopword-profile argmax) vs the
+    labeled lang column — the corpus-audit confusion matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("labeled_lang"), language_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             (CASE WHEN n_chars >= 50 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN CAST(n_chars AS DOUBLE) / greatest(len({sql_tokens('text')}), 1) >= 3.0
+                      AND CAST(n_chars AS DOUBLE) / greatest(len({sql_tokens('text')}), 1) <= 12.0
+                     THEN 1.0 ELSE 0.0 END
+              + CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1)) / 3.0 AS quality
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, quality
+    FROM scored
+    WHERE quality >= 0.5 AND lang IN ('en', 'de', 'fr') AND n_chars BETWEEN 80 AND 2000
+    """,
+    tags=("D13", "P2", "P5", "F6"),
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: composite score + length band + lang whitelist —
+    the corpus-filter stage of a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", "n_chars", quality_score(F.col("text")).alias("quality"))
+    return scored.filter(
+        (F.col("quality") >= 0.5)
+        & F.col("lang").isin("en", "de", "fr")
+        & F.col("n_chars").between(80, 2000)
+    )
+
+
+@query(
+    "q_corpus_slice_stats",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("D12", "A1"),
+)
+def q_corpus_slice_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus inventory — the slice report that
+    drives sampling ratios in a data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens(normalize_text(F.col("text"))))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(n_toks).cast("bigint").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )

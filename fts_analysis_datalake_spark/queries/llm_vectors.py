@@ -1,0 +1,210 @@
+"""LLM-pipeline vector/similarity declared queries (SURVEY.md §7
+step 7; §2.10 D5-D7, D14 + ANN extension).
+
+Cosine determinism: both engines fold the 64-dim arrays sequentially
+with identical float->double casts, so values are bit-equal (see
+functions/vector.py). The IVF ANN variant is rows-only (recall vs
+brute force is property-tested in tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
+from fts_analysis_datalake_spark.functions.vector import cosine, norm, sql_cosine, sql_norm
+from fts_analysis_datalake_spark.operators.multimodal import bundle_multimodal
+from fts_analysis_datalake_spark.operators.similarity import (
+    allpairs_above_threshold,
+    cosine_topk,
+    ivf_topk,
+)
+from fts_analysis_datalake_spark.registry import query
+
+QUERY_VEC_ID = 0
+PAIR_OFFSET = 250
+COS_THRESHOLD = 0.35
+
+# --------------------------------------------------------------------------
+# D5: pairwise cosine on aligned pairs
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cosine_offset_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim,
+           {sql_norm('a.embedding')} AS norm_a
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + {PAIR_OFFSET}
+    """,
+    tags=("D5", "F8", "J1"),
+)
+def q_cosine_offset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between (i, i+250) vector pairs — the D5
+    primitive on a deterministic pairing, pure higher-order exprs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return a.join(b, F.col("id_b") == F.col("id_a") + PAIR_OFFSET).select(
+        "id_a",
+        "id_b",
+        cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        norm(F.col("va")).alias("norm_a"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D6: brute-force top-k similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_topk_similar_bruteforce",
+    oracle=f"""
+    SELECT e.vec_id, {sql_cosine('e.embedding', 'q.embedding')} AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("D6", "J10", "O3", "F8"),
+)
+def q_topk_similar_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 query vector. The
+    query row is joined in (no driver collect); orderBy+limit becomes
+    TakeOrderedAndProject — per-partition top-k heaps, no full sort."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# D7: all-pairs above threshold (label-blocked)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_allpairs_high_cosine",
+    oracle=f"""
+    SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {COS_THRESHOLD}
+    """,
+    tags=("D7", "J11", "F8"),
+)
+def q_allpairs_high_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level near-dup pairs above cosine 0.35, blocked by
+    label so the self-join stays an equi hash join per block."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return allpairs_above_threshold(e, COS_THRESHOLD).select("blk", "id_a", "id_b", "cos_sim")
+
+
+# --------------------------------------------------------------------------
+# norms / stats
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_norm_stats",
+    oracle=f"""
+    SELECT label, COUNT(*) AS n,
+           MIN({sql_norm('embedding')}) AS min_norm,
+           MAX({sql_norm('embedding')}) AS max_norm,
+           SUM(CAST(FLOOR({sql_norm('embedding')} * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+               AS total_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("D5", "A1", "F8"),
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label norm profile (embedding-health audit); the norm sum
+    uses the scaled deterministic form."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = norm(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(n).alias("min_norm"),
+        F.max(n).alias("max_norm"),
+        dsum(n, 6).alias("total_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D14: multimodal struct bundle
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_bundle",
+    oracle=f"""
+    SELECT doc_id, lang, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           {sql_norm('embedding')} AS emb_norm,
+           CAST(length(text) AS INTEGER) AS text_len
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    WHERE doc_id % 13 = 0
+    """,
+    tags=("D14", "J1", "F8"),
+)
+def q_multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings bundled into a struct column, then leaf
+    projections — the multimodal-row pattern (text + vector + typed
+    metadata travel together; Catalyst prunes unaccessed leaves)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = bundle_multimodal(docs, emb).filter((F.col("doc_id") % 13) == 0)
+    return m.select(
+        "doc_id",
+        F.col("m.lang").alias("lang"),
+        F.col("m.label").alias("label"),
+        F.size("m.embedding").alias("dim"),
+        norm(F.col("m.embedding")).alias("emb_norm"),
+        F.length("m.text").alias("text_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN: IVF-bucketed top-k (rows-only; recall property-tested)
+# --------------------------------------------------------------------------
+
+_QUERY_VEC: list[float] | None = None
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The vec_id=0 embedding as a literal (cached); the scale story
+    is a broadcast literal query batch, so a one-row lookup is fair."""
+    global _QUERY_VEC
+    if _QUERY_VEC is None:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == QUERY_VEC_ID)
+            .select("embedding")
+            .head()
+        )
+        _QUERY_VEC = [float(x) for x in row[0]]
+    return _QUERY_VEC
+
+
+@query(
+    "q_ivf_topk_ann",
+    oracle=None,  # ANN result depends on centroid seeding; recall vs
+    # brute force is asserted in tests/test_similarity.py.
+    tags=("D6", "ANN"),
+)
+def q_ivf_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: probe the 3 nearest of ~10 coarse
+    buckets — the scan touches ~30% of vectors instead of 100%."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    return ivf_topk(e, _query_vec(spark, sf_dir), k=10, nprobe=3)

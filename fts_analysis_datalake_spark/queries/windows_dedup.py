@@ -304,19 +304,27 @@ def q_first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT md5(text) AS text_hash,
            CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
            COUNT(*) AS n_copies
-    FROM documents
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
     GROUP BY md5(text)
     HAVING COUNT(*) > 1
     """,
-    tags=("D1", "F11", "A1"),
+    tags=("D1", "F11", "A1", "U1"),
 )
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (byte-identical) duplicate groups by md5, canonical row =
     min doc_id — the deterministic survivor rule. At 100 TB the hash
-    groupBy shuffles 16-byte keys instead of full texts."""
-    d = load_table(spark, sf_dir, "documents")
+    groupBy shuffles 16-byte keys instead of full texts. The fixture
+    has no exact dups, so a shifted-id copy of every 5th doc is
+    unioned in to make the dedup non-trivial."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter((F.col("doc_id") % 5) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
     return (
-        d.groupBy(F.md5("text").alias("text_hash"))
+        d.unionByName(dup)
+        .groupBy(F.md5("text").alias("text_hash"))
         .agg(
             F.min("doc_id").cast("bigint").alias("canonical_doc"),
             F.count(F.lit(1)).alias("n_copies"),
