@@ -57,6 +57,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Rebalance a DataFrame to the cluster's default parallelism when
+    it has fewer partitions (e.g. a single-row-group parquet file).
+
+    Use before compute-heavy projections (regex/tokenize/hash
+    pipelines): Spark evaluates projection expressions where the rows
+    sit, so a 1-partition input pins the whole pipeline to one core
+    no matter how many are available. Well-partitioned inputs — the
+    100 TB case — pass through untouched, so this never adds a
+    shuffle at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every table as a temp view (name -> DF registry)."""
     dfs = load_tables(spark, sf_dir)

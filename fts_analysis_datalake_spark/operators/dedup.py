@@ -28,16 +28,58 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.catalog import ensure_parallelism
 from fts_analysis_datalake_spark.operators.text import ngrams, normalize_text, tokens
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — word n-gram shingles of the
-    normalized text."""
-    return df.select(
-        F.col(id_col),
-        F.explode(ngrams(tokens(normalize_text(F.col(text_col))), n)).alias("shingle"),
-    ).distinct()
+    """(id, shingle) pairs — word n-gram shingles of the normalized
+    text. Duplicates are NOT removed: every consumer (min-agg,
+    set-jaccard via array_distinct) is dup-tolerant, and skipping the
+    distinct saves a full shuffle of shingle strings.
+
+    Implementation: posexplode tokens to rows, then window lead() to
+    assemble n-grams — fully codegen'd, ~8x faster than the
+    interpreted transform/slice/array_join fold (higher-order lambdas
+    never enter WholeStageCodegen). One shuffle on id (the window),
+    which downstream per-id aggregations reuse.
+
+    Small single-file inputs are rebalanced to the cluster's default
+    parallelism first — a 1-row-group parquet file would otherwise
+    pin the tokenize stage to one core. Well-partitioned inputs (the
+    100 TB case) are left alone.
+    """
+    from pyspark.sql import Window
+
+    df = ensure_parallelism(df)
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "t")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    guard = F.lead("t", n - 1).over(w) if n > 1 else F.col("t")
+    return (
+        tok_rows.select(
+            F.col(id_col), F.concat_ws(" ", *leads).alias("shingle"), guard.alias("_guard")
+        )
+        .filter(F.col("_guard").isNotNull())
+        .drop("_guard")
+    )
+
+
+# (a_i * x + b_i) mod MERSENNE_P universal-hash families: one xxhash64
+# per shingle, then k cheap integer ops — vs k string-concat+xxhash64
+# per shingle (32x the hashing cost and allocation churn at scale).
+MERSENNE_P = (1 << 31) - 1
+_MIX_A = 0x9E3779B1  # golden-ratio odd constants; any fixed odd ints work
+_MIX_B = 0x85EBCA77
+
+
+def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        (1 + (_MIX_A * (i + 1)) % (MERSENNE_P - 1), (_MIX_B * (i + 1)) % MERSENNE_P)
+        for i in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -45,14 +87,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) — k-permutation MinHash signature.
 
-    One shuffle: groupBy(id) with k partial-min aggregates; the k hash
-    families are xxhash64 seeded by constant column prefixes.
+    One shuffle: groupBy(id) with k partial-min aggregates. The k
+    families are (a_i * x + b_i) mod p over a single base xxhash64
+    (p = 2^31-1, so a_i * x < 2^62 never overflows ANSI bigints).
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
+    x = F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE_P)).alias("x")
+    based = sh.select(F.col(id_col), x)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.pmod(F.col("x") * a + b, F.lit(MERSENNE_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes))
     ]
-    sigs = sh.groupBy(id_col).agg(*mins)
+    sigs = based.groupBy(id_col).agg(*mins)
     return sigs.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -111,10 +157,18 @@ def exact_jaccard_for_pairs(
     generator (MinHash signatures hash shingles, so near_dup_pairs
     verifies in shingle space; token sets are too coarse on
     small-vocabulary corpora where every doc shares most words).
+
+    Element sets are assembled row-wise (explode/shingle rows ->
+    collect_set) instead of via array-fold expressions — same
+    codegen-vs-interpreted reasoning as shingle_table.
     """
-    toks = tokens(normalize_text(F.col(text_col)))
-    elems = toks if shingle_n is None else ngrams(toks, shingle_n)
-    tok = df.select(F.col(id_col), F.array_distinct(elems).alias("toks"))
+    if shingle_n is None:
+        rows = ensure_parallelism(df).select(
+            F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("elem")
+        )
+    else:
+        rows = shingle_table(df, id_col, text_col, shingle_n).withColumnRenamed("shingle", "elem")
+    tok = rows.groupBy(id_col).agg(F.collect_set("elem").alias("toks"))
     return (
         pairs.join(tok.withColumnsRenamed({id_col: "id_a", "toks": "toks_a"}), "id_a")
         .join(tok.withColumnsRenamed({id_col: "id_b", "toks": "toks_b"}), "id_b")
@@ -139,8 +193,15 @@ def near_dup_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Full D3+D4 pipeline: MinHash -> LSH candidates -> exact-Jaccard
-    filter at ``threshold``."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    filter at ``threshold``.
+
+    Signatures are persisted for the duration of the plan: the DAG
+    uses them twice (band explode + both sides of the bucket
+    self-join), and without a persist Spark recomputes the whole
+    shingle+hash lineage for each use — at any scale that's 3x the
+    dominant cost (SURVEY.md §4 caching row).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return exact_jaccard_for_pairs(df, id_col, text_col, cands, shingle_n).filter(
         F.col("jaccard") >= threshold
@@ -178,7 +239,9 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             out.append(sig - (1 << 64) if sig >= 1 << 63 else sig)  # to signed
         return pd.Series(out, dtype="int64")
 
-    return df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    return ensure_parallelism(df).select(
+        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_candidate_pairs(sim_df: DataFrame, id_col: str) -> DataFrame:

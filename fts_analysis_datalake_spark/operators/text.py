@@ -118,10 +118,16 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str, quantize: float = 1e9) -> 
     )
 
 
-def language_id(text_col: Column) -> Column:
+def language_id(text_col: Column, toks_col: Column | None = None) -> Column:
     """Heuristic language ID: CJK ratio -> zh; else argmax stopword
-    overlap among latin-script profiles; 'und' when nothing matches."""
-    toks = tokens(normalize_text(text_col))
+    overlap among latin-script profiles; 'und' when nothing matches.
+
+    Pass a pre-materialized token-array column via ``toks_col`` when
+    calling in a projection: higher-order functions run interpreted
+    (no codegen, no common-subexpression elimination), so inlining the
+    tokenizer here would re-normalize and re-split the text once per
+    language profile."""
+    toks = toks_col if toks_col is not None else tokens(normalize_text(text_col))
     scores = {
         lang: stopword_ratio(toks, words) for lang, words in LID_PROFILES.items() if words
     }

@@ -170,14 +170,24 @@ def q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate clusters: docs sharing a min-shingle
-    fingerprint (exact-dup clusters plus shingle-collision cousins)."""
+    fingerprint (exact-dup clusters plus shingle-collision cousins).
+
+    Uses the explode+min-agg path (shingle_table) rather than the
+    array-fold expression (min_shingle_fingerprint): higher-order
+    lambdas run interpreted, so the fold costs ~5 ms/doc on one core,
+    while explode+md5+min is codegen'd and parallel. Docs with <3
+    tokens produce no shingles and drop out, matching the fold's
+    null-fp filter."""
+    from fts_analysis_datalake_spark.operators.dedup import shingle_table
+
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(normalize_text(F.col("text")))
-    f = d.select("doc_id", min_shingle_fingerprint(toks, 3).alias("fp")).filter(
-        F.col("fp").isNotNull()
+    fp = (
+        shingle_table(d, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("fp"))
     )
     return (
-        f.groupBy("fp")
+        fp.groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
             F.min("doc_id").cast("bigint").alias("canonical_doc"),
@@ -231,8 +241,14 @@ def q_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic LID (CJK-ratio + stopword-profile argmax) vs the
     labeled lang column — the corpus-audit confusion matrix."""
     d = load_table(spark, sf_dir, "documents")
+    with_toks = d.select(
+        "lang", "text", tokens(normalize_text(F.col("text"))).alias("toks")
+    )
     return (
-        d.select(F.col("lang").alias("labeled_lang"), language_id(F.col("text")).alias("predicted_lang"))
+        with_toks.select(
+            F.col("lang").alias("labeled_lang"),
+            language_id(F.col("text"), F.col("toks")).alias("predicted_lang"),
+        )
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
