@@ -12,3 +12,4 @@ from fts_analysis_datalake_spark.queries import advanced_agg  # noqa: F401
 from fts_analysis_datalake_spark.queries import llm_text  # noqa: F401
 from fts_analysis_datalake_spark.queries import llm_vectors  # noqa: F401
 from fts_analysis_datalake_spark.queries import llm_dedup  # noqa: F401
+from fts_analysis_datalake_spark.queries import streaming_sources  # noqa: F401

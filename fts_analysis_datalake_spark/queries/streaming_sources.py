@@ -1,0 +1,325 @@
+"""Streaming-twin + source/sink + UDF-surface declared queries
+(SURVEY.md §7 steps 8-9; §2.9 T1-T7, §2.1 S2-S4, §2.11 X2-X4).
+
+Streaming operators are declared in batch mode (the oracle is batch
+SQL); tests/test_streaming.py drives the SAME transforms through
+readStream/writeStream micro-batches and asserts equality with the
+batch run — that is the streaming correctness story.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.operators.udfs import mad_udaf, per_user_value_trend, token_positions_udtf
+from fts_analysis_datalake_spark.registry import query
+from fts_analysis_datalake_spark.sources.ingest import (
+    read_csv,
+    read_jsonl,
+    write_partitioned_parquet,
+)
+from fts_analysis_datalake_spark.streaming.transforms import (
+    drop_late_events,
+    session_window_agg,
+    sliding_counts,
+    stream_static_join,
+    tumbling_counts,
+)
+
+CACHE_DIR = "/tmp/fts_spark_cache"
+
+# --------------------------------------------------------------------------
+# T1: tumbling window (epoch-aligned => date_trunc twin)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("T1", "F4"),
+)
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window tumbling agg — the identical transform runs under
+    Structured Streaming with a watermark (see streaming tests)."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# T2: sliding window (grid-join twin)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sliding_2h_30m",
+    oracle="""
+    WITH grid AS (
+      SELECT w AS win_start
+      FROM unnest(generate_series(TIMESTAMP '2023-12-31 22:30:00',
+                                  TIMESTAMP '2024-01-31 00:00:00',
+                                  INTERVAL 30 MINUTE)) t(w)
+    )
+    SELECT win_start, event_type, COUNT(*) AS n
+    FROM events JOIN grid
+      ON ts >= win_start AND ts < win_start + INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+    tags=("T2", "J8"),
+)
+def q_sliding_2h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h width / 30m slide): every event expands to
+    4 windows map-side; the oracle reproduces the epoch-aligned grid
+    (starting before the first event so partial windows match)."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# T3: native session window (gap-and-island twin)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_session_window_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    tags=("T3", "W8"),
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (gap-close: end = last event + gap) checked
+    against the W8 gap-and-island SQL — the two formulations must
+    agree exactly."""
+    return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# T4: watermark late-data drop (batch analog)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_recent_events_watermark",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type
+    FROM events
+    WHERE CAST(FLOOR(epoch(ts)) AS BIGINT) >=
+          (SELECT CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) - 86400 FROM events)
+    """,
+    tags=("T4", "P4"),
+)
+def q_recent_events_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep events within 24h of the observed max ts — the batch
+    analog of watermark-based late-data dropping."""
+    return drop_late_events(load_table(spark, sf_dir, "events"), delay_s=86400).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# T7: stream-static join
+# --------------------------------------------------------------------------
+
+TYPE_WEIGHTS = [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", -2.0)]
+
+
+@query(
+    "q_stream_static_weighted",
+    oracle="""
+    SELECT event_type, w.weight,
+           COUNT(*) AS n,
+           COUNT(*) * w.weight AS weighted_events
+    FROM events
+    JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                 ('signup', 5.0), ('error', -2.0)) w(event_type, weight)
+      USING (event_type)
+    GROUP BY event_type, w.weight
+    """,
+    tags=("T7", "J1", "J5"),
+)
+def q_stream_static_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ static weights dim (broadcast) — under streaming the
+    static side is re-broadcast per micro-batch, same transform."""
+    e = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(TYPE_WEIGHTS, "event_type string, weight double")
+    return (
+        stream_static_join(e, F.broadcast(dim), "event_type")
+        .groupBy("event_type", "weight")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "weight",
+            "n",
+            (F.col("n") * F.col("weight")).alias("weighted_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# S2/S3: CSV and JSON-lines ingest (lossless-roundtrip columns)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_csv_ingest",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key, CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("S2",),
+)
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with pinned schema: parquet -> CSV roundtrip on
+    lossless columns (ints + strings), then aggregate — proves the
+    S2 reader against the parquet-backed oracle."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{CACHE_DIR}/orders_csv_{sf_tag}"
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    src.write.mode("overwrite").option("header", True).csv(path)
+    df = read_csv(spark, path, "o_orderkey long, o_orderstatus string, o_orderpriority string")
+    return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "q_jsonl_ingest",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("S3", "F10"),
+)
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest with pinned schema (the FTS/MONIT record
+    format): parquet -> JSONL roundtrip on lossless columns."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{CACHE_DIR}/events_jsonl_{sf_tag}"
+    src = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    src.write.mode("overwrite").json(path)
+    df = read_jsonl(spark, path, "event_id long, user_id long, event_type string")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").cast("bigint").alias("sum_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# S4: partitioned write sink + partition-pruned re-read
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_partitioned_sink_reread",
+    oracle="""
+    SELECT date_trunc('day', ts) AS dt, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-10'
+      AND date_trunc('day', ts) <  TIMESTAMP '2024-01-15'
+    GROUP BY 1
+    """,
+    tags=("S4", "F4"),
+)
+def q_partitioned_sink_reread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events partitioned by day, re-read with a partition
+    filter — the filter prunes to 5 of ~30 directory partitions (the
+    100 TB layout contract), then aggregates."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{CACHE_DIR}/events_by_day_{sf_tag}"
+    src = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.to_date(F.date_trunc("day", F.col("ts")))
+    )
+    write_partitioned_parquet(src, path, ["dt"])
+    re = spark.read.parquet(path).filter(
+        (F.col("dt") >= F.lit("2024-01-10")) & (F.col("dt") < F.lit("2024-01-15"))
+    )
+    return re.groupBy(F.col("dt").cast("timestamp").alias("dt")).agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# X2/X3/X4: UDF surface (rows-only; unit-tested in tests/test_udfs.py)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_user_value_trend_udf",
+    oracle=None,  # numpy polyfit; sanity-checked in tests/test_udfs.py
+    tags=("X2",),
+)
+def q_user_value_trend_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time via applyInPandas
+    (grouped-map) — the per-link model-fit surface."""
+    return per_user_value_trend(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_value_mad_udaf",
+    oracle=None,  # float median arithmetic differs from DuckDB's; sanity-tested
+    tags=("X3",),
+)
+def q_value_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of value per event_type via a
+    grouped-agg pandas UDAF."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(mad_udaf()(F.col("value")).alias("mad_value"))
+
+
+@query(
+    "q_token_positions_udtf",
+    oracle=None,  # generator UDTF; explode twin is the checked path
+    tags=("X4",),
+)
+def q_token_positions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF expanding each doc into (token, pos) rows, then a
+    positional aggregate (mean position per token, top tokens)."""
+    TokenPositions = token_positions_udtf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("_udtf_docs")  # lateral-join the UDTF per row
+    spark.udtf.register("token_positions", TokenPositions)
+    return spark.sql(
+        """
+        SELECT tp.token, COUNT(*) AS n, AVG(tp.pos) AS mean_pos
+        FROM _udtf_docs d, LATERAL token_positions(d.text) tp
+        WHERE d.doc_id % 17 = 0
+        GROUP BY tp.token
+        ORDER BY n DESC, token
+        LIMIT 20
+        """
+    )

@@ -1,0 +1,147 @@
+"""Streaming-semantics operators (SURVEY.md §2.9 T1-T8).
+
+Design rule: every operator is a pure DataFrame->DataFrame function,
+so the identical transform runs in three modes:
+
+1. batch (driver correctness checks against the DuckDB oracle),
+2. Structured Streaming via ``readStream -> transform -> writeStream``
+   (tests/test_streaming.py drives real micro-batches),
+3. ``foreachBatch`` for sinks Spark can't stream-write natively.
+
+Watermarks are applied only when the input is actually streaming
+(``df.isStreaming``) — batch mode ignores them, and applying
+conditionally keeps one code path for both.
+
+State-scale note (100 TB): tumbling/sliding aggregations keep one row
+of state per (window, key) in the state store; session windows and
+dedup keep per-key state evicted by the watermark. All operators here
+declare a watermark for exactly that reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    width: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T1: tumbling-window count + value sum per key. Epoch-aligned
+    windows, so the 1-hour case equals date_trunc('hour') bucketing."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), width).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    width: str = "2 hours",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T2: sliding-window counts — each event lands in
+    width/slide windows; Spark expands them map-side."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), width, slide).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), key_col, "n")
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T3: native session windows (gap-close semantics: window end =
+    last event + gap). The batch-SQL twin is the W8 gap-and-island
+    pattern (q_sessionize_events)."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def drop_late_events(df: DataFrame, ts_col: str = "ts", delay_s: int = 3600) -> DataFrame:
+    """T4 batch analog of watermark late-data drop: keep events within
+    ``delay_s`` of the observed max timestamp. In streaming mode the
+    same policy is ``withWatermark`` + the engine's state eviction."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, f"{delay_s} seconds")
+    mx = df.agg(F.max(ts_col).alias("max_ts"))
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .filter(F.unix_timestamp(ts_col) >= F.unix_timestamp("max_ts") - delay_s)
+        .drop("max_ts")
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """T5: streaming dedup. Streaming: state-backed
+    dropDuplicatesWithinWatermark; batch twin: plain dropDuplicates
+    (checked variant is the deterministic-survivor window D2)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def stream_static_join(stream_df: DataFrame, static_df: DataFrame, on: str | Column) -> DataFrame:
+    """T7: stream ⋈ static dim — Spark broadcasts/rescans the static
+    side per micro-batch; the transform is a plain join either way."""
+    return stream_df.join(static_df, on)
+
+
+def running_counts(df: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """T6: per-key running count. Streaming: update-mode stateful agg;
+    batch: the same groupBy yields the final counts (the W4 cumulative
+    window is the row-level batch twin)."""
+    return df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def write_stream_foreach_batch(df: DataFrame, path: str, checkpoint: str):
+    """T8: foreachBatch parquet sink (idempotent by batch id) — the
+    pattern for sinks without native streaming support."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(path)
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

@@ -1,0 +1,108 @@
+"""Structured Streaming verification (SURVEY.md §5.4): the SAME pure
+transforms declared to the driver in batch mode are driven through
+readStream -> writeStream micro-batches (file source, 1 file per
+trigger) and must produce the batch answer on the union of inputs.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.streaming.transforms import (
+    dedup_within_watermark,
+    running_counts,
+    tumbling_counts,
+    write_stream_foreach_batch,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    """Events re-written as 4 parquet files so maxFilesPerTrigger=1
+    yields 4 real micro-batches."""
+    d = tempfile.mkdtemp(prefix="fts_stream_src_")
+    load_table(spark, SF_SMALL, "events").repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, transform, stream_dir, mode):
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    name = f"mem_{abs(hash((id(transform), mode))) % 10**8}"
+    q = (
+        transform(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    return spark.table(name)
+
+
+def _canon(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_equals_batch(spark, stream_dir):
+    batch = tumbling_counts(spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir))
+    streamed = _run_stream(spark, tumbling_counts, stream_dir, "complete")
+    cols = ["win_start", "win_end", "event_type", "n", "total_value"]
+    assert _canon(streamed, cols) == _canon(batch, cols)
+
+
+def test_running_counts_stream_equals_batch(spark, stream_dir):
+    batch = running_counts(spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir))
+    streamed = _run_stream(spark, running_counts, stream_dir, "complete")
+    cols = ["event_type", "n"]
+    assert _canon(streamed, cols) == _canon(batch, cols)
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, stream_dir, tmp_path):
+    # Duplicate every event across two files: the stream sees each
+    # event_id twice in different micro-batches; state-backed dedup
+    # must emit each exactly once.
+    dup_dir = str(tmp_path / "dup_src")
+    base = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    base.coalesce(1).write.mode("overwrite").parquet(dup_dir)
+    base.coalesce(1).write.mode("append").parquet(dup_dir)
+    streamed = _run_stream(
+        spark,
+        lambda df: dedup_within_watermark(df, ["event_id"], watermark="10 days"),
+        dup_dir,
+        "append",
+    )
+    n_distinct = base.select("event_id").distinct().count()
+    assert streamed.count() == n_distinct
+
+
+def test_foreach_batch_sink_writes_all_rows(spark, stream_dir, tmp_path):
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "ckpt")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = write_stream_foreach_batch(src, out, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    n_src = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir).count()
+    assert written.count() == n_src
+    assert written.select("_batch_id").distinct().count() >= 2, "expected multiple micro-batches"

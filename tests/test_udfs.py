@@ -1,0 +1,39 @@
+"""Sanity tests for the UDF surface (SURVEY.md §2.11): grouped-map
+trend fit, grouped-agg MAD, UDTF generator.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.operators.udfs import mad_udaf, per_user_value_trend
+
+
+def test_trend_udf_recovers_known_slope(spark):
+    # y = 2*t + 5 exactly -> slope 2, intercept 5.
+    rows = [(1, f"2024-01-01 00:00:{s:02d}", 2.0 * s + 5.0) for s in range(10)]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = per_user_value_trend(df).collect()
+    assert len(out) == 1
+    assert math.isclose(out[0].slope, 2.0, abs_tol=1e-9)
+    assert math.isclose(out[0].intercept, 5.0, abs_tol=1e-9)
+
+
+def test_mad_udaf_known_value(spark):
+    # values 1..7 => median 4, |x-4| = 3,2,1,0,1,2,3 => MAD 2.
+    df = spark.createDataFrame([(1, float(v)) for v in range(1, 8)], "k long, v double")
+    out = df.groupBy("k").agg(mad_udaf()(F.col("v")).alias("mad")).collect()
+    assert out[0].mad == 2.0
+
+
+def test_udtf_token_positions(spark):
+    from fts_analysis_datalake_spark.operators.udfs import token_positions_udtf
+
+    TokenPositions = token_positions_udtf(spark)
+    spark.udtf.register("tp_test", TokenPositions)
+    rows = spark.sql("SELECT * FROM tp_test('a b c')").collect()
+    assert [(r.token, r.pos) for r in rows] == [("a", 0), ("b", 1), ("c", 2)]
