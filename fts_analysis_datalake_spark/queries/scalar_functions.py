@@ -318,3 +318,83 @@ def q_null_handling_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(missing.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
         F.sum(F.floor(F.col("value"))).cast("bigint").alias("sum_floor_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# F9: map functions — from_json->map, map_keys, element_at,
+# map_from_entries, map_contains_key
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_props_map_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_with_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("F9", "F10", "A1"),
+)
+def q_props_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse props into a real MapType and use the map-function surface
+    (map_keys, map_contains_key, element_at) instead of JSON-path
+    strings. The map parse + lookups are Catalyst expressions, so at
+    100 TB this stays inside whole-stage codegen with no UDF barrier;
+    the oracle expresses the same lookups via DuckDB json_extract."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("m", F.from_json("props", "map<string,int>"))
+        .filter(F.array_contains(F.map_keys("m"), F.lit("k")))
+        .withColumn("k", F.element_at("m", F.lit("k")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "q_user_type_count_map",
+    oracle="""
+    SELECT user_id,
+           COUNT(DISTINCT event_type) AS n_types,
+           CAST(MAX(cnt) AS BIGINT) AS max_type_count
+    FROM (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ) GROUP BY user_id
+    """,
+    tags=("F9", "A1", "A9"),
+)
+def q_user_type_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a per-user map event_type -> count via
+    map_from_entries(collect_list(struct(...))) and read it back with
+    size() and map_values(). Demonstrates map construction/consumption
+    round-trip; the oracle checks the same facts relationally. The
+    collect_list is bounded by the event-type cardinality (small), so
+    per-group state stays tiny even at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "cnt"))
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.size(F.map_keys("m")).cast("bigint").alias("n_types"),
+            F.array_max(F.map_values("m")).cast("bigint").alias("max_type_count"),
+        )
+    )
