@@ -37,15 +37,26 @@ def main() -> None:
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 4)
+        # Drop persisted intermediates (e.g. MinHash signatures) so cached
+        # blocks never accumulate across the suite.
+        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_all, 4)
 
+    # Per-query detail: to a file (survives any stdout truncation) and
+    # to an early stdout line (may be head-truncated by log capture) ...
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({"sf": sf, "queries": per_query}, f, indent=1, sort_keys=True)
+    print(json.dumps({"detail": per_query}))
+    # ... compact machine-parseable line LAST so a tail-truncating log
+    # capture always keeps the headline total (BENCH_r01 lost it).
     print(
         json.dumps(
             {
                 "metric": "declared_query_suite_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
+                "n_queries": len(per_query),
                 "sf": sf,
             }
         )

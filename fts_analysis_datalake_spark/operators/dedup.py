@@ -214,10 +214,56 @@ def near_dup_pairs(
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash: bigint 64-bit-as-signed) via an Arrow-batched
-    pandas UDF — the designated vectorized-Python surface (X1): token
-    hashing + bit-vote accumulation are numpy loops over md5 prefixes,
-    which Catalyst can't express without 64 array-fold passes."""
+    """(id, simhash: bigint 64-bit-as-signed) via pure Catalyst
+    expressions — the D3-alternative hot path, fully codegen'd.
+
+    Per document: whitespace tokens (multiplicity kept), one
+    xxhash64 per token, then a 64-way majority bit vote — bit i of
+    the signature is set iff more than half the token hashes have
+    bit i set (identical to summing ±1 votes and testing > 0). The
+    vote is a groupBy(id) with 64 conditional sums + a count: all
+    map-side-combined long aggregates, so the shuffle carries one
+    65-long row per (id, partition) — no Python worker, no Arrow
+    transfer, no per-row interpreted loop (the round-1 pandas-UDF
+    version was the slowest query in the suite; see
+    simhash_table_pandas for the retained X1 surface demo).
+
+    Token-less documents get signature 0 (left join + coalesce),
+    matching the UDF twin's convention.
+    """
+    base = ensure_parallelism(df)
+    toks = base.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("t"),
+    )
+    h = F.xxhash64(F.col("t"))
+    bit_sums = [
+        F.sum(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}") for i in range(64)
+    ]
+    votes = toks.groupBy(id_col).agg(*bit_sums, F.count(F.lit(1)).alias("n"))
+    sig = None
+    one = F.lit(1).cast("long")
+    for i in range(64):
+        term = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.shiftleft(one, i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    sigs = votes.select(F.col(id_col), sig.alias("simhash"))
+    return (
+        base.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
+    )
+
+
+def simhash_table_pandas(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) via an Arrow-batched pandas UDF — retained as
+    the X1 vectorized-Python surface demo (md5-prefix bit votes).
+    The declared query path uses the Catalyst ``simhash_table``;
+    this twin exists to prove the pandas-UDF plumbing and is
+    property-tested the same way (tests/test_minhash.py)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -245,10 +291,17 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidate_pairs(sim_df: DataFrame, id_col: str) -> DataFrame:
-    """Near-dup candidates: docs sharing any of the four 16-bit
-    simhash chunks (Hamming-distance blocking)."""
+    """(id_a, id_b, hamming): docs sharing any of the four 16-bit
+    simhash chunks (Hamming-distance blocking).
+
+    The full signature is carried through the chunk explode so the
+    Hamming distance is computed inside the same self-join — no
+    third scan of ``sim_df`` and no persist: both join sides
+    canonicalize to the identical subplan, so Spark reuses one
+    shuffle exchange for them (ReusedExchange)."""
     chunks = sim_df.select(
         F.col(id_col),
+        F.col("simhash"),
         F.explode(
             F.array(
                 *[
@@ -262,7 +315,7 @@ def simhash_candidate_pairs(sim_df: DataFrame, id_col: str) -> DataFrame:
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "c.chunk_idx", "c.chunk")
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk")
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (
@@ -272,6 +325,10 @@ def simhash_candidate_pairs(sim_df: DataFrame, id_col: str) -> DataFrame:
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
         .distinct()
     )

@@ -85,24 +85,16 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_simhash_candidates",
-    oracle=None,  # md5-prefix bit votes; verified by tests/test_minhash.py
+    oracle=None,  # xxhash64 bit votes; verified by tests/test_minhash.py
     tags=("D3", "X1"),
 )
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit signatures (Arrow-batched pandas UDF) ->
-    16-bit-chunk blocking -> candidate pairs with Hamming distance."""
+    """SimHash 64-bit signatures (pure Catalyst bit votes) ->
+    16-bit-chunk blocking -> candidate pairs with Hamming distance.
+    The signature is computed once: the chunk self-join carries it
+    through both sides via one reused shuffle exchange (round 1 ran
+    the pandas-UDF signature lineage three times — slowest query in
+    the suite; now codegen'd end-to-end)."""
     d = load_table(spark, sf_dir, "documents")
     sim = simhash_table(d, "doc_id", "text")
-    pairs = simhash_candidate_pairs(sim, "doc_id")
-    a = sim.withColumnsRenamed({"doc_id": "id_a", "simhash": "sh_a"})
-    b = sim.withColumnsRenamed({"doc_id": "id_b", "simhash": "sh_b"})
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 16)
-    )
+    return simhash_candidate_pairs(sim, "doc_id").filter(F.col("hamming") <= 16)

@@ -179,22 +179,25 @@ def q_multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN: IVF-bucketed top-k (rows-only; recall property-tested)
 # --------------------------------------------------------------------------
 
-_QUERY_VEC: list[float] | None = None
+_QUERY_VEC: dict[str, list[float]] = {}
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    """The vec_id=0 embedding as a literal (cached); the scale story
+    """The vec_id=0 embedding as a literal, cached PER sf_dir — the
+    vec_id=0 row differs between scale dirs, so a dir-less cache
+    would silently reuse the wrong query vector when one process
+    touches two scale factors (round-1 latent bug). The scale story
     is a broadcast literal query batch, so a one-row lookup is fair."""
-    global _QUERY_VEC
-    if _QUERY_VEC is None:
+    key = sf_dir.rstrip("/")
+    if key not in _QUERY_VEC:
         row = (
             load_table(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") == QUERY_VEC_ID)
             .select("embedding")
             .head()
         )
-        _QUERY_VEC = [float(x) for x in row[0]]
-    return _QUERY_VEC
+        _QUERY_VEC[key] = [float(x) for x in row[0]]
+    return _QUERY_VEC[key]
 
 
 @query(

@@ -26,6 +26,7 @@ from fts_analysis_datalake_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash_table,
+    simhash_table_pandas,
 )
 
 SF_SMALL = "/root/testdata/sf0.001"
@@ -112,7 +113,11 @@ def test_lsh_recall_of_high_jaccard_pairs(spark, docs, sigs, natural_high_pairs)
     assert len(cand_set) < n_docs * (n_docs - 1) / 2 * 0.2, "candidate blowup"
 
 
-def test_simhash_properties(spark, docs, docs_with_dups, natural_high_pairs):
+@pytest.mark.parametrize(
+    "impl", [simhash_table, simhash_table_pandas], ids=["catalyst", "pandas_udf"]
+)
+def test_simhash_properties(spark, docs, docs_with_dups, natural_high_pairs, impl):
+    simhash_table = impl  # noqa: F841 — shadow so the body tests either impl
     sim_dup = simhash_table(docs_with_dups, "doc_id", "text")
     pairs = docs_with_dups.filter(F.col("doc_id") >= 100000).select(
         (F.col("doc_id") - 100000).alias("id_a"), F.col("doc_id").alias("id_b")

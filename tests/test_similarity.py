@@ -42,6 +42,28 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert avg >= 0.5, recalls
 
 
+def test_ivf_query_vec_not_stale_across_sf_dirs(spark):
+    """Regression (round-1 bug): the q_ivf_topk_ann query-vector cache
+    was keyed by nothing, so running at a second scale dir reused the
+    first dir's vec_id=0 embedding. Run the declared query at sf0.001
+    then sf0.01 in one process and require the sf0.01 result to hit
+    the sf0.01 brute-force top-10 (a stale vector scores ~0 recall on
+    near-random embeddings)."""
+    from fts_analysis_datalake_spark.queries.llm_vectors import (
+        QUERY_VEC_ID,
+        q_ivf_topk_ann,
+    )
+
+    q_ivf_topk_ann(spark, SF_SMALL).collect()  # poison a dir-less cache
+
+    sf_mid = "/root/testdata/sf0.01"
+    emb_mid = load_table(spark, sf_mid, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    q_mid = _qvec(load_table(spark, sf_mid, "embeddings"), QUERY_VEC_ID)
+    exact = {r.vec_id for r in cosine_topk(emb_mid, q_mid, 10).collect()}
+    approx = {r.vec_id for r in q_ivf_topk_ann(spark, sf_mid).collect()}
+    assert len(exact & approx) / 10 >= 0.5, (exact, approx)
+
+
 def test_pandas_udf_cosine_matches_builtin(spark, emb):
     q = _qvec(emb, 42)
     udf = cosine_pandas_udf(q)
