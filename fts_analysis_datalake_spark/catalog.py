@@ -67,9 +67,31 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     no matter how many are available. Well-partitioned inputs — the
     100 TB case — pass through untouched, so this never adds a
     shuffle at scale.
+
+    Partition count is *estimated* from the scan's input files
+    (count + total bytes / 128 MiB split size) instead of
+    ``df.rdd.getNumPartitions()`` — touching ``.rdd`` forces a full
+    plan conversion per call. The estimate matches Spark's file-split
+    rule closely enough for the decision here: many files or a big
+    splittable file -> already parallel; one small file -> rebalance.
     """
+    import math
+    import os
+    from urllib.parse import urlparse
+
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files = df.inputFiles()
+    est = len(files)
+    if 0 < est < target:
+        split_bytes = 128 * 1024 * 1024
+        for uri in files:
+            p = urlparse(uri)
+            if p.scheme in ("file", ""):
+                try:
+                    est += math.ceil(os.path.getsize(p.path) / split_bytes) - 1
+                except OSError:
+                    pass
+    if est < target:
         return df.repartition(target)
     return df
 

@@ -46,10 +46,19 @@ def dstddev_samp(c: Column, scale: int = 4) -> Column:
     """Order-independent sample stddev via scaled integer moments.
 
     stddev = sqrt((n*sum(x^2) - sum(x)^2) / (n*(n-1))) computed from
-    integer-scaled x so both engines see identical integer sums.
+    integer-scaled x so both engines see identical exact sums.
+
+    The moment sums run in DECIMAL, not BIGINT: with money-magnitude
+    inputs at scale=4, xi ~ 1e9 makes sum(xi*xi) ~ n*1e18 — a BIGINT
+    sum silently wraps in Spark (non-ANSI) while DuckDB promotes to
+    HUGEINT, silently diverging. DECIMAL(19,0) terms widen to
+    DECIMAL(38,0) products/sums in BOTH engines — exact (and
+    identical) up to 1e38, i.e. safe for |x|*10^scale < 1e14 at a
+    billion rows. Only the final cast touches doubles, and casting
+    the same exact integer is deterministic in both engines.
     """
     m = float(10**scale)
-    xi = F.floor(c * m + F.lit(0.5))  # long
+    xi = F.floor(c * m + F.lit(0.5)).cast("decimal(19,0)")
     n = F.count(c).cast("double")
     s1 = F.sum(xi).cast("double")
     s2 = F.sum(xi * xi).cast("double")
@@ -70,8 +79,10 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 
 
 def sql_dstddev_samp(expr: str, scale: int = 4) -> str:
+    # DECIMAL(19,0) moments for the same overflow-safety reasons as
+    # the Spark form (see dstddev_samp docstring).
     m = 10**scale
-    xi = f"CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT)"
+    xi = f"CAST(FLOOR(({expr}) * {m} + 0.5) AS DECIMAL(19,0))"
     return (
         f"SQRT((COUNT({expr}) * CAST(SUM({xi} * {xi}) AS DOUBLE)"
         f" - CAST(SUM({xi}) AS DOUBLE) * CAST(SUM({xi}) AS DOUBLE))"

@@ -200,6 +200,12 @@ def near_dup_pairs(
     self-join), and without a persist Spark recomputes the whole
     shingle+hash lineage for each use — at any scale that's 3x the
     dominant cost (SURVEY.md §4 caching row).
+
+    Lifecycle note: the persist cannot be released inside this
+    function (the returned plan is lazy and still references the
+    cached blocks). Long-lived sessions invoking this repeatedly
+    should call ``spark.catalog.clearCache()`` between queries —
+    bench.py does exactly that after every query.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)

@@ -13,3 +13,4 @@ from fts_analysis_datalake_spark.queries import llm_text  # noqa: F401
 from fts_analysis_datalake_spark.queries import llm_vectors  # noqa: F401
 from fts_analysis_datalake_spark.queries import llm_dedup  # noqa: F401
 from fts_analysis_datalake_spark.queries import streaming_sources  # noqa: F401
+from fts_analysis_datalake_spark.queries import coverage_gaps  # noqa: F401

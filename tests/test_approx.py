@@ -10,6 +10,21 @@ from tests.conftest import SF_DIR
 _load_all()
 
 
+def test_sample_seeded_deterministic_and_bounded(spark, duck):
+    """O4: same seed + same scan partitioning -> identical sample;
+    observed fraction within a loose Bernoulli bound of the target."""
+    fn = REGISTRY["q_sample_lineitem"].fn
+    a = fn(spark, SF_DIR).toPandas()
+    b = fn(spark, SF_DIR).toPandas()
+    assert len(a) == len(b)
+    assert a.sort_values(list(a.columns)).reset_index(drop=True).equals(
+        b.sort_values(list(b.columns)).reset_index(drop=True)
+    )
+    total = duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    frac = len(a) / total
+    assert 0.07 <= frac <= 0.13, frac
+
+
 def test_approx_distinct_within_bound(spark, duck):
     df = REGISTRY["q_approx_distinct_parts"].fn(spark, SF_DIR).toPandas()
     exact = dict(
