@@ -302,9 +302,10 @@ def simhash_candidate_pairs(sim_df: DataFrame, id_col: str) -> DataFrame:
 
     The full signature is carried through the chunk explode so the
     Hamming distance is computed inside the same self-join — no
-    third scan of ``sim_df`` and no persist: both join sides
-    canonicalize to the identical subplan, so Spark reuses one
-    shuffle exchange for them (ReusedExchange)."""
+    third scan of ``sim_df``. Callers should persist ``sim_df``:
+    AQE typically broadcasts one join side, so the two sides do NOT
+    canonicalize to a reusable exchange and an unpersisted input is
+    computed twice."""
     chunks = sim_df.select(
         F.col(id_col),
         F.col("simhash"),

@@ -309,13 +309,27 @@ def q_quantity_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_null_handling_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """isNull / coalesce / explicit floor-then-cast (the portable
     double->int conversion; raw CAST truncates in Spark but rounds in
-    DuckDB, so the engine never relies on bare casts of noisy doubles)."""
-    e = load_table(spark, sf_dir, "events")
-    missing = F.get_json_object(F.col("props"), "$.missing").cast("int")
-    return e.groupBy("event_type").agg(
+    DuckDB, so the engine never relies on bare casts of noisy doubles).
+
+    The JSON column is parsed ONCE per row (projected from_json)
+    instead of one get_json_object walk per referencing aggregate —
+    round 1 parsed it twice and ran the whole scan on one core
+    (single-row-group file), making this 5-row query one of the
+    slowest in the bench."""
+    from fts_analysis_datalake_spark.catalog import ensure_parallelism
+
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    parsed = e.select(
+        "event_type",
+        "value",
+        F.from_json("props", "missing int").getField("missing").alias("missing"),
+    )
+    return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.coalesce(missing, F.lit(-1))).cast("bigint").alias("sum_missing_defaulted"),
-        F.sum(F.when(missing.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+        F.sum(F.coalesce(F.col("missing"), F.lit(-1))).cast("bigint").alias(
+            "sum_missing_defaulted"
+        ),
+        F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
         F.sum(F.floor(F.col("value"))).cast("bigint").alias("sum_floor_value"),
     )
 
