@@ -1,0 +1,110 @@
+"""Scale-technique operators (SURVEY.md §4 shuffle/partitioning rows):
+bucketed co-located joins and salting for skewed keys.
+
+These are the two techniques the 100 TB story needs that are *layout
+decisions*, not query rewrites:
+
+- **Bucketing** pre-shuffles a table ONCE at write time
+  (``bucketBy(n, key)`` + ``saveAsTable``). Every later equi-join or
+  aggregation on the bucket key reads co-located partitions and
+  skips its shuffle entirely — the plan shows SortMergeJoin with no
+  Exchange on the bucketed sides (asserted in tests/test_scale.py).
+- **Salting** splits a hot key across ``salts`` sub-keys so one
+  reducer doesn't own the whole key. AQE's skew-join splitting
+  handles most join skew post-hoc; explicit salting remains the tool
+  for skewed *aggregations* and for engines/stages AQE can't touch.
+  The salt is derived deterministically (xxhash64), never a RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    num_buckets: int,
+    path: str,
+    sort_key: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed external table (idempotent: no-op
+    if the table already exists in this session's catalog).
+
+    Bucket metadata lives in the session catalog; readers get the
+    shuffle-free join only via ``spark.table(table)`` (a raw parquet
+    read of the same files has no bucket info).
+    """
+    spark = df.sparkSession
+    if spark.catalog.tableExists(table):
+        return
+    w = df.write.bucketBy(num_buckets, bucket_key)
+    if sort_key is not None:
+        w = w.sortBy(sort_key)
+    w.option("path", path).mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key — both sides
+    read pre-shuffled, so the join plans with zero Exchange nodes."""
+    return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    agg_cols: dict[str, Column],
+    salts: int = 16,
+    salt_src: Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial aggregate
+    on (keys + salt), final aggregate on keys.
+
+    ``agg_cols`` maps output name -> a SUM-decomposable partial
+    aggregate expression (count via ``F.count`` works too: the final
+    phase sums partial counts). NOT for count-distinct/percentiles —
+    those aren't sum-decomposable across salt buckets (a value can
+    land in several buckets). With a handful of hot keys — e.g.
+    five event types across 100 TB of events — the plain groupBy
+    sends each key's every partial row to one reducer; salting fans
+    the partials across ``salts`` reducers first.
+
+    Spark's own map-side partial aggregation already does this
+    two-phase split for SUM/COUNT — the explicit form exists for
+    partial-aggregable computations composed of several steps and as
+    the documented skew pattern; it returns bit-identical results to
+    the plain groupBy for integer/count aggregates (asserted in
+    tests/test_scale.py).
+    """
+    salt = F.pmod(
+        F.xxhash64(F.struct(*df.columns)) if salt_src is None else salt_src, F.lit(salts)
+    ).alias("_salt")
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+        *[c.alias(f"_p_{name}") for name, c in agg_cols.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"_p_{name}").alias(name) for name in agg_cols]
+    )
+
+
+def salted_equi_join(
+    left: DataFrame, right: DataFrame, on: str, salts: int = 8, salt_src: Column | None = None
+) -> DataFrame:
+    """Equi-join with the left (skewed, large) side salted and the
+    right side replicated ``salts``× via an exploded salt sequence —
+    each (key, salt) pair becomes its own join bucket. Result is
+    row-identical to the plain join.
+
+    Use when a hot key would pin one task: the replicated right side
+    costs salts× its size, so keep ``right`` the smaller input (but
+    too big / too dynamic to broadcast, else just broadcast)."""
+    salt = F.pmod(
+        F.xxhash64(F.struct(*left.columns)) if salt_src is None else salt_src, F.lit(salts)
+    ).cast("int")
+    l_ = left.withColumn("_salt", salt)
+    r_ = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    return l_.join(r_, [on, "_salt"]).drop("_salt")

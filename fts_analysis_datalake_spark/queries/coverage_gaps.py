@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.catalog import load_table, register_views
+from fts_analysis_datalake_spark.operators.scale import salted_aggregate
 from fts_analysis_datalake_spark.registry import query
 from fts_analysis_datalake_spark.streaming.transforms import dedup_within_watermark
 
@@ -133,6 +134,45 @@ def q_registry_sql_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame references."""
     register_views(spark, sf_dir)
     return spark.sql(_REGISTRY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Skew mitigation: salted two-phase aggregation on a 5-value hot key
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_salted_hot_key_counts",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("A1", "A15", "F11"),
+)
+def q_salted_hot_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a 5-distinct-value key — the skew shape where
+    every partial row of a hot key funnels to one reducer at 100 TB.
+    Runs the explicit salted two-phase form (partial on
+    (key, xxhash64-salt), final on key); results are bit-identical to
+    the plain groupBy, which is what the oracle computes."""
+    e = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "n": F.count(F.lit(1)),
+            "total_scaled": F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))),
+        },
+        salts=16,
+        salt_src=F.col("event_id"),
+    )
+    return out.select(
+        "event_type", "n", (F.col("total_scaled") / 100.0).alias("total_value")
+    )
 
 
 # --------------------------------------------------------------------------

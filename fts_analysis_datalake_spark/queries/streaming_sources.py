@@ -28,6 +28,7 @@ from fts_analysis_datalake_spark.streaming.transforms import (
     sliding_counts,
     stream_static_join,
     tumbling_counts,
+    user_accumulator,
 )
 
 # Per-process cache root: two concurrent sessions (driver verify +
@@ -209,6 +210,31 @@ def q_stream_static_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") * F.col("weight")).alias("weighted_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState) — batch twin
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_user_accumulator_batch",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n, MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("T6", "X2"),
+)
+def q_user_accumulator_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState per-user accumulator
+    (streaming/transforms.py user_accumulator; cross-batch state
+    equality is asserted in tests/test_streaming.py). The declared
+    projection keeps the deterministic columns — the float value
+    total is checked with tolerance in the streaming test instead of
+    the exact-hash oracle."""
+    acc = user_accumulator(load_table(spark, sf_dir, "events"))
+    return acc.select("user_id", "n", "last_ts")
 
 
 # --------------------------------------------------------------------------

@@ -133,6 +133,58 @@ def running_counts(df: DataFrame, key_col: str = "event_type") -> DataFrame:
     return df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
 
 
+USER_ACC_OUT_SCHEMA = "user_id long, n long, total double, last_ts timestamp"
+USER_ACC_STATE_SCHEMA = "n long, total double, last_ts timestamp"
+
+
+def user_accumulator(df: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user lifetime accumulator — event count, value total, last
+    event time — held in the state store across micro-batches and
+    re-emitted (update mode) whenever the user appears in a batch.
+
+    This is the arbitrary-stateful-logic surface for accumulators
+    Spark's built-in aggregates can't express (the demo state is
+    deliberately simple so the batch twin is checkable: the same
+    accumulation over a bounded input is a plain groupBy aggregate,
+    which is what batch mode runs).
+
+    Scale notes: state is one tiny row per user, partitioned by the
+    group key across executors' state stores; NoTimeout keeps state
+    for the stream's lifetime — bound it with a timeout-based
+    eviction policy when keys are unbounded.
+    """
+    if not df.isStreaming:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    import pandas as pd  # local: only the streaming path needs it
+
+    def _update(key, pdfs, state):
+        if state.exists:
+            n, total, last = state.get
+        else:
+            n, total, last = 0, 0.0, None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        state.update((n, total, last))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total], "last_ts": [last]})
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        _update,
+        USER_ACC_OUT_SCHEMA,
+        USER_ACC_STATE_SCHEMA,
+        "update",
+        "NoTimeout",
+    )
+
+
 def write_stream_foreach_batch(df: DataFrame, path: str, checkpoint: str):
     """T8: foreachBatch parquet sink (idempotent by batch id) — the
     pattern for sinks without native streaming support."""

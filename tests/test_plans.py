@@ -1,0 +1,102 @@
+"""Plan-shape audit over every declared query (SURVEY.md §4).
+
+Value checks at sf0.01 can't see scale hazards; these assertions can:
+a cartesian product, a row-at-a-time Python UDF, or Python evaluation
+sneaking outside the declared UDF surface all fail here even though
+the small-SF answers would still be right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fts_analysis_datalake_spark.plans import (
+    explain_text,
+    pushed_filters,
+    python_eval_nodes,
+)
+from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+from tests.conftest import SF_DIR
+
+_load_all()
+
+# Queries whose DECLARED surface is Python evaluation (X1-X4 / D14
+# multimodal plumbing). Everything else must stay JVM-side.
+PYTHON_SURFACE = {
+    "q_user_value_trend_udf",  # X2 applyInPandas
+    "q_value_mad_udaf",  # X3 grouped-agg pandas UDAF
+    "q_token_positions_udtf",  # X4 Python UDTF
+    "q_multimodal_bundle",  # D14 mapInPandas decode plumbing (if used)
+}
+
+ALL_QUERIES = sorted(REGISTRY)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """One plan text per declared query (simple physical plan)."""
+    out = {}
+    for name in ALL_QUERIES:
+        out[name] = explain_text(REGISTRY[name].fn(spark, SF_DIR), "simple")
+    return out
+
+
+def test_no_cartesian_product_anywhere(spark, plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
+
+
+def test_no_row_at_a_time_python_udf(spark, plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython [" in p or "BatchEvalPython(" in p]
+    assert not offenders, offenders
+
+
+def test_python_eval_only_on_declared_udf_surface(spark):
+    offenders = {}
+    for name in ALL_QUERIES:
+        if name in PYTHON_SURFACE:
+            continue
+        nodes = python_eval_nodes(REGISTRY[name].fn(spark, SF_DIR))
+        if nodes:
+            offenders[name] = nodes
+    assert not offenders, offenders
+
+
+def test_flagship_filters_reach_the_scan(spark):
+    """q1/q2/q3: the time-window predicates must appear as
+    PushedFilters on the parquet scan, not as post-scan Filter-only."""
+    for name, frag in [
+        ("q1_pricing_summary", "l_shipdate"),
+        ("q2_order_window_slice", "o_orderdate"),
+        ("q3_shipping_priority", "o_orderdate"),
+    ]:
+        pf = pushed_filters(REGISTRY[name].fn(spark, SF_DIR))
+        assert any(frag in f for f in pf), (name, pf)
+
+
+def test_star_join_broadcasts_every_dimension(spark):
+    p = explain_text(REGISTRY["q5_revenue_by_nation"].fn(spark, SF_DIR), "simple")
+    # customer/nation/region are hinted broadcasts; the lineitem⋈orders
+    # fact join may legitimately be SMJ at larger scale factors.
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_topk_uses_limit_pushdown_not_full_sort(spark):
+    for name in ["q3_shipping_priority", "q_topk_similar_bruteforce"]:
+        p = explain_text(REGISTRY[name].fn(spark, SF_DIR), "simple")
+        assert "TakeOrderedAndProject" in p, (name, p)
+
+
+def test_minhash_band_join_is_hash_join_not_nlj(spark):
+    """The LSH candidate self-join must be an equi join on the band
+    key (hash-partitioned or broadcast), never a nested loop over
+    all signature pairs."""
+    p = explain_text(REGISTRY["q_minhash_near_dups"].fn(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must not read the whole lineitem schema."""
+    plan = explain_text(REGISTRY["q_orders_offset_page"].fn(spark, SF_DIR), "formatted")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("o_totalprice" in ln and "o_comment" not in ln for ln in read), read

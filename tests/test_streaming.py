@@ -17,6 +17,7 @@ from fts_analysis_datalake_spark.streaming.transforms import (
     dedup_within_watermark,
     running_counts,
     tumbling_counts,
+    user_accumulator,
     write_stream_foreach_batch,
 )
 
@@ -90,6 +91,23 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, stream_dir, tmp_pat
     )
     n_distinct = base.select("event_id").distinct().count()
     assert streamed.count() == n_distinct
+
+
+def test_stateful_accumulator_stream_equals_batch(spark, stream_dir):
+    """applyInPandasWithState: the per-user accumulator's LAST update-
+    mode emission per user must equal the batch twin's aggregate over
+    the full input (state carried correctly across micro-batches)."""
+    batch = user_accumulator(spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir)).toPandas()
+    streamed = _run_stream(spark, user_accumulator, stream_dir, "update").toPandas()
+    # update mode re-emits per batch; the final state is the row with
+    # the highest running n per user.
+    final = streamed.sort_values("n").groupby("user_id").tail(1).set_index("user_id")
+    expect = batch.set_index("user_id")
+    assert len(final) == len(expect)
+    joined = final.join(expect, lsuffix="_s", rsuffix="_b")
+    assert (joined["n_s"] == joined["n_b"]).all()
+    assert (joined["last_ts_s"] == joined["last_ts_b"]).all()
+    assert ((joined["total_s"] - joined["total_b"]).abs() < 1e-6).all()
 
 
 def test_foreach_batch_sink_writes_all_rows(spark, stream_dir, tmp_path):
