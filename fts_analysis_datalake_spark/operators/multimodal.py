@@ -67,6 +67,85 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(_fake_decode_batch, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, width int, height int, rs_width int, rs_height int"
+
+
+def resize_media(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """'Resize' decoded media via mapInPandas: cap the longer side at
+    ``max_side`` preserving aspect ratio (integer floor), pass-through
+    when already small.
+
+    FAKE KERNEL: the arithmetic is what a thumbnailer computes; the
+    pixel work (PIL ``Image.resize``) is absent from this container —
+    swap the body, keep the schema/batching contract. The numbers
+    being pure arithmetic is deliberate: the DuckDB oracle reproduces
+    them, so the mapInPandas round-trip itself is value-verified.
+    """
+
+    def _resize_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            long_side = w.where(w >= h, h)
+            scale_num = pd.Series([max_side] * len(pdf), dtype="int64")
+            needs = long_side > max_side
+            rs_w = w.where(~needs, (w * scale_num) // long_side)
+            rs_h = h.where(~needs, (h * scale_num) // long_side)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "rs_width": rs_w.astype("int32"),
+                    "rs_height": rs_h.astype("int32"),
+                }
+            )
+
+    return decoded.select("doc_id", "width", "height").mapInPandas(_resize_batch, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_checksum string"
+
+
+def frame_sample(df: DataFrame, every_n: int = 3) -> DataFrame:
+    """'Sample frames' from video-like payloads via mapInPandas with
+    row fan-out (each input row yields 1..k frame rows) — the
+    one-to-many shape real frame extraction has.
+
+    FAKE KERNEL: frame count is derived from the byte length
+    (n_bytes % 7 + 1 'frames', every ``every_n``-th sampled) and the
+    frame 'checksum' hashes payload bytes + index; a real
+    implementation replaces the body with ffmpeg frame decode.
+    Deterministic arithmetic keeps it oracle-reproducible.
+    """
+
+    def _sample_batch(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_idx, out_ck = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = len(b) % 7 + 1
+                for i in range(0, n_frames, every_n):
+                    out_id.append(doc_id)
+                    out_idx.append(i)
+                    out_ck.append(hashlib.md5(b + str(i).encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_checksum": pd.Series(out_ck, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_sample_batch, FRAME_SCHEMA)
+
+
 def bundle_multimodal(docs: DataFrame, emb: DataFrame) -> DataFrame:
     """D14: one row per document bundling text, embedding and typed
     metadata in a struct column (documents ⋈ embeddings on id)."""

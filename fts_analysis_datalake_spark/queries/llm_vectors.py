@@ -15,11 +15,18 @@ from pyspark.sql import functions as F
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.functions.vector import cosine, norm, sql_cosine, sql_norm
-from fts_analysis_datalake_spark.operators.multimodal import bundle_multimodal
+from fts_analysis_datalake_spark.operators.multimodal import (
+    bundle_multimodal,
+    decode_media,
+    frame_sample,
+    resize_media,
+    with_binary_payload,
+)
 from fts_analysis_datalake_spark.operators.similarity import (
     allpairs_above_threshold,
     cosine_topk,
     ivf_topk,
+    srp_topk,
 )
 from fts_analysis_datalake_spark.registry import query
 
@@ -176,6 +183,81 @@ def q_multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D14 media pipeline stages: the mapInPandas kernels are deterministic
+# arithmetic over the payload bytes (decode/resize/frame-sample are
+# honest FAKEs — no codecs in this container), which makes the Arrow
+# round-trip itself value-verifiable: the oracle recomputes the same
+# numbers in SQL.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_media_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+           CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    tags=("D14", "X2"),
+)
+def q_media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload -> mapInPandas 'decode' -> typed metadata; every
+    output value is recomputed by the oracle, so the Arrow batch
+    plumbing (not just the schema) is hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(with_binary_payload(docs))
+
+
+@query(
+    "q_media_resize_thumbs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             strlen(text) % 640 + 1 AS w,
+             strlen(text) % 480 + 1 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(CASE WHEN greatest(w, h) > 256 THEN (w * 256) // greatest(w, h) ELSE w END
+                AS INTEGER) AS rs_width,
+           CAST(CASE WHEN greatest(w, h) > 256 THEN (h * 256) // greatest(w, h) ELSE h END
+                AS INTEGER) AS rs_height
+    FROM d
+    """,
+    tags=("D14", "X2"),
+)
+def q_media_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> resize chain (two mapInPandas stages): cap the longer
+    side at 256 preserving aspect ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(decode_media(with_binary_payload(docs)), max_side=256)
+
+
+@query(
+    "q_media_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           md5(text || CAST(i AS VARCHAR)) AS frame_checksum
+    FROM (SELECT doc_id, text, strlen(text) % 7 + 1 AS nf FROM documents),
+         unnest(generate_series(0, nf - 1, 3)) t(i)
+    """,
+    tags=("D14", "X2", "X4"),
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: mapInPandas with 1->N row fan-out
+    (every 3rd of n_bytes%7+1 'frames'), per-frame checksums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(with_binary_payload(docs), every_n=3)
+
+
+# --------------------------------------------------------------------------
 # ANN: IVF-bucketed top-k (rows-only; recall property-tested)
 # --------------------------------------------------------------------------
 
@@ -211,3 +293,17 @@ def q_ivf_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — the scan touches ~30% of vectors instead of 100%."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
     return ivf_topk(e, _query_vec(spark, sf_dir), k=10, nprobe=3)
+
+
+@query(
+    "q_srp_topk_ann",
+    oracle=None,  # ANN result depends on hyperplane seeding; recall vs
+    # brute force is asserted in tests/test_similarity.py.
+    tags=("D6", "ANN"),
+)
+def q_srp_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH approximate top-10 — the
+    training-free ANN path (no centroid fit): 8-bit bucket per vector
+    map-side, Hamming<=3 multiprobe filters before the cosine top-k."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    return srp_topk(e, _query_vec(spark, sf_dir), k=10, bits=8, radius=3)

@@ -20,6 +20,7 @@ from fts_analysis_datalake_spark.registry import query
 from fts_analysis_datalake_spark.sources.ingest import (
     read_csv,
     read_jsonl,
+    read_orc,
     write_partitioned_parquet,
 )
 from fts_analysis_datalake_spark.streaming.transforms import (
@@ -288,6 +289,33 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_jsonl(spark, path, "event_id long, user_id long, event_type string")
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("user_id").cast("bigint").alias("sum_users")
+    )
+
+
+@query(
+    "q_orc_ingest",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("S2", "S4"),
+)
+def q_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC roundtrip on lossless columns — the second columnar format
+    (same vectorized scan + pushdown machinery as parquet), proving
+    the reader against the parquet-backed oracle."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{CACHE_DIR}/lineitem_orc_{sf_tag}"
+    src = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    _write_once(path, lambda p: src.write.mode("overwrite").orc(p))
+    df = read_orc(spark, path, "l_orderkey long, l_linenumber int, l_returnflag string")
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
     )
 
 

@@ -30,6 +30,12 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> Data
     return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """S-extension: schema-pinned ORC ingest (second columnar format;
+    same vectorized reader / pushdown machinery as parquet)."""
+    return spark.read.schema(schema).orc(path)
+
+
 def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """S4: partitioned parquet sink — the layout that makes the 100 TB
     re-read cheap (partition pruning on the partition columns; row-

@@ -26,7 +26,9 @@ PYTHON_SURFACE = {
     "q_user_value_trend_udf",  # X2 applyInPandas
     "q_value_mad_udaf",  # X3 grouped-agg pandas UDAF
     "q_token_positions_udtf",  # X4 Python UDTF
-    "q_multimodal_bundle",  # D14 mapInPandas decode plumbing (if used)
+    "q_media_decode_meta",  # D14 mapInPandas decode
+    "q_media_resize_thumbs",  # D14 mapInPandas decode+resize
+    "q_media_frame_sample",  # D14 mapInPandas row fan-out
 }
 
 ALL_QUERIES = sorted(REGISTRY)

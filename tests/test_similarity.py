@@ -14,6 +14,7 @@ from fts_analysis_datalake_spark.operators.similarity import (
     cosine_pandas_udf,
     cosine_topk,
     ivf_topk,
+    srp_topk,
 )
 
 SF_SMALL = "/root/testdata/sf0.001"
@@ -40,6 +41,19 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     # probing 3/10 buckets of near-random vectors: recall well above
     # the ~0.3 random-scan floor demonstrates the index works.
     assert avg >= 0.5, recalls
+
+
+def test_srp_recall_vs_bruteforce(spark, emb):
+    recalls = []
+    for vid in [0, 17, 101, 256, 499]:
+        q = _qvec(emb, vid)
+        exact = {r.vec_id for r in cosine_topk(emb, q, 10).collect()}
+        approx = {r.vec_id for r in srp_topk(emb, q, 10, bits=8, radius=3).collect()}
+        recalls.append(len(exact & approx) / 10)
+    avg = sum(recalls) / len(recalls)
+    # 8-bit SRP probing Hamming<=3 (~36% of bucket space) on
+    # near-random vectors: well above the random-scan floor.
+    assert avg >= 0.4, recalls
 
 
 def test_ivf_query_vec_not_stale_across_sf_dirs(spark):
