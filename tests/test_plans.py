@@ -97,6 +97,23 @@ def test_minhash_band_join_is_hash_join_not_nlj(spark):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
 
 
+def test_tpch_suite_plan_shapes(spark):
+    """The adapted TPC-H suite must keep its canonical physical
+    patterns: top-k via TakeOrderedAndProject (q10/q21), semi/anti
+    joins for EXISTS stacks (q4/q21/q22 — equi key + residual, no
+    nested loop over facts), and q6 as a pure pushed-down scan-agg."""
+    p10 = explain_text(REGISTRY["q10_returned_item_revenue"].fn(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in p10, p10
+    p21 = explain_text(REGISTRY["q21_last_shipper_per_order"].fn(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in p21, p21
+    assert "LeftSemi" in p21 and "LeftAnti" in p21, p21
+    assert "CartesianProduct" not in p21, p21
+    p6 = pushed_filters(REGISTRY["q6_forecast_revenue"].fn(spark, SF_DIR))
+    assert any("l_shipdate" in f for f in p6), p6
+    p22 = explain_text(REGISTRY["q22_sales_opportunity"].fn(spark, SF_DIR), "simple")
+    assert "LeftAnti" in p22, p22
+
+
 def test_column_pruning_reaches_scan(spark):
     """A 2-column projection must not read the whole lineitem schema."""
     plan = explain_text(REGISTRY["q_orders_offset_page"].fn(spark, SF_DIR), "formatted")
