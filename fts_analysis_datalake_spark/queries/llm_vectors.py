@@ -25,6 +25,7 @@ from fts_analysis_datalake_spark.operators.multimodal import (
 from fts_analysis_datalake_spark.operators.similarity import (
     allpairs_above_threshold,
     cosine_topk,
+    embedding_near_dups,
     ivf_topk,
     srp_topk,
 )
@@ -307,3 +308,21 @@ def q_srp_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, Hamming<=3 multiprobe filters before the cosine top-k."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
     return srp_topk(e, _query_vec(spark, sf_dir), k=10, bits=8, radius=3)
+
+
+@query(
+    "q_embedding_near_dup_pairs",
+    oracle=None,  # banded-LSH candidate set is not SQL-expressible;
+    # precision (=1 vs numpy brute force) and recall are asserted in
+    # tests/test_similarity.py.
+    tags=("D3", "D5", "D7", "ANN"),
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate mining, global (no label
+    blocking): banded SRP-LSH candidate join + exact cosine verify —
+    the embedding-space twin of q_minhash_near_dups. The fixture has
+    no true high-cosine duplicates (max pairwise cosine ~0.51), so
+    the threshold is set where the pair population lives; the
+    operator is threshold-agnostic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, threshold=0.4).orderBy("id_a", "id_b")
