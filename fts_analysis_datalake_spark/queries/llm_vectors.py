@@ -320,9 +320,17 @@ def q_srp_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate mining, global (no label
     blocking): banded SRP-LSH candidate join + exact cosine verify —
-    the embedding-space twin of q_minhash_near_dups. The fixture has
-    no true high-cosine duplicates (max pairwise cosine ~0.51), so
-    the threshold is set where the pair population lives; the
-    operator is threshold-agnostic."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dups(e, threshold=0.4).orderBy("id_a", "id_b")
+    the embedding-space twin of q_minhash_near_dups.
+
+    The fixture has no natural high-cosine pairs (max ~0.51), so the
+    corpus is unioned with a re-keyed copy of itself (vec_id+10000 —
+    the re-ingested-batch scenario dedup exists for). Every planted
+    duplicate has identical sign bits in every band, so LSH recall on
+    them is exactly 1; unrelated pairs pass a band with p=1/256. The
+    expected result is exactly the 500 planted pairs, asserted
+    against numpy brute force in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    redelivered = e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    return embedding_near_dups(e.unionByName(redelivered), threshold=0.999).orderBy(
+        "id_a", "id_b"
+    )

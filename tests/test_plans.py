@@ -29,6 +29,7 @@ PYTHON_SURFACE = {
     "q_media_decode_meta",  # D14 mapInPandas decode
     "q_media_resize_thumbs",  # D14 mapInPandas decode+resize
     "q_media_frame_sample",  # D14 mapInPandas row fan-out
+    "q_embedding_near_dup_pairs",  # E11 vectorized-UDF LSH signature build
 }
 
 ALL_QUERIES = sorted(REGISTRY)

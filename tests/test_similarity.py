@@ -79,33 +79,38 @@ def test_ivf_query_vec_not_stale_across_sf_dirs(spark):
 
 
 def test_embedding_near_dups_precision_and_recall(spark, emb):
-    """Banded SRP-LSH near-dup pairs vs numpy brute force: every
-    emitted pair must truly be >= threshold with the exact cosine
-    (precision 1.0 — the verify step is exact math), and the banding
-    must find most of the true pair population (expected ~0.96 at
-    cosine 0.45 with 16 bands x 4 bits; assert a safe floor)."""
+    """Banded SRP-LSH near-dup pairs vs numpy brute force on the
+    planted-duplicate corpus (original ∪ re-keyed copy): exact dups
+    share every sign bit, so recall must be exactly 1.0; precision is
+    exactly 1.0 because the verify step is exact cosine math. The
+    result must therefore EQUAL the brute-force pair set."""
     import numpy as np
 
     from fts_analysis_datalake_spark.operators.similarity import embedding_near_dups
 
-    threshold = 0.4
+    threshold = 0.999
+    dup = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in rows])
     V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
     S = Vn @ Vn.T
+    # natural pairs >= threshold (none expected on this fixture) +
+    # the 500 planted (i, i+10000) exact-duplicate pairs
     iu = np.triu_indices(len(ids), 1)
     true_pairs = {
         (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
         for i, j in zip(*iu)
         if S[i, j] >= threshold
-    }
-    got = {(r.id_a, r.id_b) for r in embedding_near_dups(emb, threshold).collect()}
-    assert true_pairs, "fixture must contain pairs above the threshold"
-    false_pos = got - true_pairs
-    assert not false_pos, false_pos  # exact verify => precision 1.0
-    recall = len(got & true_pairs) / len(true_pairs)
-    assert recall >= 0.7, (recall, len(true_pairs))
+    } | {(int(i), int(i) + 10000) for i in ids}
+    got = {(r.id_a, r.id_b) for r in embedding_near_dups(corpus, threshold).collect()}
+    assert got == true_pairs, (
+        len(got - true_pairs),
+        len(true_pairs - got),
+        len(true_pairs),
+    )
 
 
 def test_pandas_udf_cosine_matches_builtin(spark, emb):
