@@ -1,0 +1,159 @@
+"""Warehouse-lifecycle declared queries (SURVEY.md §2.12 E12-E14):
+CDC merge/upsert, SCD2 history, and an approximate-percentile sketch.
+
+The change batch for the CDC query is constructed deterministically
+from the fixture itself (orders in the 1999+ period), so the oracle
+can rebuild the identical batch in SQL: customers with >=2 period
+orders get their balance replaced (upsert), customers with exactly 1
+get tombstoned (delete), and heavy customers (>=4) additionally
+produce brand-new re-keyed rows (insert).
+
+Timestamps in SCD2 output follow the repo convention for the
+ns-precision events table: epoch seconds as BIGINT on both engines
+(Spark truncates parquet ns to µs, so raw ts columns never cross the
+oracle boundary — see windows_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
+from fts_analysis_datalake_spark.operators.cdc import merge_upsert, scd2_history
+from fts_analysis_datalake_spark.registry import query
+
+_CDC_CUTOFF = "1999-01-01"
+
+
+@query(
+    "q_cdc_merge_customers",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{_CDC_CUTOFF}'
+      GROUP BY o_custkey),
+    changes AS (
+      SELECT c.c_custkey, c.c_name, c.c_nationkey, p.total AS c_acctbal,
+             c.c_mktsegment, 'U' AS op
+      FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey WHERE p.n >= 2
+      UNION ALL
+      SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment, 'D'
+      FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey WHERE p.n = 1
+      UNION ALL
+      SELECT p.o_custkey + 1000000, 'Customer#new_' || CAST(p.o_custkey AS VARCHAR),
+             CAST(p.o_custkey % 25 AS INTEGER), p.total, 'NEW', 'U'
+      FROM per_cust p WHERE p.n >= 4)
+    SELECT COALESCE(ch.c_custkey, b.c_custkey)       AS c_custkey,
+           COALESCE(ch.c_name, b.c_name)             AS c_name,
+           COALESCE(ch.c_nationkey, b.c_nationkey)   AS c_nationkey,
+           COALESCE(ch.c_acctbal, b.c_acctbal)       AS c_acctbal,
+           COALESCE(ch.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+    FROM customer b FULL OUTER JOIN changes ch ON b.c_custkey = ch.c_custkey
+    WHERE COALESCE(ch.op, 'U') <> 'D'
+    """,
+    tags=("E12", "J2", "U1", "W1", "A1"),
+)
+def q_cdc_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics without a table format: apply a compacted CDC
+    batch (upserts, deletes, inserts) to the customer snapshot via
+    union + per-key priority window — one shuffle, no join (the
+    oracle uses the equivalent FULL OUTER JOIN formulation, legal
+    because the batch has at most one change per key)."""
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_CDC_CUTOFF).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+    upd = (
+        per_cust.filter(F.col("n") >= 2)
+        .join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.col("total").alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("U").alias("_op"),
+        )
+    )
+    dele = (
+        per_cust.filter(F.col("n") == 1)
+        .join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+            F.lit("D").alias("_op"),
+        )
+    )
+    ins = per_cust.filter(F.col("n") >= 4).select(
+        (F.col("o_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("Customer#new_"), F.col("o_custkey").cast("string")).alias("c_name"),
+        (F.col("o_custkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("total").alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit("U").alias("_op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return merge_upsert(c, changes, ["c_custkey"])
+
+
+@query(
+    "q_scd2_user_event_history",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT user_id, event_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from_s,
+           CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                AS BIGINT) AS valid_to_s,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM marked
+    WHERE prev IS NULL OR prev <> event_type
+    """,
+    tags=("E13", "W3", "W1"),
+)
+def q_scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals over each user's event-type stream:
+    consecutive same-type events collapse into one interval; the open
+    interval per user is current. One window shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    hist = scd2_history(e, ["user_id"], "ts", "event_type", "event_id")
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("valid_from").alias("valid_from_s"),
+        F.unix_timestamp("valid_to").alias("valid_to_s"),
+        "is_current",
+    )
+
+
+@query(
+    "q_approx_quantity_percentiles",
+    oracle=None,  # sketch-based (GK algorithm); bounded-error vs the
+    # exact percentiles is asserted in tests/test_approx.py
+    tags=("E14", "A4", "A5"),
+)
+def q_approx_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p25/p50/p75 of l_quantity per returnflag via
+    percentile_approx (Greenwald-Khanna sketch, accuracy 10^4) — the
+    mergeable-sketch path for percentiles at 100 TB, where the exact
+    sort-based form needs a full shuffle of the column. Declared
+    rows-only: DuckDB's approx_quantile uses a different sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("approx_pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

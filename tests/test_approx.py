@@ -36,3 +36,36 @@ def test_approx_distinct_within_bound(spark, duck):
     for _, row in df.iterrows():
         e = exact[row["l_returnflag"]]
         assert abs(row["approx_parts"] - e) / e <= 0.10, (row["l_returnflag"], row["approx_parts"], e)
+
+
+def test_approx_percentiles_within_bound(spark, duck):
+    """E14: percentile_approx vs exact percentiles — the GK sketch at
+    accuracy 10^4 must land within 1% rank error; on l_quantity
+    (integers 1..50) that means within ~1 quantity unit."""
+    df = REGISTRY["q_approx_quantity_percentiles"].fn(spark, SF_DIR).toPandas()
+    exact = {
+        flag: pcts
+        for flag, pcts in duck.execute(
+            "SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    assert len(df) == len(exact)
+    for _, row in df.iterrows():
+        for got, want in zip(row["approx_pcts"], exact[row["l_returnflag"]]):
+            assert abs(got - want) <= 1.0, (row["l_returnflag"], got, want)
+
+
+def test_merge_upsert_semantics(spark):
+    """E12 unit semantics: change rows win per key, tombstones drop
+    the key, unmatched base rows survive, new keys insert."""
+    from fts_analysis_datalake_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, "c", "D"), (4, "d", "U")], "k BIGINT, v STRING, _op STRING"
+    )
+    got = {(r.k, r.v) for r in merge_upsert(base, changes, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
