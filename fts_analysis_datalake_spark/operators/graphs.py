@@ -1,0 +1,96 @@
+"""Graph operators for dedup clustering (SURVEY.md §2.12 E15):
+connected components over a pair/edge table.
+
+A near-dup pipeline ends with CLUSTERS, not pairs: LSH emits candidate
+pairs, exact verify confirms them, and transitive closure groups them
+so one canonical survivor per component can be kept. This module
+closes that last step.
+
+Scale notes (100 TB / billions of edges):
+
+- Min-label propagation: each iteration is one edge-label hash join
+  plus one groupBy(min) — two shuffles on the node key, no driver-side
+  graph state, nothing ever collected.
+- Iteration count is O(max component *diameter*), not component size.
+  Near-dup components are dense (LSH buckets emit near-cliques), so
+  diameters are tiny; ``max_iter`` guards the pathological-chain case.
+- Lineage is truncated every iteration with ``localCheckpoint`` —
+  without it the plan doubles per iteration and the driver OOMs on
+  plan size long before data is a problem.
+- The convergence test is a ``count`` action per iteration; that is
+  intrinsic to fixpoint algorithms (Spark has no whole-plan loop
+  operator). The fixpoint itself is unique — every node's label is
+  the min node id reachable from it — so results are deterministic
+  regardless of how many iterations convergence took.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with its
+    component id = the minimum node id in its component.
+
+    Returns (node, comp). Only nodes incident to at least one edge
+    appear (callers union isolated nodes back if they need them —
+    for dedup clustering, un-paired docs are their own survivors and
+    never need a cluster row).
+
+    Raises ``RuntimeError`` if ``max_iter`` iterations don't reach
+    the fixpoint, rather than silently returning partial components.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    for _ in range(max_iter):
+        # Min neighbour label per node, one hash join + one partial agg.
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Turn verified duplicate pairs into clusters: (member, cluster_id,
+    cluster_size, is_canonical) where cluster_id is the minimum member
+    id (the deterministic survivor) — the keep/drop decision of a
+    dedup pipeline falls out as ``is_canonical``.
+    """
+    cc = connected_components(pairs, id_a, id_b, max_iter)
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(F.broadcast(sizes), "comp")
+        .select(
+            F.col("node").alias("member"),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("comp")).alias("is_canonical"),
+        )
+    )

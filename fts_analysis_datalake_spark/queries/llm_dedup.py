@@ -102,3 +102,72 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sim = simhash_table(d, "doc_id", "text").persist()
     return simhash_candidate_pairs(sim, "doc_id").filter(F.col("hamming") <= 16)
+
+
+# --------------------------------------------------------------------------
+# E15: dedup clustering — connected components over verified pairs
+# --------------------------------------------------------------------------
+
+_CLUSTER_J = 0.4
+
+
+def _sql_blocked_edges() -> str:
+    """Blocked token-Jaccard edges >= threshold — the q_jaccard_blocked_pairs
+    pair generator with a filter, shared by the CC oracle."""
+    return f"""
+    t AS (SELECT doc_id, lang, n_chars,
+                 list_distinct({sql_tokens('text')}) AS toks
+          FROM documents),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(a.toks || b.toks)) >= {_CLUSTER_J})
+    """
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_sql_blocked_edges()},
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(node, comp) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node),
+    cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+    SELECT cc.node AS member, cc.comp AS cluster_id, cnt.cluster_size,
+           cc.node = cc.comp AS is_canonical
+    FROM cc JOIN (SELECT comp, COUNT(*) AS cluster_size FROM cc GROUP BY comp) cnt
+      USING (comp)
+    """,
+    tags=("E15", "D4", "J11", "A1"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: verified duplicate PAIRS ->
+    transitive CLUSTERS -> per-cluster canonical survivor. Pairs are
+    the (lang, n_chars)-blocked exact-Jaccard >= 0.4 edges (the same
+    SQL-expressible candidate generator as q_jaccard_blocked_pairs);
+    components come from iterative min-label propagation
+    (operators/graphs.py), whose unique fixpoint the oracle reproduces
+    with a recursive CTE. Iterations cost O(cluster diameter), and
+    near-dup clusters are near-cliques, so this converges in a
+    handful of shuffles even at 100 TB."""
+    from fts_analysis_datalake_spark.operators.graphs import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    verified = exact_jaccard_for_pairs(d, "doc_id", "text", pairs).filter(
+        F.col("jaccard") >= _CLUSTER_J
+    )
+    return dedup_clusters(verified.select("id_a", "id_b"))
