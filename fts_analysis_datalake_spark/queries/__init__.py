@@ -16,3 +16,4 @@ from fts_analysis_datalake_spark.queries import streaming_sources  # noqa: F401
 from fts_analysis_datalake_spark.queries import coverage_gaps  # noqa: F401
 from fts_analysis_datalake_spark.queries import tpch_suite  # noqa: F401
 from fts_analysis_datalake_spark.queries import cdc_history  # noqa: F401
+from fts_analysis_datalake_spark.queries import scale_toolkit  # noqa: F401

@@ -69,3 +69,34 @@ def test_merge_upsert_semantics(spark):
     )
     got = {(r.k, r.v) for r in merge_upsert(base, changes, ["k"]).collect()}
     assert got == {(1, "a"), (2, "B"), (4, "d")}
+
+
+def test_hll_rollup_within_bound(spark, duck):
+    """E17: per-group and merged HLL estimates vs exact distinct
+    counts — lgConfigK=14 gives ~0.8% relative standard error; assert
+    a generous 5% envelope."""
+    df = REGISTRY["q_hll_user_rollup"].fn(spark, SF_DIR).toPandas()
+    exact = dict(duck.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1 "
+        "UNION ALL SELECT 'ALL', COUNT(DISTINCT user_id) FROM events"
+    ).fetchall())
+    assert set(df["event_type"]) == set(exact)
+    for _, row in df.iterrows():
+        e = exact[row["event_type"]]
+        assert abs(row["approx_users"] - e) / e <= 0.05, (row["event_type"], row["approx_users"], e)
+
+
+def test_stratified_sample_rates_within_bound(spark):
+    """E18: achieved per-stratum rates must sit inside a 4-sigma
+    binomial envelope of the requested fractions."""
+    import math
+
+    from fts_analysis_datalake_spark.queries.scale_toolkit import _STRATA
+
+    df = REGISTRY["q_stratified_sample_rates"].fn(spark, SF_DIR).toPandas()
+    assert set(df["l_returnflag"]) == set(_STRATA)
+    for _, row in df.iterrows():
+        p = _STRATA[row["l_returnflag"]]
+        sigma = math.sqrt(p * (1 - p) / row["n_total"])
+        assert abs(row["achieved_rate"] - p) <= 4 * sigma, (
+            row["l_returnflag"], row["achieved_rate"], p)
