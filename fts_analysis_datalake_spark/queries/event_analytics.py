@@ -1,0 +1,290 @@
+"""Event/product-analytics declared queries (SURVEY.md §2.12 E19-E22):
+funnel conversion, retention cohorts, transition matrix, hourly
+gap-fill with LOCF — the standard event-stream analyses a reference
+user runs over the FTS-style events table.
+
+All four are pure Catalyst plans (windows + aggregations + one
+broadcast spine join); every one is oracle-checked. Per repo
+convention, raw ns-precision ``ts`` values never cross the oracle
+boundary — outputs carry epoch seconds / dates; internal comparisons
+stay within one engine.
+
+E23 adds edit-distance fuzzy matching on customer names (blocked
+within nation so the candidate set is bounded) — entity-resolution's
+verify step, with ``levenshtein`` on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# E19: ordered funnel — first view -> first later click -> first later
+# purchase, per user; stage reach counts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'click', COUNT(*) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*) FROM p
+    """,
+    tags=("E19", "A1", "J1", "U1"),
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel: a user reaches stage N only via an
+    event strictly after their stage-N-1 time. Each stage is one
+    groupBy(user) min + one equi-join on user_id with a post-join
+    time filter — at 100 TB the stage frontier (one row per surviving
+    user) is tiny next to the event table, so AQE broadcasts it."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, tcol: str, prev_t: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(v, "click", "t2", "t1")
+    p = first_after(c, "purchase", "t3", "t2")
+    rows = [
+        v.agg(F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"),
+              F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit(2).alias("stage_idx"), F.lit("click").alias("stage"),
+              F.count(F.lit(1)).alias("n_users")),
+        p.agg(F.lit(3).alias("stage_idx"), F.lit("purchase").alias("stage"),
+              F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------------------------------------------------
+# E20: weekly retention cohorts — cohort = week of first event
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events
+      GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+           COUNT(*) AS n_active FROM activity
+    GROUP BY 1, 2
+    """,
+    tags=("E20", "A1", "A3", "J1", "F4"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by first-seen week,
+    counted once per (cohort, week-offset) they were active in. The
+    per-user first-week frontier is an aggregation (one shuffle) that
+    AQE broadcasts back onto the event scan; distinct-per-cell is a
+    second shuffle on the (user, cohort, offset) key."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+# --------------------------------------------------------------------------
+# E21: event transition matrix — per-user consecutive pairs
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("E21", "W3", "A1", "W4"),
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + row-normalized
+    probabilities over each user's event sequence (lead window on the
+    (ts, event_id) total order; FIXTURES.md determinism note). One
+    window shuffle on user_id, one agg shuffle on the pair key; the
+    per-from_type normalizer is a window over the (tiny) 5x5 result."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    norm = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(norm)
+    )
+
+
+# --------------------------------------------------------------------------
+# E22: hourly gap-fill + LOCF — complete time spine, carried-forward value
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_gapfill_hourly_locf",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             {sql_dsum('value')} AS hour_value
+      FROM events WHERE event_type IN ('purchase', 'signup', 'error')
+      GROUP BY 1, 2),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) g)
+    SELECT s.event_type, CAST(FLOOR(epoch(s.h)) AS BIGINT) AS hour_s,
+           COALESCE(hy.hour_value,
+                    LAST_VALUE(hy.hour_value IGNORE NULLS) OVER
+                      (PARTITION BY s.event_type ORDER BY s.h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0.0) AS filled_value,
+           hy.hour_value IS NULL AS is_gap
+    FROM spine s LEFT JOIN hourly hy ON s.event_type = hy.event_type AND s.h = hy.h
+    """,
+    tags=("E22", "F4", "W7", "J2", "F7"),
+)
+def q_gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: build the complete hourly spine
+    (sequence over the observed bound, exploded — the bound row is a
+    1-row broadcast), left-join the sparse hourly aggregate, and fill
+    gaps by carrying the last observed value forward (last() with
+    ignoreNulls over an unbounded-preceding frame); leading gaps fall
+    back to 0. The spine grows with time x keys, not with event
+    volume, so at 100 TB it stays negligible next to the scan."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type").isin("purchase", "signup", "error"))
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(dsum(F.col("value")).alias("hour_value"))
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        hourly.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.unix_timestamp("h").alias("hour_s"),
+            F.coalesce(
+                F.col("hour_value"),
+                F.last("hour_value", ignorenulls=True).over(w),
+                F.lit(0.0),
+            ).alias("filled_value"),
+            F.col("hour_value").isNull().alias("is_gap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E23: fuzzy edit-distance matching — entity resolution's verify step
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    tags=("E23", "J11", "F1"),
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs within a nation block,
+    kept when edit distance <= 2. Blocking bounds the quadratic
+    verify to within-block pairs (the same LSH-then-verify shape as
+    the text dedup path); levenshtein runs JVM-side on both engines."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    return (
+        c.alias("a")
+        .join(
+            c.alias("b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
