@@ -30,6 +30,7 @@ from fts_analysis_datalake_spark.streaming.transforms import (
     stream_static_join,
     tumbling_counts,
     user_accumulator,
+    view_click_attribution,
 )
 
 # Per-process cache root: two concurrent sessions (driver verify +
@@ -403,4 +404,37 @@ def q_token_positions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n DESC, token
         LIMIT 20
         """
+    )
+
+
+# --------------------------------------------------------------------------
+# T9: stream-stream watermarked interval join — batch twin
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_view_click_attribution",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           CAST(FLOOR(epoch(c.ts)) - FLOOR(epoch(v.ts)) AS BIGINT) AS delay_s
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    tags=("T9", "J8", "T4"),
+)
+def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream watermarked join
+    (streaming/transforms.py view_click_attribution): clicks
+    attributed to same-user views in the preceding 2 hours. The
+    streaming run of the identical transform (two file-source streams,
+    append mode) is asserted row-equal in tests/test_streaming.py —
+    the time-bounded condition is what lets streaming evict join
+    state once the watermark passes."""
+    e = load_table(spark, sf_dir, "events")
+    return view_click_attribution(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "click"),
+        attribution_window="2 hours",
     )

@@ -197,3 +197,45 @@ def write_stream_foreach_batch(df: DataFrame, path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+def view_click_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T9: stream-stream inner join — each click is attributed to every
+    view by the same user in the preceding ``attribution_window``.
+
+    Both sides carry watermarks and the join condition is
+    time-bounded on the event times, which is exactly what lets Spark
+    EVICT join state: a buffered view can be dropped once the click
+    watermark passes view_ts + window (without the bound, state grows
+    forever). Inner stream-stream joins emit rows eagerly; the
+    watermark only governs state cleanup, so batch and streaming runs
+    agree row-for-row on the same input.
+    """
+    v = _maybe_watermark(views, "ts", watermark).select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = _maybe_watermark(clicks, "ts", watermark).select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return v.join(
+        c,
+        [
+            v.user_id == c.user_id,
+            c.click_ts > v.view_ts,
+            c.click_ts <= v.view_ts + F.expr(f"INTERVAL {attribution_window}"),
+        ],
+    ).select(
+        v.user_id,
+        "view_id",
+        "click_id",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")).alias("delay_s"),
+    )

@@ -124,3 +124,44 @@ def test_foreach_batch_sink_writes_all_rows(spark, stream_dir, tmp_path):
     n_src = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir).count()
     assert written.count() == n_src
     assert written.select("_batch_id").distinct().count() >= 2, "expected multiple micro-batches"
+
+
+def test_stream_stream_join_equals_batch(spark, stream_dir):
+    """T9: the watermarked stream-stream interval join over two real
+    file-source streams must emit exactly the batch twin's rows
+    (inner joins emit eagerly; the watermark only evicts state)."""
+    from fts_analysis_datalake_spark.streaming.transforms import view_click_attribution
+
+    def views(src):
+        return src.filter(F.col("event_type") == "view")
+
+    def clicks(src):
+        return src.filter(F.col("event_type") == "click")
+
+    batch_src = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    # Watermark wider than the fixture's 30-day span: micro-batch files
+    # are not event-time-ordered, so a realistic watermark would
+    # legitimately drop late state and the run couldn't equal batch.
+    batch = view_click_attribution(views(batch_src), clicks(batch_src), "2 hours", "40 days")
+
+    def stream_src():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+
+    q = (
+        view_click_attribution(views(stream_src()), clicks(stream_src()), "2 hours", "40 days")
+        .writeStream.format("memory")
+        .queryName("mem_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    cols = ["user_id", "view_id", "click_id", "delay_s"]
+    got = _canon(spark.table("mem_ss_join"), cols)
+    want = _canon(batch, cols)
+    assert got == want and len(want) > 0
