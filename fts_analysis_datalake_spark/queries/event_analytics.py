@@ -344,3 +344,59 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# E24: week-over-week churn / retention / new-user decomposition
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_weekly_churn",
+    oracle="""
+    WITH wk AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+    pairs AS (
+      SELECT COALESCE(a.w + INTERVAL 7 DAY, b.w) AS week,
+             COUNT(*) FILTER (a.user_id IS NOT NULL AND b.user_id IS NOT NULL)
+               AS retained,
+             COUNT(*) FILTER (b.user_id IS NULL) AS churned,
+             COUNT(*) FILTER (a.user_id IS NULL) AS gained
+      FROM wk a FULL OUTER JOIN wk b
+        ON a.user_id = b.user_id AND a.w + INTERVAL 7 DAY = b.w
+      GROUP BY 1)
+    SELECT week, retained, churned, gained FROM pairs
+    """,
+    tags=("E24", "J2", "A3", "F4"),
+)
+def q_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week user movement: for each week W, users active in
+    both W-1 and W (retained), active in W-1 but not W (churned out
+    of W), and active in W but not W-1 (gained). One FULL OUTER
+    self-join of the distinct (user, week) activity set on
+    (user, consecutive-week) — the anti-join and semi-join fall out
+    of the null sides, so all three measures come from ONE shuffle
+    instead of three separate joins."""
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    a = wk.alias("a")
+    b = wk.alias("b")
+    nxt = F.col("a.w") + F.expr("INTERVAL 7 DAY")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id")) & (nxt == F.col("b.w")),
+        "full_outer",
+    )
+    return (
+        joined.groupBy(F.coalesce(nxt, F.col("b.w")).alias("week"))
+        .agg(
+            F.count(
+                F.when(
+                    F.col("a.user_id").isNotNull() & F.col("b.user_id").isNotNull(), 1
+                )
+            ).alias("retained"),
+            F.count(F.when(F.col("b.user_id").isNull(), 1)).alias("churned"),
+            F.count(F.when(F.col("a.user_id").isNull(), 1)).alias("gained"),
+        )
+    )

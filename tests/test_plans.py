@@ -120,3 +120,36 @@ def test_column_pruning_reaches_scan(spark):
     plan = explain_text(REGISTRY["q_orders_offset_page"].fn(spark, SF_DIR), "formatted")
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and all("o_totalprice" in ln and "o_comment" not in ln for ln in read), read
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on a hive-partition column must prune at planning
+    time (PartitionFilters on the scan), not post-scan — at 100 TB
+    the difference is reading one day vs the whole dataset."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.catalog import load_table
+
+    path = str(tmp_path / "events_by_day")
+    (
+        load_table(spark, SF_DIR, "events")
+        .withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    txt = explain_text(df, "formatted")
+    assert "PartitionFilters" in txt
+    # the partition predicate must appear inside PartitionFilters, and
+    # the pruned read must return exactly that day's rows
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "day" in m.group(1), txt
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.to_date("ts") == "2024-01-05")
+        .count()
+    )
+    assert df.count() == want > 0
