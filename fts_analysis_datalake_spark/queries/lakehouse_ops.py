@@ -1,0 +1,171 @@
+"""Lakehouse-operations declared queries (SURVEY.md §2.12 E25-E26):
+data-quality constraint checking and incremental aggregate
+maintenance — the operational layer around a 100 TB table.
+
+E25 is the deequ/dbt-tests shape: every constraint is an aggregate
+expression, so ONE scan evaluates the whole suite (no per-check
+passes); the result is one row per check with its violation count.
+
+E26 is incremental view maintenance for distributive/algebraic
+aggregates: yesterday's per-day rollup is reused as-is and only the
+new partition is scanned, then the two are merged by re-aggregating
+partials (sum of sums, sum of counts, min of mins, max of maxs).
+The oracle is the full recompute — the merged result must be
+indistinguishable from rescanning history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# E25: data-quality constraint report — one scan per table, all checks
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_data_quality_report",
+    oracle="""
+    SELECT 'orders.null_custkey' AS check_name,
+           COUNT(*) FILTER (o_custkey IS NULL) AS violations,
+           COUNT(*) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'orders.dup_orderkey',
+           CAST(SUM(cnt - 1) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'orders.totalprice_nonpositive',
+           COUNT(*) FILTER (o_totalprice <= 0), COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.orphan_orderkey',
+           COUNT(*) FILTER (o.o_orderkey IS NULL), COUNT(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.discount_out_of_range',
+           COUNT(*) FILTER (l_discount < 0 OR l_discount > 0.5), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events.ts_out_of_range',
+           COUNT(*) FILTER (ts < TIMESTAMP '2000-01-01'
+                            OR ts > TIMESTAMP '2030-01-01'), COUNT(*)
+    FROM events
+    """,
+    tags=("E25", "A2", "A7", "J2", "J4"),
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite as data: null-rate, key-uniqueness,
+    value-range, and referential-integrity checks, each one row of
+    (check_name, violations, n_rows). Per-table checks share ONE
+    scan (conditional aggregates); uniqueness is a keyed pre-agg;
+    the FK check is a left join counting null matches — at 100 TB
+    the orders side is the smaller input and AQE picks the build
+    side. A pipeline gates on SUM(violations) = 0."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+
+    def check(df: DataFrame, name: str, cond) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.when(cond, 1)).alias("violations"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.lit("orders.dup_orderkey").alias("check_name"),
+            F.sum(F.col("cnt") - 1).alias("violations"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    orphan = check(
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left"),
+        "lineitem.orphan_orderkey",
+        F.col("o_orderkey").isNull(),
+    )
+    parts = [
+        check(o, "orders.null_custkey", F.col("o_custkey").isNull()),
+        dup,
+        check(o, "orders.totalprice_nonpositive", F.col("o_totalprice") <= 0),
+        orphan,
+        check(
+            li,
+            "lineitem.discount_out_of_range",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+        ),
+        check(
+            e,
+            "events.ts_out_of_range",
+            (F.col("ts") < F.lit("2000-01-01").cast("timestamp"))
+            | (F.col("ts") > F.lit("2030-01-01").cast("timestamp")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# E26: incremental aggregate maintenance — merge partials, no rescan
+# --------------------------------------------------------------------------
+
+_ROLLUP_CUTOFF = "1998-01-01"
+
+
+@query(
+    "q_incremental_daily_rollup",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+           COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("E26", "A1", "A15", "U1", "F4"),
+)
+def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the monthly rollup is built as
+    merge(state BEFORE cutoff, delta AFTER cutoff) — each side is
+    aggregated independently (in production the state side is read
+    back from the sink, scanning nothing historical), then merged by
+    re-aggregating the partials: SUM of sums/counts, MIN/MAX of
+    mins/maxs. Works for every distributive/algebraic aggregate;
+    the oracle is the full recompute over all of history, which the
+    merge must equal exactly. The scaled-int dsum partials make the
+    merge order-insensitive, so state+delta == full-scan bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            "o_orderstatus",
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+
+    cutoff = F.lit(_ROLLUP_CUTOFF).cast("timestamp")
+    state = rollup(o.filter(F.col("o_orderdate") < cutoff))
+    delta = rollup(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        state.unionByName(delta)
+        .groupBy("month", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("total"), 2).alias("total"),
+            F.min("min_key").alias("min_key"),
+            F.max("max_key").alias("max_key"),
+        )
+    )
