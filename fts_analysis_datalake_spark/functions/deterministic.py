@@ -88,3 +88,45 @@ def sql_dstddev_samp(expr: str, scale: int = 4) -> str:
         f" - CAST(SUM({xi}) AS DOUBLE) * CAST(SUM({xi}) AS DOUBLE))"
         f" / (COUNT({expr}) * (COUNT({expr}) - 1.0))) / {m}.0"
     )
+
+
+def dcorr(x: Column, y: Column, scale_x: int = 2, scale_y: int = 2) -> Column:
+    """Order-independent Pearson correlation via scaled integer
+    moments (the ``dstddev_samp`` recipe extended to two columns):
+
+        corr = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    The scale factors cancel, so only the rounding granularity
+    matters. All five moment sums run in DECIMAL (exact, identical
+    in both engines); doubles appear only in the final fixed
+    expression, evaluated in the same operation order on both sides.
+    Built-in ``F.corr`` is order-dependent in its double partials and
+    can't hash-match a DuckDB twin.
+    """
+    mx, my = float(10**scale_x), float(10**scale_y)
+    xi = F.floor(x * mx + F.lit(0.5)).cast("decimal(19,0)")
+    yi = F.floor(y * my + F.lit(0.5)).cast("decimal(19,0)")
+    n = F.count(x).cast("double")
+    sx = F.sum(xi).cast("double")
+    sy = F.sum(yi).cast("double")
+    sxx = F.sum(xi * xi).cast("double")
+    syy = F.sum(yi * yi).cast("double")
+    sxy = F.sum(xi * yi).cast("double")
+    return (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+
+
+def sql_dcorr(x: str, y: str, scale_x: int = 2, scale_y: int = 2) -> str:
+    mx, my = 10**scale_x, 10**scale_y
+    xi = f"CAST(FLOOR(({x}) * {mx} + 0.5) AS DECIMAL(19,0))"
+    yi = f"CAST(FLOOR(({y}) * {my} + 0.5) AS DECIMAL(19,0))"
+    n = f"CAST(COUNT({x}) AS DOUBLE)"
+    return (
+        f"(({n} * CAST(SUM({xi} * {yi}) AS DOUBLE)"
+        f" - CAST(SUM({xi}) AS DOUBLE) * CAST(SUM({yi}) AS DOUBLE))"
+        f" / (SQRT({n} * CAST(SUM({xi} * {xi}) AS DOUBLE)"
+        f" - CAST(SUM({xi}) AS DOUBLE) * CAST(SUM({xi}) AS DOUBLE))"
+        f" * SQRT({n} * CAST(SUM({yi} * {yi}) AS DOUBLE)"
+        f" - CAST(SUM({yi}) AS DOUBLE) * CAST(SUM({yi}) AS DOUBLE))))"
+    )

@@ -1,0 +1,117 @@
+"""Function-breadth declared queries (SURVEY.md §2.12 E27-E29):
+distribution window functions, bitwise/boolean aggregates, and
+deterministic Pearson correlation.
+
+Closes the remaining built-in-function families a reference user
+would reach for: cume_dist/nth_value (W2's distribution siblings),
+bit_and/bit_or/bit_xor + bool_and/bool_or (flag-mask rollups), and
+corr — the last via scaled-int moments (functions/deterministic.py
+``dcorr``) because the built-in's double partials are
+accumulation-order-dependent and can't hash-match an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.functions.deterministic import dcorr, sql_dcorr
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# E27: distribution window functions — cume_dist + nth_value
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_window_distribution_funcs",
+    oracle="""
+    SELECT event_id, user_id,
+           cume_dist() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cd,
+           nth_value(event_type, 3) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_event_type
+    FROM events
+    """,
+    tags=("E27", "W2", "W7"),
+)
+def q_window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist (fraction of the user's events at-or-before each row
+    in (ts, event_id) order) and nth_value over the full-partition
+    frame (the user's third-ever event type). One window shuffle on
+    user_id serves both functions."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("event_type", 3).over(w_full).alias("third_event_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E28: bitwise and boolean aggregates — flag-mask rollups
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_bitwise_bool_aggs",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS all_bits, bit_or(user_id) AS any_bits,
+           bit_xor(user_id) AS parity_bits,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 100) AS any_large
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("E28", "A1", "F6"),
+)
+def q_bitwise_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR and boolean ALL/ANY aggregates per event
+    type — the permission-mask / feature-flag rollup family. All are
+    commutative-associative integer/boolean ops, so they two-phase
+    (map-side partials) for free and are exactly order-independent."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("all_bits"),
+        F.bit_or("user_id").alias("any_bits"),
+        F.bit_xor("user_id").alias("parity_bits"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 100).alias("any_large"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E29: deterministic Pearson correlation — scaled-int moments
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_price_qty_correlation",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dcorr('l_extendedprice', 'l_quantity', 2, 0)} AS price_qty_corr,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("E29", "A6", "A1"),
+)
+def q_price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of extended price vs quantity per return
+    flag, computed from exact DECIMAL moment sums so both engines see
+    identical values (scale factors cancel in the ratio; see
+    functions/deterministic.py dcorr). The five moments ride ONE
+    two-phase hash aggregate — no second pass, no window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dcorr(F.col("l_extendedprice"), F.col("l_quantity"), 2, 0).alias(
+            "price_qty_corr"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
