@@ -51,23 +51,27 @@ def connected_components(
         .localCheckpoint()
     )
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
-    for _ in range(max_iter):
-        # Min neighbour label per node, one hash join + one partial agg.
+
+    def hop(lbl):
+        # Min neighbour label per node: one hash join + one partial agg.
         nbr_min = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            sym.join(lbl.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("a", "node")
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-                (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("_changed"),
-            )
-            .localCheckpoint()
+        return lbl.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("_changed"),
         )
+
+    for _ in range(max_iter):
+        # TWO propagation hops per materialization+convergence check:
+        # halves the per-round job/action overhead, and testing only
+        # the SECOND hop stays sound — any hop with zero changes is
+        # already the fixpoint.
+        new_labels = hop(hop(labels).drop("_changed")).localCheckpoint()
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
