@@ -400,3 +400,93 @@ def q_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("a.user_id").isNull(), 1)).alias("gained"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E30: strict-adjacency sequence pattern over per-user event strings
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_strict_sequence_users",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           COUNT(*) FILTER (seq LIKE '%view,click,purchase%') AS n_matched
+    FROM seqs
+    """,
+    tags=("E30", "A9", "F8", "F1"),
+)
+def q_strict_sequence_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral pattern matching with STRICT adjacency: users whose
+    event stream contains view -> click -> purchase as consecutive
+    events (the funnel query allows gaps; this does not). Each user's
+    ordered type sequence is assembled via sort_array over
+    (ts, event_id, type) structs — collect_list alone has no
+    deterministic order — then joined to a string and matched. One
+    groupBy(user) shuffle; the per-user state is one small array."""
+    e = load_table(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ",",
+            ).alias("seq")
+        )
+    )
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("seq").contains("view,click,purchase"), 1)).alias(
+            "n_matched"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# E31: percentile-threshold anomaly detection — p99 band per key
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_value_anomaly_p99",
+    oracle="""
+    WITH bands AS (
+      SELECT event_type, quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, b.p99,
+           COUNT(*) FILTER (e.value > b.p99) AS n_anomalies,
+           COUNT(*) AS n
+    FROM events e JOIN bands b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.p99
+    """,
+    tags=("E31", "A5", "J5", "A7"),
+)
+def q_value_anomaly_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold anomaly detection: exact interpolated p99 of value
+    per event type (percentile sorts — order-independent, so it
+    hash-matches quantile_cont), broadcast back onto the scan, and
+    rows above the band counted. The two-pass shape (tiny aggregate
+    -> broadcast join -> conditional count) is the 100 TB pattern:
+    the percentile pass shuffles only (type, value), the flag pass
+    is map-side."""
+    e = load_table(spark, sf_dir, "events")
+    bands = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.99)).alias("p99")
+    )
+    return (
+        e.join(F.broadcast(bands), "event_type")
+        .groupBy("event_type", "p99")
+        .agg(
+            F.count(F.when(F.col("value") > F.col("p99"), 1)).alias("n_anomalies"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -41,3 +41,19 @@ def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str
     re-read cheap (partition pruning on the partition columns; row-
     group statistics prune within files)."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """S7: whole-file binary ingest (``binaryFile`` source) — the entry
+    point for multimodal corpora stored as loose files (images/audio):
+    one row per file with (path, modificationTime, length, content).
+
+    Scale note: files are assigned to tasks by size-packed bins
+    (maxPartitionBytes), so millions of small blobs parallelize
+    without a manifest; content is the raw bytes column the
+    operators/multimodal.py mapInPandas stages consume.
+    """
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
