@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.catalog import load_table
-from fts_analysis_datalake_spark.functions.deterministic import dcorr, sql_dcorr
+from fts_analysis_datalake_spark.functions.deterministic import (
+    davg,
+    dcorr,
+    dstddev_samp,
+    sql_davg,
+    sql_dcorr,
+    sql_dstddev_samp,
+)
 from fts_analysis_datalake_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -112,6 +119,86 @@ def q_price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         dcorr(F.col("l_extendedprice"), F.col("l_quantity"), 2, 0).alias(
             "price_qty_corr"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E32: z-score feature normalization — per-key mean/std broadcast back
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_zscore_normalized",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, {sql_davg('value')} AS mu,
+             {sql_dstddev_samp('value')} AS sigma
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           (e.value - s.mu) / s.sigma AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+    tags=("E32", "A6", "J5"),
+)
+def q_zscore_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature standardization: per-type mean/stddev (deterministic
+    scaled-int forms, functions/deterministic.py) broadcast back onto
+    the scan; z computed map-side from identical doubles on both
+    engines. The stats pass shuffles only (type, value) partials —
+    the normalize pass never shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        davg(F.col("value")).alias("mu"),
+        dstddev_samp(F.col("value")).alias("sigma"),
+    )
+    return e.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E33: Spearman rank correlation — Pearson (dcorr) over integer ranks
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_spearman_price_qty",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               AS rp,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rq
+      FROM lineitem)
+    SELECT l_returnflag,
+           {sql_dcorr('rp', 'rq', 0, 0)} AS spearman,
+           COUNT(*) AS n
+    FROM ranked
+    GROUP BY l_returnflag
+    """,
+    tags=("E33", "A6", "W1"),
+)
+def q_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman correlation = Pearson over rank columns: ranks are
+    integers (rank() gives tied values identical ranks in both
+    engines, no averaging ambiguity), so the dcorr moment sums are
+    exact at scale 0 and the result hash-matches. Two window ranks
+    share one partition shuffle; the moments ride one aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    ranked = li.select(
+        "l_returnflag",
+        F.rank().over(wp).alias("rp"),
+        F.rank().over(wq).alias("rq"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        dcorr(F.col("rp").cast("double"), F.col("rq").cast("double"), 0, 0).alias(
+            "spearman"
         ),
         F.count(F.lit(1)).alias("n"),
     )
