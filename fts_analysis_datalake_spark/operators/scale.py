@@ -91,6 +91,104 @@ def salted_aggregate(
     )
 
 
+_BLOOM_BITS = 2048  # 32 longs; sized for dim keysets up to ~300 at 1% fp
+_BLOOM_SLOTS = _BLOOM_BITS // 64
+_BLOOM_HASHES = 3
+
+
+def _bloom_positions(key: Column) -> list[Column]:
+    """k independent bit positions for ``key`` via seeded xxhash64."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_HASHES)
+    ]
+
+
+def bloom_build(dim_keys: DataFrame, key: str) -> DataFrame:
+    """Aggregate a dim-side key column into ONE row holding a Bloom
+    filter as ``array<long>`` (column ``bloom``).
+
+    Each key contributes k=3 bits; per-slot ``bit_or`` partials merge
+    map-side, so the whole build is one scan + a 32-long single-row
+    reduce — no collect(), no driver round-trip. The row is meant to
+    be broadcast (crossJoin) onto the fact side by
+    :func:`bloom_prefilter`.
+    """
+    pos = (
+        dim_keys.select(
+            F.explode(F.array(*_bloom_positions(F.col(key)))).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("int").alias("slot"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+            ).alias("bit"),
+        )
+    )
+    return pos.groupBy().agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.bit_or(F.when(F.col("slot") == s, F.col("bit"))), F.lit(0).cast("long")
+                )
+                for s in range(_BLOOM_SLOTS)
+            ]
+        ).alias("bloom")
+    )
+
+
+def bloom_prefilter(fact: DataFrame, key: str, bloom_row: DataFrame) -> DataFrame:
+    """Keep only fact rows whose ``key`` MIGHT be in the Bloom filter
+    (false positives possible, false negatives impossible) — the
+    100 TB semi-join pattern: the 256-byte filter rides broadcast to
+    every scan task and kills non-matching rows *before* any shuffle
+    or join; an exact semi-join afterwards only sees survivors.
+    """
+    membership = None
+    for p in _bloom_positions(F.col(key)):
+        slot = (p / 64).cast("int")
+        test = (
+            F.element_at(F.col("_bloom"), slot + 1).bitwiseAND(
+                F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+            )
+            != 0
+        )
+        membership = test if membership is None else (membership & test)
+    return (
+        fact.crossJoin(F.broadcast(bloom_row.withColumnRenamed("bloom", "_bloom")))
+        .where(membership)
+        .drop("_bloom")
+    )
+
+
+def son_candidates(items: DataFrame, item_col: str, support_frac: float) -> DataFrame:
+    """Phase 1 of SON (Savasere-Omiecinski-Navathe) exact frequent
+    items: per-PARTITION counting with the support fraction applied
+    locally, emitting the distinct candidate set.
+
+    Guarantee (pigeonhole over fractions): any item with global
+    frequency >= support_frac * total must reach that fraction in at
+    least one partition, so the union of local frequents is a strict
+    superset of the global frequents — phase 2 only recounts this
+    (small) candidate set. No shuffle touches the raw item stream;
+    the only exchange carries candidates.
+    """
+    import pandas as pd
+
+    def _local_frequents(batches):
+        counts: dict = {}
+        total = 0
+        for pdf in batches:
+            total += len(pdf)
+            for item, n in pdf[item_col].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(n)
+        cut = support_frac * total
+        yield pd.DataFrame({item_col: [i for i, n in counts.items() if n >= cut]})
+
+    schema = items.select(item_col).schema
+    return items.select(item_col).mapInPandas(_local_frequents, schema).distinct()
+
+
 def salted_equi_join(
     left: DataFrame, right: DataFrame, on: str, salts: int = 8, salt_src: Column | None = None
 ) -> DataFrame:

@@ -490,3 +490,93 @@ def q_value_anomaly_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+# --------------------------------------------------------------------------
+# E34: exponentially weighted moving average per user
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ewma_user_value",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 31 PRECEDING AND CURRENT ROW)
+               AS vals
+      FROM events)
+    SELECT user_id, event_id,
+           list_sum(list_transform(range(len(vals)),
+                    i -> vals[i + 1] * pow(0.5, len(vals) - 1 - i)))
+           / (2 - pow(0.5, len(vals) - 1)) AS ewma
+    FROM w
+    """,
+    tags=("E34", "W5", "F8"),
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of each user's value stream — the trend feature
+    a training pipeline derives per entity. alpha = 0.5 makes every
+    weight an exact power of two, so the weighted products round
+    identically in both engines and the fixed fold order (frame order
+    = ORDER BY ts, event_id) makes the sum deterministic. The frame
+    is truncated at 32 rows: weights below 2^-31 are noise, and the
+    bounded frame keeps state O(1) per row at 100 TB (vs an
+    unbounded running form whose rescaling overflows). One window
+    shuffle on user_id; everything after is map-side."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-31, 0)
+    df = e.select(
+        "user_id", "event_id", F.collect_list("value").over(w).alias("vals")
+    )
+    k = F.size("vals")
+    num = F.aggregate(
+        F.transform("vals", lambda x, i: x * F.pow(F.lit(0.5), k - 1 - i)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.lit(2.0) - F.pow(F.lit(0.5), k - 1)
+    return df.select("user_id", "event_id", (num / den).alias("ewma"))
+
+
+# --------------------------------------------------------------------------
+# E35: sliding-window distinct users (3h) via mergeable hourly sets
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sliding_distinct_users",
+    oracle="""
+    WITH hours AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h FROM events)
+    SELECT CAST(FLOOR(epoch(hours.h)) AS BIGINT) AS hour_s,
+           COUNT(DISTINCT e.user_id) AS users_3h
+    FROM hours JOIN events e
+      ON date_trunc('hour', e.ts)
+         BETWEEN hours.h - INTERVAL 2 HOUR AND hours.h
+    GROUP BY hours.h
+    """,
+    tags=("E35", "A3", "W6", "F7"),
+)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-hour distinct-user count per hour. COUNT(DISTINCT)
+    isn't a window aggregate in Spark, and re-joining raw events per
+    hour rescans the fact 3x (the oracle does exactly that — fine for
+    DuckDB, wrong at 100 TB). Instead: ONE scan builds per-hour user
+    sets (shuffle carries distinct (hour, user) pairs only), then a
+    range-frame window over the tiny hour spine merges 3 sets
+    (flatten -> array_distinct). The window table has one row per
+    HOUR — ~10^5 rows for a decade — so the single-task sort is
+    trivial; for hot hours whose sets outgrow memory, swap the sets
+    for HLL sketches (q_hll_user_rollup shows the merge)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.collect_set("user_id").alias("us")
+    )
+    hourly = hourly.withColumn("hn", (F.unix_timestamp("h") / 3600).cast("long"))
+    w = Window.orderBy("hn").rangeBetween(-2, 0)
+    return hourly.select(
+        F.unix_timestamp("h").alias("hour_s"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("us").over(w)))).alias(
+            "users_3h"
+        ),
+    )

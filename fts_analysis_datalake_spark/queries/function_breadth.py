@@ -202,3 +202,50 @@ def q_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+# --------------------------------------------------------------------------
+# E38: winsorized mean — per-group percentile clamp then deterministic mean
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_winsorized_quantity_mean",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.05) AS lo,
+             quantile_cont(l_quantity, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           {sql_davg('LEAST(GREATEST(l.l_quantity, b.lo), b.hi)', 2)} AS wmean,
+           {sql_davg('l.l_quantity', 2)} AS raw_mean,
+           COUNT(*) AS n
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    tags=("E38", "A5", "A6", "J5"),
+)
+def q_winsorized_quantity_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust mean: clamp each value into its group's
+    [p05, p95] band, then average. Two aggregate passes over one
+    scan lineage — the tiny per-group bound table broadcasts back
+    onto the fact, so the clamp+mean pass shuffles only (flag,
+    partial-sum) pairs. Percentiles interpolate on the integral
+    quantity domain (bit-equal across engines, like A5); the clamped
+    sum uses the scaled-integer deterministic form since clamp
+    bounds can be fractional."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.05)).alias("lo"),
+        F.percentile("l_quantity", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("l_quantity"), F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            davg(clamped, 2).alias("wmean"),
+            davg(F.col("l_quantity"), 2).alias("raw_mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -15,7 +15,17 @@ from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
-from fts_analysis_datalake_spark.operators.scale import salted_equi_join
+from fts_analysis_datalake_spark.operators.scale import (
+    bloom_build,
+    bloom_prefilter,
+    salted_equi_join,
+    son_candidates,
+)
+from fts_analysis_datalake_spark.operators.text import (
+    normalize_text,
+    sql_tokens,
+    tokens,
+)
 from fts_analysis_datalake_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -120,4 +130,89 @@ def q_stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_sampled") / F.col("n_total")).alias("achieved_rate"),
         )
         .orderBy("l_returnflag")
+    )
+
+# --------------------------------------------------------------------------
+# E36: Bloom-prefiltered semi-join — runtime-filter pattern, explicit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_bloom_semijoin_orders",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice', 2)} AS total_price
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 5)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("E36", "J3", "A1"),
+)
+def q_bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit Bloom runtime filter: the filtered
+    customer keyset aggregates into a 256-byte bit array (one scan,
+    bit_or partials, no collect), rides a broadcast onto the orders
+    scan, and discards non-members BEFORE the join — at 100 TB the
+    filter kills ~all non-qualifying fact rows at scan time, so the
+    exact semi-join (which removes Bloom false positives and makes
+    the result provably identical to the plain semi-join oracle)
+    touches only survivors. This is Spark's own
+    runtime-bloom-filter optimization made explicit and testable."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") < 5))
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    pref = bloom_prefilter(o, "o_custkey", bloom_build(c, "o_custkey"))
+    exact = pref.join(F.broadcast(c), "o_custkey", "left_semi")
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E37: SON two-phase EXACT frequent items — per-partition candidates
+# --------------------------------------------------------------------------
+
+_SON_SUPPORT = 0.004
+
+
+@query(
+    "q_son_frequent_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({sql_tokens('text')}) AS token FROM documents),
+    tot AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT token, COUNT(*) AS n
+    FROM tok, tot
+    GROUP BY token, tot.total
+    HAVING COUNT(*) >= {_SON_SUPPORT} * tot.total
+    """,
+    tags=("E37", "X2", "A1", "D9"),
+)
+def q_son_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-frequent tokens (support >= 0.4%) via the SON
+    two-phase algorithm: phase 1 counts per PARTITION in a pandas
+    iterator (mapInPandas) and emits local frequents — by pigeonhole
+    over fractions, a superset of the global frequents — and phase 2
+    recounts only that small candidate set. The raw token stream is
+    never shuffled; the only exchanges carry candidates and partial
+    counts. This is the 100 TB shape for heavy-hitter mining where a
+    full groupBy over all tokens would shuffle the entire corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    cands = son_candidates(tok, "token", _SON_SUPPORT)
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        tok.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") >= F.lit(_SON_SUPPORT) * F.col("total"))
+        .select("token", "n")
     )
