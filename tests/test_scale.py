@@ -92,3 +92,47 @@ def test_salted_join_matches_plain_join(spark):
     a = sorted(tuple(r) for r in salted.select("event_id", "user_n").collect())
     b = sorted(tuple(r) for r in plain.select("event_id", "user_n").collect())
     assert a == b
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every true member must survive the Bloom prefilter (false
+    positives allowed, false negatives never) — checked by comparing
+    the prefilter+exact-semi-join pipeline against the plain
+    semi-join on a real key column."""
+    from fts_analysis_datalake_spark.operators.scale import bloom_build, bloom_prefilter
+
+    c = (
+        load_table(spark, SF_DIR_SMALL, "customer")
+        .where(F.col("c_mktsegment") == "MACHINERY")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    o = load_table(spark, SF_DIR_SMALL, "orders")
+    surv = bloom_prefilter(o, "o_custkey", bloom_build(c, "o_custkey"))
+    expected = o.join(c, "o_custkey", "left_semi")
+    # prefilter output is a superset of the true matches...
+    assert surv.join(expected, "o_orderkey", "left_semi").count() == expected.count()
+    # ...and the exact pass lands exactly on the plain semi-join.
+    got = surv.join(expected.select("o_custkey").distinct(), "o_custkey", "left_semi")
+    assert got.count() == expected.count()
+
+
+def test_son_candidates_superset_of_global_frequents(spark):
+    """SON phase-1 candidates must contain EVERY globally frequent
+    item (pigeonhole guarantee), under a forced multi-partition
+    layout so the per-partition thresholds actually differ."""
+    from fts_analysis_datalake_spark.operators.scale import son_candidates
+
+    li = (
+        load_table(spark, SF_DIR_SMALL, "lineitem")
+        .select(F.col("l_suppkey").cast("string").alias("item"))
+        .repartition(8)
+    )
+    frac = 0.01
+    total = li.count()
+    cands = {r.item for r in son_candidates(li, "item", frac).collect()}
+    exact = {
+        r.item
+        for r in li.groupBy("item").count().where(F.col("count") >= frac * total).collect()
+    }
+    assert exact <= cands
+    assert exact, "test would be vacuous with no frequent items"
