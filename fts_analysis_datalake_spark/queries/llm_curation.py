@@ -1,0 +1,249 @@
+"""Training-data curation declared queries (SURVEY.md §2.12 E39-E42):
+PII redaction, benchmark-contamination detection, repetition
+filtering, and temperature-based mixture allocation — the four
+curation passes a 100 TB pretraining pipeline runs between raw
+ingest and tokenization.
+
+All four are pure Catalyst plans; every one is oracle-checked. The
+documents fixture is clean synthetic prose (no real PII), so the
+redaction query derives a deterministic PII-bearing column from
+(doc_id, text) first — identically on both engines — and then
+scrubs it; the scrub patterns stay in the Spark/DuckDB common regex
+subset (SURVEY.md §2.8 F2 dialect warning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.operators.text import (
+    ngrams,
+    normalize_text,
+    sql_ngrams,
+    sql_tokens,
+    tokens,
+)
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# E39: PII redaction — regex scrub of emails / phone numbers / long ids
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+_LONGNUM_RE = "[0-9]{7,}"
+
+
+@query(
+    "q_pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' reach me at user' || doc_id ||
+             '@mail.example or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' acct ' || CAST(10000000 + doc_id AS VARCHAR) AS raw
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_LONGNUM_RE}', '<ID>', 'g') AS redacted,
+           length(raw) - length(regexp_replace(regexp_replace(regexp_replace(raw,
+             '{_EMAIL_RE}', '', 'g'),
+             '{_PHONE_RE}', '', 'g'),
+             '{_LONGNUM_RE}', '', 'g')) AS n_chars_redacted
+    FROM seeded
+    """,
+    tags=("E39", "F1", "F2"),
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: email / phone / long-account-number patterns
+    replaced by typed placeholder tokens, plus a per-doc count of
+    scrubbed characters (the audit metric a compliance report needs).
+    The fixture corpus is clean, so a deterministic PII-bearing
+    column is derived from (doc_id, text) first — same construction
+    in the oracle. Pure map-side regexp_replace chain: no shuffle at
+    all, trivially scan-parallel at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" reach me at user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" acct "),
+        (F.lit(10000000) + F.col("doc_id")).cast("string"),
+    )
+
+    def scrub(c, repl_email, repl_phone, repl_num):
+        out = F.regexp_replace(c, _EMAIL_RE, repl_email)
+        out = F.regexp_replace(out, _PHONE_RE, repl_phone)
+        return F.regexp_replace(out, _LONGNUM_RE, repl_num)
+
+    seeded = d.select("doc_id", raw.alias("raw"))
+    return seeded.select(
+        "doc_id",
+        scrub(F.col("raw"), "<EMAIL>", "<PHONE>", "<ID>").alias("redacted"),
+        (
+            F.length("raw") - F.length(scrub(F.col("raw"), "", "", ""))
+        ).alias("n_chars_redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E40: benchmark contamination — shared-shingle join against an eval set
+# --------------------------------------------------------------------------
+
+_CONTAM_N = 3  # fixture vocab is ~30 words, so 3-grams collide often
+# enough to keep the check non-vacuous; a real corpus uses 8-13-gram
+# shingles with the identical plan.
+
+
+@query(
+    "q_benchmark_contamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({sql_ngrams('toks', _CONTAM_N)}))
+               AS shingle
+      FROM tok),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, COUNT(*) AS n_shared
+    FROM sh s JOIN bench b USING (shingle)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+    tags=("E40", "D11", "J3", "A1"),
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs sharing any n-token
+    shingle with the benchmark split (doc_id % 97 == 0 stands in for
+    the held-out set) are flagged with their shared-shingle count.
+    Per-doc shingles are deduped BEFORE the join (array_distinct on
+    the unexploded list — no shuffle), the benchmark side collapses
+    to a distinct shingle set small enough to broadcast, and the
+    join key is the md5 of the shingle, so the exchange carries
+    16-byte digests instead of 8-token strings. This is the n-gram
+    overlap pass every pretraining corpus runs against its eval
+    suites."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams(tokens(normalize_text(F.col("text"))), _CONTAM_N))
+        ).alias("shingle"),
+    ).select("doc_id", F.md5("shingle").alias("sig"))
+    bench = sh.where(F.col("doc_id") % 97 == 0).select("sig").distinct()
+    return (
+        sh.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "sig", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# --------------------------------------------------------------------------
+# E41: repetition filter — duplicate-shingle ratio per document
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_repetition_filter",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {sql_ngrams(sql_tokens('text'), 3)} AS shingles
+      FROM documents)
+    SELECT doc_id,
+           len(shingles) AS n_shingles,
+           1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)
+               / len(shingles) AS rep_ratio,
+           1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)
+               / len(shingles) > 0.5 AS is_repetitive
+    FROM sh
+    WHERE len(shingles) > 0
+    """,
+    tags=("E41", "D11", "D13", "F8"),
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition scoring: the fraction of 3-token
+    shingles that are duplicates within their own document. Entirely
+    per-row higher-order expressions — shingle list, distinct count,
+    ratio — so the pass is map-side with NO shuffle and no explode:
+    the quality gate every corpus applies before tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", ngrams(tokens(normalize_text(F.col("text"))), 3).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    rep = F.lit(1.0) - F.size(F.array_distinct("shingles")).cast("double") / F.size(
+        "shingles"
+    )
+    return sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        rep.alias("rep_ratio"),
+        (rep > 0.5).alias("is_repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E42: mixture allocation — temperature-weighted per-bucket sampling rates
+# --------------------------------------------------------------------------
+
+_BUDGET_FRAC = 0.25  # target corpus size as a fraction of total tokens
+_W_SCALE = 1000  # sqrt weights quantized to integers for exact sums
+
+
+@query(
+    "q_mixture_allocation",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT lang, source, CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang, source),
+    weighted AS (
+      SELECT lang, source, n_tokens,
+             CAST(FLOOR(sqrt(n_tokens) * {_W_SCALE} + 0.5) AS BIGINT) AS w
+      FROM buckets)
+    SELECT lang, source, n_tokens,
+           CAST(FLOOR({_BUDGET_FRAC} * (SELECT SUM(n_tokens) FROM weighted) * w
+                / (SELECT SUM(w) FROM weighted)) AS BIGINT) AS token_budget,
+           LEAST({_BUDGET_FRAC} * (SELECT SUM(n_tokens) FROM weighted) * w
+                 / (SELECT SUM(w) FROM weighted) / n_tokens, 1.0) AS sample_rate
+    FROM weighted
+    """,
+    tags=("E42", "A1", "F6"),
+)
+def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture planning: distribute a 25%-of-total token
+    budget across (lang, source) buckets by temperature-flattened
+    weights (w = sqrt(tokens), i.e. tau = 2) so low-resource buckets
+    are upsampled relative to their share; emit each bucket's token
+    budget and the per-row sampling rate that realizes it (capped at
+    1.0). Weights are quantized to integers so the global weight sum
+    is order-independent; the totals ride a 1-row broadcast back
+    onto the (tiny) bucket table. This plan's cost is ONE scan of
+    the corpus regardless of bucket count."""
+    d = load_table(spark, sf_dir, "documents")
+    buckets = d.groupBy("lang", "source").agg(
+        F.sum(F.size(tokens(normalize_text(F.col("text"))))).alias("n_tokens")
+    )
+    weighted = buckets.withColumn(
+        "w", F.floor(F.sqrt("n_tokens") * _W_SCALE + F.lit(0.5)).cast("long")
+    )
+    totals = weighted.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
+    )
+    budget = F.lit(_BUDGET_FRAC) * F.col("tot_tokens") * F.col("w") / F.col("tot_w")
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "source",
+            "n_tokens",
+            F.floor(budget).cast("long").alias("token_budget"),
+            F.least(budget / F.col("n_tokens"), F.lit(1.0)).alias("sample_rate"),
+        )
+    )
