@@ -249,3 +249,60 @@ def q_winsorized_quantity_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+# --------------------------------------------------------------------------
+# E43: chi-square test of independence — lang x source contingency
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_chisq_lang_source",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, SUM(o) AS r FROM cells GROUP BY lang),
+    c AS (SELECT source, SUM(o) AS c FROM cells GROUP BY source),
+    t AS (SELECT SUM(o) AS t FROM cells),
+    terms AS (
+      SELECT CAST(FLOOR(
+               (CAST(cells.o * t.t - r.r * c.c AS DOUBLE)
+                * CAST(cells.o * t.t - r.r * c.c AS DOUBLE))
+               / (CAST(t.t AS DOUBLE) * r.r * c.c) * 1000000 + 0.5)
+             AS BIGINT) AS q
+      FROM cells JOIN r USING (lang) JOIN c USING (source), t)
+    SELECT SUM(q) / 1000000.0 AS chi2,
+           (SELECT (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+            FROM documents) AS dof,
+           (SELECT COUNT(*) FROM documents) AS n
+    FROM terms
+    """,
+    tags=("E43", "A1", "F6", "J5"),
+)
+def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the lang x source
+    contingency table — the drift/association check a corpus monitor
+    runs between ingest batches. Cell terms use the all-integer
+    identity (o*t - r*c)^2 / (t*r*c): numerators stay exact BIGINTs
+    until one double cast, and per-cell terms are quantized to 1e-6
+    integers before the final sum so the statistic is
+    order-independent. One scan builds the cells; marginals are
+    re-aggregated from the (tiny) cell table and broadcast back."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    r = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    c = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    t = cells.agg(F.sum("o").alias("t"))
+    num = (F.col("o") * F.col("t") - F.col("r") * F.col("c")).cast("double")
+    term = (num * num) / (F.col("t").cast("double") * F.col("r") * F.col("c"))
+    q = F.floor(term * 1000000 + F.lit(0.5)).cast("long")
+    dof = (
+        (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+    ).alias("dof")
+    dims = d.agg(dof, F.count(F.lit(1)).alias("n"))
+    return (
+        cells.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+        .agg((F.sum(q) / 1000000.0).alias("chi2"))
+        .crossJoin(F.broadcast(dims))
+    )

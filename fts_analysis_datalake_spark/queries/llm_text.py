@@ -309,3 +309,101 @@ def q_corpus_slice_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_toks).cast("bigint").alias("total_tokens"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )
+
+# --------------------------------------------------------------------------
+# E44: BM25 relevance scoring — retrieval ranking over the corpus
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_Q = 1000000000  # 1e9 per-term quantization (idf + score)
+
+
+@query(
+    "q_bm25_scoring",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM tok),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      WHERE term IN ('spark', 'vector', 'stream')
+      GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               (FLOOR(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                      * {_BM25_Q} + 0.5) / {_BM25_Q})
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+               * {_BM25_Q} + 0.5) AS BIGINT) AS qscore
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats)
+    SELECT doc_id, SUM(qscore) / {_BM25_Q}.0 AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("E44", "D10", "A1", "O3"),
+)
+def q_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed query term set —
+    the lexical-retrieval scorer a RAG/data-selection pipeline pairs
+    with the ANN path (llm_vectors). Per-term idf and scores are
+    quantized to 1e-9 integers (libm ln last-ulp guard, same pattern
+    as tf_idf) so the per-doc sum is order-independent. ONE
+    tokenization feeds doc lengths, tf, and df; the 3-row df table
+    and 1-row corpus stats ride broadcasts — the only shuffle
+    carries (doc, term) partial counts. Top-20 with doc_id tiebreak
+    is TakeOrderedAndProject, never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("toks"))
+    dl = tok.select("doc_id", F.size("toks").alias("dl"))
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size("toks")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = (
+        F.floor(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * _BM25_Q
+            + F.lit(0.5)
+        )
+        / _BM25_Q
+    )
+    score = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    qscore = F.floor(score * _BM25_Q + F.lit(0.5)).cast("long")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.sum(qscore) / float(_BM25_Q)).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
