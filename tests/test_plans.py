@@ -30,6 +30,7 @@ PYTHON_SURFACE = {
     "q_media_resize_thumbs",  # D14 mapInPandas decode+resize
     "q_media_frame_sample",  # D14 mapInPandas row fan-out
     "q_embedding_near_dup_pairs",  # E11 vectorized-UDF LSH signature build
+    "q_son_frequent_tokens",  # E37 SON phase-1 per-partition mapInPandas
 }
 
 ALL_QUERIES = sorted(REGISTRY)
@@ -153,3 +154,20 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
         .count()
     )
     assert df.count() == want > 0
+
+
+def test_curation_passes_are_map_side(spark, plans):
+    """E39/E41 are per-row scrub/score passes — their plans must have
+    no Exchange at all (pure scan -> project), or they'd shuffle
+    100 TB for a map-side job."""
+    for name in ("q_pii_redaction", "q_repetition_filter"):
+        assert "Exchange" not in plans[name], name
+
+
+def test_bloom_prefilter_is_broadcast_only(spark, plans):
+    """E36: the Bloom row must reach the fact scan via broadcast —
+    no shuffle Exchange may appear upstream of the prefilter (the
+    only shuffles allowed are the dim-side bloom build's own tiny
+    single-row aggregate and the final group-by)."""
+    p = plans["q_bloom_semijoin_orders"]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
