@@ -206,3 +206,46 @@ def salted_equi_join(
     l_ = left.withColumn("_salt", salt)
     r_ = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
     return l_.join(r_, [on, "_salt"]).drop("_salt")
+
+
+def _morton_spread16(x: Column) -> Column:
+    """Spread the low 16 bits of ``x`` to even bit positions (Morton
+    encoding half): 0b1111 -> 0b01010101. Pure bitwise Catalyst
+    expressions — codegen'd, no UDF."""
+    x = x.cast("long").bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def normalize16(c: Column, cmax: Column) -> Column:
+    """Scale a non-negative int column onto the full 16-bit domain.
+    Z-order REQUIRES same-width dimensions: un-normalized, the wider
+    dimension's high bits own the top of every Morton key and the
+    narrow dimension never influences file boundaries."""
+    return F.floor(c.cast("double") * 65535 / cmax).cast("long")
+
+
+def zorder_key(a: Column, b: Column) -> Column:
+    """Z-order (Morton) interleave of two 16-bit-truncated int columns
+    into one 32-bit sort key. Sorting/range-partitioning a table by
+    this key clusters rows so that BOTH dimensions are locally dense
+    in every file — per-file min/max footers then prune 2-D box
+    predicates, where a linear sort clusters only its leading column.
+    This is the layout move (Delta/Iceberg OPTIMIZE ZORDER BY) that
+    costs one shuffle at write time and pays back on every selective
+    read of a 100 TB table."""
+    return _morton_spread16(a).bitwiseOR(F.shiftleft(_morton_spread16(b), 1))
+
+
+def file_minmax_stats(df_with_file: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-file min/max envelope for ``cols`` from an already-written
+    dataset read back with ``input_file_name()`` attached — the
+    queryable stand-in for parquet footer stats, used to audit how
+    many files a box predicate could skip."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df_with_file.groupBy("_file").agg(*aggs)

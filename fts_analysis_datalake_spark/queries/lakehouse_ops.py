@@ -169,3 +169,98 @@ def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_key").alias("max_key"),
         )
     )
+
+# --------------------------------------------------------------------------
+# E45: Z-order clustering — file-skipping audit vs linear sort
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_zorder_skipping_audit",
+    oracle=None,  # physical-layout metric; superiority asserted in tests/test_scale.py
+    tags=("E45", "O1", "S4"),
+)
+def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit: write lineitem twice into 16 files —
+    (a) range-partitioned+sorted by the Morton key z(partkey,
+    suppkey), (b) linearly sorted by partkey — then rebuild each
+    layout's per-file min/max envelopes (the queryable stand-in for
+    parquet footer stats) and count how many files a 2-D box
+    predicate (partkey AND suppkey both in a 10%-of-domain band)
+    could skip. Z-ordering keeps BOTH dimensions locally dense per
+    file, so its skip count must beat the linear layout's on the
+    non-leading dimension — the OPTIMIZE ZORDER BY payoff, measured
+    rather than asserted. Layout writes are per-process cached
+    (idempotent under verify+bench in one session)."""
+    import os
+
+    from fts_analysis_datalake_spark.operators.scale import (
+        file_minmax_stats,
+        normalize16,
+        zorder_key,
+    )
+    from fts_analysis_datalake_spark.queries.streaming_sources import (
+        CACHE_DIR,
+        _write_once,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    zpath = f"{CACHE_DIR}/li_zorder_{sf_tag}"
+    lpath = f"{CACHE_DIR}/li_linear_{sf_tag}"
+    bounds0 = li.agg(
+        F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
+    )
+    _write_once(
+        zpath,
+        lambda p: li.crossJoin(F.broadcast(bounds0))
+        .withColumn(
+            "z",
+            zorder_key(
+                normalize16(F.col("l_partkey"), F.col("pmax")),
+                normalize16(F.col("l_suppkey"), F.col("smax")),
+            ),
+        )
+        .select("l_partkey", "l_suppkey", "z")
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    _write_once(
+        lpath,
+        lambda p: li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+
+    bounds = li.agg(
+        F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
+    )
+
+    def audit(path: str, layout: str) -> DataFrame:
+        stats = file_minmax_stats(
+            spark.read.parquet(path).withColumn(
+                "_file", F.input_file_name()
+            ),
+            ["l_partkey", "l_suppkey"],
+        )
+        s = stats.crossJoin(F.broadcast(bounds))
+        # 10%-of-domain band per dimension, anchored mid-domain.
+        lo_p, hi_p = F.col("pmax") * 0.45, F.col("pmax") * 0.55
+        lo_s, hi_s = F.col("smax") * 0.45, F.col("smax") * 0.55
+        p_hit = (F.col("min_l_partkey") <= hi_p) & (F.col("max_l_partkey") >= lo_p)
+        s_hit = (F.col("min_l_suppkey") <= hi_s) & (F.col("max_l_suppkey") >= lo_s)
+        preds = {"p_band": p_hit, "s_band": s_hit, "both": p_hit & s_hit}
+        return s.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            *[
+                F.sum(F.when(~hit, 1).otherwise(0)).alias(f"skip_{name}")
+                for name, hit in preds.items()
+            ],
+        )
+
+    return audit(zpath, "zorder").unionByName(audit(lpath, "linear"))

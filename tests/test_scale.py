@@ -136,3 +136,21 @@ def test_son_candidates_superset_of_global_frequents(spark):
     }
     assert exact <= cands
     assert exact, "test would be vacuous with no frequent items"
+
+
+def test_zorder_balances_skipping_across_dimensions(spark):
+    """The Z-ordered layout must enable file skipping on BOTH box
+    dimensions, while the linear layout (sorted by partkey) skips
+    nothing for a suppkey-only predicate. The assertion is on the
+    worst dimension: z-order's min(skip_p, skip_s) must strictly
+    beat linear's (which is 0 by construction)."""
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = {
+        r.layout: r
+        for r in REGISTRY["q_zorder_skipping_audit"].fn(spark, SF_DIR_SMALL).collect()
+    }
+    z, lin = rows["zorder"], rows["linear"]
+    assert min(z.skip_p_band, z.skip_s_band) > min(lin.skip_p_band, lin.skip_s_band)
+    assert z.skip_s_band > lin.skip_s_band
