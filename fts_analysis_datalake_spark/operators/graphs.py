@@ -98,3 +98,50 @@ def dedup_clusters(
             (F.col("node") == F.col("comp")).alias("is_canonical"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the undirected graph ``edges`` -> (node, rank).
+
+    Each iteration is one hash join (ranks onto edges) plus one
+    groupBy-sum of contributions — two shuffles on the node key, no
+    driver-side state, same scale shape as connected_components.
+    Degrees are precomputed once; an undirected graph has no dangling
+    nodes, so total rank mass is conserved at exactly N (asserted in
+    tests/test_graphs.py). Fixed iteration count (no convergence
+    action): rank error decays as damping^iters, so 10 rounds ≈ 0.2%
+    — the batch-analytics tradeoff, not a fixpoint loop."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    ranks = deg.select(F.col("a").alias("node")).withColumn("rank", F.lit(1.0))
+    for _ in range(iters):
+        contribs = (
+            sym.join(deg, "a")
+            .join(ranks.withColumnRenamed("node", "a"), "a")
+            .select(
+                F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
+            )
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+            .select(
+                "node",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.col("in_rank")).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks

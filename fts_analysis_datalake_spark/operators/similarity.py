@@ -400,3 +400,42 @@ def cosine_pandas_udf(query_vec: list[float]):
         return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
 
     return cos_udf
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) centroid training, pure DataFrame:
+    assignment is the existing broadcast argmax (``ivf_assign``), the
+    update is one groupBy with ``dim`` partial-mean aggregates (one
+    shuffle of k x dim partials per iteration — map-side combined,
+    never the vectors themselves). Seeds are the first k vectors by
+    id (deterministic — no RNG, reproducible across runs/cluster
+    sizes); lineage is truncated per iteration with localCheckpoint
+    on the tiny (k, dim) centroid table, so the plan stays O(1) as
+    iterations grow. Clusters that lose every member drop out
+    (standard Lloyd handling). Upgrades ``deterministic_centroids``
+    seeding into a trained IVF coarse quantizer."""
+    cents = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+        cents = (
+            assigned.groupBy("cent_id")
+            .agg(
+                F.array(
+                    *[F.avg(F.col(vec_col)[i]) for i in range(dim)]
+                ).alias("cent_vec")
+            )
+            .localCheckpoint()
+        )
+    return cents

@@ -171,3 +171,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= _CLUSTER_J
     )
     return dedup_clusters(verified.select("id_a", "id_b"))
+
+# --------------------------------------------------------------------------
+# E47: PageRank centrality over the part-supplier bipartite graph
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_pagerank_parts_suppliers",
+    oracle=None,  # iterative; rank-mass conservation tested (test_graphs)
+    tags=("E47", "E15", "A1", "O3"),
+)
+def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected bipartite graph whose edges are
+    the distinct (part, supplier) relationships in lineitem — the
+    entity-importance score used to prioritize curation/review
+    queues. Same iterative shape as the CC dedup clustering (E15):
+    per round one hash join + one partial-agg shuffle on the node
+    key, localCheckpoint lineage truncation, no driver-side graph.
+    Top-20 via TakeOrderedAndProject with node-id tiebreak."""
+    from fts_analysis_datalake_spark.operators.graphs import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, iters=10)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)

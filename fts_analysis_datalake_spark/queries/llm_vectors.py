@@ -26,7 +26,9 @@ from fts_analysis_datalake_spark.operators.similarity import (
     allpairs_above_threshold,
     cosine_topk,
     embedding_near_dups,
+    ivf_assign,
     ivf_topk,
+    kmeans_train,
     srp_topk,
 )
 from fts_analysis_datalake_spark.registry import query
@@ -333,4 +335,37 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivered = e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
     return embedding_near_dups(e.unionByName(redelivered), threshold=0.999).orderBy(
         "id_a", "id_b"
+    )
+
+# --------------------------------------------------------------------------
+# E46: k-means centroid training — trained IVF coarse quantizer
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_kmeans_embeddings",
+    oracle=None,  # iterative training; objective monotonicity tested
+    tags=("E46", "D6", "X5"),
+)
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embedding table (k=8, 5 Lloyd
+    rounds, deterministic first-k seeds): the trained coarse
+    quantizer that replaces the seeded stand-in centroids the IVF
+    path uses. Output is the cluster profile — member count and mean
+    cosine-to-centroid per cluster (the compactness metric a recall
+    tuner watches). Training shuffles only k x dim partial means per
+    round; vectors are never re-shuffled. Objective monotonicity is
+    asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=8, iters=5)
+    assigned = ivf_assign(emb, cents)
+    cos = cosine(F.col("embedding"), F.col("cent_vec"))
+    return (
+        assigned.join(F.broadcast(cents), "cent_id")
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.avg(cos).alias("mean_cos_to_centroid"),
+        )
+        .orderBy("cent_id")
     )

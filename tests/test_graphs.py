@@ -5,6 +5,7 @@ components, the max_iter guard, and cluster/survivor labeling."""
 import pytest
 
 from fts_analysis_datalake_spark.operators.graphs import connected_components, dedup_clusters
+from tests.conftest import SF_DIR_SMALL
 
 
 def _edges(spark, pairs):
@@ -40,3 +41,46 @@ def test_dedup_clusters_sizes_and_canonicals(spark):
         (1, 1, 3, True), (2, 1, 3, False), (3, 1, 3, False),
         (7, 7, 2, True), (8, 7, 2, False),
     }
+
+
+def test_pagerank_conserves_rank_mass(spark):
+    """Undirected graph => no dangling mass: after any number of
+    rounds, sum(rank) must equal the node count (up to float noise),
+    and every rank must be positive."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.operators.graphs import pagerank
+
+    li = load_table(spark, SF_DIR_SMALL, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, iters=5)
+    n = ranks.count()
+    total, mn = ranks.agg(F.sum("rank"), F.min("rank")).first()
+    assert abs(total - n) < 1e-6 * n, (total, n)
+    assert mn > 0
+
+
+def test_pagerank_degree_correlates_with_rank(spark):
+    """On a bipartite co-occurrence graph, the top-ranked node must
+    have above-median degree — a sanity check that contributions
+    flow along edges rather than being uniform."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.operators.graphs import pagerank
+
+    li = load_table(spark, SF_DIR_SMALL, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    top = pagerank(edges, iters=5).orderBy(F.desc("rank"), "node").limit(1)
+    top_deg = top.join(deg, top.node == deg.src).first().deg
+    med_deg = deg.agg(F.median("deg")).first()[0]
+    assert top_deg >= med_deg, (top_deg, med_deg)

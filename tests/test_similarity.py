@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.catalog import load_table
+from tests.conftest import SF_DIR_SMALL
 from fts_analysis_datalake_spark.functions.vector import cosine
 from fts_analysis_datalake_spark.operators.similarity import (
     cosine_pandas_udf,
@@ -125,3 +126,41 @@ def test_pandas_udf_cosine_matches_builtin(spark, emb):
     )
     bad = both.filter(F.abs(F.col("cos_builtin") - F.col("cos_udf")) > 1e-9).count()
     assert bad == 0
+
+
+def test_kmeans_objective_improves_monotonically(spark):
+    """Spherical k-means with mean-centroid updates must not decrease
+    the summed cosine objective as rounds progress (Lloyd guarantee);
+    check 1 round vs 5 rounds from the same deterministic seeds."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.functions.vector import cosine
+    from fts_analysis_datalake_spark.operators.similarity import ivf_assign, kmeans_train
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+
+    def objective(iters: int) -> float:
+        cents = kmeans_train(emb, k=8, iters=iters)
+        assigned = ivf_assign(emb, cents)
+        return (
+            assigned.join(cents, "cent_id")
+            .agg(F.sum(cosine(F.col("embedding"), F.col("cent_vec"))))
+            .first()[0]
+        )
+
+    o1, o5 = objective(1), objective(5)
+    assert o5 >= o1 - 1e-9, (o1, o5)
+
+
+def test_kmeans_every_cluster_nonempty(spark):
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.operators.similarity import ivf_assign, kmeans_train
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    cents = kmeans_train(emb, k=8, iters=3)
+    sizes = ivf_assign(emb, cents).groupBy("cent_id").count()
+    assert sizes.count() == cents.count()
+    assert sizes.agg(F.min("count")).first()[0] >= 1
