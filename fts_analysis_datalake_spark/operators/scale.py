@@ -249,3 +249,52 @@ def file_minmax_stats(df_with_file: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return df_with_file.groupBy("_file").agg(*aggs)
+
+
+_CMS_WIDTH = 1024
+_CMS_DEPTH = 4
+
+
+def cms_build(items: DataFrame, item_col: str) -> DataFrame:
+    """Count-min sketch of an item stream as a (depth x width) counts
+    table — ~4k rows regardless of stream size. One scan: each item
+    lands in one bucket per hash row (seeded xxhash64), partial
+    counts combine map-side. The sketch is MERGEABLE (sum counts
+    cell-wise across batches/days) — the frequency-sketch sibling of
+    the HLL cardinality rollup (E17)."""
+    rows = [
+        items.select(
+            F.lit(d).alias("d"),
+            F.pmod(F.xxhash64(F.col(item_col), F.lit(d)), F.lit(_CMS_WIDTH)).alias(
+                "bucket"
+            ),
+        )
+        for d in range(_CMS_DEPTH)
+    ]
+    allrows = rows[0]
+    for r in rows[1:]:
+        allrows = allrows.unionByName(r)
+    return allrows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str) -> DataFrame:
+    """Point-frequency estimates for ``probes`` from a built sketch:
+    min over the depth rows of each probe's bucket count. Guaranteed
+    an OVERestimate (never under — asserted in tests/test_approx.py);
+    error shrinks with width. The probe fan-out (|probes| x depth) is
+    tiny and the sketch side broadcasts."""
+    fan = probes.select(
+        F.col(item_col),
+        F.explode(F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])).alias("d"),
+    ).select(
+        item_col,
+        "d",
+        F.pmod(F.xxhash64(F.col(item_col), F.col("d")), F.lit(_CMS_WIDTH)).alias(
+            "bucket"
+        ),
+    )
+    return (
+        fan.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_count"))
+    )

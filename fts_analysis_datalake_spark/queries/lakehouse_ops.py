@@ -264,3 +264,60 @@ def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return audit(zpath, "zorder").unionByName(audit(lpath, "linear"))
+
+# --------------------------------------------------------------------------
+# E49: small-file compaction audit — the OPTIMIZE/compact maintenance op
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_compaction_audit",
+    oracle=None,  # physical-layout metric; improvement asserted in tests/test_scale.py
+    tags=("E49", "S4", "E45"),
+)
+def q_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file problem, measured: write events fragmented
+    (64-way round-robin — what a 64-task streaming micro-batch
+    leaves behind), then compacted (4 files), and audit each layout
+    from the data itself (input_file_name groupBy): file count,
+    rows-per-file min/avg. At 100 TB, scan-task scheduling and
+    footer overhead scale with FILE COUNT, not bytes — compaction is
+    the maintenance op that keeps reads at full throughput. Writes
+    are per-process cached like the other layout queries."""
+    import os
+
+    from fts_analysis_datalake_spark.queries.streaming_sources import (
+        CACHE_DIR,
+        _write_once,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    fpath = f"{CACHE_DIR}/events_fragmented_{sf_tag}"
+    cpath = f"{CACHE_DIR}/events_compacted_{sf_tag}"
+    _write_once(
+        fpath, lambda p: e.repartition(64).write.mode("overwrite").parquet(p)
+    )
+    _write_once(
+        cpath,
+        lambda p: spark.read.parquet(fpath).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(p),
+    )
+
+    def audit(path: str, layout: str) -> DataFrame:
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("_file", F.input_file_name())
+            .groupBy("_file")
+            .agg(F.count(F.lit(1)).alias("rows"))
+        )
+        return per_file.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.min("rows").alias("min_rows_per_file"),
+            F.avg("rows").alias("avg_rows_per_file"),
+            F.sum("rows").alias("total_rows"),
+        )
+
+    return audit(fpath, "fragmented").unionByName(audit(cpath, "compacted"))

@@ -216,3 +216,49 @@ def q_son_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= F.lit(_SON_SUPPORT) * F.col("total"))
         .select("token", "n")
     )
+
+
+# --------------------------------------------------------------------------
+# E48: count-min sketch — mergeable frequency estimates
+# --------------------------------------------------------------------------
+
+_CMS_PROBES = ("spark", "data", "table", "vector", "nosuchtoken")
+
+
+@query(
+    "q_cms_token_counts",
+    oracle=None,  # engine-hash sketch; overestimate bound tested (test_approx)
+    tags=("E48", "E17", "A4"),
+)
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for a probe token set,
+    next to the exact counts: the sketch is ~4k cells regardless of
+    corpus size and merges cell-wise across batches — the 100 TB
+    path to 'how often does token X appear' without re-scanning or
+    holding a full vocabulary aggregate. CMS can only OVERcount;
+    the delta column makes the bias visible (bounded in
+    tests/test_approx.py)."""
+    from fts_analysis_datalake_spark.operators.scale import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    sketch = cms_build(tok, "token")
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
+    est = cms_estimate(sketch, probes, "token")
+    exact = (
+        tok.join(F.broadcast(probes), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, "token", "left")
+        .select(
+            "token",
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+            "cms_count",
+            (F.col("cms_count") - F.coalesce("exact_count", F.lit(0))).alias(
+                "overcount"
+            ),
+        )
+        .orderBy("token")
+    )

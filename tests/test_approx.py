@@ -100,3 +100,28 @@ def test_stratified_sample_rates_within_bound(spark):
         sigma = math.sqrt(p * (1 - p) / row["n_total"])
         assert abs(row["achieved_rate"] - p) <= 4 * sigma, (
             row["l_returnflag"], row["achieved_rate"], p)
+
+
+def test_cms_never_undercounts_and_bounds_error(spark):
+    """Count-min guarantees estimate >= exact for every probe; the
+    expected overcount is ~depth-min of Binomial(N, 1/width) noise —
+    assert the deterministic lower bound and a loose 3*N/width upper
+    envelope."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["q_cms_token_counts"].fn(spark, SF_DIR).collect()
+    assert rows, "probe set must be non-empty"
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.operators.text import normalize_text, tokens
+
+    n_tokens = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(tokens(normalize_text(F.col("text")))).alias("t"))
+        .count()
+    )
+    for r in rows:
+        assert r.cms_count >= r.exact_count, r
+        assert r.overcount <= 3 * n_tokens / 1024 + 1, (r, n_tokens)

@@ -154,3 +154,17 @@ def test_zorder_balances_skipping_across_dimensions(spark):
     z, lin = rows["zorder"], rows["linear"]
     assert min(z.skip_p_band, z.skip_s_band) > min(lin.skip_p_band, lin.skip_s_band)
     assert z.skip_s_band > lin.skip_s_band
+
+
+def test_compaction_reduces_file_count_preserves_rows(spark):
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = {
+        r.layout: r
+        for r in REGISTRY["q_compaction_audit"].fn(spark, SF_DIR_SMALL).collect()
+    }
+    frag, comp = rows["fragmented"], rows["compacted"]
+    assert comp.n_files < frag.n_files
+    assert comp.total_rows == frag.total_rows
+    assert comp.avg_rows_per_file > frag.avg_rows_per_file
