@@ -4,7 +4,7 @@ A8-A9, A11-A14).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.catalog import load_table
@@ -346,4 +346,43 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+# --------------------------------------------------------------------------
+# E51: equi-depth histogram — ntile buckets with per-bucket envelopes
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_equidepth_price_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT bucket, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM b GROUP BY bucket
+    """,
+    tags=("E51", "A14", "W2"),
+)
+def q_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (equal row count per bucket, data-driven
+    bounds) — the optimizer-statistics / drift-monitoring complement
+    of the fixed-width A14 histogram. ntile's floor distribution is
+    identical in both engines given the total order (price with
+    orderkey tiebreak). Single window sort, then a tiny bucket
+    aggregate; at scale the same result comes from percentile
+    boundaries instead of a global sort — documented tradeoff, this
+    form is the exact one."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
     )

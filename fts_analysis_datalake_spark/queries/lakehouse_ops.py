@@ -321,3 +321,59 @@ def q_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return audit(fpath, "fragmented").unionByName(audit(cpath, "compacted"))
+
+# --------------------------------------------------------------------------
+# E50: schema evolution — mergeSchema read across column-added versions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_schema_evolution_read",
+    oracle=f"""
+    SELECT CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END
+             AS event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("E50", "S1", "P7", "A1"),
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution without a table format: version 1 of the
+    events feed lacks ``event_type`` (even event_ids), version 2
+    adds it (odd event_ids); both live under one dataset root and a
+    ``mergeSchema`` read unions the footers — old files surface the
+    new column as NULL, exactly the lakehouse column-add contract.
+    The aggregate proves the merged read: per-type counts where v1
+    rows land in the NULL group. Writes are per-process cached; at
+    100 TB mergeSchema costs a footer pass (schema union), not a
+    data rewrite — that is the point."""
+    import os
+
+    from fts_analysis_datalake_spark.queries.streaming_sources import (
+        CACHE_DIR,
+        _write_once,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"{CACHE_DIR}/events_evolved_{sf_tag}"
+    e = load_table(spark, sf_dir, "events")
+    _write_once(
+        root,
+        lambda p: (
+            e.where(F.col("event_id") % 2 == 0)
+            .select("event_id", "value")
+            .write.mode("overwrite")
+            .parquet(f"{p}/v=1"),
+            e.where(F.col("event_id") % 2 == 1)
+            .select("event_id", "event_type", "value")
+            .write.mode("overwrite")
+            .parquet(f"{p}/v=2"),
+            open(os.path.join(p, "_SUCCESS"), "w").close(),
+        )[-1],
+    )
+    merged = spark.read.option("mergeSchema", True).parquet(f"{root}/v=1", f"{root}/v=2")
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value")
+    )

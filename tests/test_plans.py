@@ -171,3 +171,13 @@ def test_bloom_prefilter_is_broadcast_only(spark, plans):
     single-row aggregate and the final group-by)."""
     p = plans["q_bloom_semijoin_orders"]
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_rank_filter_uses_window_group_limit(spark, plans):
+    """Spark 3.5+ pushes rank()<=k filters into the window sort
+    (WindowGroupLimit): per-partition top-k never materializes the
+    full ranked set. The top-k-per-group query must keep that
+    shape — losing it means a full sort per group at 100 TB."""
+    assert "WindowGroupLimit" in plans["q_top_orders_per_priority"], plans[
+        "q_top_orders_per_priority"
+    ]
