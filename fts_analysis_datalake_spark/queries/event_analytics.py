@@ -580,3 +580,130 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users_3h"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# E53: population stability index — distribution drift between cohorts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_psi_value_drift",
+    oracle="""
+    WITH bucketed AS (
+      SELECT event_type,
+             CAST(event_id % 2 AS BIGINT) AS cohort,
+             CAST(FLOOR(value / 50) AS BIGINT) AS bucket
+      FROM events),
+    cells AS (
+      SELECT event_type, bucket,
+             COUNT(*) FILTER (cohort = 0) AS na,
+             COUNT(*) FILTER (cohort = 1) AS nb
+      FROM bucketed GROUP BY event_type, bucket),
+    tot AS (
+      SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb,
+             COUNT(*) AS k
+      FROM cells GROUP BY event_type),
+    terms AS (
+      SELECT cells.event_type,
+             CAST(FLOOR(
+               (((na + 0.5) / (ta + 0.5 * k)) - ((nb + 0.5) / (tb + 0.5 * k)))
+               * ln(((na + 0.5) / (ta + 0.5 * k)) / ((nb + 0.5) / (tb + 0.5 * k)))
+               * 1000000000 + 0.5) AS BIGINT) AS q
+      FROM cells JOIN tot ON cells.event_type = tot.event_type)
+    SELECT event_type, SUM(q) / 1000000000.0 AS psi
+    FROM terms GROUP BY event_type
+    """,
+    tags=("E53", "A1", "F6", "J5"),
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between two cohorts
+    (even/odd event ids standing in for reference vs current batch)
+    over fixed-width value buckets — the drift alarm a production
+    corpus monitor evaluates per ingest. Laplace-smoothed shares
+    ((n+0.5)/(N+0.5K)) keep empty buckets finite; per-bucket terms
+    are 1e-9-quantized before the sum (ln libm guard + order
+    independence, house pattern). One scan builds the cells; the
+    per-type totals re-aggregate the tiny cell table and broadcast
+    back."""
+    e = load_table(spark, sf_dir, "events")
+    bucketed = e.select(
+        "event_type",
+        (F.col("event_id") % 2).cast("long").alias("cohort"),
+        F.floor(F.col("value") / 50).cast("long").alias("bucket"),
+    )
+    cells = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb"), F.count(F.lit(1)).alias("k")
+    )
+    pa = (F.col("na") + 0.5) / (F.col("ta") + 0.5 * F.col("k"))
+    pb = (F.col("nb") + 0.5) / (F.col("tb") + 0.5 * F.col("k"))
+    q = F.floor((pa - pb) * F.log(pa / pb) * 1000000000 + F.lit(0.5)).cast("long")
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg((F.sum(q) / 1000000000.0).alias("psi"))
+    )
+
+
+# --------------------------------------------------------------------------
+# E54: Holt linear-trend forecast per event_type (applyInPandas)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_holt_forecast_hourly",
+    oracle=None,  # sequential smoothing recursion; determinism + sanity tested
+    tags=("E54", "X2", "T1"),
+)
+def q_holt_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly volume forecast by Holt double exponential
+    smoothing (alpha=0.5, beta=0.3): the level/trend recursion is
+    inherently sequential per series, so it runs as a grouped-map
+    pandas stage — the X2 contract (per-entity model fit), same
+    shape as the per-user OLS. The hourly aggregation shrinks each
+    group to O(hours) rows BEFORE Python ever sees data, so the
+    pandas stage is tiny regardless of event volume. Output: fitted
+    level/trend, 3-step-ahead forecasts, in-sample MAE."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        y = pdf["y"].to_numpy()
+        alpha, beta = 0.5, 0.3
+        level, trend = y[0], 0.0
+        abs_err, n_err = 0.0, 0
+        for t in range(1, len(y)):
+            pred = level + trend
+            abs_err += abs(y[t] - pred)
+            n_err += 1
+            new_level = alpha * y[t] + (1 - alpha) * (level + trend)
+            trend = beta * (new_level - level) + (1 - beta) * trend
+            level = new_level
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(y)],
+                "level": [level],
+                "trend": [trend],
+                "f1": [level + trend],
+                "f2": [level + 2 * trend],
+                "f3": [level + 3 * trend],
+                "mae": [abs_err / max(n_err, 1)],
+            }
+        )
+
+    schema = (
+        "event_type string, n_hours long, level double, trend double, "
+        "f1 double, f2 double, f3 double, mae double"
+    )
+    return hourly.groupBy("event_type").applyInPandas(fit, schema)

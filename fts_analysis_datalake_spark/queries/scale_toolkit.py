@@ -10,7 +10,7 @@ estimate but not merging pre-built sketches), and keyed downsampling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.catalog import load_table
@@ -261,4 +261,56 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("token")
+    )
+
+
+# --------------------------------------------------------------------------
+# E52: consistent hash sampling — deterministic per-group top-k by digest
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_consistent_hash_sample",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             md5(CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR)) AS hkey
+      FROM lineitem)
+    SELECT l_returnflag, l_orderkey, l_linenumber
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY hkey, l_orderkey, l_linenumber)
+               AS rn
+      FROM h)
+    WHERE rn <= 5
+    """,
+    tags=("E52", "O4", "W1", "F11"),
+)
+def q_consistent_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'random' sampling: per group, the 5 rows with
+    the smallest md5 of their natural key. Unlike seeded Bernoulli
+    (engine-RNG-specific, rows-only E18), the digest order is
+    ENGINE-INDEPENDENT — the same rows are chosen by Spark, DuckDB,
+    or any other system, which is what makes samples reproducible
+    across reruns, engines, and growing data (a row keeps or loses
+    membership only on k-threshold moves, never on scan order).
+    Rank-pushdown (WindowGroupLimit) keeps the per-group top-k from
+    materializing the full ranked set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hkey = F.md5(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "hkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", hkey.alias("hkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
     )

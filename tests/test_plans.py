@@ -31,6 +31,7 @@ PYTHON_SURFACE = {
     "q_media_frame_sample",  # D14 mapInPandas row fan-out
     "q_embedding_near_dup_pairs",  # E11 vectorized-UDF LSH signature build
     "q_son_frequent_tokens",  # E37 SON phase-1 per-partition mapInPandas
+    "q_holt_forecast_hourly",  # E54 X2 per-series smoothing recursion
 }
 
 ALL_QUERIES = sorted(REGISTRY)

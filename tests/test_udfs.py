@@ -37,3 +37,26 @@ def test_udtf_token_positions(spark):
     spark.udtf.register("tp_test", TokenPositions)
     rows = spark.sql("SELECT * FROM tp_test('a b c')").collect()
     assert [(r.token, r.pos) for r in rows] == [("a", 0), ("b", 1), ("c", 2)]
+
+
+def test_holt_forecast_deterministic_and_sane(spark):
+    """The Holt recursion must be reproducible run-to-run (no RNG,
+    stable group order inside the pandas stage) and produce finite
+    forecasts consistent with the fitted level/trend."""
+    import math
+
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR_SMALL
+
+    _load_all()
+    fn = REGISTRY["q_holt_forecast_hourly"].fn
+    a = {r.event_type: r for r in fn(spark, SF_DIR_SMALL).collect()}
+    b = {r.event_type: r for r in fn(spark, SF_DIR_SMALL).collect()}
+    assert a.keys() == b.keys() and len(a) >= 3
+    for t in a:
+        ra, rb = a[t], b[t]
+        assert ra == rb, (ra, rb)
+        for v in (ra.level, ra.trend, ra.f1, ra.f2, ra.f3, ra.mae):
+            assert math.isfinite(v)
+        assert abs(ra.f1 - (ra.level + ra.trend)) < 1e-9
+        assert ra.mae >= 0
