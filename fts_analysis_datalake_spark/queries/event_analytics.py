@@ -707,3 +707,109 @@ def q_holt_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f1 double, f2 double, f3 double, mae double"
     )
     return hourly.groupBy("event_type").applyInPandas(fit, schema)
+
+
+# --------------------------------------------------------------------------
+# E55: cumulative unique users — the first-seen rewrite of running
+# COUNT(DISTINCT)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cumulative_unique_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    new_per_day AS (
+      SELECT first_day AS day, COUNT(*) AS n_new FROM firsts GROUP BY first_day)
+    SELECT days.day,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY days.day) AS BIGINT)
+             AS cum_users,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS new_users
+    FROM days LEFT JOIN new_per_day n ON days.day = n.day
+    """,
+    tags=("E55", "A3", "W4", "J2"),
+)
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct users ever seen, per day. The naive
+    form — COUNT(DISTINCT) over a growing window — does not exist as
+    a Spark window aggregate and would rescan history per day
+    anyway; the scale rewrite is: (1) one groupBy finds each user's
+    FIRST day (shuffle carries one row per user), (2) per-day
+    new-user counts, (3) a running sum over the tiny day spine.
+    Growth-accounting identity: cumulative distinct = cumulative sum
+    of first-appearances. The only window runs over O(days) rows."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    new_per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(new_per_day, "day", "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            "day",
+            F.sum("n_new").over(w).cast("long").alias("cum_users"),
+            F.col("n_new").cast("long").alias("new_users"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E56: multi-set overlap (Venn) — one-scan bitmask membership rollup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_user_type_venn",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             + MAX(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+             + MAX(CASE WHEN event_type = 'purchase' THEN 4 ELSE 0 END)
+               AS mask
+      FROM events WHERE event_id % 13 = 0 GROUP BY user_id)
+    SELECT CAST(mask AS BIGINT) AS mask,
+           mask % 2 = 1 AS has_view,
+           (mask // 2) % 2 = 1 AS has_click,
+           (mask // 4) % 2 = 1 AS has_purchase,
+           COUNT(*) AS n_users
+    FROM m WHERE mask > 0 GROUP BY mask
+    """,
+    tags=("E56", "U3", "A1", "F6"),
+)
+def q_user_type_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Venn decomposition of three behavior sets (viewers,
+    clickers, purchasers) in ONE scan: per-user membership collapses
+    to a 3-bit mask (conditional MAX aggregates), then the mask
+    distribution IS every intersection/exclusion cardinality at
+    once. The multi-pass INTERSECT/EXCEPT formulation scans the
+    fact 2^k times; this is the 100 TB single-pass form (one
+    user-key shuffle, then a few-row rollup). The 1-in-13 slice
+    keeps per-user coverage sparse enough that several mask
+    combinations actually occur in the fixtures."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 13 == 0)
+    m = e.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            + F.max(F.when(F.col("event_type") == "click", 2).otherwise(0))
+            + F.max(F.when(F.col("event_type") == "purchase", 4).otherwise(0))
+        ).alias("mask")
+    )
+    return (
+        m.where(F.col("mask") > 0)
+        .groupBy(F.col("mask").cast("long").alias("mask"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "mask",
+            (F.col("mask") % 2 == 1).alias("has_view"),
+            ((F.col("mask") / 2).cast("long") % 2 == 1).alias("has_click"),
+            ((F.col("mask") / 4).cast("long") % 2 == 1).alias("has_purchase"),
+            "n_users",
+        )
+    )
