@@ -719,9 +719,9 @@ def q_holt_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cumulative_unique_users",
     oracle="""
     WITH firsts AS (
-      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+      SELECT user_id, MIN(date_trunc('day', ts)) AS first_day FROM events
       GROUP BY user_id),
-    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
     new_per_day AS (
       SELECT first_day AS day, COUNT(*) AS n_new FROM firsts GROUP BY first_day)
     SELECT days.day,
@@ -742,8 +742,10 @@ def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Growth-accounting identity: cumulative distinct = cumulative sum
     of first-appearances. The only window runs over O(days) rows."""
     e = load_table(spark, sf_dir, "events")
-    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
-    days = e.select(F.to_date("ts").alias("day")).distinct()
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    days = e.select(F.date_trunc("day", "ts").alias("day")).distinct()
     new_per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).alias("n_new")
     )
