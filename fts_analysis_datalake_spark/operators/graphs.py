@@ -125,15 +125,16 @@ def pagerank(
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     ranks = deg.select(F.col("a").alias("node")).withColumn("rank", F.lit(1.0))
-    for _ in range(iters):
+
+    def hop(r: DataFrame) -> DataFrame:
         contribs = (
             sym.join(deg, "a")
-            .join(ranks.withColumnRenamed("node", "a"), "a")
+            .join(r.withColumnRenamed("node", "a"), "a")
             .select(
                 F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
             )
         )
-        ranks = (
+        return (
             contribs.groupBy("node")
             .agg(F.sum("c").alias("in_rank"))
             .select(
@@ -142,6 +143,16 @@ def pagerank(
                     "rank"
                 ),
             )
-            .localCheckpoint()
         )
+
+    # Two hops per localCheckpoint: halves the materialization actions
+    # (the dominant cost of the loop) while still bounding plan depth.
+    done = 0
+    while done < iters:
+        ranks = hop(ranks)
+        done += 1
+        if done < iters:
+            ranks = hop(ranks)
+            done += 1
+        ranks = ranks.localCheckpoint()
     return ranks

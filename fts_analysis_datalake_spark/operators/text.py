@@ -46,21 +46,33 @@ def token_count_bpe_ish(c: Column) -> Column:
 
 
 def ngrams(token_col: Column, n: int) -> Column:
-    """D11: word n-gram shingles as space-joined strings.
-
-    transform(sequence(1, size-n+1), i -> slice(tokens, i, n)) — pure
+    """D11: word n-gram shingles as space-joined strings — pure
     higher-order expressions, no explode until the caller wants rows.
+
+    Evaluation hygiene (measured 30x): the shingle builder iterates
+    over INDICES, so if ``token_col`` (typically the whole
+    normalize->split->filter chain) appeared inside the index lambda
+    it would be re-evaluated once per shingle — O(tokens^2) regex
+    work per document. Binding the token array as a lambda VARIABLE
+    (transform over a 1-element array wrapper) forces exactly one
+    evaluation per row; the inner lambda then slices the
+    already-materialized value.
     """
-    count = F.size(token_col) - (n - 1)
-    # Guard: Spark's sequence(1, 0) steps DOWNWARD ([1, 0]) — short
-    # docs must yield an empty shingle list, not bogus slices.
-    return F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(token_col, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def build(toks: Column) -> Column:
+        count = F.size(toks) - (n - 1)
+        # Guard: Spark's sequence(1, 0) steps DOWNWARD ([1, 0]) —
+        # short docs must yield an empty shingle list, not bogus
+        # slices.
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(token_col), build), 1)
 
 
 def stopword_ratio(token_col: Column, stopwords: list[str]) -> Column:

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.operators.text import (
     ngrams,
     normalize_text,
@@ -66,7 +66,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is derived from (doc_id, text) first — same construction
     in the oracle. Pure map-side regexp_replace chain: no shuffle at
     all, trivially scan-parallel at 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     raw = F.concat(
         F.substring("text", 1, 40),
         F.lit(" reach me at user"),
@@ -130,13 +130,21 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte digests instead of 8-token strings. This is the n-gram
     overlap pass every pretraining corpus runs against its eval
     suites."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(ngrams(tokens(normalize_text(F.col("text"))), _CONTAM_N))
-        ).alias("shingle"),
-    ).select("doc_id", F.md5("shingle").alias("sig"))
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    ngrams(tokens(normalize_text(F.col("text"))), _CONTAM_N)
+                )
+            ).alias("shingle"),
+        )
+        .select("doc_id", F.md5("shingle").alias("sig"))
+        # Both the bench side and the corpus side consume this lineage;
+        # without a persist the tokenize+shingle chain runs twice.
+        .persist()
+    )
     bench = sh.where(F.col("doc_id") % 97 == 0).select("sig").distinct()
     return (
         sh.where(F.col("doc_id") % 97 != 0)
@@ -173,17 +181,27 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles that are duplicates within their own document. Entirely
     per-row higher-order expressions — shingle list, distinct count,
     ratio — so the pass is map-side with NO shuffle and no explode:
-    the quality gate every corpus applies before tokenization."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", ngrams(tokens(normalize_text(F.col("text"))), 3).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    rep = F.lit(1.0) - F.size(F.array_distinct("shingles")).cast("double") / F.size(
-        "shingles"
-    )
-    return sh.select(
+    the quality gate every corpus applies before tokenization.
+
+    Expression hygiene: Catalyst's CollapseProject substitutes a
+    projected column into every downstream reference, so naively
+    deriving n/ distinct/ ratio/ flag from a ``shingles`` column
+    re-evaluates the whole normalize->tokenize->shingle chain per
+    reference (6x; measured 22 s at sf0.1). The rewrite reduces the
+    expensive chain to exactly TWO evaluations (the two int stats);
+    the ratio and flag are derived from the ints, and the emptiness
+    filter tests the cheap token count instead of the shingle list."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh_expr = ngrams(tokens(normalize_text(F.col("text"))), 3)
+    stats = d.select(
         "doc_id",
-        F.size("shingles").alias("n_shingles"),
+        F.size(sh_expr).alias("n_shingles"),
+        F.size(F.array_distinct(sh_expr)).alias("n_distinct"),
+    ).where(F.size(tokens(normalize_text(F.col("text")))) >= 3)
+    rep = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_shingles")
+    return stats.select(
+        "doc_id",
+        "n_shingles",
         rep.alias("rep_ratio"),
         (rep > 0.5).alias("is_repetitive"),
     )
@@ -226,7 +244,7 @@ def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     is order-independent; the totals ride a 1-row broadcast back
     onto the (tiny) bucket table. This plan's cost is ONE scan of
     the corpus regardless of bucket count."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     buckets = d.groupBy("lang", "source").agg(
         F.sum(F.size(tokens(normalize_text(F.col("text"))))).alias("n_tokens")
     )

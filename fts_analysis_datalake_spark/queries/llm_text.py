@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.operators.text import (
     BPE_ISH_PATTERN,
     LID_PROFILES,
@@ -364,7 +364,7 @@ def q_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 1-row corpus stats ride broadcasts — the only shuffle
     carries (doc, term) partial counts. Top-20 with doc_id tiebreak
     is TakeOrderedAndProject, never a full sort."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("toks"))
     dl = tok.select("doc_id", F.size("toks").alias("dl"))
     stats = tok.agg(

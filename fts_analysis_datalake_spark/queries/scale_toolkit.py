@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.operators.scale import (
     bloom_build,
@@ -204,7 +204,7 @@ def q_son_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffled; the only exchanges carry candidates and partial
     counts. This is the 100 TB shape for heavy-hitter mining where a
     full groupBy over all tokens would shuffle the entire corpus."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tok = d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
     cands = son_candidates(tok, "token", _SON_SUPPORT)
     total = tok.agg(F.count(F.lit(1)).alias("total"))
@@ -240,8 +240,12 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_approx.py)."""
     from fts_analysis_datalake_spark.operators.scale import cms_build, cms_estimate
 
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # The token stream feeds the 4 sketch depth-rows AND the exact
+    # recount; persist so tokenization runs once, not five times.
+    tok = d.select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("token")
+    ).persist()
     sketch = cms_build(tok, "token")
     probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
     est = cms_estimate(sketch, probes, "token")
