@@ -121,18 +121,24 @@ def pagerank(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
     )
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # Hoist the loop-invariant degree join OUT of the iteration: the
+    # edge list annotated with its source degree never changes, so it
+    # is joined once and checkpointed; each round joins the
+    # materialized edge+degree table with the (node, rank) frontier
+    # and reduces contributions. At billions of edges, add
+    # .repartition(join_key) before the checkpoint so the preserved
+    # partitioning confines every round's shuffle to the rank table
+    # (broadcasting ranks would not hold at that node count); at
+    # bench scale the extra exchange costs more than it saves, so
+    # the default keeps the plain form.
+    sym_deg = sym.join(deg, "a").localCheckpoint()
     ranks = deg.select(F.col("a").alias("node")).withColumn("rank", F.lit(1.0))
 
     def hop(r: DataFrame) -> DataFrame:
-        contribs = (
-            sym.join(deg, "a")
-            .join(r.withColumnRenamed("node", "a"), "a")
-            .select(
-                F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
-            )
+        contribs = sym_deg.join(r.withColumnRenamed("node", "a"), "a").select(
+            F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
         )
         return (
             contribs.groupBy("node")
