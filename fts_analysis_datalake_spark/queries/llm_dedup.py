@@ -199,3 +199,50 @@ def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     ranks = pagerank(edges, iters=10)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+# --------------------------------------------------------------------------
+# E57: the full near-dup pipeline as one report — LSH -> verify -> CC
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_pipeline_report",
+    oracle=None,  # MinHash-LSH path is engine-hash-dependent; identity-checked in tests
+    tags=("E57", "D3", "D4", "E15", "A2"),
+)
+def q_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline end-to-end in one plan:
+    MinHash signatures -> banded LSH candidates -> exact-Jaccard
+    verify (>= 0.8) -> connected components -> survivor accounting.
+    Output is the one-row corpus report an operator reads after each
+    ingest: document count, verified duplicate pairs, clusters,
+    clustered members, and documents KEPT (survivors = corpus minus
+    members plus one canonical per cluster). Every stage is the
+    bucketed/banded form — nothing all-pairs — so the report costs
+    the same pipeline the dedup itself costs. The keep-count
+    identity (kept = n_docs - n_members + n_clusters) is asserted in
+    tests/test_minhash.py."""
+    from fts_analysis_datalake_spark.operators.graphs import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    cstats = clusters.agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    pstats = pairs.agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    dstats = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        dstats.crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(cstats))
+        .select(
+            "n_docs",
+            "n_dup_pairs",
+            "n_clusters",
+            "n_members",
+            (F.col("n_docs") - F.col("n_members") + F.col("n_clusters")).alias(
+                "n_kept"
+            ),
+        )
+    )

@@ -142,3 +142,19 @@ def test_simhash_properties(spark, docs, docs_with_dups, natural_high_pairs, imp
     )
     near_hams = [r.ham for r in j2.collect()]
     assert near_hams and sum(near_hams) / len(near_hams) <= 16, near_hams
+
+
+def test_dedup_pipeline_report_identities(spark):
+    """The one-row pipeline report must satisfy the survivor
+    accounting identities: every cluster has >= 2 members, members
+    never exceed docs, and kept = docs - members + clusters."""
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR_SMALL
+
+    _load_all()
+    r = REGISTRY["q_dedup_pipeline_report"].fn(spark, SF_DIR_SMALL).first()
+    assert r.n_docs > 0
+    assert 0 <= r.n_members <= r.n_docs
+    assert r.n_clusters <= r.n_members // 2 or r.n_members == 0
+    assert r.n_kept == r.n_docs - r.n_members + r.n_clusters
+    assert r.n_kept <= r.n_docs
