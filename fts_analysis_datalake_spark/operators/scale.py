@@ -262,19 +262,24 @@ def cms_build(items: DataFrame, item_col: str) -> DataFrame:
     counts combine map-side. The sketch is MERGEABLE (sum counts
     cell-wise across batches/days) — the frequency-sketch sibling of
     the HLL cardinality rollup (E17)."""
-    rows = [
-        items.select(
-            F.lit(d).alias("d"),
-            F.pmod(F.xxhash64(F.col(item_col), F.lit(d)), F.lit(_CMS_WIDTH)).alias(
-                "bucket"
-            ),
-        )
-        for d in range(_CMS_DEPTH)
-    ]
-    allrows = rows[0]
-    for r in rows[1:]:
-        allrows = allrows.unionByName(r)
-    return allrows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    # ONE scan: each item explodes into its depth (d, bucket) cells —
+    # a 4-way union of selects would re-read the input per depth row.
+    cells = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.col(item_col), F.lit(d)), F.lit(_CMS_WIDTH)
+                        ).alias("bucket"),
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    return cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
 def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str) -> DataFrame:

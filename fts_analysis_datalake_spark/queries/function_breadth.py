@@ -306,3 +306,55 @@ def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(q) / 1000000.0).alias("chi2"))
         .crossJoin(F.broadcast(dims))
     )
+
+# --------------------------------------------------------------------------
+# E58: weighted median — cumulative-weight window selection
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey,
+                                            l_linenumber) AS cum_w,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM lineitem)
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median,
+           CAST(COUNT(*) AS BIGINT) AS n_at_or_after
+    FROM w
+    WHERE cum_w >= 0.5 * tot_w
+    GROUP BY l_returnflag
+    """,
+    tags=("E58", "A5", "W4", "W6"),
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per flag — the weighted
+    percentile neither engine ships as a built-in, constructed the
+    same way in both: cumulative weight along the (price, key) total
+    order, then the first value whose cumulative share reaches 1/2.
+    Integral weights keep the running sums exact, so the crossing
+    row is identical in both engines. One window shuffle; the
+    selection is a filter + MIN, no second sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wa = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wo).alias("cum_w"),
+        F.sum("l_quantity").over(wa).alias("tot_w"),
+    )
+    return (
+        w.where(F.col("cum_w") >= 0.5 * F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.count(F.lit(1)).cast("bigint").alias("n_at_or_after"),
+        )
+    )

@@ -65,8 +65,11 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture corpus is clean, so a deterministic PII-bearing
     column is derived from (doc_id, text) first — same construction
     in the oracle. Pure map-side regexp_replace chain: no shuffle at
-    all, trivially scan-parallel at 100 TB."""
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    all, trivially scan-parallel at 100 TB. (No rebalance here: the
+    regex chain is cheap enough that a single small-file partition
+    beats paying an exchange — and the plan stays Exchange-free, as
+    tests/test_plans.py asserts.)"""
+    d = load_table(spark, sf_dir, "documents")
     raw = F.concat(
         F.substring("text", 1, 40),
         F.lit(" reach me at user"),

