@@ -358,3 +358,60 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_at_or_after"),
         )
     )
+
+# --------------------------------------------------------------------------
+# E59: Gini concentration index — revenue-inequality diagnostic
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_supplier_revenue_gini",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_suppkey),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, l_suppkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM rev)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_suppliers,
+           CAST(2 * SUM(i * cents) - (MAX(n) + 1) * SUM(cents) AS DOUBLE)
+             / (MAX(n) * SUM(cents)) AS gini
+    FROM ranked
+    """,
+    tags=("E59", "A1", "W1", "F6"),
+)
+def q_supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue — the concentration/skew
+    diagnostic that tells an operator whether a handful of keys own
+    the workload (the same signal that decides when salting/AQE skew
+    handling is worth it). Revenues are quantized to integer cents at
+    aggregation, ranks are integers, so every sum in the closed-form
+    Gini ((2*Σi·x − (n+1)·Σx) / (n·Σx)) is exact integer arithmetic
+    until the single final division. One agg shuffle + one
+    global-sort window over the (small) per-supplier table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+            ).cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy("cents", "l_suppkey")
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_suppliers"),
+        (
+            (2 * F.sum(F.col("i") * F.col("cents")) - (F.max("n") + 1) * F.sum("cents"))
+            .cast("double")
+            / (F.max("n") * F.sum("cents"))
+        ).alias("gini"),
+    )

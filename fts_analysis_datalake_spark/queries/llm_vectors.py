@@ -369,3 +369,42 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cent_id")
     )
+
+# --------------------------------------------------------------------------
+# E60: mapInArrow — zero-copy Arrow batch path for vector math
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_norms_arrow",
+    oracle=None,  # float reduction order differs from SQL twins; equivalence tested
+    tags=("E60", "X1", "X5", "D5"),
+)
+def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms computed in an Arrow-native batch stage (mapInArrow):
+    record batches cross the Python boundary zero-copy, numpy reduces
+    each batch vectorized, and nothing is ever row-at-a-time — the
+    remaining UDF surface beside pandas UDFs (X1) and grouped-map
+    (X2). This is the escape hatch for kernels that want raw Arrow
+    buffers (quantization, packing, custom distance kernels);
+    numeric agreement with the Catalyst higher-order `norm` is
+    asserted to 1e-4 in tests/test_udfs.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+            out = pa.record_batch(
+                [
+                    tbl["vec_id"].combine_chunks(),
+                    pa.array(np.sqrt((vecs * vecs).sum(axis=1))),
+                ],
+                names=["vec_id", "l2_norm"],
+            )
+            yield out
+
+    return emb.mapInArrow(norms, "vec_id long, l2_norm double")

@@ -412,3 +412,47 @@ def q_user_type_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.map_values("m")).cast("bigint").alias("max_type_count"),
         )
     )
+
+# --------------------------------------------------------------------------
+# E61: VARIANT semi-structured type — parse once, typed extraction
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("E61", "F10", "P9", "A1"),
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse_json
+    once into the binary variant encoding, then typed variant_get
+    extraction — the open-schema path that (unlike from_json with a
+    fixed StructType) survives heterogeneous or evolving payloads
+    and (unlike get_json_object) avoids re-parsing the JSON text per
+    extraction. At 100 TB, parse-once-extract-many is the difference
+    between one and k string parses per row; the aggregate proves
+    the extraction end-to-end against a plain-JSON oracle."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("v"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

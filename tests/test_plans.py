@@ -32,6 +32,7 @@ PYTHON_SURFACE = {
     "q_embedding_near_dup_pairs",  # E11 vectorized-UDF LSH signature build
     "q_son_frequent_tokens",  # E37 SON phase-1 per-partition mapInPandas
     "q_holt_forecast_hourly",  # E54 X2 per-series smoothing recursion
+    "q_embedding_norms_arrow",  # E60 mapInArrow vector kernel
 }
 
 ALL_QUERIES = sorted(REGISTRY)

@@ -60,3 +60,26 @@ def test_holt_forecast_deterministic_and_sane(spark):
             assert math.isfinite(v)
         assert abs(ra.f1 - (ra.level + ra.trend)) < 1e-9
         assert ra.mae >= 0
+
+
+def test_arrow_norms_match_catalyst_norm(spark):
+    """The Arrow batch kernel and the Catalyst higher-order fold must
+    agree on every vector's L2 norm (to float-reassociation noise)."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.functions.vector import norm
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR_SMALL
+
+    _load_all()
+    arrow = REGISTRY["q_embedding_norms_arrow"].fn(spark, SF_DIR_SMALL)
+    cat = load_table(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", norm(F.col("embedding")).alias("cat_norm")
+    )
+    joined = arrow.join(cat, "vec_id")
+    bad = joined.where(
+        F.abs(F.col("l2_norm") - F.col("cat_norm")) > 1e-4
+    ).count()
+    assert bad == 0
+    assert joined.count() > 0
