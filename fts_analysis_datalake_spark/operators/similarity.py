@@ -176,11 +176,19 @@ def ivf_topk(
     every: int = 53,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: probe only the ``nprobe`` centroids nearest the
     query, scan only their buckets. Recall vs brute force is checked
-    by tests/test_similarity.py."""
-    cents = deterministic_centroids(emb, every, id_col, vec_col)
+    by tests/test_similarity.py. ``centroids`` (cent_id, cent_vec)
+    overrides the seeded stand-in — pass ``kmeans_train`` output for
+    the trained coarse quantizer (tighter buckets, better recall at
+    the same nprobe)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(emb, every, id_col, vec_col)
+    )
     assigned = ivf_assign(emb, cents, id_col, vec_col)
     probe = (
         cents.select("cent_id", _cosine_to_query("cent_vec", query_vec).alias("qc"))

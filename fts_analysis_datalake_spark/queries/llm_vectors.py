@@ -408,3 +408,26 @@ def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return emb.mapInArrow(norms, "vec_id long, l2_norm double")
+
+# --------------------------------------------------------------------------
+# E62: IVF ANN with TRAINED centroids — kmeans feeds the index
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ivf_trained_ann",
+    oracle=None,  # ANN path; recall floor vs brute force tested
+    tags=("E62", "E46", "D6"),
+)
+def q_ivf_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained IVF path end-to-end: spherical k-means (3 Lloyd
+    rounds) fits the coarse quantizer, then the probe plan is
+    identical to the seeded IVF (broadcast centroids, nprobe bucket
+    scan). Trained centroids track the data distribution, so buckets
+    are tighter and the same nprobe recovers more of the true
+    neighborhood — the recall floor against brute force is asserted
+    in tests/test_similarity.py. At index-build scale, training cost
+    is k x dim partial means per round; query cost is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    cents = kmeans_train(e, k=8, iters=3)
+    return ivf_topk(e, _query_vec(spark, sf_dir), k=10, nprobe=3, centroids=cents)

@@ -164,3 +164,16 @@ def test_kmeans_every_cluster_nonempty(spark):
     sizes = ivf_assign(emb, cents).groupBy("cent_id").count()
     assert sizes.count() == cents.count()
     assert sizes.agg(F.min("count")).first()[0] >= 1
+
+
+def test_trained_ivf_recall_floor(spark):
+    """The kmeans-trained IVF must recover most of the brute-force
+    top-10 at nprobe=3 (recall >= 0.6 on the fixture)."""
+    from fts_analysis_datalake_spark.queries.llm_vectors import (
+        q_ivf_trained_ann,
+        q_topk_similar_bruteforce,
+    )
+
+    exact = {r.vec_id for r in q_topk_similar_bruteforce(spark, SF_DIR_SMALL).collect()}
+    approx = {r.vec_id for r in q_ivf_trained_ann(spark, SF_DIR_SMALL).collect()}
+    assert len(exact & approx) >= 6, (exact, approx)
