@@ -815,3 +815,155 @@ def q_user_type_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E63: hour-of-week seasonality profile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_hourofweek_seasonality",
+    oracle=f"""
+    SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("E63", "F4", "A1"),
+)
+def q_hourofweek_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7x24 seasonality grid (day-of-week x hour-of-day volume
+    and value) that baselines anomaly detection and capacity
+    planning. Day-of-week conventions differ: Spark's dayofweek is
+    1=Sunday..7, DuckDB's is 0=Sunday..6 — the Spark side subtracts
+    1 so both emit 0=Sunday (verified bit-exact). One scan, one
+    168-row aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E64: market-basket affinity — co-occurrence support and lift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_basket_category_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 10 AS cat FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    cat_n AS (SELECT cat, COUNT(*) AS n_cat FROM items GROUP BY cat),
+    pairs AS (
+      SELECT a.cat AS cat_a, b.cat AS cat_b, COUNT(*) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.cat < b.cat
+      GROUP BY a.cat, b.cat)
+    SELECT cat_a, cat_b, n_both,
+           CAST(n_both AS DOUBLE) * n_orders.n / (ca.n_cat * cb.n_cat) AS lift
+    FROM pairs
+    JOIN cat_n ca ON pairs.cat_a = ca.cat
+    JOIN cat_n cb ON pairs.cat_b = cb.cat, n_orders
+    """,
+    tags=("E64", "J11", "A1", "A3"),
+)
+def q_basket_category_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over order contents: support count and
+    lift (P(a,b) / P(a)P(b)) for every co-occurring category pair —
+    the association signal behind recommendations and bundle
+    analysis. The basket table is deduped to DISTINCT (order, cat)
+    FIRST so the self-join fans out over categories-per-order (<=10)
+    rather than raw line items; category marginals and the order
+    count ride broadcasts back onto the (tiny) pair table. Lift
+    arithmetic is one double expression from exact ints — identical
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 10).alias("cat")
+    ).distinct()
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    cat_n = items.groupBy("cat").agg(F.count(F.lit(1)).alias("n_cat"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.cat") < F.col("b.cat")),
+        )
+        .groupBy(F.col("a.cat").alias("cat_a"), F.col("b.cat").alias("cat_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(F.broadcast(cat_n.withColumnRenamed("cat", "cat_a").withColumnRenamed("n_cat", "na")), "cat_a")
+        .join(F.broadcast(cat_n.withColumnRenamed("cat", "cat_b").withColumnRenamed("n_cat", "nb")), "cat_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "cat_a",
+            "cat_b",
+            "n_both",
+            (F.col("n_both").cast("double") * F.col("n") / (F.col("na") * F.col("nb"))).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E65: conversion latency percentiles — funnel timing distribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_conversion_latency_percentiles",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    lat AS (
+      SELECT CAST(FLOOR(epoch(p.t2)) - FLOOR(epoch(v.t1)) AS BIGINT) AS sec
+      FROM p JOIN v USING (user_id))
+    SELECT COUNT(*) AS n_converted,
+           quantile_cont(sec, 0.50) AS p50_s,
+           quantile_cont(sec, 0.90) AS p90_s,
+           CAST(MAX(sec) AS BIGINT) AS max_s
+    FROM lat
+    """,
+    tags=("E65", "E19", "A5", "F4"),
+)
+def q_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long conversion takes: per converting user, the gap from
+    first view to first later purchase, summarized as p50/p90/max —
+    the funnel-timing metric next to the stage-reach counts (E19).
+    Latencies are integral epoch seconds, so percentile interpolation
+    is bit-equal across engines (A5 precedent). The two stage
+    frontiers are one-row-per-user aggregates; everything downstream
+    of the scan is tiny."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    lat = p.join(v, "user_id").select(
+        (F.unix_timestamp("t2") - F.unix_timestamp("t1")).alias("sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("sec", F.lit(0.50)).alias("p50_s"),
+        F.percentile("sec", F.lit(0.90)).alias("p90_s"),
+        F.max("sec").cast("long").alias("max_s"),
+    )
