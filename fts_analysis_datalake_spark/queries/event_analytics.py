@@ -967,3 +967,63 @@ def q_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
         F.percentile("sec", F.lit(0.90)).alias("p90_s"),
         F.max("sec").cast("long").alias("max_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# E67: RFM segmentation — recency/frequency/monetary quintile codes
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_s,
+             COUNT(*) AS freq,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY user_id),
+    scored AS (
+      SELECT user_id, cents,
+             ntile(5) OVER (ORDER BY last_s DESC, user_id) AS r,
+             ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+             ntile(5) OVER (ORDER BY cents DESC, user_id) AS m
+      FROM per_user)
+    SELECT r, f, m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS rfm_code,
+           COUNT(*) AS n_users,
+           SUM(cents) / 100.0 AS total_value
+    FROM scored GROUP BY r, f, m
+    """,
+    tags=("E67", "W2", "A1", "F4"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency (last activity),
+    frequency (event count), monetary (value cents) quintiled into
+    the classic 555-style code, rolled up to segment sizes and
+    value. Quintile boundaries come from ntile over total orders
+    with user_id tiebreaks (floor distribution identical across
+    engines); money stays in integer cents until the final display
+    division. One shuffle builds the per-user table; the three
+    window passes run over that (small) table, not the events."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.unix_timestamp(F.max("ts")).alias("last_s"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+    )
+    scored = per_user.select(
+        "user_id",
+        "cents",
+        F.ntile(5).over(Window.orderBy(F.desc("last_s"), F.asc("user_id"))).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("cents"), F.asc("user_id"))).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.concat(
+            F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
+        ).alias("rfm_code"),
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("cents") / 100.0).alias("total_value"),
+    )

@@ -415,3 +415,71 @@ def q_supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.sum("cents"))
         ).alias("gini"),
     )
+
+# --------------------------------------------------------------------------
+# E66: quantile normalization — map per-source ranks onto the global
+# distribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_quantile_normalized_chars",
+    oracle="""
+    WITH anchors AS (
+      SELECT n_chars AS gval,
+             percent_rank() OVER (ORDER BY n_chars, doc_id) AS gpr
+      FROM documents),
+    src AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents)
+    SELECT src.doc_id, src.source, src.n_chars,
+           CAST(anchors.gval AS BIGINT) AS norm_chars
+    FROM src ASOF JOIN anchors ON src.pr >= anchors.gpr
+    """,
+    tags=("E66", "W2", "J9", "F6"),
+)
+def q_quantile_normalized_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: each document's length is replaced by
+    the GLOBAL length at the same quantile its length occupies WITHIN
+    its source — the feature-engineering move that makes per-source
+    distributions comparable. Spark has no as-of join on a bare
+    inequality, so the greatest-gpr<=pr lookup is the union+LOCF
+    merge: global anchor rows and source rows sort together on rank
+    (anchors first at ties), and last(ignoreNulls) carries the
+    anchor value forward — ONE sort over 2N rank rows, no pair
+    join. The oracle is DuckDB's native ASOF JOIN (semantics equal:
+    greatest gpr <= pr; anchor ranks are unique by construction).
+    At 100 TB the anchor table would be an approx-percentile sketch
+    grid instead of every row — same merge, tiny anchor side."""
+    d = load_table(spark, sf_dir, "documents")
+    glob = d.select(
+        F.col("n_chars").alias("gval"),
+        F.percent_rank()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("r"),
+    ).select("gval", "r", F.lit(0).alias("is_src"),
+             F.lit(None).cast("long").alias("doc_id"),
+             F.lit(None).cast("string").alias("source"),
+             F.lit(None).cast("long").alias("n_chars"))
+    src = d.select(
+        "doc_id", "source", "n_chars",
+        F.percent_rank()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+    ).select(F.lit(None).cast("long").alias("gval"), "r",
+             F.lit(1).alias("is_src"), "doc_id", "source", "n_chars")
+    u = glob.unionByName(src)
+    w = (
+        Window.orderBy("r", "is_src", "gval", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.select(
+            "doc_id", "source", "n_chars", "is_src",
+            F.last("gval", ignorenulls=True).over(w).alias("norm_chars"),
+        )
+        .where(F.col("is_src") == 1)
+        .select("doc_id", "source", "n_chars", "norm_chars")
+    )
