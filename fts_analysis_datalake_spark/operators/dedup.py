@@ -339,3 +339,45 @@ def simhash_candidate_pairs(sim_df: DataFrame, id_col: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def prefix_filter_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """PPJoin-style prefix filtering: LOSSLESS candidate generation
+    for set-Jaccard >= ``threshold`` without MinHash and without
+    all-pairs.
+
+    Order each document's shingle set by global rarity (rarest
+    first); if J(a,b) >= t, the first ``|x| - ceil(t*|x|) + 1``
+    elements of a and b MUST intersect (pigeonhole on the overlap
+    bound), so an equi-join on prefix elements finds every
+    qualifying pair — unlike MinHash-LSH this can never miss one.
+    The join key is a rare element by construction, so prefix
+    postings are short and the candidate fan-out stays near the true
+    pair count. Returns distinct (id_a, id_b) with id_a < id_b."""
+    from pyspark.sql import Window
+
+    sh = shingle_table(df, id_col, text_col, shingle_n).distinct()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy(id_col).orderBy("freq", "shingle")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, id_col)
+        .where(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select(F.col(id_col), "shingle")
+    )
+    a = ranked.withColumnRenamed(id_col, "id_a")
+    b = ranked.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -16,10 +16,11 @@ from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.operators.dedup import (
     exact_jaccard_for_pairs,
     near_dup_pairs,
+    prefix_filter_candidates,
     simhash_candidate_pairs,
     simhash_table,
 )
-from fts_analysis_datalake_spark.operators.text import sql_tokens
+from fts_analysis_datalake_spark.operators.text import sql_ngrams, sql_tokens
 from fts_analysis_datalake_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -245,4 +246,42 @@ def q_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_kept"
             ),
         )
+    )
+
+# --------------------------------------------------------------------------
+# E68: PPJoin prefix-filtered similarity join — lossless, no sketches
+# --------------------------------------------------------------------------
+
+_PPJ_T = 0.8
+
+
+@query(
+    "q_prefix_filtered_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({sql_ngrams(sql_tokens('text'), 3)}) AS s
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {_PPJ_T}
+    """,
+    tags=("E68", "D3", "D4", "J11"),
+)
+def q_prefix_filtered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact similarity join, no sketches: PPJoin prefix filtering
+    generates candidates (rarest-first prefixes must intersect when
+    J >= 0.8 — pigeonhole, lossless), exact Jaccard verifies. Where
+    MinHash-LSH (D3) trades recall for speed, this path is
+    guaranteed-complete — the oracle is the brute-force all-pairs
+    join, and the results match EXACTLY, which is the point. Prefix
+    postings are keyed on rare shingles, so the candidate join stays
+    near the true pair count instead of |docs|^2."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = prefix_filter_candidates(d, "doc_id", "text", _PPJ_T, shingle_n=3)
+    return exact_jaccard_for_pairs(d, "doc_id", "text", cands, shingle_n=3).filter(
+        F.col("jaccard") >= _PPJ_T
     )
