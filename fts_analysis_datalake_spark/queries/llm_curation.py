@@ -14,7 +14,7 @@ subset (SURVEY.md §2.8 F2 dialect warning).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
@@ -267,4 +267,201 @@ def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(budget).cast("long").alias("token_budget"),
             F.least(budget / F.col("n_tokens"), F.lit(1.0)).alias("sample_rate"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# E69: feature-hashing vectorizer — fixed-dim hashed TF vectors
+# --------------------------------------------------------------------------
+
+_FH_DIM = 64
+
+
+@query(
+    "q_feature_hashed_vectors",
+    oracle=None,  # xxhash64 bucketing is engine-specific; properties tested
+    tags=("E69", "D9", "F9", "F8"),
+)
+def q_feature_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: every document becomes a fixed 64-dim
+    vector with vec[xxhash(token) % 64] += sign(token) — no
+    vocabulary, no fit step, merge-free, which is why it scales to
+    any corpus (the classic hashing-vectorizer used for cheap
+    classifiers and dedup features). Explode -> two-level aggregate
+    (map-side combined) -> map_from_entries -> dense array; the only
+    shuffle carries (doc, bucket) partials. Determinism, dimension,
+    and norm properties are asserted in tests/test_udfs.py."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token")
+    )
+    h = F.xxhash64("token")
+    cells = tok.select(
+        "doc_id",
+        F.pmod(h, F.lit(_FH_DIM)).cast("int").alias("bucket"),
+        F.when(F.pmod(h, F.lit(2)) == 0, 1).otherwise(-1).alias("sign"),
+    ).groupBy("doc_id", "bucket").agg(F.sum("sign").alias("w"))
+    vec = (
+        cells.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "w"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("int")), F.lit(0).cast("long")
+                ).cast("double"),
+            ).alias("vec"),
+        )
+    )
+    nrm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x))
+    return vec.select(
+        "doc_id",
+        F.size(F.filter("vec", lambda x: x != 0)).alias("nnz"),
+        nrm.alias("l2_norm"),
+        F.transform("vec", lambda x: x / F.greatest(nrm, F.lit(1e-12))).alias(
+            "unit_vec"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# E70: corpus filter funnel — first-failing-rule drop accounting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_corpus_filter_funnel",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             1.0 - CAST(len(list_distinct({sql_ngrams(sql_tokens('text'), 3)}))
+                        AS DOUBLE)
+                 / greatest(len({sql_ngrams(sql_tokens('text'), 3)}), 1)
+               AS rep_ratio
+      FROM documents),
+    labeled AS (
+      SELECT CASE
+               WHEN lang NOT IN ('en', 'es', 'fr', 'de') THEN 'drop_lang'
+               WHEN n_chars < 160 THEN 'drop_too_short'
+               WHEN rep_ratio > 0.01 THEN 'drop_repetitive'
+               ELSE 'keep'
+             END AS outcome
+      FROM scored)
+    SELECT outcome, COUNT(*) AS n_docs
+    FROM labeled GROUP BY outcome
+    """,
+    tags=("E70", "D13", "E41", "A1"),
+)
+def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision, end-to-end: every document gets exactly
+    one outcome — the FIRST failing rule (language allowlist, length
+    floor, repetition ceiling, tuned so every gate fires on the
+    fixtures) or 'keep' — and the funnel reports
+    how much each gate costs. First-fail semantics (vs independent
+    rule counts) is what an operator needs to re-order or relax
+    gates; the whole pass is one scan + a 4-row aggregate."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = ngrams(tokens(normalize_text(F.col("text"))), 3)
+    rep = F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.greatest(
+        F.size(sh), F.lit(1)
+    )
+    outcome = (
+        F.when(~F.col("lang").isin("en", "es", "fr", "de"), "drop_lang")
+        .when(F.col("n_chars") < 160, "drop_too_short")
+        .when(rep > 0.01, "drop_repetitive")
+        .otherwise("keep")
+    )
+    return d.select(outcome.alias("outcome")).groupBy("outcome").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# E71: deterministic train/val/test split — content-hash ranges
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_hash_split_assignment",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, n_chars, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+      FROM documents)
+    SELECT CASE WHEN hx <= 'cb' THEN 'train'
+                WHEN hx <= 'e5' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1
+    """,
+    tags=("E71", "O4", "F11", "A1"),
+)
+def q_hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by hashing the
+    document KEY into hex ranges (~80/10/10) — engine- and
+    run-independent (the property RNG splits lack), stable under
+    corpus growth (a document's split never changes when others are
+    added), and shuffle-free: the split is a map-side expression.
+    The report shows realized sizes; the same expression applied at
+    write time partitions the corpus physically."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(hx <= "cb", "train").when(hx <= "e5", "val").otherwise("test")
+    )
+    return d.select(split.alias("split"), "n_chars").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E72: sequence packing — concat-then-chunk token bins
+# --------------------------------------------------------------------------
+
+_PACK_WINDOW = 2048
+
+
+@query(
+    "q_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({sql_tokens('text')}) AS n_tok FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS prev_cum
+      FROM t)
+    SELECT CAST(FLOOR(prev_cum / {_PACK_WINDOW}) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY 1
+    """,
+    tags=("E72", "W4", "A1", "D9"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing, concat-then-chunk form: documents
+    are laid out in a deterministic order (doc_id), the running token
+    offset assigns each to its context-window bin (floor(offset/2048))
+    and the report shows docs-per-bin and fill. The cumulative sum is
+    ONE window over per-doc token counts (tiny vs the corpus scan);
+    at 100 TB the same offsets come from per-partition subtotals + a
+    scan-partition prefix (two-phase cumsum), same math."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id", F.size(tokens(normalize_text(F.col("text")))).alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.select(
+        "doc_id", "n_tok", (F.sum("n_tok").over(w) - F.col("n_tok")).alias("prev_cum")
+    )
+    return c.groupBy(
+        F.floor(F.col("prev_cum") / _PACK_WINDOW).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("bin_tokens"),
     )

@@ -83,3 +83,23 @@ def test_arrow_norms_match_catalyst_norm(spark):
     ).count()
     assert bad == 0
     assert joined.count() > 0
+
+
+def test_feature_hashed_vectors_properties(spark):
+    """Hashing-trick vectors: fixed dimension, deterministic across
+    runs, unit-normalized when non-empty, nnz bounded by dim."""
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR_SMALL
+
+    _load_all()
+    fn = REGISTRY["q_feature_hashed_vectors"].fn
+    a = {r.doc_id: r for r in fn(spark, SF_DIR_SMALL).collect()}
+    b = {r.doc_id: r for r in fn(spark, SF_DIR_SMALL).collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert a[k].unit_vec == b[k].unit_vec
+        assert len(a[k].unit_vec) == 64
+        assert 0 <= a[k].nnz <= 64
+        if a[k].l2_norm > 0:
+            s = sum(x * x for x in a[k].unit_vec)
+            assert abs(s - 1.0) < 1e-9
