@@ -15,7 +15,10 @@ from fts_analysis_datalake_spark.functions.deterministic import (
     sql_dstddev_samp,
     sql_dsum,
 )
+from fts_analysis_datalake_spark.operators.text import sql_tokens
 from fts_analysis_datalake_spark.registry import query
+
+_SQL_TOKENS = sql_tokens("text")
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -385,4 +388,81 @@ def q_equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").alias("lo"),
             F.max("o_totalprice").alias("hi"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# E73: top-k + OTHER rollup — bounded-cardinality reporting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_top_terms_with_other",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKENS}) AS term FROM documents),
+    counts AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+    top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 10)
+    SELECT term, CAST(n AS BIGINT) AS n FROM top
+    UNION ALL
+    SELECT 'OTHER', CAST(SUM(n) AS BIGINT) FROM counts
+    WHERE term NOT IN (SELECT term FROM top)
+    """,
+    tags=("E73", "O3", "U1", "A1"),
+)
+def q_top_terms_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-cardinality reporting: the top-10 terms keep their
+    identity, everything else collapses into one OTHER row whose
+    count preserves the total — the pattern every dashboard needs so
+    high-cardinality dimensions can't blow up the result. Spark
+    shape: one term aggregate, TakeOrderedAndProject for the top-k,
+    then an anti-join (broadcast, 10 keys) + single-row aggregate
+    for the remainder — the term table is aggregated ONCE and
+    reused."""
+    from fts_analysis_datalake_spark.operators.text import normalize_text, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    top = counts.orderBy(F.desc("n"), "term").limit(10)
+    other = (
+        counts.join(F.broadcast(top.select("term")), "term", "left_anti")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(F.lit("OTHER").alias("term"), "n")
+    )
+    return top.select("term", F.col("n").cast("long").alias("n")).unionByName(other)
+
+
+# --------------------------------------------------------------------------
+# E74: geometric mean — exact log-space aggregation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_geometric_mean_value",
+    oracle="""
+    SELECT event_type,
+           exp(SUM(CAST(FLOOR(ln(value) * 1000000000 + 0.5) AS BIGINT))
+               / 1000000000.0 / COUNT(*)) AS geo_mean,
+           COUNT(*) AS n
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+    tags=("E74", "A6", "F6"),
+)
+def q_geometric_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per type — the right average for multiplicative
+    quantities (rates, ratios), computed in log space: per-row ln is
+    quantized to 1e-9 integers (libm guard, house pattern) so the
+    sum is order-independent, and the final exp of an identical
+    double is identical. Map-side partials only."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    qln = F.floor(F.log(F.col("value")) * 1000000000 + F.lit(0.5)).cast("long")
+    return e.groupBy("event_type").agg(
+        F.exp(F.sum(qln) / 1000000000.0 / F.count(F.lit(1))).alias("geo_mean"),
+        F.count(F.lit(1)).alias("n"),
     )

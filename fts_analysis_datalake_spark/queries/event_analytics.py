@@ -1027,3 +1027,125 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         (F.sum("cents") / 100.0).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# E75: CUSUM change-point — where did the hourly level shift?
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, SUM(cents) AS tot, COUNT(*) AS k
+      FROM hourly GROUP BY event_type),
+    cusum AS (
+      SELECT hourly.event_type, h,
+             SUM(cents - CAST(tot AS DOUBLE) / k)
+               OVER (PARTITION BY hourly.event_type ORDER BY h) AS c
+      FROM hourly JOIN stats ON hourly.event_type = stats.event_type)
+    SELECT event_type,
+           CAST(FLOOR(epoch(MIN(h) FILTER (rnk = 1))) AS BIGINT)
+             AS changepoint_hour_s,
+           MAX(abs_c) / 100.0 AS max_cusum
+    FROM (
+      SELECT event_type, h, abs(c) AS abs_c,
+             rank() OVER (PARTITION BY event_type ORDER BY abs(c) DESC, h)
+               AS rnk
+      FROM cusum)
+    GROUP BY event_type
+    """,
+    tags=("E75", "W4", "A1", "F4"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the cumulative
+    sum of (hourly value - series mean) peaks in magnitude at the
+    most likely level-shift hour — the classic single-change locator
+    that needs just two passes (mean, then cumsum) over the already
+    tiny hourly table. Hourly values are exact integer cents; the
+    cusum subtracts an identical double mean both engines, and the
+    arg-max hour uses a rank-1 filter with the hour itself as the
+    deterministic tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("k")
+    )
+    wc = Window.partitionBy("event_type").orderBy("h")
+    cusum = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "h",
+        F.sum(F.col("cents") - F.col("tot").cast("double") / F.col("k"))
+        .over(wc)
+        .alias("c"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc(F.abs("c")), "h")
+    ranked = cusum.select(
+        "event_type", "h", F.abs("c").alias("abs_c"), F.rank().over(wr).alias("rnk")
+    )
+    return ranked.groupBy("event_type").agg(
+        F.unix_timestamp(F.min(F.when(F.col("rnk") == 1, F.col("h"))))
+        .alias("changepoint_hour_s"),
+        (F.max("abs_c") / 100.0).alias("max_cusum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E76: behavioral entropy — per-user event-type diversity
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_user_behavior_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events
+      GROUP BY user_id, event_type),
+    t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id),
+    terms AS (
+      SELECT c.user_id,
+             CAST(FLOOR(-(CAST(n AS DOUBLE) / tot)
+                        * ln(CAST(n AS DOUBLE) / tot)
+                        * 1000000000 + 0.5) AS BIGINT) AS q
+      FROM c JOIN t ON c.user_id = t.user_id),
+    ent AS (
+      SELECT user_id, SUM(q) / 1000000000.0 AS entropy FROM terms
+      GROUP BY user_id)
+    SELECT CAST(FLOOR(entropy * 10) AS BIGINT) AS entropy_decile_bucket,
+           COUNT(*) AS n_users,
+           MIN(entropy) AS min_entropy, MAX(entropy) AS max_entropy
+    FROM ent GROUP BY 1
+    """,
+    tags=("E76", "A1", "F6"),
+)
+def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity feature (bots are low-entropy, explorers high),
+    histogrammed into 0.1-nat buckets. Shares are exact ratios of
+    counts, each -p*ln(p) term is 1e-9-quantized before summing
+    (order-free, libm-guarded), and the bucket floor is exact. Two
+    aggregates over the (user, type) table; no window, no explode."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    q = F.floor(-p * F.log(p) * 1000000000 + F.lit(0.5)).cast("long")
+    ent = (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg((F.sum(q) / 1000000000.0).alias("entropy"))
+    )
+    return ent.groupBy(
+        F.floor(F.col("entropy") * 10).cast("long").alias("entropy_decile_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("entropy").alias("min_entropy"),
+        F.max("entropy").alias("max_entropy"),
+    )
