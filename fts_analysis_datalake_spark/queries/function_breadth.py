@@ -483,3 +483,77 @@ def q_quantile_normalized_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("is_src") == 1)
         .select("doc_id", "source", "n_chars", "norm_chars")
     )
+
+# --------------------------------------------------------------------------
+# E77: rolling correlation — windowed exact moment sums
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_rolling_corr_purchase_error",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'error'
+                      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS y
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT h,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+             SUM(x * y) OVER w AS sxy,
+             SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT CAST(FLOOR(epoch(h)) AS BIGINT) AS hour_s, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2
+                  AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+           END AS corr_24h
+    FROM m
+    """,
+    tags=("E77", "W5", "E29", "F6"),
+)
+def q_rolling_corr_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling Pearson correlation between purchase and error
+    hourly values — the co-movement monitor for incident analysis.
+    All five moment sums ride ONE 24-row window over exact integer
+    cents (E29's determinism argument, windowed), so both engines
+    divide identical integers; degenerate windows (zero variance)
+    yield NULL on both sides. One hourly aggregate, one window sort
+    over the tiny hour spine."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "error", cents).otherwise(0)).alias("y"),
+    )
+    w = Window.orderBy("h").rowsBetween(-23, 0)
+    m = hourly.select(
+        "h",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    vx = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    vy = m["n"] * m["syy"] - m["sy"] * m["sy"]
+    corr = F.when(
+        (m["n"] >= 2) & (vx > 0) & (vy > 0),
+        (m["n"] * m["sxy"] - m["sx"] * m["sy"])
+        / F.sqrt(vx.cast("double"))
+        / F.sqrt(vy.cast("double")),
+    )
+    return m.select(
+        F.unix_timestamp("h").alias("hour_s"),
+        F.col("n").cast("long").alias("n"),
+        corr.alias("corr_24h"),
+    )

@@ -318,3 +318,55 @@ def q_consistent_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("l_returnflag", "l_orderkey", "l_linenumber")
     )
+
+
+# --------------------------------------------------------------------------
+# E78: bitmap-index set intersection — popcount joins, not row joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_bitmap_audience_overlap",
+    oracle="""
+    WITH m AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_both
+    FROM m a JOIN m b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    tags=("E78", "U3", "F11", "A3"),
+)
+def q_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix via BITMAP INDEXES: each event type's
+    user set becomes 64-bit words keyed by user_id>>6 (bit_or
+    aggregate), and every pairwise intersection is a word-aligned
+    popcount join — 64 membership tests per row operation, the
+    roaring-bitmap idea in pure Catalyst. The oracle computes the
+    same matrix with a row-level self-join; results match exactly,
+    which proves the bitmap encoding. At 100 TB the bitmap table is
+    |types| x |users|/64 words regardless of event volume, and
+    overlap queries never touch the fact table again — the
+    segment-overlap workhorse of audience/ads systems."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.select("event_type", "user_id").distinct()
+    bits = m.select(
+        "event_type",
+        (F.col("user_id") / 64).cast("long").alias("slot"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("user_id") % 64).cast("int")
+        ).alias("bit"),
+    )
+    slots = bits.groupBy("event_type", "slot").agg(F.bit_or("bit").alias("bm"))
+    a = slots.withColumnsRenamed({"event_type": "type_a", "bm": "bm_a"})
+    b = slots.withColumnsRenamed({"event_type": "type_b", "bm": "bm_b"})
+    return (
+        a.join(b, "slot")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("bm_a").bitwiseAND(F.col("bm_b")))).alias(
+                "n_both"
+            )
+        )
+    )
