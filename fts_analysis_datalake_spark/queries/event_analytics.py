@@ -1045,17 +1045,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, SUM(cents) AS tot, COUNT(*) AS k
       FROM hourly GROUP BY event_type),
     cusum AS (
-      SELECT hourly.event_type, h,
-             SUM(cents - CAST(tot AS DOUBLE) / k)
-               OVER (PARTITION BY hourly.event_type ORDER BY h) AS c
+      SELECT hourly.event_type, h, k,
+             SUM(k * cents - tot)
+               OVER (PARTITION BY hourly.event_type ORDER BY h) AS ck
       FROM hourly JOIN stats ON hourly.event_type = stats.event_type)
     SELECT event_type,
            CAST(FLOOR(epoch(MIN(h) FILTER (rnk = 1))) AS BIGINT)
              AS changepoint_hour_s,
-           MAX(abs_c) / 100.0 AS max_cusum
+           CAST(MAX(abs_ck) AS DOUBLE) / MAX(k) / 100.0 AS max_cusum
     FROM (
-      SELECT event_type, h, abs(c) AS abs_c,
-             rank() OVER (PARTITION BY event_type ORDER BY abs(c) DESC, h)
+      SELECT event_type, h, k, abs(ck) AS abs_ck,
+             rank() OVER (PARTITION BY event_type ORDER BY abs(ck) DESC, h)
                AS rnk
       FROM cusum)
     GROUP BY event_type
@@ -1082,18 +1082,17 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cusum = hourly.join(F.broadcast(stats), "event_type").select(
         "event_type",
         "h",
-        F.sum(F.col("cents") - F.col("tot").cast("double") / F.col("k"))
-        .over(wc)
-        .alias("c"),
+        "k",
+        F.sum(F.col("k") * F.col("cents") - F.col("tot")).over(wc).alias("ck"),
     )
-    wr = Window.partitionBy("event_type").orderBy(F.desc(F.abs("c")), "h")
+    wr = Window.partitionBy("event_type").orderBy(F.desc(F.abs("ck")), "h")
     ranked = cusum.select(
-        "event_type", "h", F.abs("c").alias("abs_c"), F.rank().over(wr).alias("rnk")
+        "event_type", "h", "k", F.abs("ck").alias("abs_ck"), F.rank().over(wr).alias("rnk")
     )
     return ranked.groupBy("event_type").agg(
         F.unix_timestamp(F.min(F.when(F.col("rnk") == 1, F.col("h"))))
         .alias("changepoint_hour_s"),
-        (F.max("abs_c") / 100.0).alias("max_cusum"),
+        (F.max("abs_ck").cast("double") / F.max("k") / 100.0).alias("max_cusum"),
     )
 
 
