@@ -1148,3 +1148,55 @@ def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("entropy").alias("min_entropy"),
         F.max("entropy").alias("max_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# E79: time-decayed engagement score — half-life weighted rollup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_decayed_user_scores",
+    oracle="""
+    WITH anchor AS (SELECT MAX(date_trunc('day', ts)) AS a FROM events),
+    terms AS (
+      SELECT user_id,
+             CAST(FLOOR(
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               * pow(0.5, LEAST(datediff('day', date_trunc('day', ts), anchor.a),
+                                40))
+               * 1048576 + 0.5) AS BIGINT) AS q
+      FROM events, anchor)
+    SELECT user_id,
+           SUM(q) / 1048576.0 / 100.0 AS decayed_score,
+           COUNT(*) AS n_events
+    FROM terms GROUP BY user_id
+    """,
+    tags=("E79", "F4", "F6", "A1"),
+)
+def q_decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: each event contributes
+    value * 0.5^(age_days) — a 1-day half-life feature-store rollup
+    that never needs the raw history again (today's score = yesterday's
+    * 0.5 + today's events, a mergeable recurrence). Determinism:
+    integer cents x 0.5^k (exact dyadic scaling, age capped at 40 so
+    terms stay representable) quantized to 2^-20 before the integer
+    sum — order-free on both engines. The day anchor is a 1-row
+    broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.date_trunc("day", "ts")).alias("a"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    age = F.least(
+        F.datediff(F.col("a"), F.date_trunc("day", F.col("ts"))), F.lit(40)
+    )
+    term = F.floor(
+        cents * F.pow(F.lit(0.5), age) * 1048576 + F.lit(0.5)
+    ).cast("long")
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            (F.sum(term) / 1048576.0 / 100.0).alias("decayed_score"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

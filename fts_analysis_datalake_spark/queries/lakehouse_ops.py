@@ -377,3 +377,58 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value")
     )
+
+# --------------------------------------------------------------------------
+# E80: table fingerprint — order-independent content checksum
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_table_fingerprints",
+    oracle="""
+    SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || CAST(o_custkey AS VARCHAR)), 1, 10)) AS BIGINT)) AS BIGINT)
+             AS fingerprint
+    FROM orders
+    UNION ALL
+    SELECT 'customer', COUNT(*),
+           CAST(SUM(CAST(('0x' || substr(md5(
+             CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment), 1, 10))
+             AS BIGINT)) AS BIGINT)
+    FROM customer
+    """,
+    tags=("E80", "F11", "A2", "U1"),
+)
+def q_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums for cross-system data
+    reconciliation: each row hashes to a 60-bit integer (md5 prefix)
+    and the TABLE fingerprint is the exact integer SUM — identical
+    no matter how either engine partitions, orders, or parallelizes
+    the scan, and cheap to compare across replicas/engines/migrations
+    (the standard online-verification move for a 100 TB copy: compare
+    one number per table, drill into partition-level sums only on
+    mismatch). 40-bit row hashes keep the exact sum under int64 up
+    to ~10M rows; beyond that, fingerprint per partition (day/
+    bucket) and compare the partition vector — same expression, no
+    overflow, and mismatches localize for free."""
+    import functools
+
+    def fp(df, name: str, cols: list[str]):
+        concat = functools.reduce(
+            lambda a, b: F.concat(a, F.lit("|"), b),
+            [F.col(c).cast("string") for c in cols],
+        )
+        h = F.conv(F.substring(F.md5(concat), 1, 10), 16, 10).cast("long")
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h).cast("long").alias("fingerprint"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return fp(o, "orders", ["o_orderkey", "o_orderstatus", "o_custkey"]).unionByName(
+        fp(c, "customer", ["c_custkey", "c_mktsegment"])
+    )

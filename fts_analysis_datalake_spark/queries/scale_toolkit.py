@@ -370,3 +370,46 @@ def q_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E81: sketch-based join-size estimation — CMS inner product
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_size_estimate",
+    oracle=None,  # sketch estimate is hash-dependent; bound tested (test_approx)
+    tags=("E81", "E48", "J1"),
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join cardinality estimation WITHOUT running the join: the
+    inner product of two count-min sketches (per depth row, min over
+    depths) upper-bounds |A JOIN B on key| — the sketch-side version
+    of what a cost-based optimizer wants before picking join
+    strategy/order at 100 TB. Both sketches are ~4k cells built in
+    one scan each; the estimate is a 4k-row join + sum, and the true
+    size (computed here for the report) is provably <= the estimate
+    (collisions only inflate). Bound asserted in tests/test_approx.py."""
+    from fts_analysis_datalake_spark.operators.scale import cms_build
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").cast("string").alias("k"))
+    s1 = cms_build(o, "k").withColumnRenamed("n", "n1")
+    s2 = cms_build(c, "k").withColumnRenamed("n", "n2")
+    per_depth = (
+        s1.join(s2, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("n1") * F.col("n2")).alias("dot"))
+    )
+    est = per_depth.agg(F.min("dot").alias("cms_estimate"))
+    true_n = o.join(c, "k").agg(F.count(F.lit(1)).alias("true_join_rows"))
+    return true_n.crossJoin(F.broadcast(est)).select(
+        "true_join_rows",
+        "cms_estimate",
+        (F.col("cms_estimate").cast("double") / F.greatest("true_join_rows", F.lit(1))).alias("inflation"),
+    )

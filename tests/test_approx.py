@@ -125,3 +125,15 @@ def test_cms_never_undercounts_and_bounds_error(spark):
     for r in rows:
         assert r.cms_count >= r.exact_count, r
         assert r.overcount <= 3 * n_tokens / 1024 + 1, (r, n_tokens)
+
+
+def test_cms_join_estimate_upper_bounds_truth(spark):
+    """The CMS inner-product estimate can only overcount the true
+    join size (hash collisions add, never subtract)."""
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    r = REGISTRY["q_join_size_estimate"].fn(spark, SF_DIR).first()
+    assert r.true_join_rows > 0
+    assert r.cms_estimate >= r.true_join_rows
+    assert r.inflation < 3.0, r  # width 1024 keeps collisions modest here
