@@ -557,3 +557,72 @@ def q_rolling_corr_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n").cast("long").alias("n"),
         corr.alias("corr_24h"),
     )
+
+# --------------------------------------------------------------------------
+# E82: ordered LISTAGG — deterministic string aggregation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_nation_supplier_roster",
+    oracle="""
+    SELECT s_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS roster,
+           COUNT(*) AS n_suppliers
+    FROM supplier GROUP BY s_nationkey
+    """,
+    tags=("E82", "A9", "F1"),
+)
+def q_nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG: the per-group concatenated roster every
+    report/export needs. collect_list order is nondeterministic
+    under parallel aggregation, so the list is SORTED before joining
+    — matching the oracle's ORDER BY inside string_agg; without the
+    sort this query would flap between runs (the classic listagg
+    trap)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("roster"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E84: median absolute deviation — pure Catalyst (UDAF-free) form
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_quantity_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_quantity) AS m
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           median(abs(l.l_quantity - med.m)) AS mad,
+           MAX(med.m) AS med,
+           COUNT(*) AS n
+    FROM lineitem l JOIN med USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    tags=("E84", "A5", "J5", "X3"),
+)
+def q_quantity_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group in pure Catalyst — the
+    robust dispersion twin of the X3 pandas-UDAF MAD
+    (q_value_mad_udaf), here as two exact-median passes with the
+    group medians broadcast back between them. Integral quantities
+    keep both interpolations bit-equal (A5). The UDAF form shows the
+    API; this form is what you deploy at 100 TB — JVM-side, two
+    shuffles, no Python."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("m"))
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.median(F.abs(F.col("l_quantity") - F.col("m"))).alias("mad"),
+            F.max("m").alias("med"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -16,7 +16,7 @@ indistinguishable from rescanning history.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.catalog import load_table
@@ -431,4 +431,132 @@ def q_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return fp(o, "orders", ["o_orderkey", "o_orderstatus", "o_custkey"]).unionByName(
         fp(c, "customer", ["c_custkey", "c_mktsegment"])
+    )
+
+# --------------------------------------------------------------------------
+# E85: gaps and islands — contiguity audit over an id sequence
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_docid_gaps_islands",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id % 97 <> 0),
+    grp AS (
+      SELECT doc_id,
+             doc_id - row_number() OVER (ORDER BY doc_id) AS island_key
+      FROM ids),
+    islands AS (
+      SELECT island_key, COUNT(*) AS len,
+             MIN(doc_id) AS lo, MAX(doc_id) AS hi
+      FROM grp GROUP BY island_key)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS max_island_len,
+           CAST(SUM(len) AS BIGINT) AS n_ids,
+           CAST(MAX(hi) - MIN(lo) + 1 - SUM(len) AS BIGINT) AS n_missing
+    FROM islands
+    """,
+    tags=("E85", "W1", "A1"),
+)
+def q_docid_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands contiguity audit: the id-minus-row_number
+    trick labels every maximal run of consecutive ids with one
+    constant key, so run lengths and the missing-id count fall out
+    of two aggregates — the data-integrity check for 'did every
+    sequence number arrive?' (here the %97 holdout split plays the
+    deleted rows). One window sort + one small aggregate."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 97 != 0)
+    w = Window.orderBy("doc_id")
+    grp = d.select(
+        "doc_id", (F.col("doc_id") - F.row_number().over(w)).alias("island_key")
+    )
+    islands = grp.groupBy("island_key").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    )
+    return islands.agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("len").cast("long").alias("max_island_len"),
+        F.sum("len").cast("long").alias("n_ids"),
+        (F.max("hi") - F.min("lo") + 1 - F.sum("len")).cast("long").alias("n_missing"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E86: interval merge — union of overlapping validity windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_merged_order_windows",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey, o_orderdate AS s,
+             o_orderdate + INTERVAL (o_orderkey % 20) DAY AS e
+      FROM orders),
+    marked AS (
+      SELECT o_custkey, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT o_custkey, s, e,
+             SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e)
+               AS island
+      FROM marked)
+    SELECT o_custkey,
+           CAST(COUNT(DISTINCT island) AS BIGINT) AS n_windows,
+           CAST(SUM(d) AS BIGINT) AS covered_days
+    FROM (
+      SELECT o_custkey, island,
+             datediff('day', MIN(s), MAX(e)) + 1 AS d
+      FROM islands GROUP BY o_custkey, island)
+    GROUP BY o_custkey
+    """,
+    tags=("E86", "J8", "W4", "F5"),
+)
+def q_merged_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per customer: overlapping activity windows
+    (order date + an order-derived duration) merge into maximal
+    disjoint windows via the running-max-end island construction —
+    one window pass marks where a new disjoint interval starts, a
+    running sum labels islands, and the per-island extent aggregates
+    to window count + covered days. This is the interval-algebra
+    primitive under SLA coverage, downtime accounting, and validity
+    ranges — no self-join, no explode-per-day."""
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("s"),
+        F.date_add(
+            F.col("o_orderdate"), (F.col("o_orderkey") % 20).cast("int")
+        ).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "o_custkey",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(wprev), 1).otherwise(0).alias(
+            "new_island"
+        ),
+    )
+    wsum = Window.partitionBy("o_custkey").orderBy("s", "e")
+    islands = marked.select(
+        "o_custkey", "s", "e", F.sum("new_island").over(wsum).alias("island")
+    )
+    per_island = islands.groupBy("o_custkey", "island").agg(
+        (F.datediff(F.max("e"), F.min("s")) + 1).alias("d")
+    )
+    return per_island.groupBy("o_custkey").agg(
+        F.countDistinct("island").cast("long").alias("n_windows"),
+        F.sum("d").cast("long").alias("covered_days"),
     )
