@@ -588,7 +588,7 @@ def q_nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# E84: median absolute deviation — pure Catalyst (UDAF-free) form
+# E83: median absolute deviation — pure Catalyst (UDAF-free) form
 # --------------------------------------------------------------------------
 
 
@@ -605,7 +605,7 @@ def q_nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN med USING (l_returnflag)
     GROUP BY l.l_returnflag
     """,
-    tags=("E84", "A5", "J5", "X3"),
+    tags=("E83", "A5", "J5", "X3"),
 )
 def q_quantity_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation per group in pure Catalyst — the

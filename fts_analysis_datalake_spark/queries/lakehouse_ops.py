@@ -434,7 +434,7 @@ def q_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # --------------------------------------------------------------------------
-# E85: gaps and islands — contiguity audit over an id sequence
+# E84: gaps and islands — contiguity audit over an id sequence
 # --------------------------------------------------------------------------
 
 
@@ -457,7 +457,7 @@ def q_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(hi) - MIN(lo) + 1 - SUM(len) AS BIGINT) AS n_missing
     FROM islands
     """,
-    tags=("E85", "W1", "A1"),
+    tags=("E84", "W1", "A1"),
 )
 def q_docid_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands contiguity audit: the id-minus-row_number
@@ -485,7 +485,7 @@ def q_docid_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# E86: interval merge — union of overlapping validity windows
+# E85: interval merge — union of overlapping validity windows
 # --------------------------------------------------------------------------
 
 
@@ -517,7 +517,7 @@ def q_docid_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM islands GROUP BY o_custkey, island)
     GROUP BY o_custkey
     """,
-    tags=("E86", "J8", "W4", "F5"),
+    tags=("E85", "J8", "W4", "F5"),
 )
 def q_merged_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval union per customer: overlapping activity windows
