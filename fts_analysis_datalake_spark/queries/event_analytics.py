@@ -1200,3 +1200,200 @@ def q_decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E86: week-over-week growth — lag-based KPI deltas
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_weekly_value_growth",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT date_trunc('week', ts) AS wk, {sql_dsum('value')} AS wk_value
+      FROM events GROUP BY 1)
+    SELECT wk, wk_value,
+           LAG(wk_value) OVER (ORDER BY wk) AS prev_value,
+           CASE WHEN LAG(wk_value) OVER (ORDER BY wk) > 0
+                THEN (wk_value - LAG(wk_value) OVER (ORDER BY wk))
+                     / LAG(wk_value) OVER (ORDER BY wk)
+           END AS wow_growth,
+           wk_value > COALESCE(LAG(wk_value) OVER (ORDER BY wk), 0) AS grew
+    FROM weekly
+    """,
+    tags=("E86", "W3", "F4", "A1"),
+)
+def q_weekly_value_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KPI report row: weekly total, previous week, percentage
+    growth, direction flag — one lag window over the (tiny) weekly
+    aggregate. Weekly sums are the deterministic scaled form, so the
+    growth ratio divides identical doubles on both engines; the
+    first week's growth is NULL by construction."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+        dsum(F.col("value")).alias("wk_value")
+    )
+    w = Window.orderBy("wk")
+    prev = F.lag("wk_value").over(w)
+    return weekly.select(
+        "wk",
+        "wk_value",
+        prev.alias("prev_value"),
+        F.when(prev > 0, (F.col("wk_value") - prev) / prev).alias("wow_growth"),
+        (F.col("wk_value") > F.coalesce(prev, F.lit(0.0))).alias("grew"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E87: earth mover's distance (1-D) — distribution distance, exact
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_emd_value_distributions",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(FLOOR(value / 25) AS BIGINT) AS b,
+             COUNT(*) FILTER (event_type = 'purchase') AS na,
+             COUNT(*) FILTER (event_type = 'view') AS nb
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY 1),
+    c AS (
+      SELECT b, SUM(na) OVER (ORDER BY b) AS ca, SUM(nb) OVER (ORDER BY b) AS cb,
+             (SELECT SUM(na) FROM h) AS ta, (SELECT SUM(nb) FROM h) AS tb
+      FROM h)
+    SELECT CAST(SUM(abs(ca * tb - cb * ta)) AS DOUBLE) / (MAX(ta) * MAX(tb))
+             * 25 AS emd,
+           CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b
+    FROM c
+    """,
+    tags=("E87", "A14", "W4", "F6"),
+)
+def q_emd_value_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth mover's (Wasserstein-1) distance between two value
+    distributions — the drift metric that, unlike PSI (E53), has
+    units (value mass x distance) and no smoothing knobs. In 1-D,
+    EMD = integral |CDF_a - CDF_b|; on a shared histogram the
+    cross-multiplied integer form sum|cumA*totB - cumB*totA| stays
+    EXACT until one final division — no double accumulates across
+    buckets. One scan, one tiny cumulative window."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    h = e.groupBy(F.floor(F.col("value") / 25).cast("long").alias("b")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nb"),
+    )
+    tot = h.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "b", F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    ).crossJoin(F.broadcast(tot))
+    return c.agg(
+        (
+            F.sum(F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))).cast(
+                "double"
+            )
+            / (F.max("ta") * F.max("tb"))
+            * 25
+        ).alias("emd"),
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E88: linear interpolation gap-fill — LOCF's smoother sibling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_gapfill_linear_interp",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+    j AS (
+      SELECT spine.h, hourly.cents,
+             CAST(FLOOR(epoch(spine.h)) AS BIGINT) AS hs
+      FROM spine LEFT JOIN hourly ON spine.h = hourly.h),
+    ctx AS (
+      SELECT h, hs, cents,
+             LAST_VALUE(cents IGNORE NULLS) OVER
+               (ORDER BY hs ROWS UNBOUNDED PRECEDING) AS pv,
+             MAX(CASE WHEN cents IS NOT NULL THEN hs END) OVER
+               (ORDER BY hs ROWS UNBOUNDED PRECEDING) AS ph,
+             FIRST_VALUE(cents IGNORE NULLS) OVER
+               (ORDER BY hs ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nv,
+             MIN(CASE WHEN cents IS NOT NULL THEN hs END) OVER
+               (ORDER BY hs ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nh
+      FROM j)
+    SELECT hs AS hour_s,
+           cents IS NULL AS interpolated,
+           CASE
+             WHEN cents IS NOT NULL THEN cents / 100.0
+             WHEN pv IS NULL THEN nv / 100.0
+             WHEN nv IS NULL THEN pv / 100.0
+             ELSE (pv + CAST((nv - pv) AS DOUBLE) * (hs - ph) / (nh - ph)) / 100.0
+           END AS filled_value
+    FROM ctx
+    """,
+    tags=("E88", "E22", "W7", "F4"),
+)
+def q_gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION between the nearest observed
+    neighbors (LOCF's smoother sibling, E22): forward and backward
+    window passes fetch the previous/next observation and its hour,
+    and the fill is the exact lerp pv + (nv-pv)*(t-t0)/(t1-t0) on
+    integer cents and integer hour offsets — one double expression,
+    identical both engines; edges degrade to nearest-value fill.
+    Costs two window passes over the hourly spine, nothing over raw
+    events."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    j = spine.join(hourly, "h", "left").select(
+        F.unix_timestamp("h").alias("hs"), "cents"
+    )
+    wb = Window.orderBy("hs").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("hs").rowsBetween(0, Window.unboundedFollowing)
+    obs_hs = F.when(F.col("cents").isNotNull(), F.col("hs"))
+    ctx = j.select(
+        "hs",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wb).alias("pv"),
+        F.max(obs_hs).over(wb).alias("ph"),
+        F.first("cents", ignorenulls=True).over(wf).alias("nv"),
+        F.min(obs_hs).over(wf).alias("nh"),
+    )
+    fill = (
+        F.when(F.col("cents").isNotNull(), F.col("cents") / 100.0)
+        .when(F.col("pv").isNull(), F.col("nv") / 100.0)
+        .when(F.col("nv").isNull(), F.col("pv") / 100.0)
+        .otherwise(
+            (
+                F.col("pv")
+                + (F.col("nv") - F.col("pv")).cast("double")
+                * (F.col("hs") - F.col("ph"))
+                / (F.col("nh") - F.col("ph"))
+            )
+            / 100.0
+        )
+    )
+    return ctx.select(
+        F.col("hs").alias("hour_s"),
+        F.col("cents").isNull().alias("interpolated"),
+        fill.alias("filled_value"),
+    )
