@@ -626,3 +626,117 @@ def q_quantity_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+# --------------------------------------------------------------------------
+# E90: top-k per parent with share-of-parent — rank + ratio in one pass
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_top_parts_per_nation_share",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_partkey,
+             SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT s_nationkey, l_partkey, cents,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY cents DESC, l_partkey) AS rk,
+             SUM(cents) OVER (PARTITION BY s_nationkey) AS nation_cents
+      FROM rev)
+    SELECT s_nationkey, l_partkey, rk,
+           cents / 100.0 AS part_revenue,
+           CAST(cents AS DOUBLE) / nation_cents AS share_of_nation
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("E90", "O3", "W1", "W4"),
+)
+def q_top_parts_per_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts per supplier nation WITH each part's share
+    of its nation's total — rank and percent-of-parent off ONE
+    window shuffle (both windows partition on the same key, so
+    Catalyst reuses the exchange+sort). Revenue stays integer cents
+    through the rank, the total, and the tiebreak; WindowGroupLimit
+    pushes the rk<=3 filter into the sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(
+            F.broadcast(s.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")),
+            "l_suppkey",
+        )
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+    )
+    wr = Window.partitionBy("s_nationkey").orderBy(F.desc("cents"), "l_partkey")
+    wt = Window.partitionBy("s_nationkey")
+    return (
+        rev.select(
+            "s_nationkey",
+            "l_partkey",
+            "cents",
+            F.row_number().over(wr).alias("rk"),
+            F.sum("cents").over(wt).alias("nation_cents"),
+        )
+        .where(F.col("rk") <= 3)
+        .select(
+            "s_nationkey",
+            "l_partkey",
+            "rk",
+            (F.col("cents") / 100.0).alias("part_revenue"),
+            (F.col("cents").cast("double") / F.col("nation_cents")).alias(
+                "share_of_nation"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E91: index of dispersion — Poisson-ness of arrival counts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_arrival_dispersion_index",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS k_hours,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_rate,
+           (COUNT(*) * SUM(n * n) - SUM(n) * SUM(n))
+             / CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE)
+             / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS dispersion
+    FROM hourly GROUP BY event_type
+    """,
+    tags=("E91", "A6", "F4"),
+)
+def q_arrival_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of hourly arrival
+    counts per type: ~1 means Poisson arrivals, >1 bursty, <1
+    regular — the workload-characterization number behind capacity
+    models. Counts are integers, so the moment sums and the variance
+    numerator are exact; only the final two divisions touch doubles,
+    identically on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    k = F.count(F.lit(1))
+    s1 = F.sum("n")
+    s2 = F.sum(F.col("n") * F.col("n"))
+    return hourly.groupBy("event_type").agg(
+        k.cast("long").alias("k_hours"),
+        (s1.cast("double") / k).alias("mean_rate"),
+        (
+            (k * s2 - s1 * s1) / (k * (k - 1)).cast("double") / (s1.cast("double") / k)
+        ).alias("dispersion"),
+    )

@@ -413,3 +413,53 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate").cast("double") / F.greatest("true_join_rows", F.lit(1))).alias("inflation"),
     )
+
+
+# --------------------------------------------------------------------------
+# E89: bucketed co-located join — the shuffle paid once, at write time
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_bucketed_join_revenue",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice', 2)} AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("E89", "S4", "J1", "A1"),
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketing payoff as a declared query: both join sides were
+    written ONCE bucketed by the join key (8 buckets, sorted), so
+    this join reads co-located buckets and plans with no Exchange on
+    either side — at 100 TB that is the entire shuffle of the two
+    biggest tables paid once at ingest instead of on every join
+    (tests/test_scale.py asserts the exchange-free plan; this query
+    proves the ANSWER matches the plain-join oracle). Writes are
+    per-process cached via the session catalog."""
+    import os
+
+    from fts_analysis_datalake_spark.operators.scale import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from fts_analysis_datalake_spark.queries.streaming_sources import CACHE_DIR
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    t_li, t_o = f"q_bkt_li_{sf_tag}", f"q_bkt_o_{sf_tag}"
+    write_bucketed(li, t_li, "l_orderkey", 8, f"{CACHE_DIR}/bkt_li_{sf_tag}")
+    write_bucketed(o, t_o, "l_orderkey", 8, f"{CACHE_DIR}/bkt_o_{sf_tag}")
+    joined = bucketed_join(spark, t_li, t_o, "l_orderkey")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_extendedprice"), 2).alias("total_price"),
+    )
