@@ -1397,3 +1397,175 @@ def q_gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").isNull().alias("interpolated"),
         fill.alias("filled_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# E92: time-bounded funnel — conversion must land within 24 h
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_funnel_within_24h",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    conv AS (
+      SELECT DISTINCT e.user_id
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewers,
+           (SELECT COUNT(*) FROM conv) AS n_converted_24h
+    """,
+    tags=("E92", "E19", "J8", "F5"),
+)
+def q_funnel_within_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with a CONVERSION WINDOW: a purchase only counts if
+    it lands within 24 h of the user's first view — the form every
+    attribution/campaign report actually uses (unbounded funnels
+    overstate conversion). Same frontier-join shape as E19 plus an
+    interval upper bound; the distinct collapses multiple qualifying
+    purchases to one converting user."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewers"))
+        .crossJoin(F.broadcast(conv.agg(F.count(F.lit(1)).alias("n_converted_24h"))))
+    )
+
+
+# --------------------------------------------------------------------------
+# E94: cohort LTV curve — cumulative value by cohort age
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events
+      GROUP BY user_id),
+    wk AS (
+      SELECT f.cohort_week,
+             datediff('week', f.cohort_week, date_trunc('week', e.ts))
+               AS age_weeks,
+             SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      GROUP BY 1, 2),
+    cohort_sizes AS (
+      SELECT cohort_week, COUNT(*) AS n_users FROM firsts GROUP BY cohort_week)
+    SELECT wk.cohort_week, age_weeks,
+           SUM(SUM(cents)) OVER (PARTITION BY wk.cohort_week ORDER BY age_weeks)
+             / 100.0 / MAX(cs.n_users) AS cum_value_per_user,
+           CAST(MAX(cs.n_users) AS BIGINT) AS n_users
+    FROM wk JOIN cohort_sizes cs ON wk.cohort_week = cs.cohort_week
+    GROUP BY wk.cohort_week, age_weeks
+    """,
+    tags=("E94", "E20", "W4", "A1"),
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative value per user by
+    cohort age — the retention triangle (E20) with money on it, the
+    chart growth teams actually steer by. Integer cents accumulate
+    through the cumulative window (exact under any association), and
+    each cohort's size divides once at the end. One frontier join,
+    one aggregate, one window over the tiny (cohort x age) grid."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    wk = (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("age_weeks"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    return (
+        wk.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            (F.sum("cents").over(w) / 100.0 / F.col("n_users")).alias(
+                "cum_value_per_user"
+            ),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E95: session depth distribution — engagement histogram
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_session_depth_histogram",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS sess_id
+      FROM ordered),
+    depths AS (
+      SELECT user_id, sess_id, COUNT(*) AS depth
+      FROM sess GROUP BY user_id, sess_id)
+    SELECT LEAST(CAST(depth AS BIGINT), 10) AS depth_bucket,
+           COUNT(*) AS n_sessions
+    FROM depths GROUP BY 1
+    """,
+    tags=("E95", "W8", "A14"),
+)
+def q_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement depth: events-per-session histogram (30-min gap
+    sessionization, W8 semantics), capped at 10+ — the one-glance
+    answer to 'are sessions one-shot or deep?'. Session labeling is
+    the standard gap-flag cumsum on the (ts, event_id) total order;
+    the histogram rides two cheap aggregates after the one window
+    shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sess_id"),
+    )
+    depths = sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("depth"))
+    return depths.groupBy(
+        F.least(F.col("depth").cast("long"), F.lit(10).cast("long")).alias(
+            "depth_bucket"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_sessions"))

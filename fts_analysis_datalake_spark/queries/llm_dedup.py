@@ -285,3 +285,83 @@ def q_prefix_filtered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_for_pairs(d, "doc_id", "text", cands, shingle_n=3).filter(
         F.col("jaccard") >= _PPJ_T
     )
+
+# --------------------------------------------------------------------------
+# E93: containment detection — asymmetric overlap (excerpt mining)
+# --------------------------------------------------------------------------
+
+_CONTAIN_T = 0.9
+
+
+@query(
+    "q_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({sql_ngrams(sql_tokens('text'), 3)}) AS s
+      FROM documents
+      WHERE len({sql_tokens('text')}) >= 3)
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+             AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+            >= {_CONTAIN_T}
+    """,
+    tags=("E93", "E68", "D4"),
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate detection: containment
+    |A∩B| / |A| >= 0.9 finds documents that are EXCERPTS or subsets
+    of another — invisible to Jaccard (a paragraph quoted inside a
+    long doc has tiny J but containment ~1), and exactly what
+    quote/boilerplate mining needs. Candidates use the directional
+    prefix bound (a pair at containment t must share one of A's
+    ceil((1-t)|A|)+1 rarest shingles, joined against B's FULL
+    posting rows — lossless); exact verify divides by |A| only.
+    Oracle is the directed brute-force join; results match
+    exactly."""
+    from fts_analysis_datalake_spark.operators.dedup import shingle_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(d, "doc_id", "text", 3).distinct()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("doc_id").orderBy("freq", "shingle")
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(wr))
+        .join(sizes, "doc_id")
+        .where(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(_CONTAIN_T) * F.col("sz")) + 1
+        )
+        .select(F.col("doc_id").alias("contained_id"), "shingle")
+    )
+    cands = (
+        prefix.join(sh.withColumnRenamed("doc_id", "container_id"), "shingle")
+        .where(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    return (
+        cands.join(
+            sets.withColumnsRenamed({"doc_id": "contained_id", "s": "s_a"}),
+            "contained_id",
+        )
+        .join(
+            sets.withColumnsRenamed({"doc_id": "container_id", "s": "s_b"}),
+            "container_id",
+        )
+        .select(
+            "contained_id",
+            "container_id",
+            (
+                F.size(F.array_intersect("s_a", "s_b")).cast("double")
+                / F.size("s_a")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= _CONTAIN_T)
+    )
