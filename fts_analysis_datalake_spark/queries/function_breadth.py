@@ -740,3 +740,184 @@ def q_arrival_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (k * s2 - s1 * s1) / (k * (k - 1)).cast("double") / (s1.cast("double") / k)
         ).alias("dispersion"),
     )
+
+# --------------------------------------------------------------------------
+# E96: Mann-Kendall trend test — monotone-trend statistic
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2)
+    SELECT a.event_type,
+           CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                         WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT)
+             AS s_statistic,
+           CAST(COUNT(DISTINCT a.d) + 1 AS BIGINT) AS n_days
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND b.d > a.d
+    GROUP BY a.event_type
+    """,
+    tags=("E96", "J7", "A1"),
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S statistic per type: the nonparametric monotone
+    trend test (sum of pairwise later-vs-earlier signs) — robust to
+    outliers and distribution-free, the standard 'is this series
+    drifting?' answer. The pair join is per-series over the DAILY
+    aggregate (n~30 days -> ~400 pairs each), integer throughout; at
+    longer horizons the O(n^2) pairs bound stays harmless because n
+    is DAYS, not events. Band self-join with equi type prefix — no
+    cartesian."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    a = daily.withColumnsRenamed({"d": "d_a", "cents": "c_a"})
+    b = daily.withColumnsRenamed({"d": "d_b", "cents": "c_b"})
+    pairs = a.join(b, "event_type").where(F.col("d_b") > F.col("d_a"))
+    sign = (
+        F.when(F.col("c_b") > F.col("c_a"), 1)
+        .when(F.col("c_b") < F.col("c_a"), -1)
+        .otherwise(0)
+    )
+    return pairs.groupBy("event_type").agg(
+        F.sum(sign).cast("long").alias("s_statistic"),
+        (F.countDistinct("d_a") + 1).cast("long").alias("n_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E97: seasonality strength — variance explained by the hour profile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonality_strength",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, hour(ts) AS hod,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    profile AS (
+      SELECT event_type, hod, SUM(n) AS pn, COUNT(*) AS pk
+      FROM hourly GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, SUM(n) AS tn, COUNT(*) AS tk
+      FROM hourly GROUP BY 1),
+    terms AS (
+      SELECT hourly.event_type,
+             CAST(FLOOR(
+               (n - CAST(pn AS DOUBLE) / pk)
+               * (n - CAST(pn AS DOUBLE) / pk) * 1000000 + 0.5) AS BIGINT)
+               AS q_res,
+             CAST(FLOOR(
+               (n - CAST(tn AS DOUBLE) / tk)
+               * (n - CAST(tn AS DOUBLE) / tk) * 1000000 + 0.5) AS BIGINT)
+               AS q_tot
+      FROM hourly
+      JOIN profile ON hourly.event_type = profile.event_type
+                  AND hourly.hod = profile.hod
+      JOIN tot ON hourly.event_type = tot.event_type)
+    SELECT event_type,
+           1.0 - CAST(SUM(q_res) AS DOUBLE) / SUM(q_tot)
+             AS variance_explained
+    FROM terms GROUP BY event_type
+    """,
+    tags=("E97", "E63", "A6"),
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How seasonal is each series? 1 - SS_residual/SS_total where
+    the model is the hour-of-day profile mean — the R^2 of
+    seasonality, deciding whether the 7x24 grid (E63) is signal or
+    noise. Squared deviations are 1e-6-quantized before summing
+    (order-free); the profile and grand means divide exact integers
+    identically on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    profile = hourly.groupBy("event_type", "hod").agg(
+        F.sum("n").alias("pn"), F.count(F.lit(1)).alias("pk")
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.count(F.lit(1)).alias("tk")
+    )
+    dres = F.col("n") - F.col("pn").cast("double") / F.col("pk")
+    dtot = F.col("n") - F.col("tn").cast("double") / F.col("tk")
+    q_res = F.floor(dres * dres * 1000000 + F.lit(0.5)).cast("long")
+    q_tot = F.floor(dtot * dtot * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        hourly.join(F.broadcast(profile), ["event_type", "hod"])
+        .join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.lit(1.0) - F.sum(q_res).cast("double") / F.sum(q_tot)).alias(
+                "variance_explained"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E98: two-proportion z-test — the A/B experiment readout
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ab_conversion_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 250
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT arm, COUNT(*) AS n, SUM(converted) AS x
+      FROM assign GROUP BY arm)
+    SELECT MAX(CASE WHEN arm = 0 THEN CAST(x AS DOUBLE) / n END) AS rate_a,
+           MAX(CASE WHEN arm = 1 THEN CAST(x AS DOUBLE) / n END) AS rate_b,
+           (MAX(CASE WHEN arm = 0 THEN CAST(x AS DOUBLE) / n END)
+            - MAX(CASE WHEN arm = 1 THEN CAST(x AS DOUBLE) / n END))
+           / sqrt(CAST(SUM(x) AS DOUBLE) / SUM(n)
+                  * (1 - CAST(SUM(x) AS DOUBLE) / SUM(n))
+                  * (1.0 / MAX(CASE WHEN arm = 0 THEN n END)
+                     + 1.0 / MAX(CASE WHEN arm = 1 THEN n END))) AS z_score
+    FROM arms
+    """,
+    tags=("E98", "A7", "F6"),
+)
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment readout: per-arm conversion rates (user_id
+    parity stands in for assignment; conversion = a high-value
+    purchase so the fixture rate sits strictly inside (0,1)) and the
+    pooled two-proportion z-score — the number every A/B dashboard
+    prints. All inputs are exact integer counts; the z expression is
+    one double formula written identically on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 250), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    ra = F.max(F.when(F.col("arm") == 0, F.col("x").cast("double") / F.col("n")))
+    rb = F.max(F.when(F.col("arm") == 1, F.col("x").cast("double") / F.col("n")))
+    pooled = F.sum("x").cast("double") / F.sum("n")
+    z = (ra - rb) / F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (
+            1.0 / F.max(F.when(F.col("arm") == 0, F.col("n")))
+            + 1.0 / F.max(F.when(F.col("arm") == 1, F.col("n")))
+        )
+    )
+    return arms.agg(ra.alias("rate_a"), rb.alias("rate_b"), z.alias("z_score"))
