@@ -465,3 +465,98 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("bin_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# E100: the curation pipeline, end to end — staged survivor counts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_curation_pipeline_stages",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, text, lang, n_chars FROM documents),
+    s1 AS (SELECT * FROM raw WHERE lang IN ('en', 'es', 'fr', 'de')),
+    s2 AS (SELECT * FROM s1 WHERE n_chars >= 160),
+    s3 AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM s2)
+      WHERE rn = 1),
+    s4 AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM s3)
+    SELECT 'raw' AS stage, CAST(1 AS BIGINT) AS stage_idx,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM raw
+    UNION ALL SELECT 'lang_filter', 2, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM s1
+    UNION ALL SELECT 'length_filter', 3, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM s2
+    UNION ALL SELECT 'exact_dedup', 4, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM s3
+    UNION ALL SELECT 'split_' || split, 5, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM s4 GROUP BY split
+    """,
+    tags=("E100", "E70", "E71", "D1", "A1"),
+)
+def q_curation_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE lineage with per-stage
+    accounting: raw -> language allowlist -> length floor -> exact
+    dedup (deterministic min-id survivor per content hash) -> split
+    assignment — the end-to-end run a data team ships, with the
+    stage table an auditor reads. Every stage is the operator
+    declared individually elsewhere (E70/E71/D1); composing them in
+    one DataFrame lineage means Catalyst sees ONE plan and the scan
+    happens once per emitted stage row-set, not once per rule."""
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    s1 = raw.where(F.col("lang").isin("en", "es", "fr", "de"))
+    s2 = s1.where(F.col("n_chars") >= 160)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s3 = (
+        s2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    s4 = s3.select(
+        "doc_id",
+        "n_chars",
+        F.when(hx <= "cb", "train").when(hx <= "e5", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+    def stage(df, name, idx):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+
+    splits = s4.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    ).select(
+        F.concat(F.lit("split_"), F.col("split")).alias("stage"),
+        F.lit(5).cast("long").alias("stage_idx"),
+        "n_docs",
+        "n_chars",
+    )
+    return (
+        stage(raw, "raw", 1)
+        .unionByName(stage(s1, "lang_filter", 2))
+        .unionByName(stage(s2, "length_filter", 3))
+        .unionByName(stage(s3, "exact_dedup", 4))
+        .unionByName(splits)
+    )

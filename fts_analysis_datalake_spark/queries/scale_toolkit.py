@@ -463,3 +463,47 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum(F.col("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# E99: key-skew report — the numbers that justify salting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_key_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) AS top1_share,
+           quantile_cont(n, 0.50) AS p50_rows,
+           quantile_cont(n, 0.99) AS p99_rows,
+           quantile_cont(n, 0.99) / quantile_cont(n, 0.50) AS p99_p50_ratio
+    FROM k
+    """,
+    tags=("E99", "E16", "A5"),
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew diagnostic that decides whether a join/agg key needs
+    salting (E16), AQE skew handling, or nothing: per-key row counts
+    summarized as top-1 share and the p99/p50 ratio. A ratio near 1
+    means uniform keys (salting would only add overhead); a top-1
+    share near a task's worth of data predicts a straggler. One
+    count aggregate + one tiny percentile pass over per-key counts
+    (integral -> bit-equal interpolation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    return k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        (F.max("n").cast("double") / F.sum("n")).alias("top1_share"),
+        F.percentile("n", F.lit(0.50)).alias("p50_rows"),
+        F.percentile("n", F.lit(0.99)).alias("p99_rows"),
+        (F.percentile("n", F.lit(0.99)) / F.percentile("n", F.lit(0.50))).alias(
+            "p99_p50_ratio"
+        ),
+    )
