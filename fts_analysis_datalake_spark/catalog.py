@@ -31,7 +31,39 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
+# Runtime-settable SQL confs applied once per session the first time a
+# table is loaded. The driver harness passes its OWN SparkSession into
+# declared queries; without this, that session runs with stock defaults
+# (e.g. 200 shuffle partitions) and pays ~6x the reduce-task launch
+# overhead per shuffle at verification scale. Every key here is a
+# runtime-settable spark.sql.* conf (same set session.py bakes into
+# builders), so this is a no-op when the session is already tuned.
+_RUNTIME_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+_TUNED_APPS: set[str] = set()
+
+
+def _tune_runtime(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    if app in _TUNED_APPS:
+        return
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked conf must never fail a query
+            pass
+    _TUNED_APPS.add(app)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune_runtime(spark)
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

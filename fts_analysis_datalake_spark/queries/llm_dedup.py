@@ -226,7 +226,12 @@ def q_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fts_analysis_datalake_spark.operators.graphs import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    # The verified-pair set is consumed TWICE (the CC edge checkpoint
+    # and the pair-count aggregate); persisting it keeps the whole
+    # MinHash->LSH->verify lineage to ONE execution. Same lifecycle
+    # contract as near_dup_pairs' signature persist (bench/driver
+    # clearCache between queries releases it).
+    pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.8).persist()
     clusters = dedup_clusters(pairs.select("id_a", "id_b"))
     cstats = clusters.agg(
         F.count(F.lit(1)).alias("n_members"),
