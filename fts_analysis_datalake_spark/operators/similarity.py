@@ -447,3 +447,57 @@ def kmeans_train(
             .localCheckpoint()
         )
     return cents
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    centroids: DataFrame | None = None,
+    every: int = 53,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster-scoped
+    cosine >= ``threshold`` -> (id_a, id_b, cos_sim).
+
+    The defining move (Abbas et al. 2023, SemDeDup): candidate
+    generation is scoped to a coarse k-means CLUSTER — vectors are
+    assigned to their nearest centroid and only same-cluster pairs
+    are compared, so the pairwise cost is sum of cluster sizes
+    squared instead of corpus squared, and each cluster's pairs are
+    an independent (embarrassingly parallel) block. Near-identical
+    vectors land in the same cluster with overwhelming probability,
+    which is why the recall loss vs all-pairs is negligible in
+    practice (cross-cluster misses are property-measured in
+    tests/test_similarity.py, not hidden).
+
+    ``centroids`` takes kmeans_train output; default is the seeded
+    deterministic stand-in (same contract as ivf_topk). Row norms are
+    computed once per vector before the self-join, so each candidate
+    pair costs one dot-product fold."""
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(emb, every, id_col, vec_col)
+    )
+    assigned = ivf_assign(emb, cents, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cent_id"), norm(F.col(vec_col)).alias("_n")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._n") * F.col("b._n"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

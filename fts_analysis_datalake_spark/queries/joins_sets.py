@@ -260,19 +260,23 @@ def q_active_both_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
     EXCEPT
     SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
     """,
     tags=("U4",),
 )
 def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers active in 1995 never seen after — EXCEPT (distinct)."""
+    """Customers active in 1995 never seen from 1998 on — EXCEPT
+    (distinct). The churn horizon starts at 1998 (not 1996) because
+    the fixture's customers nearly all reorder within two years — a
+    1996 horizon returns the empty set, which the oracle would
+    trivially 'match'."""
     o = load_table(spark, sf_dir, "orders")
     y95 = o.filter(
         F.col("o_orderdate").between(
             F.lit("1995-01-01").cast("timestamp"), F.lit("1995-12-31").cast("timestamp")
         )
     ).select("o_custkey")
-    later = o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")).select(
+    later = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")).select(
         "o_custkey"
     )
     return y95.subtract(later)
@@ -313,4 +317,77 @@ def q_union_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
         .unionByName(o.filter(F.col("o_totalprice") > 400000).select("o_custkey"))
         .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# E104: binned range self-join — both sides large, no tiny side
+# --------------------------------------------------------------------------
+
+_PAIR_TOL_S = 30  # pair tolerance, integral seconds
+
+
+@query(
+    "q_binned_event_pairs",
+    oracle=f"""
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+               FROM events)
+    SELECT a.event_type, COUNT(*) AS n_pairs,
+           CAST(SUM(abs(a.s - b.s)) AS DOUBLE) / COUNT(*) AS mean_gap_s
+    FROM e a JOIN e b
+      ON a.event_type = b.event_type
+     AND a.event_id < b.event_id
+     AND abs(a.s - b.s) <= {_PAIR_TOL_S}
+    GROUP BY a.event_type
+    """,
+    tags=("E104", "J7", "F7", "A1"),
+)
+def q_binned_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join where BOTH sides are large and there is no
+    selective equi-key: pairs of same-type events within 30 s of each
+    other (burst/correlation mining). The broadcast-grid trick (J8)
+    and the band-with-equi-prefix trick (J7) both assume one side is
+    small or pre-blocked; the general technique is BINNING — bucket
+    the time axis into tolerance-width bins, explode ONE side into
+    its bin and the two adjacent bins, and equi-join on (type, bin).
+    |Δt| <= tol implies |Δbin| <= 1, so every qualifying pair meets
+    on exactly ONE of the three exploded bins (they're distinct) —
+    lossless, no post-dedup, and the residual |Δt| filter runs inside
+    the hash join. At 100 TB this turns an impossible theta join into
+    a shuffle keyed on (type, bin) whose per-bucket fan-out is bounded
+    by the event rate per tolerance window. Second-resolution epoch
+    integers keep the residual arithmetic exact in both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_timestamp("ts").alias("s")
+    )
+    b = e.withColumn("bin", F.floor(F.col("s") / _PAIR_TOL_S))
+    a = e.select(
+        "event_id",
+        "event_type",
+        "s",
+        F.explode(
+            F.array(
+                F.floor(F.col("s") / _PAIR_TOL_S) - 1,
+                F.floor(F.col("s") / _PAIR_TOL_S),
+                F.floor(F.col("s") / _PAIR_TOL_S) + 1,
+            )
+        ).alias("bin"),
+    )
+    pairs = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.abs(F.col("a.s") - F.col("b.s")) <= _PAIR_TOL_S),
+    )
+    return (
+        pairs.groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(F.abs(F.col("a.s") - F.col("b.s"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_gap_s"),
+        )
     )

@@ -560,3 +560,154 @@ def q_curation_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s3, "exact_dedup", 4))
         .unionByName(splits)
     )
+
+
+# --------------------------------------------------------------------------
+# E101: segment-level boilerplate dedup — drop repeated spans, rebuild docs
+# --------------------------------------------------------------------------
+
+_SEG_W = 8  # tokens per segment
+_SEG_MIN_DOCS = 2  # a segment in >= this many distinct docs is boilerplate
+
+
+@query(
+    "q_segment_dedup_rebuild",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(list_slice(toks, (i-1)*{_SEG_W}+1, i*{_SEG_W}), ' ') AS seg
+      FROM t, unnest(generate_series(1, CAST(ceil(len(toks)/{_SEG_W}.0) AS BIGINT))) u(i)),
+    boiler AS (
+      SELECT seg FROM segs GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id) >= {_SEG_MIN_DOCS}),
+    kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+      FROM kept GROUP BY doc_id),
+    totals AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
+    SELECT totals.doc_id, n_segs,
+           n_segs - COALESCE(n_kept, 0) AS n_dropped,
+           COALESCE(clean_text, '') AS clean_text
+    FROM totals LEFT JOIN rebuilt ON totals.doc_id = rebuilt.doc_id
+    """,
+    tags=("E101", "D1", "F7", "A9"),
+)
+def q_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (segment-level) exact dedup — the boilerplate
+    remover that document-level dedup cannot express: chunk each doc
+    into fixed 8-token segments, drop every segment that occurs
+    in >= 2 distinct documents (repeated header/footer/
+    quoted content), and REBUILD the surviving document in original
+    segment order. At 100 TB this is the RefinedWeb/CCNet line-dedup
+    pass re-expressed: the only wide ops are a segment-frequency
+    aggregate over md5-sized keys and a per-doc ordered reassembly,
+    both map-side-combinable; texts shuffle once for the rebuild
+    (segment strings, never full docs, cross the wire for the
+    frequency count). Output is per-doc accounting + the cleaned
+    text, so the pass is auditable (chars in vs chars out)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("toks"))
+    # Segment list built over indices with the token array bound as a
+    # column attribute on a separate projection — the lambda slices a
+    # materialized array; the tokenizer chain runs once per row (the
+    # E41 O(tokens^2) lesson).
+    seg_arr = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size("toks") / F.lit(float(_SEG_W))).cast("int")),
+        lambda i: F.array_join(
+            F.slice(F.col("toks"), (i - F.lit(1)) * _SEG_W + F.lit(1), _SEG_W), " "
+        ),
+    )
+    segs = toks.select("doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg"))
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _SEG_MIN_DOCS)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        (F.col("n_segs") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E102: unigram LM negative-log-likelihood quality scoring (CCNet-style)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_unigram_logprob_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents),
+    vocab AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT SUM(c) AS t FROM vocab),
+    q AS (SELECT term,
+                 CAST(FLOOR(-ln(CAST(c AS DOUBLE) / t) * 1e9 + 0.5) AS BIGINT) AS qnll
+          FROM vocab, tot),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             SUM(qnll) AS snll
+      FROM tok JOIN q USING (term) GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(snll AS DOUBLE) / (n_tokens * 1e9) AS mean_nll,
+           ntile(10) OVER (ORDER BY snll * 1.0 / n_tokens, doc_id) AS nll_decile
+    FROM per_doc
+    """,
+    tags=("E102", "D13", "A1", "W2"),
+)
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring, CCNet-style with a unigram
+    model: train token frequencies on the corpus itself (one
+    aggregate over the exploded token stream), score every document
+    by mean negative log-likelihood, and decile-bucket the corpus —
+    high-NLL documents are the weird tail (rare-token soup) a
+    perplexity filter drops before pretraining. The ln terms are
+    1e-9-quantized integers (the established cross-engine libm
+    guard), so the per-doc sums are exact and the single final
+    division is bit-identical in both engines. At 100 TB the vocab
+    aggregate is a map-side-combined shuffle of terms (bounded by
+    vocabulary, not corpus) and the score join broadcasts the
+    vocabulary."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    q = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(-F.log(F.col("c").cast("double") / F.col("t")) * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("qnll"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(q), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("qnll").alias("snll"))
+    )
+    w = Window.orderBy(F.col("snll") * 1.0 / F.col("n_tokens"), "doc_id")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("snll").cast("double") / (F.col("n_tokens") * F.lit(1e9))).alias(
+            "mean_nll"
+        ),
+        F.ntile(10).over(w).alias("nll_decile"),
+    )

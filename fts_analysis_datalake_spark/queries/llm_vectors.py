@@ -431,3 +431,58 @@ def q_ivf_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
     cents = kmeans_train(e, k=8, iters=3)
     return ivf_topk(e, _query_vec(spark, sf_dir), k=10, nprobe=3, centroids=cents)
+
+
+# --------------------------------------------------------------------------
+# E103: SemDeDup — cluster-scoped semantic dedup with survivor accounting
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.3  # fixture embeddings are near-orthogonal randoms
+# (max pairwise cosine ~0.51); real corpora use ~0.95+. The threshold
+# is a parameter of the operator — the PLAN (cluster-scoped pairwise,
+# CC, survivor accounting) is what this query declares.
+
+
+@query(
+    "q_semantic_dedup_report",
+    oracle=None,  # cluster assignment is engine-side; property-tested
+    tags=("E103", "E15", "E46", "D5", "A2"),
+)
+def q_semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: coarse clusters scope the pairwise cosine
+    search, connected components group transitive duplicates, and the
+    one-row report accounts for survivors (kept = vectors - members +
+    clusters) — the embedding-space twin of the MinHash dedup
+    pipeline report (E57). Candidate generation never leaves a
+    cluster, so the pairwise stage is sum-of-cluster-sizes-squared,
+    not corpus-squared — the property that makes semantic dedup
+    feasible at billions of embeddings. Pair correctness, planted-
+    duplicate recall, and the accounting identity are asserted in
+    tests/test_similarity.py."""
+    from fts_analysis_datalake_spark.operators.graphs import dedup_clusters
+    from fts_analysis_datalake_spark.operators.similarity import semantic_dedup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # Pairs feed BOTH the CC edge set and the pair count — persist to
+    # run the assign+self-join lineage once (same contract as E57).
+    pairs = semantic_dedup_pairs(e, _SEMDEDUP_T).persist()
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    cstats = clusters.agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    pstats = pairs.agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    vstats = e.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        vstats.crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(cstats))
+        .select(
+            "n_vectors",
+            "n_dup_pairs",
+            "n_clusters",
+            "n_members",
+            (F.col("n_vectors") - F.col("n_members") + F.col("n_clusters")).alias(
+                "n_kept"
+            ),
+        )
+    )

@@ -266,7 +266,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN nation   ON n_nationkey = s_nationkey
-    WHERE p_name LIKE '%5%'
+    WHERE p_name LIKE '%red%'
     GROUP BY n_name, o_year
     ORDER BY n_name, o_year DESC
     """,
@@ -278,7 +278,7 @@ def q9_product_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan shape (LIKE-filtered part dim, broadcast dims, fact⋈fact
     shuffle, two-level group key) is the point, not the cost model."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
@@ -667,7 +667,8 @@ def q21_last_shipper_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WHERE c_acctbal > (SELECT {sql_dsum('c_acctbal', 2)} / COUNT(*)
                        FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
@@ -681,7 +682,12 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the same scaled sum on both engines, so the > comparison is
     deterministic."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    # "Inactive" = no orders since 2000 (every fixture customer has
+    # SOME order, so the classic no-orders-ever test is vacuous —
+    # the recency cutoff keeps the anti-join non-trivial).
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     thresh = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg((dsum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("bal_threshold"))

@@ -177,3 +177,79 @@ def test_trained_ivf_recall_floor(spark):
     exact = {r.vec_id for r in q_topk_similar_bruteforce(spark, SF_DIR_SMALL).collect()}
     approx = {r.vec_id for r in q_ivf_trained_ann(spark, SF_DIR_SMALL).collect()}
     assert len(exact & approx) >= 6, (exact, approx)
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Exact duplicates MUST be found: identical vectors get identical
+    (deterministic) cluster assignments, so no planted pair can be
+    lost to a cluster boundary — and their cosine is 1."""
+    import numpy as np
+
+    from fts_analysis_datalake_spark.operators.similarity import semantic_dedup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((120, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    # plant: ids 200..219 duplicate ids 0..19 exactly
+    rows += [(200 + i, [float(x) for x in base[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = semantic_dedup_pairs(df, 0.999, every=29).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    for i in range(20):
+        assert (i, 200 + i) in found, f"planted dup {i} lost"
+    for r in pairs:
+        assert r.cos_sim >= 0.999
+
+
+def test_semantic_dedup_precision_and_cluster_completeness(spark):
+    """Every returned pair really clears the threshold (numpy
+    recompute), and WITHIN a cluster no qualifying pair is missed —
+    the only sanctioned loss is cross-cluster."""
+    import numpy as np
+
+    from fts_analysis_datalake_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    t = 0.25
+    got = {(r.id_a, r.id_b): r.cos_sim for r in semantic_dedup_pairs(emb, t).collect()}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r.vec_id: np.array(r.embedding, dtype="float64") for r in rows}
+    assign = {
+        r.vec_id: r.cent_id
+        for r in ivf_assign(emb, deterministic_centroids(emb)).collect()
+    }
+    for (a, b), cs in got.items():
+        v, w = V[a], V[b]
+        ref = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+        assert ref >= t - 1e-6
+        assert abs(ref - cs) < 1e-5
+    # completeness within clusters
+    ids = sorted(V)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if assign[a] != assign[b]:
+                continue
+            v, w = V[a], V[b]
+            if float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w))) >= t + 1e-6:
+                assert (a, b) in got, f"missed same-cluster pair {(a, b)}"
+
+
+def test_semantic_dedup_report_accounting(spark):
+    """Report identity: kept = vectors - members + clusters, and the
+    member/cluster counts agree with the CC over the pair set."""
+    from fts_analysis_datalake_spark.queries.llm_vectors import (
+        q_semantic_dedup_report,
+    )
+
+    row = q_semantic_dedup_report(spark, SF_SMALL).collect()[0]
+    assert row.n_kept == row.n_vectors - row.n_members + row.n_clusters
+    assert row.n_clusters <= row.n_members
+    assert row.n_members <= row.n_vectors
