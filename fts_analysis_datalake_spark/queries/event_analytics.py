@@ -1569,3 +1569,212 @@ def q_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "depth_bucket"
         )
     ).agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+# --------------------------------------------------------------------------
+# E105: recursive-CTE chain traversal — Spark 4 WITH RECURSIVE surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_reorder_chains_recursive",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_d
+      FROM orders),
+    runs AS (
+      SELECT o_custkey, o_orderkey,
+             SUM(CASE WHEN prev_d IS NULL
+                        OR date_diff('day', prev_d, o_orderdate) > 30
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM seq),
+    lens AS (SELECT o_custkey, run_id, COUNT(*) AS streak_len
+             FROM runs GROUP BY o_custkey, run_id)
+    SELECT streak_len, COUNT(*) AS n_chains
+    FROM lens GROUP BY streak_len
+    """,
+    tags=("E105", "W3", "W4", "A1"),
+)
+def q_reorder_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-streak lengths (maximal runs of consecutive orders each
+    within 30 days of the previous) computed with Spark 4's
+    ``WITH RECURSIVE`` — the declarative iteration surface next to
+    the imperative DataFrame loops (E15/E46/E47). The successor
+    relation is a per-customer ``lead`` window, i.e. a FUNCTION
+    (out-degree <= 1), so UNION ALL recursion walks linear chains and
+    terminates without needing recursive-UNION dedup (which Spark 4.1
+    does not support yet — cyclic closures stay on the DataFrame
+    loop). The oracle is the gaps-and-islands rewrite of the same
+    statistic: the recursion and the islands formulation must agree
+    exactly, which is the point — on engines without recursion the
+    islands form IS the scale path, and at 100 TB the recursion's
+    per-step work is one hash join per chain depth, keyed and
+    partitioned on the customer's order key."""
+    from fts_analysis_datalake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE succ AS (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 lead(o_orderkey) OVER w AS next_key,
+                 CASE WHEN datediff(lead(o_orderdate) OVER w, o_orderdate) <= 30
+                      THEN lead(o_orderkey) OVER w END AS next_in_chain,
+                 CASE WHEN datediff(o_orderdate, lag(o_orderdate) OVER w) <= 30
+                      THEN 1 ELSE 0 END AS has_prev
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        chain(start_key, cur_key, streak_len) AS (
+          SELECT o_orderkey, o_orderkey, 1
+          FROM succ WHERE has_prev = 0
+          UNION ALL
+          SELECT c.start_key, s.next_in_chain, c.streak_len + 1
+          FROM chain c JOIN succ s ON s.o_orderkey = c.cur_key
+          WHERE s.next_in_chain IS NOT NULL),
+        lens AS (
+          SELECT start_key, MAX(streak_len) AS streak_len
+          FROM chain GROUP BY start_key)
+        SELECT streak_len, COUNT(*) AS n_chains
+        FROM lens GROUP BY streak_len
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# E106: multi-touch linear attribution — fractional credit, exact micros
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_linear_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'),
+    touch AS (
+      SELECT p.event_id, p.cents, v.view_id, v.view_ts
+      FROM p JOIN v
+        ON p.user_id = v.user_id
+       AND v.view_ts < p.ts
+       AND v.view_ts >= p.ts - INTERVAL 24 HOUR),
+    shared AS (
+      SELECT view_id, view_ts,
+             CAST(FLOOR(cents * 10000.0
+                        / COUNT(*) OVER (PARTITION BY event_id)) AS BIGINT)
+               AS credit_micro
+      FROM touch)
+    SELECT date_trunc('day', view_ts) AS view_day,
+           COUNT(*) AS n_touches,
+           CAST(SUM(credit_micro) AS BIGINT) AS credit_micros
+    FROM shared GROUP BY view_day
+    """,
+    tags=("E106", "J7", "W4", "A1"),
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: each purchase's value is split
+    equally across the user's views in the preceding 24 h and the
+    credit is rolled up by view day — the complement of the
+    single-touch (last-click) stream-stream join twin (T-row
+    q_view_click_attribution). Fractional credit is floor-divided in
+    integer MICRO-cents per touch, so shares are exact integers in
+    both engines (the remainder is dropped identically) and the final
+    rollup is an order-free bigint sum — no double accumulation
+    anywhere. The touch join is the J7 shape: user equi-key plus a
+    24 h band residual; at 100 TB it shuffles on user and the
+    per-purchase fan-out is bounded by a user's daily view rate."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    touch = p.join(
+        v,
+        (p.user_id == v.user_id)
+        & (F.col("view_ts") < F.col("ts"))
+        & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 24 HOURS")),
+    ).select("event_id", "cents", "view_id", "view_ts")
+    w = Window.partitionBy("event_id")
+    shared = touch.select(
+        "view_id",
+        "view_ts",
+        F.floor(F.col("cents") * 10000.0 / F.count(F.lit(1)).over(w))
+        .cast("long")
+        .alias("credit_micro"),
+    )
+    return (
+        shared.groupBy(F.date_trunc("day", "view_ts").alias("view_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_micro").alias("credit_micros"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E107: time-hierarchy rollup — year/month/day subtotal pyramid
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_time_hierarchy_rollup",
+    oracle="""
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           grouping(year(o_orderdate)) * 4 + grouping(month(o_orderdate)) * 2
+             + grouping(day(o_orderdate)) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate), day(o_orderdate))
+    """,
+    tags=("E107", "A11", "F4", "A1"),
+)
+def q_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OLAP time pyramid: one scan produces day totals, month and
+    year subtotals, and the grand total via ROLLUP over the derived
+    (year, month, day) hierarchy — four report granularities for one
+    shuffle, with ``grouping()`` flags disambiguating NULL-as-subtotal
+    from NULL-as-value. Spark evaluates the rollup as a single
+    Expand+hash-aggregate (partials combine map-side per grouping
+    set), so at 100 TB this costs one pass regardless of how many
+    levels the hierarchy has."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        # grouping() must reference real input attributes, so the
+        # hierarchy levels are projected before the rollup (free:
+        # Catalyst collapses the projection into the Expand).
+        .select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            "o_totalprice",
+        )
+    )
+    return (
+        o.rollup("y", "m", "d")
+        .agg(
+            (
+                F.grouping("y") * 4 + F.grouping("m") * 2 + F.grouping("d")
+            ).cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .select("y", "m", "d", "gid", "n_orders", "revenue_cents")
+    )

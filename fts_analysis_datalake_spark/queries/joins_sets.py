@@ -391,3 +391,46 @@ def q_binned_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_gap_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E108: join-strategy control — SHUFFLE_HASH hint overriding the planner
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_shuffle_hash_hint_join",
+    oracle=f"""
+    SELECT s_nationkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    tags=("E108", "J1", "A1"),
+)
+def q_shuffle_hash_hint_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: the SHUFFLE_HASH hint forces a
+    shuffled hash join where the planner would otherwise broadcast
+    (supplier fits the threshold) or sort-merge. The knob matters at
+    scale in both directions — when the "small" side outgrows driver
+    memory, broadcast dies and SHJ keeps the join one shuffle with no
+    sort; when BOTH sides are huge and sorted output feeds the next
+    stage, you force MERGE instead. Results are strategy-invariant
+    (asserted against the plain-join oracle); the plan shape
+    (ShuffledHashJoin, not Broadcast/SortMerge) is asserted in
+    tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").hint("shuffle_hash")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("long").alias("revenue_cents"),
+        )
+    )

@@ -187,3 +187,12 @@ def test_rank_filter_uses_window_group_limit(spark, plans):
     assert "WindowGroupLimit" in plans["q_top_orders_per_priority"], plans[
         "q_top_orders_per_priority"
     ]
+
+
+def test_shuffle_hash_hint_controls_strategy(spark):
+    """E108: the SHUFFLE_HASH hint must override the planner's
+    broadcast preference — the declared query plans a ShuffledHashJoin
+    and the unhinted twin broadcasts."""
+    p = explain_text(REGISTRY["q_shuffle_hash_hint_join"].fn(spark, SF_DIR), "simple")
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
