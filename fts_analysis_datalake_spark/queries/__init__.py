@@ -21,3 +21,4 @@ from fts_analysis_datalake_spark.queries import event_analytics  # noqa: F401
 from fts_analysis_datalake_spark.queries import lakehouse_ops  # noqa: F401
 from fts_analysis_datalake_spark.queries import function_breadth  # noqa: F401
 from fts_analysis_datalake_spark.queries import llm_curation  # noqa: F401
+from fts_analysis_datalake_spark.queries import stats_models  # noqa: F401

@@ -1,0 +1,335 @@
+"""Statistical-modeling declared queries (SURVEY.md §2.12 E109-E112):
+distributed closed-form OLS, autocorrelation functions, Pareto
+(skyline) frontiers, and largest-remainder integer apportionment.
+
+These are the "model the data, don't just aggregate it" operators an
+analytics engine grows next: regression and autocorrelation as pure
+Catalyst moment sums (the scale path next to the per-entity pandas-UDF
+fits, X2/E54), the skyline operator for multi-objective selection, and
+Hamilton apportionment for exact integer budget splits (the
+total-preserving sibling of E42's mixture allocation).
+
+Determinism: every statistic is computed from exact integer/DECIMAL
+moment sums (functions/deterministic.py recipe) with doubles entering
+only in a final fixed-order expression evaluated identically by both
+engines — order-free, hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.functions.deterministic import dcorr, sql_dcorr
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# E109: distributed closed-form OLS — normal equations from exact moments
+# --------------------------------------------------------------------------
+
+
+def _ols_moments(x: Column, y: Column) -> dict[str, Column]:
+    """Exact DECIMAL moment sums for simple linear regression.
+
+    x and y must already be integer-valued Columns (pre-scaled); the
+    five sums are exact (DECIMAL(38,0) accumulation) and identical in
+    any partial-aggregation order, so slope/intercept/R^2 derived from
+    them are bit-reproducible across engines and cluster layouts —
+    unlike the built-in ``regr_slope``/``corr``, whose double partials
+    depend on accumulation order.
+    """
+    xi = x.cast("decimal(19,0)")
+    yi = y.cast("decimal(19,0)")
+    return {
+        "n": F.count(x).cast("double"),
+        "sx": F.sum(xi).cast("double"),
+        "sy": F.sum(yi).cast("double"),
+        "sxy": F.sum(xi * yi).cast("double"),
+        "sxx": F.sum(xi * xi).cast("double"),
+        "syy": F.sum(yi * yi).cast("double"),
+    }
+
+
+@query(
+    "q_ols_price_on_quantity",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(xi) AS DOUBLE) AS sx, CAST(SUM(yi) AS DOUBLE) AS sy,
+             CAST(SUM(xi * yi) AS DOUBLE) AS sxy,
+             CAST(SUM(xi * xi) AS DOUBLE) AS sxx,
+             CAST(SUM(yi * yi) AS DOUBLE) AS syy,
+             COUNT(*) AS n_lines
+      FROM (SELECT l_returnflag,
+                   CAST(FLOOR(l_quantity + 0.5) AS DECIMAL(19,0)) AS xi,
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0)) AS yi
+            FROM lineitem)
+      GROUP BY l_returnflag)
+    SELECT l_returnflag, n_lines,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS intercept_cents,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM m
+    """,
+    tags=("E109", "A1", "A6", "F6"),
+)
+def q_ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag simple linear regression of extended price
+    (cents) on quantity, solved in closed form from the normal
+    equations: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept,
+    and R^2 — all from five exact integer moment sums in ONE hash
+    aggregate (map-side partials combine; nothing but six numbers per
+    group crosses the shuffle). This is the distributed scale path
+    for regression: at 100 TB it costs exactly one scan + one tiny
+    shuffle regardless of row count, while the per-entity pandas-UDF
+    OLS (q_user_value_trend_udf, X2 surface) stays the right tool
+    only when each ENTITY's series needs its own fit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = _ols_moments(
+        F.floor(F.col("l_quantity") + F.lit(0.5)),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        m["n"].alias("n"),
+        m["sx"].alias("sx"),
+        m["sy"].alias("sy"),
+        m["sxy"].alias("sxy"),
+        m["sxx"].alias("sxx"),
+        m["syy"].alias("syy"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "l_returnflag",
+        "n_lines",
+        slope.alias("slope_cents"),
+        ((sy - slope * sx) / n).alias("intercept_cents"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E110: autocorrelation function — lag-1h / lag-24h ACF per series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_hourly_acf",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+               FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    serie AS (
+      SELECT s.event_type, s.h, COALESCE(hy.c, 0) AS cnt
+      FROM spine s LEFT JOIN hourly hy
+        ON s.event_type = hy.event_type AND s.h = hy.h),
+    lagd AS (
+      SELECT event_type, cnt,
+             lag(cnt, 1)  OVER w AS l1,
+             lag(cnt, 24) OVER w AS l24
+      FROM serie WINDOW w AS (PARTITION BY event_type ORDER BY h))
+    SELECT event_type, COUNT(*) AS n_hours,
+           {sql_dcorr('CASE WHEN l1 IS NULL THEN NULL ELSE cnt END', 'l1', 0, 0)}
+             AS acf_1h,
+           {sql_dcorr('CASE WHEN l24 IS NULL THEN NULL ELSE cnt END', 'l24', 0, 0)}
+             AS acf_24h
+    FROM lagd GROUP BY event_type
+    """,
+    tags=("E110", "W3", "A1", "F4", "E29"),
+)
+def q_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's hourly arrival-count
+    series at lags 1 h and 24 h — the diagnostic that separates
+    bursty from daily-seasonal traffic (complements E97's
+    hour-of-day R^2). The series is regularized on a complete hourly
+    spine (missing hours count 0, E22 recipe) so "lag k rows" means
+    "lag k hours"; both ACFs come off ONE window shuffle and one
+    aggregate, with pairs where the lag predates the series excluded
+    on both sides via the paired-null trick. Counts are integers, so
+    the Pearson moments are exact (dcorr at scale 0) and the
+    statistic is hash-exact cross-engine. The spine grows with
+    time x types, never with event volume — at 100 TB the window
+    runs over ~thousands of rows per type."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    serie = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagd = serie.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("l1"),
+        F.lag("cnt", 24).over(w).alias("l24"),
+    )
+    pair1 = F.when(F.col("l1").isNotNull(), F.col("cnt"))
+    pair24 = F.when(F.col("l24").isNotNull(), F.col("cnt"))
+    return lagd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        dcorr(pair1, F.col("l1"), 0, 0).alias("acf_1h"),
+        dcorr(pair24, F.col("l24"), 0, 0).alias("acf_24h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E111: Pareto frontier (skyline) — non-dominated (price, size) parts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_pareto_frontier_parts",
+    oracle="""
+    WITH combos AS (
+      SELECT CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             p_size, COUNT(*) AS n_parts
+      FROM part GROUP BY 1, 2)
+    SELECT price_cents, p_size, n_parts
+    FROM combos c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM combos d
+      WHERE d.price_cents <= c.price_cents AND d.p_size >= c.p_size
+        AND (d.price_cents < c.price_cents OR d.p_size > c.p_size))
+    """,
+    tags=("E111", "O1", "W4", "A1"),
+)
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline operator: the set of (price, size) points no other
+    point dominates (cheaper-or-equal AND bigger-or-equal with one
+    strict) — multi-objective shortlisting that top-k on any single
+    score can't express. Computed as the classic sort-scan: dedupe to
+    distinct value combos first (bounded by the attribute domain, NOT
+    row count — this is the 100 TB move), sort by (price asc, size
+    desc), and keep a combo iff its size exceeds the running max size
+    over all strictly-preceding combos. The oracle is the O(n^2)
+    NOT-EXISTS definition; the scan is O(n log n) and the global-order
+    window runs over the deduped combos only. Domination is decided
+    on exact integer cents."""
+    p = load_table(spark, sf_dir, "part")
+    combos = p.groupBy(
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        "p_size",
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    # Global-order window over the DEDUPED combo set (domain-bounded,
+    # tiny); the raw table never sees a single-partition exchange.
+    w = (
+        Window.orderBy(F.col("price_cents").asc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        combos.withColumn("run_max_size", F.max("p_size").over(w))
+        .filter(
+            F.col("run_max_size").isNull()
+            | (F.col("p_size") > F.col("run_max_size"))
+        )
+        .select("price_cents", "p_size", "n_parts")
+    )
+
+
+# --------------------------------------------------------------------------
+# E112: largest-remainder apportionment — exact total-preserving split
+# --------------------------------------------------------------------------
+
+_SEATS = 10_000
+
+
+@query(
+    "q_seat_apportionment",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, source, COUNT(*) AS docs FROM documents GROUP BY 1, 2),
+    quotas AS (
+      SELECT lang, source, docs,
+             CAST({_SEATS} * docs AS BIGINT) AS num,
+             CAST(SUM(docs) OVER () AS BIGINT) AS total
+      FROM counts),
+    parts AS (
+      SELECT lang, source, docs,
+             num // total AS base, num % total AS rem
+      FROM quotas),
+    ranked AS (
+      SELECT lang, source, docs, base,
+             row_number() OVER (ORDER BY rem DESC, lang, source) AS rn,
+             CAST({_SEATS} - SUM(base) OVER () AS BIGINT) AS k
+      FROM parts)
+    SELECT lang, source, docs,
+           CAST(base + CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_seats
+    FROM ranked
+    """,
+    tags=("E112", "A1", "W1", "W4"),
+)
+def q_seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment: split an integer
+    budget of {_SEATS} sample slots across (lang, source) buckets
+    proportionally to doc counts such that the allocations are
+    integers and sum EXACTLY to the budget — floors of the exact
+    rational quotas plus one bonus seat to the largest remainders
+    (deterministic (remainder, lang, source) tiebreak). Pure integer
+    arithmetic end to end (num DIV total / num MOD total), so both
+    engines agree bit-for-bit; the complement of E42's
+    temperature-weighted mixture (which reweights shares) and E106's
+    floor-division credit (which drops remainders). The global
+    windows run over the GROUPED bucket table (~|langs x sources|
+    rows), never the raw corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("docs"))
+    quotas = counts.select(
+        "lang",
+        "source",
+        "docs",
+        (F.lit(_SEATS) * F.col("docs")).cast("long").alias("num"),
+        F.sum("docs").over(Window.partitionBy()).cast("long").alias("total"),
+    )
+    parts = quotas.select(
+        "lang",
+        "source",
+        "docs",
+        F.expr("num DIV total").alias("base"),
+        (F.col("num") % F.col("total")).alias("rem"),
+    )
+    ranked = parts.select(
+        "lang",
+        "source",
+        "docs",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "lang", "source"))
+        .alias("rn"),
+        (F.lit(_SEATS) - F.sum("base").over(Window.partitionBy()))
+        .cast("long")
+        .alias("k"),
+    )
+    return ranked.select(
+        "lang",
+        "source",
+        "docs",
+        (F.col("base") + F.when(F.col("rn") <= F.col("k"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc_seats"),
+    )
