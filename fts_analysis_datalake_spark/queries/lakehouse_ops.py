@@ -560,3 +560,121 @@ def q_merged_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("island").cast("long").alias("n_windows"),
         F.sum("d").cast("long").alias("covered_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# E114: one-pass column profiler — the optimizer-statistics builder
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "q_orders_column_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_s,
+               CAST(MAX({c}) AS VARCHAR) AS max_s
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+    tags=("E114", "A2", "A3", "A13"),
+)
+def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (null count, exact distinct count,
+    min/max) for several columns of `orders` in ONE aggregate — the
+    ANALYZE-TABLE/optimizer-statistics shape every catalog needs. The
+    per-column results are built as an array of structs and inlined
+    back into rows, so the scan count stays 1 no matter how many
+    columns are profiled; Spark plans the multi-column COUNT DISTINCT
+    via one Expand (k row-replicas, map-side combined), which is the
+    documented cost: k small shuffles off one scan vs k separate
+    scans for the UNION-ALL formulation the oracle uses. Min/max are
+    stringified AFTER aggregation (cast of the native-typed extremum,
+    identical in both engines for int/string columns)."""
+    o = load_table(spark, sf_dir, "orders")
+    profiles = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_nulls"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            F.min(c).cast("string").alias("min_s"),
+            F.max(c).cast("string").alias("max_s"),
+        ).alias(f"p_{c}")
+        for c in _PROFILE_COLS
+    ]
+    return (
+        o.agg(*profiles)
+        .select(F.explode(F.array(*[f"p_{c}" for c in _PROFILE_COLS])).alias("p"))
+        .select("p.*")
+    )
+
+
+# --------------------------------------------------------------------------
+# E116: Benford first-digit audit — fraud/corruption screening
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_benford_totalprice",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS leading_digit
+      FROM orders WHERE o_totalprice > 0),
+    counts AS (
+      SELECT leading_digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM digits GROUP BY leading_digit)
+    SELECT leading_digit, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+           FLOOR(LN(1.0 + 1.0 / leading_digit) / LN(10.0) * 1e9 + 0.5) / 1e9
+             AS benford_share
+    FROM counts
+    """,
+    tags=("E116", "F1", "F6", "A1", "W4"),
+)
+def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    leading-digit shares next to the log-law expectation
+    log10(1 + 1/d) — the classic screening test for fabricated or
+    systematically-rounded monetary data. The digit is extracted from
+    the exact integer-cents STRING (never via log10 of a double,
+    whose boundary behavior at powers of ten differs per libm), the
+    expected share is 1e-9-quantized (libm ln guard, same recipe as
+    E53/E74), and the observed share divides exact counts — all
+    hash-exact. One scan, one 9-row aggregate; the window total runs
+    over 9 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("leading_digit")
+    )
+    counts = digits.groupBy("leading_digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return counts.select(
+        "leading_digit",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy()).cast("double")
+        ).alias("share"),
+        (
+            F.floor(
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("leading_digit"))
+                / F.log(F.lit(10.0))
+                * 1e9
+                + F.lit(0.5)
+            )
+            / 1e9
+        ).alias("benford_share"),
+    )

@@ -20,7 +20,11 @@ from fts_analysis_datalake_spark.operators.dedup import (
     simhash_candidate_pairs,
     simhash_table,
 )
-from fts_analysis_datalake_spark.operators.text import sql_ngrams, sql_tokens
+from fts_analysis_datalake_spark.operators.text import (
+    sql_ngrams,
+    sql_normalize_text,
+    sql_tokens,
+)
 from fts_analysis_datalake_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -370,3 +374,69 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("containment") >= _CONTAIN_T)
     )
+
+
+# --------------------------------------------------------------------------
+# E113: sorted-neighborhood blocking — the sort-based LSH alternative
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             substring({sql_normalize_text('text')}, 1, 24) AS sort_key
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sort_key, doc_id) AS rn
+      FROM keyed),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ranked a JOIN ranked b
+        ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 3),
+    toks AS (SELECT doc_id, list_distinct({sql_tokens('text')}) AS t FROM documents)
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+             / len(list_distinct(ta.t || tb.t)) AS jaccard
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.id_a
+    JOIN toks tb ON tb.doc_id = c.id_b
+    """,
+    tags=("E113", "D3", "D4", "W1", "W3"),
+)
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood method (SNM): the record-linkage blocking
+    strategy that needs no hashing at all — sort each language block
+    by a fuzzy key (first 24 chars of the normalized text, so docs
+    sharing a prefix land adjacent), then emit only pairs within a
+    window of w=3 following neighbors and verify those with exact
+    token-set Jaccard. The candidate step is ONE window shuffle plus
+    three `lead` columns exploded into pairs — no self-join, no
+    signature computation — making it the cheap first pass before
+    MinHash-LSH (D3) when duplicates cluster under a sortable key.
+    At 100 TB the sort is a range-partitioned exchange (Spark's sort
+    machinery); the within-partition window is what we express here,
+    with the partition key (lang) as the block boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    from fts_analysis_datalake_spark.operators.text import normalize_text
+    from pyspark.sql import Window
+
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.substring(normalize_text(F.col("text")), 1, 24).alias("sort_key"),
+    )
+    w = Window.partitionBy("lang").orderBy("sort_key", "doc_id")
+    # Window functions can't nest inside a generator expression, so
+    # the three lead columns materialize first, then explode.
+    leads = keyed.select(
+        F.col("doc_id").alias("id_a"),
+        F.array(*[F.lead("doc_id", k).over(w) for k in (1, 2, 3)]).alias("nbrs"),
+    )
+    pairs = leads.select("id_a", F.explode("nbrs").alias("id_b")).filter(
+        F.col("id_b").isNotNull()
+    )
+    return exact_jaccard_for_pairs(d, "doc_id", "text", pairs)

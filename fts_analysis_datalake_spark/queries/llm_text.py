@@ -407,3 +407,49 @@ def q_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# E115: inverted-index construction — the search-index build operator
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_inverted_index_postings",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, t.tok
+      FROM documents, unnest({sql_tokens('text')}) AS t(tok)),
+    postings AS (
+      SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             list_slice(list(doc_id ORDER BY doc_id), 1, 16) AS first_postings
+      FROM pairs GROUP BY tok)
+    SELECT token, n_docs, first_postings FROM postings
+    """,
+    tags=("E115", "D9", "F7", "A9"),
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> (document frequency, sorted
+    posting list) over the whole corpus — the materialization step
+    behind BM25 (E44) and containment mining (E93), here produced as
+    a first-class table. Per-doc dedup happens INSIDE the token array
+    (array_distinct before explode, map-side) so the shuffle carries
+    one row per (doc, term), and the posting arrays are sorted and
+    capped at 16 entries (the skip-list head) so output width is
+    bounded no matter how common the token — at 100 TB full posting
+    lists would be written as their own partitioned table, but the
+    per-token head+count is what serves index statistics. Arrays
+    compare element-wise against the oracle (deterministic order)."""
+    d = load_table(spark, sf_dir, "documents")
+    rows = ensure_parallelism(d).select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(normalize_text(F.col("text"))))).alias(
+            "token"
+        ),
+    )
+    return rows.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 16).alias(
+            "first_postings"
+        ),
+    )
