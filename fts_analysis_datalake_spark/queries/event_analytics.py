@@ -1778,3 +1778,63 @@ def q_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("y", "m", "d", "gid", "n_orders", "revenue_cents")
     )
+
+
+# --------------------------------------------------------------------------
+# E118: top user journeys — first-5-event path frequency ranking
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_top_event_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= 5 GROUP BY user_id),
+    counted AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM paths GROUP BY path)
+    SELECT path, n_users,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS BIGINT) AS rnk
+    FROM counted
+    QUALIFY rnk <= 20
+    """,
+    tags=("E118", "W1", "A9", "F7", "O3"),
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics "top user journeys" report: each user's
+    first five events (by time, event_id tiebreak) joined into a
+    path string, then the 20 most common paths with a deterministic
+    rank (ties broken by path text).
+
+    Plan: one window shuffle on user_id ranks events; the path build
+    is collect_list of (rn, type) structs + array_sort + transform —
+    all Catalyst, with order carried explicitly in the struct so the
+    path is deterministic regardless of collect order. The path
+    frequency table is tiny (|event_type|^5 worst case), so the final
+    global rank window is on a dwarf relation. At 100 TB the rn<=5
+    filter cuts the carried rows to 5/user before the second agg."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    rk = Window.orderBy(F.col("n_users").desc(), "path")
+    return (
+        counted.withColumn("rnk", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+    )

@@ -434,3 +434,100 @@ def q_shuffle_hash_hint_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("long").alias("revenue_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E119: nearest-event join — bidirectional as-of (closest in time)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_nearest_click_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT * FROM events WHERE event_type IN ('purchase', 'click')),
+    ctx AS (
+      SELECT event_id, user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id,
+             LAST_VALUE(CASE WHEN event_type = 'click'
+                             THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts,
+             FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_id,
+             FIRST_VALUE(CASE WHEN event_type = 'click'
+                              THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+      FROM tagged)
+    SELECT event_id AS purchase_id, user_id, ts_s AS purchase_ts_s,
+           CASE WHEN next_ts IS NULL
+                     OR (prev_ts IS NOT NULL AND ts_s - prev_ts <= next_ts - ts_s)
+                THEN prev_id ELSE next_id END AS nearest_click_id,
+           CASE WHEN next_ts IS NULL
+                     OR (prev_ts IS NOT NULL AND ts_s - prev_ts <= next_ts - ts_s)
+                THEN prev_ts - ts_s ELSE next_ts - ts_s END AS delta_s
+    FROM ctx
+    WHERE event_type = 'purchase' AND (prev_id IS NOT NULL OR next_id IS NOT NULL)
+    """,
+    tags=("E119", "J9", "W7", "W3"),
+)
+def q_nearest_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of ("nearest") join: each purchase matched to
+    the user's closest click in either time direction (ties -> the
+    earlier click; delta_s is signed, negative = click before).
+
+    Unlike the J9 backward as-of (equi-join + range + rank, which
+    expands to every candidate pair before pruning), this is the
+    union-scan plan: tag both streams, ONE window shuffle on user_id,
+    and carry the last-click-before / first-click-after with
+    IGNORE-NULLS frame endpoints — O(n) state, no pair expansion,
+    which is the plan that survives 100 TB (the J9 shape degrades
+    when many clicks precede each purchase)."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+        F.col("ts"),
+    )
+    is_click = F.col("event_type") == "click"
+    back = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fwd = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    ctx = tagged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_s",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(back).alias("prev_id"),
+        F.last(F.when(is_click, F.col("ts_s")), ignorenulls=True).over(back).alias("prev_ts"),
+        F.first(F.when(is_click, F.col("event_id")), ignorenulls=True).over(fwd).alias("next_id"),
+        F.first(F.when(is_click, F.col("ts_s")), ignorenulls=True).over(fwd).alias("next_ts"),
+    )
+    take_prev = F.col("next_ts").isNull() | (
+        F.col("prev_ts").isNotNull()
+        & (F.col("ts_s") - F.col("prev_ts") <= F.col("next_ts") - F.col("ts_s"))
+    )
+    return (
+        ctx.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("prev_id").isNotNull() | F.col("next_id").isNotNull())
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_s").alias("purchase_ts_s"),
+            F.when(take_prev, F.col("prev_id")).otherwise(F.col("next_id")).alias("nearest_click_id"),
+            F.when(take_prev, F.col("prev_ts") - F.col("ts_s"))
+            .otherwise(F.col("next_ts") - F.col("ts_s"))
+            .alias("delta_s"),
+        )
+    )

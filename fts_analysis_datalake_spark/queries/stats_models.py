@@ -333,3 +333,195 @@ def q_seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_seats"),
     )
+
+
+# --------------------------------------------------------------------------
+# E117: revenue bridge — MoM change decomposed into new / expansion /
+# contraction / churned components, exact cents
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_revenue_bridge_monthly",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2),
+    bridge AS (
+      SELECT COALESCE(c.mi, p.mi + 1) AS mi,
+             CASE WHEN p.o_custkey IS NULL THEN c.rev_c ELSE 0 END AS new_c,
+             CASE WHEN c.o_custkey IS NULL THEN p.rev_c ELSE 0 END AS churn_c,
+             CASE WHEN c.o_custkey IS NOT NULL AND p.o_custkey IS NOT NULL
+                       AND c.rev_c > p.rev_c THEN c.rev_c - p.rev_c ELSE 0 END AS exp_c,
+             CASE WHEN c.o_custkey IS NOT NULL AND p.o_custkey IS NOT NULL
+                       AND c.rev_c < p.rev_c THEN p.rev_c - c.rev_c ELSE 0 END AS con_c
+      FROM monthly c FULL OUTER JOIN monthly p
+        ON c.o_custkey = p.o_custkey AND c.mi = p.mi + 1)
+    SELECT CAST(mi // 12 AS BIGINT) AS yr, CAST(mi % 12 + 1 AS BIGINT) AS mon,
+           CAST(SUM(new_c) AS BIGINT) / 100.0 AS new_rev,
+           CAST(SUM(exp_c) AS BIGINT) / 100.0 AS expansion_rev,
+           CAST(SUM(con_c) AS BIGINT) / 100.0 AS contraction_rev,
+           CAST(SUM(churn_c) AS BIGINT) / 100.0 AS churned_rev,
+           CAST(SUM(new_c) + SUM(exp_c) - SUM(con_c) - SUM(churn_c) AS BIGINT)
+             / 100.0 AS net_change,
+           CAST(COUNT(*) FILTER (new_c > 0) AS BIGINT) AS n_new,
+           CAST(COUNT(*) FILTER (churn_c > 0) AS BIGINT) AS n_churned
+    FROM bridge
+    WHERE mi <= (SELECT MAX(mi) FROM monthly)
+    GROUP BY 1, 2
+    """,
+    tags=("E117", "J2", "A1", "A7", "F4"),
+)
+def q_revenue_bridge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SaaS-finance waterfall: month-over-month revenue change
+    split into new / expansion / contraction / churned customer
+    components, with net_change = new + expansion - contraction -
+    churned holding exactly (all arithmetic in integer cents until the
+    final unscale; BIGINT sums are order-free, so the bridge is
+    hash-exact).
+
+    Plan: one hash agg to (custkey, month-index) cents, then a single
+    FULL OUTER self-join aligning month m with m+1 on the customer key
+    — both sides shuffle once on (custkey, mi); no window over the raw
+    orders. Phantom months past the data's end (churn rows from the
+    final month) are cut by comparing against the broadcast 1-row max
+    month. At 100 TB the monthly aggregate is |customers| x |months|,
+    orders-of-magnitude smaller than the fact table, and the self-join
+    is sort-merge on exact keys with no expansion."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("bigint").alias("mi"),
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).cast("bigint").alias("rev_c"))
+    c = monthly.alias("c")
+    p = monthly.alias("p")
+    both = F.col("c.o_custkey").isNotNull() & F.col("p.o_custkey").isNotNull()
+    bridge = c.join(
+        p,
+        (F.col("c.o_custkey") == F.col("p.o_custkey")) & (F.col("c.mi") == F.col("p.mi") + 1),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c.mi"), F.col("p.mi") + 1).alias("mi"),
+        F.when(F.col("p.o_custkey").isNull(), F.col("c.rev_c")).otherwise(F.lit(0)).alias("new_c"),
+        F.when(F.col("c.o_custkey").isNull(), F.col("p.rev_c")).otherwise(F.lit(0)).alias("churn_c"),
+        F.when(both & (F.col("c.rev_c") > F.col("p.rev_c")), F.col("c.rev_c") - F.col("p.rev_c"))
+        .otherwise(F.lit(0))
+        .alias("exp_c"),
+        F.when(both & (F.col("c.rev_c") < F.col("p.rev_c")), F.col("p.rev_c") - F.col("c.rev_c"))
+        .otherwise(F.lit(0))
+        .alias("con_c"),
+    )
+    max_mi = monthly.agg(F.max("mi").alias("max_mi"))
+    return (
+        bridge.join(F.broadcast(max_mi), F.col("mi") <= F.col("max_mi"))
+        .groupBy(
+            (F.col("mi") / 12).cast("bigint").alias("yr"),
+            (F.col("mi") % 12 + 1).cast("bigint").alias("mon"),
+        )
+        .agg(
+            (F.sum("new_c").cast("bigint") / 100.0).alias("new_rev"),
+            (F.sum("exp_c").cast("bigint") / 100.0).alias("expansion_rev"),
+            (F.sum("con_c").cast("bigint") / 100.0).alias("contraction_rev"),
+            (F.sum("churn_c").cast("bigint") / 100.0).alias("churned_rev"),
+            (
+                (F.sum("new_c") + F.sum("exp_c") - F.sum("con_c") - F.sum("churn_c")).cast("bigint")
+                / 100.0
+            ).alias("net_change"),
+            F.count(F.when(F.col("new_c") > 0, 1)).cast("bigint").alias("n_new"),
+            F.count(F.when(F.col("churn_c") > 0, 1)).cast("bigint").alias("n_churned"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E120: Kaplan-Meier survival — product-limit churn curve, fold-exact
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_kaplan_meier_retention",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events GROUP BY user_id),
+    mx AS (SELECT MAX(ts) AS m FROM events),
+    lt AS (
+      SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS dur,
+             CASE WHEN l < m - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev
+      FROM u, mx),
+    byd AS (
+      SELECT CAST(dur AS BIGINT) AS dur,
+             CAST(SUM(ev) AS BIGINT) AS n_churned,
+             CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+      FROM lt GROUP BY 1),
+    km AS (
+      SELECT dur, n_churned, n_censored,
+             (SELECT SUM(n_churned + n_censored) FROM byd)
+               - COALESCE(SUM(n_churned + n_censored) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM byd),
+    terms AS (
+      SELECT dur, n_churned, n_censored, CAST(n_risk AS BIGINT) AS n_risk,
+             LIST(1.0 - CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE)) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tl
+      FROM km)
+    SELECT dur, n_risk, n_churned, n_censored,
+           list_reduce(tl, (x, y) -> x * y) AS survival
+    FROM terms
+    """,
+    tags=("E120", "A1", "W4", "F8"),
+)
+def q_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit retention curve over user lifetimes
+    (days between first and last event; users still active in the
+    final 7 days of the dataset are right-censored). Output per
+    distinct lifetime: risk-set size, churn/censor counts, and the
+    survival probability S(t) = prod_{u<=t} (1 - d_u/n_u).
+
+    Determinism without libm: neither engine has an order-free product
+    aggregate, so the cumulative product is an ordered-list Fold —
+    collect the per-step factors over an ordered running window and
+    left-fold multiplication (Spark ``F.aggregate``, DuckDB
+    ``list_reduce``). Every factor is an identical IEEE division and
+    the fold multiplies in identical sequence, so survival is
+    bit-exact across engines — no exp/ln quantization needed.
+
+    Scale: the per-user agg is the only big shuffle; the curve table
+    is |distinct lifetimes| rows (tiny), so the single-partition
+    ordered window and the O(T^2) fold are on hundreds of rows, not
+    the fact table."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    mx = e.agg(F.max("ts").alias("m"))
+    lt = u.join(F.broadcast(mx)).select(
+        F.datediff(F.to_date("l"), F.to_date("f")).alias("dur"),
+        F.when(F.col("l") < F.col("m") - F.expr("INTERVAL 7 DAYS"), 1).otherwise(0).alias("ev"),
+    )
+    byd = lt.groupBy(F.col("dur").cast("bigint").alias("dur")).agg(
+        F.sum("ev").cast("bigint").alias("n_churned"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("n_censored"),
+    )
+    w = Window.orderBy("dur")
+    total = F.sum(F.col("n_churned") + F.col("n_censored")).over(Window.partitionBy())
+    before = F.coalesce(
+        F.sum(F.col("n_churned") + F.col("n_censored")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    km = byd.select("dur", "n_churned", "n_censored", (total - before).cast("bigint").alias("n_risk"))
+    terms = km.withColumn(
+        "tl",
+        F.collect_list(
+            F.lit(1.0) - F.col("n_churned").cast("double") / F.col("n_risk").cast("double")
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return terms.select(
+        "dur",
+        "n_risk",
+        "n_churned",
+        "n_censored",
+        F.aggregate("tl", F.lit(1.0), lambda acc, x: acc * x).alias("survival"),
+    )
