@@ -165,3 +165,46 @@ def pagerank(
             done += 1
         ranks = ranks.localCheckpoint()
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Breadth-first minimum-hop distances from ``source`` over the
+    undirected graph ``edges`` -> (node, hop), source included at 0.
+
+    Frontier expansion, not label propagation: each round joins only
+    the NEW frontier against the edge table and anti-joins the
+    visited set — per round two shuffles proportional to the frontier,
+    so total work is O(edges x diameter) worst case but typically one
+    edge-pass overall. Same lineage discipline as
+    ``connected_components``: localCheckpoint per round, convergence
+    via an empty-frontier count, deterministic result (min-hop is
+    unique regardless of expansion order)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], ["node", "hop"])
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -1838,3 +1838,80 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(rk).cast("bigint"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+# --------------------------------------------------------------------------
+# E121: concurrency curve — +1/-1 boundary sweep over session intervals
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_session_concurrency_curve",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+      FROM flagged
+    ), spans AS (
+      SELECT MIN(ts_s) AS start_s, MAX(ts_s) AS end_s
+      FROM sessions GROUP BY user_id, session_id
+    ), bounds AS (
+      SELECT start_s AS t_s, 1 AS d FROM spans
+      UNION ALL
+      SELECT end_s + 1 AS t_s, -1 AS d FROM spans
+    ), steps AS (
+      SELECT t_s, CAST(SUM(d) AS BIGINT) AS net_delta FROM bounds GROUP BY t_s)
+    SELECT t_s, net_delta,
+           CAST(SUM(net_delta) OVER (ORDER BY t_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS concurrency
+    FROM steps
+    """,
+    tags=("E121", "W8", "W4", "U1", "A1"),
+)
+def q_session_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many sessions are open at once, over time: the classic
+    +1/-1 boundary-sweep (interval stabbing) rewrite. Sessionize
+    (30-min gap), emit +1 at each session start and -1 one second
+    after its end (end-second inclusive), collapse equal timestamps,
+    and running-sum the net deltas — each output row is the
+    concurrency level holding on [t_s, next t_s).
+
+    Scale shape: the sweep never joins intervals against a time spine
+    (the O(intervals x slots) rewrite); boundary rows are 2/session,
+    collapsed by a hash agg before the global running sum. The final
+    cumulative window is a single ordered partition over the
+    *collapsed step table* (distinct boundary seconds only); at 100 TB
+    that table is what a range-partitioned two-phase prefix sum would
+    consume — the fact-table shuffles (sessionize, boundary agg) stay
+    fully parallel."""
+    from fts_analysis_datalake_spark.operators.windows import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    spans = (
+        sessionize(e, "user_id", "ts", "event_id", 1800)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_timestamp("ts")).cast("bigint").alias("start_s"),
+            F.max(F.unix_timestamp("ts")).cast("bigint").alias("end_s"),
+        )
+    )
+    bounds = spans.select(F.col("start_s").alias("t_s"), F.lit(1).alias("d")).unionAll(
+        spans.select((F.col("end_s") + 1).alias("t_s"), F.lit(-1).alias("d"))
+    )
+    steps = bounds.groupBy("t_s").agg(F.sum("d").cast("bigint").alias("net_delta"))
+    w = Window.orderBy("t_s").rowsBetween(Window.unboundedPreceding, 0)
+    return steps.select(
+        "t_s", "net_delta", F.sum("net_delta").over(w).cast("bigint").alias("concurrency")
+    )

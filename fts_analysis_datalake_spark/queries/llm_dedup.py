@@ -440,3 +440,50 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").isNotNull()
     )
     return exact_jaccard_for_pairs(d, "doc_id", "text", pairs)
+
+
+# --------------------------------------------------------------------------
+# E124: BFS shortest hops — frontier expansion vs recursive-CTE oracle
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_bfs_hops_from_supplier",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 'p' || l_partkey AS a, 's' || l_suppkey AS b FROM lineitem),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    walk(node, hop) AS (
+      SELECT 's1', 0
+      UNION
+      SELECT sym.b, walk.hop + 1
+      FROM walk JOIN sym ON walk.node = sym.a
+      WHERE walk.hop < 6)
+    SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+    FROM walk GROUP BY node
+    """,
+    tags=("E124", "E47", "J4", "A1"),
+)
+def q_bfs_hops_from_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop distance from supplier s1 to every reachable node
+    of the part-supplier bipartite graph (the "blast radius" /
+    impact-analysis query: which parts and peers does one supplier
+    touch within N relationship hops).
+
+    Spark side is distributed frontier BFS (operators/graphs.bfs_hops:
+    per round one frontier-edge join + one anti-join against visited,
+    localCheckpoint lineage truncation, empty-frontier stop). The
+    oracle is DuckDB's WITH RECURSIVE walk capped at 6 hops with
+    MIN(hop) — declarative iteration checking the imperative loop,
+    same pairing as the Spark-4 recursive-CTE surface (E105). The
+    min-hop fixpoint is order-independent, so both engines agree
+    exactly."""
+    from fts_analysis_datalake_spark.operators.graphs import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    hops = bfs_hops(edges, "s1", max_hops=6)
+    return hops.select("node", F.col("hop").cast("bigint").alias("hop"))

@@ -486,3 +486,86 @@ def q_semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E122: binary sign quantization + Hamming shortlist + exact rerank
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_hamming_shortlist_rerank",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(embedding,
+               (x, i) -> CASE WHEN x > 0 AND i - 1 < 32
+                         THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END)) AS BIGINT) AS sig_lo,
+             CAST(list_sum(list_transform(embedding,
+               (x, i) -> CASE WHEN x > 0 AND i - 1 >= 32
+                         THEN 1::BIGINT << (i - 33) ELSE 0::BIGINT END)) AS BIGINT) AS sig_hi
+      FROM embeddings),
+    q AS (SELECT sig_lo AS q_lo, sig_hi AS q_hi, embedding AS qv
+          FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
+    shortlist AS (
+      SELECT s.vec_id, s.embedding, qv,
+             CAST(bit_count(xor(s.sig_lo, q_lo))
+                  + bit_count(xor(s.sig_hi, q_hi)) AS BIGINT) AS hamming
+      FROM sigs s, q
+      WHERE s.vec_id <> {QUERY_VEC_ID}
+      ORDER BY hamming, s.vec_id
+      LIMIT 50)
+    SELECT vec_id, hamming, {sql_cosine('embedding', 'qv')} AS cos_sim
+    FROM shortlist
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("E122", "D6", "F8", "O3", "F11"),
+)
+def q_hamming_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memory-bound ANN scale path: quantize every embedding to
+    its 64 sign bits packed in two 32-bit words (16x smaller than the
+    float vector), shortlist the 50 nearest by Hamming distance
+    (xor + popcount — integer ops, no float math), then rerank the
+    shortlist by exact cosine for the top 10.
+
+    Plan: the signature is a per-row Catalyst fold (map-side, no
+    shuffle); the query signature is a 1-row broadcast; both top-k
+    stages are TakeOrderedAndProject (per-partition heaps). At 100 TB
+    the Hamming scan touches 8 bytes/vector instead of 256 — the
+    shortlist stage is bandwidth-, not compute-, bound, and the
+    expensive cosine runs on exactly 50 rows. Ties at the shortlist
+    boundary and in the final rank break on vec_id in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    lo = "aggregate(transform(embedding, (x, i) -> IF(x > 0D AND i < 32, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"
+    hi = "aggregate(transform(embedding, (x, i) -> IF(x > 0D AND i >= 32, shiftleft(1L, i - 32), 0L)), 0L, (a, b) -> a + b)"
+    sigs = e.select(
+        "vec_id", "embedding", F.expr(lo).alias("sig_lo"), F.expr(hi).alias("sig_hi")
+    )
+    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+        F.col("embedding").alias("qv"),
+    )
+    shortlist = (
+        sigs.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "qv",
+            (
+                F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(50)
+    )
+    return (
+        shortlist.select("vec_id", "hamming", cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

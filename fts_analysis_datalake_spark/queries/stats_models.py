@@ -525,3 +525,83 @@ def q_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_censored",
         F.aggregate("tl", F.lit(1.0), lambda acc, x: acc * x).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# E123: ABC inventory classification — cumulative-share classes
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_abc_part_classes",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1),
+    ranked AS (
+      SELECT rev_c,
+             CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c,
+             CAST((SELECT SUM(rev_c) FROM pr) AS BIGINT) AS total_c
+      FROM pr),
+    classed AS (
+      SELECT CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A'
+                  WHEN cum_c * 100 <= total_c * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_c, total_c
+      FROM ranked)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) / 10000.0 AS class_rev,
+           CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / CAST(MAX(total_c) AS DOUBLE)
+             AS rev_share
+    FROM classed GROUP BY abc_class
+    """,
+    tags=("E123", "W4", "A1", "O1"),
+)
+def q_abc_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (80/95) inventory classification: parts ranked by revenue,
+    class A = parts covering the first 80% of cumulative revenue,
+    B to 95%, C the tail — the warehouse sibling of the Pareto
+    frontier (E111) and Gini (E59) reports.
+
+    All share math is exact-integer: revenue in 1e-4-scaled cents,
+    cumulative and total sums as BIGINT, and the class boundaries
+    compared as cum*100 <= total*80 — no double division until the
+    final report columns, so class assignment is hash-exact. The
+    cumulative window runs over the per-part aggregate (|parts| rows,
+    single ordered partition); at 100 TB that's the relation a
+    range-partitioned prefix sum would take over, while the lineitem
+    scan/agg stays fully parallel. cum*100 bounds: safe while total
+    revenue < 9e16 scaled units (~9e11 currency)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    cum = Window.orderBy(F.col("rev_c").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = pr.select(
+        "rev_c",
+        F.sum("rev_c").over(cum).cast("bigint").alias("cum_c"),
+        F.sum("rev_c").over(Window.partitionBy()).cast("bigint").alias("total_c"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_c") * 100 <= F.col("total_c") * 80, "A")
+        .when(F.col("cum_c") * 100 <= F.col("total_c") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_c",
+        "total_c",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        (F.sum("rev_c").cast("bigint") / 10000.0).alias("class_rev"),
+        (F.sum("rev_c").cast("bigint").cast("double") / F.max("total_c").cast("double")).alias(
+            "rev_share"
+        ),
+    )
