@@ -157,3 +157,76 @@ def q_approx_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# E128: golden-record consolidation — latest attribute per source
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_golden_record_users",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    gold AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN k END) AS k_view,
+             MAX(CASE WHEN event_type = 'click' THEN k END) AS k_click,
+             MAX(CASE WHEN event_type = 'purchase' THEN k END) AS k_purchase,
+             MAX(CASE WHEN event_type = 'signup' THEN k END) AS k_signup,
+             MAX(ts_s) AS last_seen_s
+      FROM latest WHERE rn = 1 GROUP BY user_id),
+    tot AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id)
+    SELECT g.user_id, k_view, k_click, k_purchase, k_signup, last_seen_s, n_events
+    FROM gold g JOIN tot USING (user_id)
+    """,
+    tags=("E128", "W1", "A12", "F10", "A7"),
+)
+def q_golden_record_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data "golden record" consolidation: one row per user
+    holding the most recent attribute value from EACH source stream
+    (here: latest props.k per event type, latest-wins with
+    (ts, event_id) tiebreak), plus survivorship metadata (last seen,
+    total events). The MDM merge shape: per-source latest-value
+    dedup, then pivot the per-source survivors into one wide record.
+
+    Plan: one window shuffle on (user_id, event_type) picks each
+    source's survivor (WindowGroupLimit prunes rank>1 map-side), one
+    conditional-agg pivot to wide, one count agg joined back — three
+    shuffles total, all on the user key. JSON extraction runs only on
+    the survivor rows' projection in the same stage (no separate
+    pass)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+        )
+    )
+    gold = latest.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("k"))).alias("k_view"),
+        F.max(F.when(F.col("event_type") == "click", F.col("k"))).alias("k_click"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("k"))).alias("k_purchase"),
+        F.max(F.when(F.col("event_type") == "signup", F.col("k"))).alias("k_signup"),
+        F.max("ts_s").alias("last_seen_s"),
+    )
+    tot = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return gold.join(tot, "user_id").select(
+        "user_id", "k_view", "k_click", "k_purchase", "k_signup", "last_seen_s", "n_events"
+    )

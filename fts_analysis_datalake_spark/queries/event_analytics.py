@@ -1915,3 +1915,120 @@ def q_session_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return steps.select(
         "t_s", "net_delta", F.sum("net_delta").over(w).cast("bigint").alias("concurrency")
     )
+
+
+# --------------------------------------------------------------------------
+# E125: FIFO rank-join pairing — k-th view matched to k-th purchase
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_fifo_view_purchase_pairing",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS view_ts_s,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+      FROM events WHERE event_type = 'view'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS purchase_ts_s,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+      FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id, CAST(v.k AS BIGINT) AS k, view_id, purchase_id,
+           purchase_ts_s - view_ts_s AS wait_s
+    FROM v JOIN p ON v.user_id = p.user_id AND v.k = p.k
+    """,
+    tags=("E125", "W1", "J6", "J11"),
+)
+def q_fifo_view_purchase_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO 1:1 pairing: each user's k-th view is matched to their
+    k-th purchase — the queueing-theory arrival/service pairing
+    (wait_s is the queue delay; negative means service preceded the
+    k-th arrival). The general shape matches payments to invoices,
+    refunds to charges, returns to shipments.
+
+    Plan: occurrence rank per side (one window shuffle each, same
+    user_id key so AQE coalesces into co-partitioned exchanges), then
+    an inner equi-join on (user_id, k) — never a per-pair theta join.
+    At 100 TB both sides shuffle once on the same key and the match
+    is sort-merge with zero expansion (k is unique per side)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def ranked(etype: str, id_alias: str, ts_alias: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return e.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            F.unix_timestamp("ts").cast("bigint").alias(ts_alias),
+            F.row_number().over(w).cast("bigint").alias("k"),
+        )
+
+    v = ranked("view", "view_id", "view_ts_s")
+    p = ranked("purchase", "purchase_id", "purchase_ts_s").withColumnsRenamed(
+        {"user_id": "p_user_id", "k": "p_k"}
+    )
+    return (
+        v.join(p, (v.user_id == p.p_user_id) & (v.k == p.p_k))
+        .select(
+            "user_id",
+            "k",
+            "view_id",
+            "purchase_id",
+            (F.col("purchase_ts_s") - F.col("view_ts_s")).alias("wait_s"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E127: trending detection — trailing-7-day top-3 per day
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_trending_event_types",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS di,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    trail7 AS (
+      SELECT di, event_type,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY di
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+      FROM daily)
+    SELECT di, event_type, n7,
+           CAST(ROW_NUMBER() OVER (PARTITION BY di ORDER BY n7 DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM trail7
+    QUALIFY rnk <= 3
+    """,
+    tags=("E127", "W6", "O3", "A1", "F4"),
+)
+def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trending report: for every day, the top-3 event types by
+    trailing-7-day volume. Two canonical windows composed: a RANGE
+    frame over an integer day index (robust to days a type has no
+    events — a ROWS frame would silently span gaps), then a per-day
+    rank with name tiebreak.
+
+    Both windows run over the daily aggregate (|days| x |types| rows),
+    so the fact scan is one hash agg and everything after is dwarf
+    data. The rank filter is WindowGroupLimit-eligible: at scale the
+    per-day top-3 prunes before the final sort."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("bigint").alias("di"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tw = (
+        Window.partitionBy("event_type").orderBy("di").rangeBetween(-6, 0)
+    )
+    trailing = daily.select(
+        "di", "event_type", F.sum("n").over(tw).cast("bigint").alias("n7")
+    )
+    rk = Window.partitionBy("di").orderBy(F.col("n7").desc(), "event_type")
+    return (
+        trailing.withColumn("rnk", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -678,3 +678,97 @@ def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e9
         ).alias("benford_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# E126: snapshot diff — full-outer reconciliation with per-column flags
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_snapshot_diff_orders",
+    oracle="""
+    WITH base AS (SELECT * FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 89 = 0),
+    d AS (
+      SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN b.o_orderstatus <> n.o_orderstatus
+                       OR b.o_totalprice <> n.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS diff_status,
+             CASE WHEN b.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                       AND b.o_orderstatus <> n.o_orderstatus THEN 1 ELSE 0 END AS status_chg,
+             CASE WHEN b.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                       AND b.o_totalprice <> n.o_totalprice THEN 1 ELSE 0 END AS price_chg
+      FROM base b FULL OUTER JOIN v2 n ON b.o_orderkey = n.o_orderkey)
+    SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(status_chg) AS BIGINT) AS n_status_changed,
+           CAST(SUM(price_chg) AS BIGINT) AS n_price_changed
+    FROM d GROUP BY diff_status
+    """,
+    tags=("E126", "J2", "A1", "A7", "E25"),
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the table-diff / anti-entropy audit
+    between two versions of a table): FULL OUTER join on the key,
+    classify every row added / removed / changed / unchanged, and
+    count which columns drove each change. The v2 snapshot is derived
+    deterministically in-plan (keys %97 deleted, %11 status-flipped,
+    %13 repriced, %89 cloned as inserts) so the diff is
+    oracle-checkable without external state.
+
+    Scale shape: one co-partitioned FULL OUTER sort-merge join on the
+    primary key — the same plan a lakehouse CDF/version-diff engine
+    executes — with all change predicates evaluated in the join
+    projection (one pass, no per-column scans). Doubles compare by
+    exact equality, which is sound here because both sides carry
+    IDENTICAL stored values or a deterministic +1.5 of them."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 11 == 0, "X")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.5)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 89 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    b = o.alias("b")
+    n = v2.alias("n")
+    both = F.col("b.o_orderkey").isNotNull() & F.col("n.o_orderkey").isNotNull()
+    status_chg = both & (F.col("b.o_orderstatus") != F.col("n.o_orderstatus"))
+    price_chg = both & (F.col("b.o_totalprice") != F.col("n.o_totalprice"))
+    d = b.join(n, F.col("b.o_orderkey") == F.col("n.o_orderkey"), "full_outer").select(
+        F.when(F.col("b.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(status_chg | price_chg, "changed")
+        .otherwise("unchanged")
+        .alias("diff_status"),
+        F.when(status_chg, 1).otherwise(0).alias("status_chg"),
+        F.when(price_chg, 1).otherwise(0).alias("price_chg"),
+    )
+    return d.groupBy("diff_status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("status_chg").cast("bigint").alias("n_status_changed"),
+        F.sum("price_chg").cast("bigint").alias("n_price_changed"),
+    )
