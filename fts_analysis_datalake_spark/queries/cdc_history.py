@@ -230,3 +230,79 @@ def q_golden_record_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.join(tot, "user_id").select(
         "user_id", "k_view", "k_click", "k_purchase", "k_signup", "last_seen_s", "n_events"
     )
+
+
+# --------------------------------------------------------------------------
+# E129: point-in-time dimension lookup — facts joined to SCD2 validity
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_point_in_time_k_at_purchase",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, k, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM (
+        SELECT user_id, event_id, ts,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               LAG(CAST(json_extract(props, '$.k') AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k
+        FROM events)
+      WHERE prev_k IS NULL OR prev_k <> k),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT purchase_id, p.user_id,
+           CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+           c.k AS k_at_purchase
+    FROM purchases p JOIN changes c
+      ON p.user_id = c.user_id
+     AND c.valid_from <= p.ts
+     AND (c.valid_to IS NULL OR p.ts < c.valid_to)
+    """,
+    tags=("E129", "E13", "J8", "W3", "F10"),
+)
+def q_point_in_time_k_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (bitemporal) dimension lookup: every purchase
+    joined to the SCD2 validity interval of the user's props.k that
+    was in force AT purchase time — the "dimension as the fact saw
+    it" read that backs reproducible feature generation (no leakage
+    from future attribute values).
+
+    Plan: SCD2 history via operators/cdc.scd2_history (one window
+    shuffle on user_id, consecutive duplicates collapsed), then an
+    interval join carrying the user_id equi key with the range as a
+    join residual — sort-merge on the user key, never a nested loop.
+    The purchase always lands in exactly one interval (valid_from <=
+    ts < valid_to), so the join neither drops nor duplicates facts.
+    At 100 TB the union-scan rewrite (E119's IGNORE-NULLS frame
+    carry) computes the same lookup in ONE window pass when the
+    history derives from the same stream as the facts."""
+    e = load_table(spark, sf_dir, "events")
+    withk = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    hist = scd2_history(withk, ["user_id"], "ts", "k", "event_id").select(
+        F.col("user_id").alias("h_user_id"), "k", "valid_from", "valid_to"
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return (
+        p.join(
+            hist,
+            (F.col("user_id") == F.col("h_user_id"))
+            & (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_timestamp("ts").cast("bigint").alias("purchase_ts_s"),
+            F.col("k").alias("k_at_purchase"),
+        )
+    )

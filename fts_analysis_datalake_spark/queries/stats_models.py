@@ -605,3 +605,70 @@ def q_abc_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# E130: Kolmogorov-Smirnov uniformity test — arrival-time ECDF distance
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ks_uniform_arrivals",
+    oracle="""
+    WITH spanned AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             event_id,
+             CAST(MIN(FLOOR(epoch(ts))) OVER () AS BIGINT) AS lo,
+             CAST(MAX(FLOOR(epoch(ts))) OVER () AS BIGINT) AS hi
+      FROM events),
+    ranked AS (
+      SELECT event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts_s, event_id)
+                  AS DOUBLE) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n,
+             CAST(ts_s - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE) AS x
+      FROM spanned)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           MAX(CASE WHEN i / n - x > (x - (i - 1) / n) THEN i / n - x
+                    ELSE x - (i - 1) / n END) AS ks_stat
+    FROM ranked GROUP BY event_type, n
+    """,
+    tags=("E130", "W1", "A2", "F6", "E43"),
+)
+def q_ks_uniform_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov one-sample test of each event type's
+    arrival times against the uniform distribution over the dataset's
+    global time span: KS = sup |ECDF - x| evaluated at both step
+    edges (i/n above, (i-1)/n below). Large values flag bursty or
+    trending types; the E43 chi-square's continuous sibling.
+
+    Deterministic without tolerance: the uniform CDF is linear, so
+    every quantity is a subtraction/division of exact integers —
+    same IEEE result in both engines — and the final sup is an
+    order-free MAX. One window shuffle on event_type ranks arrivals;
+    the global span is a frameless window (computed once per
+    partition map-side at scale via the broadcast twin)."""
+    e = load_table(spark, sf_dir, "events")
+    spanned = e.select(
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+        "event_id",
+        F.min(F.unix_timestamp("ts").cast("bigint")).over(Window.partitionBy()).alias("lo"),
+        F.max(F.unix_timestamp("ts").cast("bigint")).over(Window.partitionBy()).alias("hi"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_s", "event_id")
+    ranked = spanned.select(
+        "event_type",
+        F.row_number().over(w).cast("double").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).cast("double").alias("n"),
+        (
+            (F.col("ts_s") - F.col("lo")).cast("double")
+            / (F.col("hi") - F.col("lo")).cast("double")
+        ).alias("x"),
+    )
+    above = F.col("i") / F.col("n") - F.col("x")
+    below = F.col("x") - (F.col("i") - 1) / F.col("n")
+    return ranked.groupBy("event_type", "n").agg(
+        F.max(F.when(above > below, above).otherwise(below)).alias("ks_stat")
+    ).select("event_type", F.col("n").cast("bigint").alias("n_events"), "ks_stat")
