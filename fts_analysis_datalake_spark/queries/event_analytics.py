@@ -2032,3 +2032,62 @@ def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         trailing.withColumn("rnk", F.row_number().over(rk).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# E131: negative sequence pattern — A then B with no C between
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_negative_pattern_signup_purchase",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                        ELSE 'e' END, '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) FILTER (regexp_matches(seq, 's.*p')) AS BIGINT)
+             AS n_signup_then_purchase,
+           CAST(COUNT(*) FILTER (regexp_matches(seq, 's[^e]*p')) AS BIGINT)
+             AS n_clean_path
+    FROM seqs
+    """,
+    tags=("E131", "E30", "A9", "F2"),
+)
+def q_negative_pattern_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern with a NEGATIVE condition — the
+    MATCH_RECOGNIZE-style ask "signed up and later purchased with no
+    error event in between" that neither a funnel (E19) nor strict
+    adjacency (E30) expresses. Each user's journey compresses to a
+    single-char-per-event string (one groupBy shuffle), and both the
+    positive (s.*p) and negative (s[^e]*p) patterns are one regex
+    over it — the per-user state is one string, and the regexes are
+    plain character classes that Java and RE2 regex engines evaluate
+    identically."""
+    e = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seqs = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", code.alias("ch")))),
+                lambda s: s.ch,
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count(F.when(F.col("seq").rlike("s.*p"), 1))
+        .cast("bigint")
+        .alias("n_signup_then_purchase"),
+        F.count(F.when(F.col("seq").rlike("s[^e]*p"), 1)).cast("bigint").alias("n_clean_path"),
+    )

@@ -453,3 +453,90 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_postings"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# E132: Zipf power-law fit — log-log OLS over the frequency head
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_zipf_exponent_fit",
+    oracle=f"""
+    WITH freq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest({sql_tokens('text')}) AS term FROM documents)
+      GROUP BY term),
+    ranked AS (
+      SELECT CAST(FLOOR(ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS DOUBLE))
+                        * 1000000000 + 0.5) AS DECIMAL(19,0)) AS xi,
+             CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000000 + 0.5) AS DECIMAL(19,0)) AS yi
+      FROM freq
+      QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, term) <= 1000),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS cnt,
+             CAST(SUM(xi) AS DOUBLE) AS sx, CAST(SUM(yi) AS DOUBLE) AS sy,
+             CAST(SUM(xi * yi) AS DOUBLE) AS sxy,
+             CAST(SUM(xi * xi) AS DOUBLE) AS sxx,
+             CAST(SUM(yi * yi) AS DOUBLE) AS syy,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM ranked)
+    SELECT n_terms,
+           (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) AS zipf_slope,
+           ((cnt * sxy - sx * sy) * (cnt * sxy - sx * sy))
+             / ((cnt * sxx - sx * sx) * (cnt * syy - sy * sy)) AS r2
+    FROM m
+    """,
+    tags=("E132", "E109", "D9", "F6", "W1"),
+)
+def q_zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the corpus vocabulary follow Zipf's law? OLS slope of
+    ln(freq) on ln(rank) over the top-1000 terms (slope near -1 =
+    healthy natural-language distribution; far off flags synthetic or
+    boilerplate-heavy corpora — a standard LLM-corpus diagnostic).
+
+    Determinism recipe is E109 + the TF-IDF libm rule combined: each
+    ln is quantized to 1e-9 (identical floor in both engines), the
+    five moment sums run in DECIMAL (exact, order-free), and
+    slope/R^2 are single fixed-order double expressions. One token
+    explode + hash agg, one rank window over the (tiny) vocabulary,
+    one global moment agg."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    rk = Window.orderBy(F.col("n").desc(), "term")
+    q9 = 1000000000
+    ranked = (
+        freq.withColumn("rnk", F.row_number().over(rk))
+        .filter(F.col("rnk") <= 1000)
+        .select(
+            F.floor(F.log(F.col("rnk").cast("double")) * q9 + F.lit(0.5))
+            .cast("decimal(19,0)")
+            .alias("xi"),
+            F.floor(F.log(F.col("n").cast("double")) * q9 + F.lit(0.5))
+            .cast("decimal(19,0)")
+            .alias("yi"),
+        )
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum("xi").cast("double").alias("sx"),
+        F.sum("yi").cast("double").alias("sy"),
+        F.sum(F.col("xi") * F.col("yi")).cast("double").alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("double").alias("sxx"),
+        F.sum(F.col("yi") * F.col("yi")).cast("double").alias("syy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+    num = F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("cnt") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "n_terms",
+        (num / denx).alias("zipf_slope"),
+        ((num * num) / (denx * deny)).alias("r2"),
+    )

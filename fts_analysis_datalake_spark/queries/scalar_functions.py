@@ -456,3 +456,117 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# E133: business-day rollforward — weekend orders land on next Monday
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_business_day_rollforward",
+    oracle="""
+    WITH adj AS (
+      SELECT CASE isodow(CAST(o_orderdate AS DATE))
+               WHEN 6 THEN CAST(o_orderdate AS DATE) + 2
+               WHEN 7 THEN CAST(o_orderdate AS DATE) + 1
+               ELSE CAST(o_orderdate AS DATE) END AS biz_d,
+             CASE WHEN isodow(CAST(o_orderdate AS DATE)) >= 6 THEN 1 ELSE 0 END AS rolled,
+             o_totalprice
+      FROM orders)
+    SELECT CAST(biz_d AS TIMESTAMP) AS biz_date,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(rolled) AS BIGINT) AS n_rolled,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+    FROM adj GROUP BY biz_d
+    """,
+    tags=("E133", "F4", "F5", "A1", "A7"),
+)
+def q_business_day_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-calendar normalization: weekend order dates roll
+    forward to the next Monday (settlement-date convention), then
+    volume/revenue aggregate on the adjusted date with a count of how
+    many rows each Monday absorbed. The cross-engine day-of-week trap
+    is handled explicitly: Spark's dayofweek is 1=Sunday while the
+    oracle's isodow is 1=Monday, so both sides are mapped onto the
+    ISO numbering before comparison. Pure projection + one hash agg;
+    the calendar CASE costs nothing at scale (codegen'd, no join
+    against a calendar table needed for a weekly-cycle rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    isodow = ((F.dayofweek(d) + 5) % 7) + 1
+    adj = o.select(
+        F.when(isodow == 6, F.date_add(d, 2))
+        .when(isodow == 7, F.date_add(d, 1))
+        .otherwise(d)
+        .cast("timestamp")
+        .alias("biz_date"),
+        F.when(isodow >= 6, 1).otherwise(0).alias("rolled"),
+        "o_totalprice",
+    )
+    return adj.groupBy("biz_date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("rolled").cast("bigint").alias("n_rolled"),
+        (F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))) / 100.0).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E134: per-group categorical mode — most frequent value + share
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_mode_k_per_event_type",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    totals AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_k
+      FROM counts GROUP BY 1),
+    best AS (
+      SELECT event_type, k AS mode_k, n AS mode_n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, k) AS rn
+      FROM counts)
+    SELECT b.event_type, mode_k, mode_n, n_distinct_k,
+           CAST(mode_n AS DOUBLE) / CAST(total AS DOUBLE) AS mode_share
+    FROM best b JOIN totals t ON b.event_type = t.event_type
+    WHERE rn = 1
+    """,
+    tags=("E134", "A1", "O3", "F10", "W1"),
+)
+def q_mode_k_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a deterministic tiebreak
+    (smallest value wins) plus distribution context: distinct-value
+    count and the mode's share of the group. Spark has a ``mode``
+    aggregate but its tie survivor is arbitrary — the checked form is
+    the two-level count + rank-1 window, which is both deterministic
+    and the shape that scales (the rank runs over the (group, value)
+    aggregate, never the raw rows; WindowGroupLimit prunes rank>1
+    map-side)."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    counts = e.groupBy(
+        "event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_k"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "k")
+    best = (
+        counts.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("k").alias("mode_k"), F.col("n").alias("mode_n"))
+    )
+    return best.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "mode_k",
+        "mode_n",
+        "n_distinct_k",
+        (F.col("mode_n").cast("double") / F.col("total").cast("double")).alias("mode_share"),
+    )
