@@ -70,19 +70,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright. Read it as raw nanos (legacy conf, runtime
-    settable) and convert to a microsecond TimestampType column — the
-    fixture has no sub-microsecond components (verified), and DuckDB's
-    reader does the same ns->us narrowing, so both engines see
-    identical timestamps.
+    """Normalize events.ts to a session-TZ TimestampType column no
+    matter how the fixture encodes it. Generations of the testdata have
+    shipped ts as parquet TIMESTAMP(NANOS) (Spark's vectorized reader
+    rejects it outright -> read as raw nanos via the legacy conf and
+    truncate ns->us exactly like DuckDB's reader does) and as plain
+    TIMESTAMP(MICROS) with isAdjustedToUTC=false (arrives as
+    TIMESTAMP_NTZ -> cast; session TZ is pinned to UTC so the wall
+    clock is preserved and every downstream date/window function
+    agrees with the DuckDB oracle).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # ts div 1000: exact integer ns->us truncation, stays codegen'd.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Schema conversion rejected TIMESTAMP(NANOS): re-read as long.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # Raw nanos: ts div 1000 is exact integer ns->us truncation,
+        # stays codegen'd.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
