@@ -1,0 +1,441 @@
+"""ML-evaluation / training-data-prep declared queries (SURVEY.md
+§2.12 E135-E140).
+
+The tranche a model-training pipeline runs between curation and
+training: rank-based evaluation metrics (ROC-AUC, calibration),
+distribution drift between corpus slices (Jensen-Shannon), context-
+window chunking, and embedding-space supervision mining (hard
+negatives, kNN label transfer).
+
+Determinism notes follow the repo-wide contract: count arithmetic is
+exact integer math; noisy-double sums use the scaled-integer forms
+(functions/deterministic.py); each ln() term is quantized to 1e-9
+before summation (same pattern as q_user_behavior_entropy) so the
+partial-aggregation order can't leak into the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
+from fts_analysis_datalake_spark.functions.vector import cosine, sql_cosine
+from fts_analysis_datalake_spark.operators.text import sql_tokens, tokens
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# E135: ROC-AUC via the Mann-Whitney rank statistic
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_auc_value_predicts_purchase",
+    oracle="""
+    WITH per_score AS (
+      SELECT value AS score,
+             COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events
+      GROUP BY value),
+    ranked AS (
+      SELECT score, n, p,
+             COALESCE(SUM(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM per_score),
+    sums AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(n) - SUM(p) AS BIGINT) AS n_neg,
+             SUM(CAST(p AS DOUBLE) * (cum_before + (n + 1) / 2.0)) AS rank_sum_pos
+      FROM ranked)
+    SELECT n_pos, n_neg,
+           (rank_sum_pos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+             / (CAST(n_pos AS DOUBLE) * n_neg) AS auc
+    FROM sums
+    """,
+    tags=("E135", "A1", "W4", "A2"),
+)
+def q_auc_value_predicts_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of `value` as a score for predicting a purchase event —
+    the Mann-Whitney U form: AUC = (R+ - P(P+1)/2) / (P*N) where R+ is
+    the sum of average ranks of positives (average ranks make ties
+    exact, matching the trapezoidal ROC).
+
+    Plan: aggregate to one row PER DISTINCT SCORE first (the shuffle
+    carries distinct-score cardinality, not event rows), then a single
+    ordered window computes cumulative counts — at 100 TB the window
+    input is the score histogram, many orders of magnitude smaller
+    than the events table, so the unpartitioned sort is safe. Every
+    rank is an exact multiple of 0.5 and every product p*rank is an
+    exactly-representable double, so the final division is bit-equal
+    across engines with no quantization needed."""
+    e = load_table(spark, sf_dir, "events")
+    per_score = e.groupBy(F.col("value").alias("score")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    sums = ranked.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        (F.sum("n") - F.sum("p")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("p").cast("double") * (F.col("cum_before") + (F.col("n") + 1) / 2.0)
+        ).alias("rank_sum_pos"),
+    )
+    return sums.select(
+        "n_pos",
+        "n_neg",
+        (
+            (
+                F.col("rank_sum_pos")
+                - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E136: Jensen-Shannon divergence between corpus slices
+# --------------------------------------------------------------------------
+
+_JSD_LANG = "en"
+
+
+def _sql_lang_dist() -> str:
+    return f"""
+    tok AS (
+      SELECT lang = '{_JSD_LANG}' AS is_p, unnest({sql_tokens('text')}) AS token
+      FROM documents),
+    cnt AS (
+      SELECT token,
+             SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS cp,
+             SUM(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS cq
+      FROM tok GROUP BY token),
+    tot AS (SELECT SUM(cp) AS tp, SUM(cq) AS tq FROM cnt),
+    probs AS (
+      SELECT CAST(cp AS DOUBLE) / tp AS p, CAST(cq AS DOUBLE) / tq AS q
+      FROM cnt, tot)
+    """
+
+
+@query(
+    "q_js_divergence_langs",
+    oracle=f"""
+    WITH {_sql_lang_dist()},
+    terms AS (
+      SELECT CAST(FLOOR((CASE WHEN p > 0
+                   THEN p * ln(2.0 * p / (p + q)) ELSE 0 END) * 1000000000 + 0.5)
+               AS BIGINT) AS kp,
+             CAST(FLOOR((CASE WHEN q > 0
+                   THEN q * ln(2.0 * q / (p + q)) ELSE 0 END) * 1000000000 + 0.5)
+               AS BIGINT) AS kq
+      FROM probs)
+    SELECT CAST(SUM(kp) AS DOUBLE) / 2000000000.0
+             + CAST(SUM(kq) AS DOUBLE) / 2000000000.0 AS jsd_nats,
+           CAST(COUNT(*) AS BIGINT) AS vocab_union
+    FROM terms
+    """,
+    tags=("E136", "D9", "D12", "A2", "F7"),
+)
+def q_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distribution of
+    the English slice and the rest of the corpus — the symmetric,
+    bounded drift metric a data-mixture dashboard tracks per ingest
+    batch (0 = identical mix, ln 2 = disjoint vocabularies).
+
+    JSD(P,Q) = 0.5*KL(P||M) + 0.5*KL(Q||M) with M=(P+Q)/2; zero-count
+    terms contribute 0 by the KL convention. One explode + one
+    token-keyed count shuffle builds both distributions in a single
+    pass (conditional sums instead of two scans); totals broadcast
+    back as a 1-row cross join. Each p*ln(2p/(p+q)) term is quantized
+    to 1e-9 before the sum so partial-agg order is immaterial."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("lang") == _JSD_LANG).alias("is_p"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    cnt = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("is_p"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("is_p"), 1).otherwise(0)).alias("cq"),
+    )
+    tot = cnt.agg(F.sum("cp").alias("tp"), F.sum("cq").alias("tq"))
+    probs = cnt.crossJoin(F.broadcast(tot)).select(
+        (F.col("cp").cast("double") / F.col("tp")).alias("p"),
+        (F.col("cq").cast("double") / F.col("tq")).alias("q"),
+    )
+    m = 1_000_000_000
+    kp = F.floor(
+        F.when(
+            F.col("p") > 0, F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q")))
+        ).otherwise(0.0)
+        * m
+        + 0.5
+    ).cast("bigint")
+    kq = F.floor(
+        F.when(
+            F.col("q") > 0, F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q")))
+        ).otherwise(0.0)
+        * m
+        + 0.5
+    ).cast("bigint")
+    return probs.select(kp.alias("kp"), kq.alias("kq")).agg(
+        (
+            F.sum("kp").cast("double") / (2.0 * m)
+            + F.sum("kq").cast("double") / (2.0 * m)
+        ).alias("jsd_nats"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_union"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E137: context-window chunking with overlap
+# --------------------------------------------------------------------------
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+@query(
+    "q_doc_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+      WHERE doc_id % 7 = 0),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - {_CHUNK - 1}, 1), {_STRIDE}))
+               AS start
+      FROM toks)
+    SELECT doc_id,
+           CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(t[start : start + {_CHUNK - 1}]) AS INTEGER) AS chunk_len,
+           array_to_string(t[start : start + {_CHUNK - 1}], ' ') AS chunk_text
+    FROM starts
+    """,
+    tags=("E137", "D8", "F7", "F8"),
+)
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-context chunking: split each document into overlapping
+    {_CHUNK}-token windows with stride {_STRIDE} (8-token overlap
+    carries context across boundaries) — the row fan-out that turns a
+    curated corpus into fixed-shape training sequences.
+
+    Start offsets come from a `sequence` column exploded per doc — a
+    map-side generator, no shuffle, no UDF; the chunk itself is a
+    `slice` of the already-tokenized array, evaluated once per row.
+    At 100 TB this is the classic narrow transformation: output rows
+    ≈ tokens/stride, partitioning inherited from the scan. The final
+    (short) chunk is kept — truncation policy belongs to the packer
+    (see q_sequence_packing), not the chunker."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("t") - F.lit(_CHUNK - 1), F.lit(1)),
+                F.lit(_STRIDE),
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), _CHUNK)
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / _STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E138: hard-negative mining for contrastive training
+# --------------------------------------------------------------------------
+
+_HN_K = 3
+_HN_MOD = 50
+
+
+@query(
+    "q_hard_negative_mining",
+    oracle=f"""
+    WITH qset AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+      FROM embeddings WHERE vec_id % {_HN_MOD} = 0),
+    scored AS (
+      SELECT qid, e.vec_id AS neg_id, e.label AS neg_label,
+             {sql_cosine('e.embedding', 'qv')} AS cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY {sql_cosine('e.embedding', 'qv')} DESC,
+                                         e.vec_id) AS rn
+      FROM embeddings e JOIN qset ON e.label <> qset.qlabel)
+    SELECT qid, neg_id, neg_label, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= {_HN_K}
+    """,
+    tags=("E138", "D6", "O3", "W1", "F8"),
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: for each anchor in the
+    query subset (vec_id % {_HN_MOD} = 0), the {_HN_K} most-similar
+    vectors with a DIFFERENT label — maximally confusable examples,
+    the negatives that actually move an embedding model.
+
+    Plan: the anchor set is a small broadcast side of a label-mismatch
+    nested-loop join (anchors are a fixed panel — hundreds, not
+    corpus-scale — so broadcast-NL is the right physical join; the
+    scan side streams once). Per-anchor top-k is a window rank with a
+    vec_id tiebreak, deterministic in both engines. At 100 TB the
+    full-scan cosine pass is the honest baseline; the ANN shortlist
+    variants (IVF/SRP/Hamming) bound it when the anchor panel grows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") % _HN_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        e.join(F.broadcast(qset), F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _HN_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# E139: calibration / reliability curve
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_calibration_reliability",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT value, event_type = 'purchase' AS y,
+             ntile(10) OVER (ORDER BY value, event_id) AS bin
+      FROM events)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value', 6)} / COUNT(*) AS mean_score,
+           CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS positive_rate
+    FROM ranked GROUP BY bin
+    """,
+    tags=("E139", "W2", "A1", "A7"),
+)
+def q_calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve: decile-bin the score (`value`) with ntile,
+    then per bin the mean score vs the observed purchase rate — a
+    calibrated scorer tracks the diagonal; the gap per bin is what a
+    Platt/isotonic recalibration would fix.
+
+    ntile needs a total order: event_id breaks score ties so both
+    engines assign identical bins. The window is the scale concession
+    (one ordered pass); at 100 TB the same curve comes from
+    approx-quantile bin EDGES + a map-side bucket join — the
+    equi-depth histogram path (q_equidepth_price_histogram) — while
+    THIS declared form is the exact-ntile reference. Mean score uses
+    the scaled deterministic sum."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    ranked = e.select(
+        "value",
+        (F.col("event_type") == "purchase").alias("y"),
+        F.ntile(10).over(w).alias("bin"),
+    )
+    return ranked.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (dsum(F.col("value"), 6) / F.count(F.lit(1))).alias("mean_score"),
+        (
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("positive_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E140: kNN label transfer (majority vote)
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_MOD = 97
+
+
+@query(
+    "q_knn_label_vote",
+    oracle=f"""
+    WITH test AS (
+      SELECT vec_id AS tid, embedding AS tv
+      FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
+    nn AS (
+      SELECT tid, e.label,
+             row_number() OVER (PARTITION BY tid
+                                ORDER BY {sql_cosine('e.embedding', 'tv')} DESC,
+                                         e.vec_id) AS rn
+      FROM embeddings e JOIN test ON e.vec_id % {_KNN_MOD} <> 0),
+    votes AS (
+      SELECT tid, label, COUNT(*) AS votes
+      FROM nn WHERE rn <= {_KNN_K} GROUP BY tid, label),
+    best AS (
+      SELECT tid, label, votes,
+             row_number() OVER (PARTITION BY tid
+                                ORDER BY votes DESC, label) AS vr
+      FROM votes)
+    SELECT tid AS vec_id, CAST(label AS INTEGER) AS pred_label,
+           CAST(votes AS BIGINT) AS votes
+    FROM best WHERE vr = 1
+    """,
+    tags=("E140", "D6", "O3", "A1", "W1"),
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label transfer: predict each held-out vector's label
+    (vec_id % {_KNN_MOD} = 0 is the unlabeled panel) as the majority
+    label of its {_KNN_K} nearest labeled neighbors by cosine — the
+    semi-supervised labeling pass that bootstraps classifier training
+    sets from a small seed.
+
+    Same physical shape as hard-negative mining: broadcast the tiny
+    test panel, stream the labeled corpus once, per-panel top-k via
+    window rank (vec_id tiebreak), then a votes-desc/label-asc rank
+    picks a deterministic winner even on split votes. The vote
+    aggregate shuffles k rows per test vector — nothing corpus-sized
+    ever re-shuffles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    test = e.filter(F.col("vec_id") % _KNN_MOD == 0).select(
+        F.col("vec_id").alias("tid"), F.col("embedding").alias("tv")
+    )
+    train = e.filter(F.col("vec_id") % _KNN_MOD != 0)
+    scored = train.crossJoin(F.broadcast(test)).select(
+        "tid",
+        "label",
+        cosine(F.col("embedding"), F.col("tv")).alias("cos_sim"),
+        "vec_id",
+    )
+    wnn = Window.partitionBy("tid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    nn = scored.withColumn("rn", F.row_number().over(wnn)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    votes = nn.groupBy("tid", "label").agg(F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy("tid").orderBy(F.col("votes").desc(), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("tid").alias("vec_id"),
+            F.col("label").cast("int").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )
