@@ -168,7 +168,11 @@ def exact_jaccard_for_pairs(
         )
     else:
         rows = shingle_table(df, id_col, text_col, shingle_n).withColumnRenamed("shingle", "elem")
-    tok = rows.groupBy(id_col).agg(F.collect_set("elem").alias("toks"))
+    # The element-set table feeds BOTH sides of the pair join; persist
+    # so the tokenize/shingle + collect_set lineage runs once (same
+    # lifecycle contract as minhash_signatures — released by the
+    # bench/driver clearCache between queries).
+    tok = rows.groupBy(id_col).agg(F.collect_set("elem").alias("toks")).persist()
     return (
         pairs.join(tok.withColumnsRenamed({id_col: "id_a", "toks": "toks_a"}), "id_a")
         .join(tok.withColumnsRenamed({id_col: "id_b", "toks": "toks_b"}), "id_b")
@@ -362,7 +366,10 @@ def prefix_filter_candidates(
     pair count. Returns distinct (id_a, id_b) with id_a < id_b."""
     from pyspark.sql import Window
 
-    sh = shingle_table(df, id_col, text_col, shingle_n).distinct()
+    # The deduped shingle table is read FOUR times below (freq, sizes,
+    # ranked, both posting sides); persist so the normalize->tokenize->
+    # ngram->explode lineage executes once (clearCache lifecycle).
+    sh = shingle_table(df, id_col, text_col, shingle_n).distinct().persist()
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy(id_col).orderBy("freq", "shingle")

@@ -345,7 +345,10 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fts_analysis_datalake_spark.operators.dedup import shingle_table
 
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(d, "doc_id", "text", 3).distinct()
+    # sh feeds freq, sizes, the prefix ranking, the posting join AND
+    # the collect_set verify — five consumers; persist runs the
+    # shingle lineage once (clearCache lifecycle).
+    sh = shingle_table(d, "doc_id", "text", 3).distinct().persist()
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     from pyspark.sql import Window as W
