@@ -531,3 +531,39 @@ def q_nearest_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delta_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E144: LATERAL correlated subquery — per-row top-k as a join operator
+# --------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+FROM orders o,
+LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey
+         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+WHERE o.o_orderkey % 500 = 0
+"""
+
+
+@query(
+    "q_lateral_top2_per_order",
+    oracle=_LATERAL_SQL,
+    tags=("E144", "J1", "O3", "S6"),
+)
+def q_lateral_top2_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LATERAL join surface: for every 500th order, its two
+    priciest lineitems via a correlated ORDER BY ... LIMIT subquery —
+    the SQL spelling of per-key top-k that tools and ORMs emit
+    (PostgreSQL LATERAL / CROSS APPLY), distinct from the window-rank
+    form (O3) and EXACTLY the same SQL text on both engines.
+
+    Catalyst decorrelates the lateral subquery into a join +
+    per-key limit instead of re-executing it per outer row, so the
+    plan scales like the window-rank twin; the o_orderkey filter
+    prunes the outer side before the join."""
+    from fts_analysis_datalake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

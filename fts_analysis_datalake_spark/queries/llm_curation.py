@@ -711,3 +711,193 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.ntile(10).over(w).alias("nll_decile"),
     )
+
+
+# --------------------------------------------------------------------------
+# E141: train/test split leakage audit — near-dups crossing the split
+# --------------------------------------------------------------------------
+
+_LEAK_J = 0.4
+
+
+@query(
+    "q_split_leakage_audit",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars,
+                      list_distinct({sql_tokens('text')}) AS toks,
+                      CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb'
+                           THEN 'train'
+                           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
+                           THEN 'val' ELSE 'test' END AS split
+               FROM documents)
+    SELECT a.doc_id AS id_a, a.split AS split_a,
+           b.doc_id AS id_b, b.split AS split_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(a.toks || b.toks)) AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    WHERE a.split <> b.split
+      AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(a.toks || b.toks)) >= {_LEAK_J}
+    """,
+    tags=("E141", "E41", "D4", "J11"),
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs (blocked exact
+    Jaccard >= {_LEAK_J}, the q_dedup_clusters edge set) whose two
+    members landed in DIFFERENT hash splits — the eval-contamination
+    every training pipeline must check BEFORE publishing a benchmark
+    number, because an 80/10/10 split of an un-deduplicated corpus
+    leaks ~duplicate-rate of the test set into train.
+
+    Composes two declared ops unchanged: the md5-prefix split
+    assignment (E41, a map-side expression) annotates each side of
+    the blocked-Jaccard candidate join (D4); the cross-split filter
+    is map-side after the verify. The fix when this returns rows is
+    cluster-aware splitting: assign by the dedup CLUSTER's canonical
+    id instead of the member id."""
+    from fts_analysis_datalake_spark.operators.dedup import exact_jaccard_for_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(hx <= "cb", "train").when(hx <= "e5", "val").otherwise("test")
+    )
+    ds = d.withColumn("split", split)
+    pairs = (
+        ds.alias("a")
+        .join(
+            ds.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.split") != F.col("b.split"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("a.split").alias("split_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("b.split").alias("split_b"),
+        )
+    )
+    verified = exact_jaccard_for_pairs(d, "doc_id", "text", pairs.select("id_a", "id_b"))
+    return (
+        verified.filter(F.col("jaccard") >= _LEAK_J)
+        .join(pairs, ["id_a", "id_b"])
+        .select("id_a", "split_a", "id_b", "split_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# E142: shingle novelty — how much of each doc is new to the corpus
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_shingle_novelty_scores",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({sql_ngrams(sql_tokens('text'), 3)}) AS shingle
+      FROM documents),
+    owner AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN owner.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN owner.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM sh JOIN owner USING (shingle)
+    GROUP BY sh.doc_id
+    HAVING CAST(SUM(CASE WHEN owner.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) < 1.0
+    """,
+    tags=("E142", "D11", "A1", "J1"),
+)
+def q_shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty scoring for incremental ingest: per document, the
+    fraction of its distinct 3-gram shingles whose FIRST owner (min
+    doc_id across the corpus) is the document itself — a doc full of
+    shingles first seen elsewhere is boilerplate/quotation; curation
+    samplers upweight high-novelty docs. Output keeps only docs with
+    some repeated content (novelty < 1), the review queue.
+
+    One shingle explode + one groupBy(shingle) for first owners +
+    one groupBy(doc) for the score — the same two-shuffle shape as
+    TF-IDF's docfreq pass, and the first-owner table is exactly the
+    incremental state a daily ingest would checkpoint and merge
+    (MIN is associative across batches)."""
+    from fts_analysis_datalake_spark.operators.dedup import shingle_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(d, "doc_id", "text", 3).distinct().persist()
+    owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+        .filter(F.col("novelty") < 1.0)
+    )
+
+
+# --------------------------------------------------------------------------
+# E143: cross-language fingerprint collisions — copied/mislabeled docs
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cross_lingual_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents),
+         f AS (SELECT doc_id, lang,
+                      list_min(list_transform({sql_ngrams('toks', 3)}, s -> md5(s))) AS fp
+               FROM t WHERE len(toks) >= 3)
+    SELECT fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+    FROM f
+    GROUP BY fp
+    HAVING COUNT(DISTINCT lang) > 1
+    """,
+    tags=("E143", "D1", "D11", "F11", "A3"),
+)
+def q_cross_lingual_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language duplicate detection: min-shingle fingerprints
+    shared by documents carrying DIFFERENT language tags — each hit
+    is either a mislabeled language id or the same content ingested
+    under two language routes, both of which corrupt per-language
+    mixture accounting (E42) if left in. The langs column is the
+    sorted distinct tag list for triage.
+
+    Same one-explode + min-agg fingerprint pass as E14's cluster
+    query, with a countDistinct(lang) filter on top — at 100 TB the
+    fingerprint groupBy shuffles one 32-char key per doc, nothing
+    text-sized."""
+    from fts_analysis_datalake_spark.operators.dedup import shingle_table
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = (
+        shingle_table(d, "doc_id", "text", 3)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(F.min(F.md5("shingle")).alias("fp"))
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        )
+        .filter(F.col("n_langs") > 1)
+    )
