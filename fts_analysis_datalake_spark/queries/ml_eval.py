@@ -439,3 +439,146 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("votes").cast("bigint").alias("votes"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E146: cumulative gains / lift by score decile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_decile_lift_chart",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type = 'purchase' AS y,
+             ntile(10) OVER (ORDER BY value DESC, event_id) AS decile
+      FROM events),
+    per AS (
+      SELECT decile, COUNT(*) AS n,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+      FROM ranked GROUP BY decile),
+    cum AS (
+      SELECT decile, n, pos,
+             SUM(n) OVER (ORDER BY decile) AS cum_n,
+             SUM(pos) OVER (ORDER BY decile) AS cum_pos,
+             SUM(n) OVER () AS tot_n, SUM(pos) OVER () AS tot_pos
+      FROM per)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           CAST(cum_pos AS DOUBLE) / tot_pos AS cum_capture,
+           (CAST(cum_pos AS DOUBLE) / cum_n) / (CAST(tot_pos AS DOUBLE) / tot_n)
+             AS cum_lift
+    FROM cum
+    """,
+    tags=("E146", "E139", "W2", "W4", "A1"),
+)
+def q_decile_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains/lift: rank events by score (`value`)
+    DESCENDING, decile them, and report what fraction of all
+    positives the top-k deciles capture (cum_capture) and the lift of
+    targeting them over targeting at random (cum_lift) — the chart a
+    campaign/triage planner reads next to the calibration curve
+    (E139); decile 1 row answers 'what do the best 10% buy us'.
+
+    Shape: one ntile window (unique event_id tiebreak -> identical
+    bins in both engines), a 10-row aggregate, then running sums over
+    the 10-row decile table — the expensive window runs once over
+    events, everything after is constant-size. Counts are exact
+    integers; the two emitted ratios divide identical exact integers
+    on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value").desc(), "event_id")
+    ranked = e.select(
+        (F.col("event_type") == "purchase").alias("y"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = per.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wt).alias("tot_n"),
+        F.sum("pos").over(wt).alias("tot_pos"),
+    )
+    return cum.select(
+        "decile",
+        "n",
+        "pos",
+        (F.col("cum_pos").cast("double") / F.col("tot_pos")).alias("cum_capture"),
+        (
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("tot_pos").cast("double") / F.col("tot_n"))
+        ).alias("cum_lift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E147: readability / text-complexity profile per (lang, source) slice
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_readability_profile",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang, source,
+             len({sql_tokens('text')}) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_vowel_runs
+      FROM documents
+      WHERE len({sql_tokens('text')}) > 0)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_words) AS DOUBLE) / SUM(GREATEST(n_sents, 1))
+             AS words_per_sentence,
+           CAST(SUM(n_vowel_runs) AS DOUBLE) / SUM(n_words)
+             AS syllables_per_word
+    FROM per_doc
+    GROUP BY lang, source
+    """,
+    tags=("E147", "D13", "D12", "F2", "A1"),
+)
+def q_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile per corpus slice: words-per-sentence and a
+    vowel-run syllable proxy per word — the two inputs of Flesch-
+    style reading-ease scores, used as a curation feature (too-simple
+    text is boilerplate/lists, too-complex is OCR noise or machine
+    text). Sentence count is punctuation-based with a GREATEST(.,1)
+    floor for fragments.
+
+    All regex counting happens map-side in one scan; the aggregate
+    ships three integers per (lang, source) group. Ratios divide
+    exact integer sums, so no quantization is needed anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens(F.col("text")))
+    per_doc = d.select(
+        "lang",
+        "source",
+        n_words.alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), 0))
+        .cast("bigint")
+        .alias("n_sents"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0))
+        .cast("bigint")
+        .alias("n_vowel_runs"),
+    ).filter(F.col("n_words") > 0)
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        (
+            F.sum("n_words").cast("double")
+            / F.sum(F.greatest(F.col("n_sents"), F.lit(1)))
+        ).alias("words_per_sentence"),
+        (F.sum("n_vowel_runs").cast("double") / F.sum("n_words")).alias(
+            "syllables_per_word"
+        ),
+    )

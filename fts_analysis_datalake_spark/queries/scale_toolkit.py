@@ -507,3 +507,63 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_p50_ratio"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# E145: weighted sampling without replacement — Efraimidis-Spirakis
+# --------------------------------------------------------------------------
+
+_WS_K = 50
+
+
+@query(
+    "q_weighted_doc_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                      AS UBIGINT) + 0.5) / 4503599627370496.0) / n_chars AS es_key
+      FROM documents)
+    SELECT doc_id, n_chars,
+           CAST(FLOOR(es_key * 1000000000000 + 0.5) AS BIGINT) / 1000000000000.0
+             AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+    tags=("E145", "O4", "O3", "F11", "F6"),
+)
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+    each doc draws u from a DETERMINISTIC md5-derived uniform (first
+    13 hex chars = 52 bits, exact in a double) and the top-{_WS_K} by
+    key = ln(u)^(1/w) order — here the log form ln(u)/w with
+    w = n_chars, so longer documents are proportionally likelier, and
+    the whole draw is reproducible across engines, runs, and cluster
+    sizes (no RNG state — the seed IS the key column).
+
+    This is the missing sibling of the uniform seeded sample (O4,
+    engine RNG, rows-only) and the per-stratum rates (sampleBy): a
+    distributed weighted reservoir that needs only a map-side key +
+    TakeOrderedAndProject top-k — no shuffle of the corpus, mergeable
+    across partitions by construction (top-k of top-ks). The emitted
+    key is quantized to 1e-12 so the hash compare never sees ulp
+    noise; selection order breaks ties by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(4503599627370496.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            (F.floor(key * 1e12 + F.lit(0.5)).cast("bigint") / F.lit(1e12)).alias(
+                "es_key"
+            ),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(_WS_K)
+    )
