@@ -490,3 +490,28 @@ def q_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(doc_id).alias("min_doc"),
         F.max(doc_id).alias("max_doc"),
     )
+
+
+@query(
+    "q_user_topk_state_batch",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           list_slice(list_sort(list(value), 'DESC'), 1, 3) AS top_values
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("T10", "X2", "A9"),
+)
+def q_user_topk_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the per-user top-k state tracker
+    (streaming/transforms.py user_topk_state — the
+    transformWithStateInPandas surface, with an
+    applyInPandasWithState fallback where protobuf is absent;
+    cross-batch stream-equals-batch is asserted in
+    tests/test_streaming.py). The bounded max-set is
+    order-independent, so the oracle's sort-then-slice reproduces the
+    streaming fixpoint exactly — including the double values, which
+    pass through both engines unmodified."""
+    from fts_analysis_datalake_spark.streaming.transforms import user_topk_state
+
+    return user_topk_state(load_table(spark, sf_dir, "events"))

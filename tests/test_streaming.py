@@ -165,3 +165,20 @@ def test_stream_stream_join_equals_batch(spark, stream_dir):
     got = _canon(spark.table("mem_ss_join"), cols)
     want = _canon(batch, cols)
     assert got == want and len(want) > 0
+
+
+def test_transform_with_state_topk_stream_equals_batch(spark, stream_dir):
+    """transformWithStateInPandas (T10): the per-user top-k tracker's
+    LAST update per user must equal the batch twin exactly — the
+    bounded max-set union is order-independent, so micro-batch
+    interleaving cannot change the fixpoint."""
+    from fts_analysis_datalake_spark.streaming.transforms import user_topk_state
+
+    batch = user_topk_state(
+        spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    ).toPandas()
+    streamed = _run_stream(spark, user_topk_state, stream_dir, "update").toPandas()
+    last = streamed.groupby("user_id").tail(1)
+    b = {r.user_id: (r.n, tuple(r.top_values)) for r in batch.itertuples()}
+    s = {r.user_id: (r.n, tuple(r.top_values)) for r in last.itertuples()}
+    assert b == s
