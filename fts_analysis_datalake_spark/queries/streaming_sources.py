@@ -515,3 +515,40 @@ def q_user_topk_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fts_analysis_datalake_spark.streaming.transforms import user_topk_state
 
     return user_topk_state(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_python_datasource_agg",
+    oracle="""
+    WITH synth AS (
+      SELECT i AS id, i % 10 AS grp,
+             (i * 1103515245 + 12345) % 2147483648 AS val
+      FROM generate_series(0, 19999) t(i))
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(val) AS BIGINT) AS total_val,
+           CAST(MIN(val) AS BIGINT) AS min_val,
+           CAST(MAX(val) AS BIGINT) AS max_val
+    FROM synth
+    GROUP BY grp
+    """,
+    tags=("S8", "A1"),
+)
+def q_python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: custom Python Data Source plugin (Spark 4 DataSource API):
+    read 20k rows from the registered 'synthlog' generator source
+    (8 declared InputPartitions -> 8 parallel tasks, nothing on the
+    driver) and aggregate per group. Every value is deterministic
+    integer arithmetic, so the oracle regenerates the identical
+    table with generate_series and the hash check verifies the
+    partition-planning + per-partition iteration plumbing
+    end-to-end (sources/pydatasource.py)."""
+    from fts_analysis_datalake_spark.sources.pydatasource import register_synthlog
+
+    register_synthlog(spark)
+    synth = spark.read.format("synthlog").option("n", 20000).load()
+    return synth.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("val").cast("bigint").alias("total_val"),
+        F.min("val").cast("bigint").alias("min_val"),
+        F.max("val").cast("bigint").alias("max_val"),
+    )

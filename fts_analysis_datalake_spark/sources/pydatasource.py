@@ -1,0 +1,79 @@
+"""Custom Python Data Source (SURVEY.md §2.1 S8) — the Spark-4 plugin
+API for sources Spark has no built-in reader for (internal services,
+bespoke wire formats, synthetic generators).
+
+The demo source is a deterministic synthetic event-log generator:
+row i -> (id=i, grp=i%10, val=LCG(i)) with the classic glibc LCG
+constants, so every cell is pure integer arithmetic an oracle can
+reproduce exactly — the point is to verify the PLUMBING (schema
+declaration, options, partition planning, per-partition iteration)
+with a value-hash check, not to fake data.
+
+Scale notes: ``partitions()`` is the source's split planning — each
+InputPartition becomes one Spark task reading [lo, hi), so
+parallelism is declared by the source exactly like file splits are
+for parquet; nothing is generated on the driver. A real connector
+would put its shard/offset descriptors in the partition values.
+
+Packaging note: the classes are defined INSIDE the factory below on
+purpose. Spark ships a registered Python data source to executors
+with cloudpickle, which serializes module-level classes by REFERENCE
+(workers would need this package importable — true on a deployed
+cluster, false for a bare driver-contract harness); locally-defined
+classes serialize by VALUE and run anywhere the driver runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2147483648  # 2^31
+
+
+def _make_source():
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SynthLogReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.n = int(options.get("n", 1000))
+            self.parts = int(options.get("parts", 8))
+
+        def partitions(self) -> list:
+            step = (self.n + self.parts - 1) // self.parts
+            return [
+                InputPartition((i * step, min((i + 1) * step, self.n)))
+                for i in range(self.parts)
+            ]
+
+        def read(self, partition):
+            lo, hi = partition.value
+            for i in range(lo, hi):
+                yield (i, i % 10, (i * 1103515245 + 12345) % 2147483648)
+
+    class SynthLogSource(DataSource):
+        """spark.read.format("synthlog").option("n", N).option("parts", P)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthlog"
+
+        def schema(self) -> str:
+            return "id long, grp long, val long"
+
+        def reader(self, schema) -> SynthLogReader:
+            return SynthLogReader(self.options)
+
+    return SynthLogSource
+
+
+_REGISTERED: set[str] = set()
+
+
+def register_synthlog(spark: SparkSession) -> None:
+    """Register the source once per SparkSession (idempotent)."""
+    app = spark.sparkContext.applicationId
+    if app not in _REGISTERED:
+        spark.dataSource.register(_make_source())
+        _REGISTERED.add(app)
