@@ -582,3 +582,151 @@ def q_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "syllables_per_word"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# E148: classifier evaluation — accuracy of the kNN label transfer
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_knn_eval_accuracy",
+    oracle=f"""
+    WITH test AS (
+      SELECT vec_id AS tid, embedding AS tv, label AS true_label
+      FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
+    nn AS (
+      SELECT tid, e.label,
+             row_number() OVER (PARTITION BY tid
+                                ORDER BY {sql_cosine('e.embedding', 'tv')} DESC,
+                                         e.vec_id) AS rn
+      FROM embeddings e JOIN test ON e.vec_id % {_KNN_MOD} <> 0),
+    votes AS (
+      SELECT tid, label, COUNT(*) AS votes
+      FROM nn WHERE rn <= {_KNN_K} GROUP BY tid, label),
+    best AS (
+      SELECT tid, label AS pred_label,
+             row_number() OVER (PARTITION BY tid
+                                ORDER BY votes DESC, label) AS vr
+      FROM votes),
+    joined AS (
+      SELECT t.true_label, b.pred_label
+      FROM test t JOIN best b ON b.tid = t.tid AND b.vr = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS accuracy,
+           CAST(COUNT(DISTINCT pred_label) AS BIGINT) AS n_pred_labels
+    FROM joined
+    """,
+    tags=("E148", "E140", "A2", "A3"),
+)
+def q_knn_eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation pass that closes the kNN label-transfer loop
+    (E140): score the held-out panel's predictions against their true
+    labels — overall accuracy plus how many distinct labels the
+    classifier actually used (a collapse detector: n_pred_labels = 1
+    means it's predicting the majority class).
+
+    Same plan as E140 with one extra broadcast join back to the truth
+    panel and a one-row aggregate; every emitted number divides exact
+    integer counts."""
+    e = load_table(spark, sf_dir, "embeddings")
+    truth = e.filter(F.col("vec_id") % _KNN_MOD == 0).select(
+        F.col("vec_id").alias("vec_id"), F.col("label").alias("true_label")
+    )
+    pred = q_knn_label_vote(spark, sf_dir)
+    joined = pred.join(F.broadcast(truth), "vec_id")
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    ).cast("bigint")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        correct.alias("n_correct"),
+        (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+        F.countDistinct("pred_label").cast("bigint").alias("n_pred_labels"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E149: bootstrap confidence interval via deterministic hash resampling
+# --------------------------------------------------------------------------
+
+_BOOT_B = 50
+
+
+@query(
+    "q_bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT e.value, b
+      FROM events e, unnest(generate_series(0, {_BOOT_B - 1})) t(b)
+      WHERE substring(md5(CAST(e.event_id AS VARCHAR) || '-' || CAST(b AS VARCHAR)),
+                      1, 1) <= '7'),
+    means AS (
+      SELECT b,
+             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+               / COUNT(*) AS m
+      FROM reps GROUP BY b),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means)
+    SELECT CAST({_BOOT_B} AS BIGINT) AS b_reps,
+           (SELECT {sql_dsum('m', 9)} / {_BOOT_B} FROM means) AS mean_of_means,
+           (SELECT m FROM ranked WHERE rn = {int(0.05 * _BOOT_B) + 1}) AS ci_lo,
+           (SELECT m FROM ranked WHERE rn = {int(0.95 * _BOOT_B)}) AS ci_hi
+    """,
+    tags=("E149", "E43", "A2", "F11", "O4"),
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-style confidence interval for mean(value) with
+    DETERMINISTIC resampling: replicate b keeps event i iff the first
+    md5(i-b) hex digit is < 8 (an exact-p=1/2 subsample — the
+    m-out-of-n bootstrap), so all {_BOOT_B} replicates are
+    reproducible across engines, runs, and cluster sizes, and the
+    whole procedure is oracle-checkable — the property engine-RNG
+    bootstraps can never have. CI bounds are the 5th/95th percentile
+    replicate means (exact order statistics, rank-tiebroken).
+
+    Plan: one fan-out of B replicate tags per event (map-side
+    sequence-explode, no shuffle), one (b)-keyed aggregate of scaled
+    integer sums, then order statistics over the B-row replicate
+    table — the corpus is scanned once regardless of B."""
+    e = load_table(spark, sf_dir, "events")
+    reps = e.select(
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).filter(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit("-"),
+                           F.col("b").cast("string"))),
+            1,
+            1,
+        )
+        <= "7"
+    )
+    # One pass: the explode duplicates only (value, b) pairs, and the
+    # aggregate combines map-side before the 50-group shuffle.
+    means = reps.groupBy("b").agg(
+        (
+            F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")) / 1e6
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    w = Window.orderBy("m", "b")
+    ranked = means.withColumn("rn", F.row_number().over(w))
+    lo_rn = int(0.05 * _BOOT_B) + 1
+    hi_rn = int(0.95 * _BOOT_B)
+    stats = means.agg((dsum(F.col("m"), 9) / _BOOT_B).alias("mean_of_means"))
+    lo = ranked.filter(F.col("rn") == lo_rn).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == hi_rn).select(F.col("m").alias("ci_hi"))
+    return (
+        stats.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_BOOT_B).cast("bigint").alias("b_reps"),
+            "mean_of_means",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
