@@ -901,3 +901,59 @@ def q_cross_lingual_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_langs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# E151: blocklist category profile — multi-list policy tagging
+# --------------------------------------------------------------------------
+
+_BLOCKLISTS = {
+    "contact": "(email|phone|address|contact)",
+    "legal": "(copyright|license|terms|policy)",
+    "promo": "(sale|discount|offer|free|deal)",
+}
+
+
+@query(
+    "q_blocklist_category_profile",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN regexp_matches(lower(text), '{pat}') "
+               f"THEN 1 ELSE 0 END) AS BIGINT) AS n_{cat}"
+               for cat, pat in _BLOCKLISTS.items()
+           )},
+           CAST(SUM(CASE WHEN {" OR ".join(
+               f"regexp_matches(lower(text), '{pat}')" for pat in _BLOCKLISTS.values()
+           )} THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("E151", "D13", "F2", "A7"),
+)
+def q_blocklist_category_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-filter planning pass: per language, how many documents
+    trip each blocklist CATEGORY (contact-info, legal boilerplate,
+    promotional copy) and how many trip any — the report that sizes a
+    filter's blast radius BEFORE it runs, so a category that would
+    delete half a language's corpus gets reviewed, not deployed.
+
+    All categories are evaluated in ONE scan as parallel conditional
+    sums (not one pass per list — the difference between 3 and 1
+    corpus reads at 100 TB); patterns stay in the Spark/DuckDB common
+    regex subset. The keyword lists are deliberately tame demo lists;
+    the operator is the multi-list tagging shape, not the lists."""
+    d = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    hits = {cat: lower.rlike(pat) for cat, pat in _BLOCKLISTS.items()}
+    any_hit = None
+    for h in hits.values():
+        any_hit = h if any_hit is None else (any_hit | h)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    aggs += [
+        F.sum(F.when(h, 1).otherwise(0)).cast("bigint").alias(f"n_{cat}")
+        for cat, h in hits.items()
+    ]
+    aggs.append(F.sum(F.when(any_hit, 1).otherwise(0)).cast("bigint").alias("n_any"))
+    return d.groupBy("lang").agg(*aggs)

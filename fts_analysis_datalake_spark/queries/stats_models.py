@@ -672,3 +672,88 @@ def q_ks_uniform_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("event_type", "n").agg(
         F.max(F.when(above > below, above).otherwise(below)).alias("ks_stat")
     ).select("event_type", F.col("n").cast("bigint").alias("n_events"), "ks_stat")
+
+
+# --------------------------------------------------------------------------
+# E150: Theil-Sen robust trend — median of pairwise slopes
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_theil_sen_hourly_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    slopes AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s
+      FROM pts a JOIN pts b ON b.x > a.x),
+    ranked AS (
+      SELECT s, row_number() OVER (ORDER BY s) AS rn,
+             COUNT(*) OVER () AS cnt
+      FROM slopes)
+    SELECT CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_points,
+           CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+           SUM(CASE WHEN rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+                    THEN s ELSE 0 END)
+             / SUM(CASE WHEN rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+                        THEN 1 ELSE 0 END) AS slope_per_hour
+    FROM ranked
+    """,
+    tags=("E150", "E96", "A1", "J7", "W1"),
+)
+def q_theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of the hourly event-volume trend: the
+    MEDIAN of all pairwise slopes between (hour, count) points —
+    robust to ~29% outliers where the OLS slope (E48) is dragged by a
+    single traffic spike, and the natural companion to Mann-Kendall
+    (E96), which tests the same monotonicity the Theil-Sen slope
+    quantifies.
+
+    The pairwise self-join is over the HOURLY AGGREGATE (a few
+    hundred rows however large the corpus — n(n-1)/2 slope pairs of
+    integer counts), never the event table, so the O(n^2) stays
+    bounded; the median is the exact middle order statistic (mean of
+    the two middles when even — identical doubles in both engines
+    since each slope is a ratio of exact integers)."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("bigint")
+        .alias("x")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    a = pts.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xb") > F.col("xa")).select(
+        ((F.col("yb") - F.col("ya")).cast("double") / (F.col("xb") - F.col("xa"))).alias("s")
+    )
+    w = Window.orderBy("s")
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("cnt"),
+    )
+    n_points = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    med = ranked.agg(
+        F.max("cnt").cast("bigint").alias("n_pairs"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+                    | (F.col("rn") == F.floor(F.col("cnt") / 2) + 1),
+                    F.col("s"),
+                ).otherwise(0.0)
+            )
+            / F.sum(
+                F.when(
+                    (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+                    | (F.col("rn") == F.floor(F.col("cnt") / 2) + 1),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("slope_per_hour"),
+    )
+    return n_points.crossJoin(F.broadcast(med))
