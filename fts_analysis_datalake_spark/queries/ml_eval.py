@@ -730,3 +730,74 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E154: Cohen's kappa — agreement between two labeling rules
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_rule_agreement_kappa",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT n_chars >= 200 AS a1,
+             len({sql_tokens('text')}) >= 40 AS a2
+      FROM documents),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a1 AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN a1 AND NOT a2 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN NOT a1 AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN NOT a1 AND NOT a2 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM labeled)
+    SELECT n, n11, n10, n01, n00,
+           CAST(n11 + n00 AS DOUBLE) / n AS p_observed,
+           (CAST((n11 + n10) AS DOUBLE) * (n11 + n01)
+              + CAST((n01 + n00) AS DOUBLE) * (n10 + n00)) / n / n AS p_expected,
+           (CAST(n11 + n00 AS DOUBLE) / n
+              - (CAST((n11 + n10) AS DOUBLE) * (n11 + n01)
+                 + CAST((n01 + n00) AS DOUBLE) * (n10 + n00)) / n / n)
+             / (1.0 - (CAST((n11 + n10) AS DOUBLE) * (n11 + n01)
+                       + CAST((n01 + n00) AS DOUBLE) * (n10 + n00)) / n / n)
+             AS kappa
+    FROM cells
+    """,
+    tags=("E154", "E148", "A2", "A7"),
+)
+def q_rule_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two labeling rules (char-length >= 200
+    vs token-count >= 40 as keep/drop annotators): chance-corrected
+    agreement — the metric that tells you whether two quality filters
+    are redundant (kappa near 1: drop one) or complementary (low
+    kappa: both carry signal), and the same arithmetic used to vet
+    human annotator pairs before trusting their labels.
+
+    One scan builds the 2x2 contingency cells as conditional sums;
+    kappa = (po - pe)/(1 - pe) divides products of exact integer
+    counts, so both engines emit identical doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    a1 = F.col("n_chars") >= 200
+    a2 = F.size(tokens(F.col("text"))) >= 40
+    cells = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(a1 & a2, 1).otherwise(0)).cast("bigint").alias("n11"),
+        F.sum(F.when(a1 & ~a2, 1).otherwise(0)).cast("bigint").alias("n10"),
+        F.sum(F.when(~a1 & a2, 1).otherwise(0)).cast("bigint").alias("n01"),
+        F.sum(F.when(~a1 & ~a2, 1).otherwise(0)).cast("bigint").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double") * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double") * (F.col("n10") + F.col("n00"))
+    ) / F.col("n") / F.col("n")
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        po.alias("p_observed"),
+        pe.alias("p_expected"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

@@ -757,3 +757,147 @@ def q_theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("slope_per_hour"),
     )
     return n_points.crossJoin(F.broadcast(med))
+
+
+# --------------------------------------------------------------------------
+# E152: rolling-origin backtest folds — time-series eval splits
+# --------------------------------------------------------------------------
+
+_BT_FOLDS = 4
+_BT_H_DAYS = 2
+
+
+@query(
+    "q_backtest_fold_plan",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+      FROM events),
+    folds AS (
+      SELECT k,
+             d1 - to_days(CAST(({_BT_FOLDS} - k + 1) * {_BT_H_DAYS} AS INTEGER))
+               AS train_end,
+             d1 - to_days(CAST(({_BT_FOLDS} - k) * {_BT_H_DAYS} AS INTEGER))
+               AS test_end
+      FROM bounds, unnest(generate_series(1, {_BT_FOLDS})) t(k))
+    SELECT CAST(k AS BIGINT) AS fold, train_end, test_end,
+           CAST((SELECT COUNT(*) FROM events e WHERE e.ts < f.train_end) AS BIGINT)
+             AS train_n,
+           CAST((SELECT COUNT(*) FROM events e
+                 WHERE e.ts >= f.train_end AND e.ts < f.test_end) AS BIGINT)
+             AS test_n
+    FROM folds f
+    """,
+    tags=("E152", "J8", "A7", "F4"),
+)
+def q_backtest_fold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest plan: {_BT_FOLDS}
+    folds anchored to the data's own last day, each training on
+    everything before its cut and testing on the next {_BT_H_DAYS}
+    days — the split discipline that keeps time-series evaluation
+    honest (no future leakage, every fold's test window disjoint).
+    Emits each fold's boundaries and realized row counts, the sanity
+    report read before any expensive per-fold model fit.
+
+    Plan: the bounds are a 1-row aggregate broadcast onto a generated
+    fold spine; fold populations come from ONE conditional-sum pass
+    over events against the broadcast fold table — events are scanned
+    once for all folds, not once per fold."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("day", F.max("ts")).alias("d1")
+    )
+    folds = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_BT_FOLDS))).alias("fold"), "d1"
+    ).select(
+        "fold",
+        (
+            F.col("d1")
+            - F.make_interval(days=(F.lit(_BT_FOLDS) - F.col("fold") + 1) * _BT_H_DAYS)
+        ).alias("train_end"),
+        (
+            F.col("d1")
+            - F.make_interval(days=(F.lit(_BT_FOLDS) - F.col("fold")) * _BT_H_DAYS)
+        ).alias("test_end"),
+    )
+    joined = e.crossJoin(F.broadcast(folds))
+    return (
+        joined.groupBy("fold", "train_end", "test_end")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("train_end"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("train_n"),
+            F.sum(
+                F.when(
+                    (F.col("ts") >= F.col("train_end"))
+                    & (F.col("ts") < F.col("test_end")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("test_n"),
+        )
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            "train_end",
+            "test_end",
+            "train_n",
+            "test_n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E153: seasonal-naive forecast + MASE — the forecast-quality floor
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonal_naive_mase",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    lagged AS (
+      SELECT y,
+             lag(y, 168) OVER (ORDER BY h) AS y_season,
+             lag(y, 1) OVER (ORDER BY h) AS y_prev
+      FROM hourly)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(abs(y - y_season)) AS DOUBLE) / COUNT(*) AS mae_seasonal,
+           CAST(SUM(abs(y - y_prev)) AS DOUBLE) / COUNT(*) AS mae_naive,
+           CAST(SUM(abs(y - y_season)) AS DOUBLE) / SUM(abs(y - y_prev)) AS mase
+    FROM lagged
+    WHERE y_season IS NOT NULL AND y_prev IS NOT NULL
+    """,
+    tags=("E153", "E50", "W3", "A2"),
+)
+def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecast-quality floor every model must beat: seasonal
+    naive (this hour = same hour last week, lag 168) scored with MASE
+    — seasonal MAE over one-step-naive MAE, the scale-free metric
+    that makes forecast errors comparable across series. MASE < 1
+    means weekly seasonality carries real signal (Holt/ETS models
+    (E50) are judged against exactly this number).
+
+    Both lags ride ONE ordered window over the hourly aggregate
+    (hundreds of rows at any corpus size); every sum is exact integer
+    arithmetic, so the emitted ratios are bit-equal across engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "y",
+        F.lag("y", 168).over(w).alias("y_season"),
+        F.lag("y", 1).over(w).alias("y_prev"),
+    ).filter(F.col("y_season").isNotNull() & F.col("y_prev").isNotNull())
+    sa = F.sum(F.abs(F.col("y") - F.col("y_season")))
+    na = F.sum(F.abs(F.col("y") - F.col("y_prev")))
+    return lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        (sa.cast("double") / F.count(F.lit(1))).alias("mae_seasonal"),
+        (na.cast("double") / F.count(F.lit(1))).alias("mae_naive"),
+        (sa.cast("double") / na).alias("mase"),
+    )
