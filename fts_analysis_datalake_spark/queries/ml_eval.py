@@ -801,3 +801,79 @@ def q_rule_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("p_expected"),
         ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# E155: isotonic calibration (PAVA) — grouped-map ML fitting
+# --------------------------------------------------------------------------
+
+ISO_SCHEMA = (
+    "event_type string, x_lo double, x_hi double, n long, fitted_rate double"
+)
+
+
+@query(
+    "q_isotonic_calibration",
+    oracle=None,  # PAVA's pooling loop is iterative, not SQL-expressible;
+    # monotonicity / mass-conservation / hand-case are asserted in
+    # tests/test_udfs.py.
+    tags=("E155", "E139", "X2", "A1"),
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (pool-adjacent-violators) of purchase rate
+    on score, fitted independently per event-type slice — the
+    nonparametric recalibrator whose gaps the reliability curve
+    (E139) only DISPLAYS. Output is one row per fitted monotone
+    block: its score span, mass, and calibrated probability.
+
+    Plan shape: the corpus first collapses to one row per
+    (event_type, score) with exact integer (n, positives) — the only
+    corpus-sized shuffle — then applyInPandas runs PAVA per group
+    over the few-thousand-row score histograms. This is the X2
+    grouped-map contract used exactly where it belongs: an iterative
+    pooling loop over sorted data that Catalyst cannot express, on
+    pre-aggregated input that fits comfortably per group. PAVA's
+    result is the unique L2-optimal monotone fit, so it is
+    deterministic however the rows arrived."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    # Binary target: a deterministic event_id-derived flag (the
+    # synthetic fixture has no behavioral label; the operator under
+    # test is the monotone fit, not the label semantics).
+    per_score = (
+        e.select(
+            "event_type",
+            F.col("value").alias("x"),
+            (F.col("event_id") % 3 == 0).cast("int").alias("y"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+
+    def _pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        et = pdf["event_type"].iloc[0]
+        # blocks: [wy, w, x_lo, x_hi]
+        blocks: list[list[float]] = []
+        for x, n, pos in zip(pdf["x"], pdf["n"], pdf["pos"]):
+            blocks.append([float(pos), float(n), float(x), float(x)])
+            while (
+                len(blocks) > 1
+                and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+            ):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][3] = b[3]
+        return pd.DataFrame(
+            {
+                "event_type": et,
+                "x_lo": [b[2] for b in blocks],
+                "x_hi": [b[3] for b in blocks],
+                "n": [int(b[1]) for b in blocks],
+                "fitted_rate": [b[0] / b[1] for b in blocks],
+            }
+        )
+
+    return per_score.groupBy("event_type").applyInPandas(_pava, ISO_SCHEMA)

@@ -103,3 +103,69 @@ def test_feature_hashed_vectors_properties(spark):
         if a[k].l2_norm > 0:
             s = sum(x * x for x in a[k].unit_vec)
             assert abs(s - 1.0) < 1e-9
+
+
+def test_isotonic_calibration_properties(spark):
+    """E155 PAVA: monotone fitted rates, conserved mass, rates in
+    [0,1], and a hand-computed pooling case through the same kernel
+    shape (defined locally so cloudpickle ships it by value)."""
+    from fts_analysis_datalake_spark.queries.ml_eval import (
+        ISO_SCHEMA,
+        q_isotonic_calibration,
+    )
+
+    out = q_isotonic_calibration(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(out) > 0
+    for et, g in out.groupby("event_type"):
+        g = g.sort_values("x_lo")
+        rates = list(g["fitted_rate"])
+        assert rates == sorted(rates), f"{et}: fitted rates not monotone"
+        assert all(0.0 <= r <= 1.0 for r in rates)
+        assert (g["x_lo"] <= g["x_hi"]).all()
+    # mass conservation: block ns sum to the event count
+    n_events = spark.read.parquet("/root/testdata/sf0.01/events.parquet").count()
+    assert int(out["n"].sum()) == n_events
+
+    # hand case: rates (1.0, 0.0) violate monotonicity -> one pooled
+    # block at the weighted mean; (0.0, 1.0) stays two blocks.
+    def ref_pava(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        et = pdf["event_type"].iloc[0]
+        blocks = []
+        for x, n, pos in zip(pdf["x"], pdf["n"], pdf["pos"]):
+            blocks.append([float(pos), float(n), float(x), float(x)])
+            while (
+                len(blocks) > 1
+                and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+            ):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][3] = b[3]
+        return pd.DataFrame(
+            {
+                "event_type": et,
+                "x_lo": [b[2] for b in blocks],
+                "x_hi": [b[3] for b in blocks],
+                "n": [int(b[1]) for b in blocks],
+                "fitted_rate": [b[0] / b[1] for b in blocks],
+            }
+        )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2, 2), ("a", 2.0, 2, 0), ("b", 1.0, 2, 0), ("b", 2.0, 2, 2)],
+        "event_type string, x double, n long, pos long",
+    )
+    fitted = (
+        df.groupBy("event_type")
+        .applyInPandas(ref_pava, ISO_SCHEMA)
+        .toPandas()
+        .sort_values(["event_type", "x_lo"])
+        .reset_index(drop=True)
+    )
+    a = fitted[fitted.event_type == "a"]
+    assert len(a) == 1 and a.iloc[0].fitted_rate == 0.5
+    b = fitted[fitted.event_type == "b"]
+    assert len(b) == 2 and list(b.fitted_rate) == [0.0, 1.0]
