@@ -2091,3 +2091,55 @@ def q_negative_pattern_signup_purchase(spark: SparkSession, sf_dir: str) -> Data
         .alias("n_signup_then_purchase"),
         F.count(F.when(F.col("seq").rlike("s[^e]*p"), 1)).cast("bigint").alias("n_clean_path"),
     )
+
+
+# --------------------------------------------------------------------------
+# E157: session co-visitation — the item-to-item co-occurrence matrix
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_session_covisitation",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, event_type, date_trunc('day', ts) AS d
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS co_count
+      FROM (SELECT DISTINCT user_id, d, event_type FROM sess) a
+      JOIN (SELECT DISTINCT user_id, d, event_type FROM sess) b
+        ON a.user_id = b.user_id AND a.d = b.d
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, CAST(co_count AS BIGINT) AS co_count
+    FROM pairs
+    """,
+    tags=("E157", "J11", "A1", "W8"),
+)
+def q_session_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-visitation counts: how often two engagement types co-occur
+    inside the same (user, day) session-proxy — the co-occurrence
+    matrix behind 'users who did X also did Y' item-to-item
+    recommenders, built here over event types (the fixture's
+    item-granularity stand-in; swap the key for item ids unchanged).
+
+    The self-join runs on the DEDUPED (user, day, type) table —
+    dedup-first bounds the pair fan-out to distinct-types-squared per
+    session rather than events-squared, the difference between a
+    co-visitation matrix that scales and one that explodes on power
+    users. The a < b ordering emits each unordered pair once."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    sess = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
+    ).distinct()
+    a = sess.withColumnsRenamed({"event_type": "type_a"})
+    b = sess.withColumnsRenamed({"event_type": "type_b"})
+    return (
+        a.join(b, ["user_id", "d"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_count"))
+    )

@@ -567,3 +567,90 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(_WS_K)
     )
+
+
+# --------------------------------------------------------------------------
+# E156: deterministic negative sampling — contrastive pairs at join scale
+# --------------------------------------------------------------------------
+
+_NEG_K = 2
+_NEG_CUST_MOD = 100
+
+
+@query(
+    "q_negative_item_samples",
+    oracle=f"""
+    WITH panel AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % {_NEG_CUST_MOD} = 0),
+    seen AS (
+      SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey % {_NEG_CUST_MOD} = 0),
+    cand AS (
+      SELECT panel.c_custkey, p.p_partkey,
+             md5(CAST(panel.c_custkey AS VARCHAR) || ':'
+                 || CAST(p.p_partkey AS VARCHAR)) AS draw
+      FROM panel, part p),
+    unseen AS (
+      SELECT cand.c_custkey, cand.p_partkey, draw
+      FROM cand LEFT JOIN seen
+        ON seen.c_custkey = cand.c_custkey AND seen.p_partkey = cand.p_partkey
+      WHERE seen.c_custkey IS NULL),
+    ranked AS (
+      SELECT c_custkey, p_partkey, draw,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY draw, p_partkey)
+               AS rn
+      FROM unseen)
+    SELECT c_custkey AS custkey, p_partkey AS neg_partkey,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_NEG_K}
+    """,
+    tags=("E156", "J4", "O3", "F11", "W1"),
+)
+def q_negative_item_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender/contrastive
+    training: for each customer in the panel, {_NEG_K} parts they
+    have NEVER ordered, drawn by md5 rank — reproducible across
+    engines/runs (the draw IS the hash), and the anti-join against
+    interaction history is what makes a negative a true negative
+    instead of an unlabeled positive.
+
+    Plan: the panel fans out against the part dimension (broadcast —
+    parts is a dim table), the interaction set arrives via left-anti
+    join on (customer, part), and the per-customer top-k is a window
+    rank over the hash draw. At real scale the fan-out is panel x
+    catalog, bounded by sampling the panel — the same shape negative
+    sampling has inside every two-tower training pipeline."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    panel = c.filter(F.col("c_custkey") % _NEG_CUST_MOD == 0).select("c_custkey")
+    seen = (
+        o.filter(F.col("o_custkey") % _NEG_CUST_MOD == 0)
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    cand = panel.crossJoin(F.broadcast(p.select("p_partkey"))).select(
+        "c_custkey",
+        "p_partkey",
+        F.md5(
+            F.concat(
+                F.col("c_custkey").cast("string"),
+                F.lit(":"),
+                F.col("p_partkey").cast("string"),
+            )
+        ).alias("draw"),
+    )
+    unseen = cand.join(seen, ["c_custkey", "p_partkey"], "left_anti")
+    w = Window.partitionBy("c_custkey").orderBy("draw", "p_partkey")
+    return (
+        unseen.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _NEG_K)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("p_partkey").alias("neg_partkey"),
+            "rn",
+        )
+    )
