@@ -901,3 +901,243 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (na.cast("double") / F.count(F.lit(1))).alias("mae_naive"),
         (sa.cast("double") / na).alias("mase"),
     )
+
+
+# --------------------------------------------------------------------------
+# E158: inverse-propensity-weighted treatment effect
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ipw_treatment_effect",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INTEGER)
+               AS t,
+             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS y,
+             CAST(FLOOR(COUNT(*) / 10) AS BIGINT) AS stratum
+      FROM events GROUP BY user_id),
+    strata AS (
+      SELECT stratum,
+             CAST(SUM(t) AS DOUBLE) / COUNT(*) AS e
+      FROM users GROUP BY stratum),
+    usable AS (
+      SELECT u.t, u.y, s.e
+      FROM users u JOIN strata s USING (stratum)
+      WHERE s.e > 0 AND s.e < 1)
+    SELECT CAST(SUM(t) AS BIGINT) AS n_treated,
+           CAST(SUM(1 - t) AS BIGINT) AS n_control,
+           SUM(t * y / e) / COUNT(*) - SUM((1 - t) * y / (1 - e)) / COUNT(*)
+             AS ate_ipw,
+           SUM(t * y) / SUM(t) - SUM((1 - t) * y) / SUM(1 - t) AS naive_diff
+    FROM usable
+    """,
+    tags=("E158", "E98", "A1", "A7", "J1"),
+)
+def q_ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect of
+    'signed up' on per-user total engagement value, stratified by
+    activity decile — the observational-causal estimate shown NEXT TO
+    the naive mean difference, so confounding by activity level is
+    visible as the gap between the two numbers. Strata without both
+    arms are excluded (the positivity requirement, applied
+    deterministically).
+
+    Plan: one per-user aggregate (the only corpus shuffle), a tiny
+    stratum propensity table joined back (broadcast), one final
+    1-row aggregate. Per-user value totals are scaled-integer sums;
+    the propensity e is an exact count ratio, so both engines emit
+    identical doubles end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .cast("int")
+        .alias("t"),
+        (F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")) / 1e6).alias(
+            "y"
+        ),
+        F.floor(F.count(F.lit(1)) / 10).cast("bigint").alias("stratum"),
+    )
+    strata = users.groupBy("stratum").agg(
+        (F.sum("t").cast("double") / F.count(F.lit(1))).alias("e")
+    )
+    usable = users.join(F.broadcast(strata), "stratum").filter(
+        (F.col("e") > 0) & (F.col("e") < 1)
+    )
+    t, y, ps = F.col("t"), F.col("y"), F.col("e")
+    return usable.agg(
+        F.sum(t).cast("bigint").alias("n_treated"),
+        F.sum(1 - t).cast("bigint").alias("n_control"),
+        (
+            F.sum(t * y / ps) / F.count(F.lit(1))
+            - F.sum((1 - t) * y / (1 - ps)) / F.count(F.lit(1))
+        ).alias("ate_ipw"),
+        (F.sum(t * y) / F.sum(t) - F.sum((1 - t) * y) / F.sum(1 - t)).alias(
+            "naive_diff"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# E159: difference-in-differences
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_did_value_estimate",
+    oracle="""
+    WITH bounds AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us FROM events),
+    cells AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS grp,
+             CAST(CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END AS INTEGER) AS post,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS total
+      FROM events, bounds
+      GROUP BY 1, 2)
+    SELECT
+      CAST(SUM(n) AS BIGINT) AS n_events,
+      SUM(CASE WHEN grp = 1 AND post = 1 THEN total / n END) AS treat_post_mean,
+      SUM(CASE WHEN grp = 1 AND post = 0 THEN total / n END) AS treat_pre_mean,
+      SUM(CASE WHEN grp = 0 AND post = 1 THEN total / n END) AS ctrl_post_mean,
+      SUM(CASE WHEN grp = 0 AND post = 0 THEN total / n END) AS ctrl_pre_mean,
+      (SUM(CASE WHEN grp = 1 AND post = 1 THEN total / n END)
+         - SUM(CASE WHEN grp = 1 AND post = 0 THEN total / n END))
+        - (SUM(CASE WHEN grp = 0 AND post = 1 THEN total / n END)
+           - SUM(CASE WHEN grp = 0 AND post = 0 THEN total / n END)) AS did
+    FROM cells
+    """,
+    tags=("E159", "E98", "A2", "A7", "F4"),
+)
+def q_did_value_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: (treatment post - pre) minus
+    (control post - pre) mean event value, with the period split at
+    the data's own temporal midpoint and group assignment by user-id
+    parity — the parallel-trends estimator that corrects a naive
+    before/after comparison with the control group's drift. All four
+    cell means ride ONE scan into a 4-row cell table; the estimate
+    is arithmetic over scaled-integer cell sums."""
+    e = load_table(spark, sf_dir, "events")
+    # Midpoint in epoch-MICROSECOND integer space: halving an
+    # INTERVAL diverges between engines (Spark's day-time interval is
+    # total microseconds; DuckDB halves the day and micro components
+    # separately — 12h apart on a 29-day span), while integer epoch
+    # arithmetic is identical everywhere.
+    bounds = e.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias("mid_us")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            (F.col("user_id") % 2).cast("int").alias("grp"),
+            F.when(F.unix_micros(F.col("ts")) >= F.col("mid_us"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")) / 1e6
+            ).alias("total"),
+        )
+    )
+    cell = lambda g, p: F.sum(  # noqa: E731 — 4-cell pivot shorthand
+        F.when((F.col("grp") == g) & (F.col("post") == p), F.col("total") / F.col("n"))
+    )
+    return cells.agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        cell(1, 1).alias("treat_post_mean"),
+        cell(1, 0).alias("treat_pre_mean"),
+        cell(0, 1).alias("ctrl_post_mean"),
+        cell(0, 0).alias("ctrl_pre_mean"),
+        (
+            (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))
+        ).alias("did"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E160: CUPED variance reduction
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cuped_variance_reduction",
+    oracle="""
+    WITH bounds AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us FROM events),
+    users AS (
+      SELECT user_id,
+             SUM(CASE WHEN epoch_us(ts) < mid_us
+                 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS xi,
+             SUM(CASE WHEN epoch_us(ts) >= mid_us
+                 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS yi
+      FROM events, bounds GROUP BY user_id),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(xi AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(yi AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(yi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(xi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+      FROM users)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+           (n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_xy,
+           POWER((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 2)
+             AS var_reduction
+    FROM m
+    """,
+    tags=("E160", "E98", "E48", "A2", "A6"),
+)
+def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED pre-experiment covariate adjustment, the experimentation
+    platform's variance-reduction workhorse: theta = cov(pre, post) /
+    var(pre) over per-user pre/post period value totals (split at the
+    temporal midpoint), and the fraction of post-period metric
+    variance CUPED removes (= corr^2) — the number that tells you how
+    much smaller your A/B test can be. Same-scale integer moments in
+    DECIMAL make every sum exact and identical across engines (the
+    dstddev/dcorr recipe); theta's scale factors cancel because pre
+    and post use the same quantization."""
+    e = load_table(spark, sf_dir, "events")
+    # Same epoch-integer midpoint as E159 (interval halving diverges
+    # between engines).
+    bounds = e.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias("mid_us")
+    )
+    q = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    us = F.unix_micros(F.col("ts"))
+    users = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us < F.col("mid_us"), q).otherwise(0)).alias("xi"),
+            F.sum(F.when(us >= F.col("mid_us"), q).otherwise(0)).alias("yi"),
+        )
+    )
+    xd = F.col("xi").cast("decimal(19,0)")
+    yd = F.col("yi").cast("decimal(19,0)")
+    m = users.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        n.cast("bigint").alias("n_users"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("theta"),
+        corr.alias("corr_xy"),
+        F.pow(corr, 2).alias("var_reduction"),
+    )
