@@ -772,3 +772,55 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("status_chg").cast("bigint").alias("n_status_changed"),
         F.sum("price_chg").cast("bigint").alias("n_price_changed"),
     )
+
+
+# --------------------------------------------------------------------------
+# E162: incremental join maintenance — delta decomposition of a join view
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_incremental_join_maintenance",
+    oracle="""
+    SELECT o.o_custkey AS custkey,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT)) / 100.0 AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+    GROUP BY o.o_custkey
+    """,
+    tags=("E162", "E31", "J1", "A1", "A3"),
+)
+def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join view: J(base + delta, L) is
+    computed as J(base, L) UNION ALL J(delta, L) — the delta-join
+    decomposition an IVM engine applies when a batch of new orders
+    lands, instead of re-joining the whole fact history. The oracle
+    is the monolithic recompute, so the hash check IS the equivalence
+    proof J(A u dA, B) = J(A,B) u J(dA,B) on real data (valid because
+    base and delta partition the orders by key — no overlap to
+    reconcile; deletes/updates would add a retraction branch).
+
+    At 100 TB the delta side is a day's ingest joined against the
+    (pruned) dimension of the fact — orders of magnitude cheaper than
+    the full join, while the aggregate merges because its partials
+    (count-distinct-by-key, scaled-integer sums) are associative.
+    The aggregate-after-union runs ONCE over both branches, exactly
+    how a merge-on-read view would serve it."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+    joined = base.join(li, li["l_orderkey"] == base["o_orderkey"]).unionByName(
+        delta.join(li, li["l_orderkey"] == delta["o_orderkey"])
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    return joined.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        (F.sum(rev) / 100.0).alias("revenue"),
+    )

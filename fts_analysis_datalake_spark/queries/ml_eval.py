@@ -877,3 +877,119 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return per_score.groupBy("event_type").applyInPandas(_pava, ISO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# E161: rank-biased overlap — ANN ranking quality vs exact ranking
+# --------------------------------------------------------------------------
+
+_RBO_P = 0.9
+_RBO_K = 20
+
+
+@query(
+    "q_rbo_ann_vs_exact",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id, row_number() OVER (
+               ORDER BY {sql_cosine('embedding', 'qv')} DESC, vec_id) AS r
+      FROM embeddings, q WHERE vec_id <> 0),
+    sigs AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(embedding,
+               (x, i) -> CASE WHEN x > 0 AND i - 1 < 32
+                         THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(embedding,
+               (x, i) -> CASE WHEN x > 0 AND i - 1 >= 32
+                         THEN 1::BIGINT << (i - 33) ELSE 0::BIGINT END)) AS BIGINT) AS hi
+      FROM embeddings),
+    qs AS (SELECT lo AS qlo, hi AS qhi FROM sigs WHERE vec_id = 0),
+    approx AS (
+      SELECT s.vec_id, row_number() OVER (
+               ORDER BY bit_count(xor(s.lo, qlo)) + bit_count(xor(s.hi, qhi)),
+                        s.vec_id) AS r
+      FROM sigs s, qs WHERE s.vec_id <> 0),
+    depths AS (SELECT unnest(generate_series(1, {_RBO_K})) AS d),
+    ovl AS (
+      SELECT d,
+             (SELECT COUNT(*) FROM exact e JOIN approx a USING (vec_id)
+              WHERE e.r <= d AND a.r <= d) AS ov
+      FROM depths)
+    SELECT CAST({_RBO_K} AS BIGINT) AS k,
+           SUM(POWER({_RBO_P}, d - 1) * ov / d) * (1 - {_RBO_P}) AS rbo_at_k,
+           (SELECT CAST(ov AS DOUBLE) / {_RBO_K} FROM ovl WHERE d = {_RBO_K})
+             AS recall_at_k
+    FROM ovl
+    """,
+    tags=("E161", "E122", "D6", "W1", "A2"),
+)
+def q_rbo_ann_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the EXACT cosine ranking and the
+    Hamming sign-signature ranking for the vec_id=0 query — the
+    top-weighted metric for 'how good is the cheap ranking', reported
+    with plain recall@k. RBO(p=0.9) weights agreement at depth 1 most
+    (the regime users see); unlike Kendall tau it is defined for
+    indefinite/truncated rankings — exactly the ANN-vs-exact shape.
+
+    Both rankings are window ranks over the same broadcast-query
+    scan; the depth-by-depth overlap table is k rows of counts over
+    the two rank columns. All counts are exact integers; the
+    geometric weights are identical double literals in both
+    engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(cosine(F.col("embedding"), F.col("qv")).desc(), "vec_id"))
+            .alias("r_exact"),
+        )
+    )
+    lo = "aggregate(transform(embedding, (x, i) -> IF(x > 0D AND i < 32, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"
+    hi = "aggregate(transform(embedding, (x, i) -> IF(x > 0D AND i >= 32, shiftleft(1L, i - 32), 0L)), 0L, (a, b) -> a + b)"
+    sigs = e.select("vec_id", F.expr(lo).alias("lo"), F.expr(hi).alias("hi"))
+    qs = sigs.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    ham = F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo"))) + F.bit_count(
+        F.col("hi").bitwiseXOR(F.col("qhi"))
+    )
+    approx = (
+        sigs.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "vec_id",
+            F.row_number().over(Window.orderBy(ham, "vec_id")).alias("r_approx"),
+        )
+    )
+    ranks = exact.join(approx, "vec_id").filter(
+        (F.col("r_exact") <= _RBO_K) | (F.col("r_approx") <= _RBO_K)
+    )
+    depths = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    overlaps = (
+        depths.crossJoin(F.broadcast(ranks))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("r_exact") <= F.col("d")) & (F.col("r_approx") <= F.col("d")),
+                    1,
+                ).otherwise(0)
+            ).alias("ov")
+        )
+    )
+    rbo = F.sum(
+        F.pow(F.lit(_RBO_P), F.col("d") - 1) * F.col("ov") / F.col("d")
+    ) * (1 - _RBO_P)
+    rec = F.sum(
+        F.when(F.col("d") == _RBO_K, F.col("ov").cast("double") / _RBO_K)
+    )
+    return overlaps.agg(
+        F.lit(_RBO_K).cast("bigint").alias("k"),
+        rbo.alias("rbo_at_k"),
+        rec.alias("recall_at_k"),
+    )
