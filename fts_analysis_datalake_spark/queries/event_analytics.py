@@ -2143,3 +2143,77 @@ def q_session_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("co_count"))
     )
+
+
+# --------------------------------------------------------------------------
+# E165: out-of-orderness / lateness profile — watermark policy input
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_event_lateness_profile",
+    oracle="""
+    WITH arr AS (
+      SELECT epoch_us(ts) AS ts_us,
+             MAX(epoch_us(ts)) OVER (ORDER BY md5(CAST(event_id AS VARCHAR))
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_us
+      FROM events),
+    lateness AS (
+      SELECT (high_us - ts_us) / 1000000.0 AS late_s FROM arr),
+    bucketed AS (
+      SELECT CASE WHEN late_s = 0 THEN 'a_in_order'
+                  WHEN late_s < 60 THEN 'b_under_1min'
+                  WHEN late_s < 3600 THEN 'c_under_1h'
+                  WHEN late_s < 86400 THEN 'd_under_1d'
+                  ELSE 'e_over_1d' END AS bucket,
+             late_s
+      FROM lateness)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(late_s) AS max_late_s
+    FROM bucketed GROUP BY bucket
+    """,
+    tags=("E165", "T4", "W4", "A1"),
+)
+def q_event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How out-of-order is this stream? Per event, lateness = (high
+    watermark so far, in arrival order) minus its own timestamp,
+    bucketed into the delay bands a watermark policy chooses between
+    — THE empirical input for T4's withWatermark delay: the bucket
+    histogram is the fraction of events a '1 minute' vs '1 hour'
+    watermark would drop. The fixture's ingest sequence is perfectly
+    time-ordered (zero lateness everywhere), so arrival order is
+    SIMULATED as the md5 permutation of event ids — a deterministic
+    worst-case shuffle both engines reproduce; on real ingest the
+    order key is the ingestion sequence number. The running max is
+    one ordered window in integer microsecond space, and every
+    lateness is an exact integer difference."""
+    e = load_table(spark, sf_dir, "events")
+    # The running max is keyed by ARRIVAL order (simulated md5
+    # permutation — see docstring), not by ts: lateness is defined
+    # against what had already arrived.
+    arr = e.select(
+        F.md5(F.col("event_id").cast("string")).alias("arr_key"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    arr = arr.withColumn(
+        "high_us",
+        F.max("ts_us").over(
+            Window.orderBy("arr_key").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    late_s = (F.col("high_us") - F.col("ts_us")) / 1e6
+    bucket = (
+        F.when(late_s == 0, "a_in_order")
+        .when(late_s < 60, "b_under_1min")
+        .when(late_s < 3600, "c_under_1h")
+        .when(late_s < 86400, "d_under_1d")
+        .otherwise("e_over_1d")
+    )
+    return (
+        arr.select(bucket.alias("bucket"), late_s.alias("late_s"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("late_s").alias("max_late_s"),
+        )
+    )

@@ -957,3 +957,56 @@ def q_blocklist_category_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     aggs.append(F.sum(F.when(any_hit, 1).otherwise(0)).cast("bigint").alias("n_any"))
     return d.groupBy("lang").agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# E164: leave-one-slice-out ablation — cheap data-valuation deltas
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_slice_ablation_impact",
+    oracle="""
+    WITH slices AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n) AS tn, SUM(chars) AS tc FROM slices)
+    SELECT lang, n,
+           CAST(tc AS DOUBLE) / tn AS corpus_mean_chars,
+           CAST(tc - chars AS DOUBLE) / (tn - n) AS ablated_mean_chars,
+           CAST(tc - chars AS DOUBLE) / (tn - n) - CAST(tc AS DOUBLE) / tn
+             AS mean_shift
+    FROM slices, tot
+    """,
+    tags=("E164", "D12", "A1", "A2"),
+)
+def q_slice_ablation_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-slice-out ablation by COMPLEMENT ARITHMETIC: the
+    corpus statistic with each language slice removed, computed as
+    (total - slice)/(n_total - n_slice) from one scan's per-slice
+    sums — the cheap first pass of data valuation (which slice moves
+    the corpus profile most if dropped), done without re-scanning the
+    corpus once per slice. The same trick turns ANY associative
+    corpus statistic into |slices| ablation deltas for free; a model-
+    based valuation would rank slices by these shifts before paying
+    for retraining runs. All arithmetic divides exact integer sums."""
+    d = load_table(spark, sf_dir, "documents")
+    slices = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    tot = slices.agg(F.sum("n").alias("tn"), F.sum("chars").alias("tc"))
+    s = slices.crossJoin(F.broadcast(tot))
+    corpus_mean = F.col("tc").cast("double") / F.col("tn")
+    ablated_mean = (F.col("tc") - F.col("chars")).cast("double") / (
+        F.col("tn") - F.col("n")
+    )
+    return s.select(
+        "lang",
+        "n",
+        corpus_mean.alias("corpus_mean_chars"),
+        ablated_mean.alias("ablated_mean_chars"),
+        (ablated_mean - corpus_mean).alias("mean_shift"),
+    )

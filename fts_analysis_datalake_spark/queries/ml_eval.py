@@ -993,3 +993,65 @@ def q_rbo_ann_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         rbo.alias("rbo_at_k"),
         rec.alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# E163: per-slice accuracy audit — the fairness-gap report
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_accuracy_by_label_slice",
+    oracle=f"""
+    WITH test AS (
+      SELECT vec_id AS tid, embedding AS tv, label AS true_label
+      FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
+    nn AS (
+      SELECT tid, e.label,
+             row_number() OVER (PARTITION BY tid
+                                ORDER BY {sql_cosine('e.embedding', 'tv')} DESC,
+                                         e.vec_id) AS rn
+      FROM embeddings e JOIN test ON e.vec_id % {_KNN_MOD} <> 0),
+    votes AS (
+      SELECT tid, label, COUNT(*) AS votes
+      FROM nn WHERE rn <= {_KNN_K} GROUP BY tid, label),
+    best AS (
+      SELECT tid, label AS pred_label,
+             row_number() OVER (PARTITION BY tid
+                                ORDER BY votes DESC, label) AS vr
+      FROM votes),
+    joined AS (
+      SELECT t.true_label, b.pred_label
+      FROM test t JOIN best b ON b.tid = t.tid AND b.vr = 1)
+    SELECT CAST(true_label AS INTEGER) AS slice_label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS accuracy
+    FROM joined
+    GROUP BY true_label
+    """,
+    tags=("E163", "E148", "E140", "A1"),
+)
+def q_accuracy_by_label_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliced companion to the headline accuracy (E148): kNN
+    accuracy PER TRUE-LABEL group — the disaggregated report every
+    model audit starts with, because a global number hides a slice
+    the classifier fails on entirely; the max-min accuracy gap across
+    these rows is the fairness metric a release gate would check.
+    Same plan as E148 with the final aggregate keyed by slice."""
+    e = load_table(spark, sf_dir, "embeddings")
+    truth = e.filter(F.col("vec_id") % _KNN_MOD == 0).select(
+        "vec_id", F.col("label").alias("true_label")
+    )
+    pred = q_knn_label_vote(spark, sf_dir)
+    joined = pred.join(F.broadcast(truth), "vec_id")
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    ).cast("bigint")
+    return joined.groupBy(F.col("true_label").cast("int").alias("slice_label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        correct.alias("n_correct"),
+        (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
