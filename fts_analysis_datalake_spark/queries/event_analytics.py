@@ -2217,3 +2217,69 @@ def q_event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("late_s").alias("max_late_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E166: time-weighted average value — TWAP over irregular samples
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_time_weighted_user_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS t0,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS t1
+      FROM events),
+    held AS (
+      SELECT user_id,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * (t1 - t0))
+                  AS DOUBLE) / 100.0 AS area,
+             CAST(SUM(t1 - t0) AS BIGINT) AS span_us,
+             COUNT(*) AS n_holds
+      FROM seq WHERE t1 IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id,
+           CAST(n_holds AS BIGINT) AS n_holds,
+           span_us,
+           area / span_us AS twap
+    FROM held
+    WHERE span_us > 0
+    """,
+    tags=("E166", "W3", "A1", "F4"),
+)
+def q_time_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each event's value is
+    'held' until the user's next event, and the average weights each
+    value by its holding duration — the correct mean for IRREGULARLY
+    sampled series (a value held for 6 hours counts 360x one held a
+    minute), where the plain AVG silently assumes uniform spacing.
+    This is the TWAP shape used for position/price/utilization
+    metrics over event-sourced state.
+
+    One per-user ordered window produces the hold intervals (lead of
+    the epoch-integer timestamp, deterministic event_id tiebreak);
+    the integral is a sum of scaled-integer value x exact integer
+    microsecond products, so both engines emit identical doubles.
+    At 100 TB the window partitions by user — no global sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts")).alias("t0"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    qv = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    held = seq.groupBy("user_id").agg(
+        (F.sum(qv * (F.col("t1") - F.col("t0"))).cast("double") / 100.0).alias("area"),
+        F.sum(F.col("t1") - F.col("t0")).cast("bigint").alias("span_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_holds"),
+    )
+    return held.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_holds",
+        "span_us",
+        (F.col("area") / F.col("span_us")).alias("twap"),
+    )
