@@ -2283,3 +2283,83 @@ def q_time_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_us",
         (F.col("area") / F.col("span_us")).alias("twap"),
     )
+
+
+# --------------------------------------------------------------------------
+# E167: Markov next-event baseline — sequence-model evaluation loop
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt,
+             (epoch_us(ts) < (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2
+                              FROM events)) AS is_train
+      FROM events),
+    pairs AS (SELECT cur, nxt, is_train FROM seq WHERE nxt IS NOT NULL),
+    model AS (
+      SELECT cur, nxt AS pred, COUNT(*) AS c,
+             row_number() OVER (PARTITION BY cur ORDER BY COUNT(*) DESC, nxt) AS rn
+      FROM pairs WHERE is_train GROUP BY cur, nxt),
+    test AS (
+      SELECT p.cur, p.nxt, m.pred
+      FROM pairs p JOIN model m ON m.cur = p.cur AND m.rn = 1
+      WHERE NOT p.is_train)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_transitions,
+           CAST(SUM(CASE WHEN pred = nxt THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred = nxt THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS accuracy
+    FROM test
+    """,
+    tags=("E167", "E22", "W3", "W1", "A1"),
+)
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequence-model BASELINE every fancier model must beat:
+    first-order Markov argmax (predict each user's next event type as
+    the most frequent successor of the current type, fitted on the
+    first temporal half) evaluated on held-out second-half
+    transitions. This turns the descriptive transition matrix (E22)
+    into a scored train/test loop — model fit, temporal split, and
+    evaluation all inside the engine.
+
+    The 'model' is a tiny cur->argmax table (|event types| rows)
+    joined broadcast onto test transitions; the temporal split reuses
+    the epoch-integer midpoint (E159's determinism note). Counts are
+    exact, ties in the argmax break lexicographically in both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    mid = e.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias("mid_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.crossJoin(F.broadcast(mid))
+        .select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+            (F.unix_micros(F.col("ts")) < F.col("mid_us")).alias("is_train"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    wm = Window.partitionBy("cur").orderBy(F.desc("c"), "pred")
+    model = (
+        seq.filter(F.col("is_train"))
+        .groupBy("cur", F.col("nxt").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("cur", "pred")
+    )
+    test = seq.filter(~F.col("is_train")).join(F.broadcast(model), "cur")
+    correct = F.sum(F.when(F.col("pred") == F.col("nxt"), 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return test.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_transitions"),
+        correct.alias("n_correct"),
+        (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.operators.dedup import (
     exact_jaccard_for_pairs,
     near_dup_pairs,
@@ -24,6 +24,7 @@ from fts_analysis_datalake_spark.operators.text import (
     sql_ngrams,
     sql_normalize_text,
     sql_tokens,
+    tokens,
 )
 from fts_analysis_datalake_spark.registry import query
 
@@ -510,3 +511,93 @@ def q_bfs_hops_from_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node") % 2 == 0, F.concat(F.lit("p"), (F.col("node") / 2).cast("long"))
     ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
     return hops.select(label.alias("node"), F.col("hop").cast("bigint").alias("hop"))
+
+
+# --------------------------------------------------------------------------
+# E168: weighted (bag) Jaccard — multiset similarity for dedup verify
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_jaccard_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents),
+    bags AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+    meta AS (SELECT doc_id, lang, n_chars FROM documents),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM meta a JOIN meta b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+    joined AS (
+      SELECT cand.id_a, cand.id_b, ba.c AS ca, bb.c AS cb
+      FROM cand
+      JOIN bags ba ON ba.doc_id = cand.id_a
+      JOIN bags bb ON bb.doc_id = cand.id_b AND bb.token = ba.token),
+    mins AS (
+      SELECT id_a, id_b,
+             SUM(LEAST(ca, cb)) AS inter
+      FROM joined GROUP BY id_a, id_b),
+    sizes AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS sz FROM bags GROUP BY doc_id)
+    SELECT m.id_a, m.id_b,
+           CAST(m.inter AS DOUBLE) / (sa.sz + sb.sz - m.inter) AS weighted_jaccard
+    FROM mins m
+    JOIN sizes sa ON sa.doc_id = m.id_a
+    JOIN sizes sb ON sb.doc_id = m.id_b
+    """,
+    tags=("E168", "D4", "J11", "A1"),
+)
+def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics Jaccard for the blocked candidate pairs:
+    sum(min(count_a, count_b)) / sum(max) over token MULTISETS — the
+    variant set-Jaccard (D4) is blind to ('the the the the' vs one
+    'the' look identical as sets), and what count-sensitive dedup
+    (boilerplate with repeated slugs, templated spam) actually needs.
+
+    Plan: token bags are one groupBy; the pair intersection is a join
+    of bag rows on (pair, token) with min() aggregated per pair —
+    only candidate pairs' tokens are ever joined, and
+    |union| = sz_a + sz_b - |intersection| comes from per-doc totals
+    instead of a second join. Pairs sharing NO token drop out (inner
+    join on the token key) — a zero-similarity pair carries no
+    information for a verify pass."""
+    d = load_table(spark, sf_dir, "documents")
+    from fts_analysis_datalake_spark.operators.text import normalize_text
+
+    tok = ensure_parallelism(d).select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token")
+    )
+    bags = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c")).persist()
+    meta = d.select("doc_id", "lang", "n_chars")
+    cand = (
+        meta.alias("a")
+        .join(
+            meta.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    ba = bags.withColumnsRenamed({"doc_id": "id_a", "c": "ca"})
+    bb = bags.withColumnsRenamed({"doc_id": "id_b", "c": "cb"})
+    inter = (
+        cand.join(ba, "id_a")
+        .join(bb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("inter"))
+    )
+    sizes = bags.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("sz"))
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("weighted_jaccard"),
+        )
+    )
