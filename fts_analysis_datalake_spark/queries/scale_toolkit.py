@@ -654,3 +654,73 @@ def q_negative_item_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E169: Neyman allocation — variance-optimal stratified sampling budget
+# --------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 5000
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+      SELECT l_returnflag AS stratum,
+             CAST(COUNT(*) AS DOUBLE) AS nh,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0)))
+                  AS DOUBLE) AS s1,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0))
+                      * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0)))
+                  AS DOUBLE) AS s2
+      FROM lineitem GROUP BY l_returnflag),
+    scored AS (
+      SELECT stratum, nh,
+             nh * SQRT((nh * s2 - s1 * s1) / (nh * (nh - 1))) / 100.0 AS nh_sh
+      FROM strata),
+    tot AS (SELECT SUM(nh_sh) AS t FROM scored)
+    SELECT stratum,
+           CAST(nh AS BIGINT) AS stratum_n,
+           nh_sh / t AS weight,
+           CAST(FLOOR({_NEYMAN_BUDGET} * nh_sh / t) AS BIGINT) AS alloc_floor,
+           LEAST({_NEYMAN_BUDGET} * nh_sh / t / nh, 1.0) AS sample_rate
+    FROM scored, tot
+    """,
+    tags=("E169", "E111", "A6", "A1", "O4"),
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation: distribute a {_NEYMAN_BUDGET}-row sampling
+    budget across strata proportional to N_h x S_h (stratum size
+    times stratum stddev) — the variance-OPTIMAL stratified design,
+    vs. proportional allocation which over-samples homogeneous
+    strata. Emits each stratum's weight, floor allocation (the
+    largest-remainder top-up is E111's apportionment op), and the
+    per-row sampling rate that realizes it.
+
+    The stddev comes from the same-scale DECIMAL integer moments
+    (the dstddev recipe), so weights are bit-equal across engines;
+    one scan produces all strata."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xi = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    strata = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("double").alias("nh"),
+        F.sum(xi).cast("double").alias("s1"),
+        F.sum(xi * xi).cast("double").alias("s2"),
+    )
+    nh, s1, s2 = F.col("nh"), F.col("s1"), F.col("s2")
+    scored = strata.select(
+        "stratum",
+        nh,
+        (nh * F.sqrt((nh * s2 - s1 * s1) / (nh * (nh - 1))) / 100.0).alias("nh_sh"),
+    )
+    tot = scored.agg(F.sum("nh_sh").alias("t"))
+    s = scored.crossJoin(F.broadcast(tot))
+    share = F.col("nh_sh") / F.col("t")
+    return s.select(
+        "stratum",
+        F.col("nh").cast("bigint").alias("stratum_n"),
+        share.alias("weight"),
+        F.floor(_NEYMAN_BUDGET * share).cast("bigint").alias("alloc_floor"),
+        F.least(_NEYMAN_BUDGET * share / F.col("nh"), F.lit(1.0)).alias("sample_rate"),
+    )

@@ -1141,3 +1141,93 @@ def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr.alias("corr_xy"),
         F.pow(corr, 2).alias("var_reduction"),
     )
+
+
+# --------------------------------------------------------------------------
+# E170: multiple-testing-corrected slice scan
+# --------------------------------------------------------------------------
+
+# Two-sided normal critical values for alpha/m with alpha = 0.05 and
+# m = number of slices tested (Bonferroni). Fixed literals so both
+# engines compare against the identical threshold (no erf needed).
+_Z_CRIT_BONF_5 = 2.5758293035489004  # alpha/m = 0.01  (m = 5)
+_Z_CRIT_RAW = 1.959963984540054  # alpha = 0.05, uncorrected
+
+
+@query(
+    "q_corrected_slice_scan",
+    oracle=f"""
+    WITH arms AS (
+      SELECT event_type,
+             CAST(user_id % 2 AS INTEGER) AS arm,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS s,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0))
+                      * CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0))) AS DOUBLE)
+               AS s2
+      FROM events GROUP BY 1, 2),
+    wide AS (
+      SELECT event_type,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN s END) AS s_1,
+             MAX(CASE WHEN arm = 1 THEN s2 END) AS s2_1,
+             MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN s END) AS s_0,
+             MAX(CASE WHEN arm = 0 THEN s2 END) AS s2_0
+      FROM arms GROUP BY event_type),
+    z AS (
+      SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+             (s_1 / n1 - s_0 / n0)
+               / SQRT( (s2_1 / 10000.0 / n1 - (s_1 / n1) * (s_1 / n1)) / n1
+                     + (s2_0 / 10000.0 / n0 - (s_0 / n0) * (s_0 / n0)) / n0 )
+               AS z_stat
+      FROM wide)
+    SELECT event_type, n1, n0, z_stat,
+           ABS(z_stat) > {_Z_CRIT_RAW} AS naive_significant,
+           ABS(z_stat) > {_Z_CRIT_BONF_5} AS bonferroni_significant
+    FROM z
+    """,
+    tags=("E170", "E98", "A6", "A12"),
+)
+def q_corrected_slice_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metrics-alerting trap, instrumented: a two-sample z
+    statistic of mean value between user-parity arms PER event-type
+    slice, flagged at both the naive 1.96 threshold and the
+    Bonferroni-corrected one — scanning m slices at alpha=0.05
+    false-alarms ~1-in-4 experiments somewhere, which is why every
+    slice-scanning dashboard needs the corrected column. The gap
+    between the two flag columns IS the lesson.
+
+    Means and second moments come from the scaled-integer forms; the
+    per-slice wide pivot is a 2-row-per-slice aggregate, and the
+    thresholds are identical double literals in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    qi6 = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+    qi2 = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    arms = e.groupBy("event_type", (F.col("user_id") % 2).cast("int").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(qi6) / 1e6).alias("s"),
+        F.sum(qi2 * qi2).cast("double").alias("s2"),
+    )
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
+    wide = arms.groupBy("event_type").agg(
+        pick(1, "n").alias("n1"),
+        pick(1, "s").alias("s_1"),
+        pick(1, "s2").alias("s2_1"),
+        pick(0, "n").alias("n0"),
+        pick(0, "s").alias("s_0"),
+        pick(0, "s2").alias("s2_0"),
+    )
+    m1 = F.col("s_1") / F.col("n1")
+    m0 = F.col("s_0") / F.col("n0")
+    v1 = (F.col("s2_1") / 1e4 / F.col("n1") - m1 * m1) / F.col("n1")
+    v0 = (F.col("s2_0") / 1e4 / F.col("n0") - m0 * m0) / F.col("n0")
+    z = (m1 - m0) / F.sqrt(v1 + v0)
+    return wide.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n0").cast("bigint").alias("n0"),
+        z.alias("z_stat"),
+        (F.abs(z) > _Z_CRIT_RAW).alias("naive_significant"),
+        (F.abs(z) > _Z_CRIT_BONF_5).alias("bonferroni_significant"),
+    )
