@@ -1231,3 +1231,78 @@ def q_corrected_slice_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(z) > _Z_CRIT_RAW).alias("naive_significant"),
         (F.abs(z) > _Z_CRIT_BONF_5).alias("bonferroni_significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# E171: two-sample Kolmogorov-Smirnov — distribution equality across arms
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ks_two_sample_arms",
+    oracle="""
+    WITH pts AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+      FROM events GROUP BY value),
+    cum AS (
+      SELECT SUM(c1) OVER (ORDER BY value) AS f1,
+             SUM(c0) OVER (ORDER BY value) AS f0,
+             SUM(c1) OVER () AS n1, SUM(c0) OVER () AS n0
+      FROM pts)
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n0) AS BIGINT) AS n0,
+           MAX(ABS(CAST(f1 AS DOUBLE) / n1 - CAST(f0 AS DOUBLE) / n0)) AS ks_stat,
+           MAX(ABS(CAST(f1 AS DOUBLE) / n1 - CAST(f0 AS DOUBLE) / n0))
+             / SQRT((CAST(MAX(n1) AS DOUBLE) + MAX(n0))
+                    / (CAST(MAX(n1) AS DOUBLE) * MAX(n0)))
+             AS ks_scaled
+    FROM cum
+    """,
+    tags=("E171", "E130", "E98", "W4", "A2"),
+)
+def q_ks_two_sample_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov between the user-parity arms'
+    value distributions: sup |ECDF_1 - ECDF_0|, the nonparametric
+    WHOLE-DISTRIBUTION check that catches what a mean z-test (E98)
+    misses — equal means with different shapes (variance inflation,
+    bimodality from a broken variant). ks_scaled divides by
+    sqrt((n1+n0)/(n1*n0)), the statistic compared against fixed
+    critical values (1.358 for alpha=0.05).
+
+    Both ECDFs ride ONE ordered window over the per-distinct-value
+    conditional counts (the score histogram, not the event table —
+    the same scale argument as the AUC query, E135); at step points
+    of either ECDF the sup is attained on these rows, so the grouped
+    form is exact, and every ratio divides exact integer counts."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.groupBy("value").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+    )
+    wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = pts.select(
+        F.sum("c1").over(wc).alias("f1"),
+        F.sum("c0").over(wc).alias("f0"),
+        F.sum("c1").over(wt).alias("n1"),
+        F.sum("c0").over(wt).alias("n0"),
+    )
+    d = F.abs(F.col("f1").cast("double") / F.col("n1") - F.col("f0").cast("double") / F.col("n0"))
+    return cum.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n0").cast("bigint").alias("n0"),
+        F.max(d).alias("ks_stat"),
+        (
+            F.max(d)
+            / F.sqrt(
+                (F.max("n1").cast("double") + F.max("n0"))
+                / (F.max("n1").cast("double") * F.max("n0"))
+            )
+        ).alias("ks_scaled"),
+    )
