@@ -567,3 +567,95 @@ def q_lateral_top2_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# E172: haversine nearest-neighbor join — the geospatial surface
+# --------------------------------------------------------------------------
+
+_EARTH_KM = 6371.0
+
+
+def _sql_haversine(lat1, lon1, lat2, lon2) -> str:
+    return (
+        f"2 * {_EARTH_KM} * asin(sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))"
+    )
+
+
+@query(
+    "q_haversine_nearest_nation",
+    oracle=f"""
+    WITH pts AS (
+      SELECT n_nationkey AS k, n_name,
+             -60.0 + 5.0 * n_nationkey AS lat,
+             -150.0 + 12.0 * n_nationkey AS lon
+      FROM nation),
+    dists AS (
+      SELECT a.k AS k, a.n_name AS name, b.n_name AS nearest,
+             CAST(FLOOR({_sql_haversine('a.lat','a.lon','b.lat','b.lon')} * 1000 + 0.5)
+                  AS BIGINT) / 1000.0 AS dist_km,
+             row_number() OVER (PARTITION BY a.k ORDER BY
+               CAST(FLOOR({_sql_haversine('a.lat','a.lon','b.lat','b.lon')} * 1000 + 0.5)
+                    AS BIGINT), b.k) AS rn
+      FROM pts a JOIN pts b ON a.k <> b.k)
+    SELECT k, name, nearest, dist_km
+    FROM dists WHERE rn = 1
+    """,
+    tags=("E172", "J7", "O3", "F6", "W1"),
+)
+def q_haversine_nearest_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The geospatial surface: great-circle (haversine) nearest
+    neighbor for each nation's reference point — the
+    distance-functions + spatial-kNN shape (store-to-warehouse,
+    user-to-POI). Coordinates are DERIVED deterministically from the
+    nation key (the fixture carries no geo columns; the operator
+    under test is the distance join, documented as such).
+
+    Determinism across engines: the distance is QUANTIZED to 1 m
+    before both the ranking and the output, so last-ulp trig
+    differences can't flip the hash or the rank; ties in the
+    quantized distance break on the neighbor key. The pairwise join
+    is a 25x24 broadcast product here; at scale the standard bound
+    is a geohash/grid-cell equi-prefix exactly like the blocked
+    similarity joins (J7 note)."""
+    n = load_table(spark, sf_dir, "nation")
+    pts = n.select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        (-60.0 + 5.0 * F.col("n_nationkey")).alias("lat"),
+        (-150.0 + 12.0 * F.col("n_nationkey")).alias("lon"),
+    )
+    a = pts.select(
+        F.col("k"), F.col("name"), F.col("lat").alias("lat1"), F.col("lon").alias("lon1")
+    )
+    b = pts.select(
+        F.col("k").alias("bk"),
+        F.col("name").alias("nearest"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    )
+    hav = (
+        2.0
+        * _EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat2") - F.col("lat1")) / 2), 2)
+                + F.cos(F.radians("lat1"))
+                * F.cos(F.radians("lat2"))
+                * F.pow(F.sin(F.radians(F.col("lon2") - F.col("lon1")) / 2), 2)
+            )
+        )
+    )
+    qdist = F.floor(hav * 1000 + F.lit(0.5)).cast("bigint")
+    dists = a.join(F.broadcast(b), F.col("k") != F.col("bk")).select(
+        "k", "name", "nearest", (qdist / 1000.0).alias("dist_km"), qdist.alias("qd"), "bk"
+    )
+    w = Window.partitionBy("k").orderBy("qd", "bk")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "name", "nearest", "dist_km")
+    )
