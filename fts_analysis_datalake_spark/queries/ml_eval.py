@@ -885,6 +885,9 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RBO_P = 0.9
 _RBO_K = 20
+# 1 - 0.9 in binary double; interpolated as the SAME literal into the
+# SQL twin (DuckDB would otherwise parse (1 - 0.9) as exact DECIMAL 0.1).
+_RBO_1MP = repr(1 - _RBO_P)
 
 
 @query(
@@ -917,7 +920,9 @@ _RBO_K = 20
               WHERE e.r <= d AND a.r <= d) AS ov
       FROM depths)
     SELECT CAST({_RBO_K} AS BIGINT) AS k,
-           SUM(POWER({_RBO_P}, d - 1) * ov / d) * (1 - {_RBO_P}) AS rbo_at_k,
+           CAST(SUM(CAST(FLOOR(POWER({_RBO_P}, d - 1) * ov / d * 1000000000000 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1000000000000.0 * {_RBO_1MP}
+             AS rbo_at_k,
            (SELECT CAST(ov AS DOUBLE) / {_RBO_K} FROM ovl WHERE d = {_RBO_K})
              AS recall_at_k
     FROM ovl
@@ -982,9 +987,15 @@ def q_rbo_ann_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ov")
         )
     )
-    rbo = F.sum(
-        F.pow(F.lit(_RBO_P), F.col("d") - 1) * F.col("ov") / F.col("d")
-    ) * (1 - _RBO_P)
+    # Each geometric term is quantized to 1e-12 before the sum so the
+    # 20-term addition order (partial aggregation) can't move the
+    # last ulp — caught by the bit-exact local parity test.
+    term = F.pow(F.lit(_RBO_P), F.col("d") - 1) * F.col("ov") / F.col("d")
+    rbo = (
+        F.sum(F.floor(term * 1e12 + F.lit(0.5)).cast("bigint")).cast("double")
+        / 1e12
+        * float(_RBO_1MP)
+    )
     rec = F.sum(
         F.when(F.col("d") == _RBO_K, F.col("ov").cast("double") / _RBO_K)
     )
