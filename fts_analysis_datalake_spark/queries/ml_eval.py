@@ -293,19 +293,31 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id tiebreak, deterministic in both engines. At 100 TB the
     full-scan cosine pass is the honest baseline; the ANN shortlist
     variants (IVF/SRP/Hamming) bound it when the anchor panel grows."""
+    from fts_analysis_datalake_spark.functions.vector import dot, norm
+
     e = load_table(spark, sf_dir, "embeddings")
+    # Norms are precomputed once per ROW on each side (map-side fold),
+    # so every PAIR pays one dot fold instead of three folds — the
+    # same 3x cut the all-pairs cosine query took in round 2. The
+    # quotient keeps the dot/(norm_a*norm_b) association, so values
+    # stay bit-equal to the oracle's sql_cosine.
     qset = e.filter(F.col("vec_id") % _HN_MOD == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("_qn"),
     )
     scored = (
-        e.join(F.broadcast(qset), F.col("label") != F.col("qlabel"))
+        e.withColumn("_n", norm(F.col("embedding")))
+        .join(F.broadcast(qset), F.col("label") != F.col("qlabel"))
         .select(
             "qid",
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
-            cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (F.col("_n") * F.col("_qn"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "neg_id")
@@ -413,15 +425,25 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks a deterministic winner even on split votes. The vote
     aggregate shuffles k rows per test vector — nothing corpus-sized
     ever re-shuffles."""
+    from fts_analysis_datalake_spark.functions.vector import dot, norm
+
     e = load_table(spark, sf_dir, "embeddings")
+    # Same per-row norm precompute as hard-negative mining: one dot
+    # fold per pair, bit-equal to the oracle's sql_cosine.
     test = e.filter(F.col("vec_id") % _KNN_MOD == 0).select(
-        F.col("vec_id").alias("tid"), F.col("embedding").alias("tv")
+        F.col("vec_id").alias("tid"),
+        F.col("embedding").alias("tv"),
+        norm(F.col("embedding")).alias("_tn"),
     )
-    train = e.filter(F.col("vec_id") % _KNN_MOD != 0)
+    train = e.filter(F.col("vec_id") % _KNN_MOD != 0).withColumn(
+        "_n", norm(F.col("embedding"))
+    )
     scored = train.crossJoin(F.broadcast(test)).select(
         "tid",
         "label",
-        cosine(F.col("embedding"), F.col("tv")).alias("cos_sim"),
+        (dot(F.col("embedding"), F.col("tv")) / (F.col("_n") * F.col("_tn"))).alias(
+            "cos_sim"
+        ),
         "vec_id",
     )
     wnn = Window.partitionBy("tid").orderBy(F.col("cos_sim").desc(), "vec_id")
