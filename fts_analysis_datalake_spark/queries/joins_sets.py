@@ -659,3 +659,90 @@ def q_haversine_nearest_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("k", "name", "nearest", "dist_km")
     )
+
+
+# --------------------------------------------------------------------------
+# E173: top-k WITH TIES — rank vs row_number semantics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_topk_with_ties_quantity",
+    oracle="""
+    SELECT l_returnflag, l_quantity, rnk FROM (
+      SELECT l_returnflag, l_quantity,
+             CAST(rank() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_quantity DESC) AS BIGINT) AS rnk
+      FROM (SELECT DISTINCT l_returnflag, l_quantity FROM lineitem))
+    WHERE rnk <= 3
+    """,
+    tags=("E173", "O3", "W1", "A10"),
+)
+def q_topk_with_ties_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES: the ANSI FETCH FIRST k ROWS WITH TIES
+    semantics — rank() keeps every row tied with the k-th, where the
+    row_number() top-k (O3) would arbitrarily drop ties. On real data
+    the difference is silent result loss at tie boundaries; declaring
+    both forms makes the choice explicit. Runs over the DISTINCT
+    (flag, quantity) pairs so the rank input is deterministic, and
+    Spark's WindowGroupLimit pushes the rank<=3 filter into the
+    window sort exactly as for row_number."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_quantity").distinct()
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return (
+        pairs.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# E174: unionByName with missing columns — batch schema evolution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_union_by_name_evolution",
+    oracle="""
+    WITH old_batch AS (
+      SELECT o_orderkey, o_orderstatus, NULL::DOUBLE AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0),
+    new_batch AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_with_price,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+             AS total_price
+    FROM (SELECT * FROM old_batch UNION ALL SELECT * FROM new_batch)
+    GROUP BY o_orderstatus
+    """,
+    tags=("E174", "U1", "P7", "A7"),
+)
+def q_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: an 'old' batch written before the
+    o_totalprice column existed unions with a 'new' batch that has it
+    — ``unionByName(allowMissingColumns=True)`` aligns by NAME and
+    null-fills the missing column, where positional UNION ALL would
+    silently misalign or fail. This is the batch-append twin of the
+    mergeSchema read (q_schema_evolution_read): the same evolution
+    handled at query time instead of scan time. The aggregate counts
+    both populations and sums only the present prices (exact scaled
+    integers)."""
+    o = load_table(spark, sf_dir, "orders")
+    old_batch = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new_batch = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    both = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return both.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("o_totalprice").cast("bigint").alias("n_with_price"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            / 100.0
+        ).alias("total_price"),
+    )
