@@ -351,6 +351,41 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
 
+
+@query(
+    "q_approx_distinct_envelope",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A4", "A2"),
+)
+def q_approx_distinct_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 in driver-verifiable form: the HLL sketch value itself is
+    engine-specific (q_approx_distinct_parts stays rows-only for it),
+    but its accuracy CONTRACT is checkable — emit the exact distinct
+    count alongside a boolean asserting the sketch landed within 5x
+    its declared 2% rsd (the same envelope tests/test_approx.py
+    asserts). The oracle recomputes the exact count and expects every
+    envelope flag TRUE, so a broken or drifting HLL flips the value
+    hash. At 100 TB the approx path is the one that survives — fixed
+    sketch merge instead of shuffling every distinct key."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_exact",
+        (F.abs(F.col("n_approx") - F.col("n_exact")) <= F.col("n_exact") * 0.1).alias(
+            "approx_ok"
+        ),
+    )
+
 # --------------------------------------------------------------------------
 # E51: equi-depth histogram — ntile buckets with per-bucket envelopes
 # --------------------------------------------------------------------------

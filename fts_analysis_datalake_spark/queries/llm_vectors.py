@@ -9,6 +9,8 @@ brute force is property-tested in tests/test_similarity.py).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -314,9 +316,19 @@ def q_srp_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embedding_near_dup_pairs",
-    oracle=None,  # banded-LSH candidate set is not SQL-expressible;
-    # precision (=1 vs numpy brute force) and recall are asserted in
-    # tests/test_similarity.py.
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99)
+    SELECT id_a, id_b, {sql_cosine('ea', 'eb')} AS cos_sim
+    FROM cand WHERE {sql_cosine('ea', 'eb')} >= 0.999
+    """,
     tags=("D3", "D5", "D7", "ANN"),
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,9 +340,15 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is unioned with a re-keyed copy of itself (vec_id+10000 —
     the re-ingested-batch scenario dedup exists for). Every planted
     duplicate has identical sign bits in every band, so LSH recall on
-    them is exactly 1; unrelated pairs pass a band with p=1/256. The
-    expected result is exactly the 500 planted pairs, asserted
-    against numpy brute force in tests/test_similarity.py."""
+    them is exactly 1; unrelated pairs pass a band with p=1/256 —
+    which is why the LSH result set EQUALS brute force at this
+    threshold (also asserted vs numpy in tests/test_similarity.py),
+    making an honest oracle possible for the approximate path: the
+    DuckDB twin is a literal all-pairs brute force (the n^2 the LSH
+    exists to avoid — fine at oracle scale), prefiltered by DuckDB's
+    native cosine at a 0.009 margin so the exact sequential-fold
+    cosine (bit-identical to the Spark verify stage, functions/
+    vector.py) only runs on survivors."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     redelivered = e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
     return embedding_near_dups(e.unionByName(redelivered), threshold=0.999).orderBy(
@@ -408,6 +426,93 @@ def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return emb.mapInArrow(norms, "vec_id long, l2_norm double")
+
+
+@query(
+    "q_embedding_qsum_arrow",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_aggregate(
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
+             'sum') AS BIGINT) AS qsum,
+           CAST(len(embedding) AS BIGINT) AS dims
+    FROM embeddings
+    """,
+    tags=("X5", "F8", "D8"),
+)
+def q_embedding_qsum_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (mapInArrow) with an EXACT oracle — the driver-verifiable
+    twin of q_embedding_norms_arrow. Each element is quantized
+    independently (FLOOR(x*1e6+0.5): float->double cast is exact, the
+    multiply and floor are single IEEE ops identical in numpy and
+    DuckDB), then summed as int64 — associative, order-independent,
+    so the Arrow kernel's value hash-matches SQL bit-for-bit, unlike
+    a float norm whose reduction order differs between numpy pairwise
+    summation and a SQL fold. This is the per-vector integer
+    fingerprint a quantized-embedding pipeline (int8 PQ codes,
+    checksum columns) computes at ingest; zero-copy record batches,
+    vectorized numpy, nothing row-at-a-time."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def qsums(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+            q = np.floor(vecs * 1e6 + 0.5).astype(np.int64)
+            yield pa.record_batch(
+                [
+                    tbl["vec_id"].combine_chunks(),
+                    pa.array(q.sum(axis=1)),
+                    pa.array(np.full(len(q), q.shape[1], dtype=np.int64)),
+                ],
+                names=["vec_id", "qsum", "dims"],
+            )
+
+    return emb.mapInArrow(qsums, "vec_id long, qsum long, dims long")
+
+
+@query(
+    "q_orderkey_lcg_pandas_udf",
+    oracle="""
+    SELECT o_orderkey % 8 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((o_orderkey * 1103515245 + 12345) % 2147483648) AS BIGINT) AS lcg_sum,
+           CAST(MAX((o_orderkey * 1103515245 + 12345) % 2147483648) AS BIGINT) AS lcg_max
+    FROM orders
+    GROUP BY o_orderkey % 8
+    """,
+    tags=("X1", "A1", "F11"),
+)
+def q_orderkey_lcg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 (Arrow scalar pandas UDF) with an EXACT oracle: a
+    deterministic LCG hash of the order key computed in a vectorized
+    pandas UDF (int64 arithmetic — no float reduction, so both
+    engines agree bit-for-bit), then aggregated JVM-side per bucket.
+    This is the custom-hash / feature-hashing shape when the hash the
+    pipeline needs isn't one of Spark's built-ins; the plan shows one
+    ArrowEvalPython stage feeding a codegen'd HashAggregate — the
+    sanctioned fast path across the Python boundary (batch Arrow
+    transfer), never BatchEvalPython."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def lcg(keys: pd.Series) -> pd.Series:
+        return (keys * 1103515245 + 12345) % 2147483648
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select((F.col("o_orderkey") % 8).alias("bucket"), lcg("o_orderkey").alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("h").alias("lcg_sum"),
+            F.max("h").alias("lcg_max"),
+        )
+    )
 
 # --------------------------------------------------------------------------
 # E62: IVF ANN with TRAINED centroids — kmeans feeds the index

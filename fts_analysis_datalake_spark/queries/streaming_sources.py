@@ -496,7 +496,10 @@ def q_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_user_topk_state_batch",
     oracle="""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-           list_slice(list_sort(list(value), 'DESC'), 1, 3) AS top_values
+           array_to_string(
+             list_transform(list_slice(list_sort(list(value), 'DESC'), 1, 3),
+                            v -> CAST(CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) AS VARCHAR)),
+             ',') AS top_values_csv
     FROM events
     GROUP BY user_id
     """,
@@ -510,11 +513,22 @@ def q_user_topk_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-batch stream-equals-batch is asserted in
     tests/test_streaming.py). The bounded max-set is
     order-independent, so the oracle's sort-then-slice reproduces the
-    streaming fixpoint exactly — including the double values, which
-    pass through both engines unmodified."""
+    streaming fixpoint exactly. The top-k list is emitted as a CSV of
+    1e-6-quantized values (the FLOOR(x*m+0.5) convention from
+    functions/deterministic.py): the correctness harness canonicalizes
+    with a pandas sort that cannot hash array columns, so an
+    array<double> column would error out of the check entirely — the
+    E82 listagg pattern makes the same values hashable on both sides."""
     from fts_analysis_datalake_spark.streaming.transforms import user_topk_state
 
-    return user_topk_state(load_table(spark, sf_dir, "events"))
+    out = user_topk_state(load_table(spark, sf_dir, "events"))
+    quantized = F.transform(
+        "top_values",
+        lambda v: F.floor(v * 1000000.0 + F.lit(0.5)).cast("bigint").cast("string"),
+    )
+    return out.select(
+        "user_id", "n", F.array_join(quantized, ",").alias("top_values_csv")
+    )
 
 
 @query(

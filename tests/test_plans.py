@@ -33,6 +33,8 @@ PYTHON_SURFACE = {
     "q_son_frequent_tokens",  # E37 SON phase-1 per-partition mapInPandas
     "q_holt_forecast_hourly",  # E54 X2 per-series smoothing recursion
     "q_embedding_norms_arrow",  # E60 mapInArrow vector kernel
+    "q_embedding_qsum_arrow",  # X5 mapInArrow exact-oracle twin
+    "q_orderkey_lcg_pandas_udf",  # X1 scalar pandas UDF exact-oracle twin
     "q_isotonic_calibration",  # E155 X2 PAVA pooling loop
 }
 
