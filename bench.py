@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from fts_analysis_datalake_spark.caching import release_tracked
 from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
 from fts_analysis_datalake_spark.session import get_spark
 
@@ -38,7 +39,9 @@ def main() -> None:
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 4)
         # Drop persisted intermediates (e.g. MinHash signatures) so cached
-        # blocks never accumulate across the suite.
+        # blocks never accumulate across the suite. release_tracked() is
+        # the library's own lifecycle hook; clearCache stays as a belt.
+        release_tracked()
         spark.catalog.clearCache()
     total = round(time.perf_counter() - t_all, 4)
 

@@ -83,11 +83,17 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    from pyspark.errors import AnalysisException, SparkUpgradeException
+
     path = f"{sf_dir}/events.parquet"
     try:
         df = spark.read.parquet(path)
-    except Exception:
-        # Schema conversion rejected TIMESTAMP(NANOS): re-read as long.
+    except (AnalysisException, SparkUpgradeException) as ex:
+        # Only the TIMESTAMP(NANOS) schema rejection gets the legacy-conf
+        # retry; anything else (missing file, corrupt footer) re-raises
+        # unchanged instead of masking into a confusing second attempt.
+        if "NANOS" not in str(ex) and "Illegal Parquet type" not in str(ex):
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType

@@ -28,6 +28,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import ensure_parallelism
 from fts_analysis_datalake_spark.operators.text import ngrams, normalize_text, tokens
 
@@ -172,7 +173,7 @@ def exact_jaccard_for_pairs(
     # so the tokenize/shingle + collect_set lineage runs once (same
     # lifecycle contract as minhash_signatures — released by the
     # bench/driver clearCache between queries).
-    tok = rows.groupBy(id_col).agg(F.collect_set("elem").alias("toks")).persist()
+    tok = tracked_persist(rows.groupBy(id_col).agg(F.collect_set("elem").alias("toks")))
     return (
         pairs.join(tok.withColumnsRenamed({id_col: "id_a", "toks": "toks_a"}), "id_a")
         .join(tok.withColumnsRenamed({id_col: "id_b", "toks": "toks_b"}), "id_b")
@@ -211,7 +212,7 @@ def near_dup_pairs(
     should call ``spark.catalog.clearCache()`` between queries —
     bench.py does exactly that after every query.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sigs = tracked_persist(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n))
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return exact_jaccard_for_pairs(df, id_col, text_col, cands, shingle_n).filter(
         F.col("jaccard") >= threshold
@@ -369,7 +370,7 @@ def prefix_filter_candidates(
     # The deduped shingle table is read FOUR times below (freq, sizes,
     # ranked, both posting sides); persist so the normalize->tokenize->
     # ngram->explode lineage executes once (clearCache lifecycle).
-    sh = shingle_table(df, id_col, text_col, shingle_n).distinct().persist()
+    sh = tracked_persist(shingle_table(df, id_col, text_col, shingle_n).distinct())
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy(id_col).orderBy("freq", "shingle")

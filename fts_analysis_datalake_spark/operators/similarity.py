@@ -24,6 +24,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.functions.vector import dot, norm
 
 
@@ -350,7 +351,8 @@ def embedding_near_dups(
     """
     planes = _srp_planes(64, bands * band_bits)
     band_buckets = _srp_band_buckets_udf(planes, bands, band_bits)
-    banded = (
+    # reused by both join sides; lifecycle owned by caching.release_tracked
+    banded = tracked_persist(
         emb.withColumn("_bands", band_buckets(F.col(vec_col)))
         .select(
             F.col(id_col),
@@ -358,7 +360,6 @@ def embedding_near_dups(
             norm(F.col(vec_col)).alias("_vnorm"),  # once per row, not per pair
             F.posexplode(F.col("_bands")).alias("band_idx", "band_bucket"),
         )
-        .persist()  # reused by both join sides; see dedup.near_dup_pairs lifecycle note
     )
     a = banded.select(
         F.col(id_col).alias("id_a"),

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import (
     dstddev_samp,
@@ -457,11 +458,10 @@ def q_top_terms_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fts_analysis_datalake_spark.operators.text import normalize_text, tokens
 
     d = load_table(spark, sf_dir, "documents")
-    counts = (
+    counts = tracked_persist(
         d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
     )
     top = counts.orderBy(F.desc("n"), "term").limit(10)
     other = (

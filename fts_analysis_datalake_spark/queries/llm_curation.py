@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.operators.text import (
     ngrams,
@@ -134,7 +135,9 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap pass every pretraining corpus runs against its eval
     suites."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    sh = (
+    # Both the bench side and the corpus side consume this lineage;
+    # without a persist the tokenize+shingle chain runs twice.
+    sh = tracked_persist(
         d.select(
             "doc_id",
             F.explode(
@@ -144,9 +147,6 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .select("doc_id", F.md5("shingle").alias("sig"))
-        # Both the bench side and the corpus side consume this lineage;
-        # without a persist the tokenize+shingle chain runs twice.
-        .persist()
     )
     bench = sh.where(F.col("doc_id") % 97 == 0).select("sig").distinct()
     return (
@@ -830,7 +830,7 @@ def q_shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fts_analysis_datalake_spark.operators.dedup import shingle_table
 
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(d, "doc_id", "text", 3).distinct().persist()
+    sh = tracked_persist(shingle_table(d, "doc_id", "text", 3).distinct())
     owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)

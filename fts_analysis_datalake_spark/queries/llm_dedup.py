@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.operators.dedup import (
     exact_jaccard_for_pairs,
@@ -106,7 +107,7 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     now codegen'd end-to-end and computed once. Same persist
     lifecycle note as near_dup_pairs (bench clears cache per query)."""
     d = load_table(spark, sf_dir, "documents")
-    sim = simhash_table(d, "doc_id", "text").persist()
+    sim = tracked_persist(simhash_table(d, "doc_id", "text"))
     return simhash_candidate_pairs(sim, "doc_id").filter(F.col("hamming") <= 16)
 
 
@@ -249,7 +250,7 @@ def q_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash->LSH->verify lineage to ONE execution. Same lifecycle
     # contract as near_dup_pairs' signature persist (bench/driver
     # clearCache between queries releases it).
-    pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.8).persist()
+    pairs = tracked_persist(near_dup_pairs(d, "doc_id", "text", threshold=0.8))
     clusters = dedup_clusters(pairs.select("id_a", "id_b"))
     cstats = clusters.agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -349,7 +350,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sh feeds freq, sizes, the prefix ranking, the posting join AND
     # the collect_set verify — five consumers; persist runs the
     # shingle lineage once (clearCache lifecycle).
-    sh = shingle_table(d, "doc_id", "text", 3).distinct().persist()
+    sh = tracked_persist(shingle_table(d, "doc_id", "text", 3).distinct())
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     from pyspark.sql import Window as W
@@ -568,7 +569,7 @@ def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = ensure_parallelism(d).select(
         "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token")
     )
-    bags = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c")).persist()
+    bags = tracked_persist(tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c")))
     meta = d.select("doc_id", "lang", "n_chars")
     cand = (
         meta.alias("a")

@@ -14,6 +14,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.functions.vector import cosine, norm, sql_cosine, sql_norm
@@ -570,7 +571,7 @@ def q_semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # Pairs feed BOTH the CC edge set and the pair count — persist to
     # run the assign+self-join lineage once (same contract as E57).
-    pairs = semantic_dedup_pairs(e, _SEMDEDUP_T).persist()
+    pairs = tracked_persist(semantic_dedup_pairs(e, _SEMDEDUP_T))
     clusters = dedup_clusters(pairs.select("id_a", "id_b"))
     cstats = clusters.agg(
         F.count(F.lit(1)).alias("n_members"),

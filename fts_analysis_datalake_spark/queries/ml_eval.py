@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.functions.vector import cosine, sql_cosine
-from fts_analysis_datalake_spark.operators.text import sql_tokens, tokens
+from fts_analysis_datalake_spark.operators.text import normalize_text, sql_tokens, tokens
 from fts_analysis_datalake_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -157,7 +157,7 @@ def q_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         (F.col("lang") == _JSD_LANG).alias("is_p"),
-        F.explode(tokens(F.col("text"))).alias("token"),
+        F.explode(tokens(normalize_text(F.col("text")))).alias("token"),
     )
     cnt = tok.groupBy("token").agg(
         F.sum(F.when(F.col("is_p"), 1).otherwise(0)).alias("cp"),
@@ -233,7 +233,7 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (short) chunk is kept — truncation policy belongs to the packer
     (see q_sequence_packing), not the chunker."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
-    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("t"))
     starts = toks.select(
         "doc_id",
         "t",
@@ -581,7 +581,7 @@ def q_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships three integers per (lang, source) group. Ratios divide
     exact integer sums, so no quantization is needed anywhere."""
     d = load_table(spark, sf_dir, "documents")
-    n_words = F.size(tokens(F.col("text")))
+    n_words = F.size(tokens(normalize_text(F.col("text"))))
     per_doc = d.select(
         "lang",
         "source",
@@ -800,7 +800,7 @@ def q_rule_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, so both engines emit identical doubles."""
     d = load_table(spark, sf_dir, "documents")
     a1 = F.col("n_chars") >= 200
-    a2 = F.size(tokens(F.col("text"))) >= 40
+    a2 = F.size(tokens(normalize_text(F.col("text")))) >= 40
     cells = d.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.when(a1 & a2, 1).otherwise(0)).cast("bigint").alias("n11"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.operators.scale import (
@@ -243,9 +244,9 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # The token stream feeds the 4 sketch depth-rows AND the exact
     # recount; persist so tokenization runs once, not five times.
-    tok = d.select(
-        F.explode(tokens(normalize_text(F.col("text")))).alias("token")
-    ).persist()
+    tok = tracked_persist(
+        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    )
     sketch = cms_build(tok, "token")
     probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
     est = cms_estimate(sketch, probes, "token")

@@ -77,6 +77,17 @@ def _canon_frame(df: pd.DataFrame):
     return kinds, rows
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Unpersist operator-internal caches after every test so cached
+    RDDs can't accumulate across the 300+-test session (the same
+    lifecycle hook bench.py runs between queries)."""
+    from fts_analysis_datalake_spark.caching import release_tracked
+
+    yield
+    release_tracked()
+
+
 def assert_parity(spark_df, duck_con, sql: str, name: str = "?") -> None:
     sdf = spark_df.toPandas()
     ddf = duck_con.execute(sql).fetchdf()
