@@ -27,8 +27,65 @@ TABLES = [
     "embeddings",
 ]
 
-# Dimension tables small enough to broadcast at any realistic scale.
+# Dimension tables that are broadcast CANDIDATES. region/nation are
+# fixed-cardinality (5/25 rows) at every scale factor; supplier/part/
+# customer GROW with scale, so a candidate only gets the hint when its
+# scan is below _BROADCAST_BYTES_CAP (see broadcast_dim) — an
+# unconditional F.broadcast overrides AQE's size check and OOMs
+# executors at 100x.
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+# Mirror of spark.sql.autoBroadcastJoinThreshold (_RUNTIME_CONFS): the
+# hint is only applied when the dim's source files are below the same
+# bound the planner itself would accept.
+_BROADCAST_BYTES_CAP = 64 * 1024 * 1024
+
+
+def _scan_bytes(df: DataFrame) -> int | None:
+    """Total size of the DataFrame's source files (local paths), or
+    None when unknown (non-file source, inaccessible path)."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — size probe must never fail a query
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return None
+    return total
+
+
+def broadcast_dim(df: DataFrame, name: str) -> DataFrame:
+    """Size-gated broadcast hint for a dimension table (or a frame
+    derived from one scan of it).
+
+    Applies ``F.broadcast`` only when ``name`` is a registered
+    broadcast candidate AND the backing scan is under
+    ``_BROADCAST_BYTES_CAP`` — the same 64 MB bound
+    ``autoBroadcastJoinThreshold`` enforces. Above the cap (or when
+    size is unknowable) the frame is returned unhinted and AQE picks
+    the join strategy from runtime statistics, so the same query text
+    degrades to a shuffle join instead of an executor OOM when the
+    dim has grown 100x.
+    """
+    from pyspark.sql import functions as F
+
+    if name not in BROADCAST_TABLES:
+        return df
+    size = _scan_bytes(df)
+    if size is not None and size <= _BROADCAST_BYTES_CAP:
+        return F.broadcast(df)
+    return df
 
 
 # Runtime-settable SQL confs applied once per session the first time a

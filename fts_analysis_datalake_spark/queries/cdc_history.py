@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.catalog import broadcast_dim, load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.operators.cdc import merge_upsert, scd2_history
 from fts_analysis_datalake_spark.registry import query
@@ -70,7 +70,7 @@ def q_cdc_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     upd = (
         per_cust.filter(F.col("n") >= 2)
-        .join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .join(broadcast_dim(c, "customer"), per_cust.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -82,7 +82,7 @@ def q_cdc_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dele = (
         per_cust.filter(F.col("n") == 1)
-        .join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .join(broadcast_dim(c, "customer"), per_cust.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.catalog import broadcast_dim, load_table
 from fts_analysis_datalake_spark.functions.deterministic import (
     dsum,
     sql_dsum,
@@ -152,7 +152,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_dim(c, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -197,7 +197,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_dim(c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -399,6 +399,6 @@ def q_lineitem_self_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("l_orderkey") % 1000) == 0) & (F.col("l_linenumber") <= 2)
     )
     p = load_table(spark, sf_dir, "part")
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    return li.join(broadcast_dim(p, "part"), li.l_partkey == p.p_partkey).select(
         "l_orderkey", "l_linenumber", "l_quantity", "p_name"
     )

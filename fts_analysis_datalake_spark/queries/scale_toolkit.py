@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.caching import tracked_persist
-from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
+from fts_analysis_datalake_spark.catalog import broadcast_dim, ensure_parallelism, load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.operators.scale import (
     bloom_build,
@@ -169,7 +169,7 @@ def q_bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders")
     pref = bloom_prefilter(o, "o_custkey", bloom_build(c, "o_custkey"))
-    exact = pref.join(F.broadcast(c), "o_custkey", "left_semi")
+    exact = pref.join(broadcast_dim(c, "customer"), "o_custkey", "left_semi")
     return exact.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), 2).alias("total_price"),

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.catalog import broadcast_dim, load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.registry import query
 
@@ -165,9 +165,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(broadcast_dim(s, "supplier"), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_dim(c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -232,10 +232,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(broadcast_dim(p, "part"), li.l_partkey == p.p_partkey)
+        .join(broadcast_dim(s, "supplier"), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_dim(c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .join(F.broadcast(r), F.col("n2_regionkey") == r.r_regionkey)
@@ -286,8 +286,8 @@ def q9_product_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(broadcast_dim(p, "part"), li.l_partkey == p.p_partkey)
+        .join(broadcast_dim(s, "supplier"), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -333,7 +333,7 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_dim(c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
@@ -406,7 +406,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(broadcast_dim(p, "part"), li.l_partkey == p.p_partkey).agg(
         (
             100.0
             * dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0), 4)
@@ -455,7 +455,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(broadcast_dim(s, "supplier"), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -491,7 +491,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 * F.sum("l_quantity") / F.count(F.lit(1))).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_dim(p, "part"), li.l_partkey == p.p_partkey)
         .join(F.broadcast(per_part), li.l_partkey == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((dsum(F.col("l_extendedprice"), 2) / 7.0).alias("avg_yearly"))
@@ -538,7 +538,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(big.withColumnRenamed("l_orderkey", "big_key"), o.o_orderkey == F.col("big_key"), "left_semi")
         .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(broadcast_dim(c, "customer"), F.col("o_custkey") == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -583,7 +583,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_dim(p, "part"), li.l_partkey == p.p_partkey)
         .filter(arm("Brand#1", 15, 1, 21) | arm("Brand#12", 30, 10, 30) | arm("Brand#23", 50, 20, 40))
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
@@ -646,7 +646,7 @@ def q21_last_shipper_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .join(o, F.col("l1.l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(broadcast_dim(s, "supplier"), F.col("l1.l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))

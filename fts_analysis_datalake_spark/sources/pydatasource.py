@@ -48,9 +48,28 @@ def _make_source():
             ]
 
         def read(self, partition):
+            # Yield pyarrow RecordBatches, not per-row tuples: the
+            # DataSource API accepts either, and the tuple path pays
+            # row-at-a-time Python + pickle per cell (~9 s for 20k
+            # rows), while Arrow batches are built vectorized in
+            # numpy and cross to the JVM zero-copy (<1 s). A real
+            # connector would decode its wire format straight into
+            # batches the same way.
+            import numpy as np
+            import pyarrow as pa
+
             lo, hi = partition.value
-            for i in range(lo, hi):
-                yield (i, i % 10, (i * 1103515245 + 12345) % 2147483648)
+            batch_rows = 65536
+            for b0 in range(lo, hi, batch_rows):
+                ids = np.arange(b0, min(b0 + batch_rows, hi), dtype=np.int64)
+                yield pa.record_batch(
+                    [
+                        pa.array(ids),
+                        pa.array(ids % 10),
+                        pa.array((ids * 1103515245 + 12345) % 2147483648),
+                    ],
+                    names=["id", "grp", "val"],
+                )
 
     class SynthLogSource(DataSource):
         """spark.read.format("synthlog").option("n", N).option("parts", P)."""

@@ -90,6 +90,37 @@ def test_star_join_broadcasts_every_dimension(spark):
     assert p.count("BroadcastHashJoin") >= 3, p
 
 
+def test_broadcast_hint_is_size_gated(spark, monkeypatch):
+    """broadcast_dim must apply the hint below the cap (the sf0.1
+    customer case — q5's plan test above depends on it) and must NOT
+    hint once the dim outgrows the cap: at 100x an unconditional hint
+    overrides AQE's size check and OOMs executors. The 'grown' dim is
+    simulated by shrinking the cap rather than writing GBs of
+    fixture."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark import catalog
+    from fts_analysis_datalake_spark.catalog import broadcast_dim, load_table
+
+    c = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders")
+    hinted = o.join(broadcast_dim(c, "customer"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in explain_text(hinted, "simple")
+
+    monkeypatch.setattr(catalog, "_BROADCAST_BYTES_CAP", 1)
+    # Disable the planner's own auto-broadcast so the plan shows what
+    # the HINT (not the threshold) decided.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = o.join(broadcast_dim(c, "customer"), o.o_custkey == c.c_custkey)
+        assert "BroadcastHashJoin" not in explain_text(gated, "simple")
+        # non-candidate names never get the hint either
+        other = o.join(broadcast_dim(c, "not_a_dim"), o.o_custkey == c.c_custkey)
+        assert "BroadcastHashJoin" not in explain_text(other, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
 def test_topk_uses_limit_pushdown_not_full_sort(spark):
     for name in ["q3_shipping_priority", "q_topk_similar_bruteforce"]:
         p = explain_text(REGISTRY[name].fn(spark, SF_DIR), "simple")
