@@ -176,6 +176,60 @@ def q_salted_hot_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S5: driver-literal (createDataFrame) source joined to a fact table
+# --------------------------------------------------------------------------
+
+_S5_WEIGHTS = [
+    ("click", 1.0),
+    ("view", 0.5),
+    ("purchase", 10.0),
+    ("signup", 5.0),
+    ("error", -2.0),
+]
+
+
+@query(
+    "q_inline_values_dim_join",
+    oracle="""
+    SELECT event_type, w.weight, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) * w.weight / 100.0
+               AS weighted_value
+    FROM events
+    JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                 ('signup', 5.0), ('error', -2.0)) w(event_type, weight)
+      USING (event_type)
+    GROUP BY event_type, w.weight
+    """,
+    tags=("S5", "J1", "J5", "A1"),
+)
+def q_inline_values_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 declared explicitly: an in-memory dimension built with
+    ``spark.createDataFrame`` (the driver-literal source every
+    notebook/config join uses) broadcast-joined to events — the
+    VALUES-clause twin on the oracle side. The weighted sum multiplies
+    an exact integer-scaled sum by the weight ONCE per group, so both
+    engines do the identical double ops. q_stream_static_weighted
+    deliberately builds its dim JVM-side instead (faster first use);
+    this query keeps the createDataFrame path itself declared and
+    verified."""
+    dim = spark.createDataFrame(_S5_WEIGHTS, "event_type string, weight double")
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type", "weight")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).cast("bigint")
+                * F.col("weight")
+                / 100.0
+            ).alias("weighted_value"),
+        )
+        .select("event_type", "weight", "n", "weighted_value")
+    )
+
+
+# --------------------------------------------------------------------------
 # T5 batch twin: duplicate-delivery collapse via the streaming transform
 # --------------------------------------------------------------------------
 

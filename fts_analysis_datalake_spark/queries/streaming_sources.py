@@ -409,6 +409,68 @@ def q_token_positions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# T8: foreachBatch sink — run a real availableNow stream, audit the sink
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_foreachbatch_sink_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(event_id) AS BIGINT) AS min_event,
+           CAST(MAX(event_id) AS BIGINT) AS max_event
+    FROM events
+    """,
+    tags=("T8", "S4", "T1"),
+)
+def q_foreachbatch_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 declared and ORACLE-CHECKED: a real Structured Streaming run
+    (file source, availableNow trigger, maxFilesPerTrigger forcing
+    multiple micro-batches) through the foreachBatch parquet sink
+    (streaming/transforms.write_stream_foreach_batch — idempotent,
+    append output mode), then the sink directory is read back and
+    audited against the batch truth: every source row must appear in
+    the sink exactly once, across batches. The stream runs once per
+    process (_SUCCESS-marker contract like the other ingest
+    fixtures); the returned DataFrame is a plain batch aggregate over
+    the sink files, so the driver's collect sees a stable result."""
+    from fts_analysis_datalake_spark.streaming.transforms import (
+        write_stream_foreach_batch,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = f"{CACHE_DIR}/fes_src_{sf_tag}"
+    sink_dir = f"{CACHE_DIR}/fes_sink_{sf_tag}"
+    ckpt = f"{CACHE_DIR}/fes_ckpt_{sf_tag}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    _write_once(src_dir, lambda p: ev.repartition(4).write.parquet(p))
+    done = os.path.join(sink_dir, "_fes_done")
+    if not os.path.exists(done):
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+        q = (
+            write_stream_foreach_batch(src, sink_dir, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        open(done, "w").close()
+    back = spark.read.parquet(sink_dir)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+# --------------------------------------------------------------------------
 # T9: stream-stream watermarked interval join — batch twin
 # --------------------------------------------------------------------------
 
