@@ -23,3 +23,4 @@ from fts_analysis_datalake_spark.queries import function_breadth  # noqa: F401
 from fts_analysis_datalake_spark.queries import llm_curation  # noqa: F401
 from fts_analysis_datalake_spark.queries import stats_models  # noqa: F401
 from fts_analysis_datalake_spark.queries import ml_eval  # noqa: F401
+from fts_analysis_datalake_spark.queries import sketches_search  # noqa: F401
