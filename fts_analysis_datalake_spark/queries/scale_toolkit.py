@@ -626,7 +626,16 @@ def q_negative_item_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    panel = c.filter(F.col("c_custkey") % _NEG_CUST_MOD == 0).select("c_custkey")
+    # The panel arrives as ONE scan partition (it's a filtered dim), so
+    # without an explicit spread the panel x catalog fan-out — and every
+    # downstream md5 — runs in a single task. Repartitioning the tiny
+    # panel by key costs a ~150-row shuffle and buys full parallelism on
+    # the 3M-row candidate stage (measured 4.5 s -> ~1.5 s at sf0.1).
+    panel = (
+        c.filter(F.col("c_custkey") % _NEG_CUST_MOD == 0)
+        .select("c_custkey")
+        .repartition(32, "c_custkey")
+    )
     seen = (
         o.filter(F.col("o_custkey") % _NEG_CUST_MOD == 0)
         .join(li, li["l_orderkey"] == o["o_orderkey"])
