@@ -9,10 +9,11 @@ dependent) live in llm_dedup.py as rows-only + property-tested.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
+from fts_analysis_datalake_spark.functions.vector import dot, sql_dot
 from fts_analysis_datalake_spark.operators.text import (
     BPE_ISH_PATTERN,
     LID_PROFILES,
@@ -365,6 +366,16 @@ def q_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries (doc, term) partial counts. Top-20 with doc_id tiebreak
     is TakeOrderedAndProject, never a full sort."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        _bm25_scores(d)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_scores(d: DataFrame) -> DataFrame:
+    """Full BM25 ranking (doc_id, bm25) of ``d`` against _BM25_TERMS —
+    shared by the top-k scorer (E44) and the RRF fusion (E182)."""
     tok = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("toks"))
     dl = tok.select("doc_id", F.size("toks").alias("dl"))
     stats = tok.agg(
@@ -404,8 +415,127 @@ def q_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg((F.sum(qscore) / float(_BM25_Q)).alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# E182: reciprocal-rank fusion — hybrid lexical + vector retrieval
+# --------------------------------------------------------------------------
+
+_RRF_C = 60  # the standard RRF dampening constant
+_RRF_TOPK = 15
+
+_SQL_BM25_RANKED = f"""
+    tok AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM tok),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      WHERE term IN ('spark', 'vector', 'stream')
+      GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               (FLOOR(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                      * {{q}} + 0.5) / {{q}})
+               * (tf.tf * ({{k1}} + 1.0))
+               / (tf.tf + {{k1}}
+                  * (1.0 - {{b}} + {{b}} * dl.dl / stats.avgdl))
+               * {{q}} + 0.5) AS BIGINT) AS qscore
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY SUM(qscore) DESC, doc_id) AS lex_rank
+      FROM scored WHERE doc_id <> 0
+      GROUP BY doc_id)
+"""
+
+
+@query(
+    "q_rrf_hybrid_fusion",
+    oracle="WITH "
+    + _SQL_BM25_RANKED.format(q=_BM25_Q, k1=_BM25_K1, b=_BM25_B)
+    + f""",
+    sem AS (
+      SELECT e.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY {sql_dot('e.embedding', 'q.embedding')} DESC,
+                        e.vec_id) AS sem_rank
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0)
+    SELECT sem.doc_id,
+           CAST(sem.sem_rank AS BIGINT) AS sem_rank,
+           CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+           CAST(FLOOR((1.0 / ({_RRF_C} + sem.sem_rank)
+                       + COALESCE(1.0 / ({_RRF_C} + lex.lex_rank), 0.0))
+                      * 1000000000000 + 0.5) AS BIGINT) / 1000000000000.0
+             AS rrf_q
+    FROM sem LEFT JOIN lex ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_q DESC, sem.doc_id
+    LIMIT {_RRF_TOPK}
+    """,
+    tags=("E182", "D6", "D10", "W1", "J2", "O3"),
+)
+def q_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    ranking and the cosine vector ranking (to the doc-0 query
+    embedding) are fused as sum of 1/(60+rank) — the score-free
+    combiner RAG stacks use because it needs no calibration between
+    incomparable scores. Docs missing from the lexical list (no
+    query term) contribute only their vector rank. Both rankings are
+    window ranks over deterministic scores (quantized BM25,
+    bit-exact dot folds), so the fused ranking is hash-checked.
+    Since cosine to a fixed query shares one norm factor, ranking by
+    the raw dot fold is equivalent and saves the per-row norm."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = (
+        _bm25_scores(d)
+        .filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .cast("bigint")
+            .alias("lex_rank"),
+        )
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            dot(F.col("embedding"), F.col("qv")).alias("score"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), "doc_id"))
+            .cast("bigint")
+            .alias("sem_rank"),
+        )
+    )
+    rrf = F.lit(1.0) / (_RRF_C + F.col("sem_rank")) + F.coalesce(
+        F.lit(1.0) / (_RRF_C + F.col("lex_rank")), F.lit(0.0)
+    )
+    return (
+        sem.join(lex, "doc_id", "left")
+        .select(
+            "doc_id",
+            "sem_rank",
+            "lex_rank",
+            (F.floor(rrf * 1e12 + F.lit(0.5)).cast("bigint") / 1e12).alias("rrf_q"),
+        )
+        .orderBy(F.col("rrf_q").desc(), "doc_id")
+        .limit(_RRF_TOPK)
     )
 
 

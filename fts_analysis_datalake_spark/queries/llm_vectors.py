@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pandas as pd  # module-level so pandas_udf type hints resolve
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.caching import tracked_persist
@@ -673,5 +673,153 @@ def q_hamming_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shortlist.select("vec_id", "hamming", cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# E186: product quantization + ADC — the memory-budget ANN family
+# --------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (8 x 8 = 64)
+_PQ_K = 8  # centroids per subspace
+_PQ_STRIDE = 59  # codebook rows: vec_id = 1 + 59c (deterministic, skips query 0)
+_PQ_IDS = tuple(1 + _PQ_STRIDE * c for c in range(_PQ_K))
+_PQ_Q = 1000000000  # 1e9 quantization of per-subspace query distances
+
+
+def _subdist_spark(a: str, b: str, j: int):
+    """Squared L2 between subspace ``j`` of two vector columns — the
+    same sequential fold shape as functions.vector.dot."""
+    s = j * _PQ_SUB + 1
+    return F.expr(
+        f"aggregate(zip_with(slice({a}, {s}, {_PQ_SUB}), slice({b}, {s}, {_PQ_SUB}),"
+        f" (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        f" 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _subdist_sql(a: str, b: str, j: int) -> str:
+    s, t = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip(list_slice({a}, {s}, {t}), list_slice({b}, {s}, {t})), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+_PQ_DLIST_SQL = "[" + ", ".join(
+    _subdist_sql("e.embedding", "cb.cvec", j) for j in range(_PQ_M)
+) + "]"
+_PQ_QLIST_SQL = "[" + ", ".join(
+    _subdist_sql("q.embedding", "cb.cvec", j) for j in range(_PQ_M)
+) + "]"
+
+
+@query(
+    "q_pq_adc_topk_ann",
+    oracle=f"""
+    WITH cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS c, embedding AS cvec
+      FROM embeddings WHERE vec_id IN {tuple(_PQ_IDS)}),
+    enc_d AS (
+      SELECT e.vec_id, cb.c, {_PQ_DLIST_SQL} AS ds
+      FROM embeddings e, cb WHERE e.vec_id <> {QUERY_VEC_ID}),
+    enc_long AS (
+      SELECT vec_id, c, generate_subscripts(ds, 1) AS j, unnest(ds) AS d
+      FROM enc_d),
+    codes AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT vec_id, j, c, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        FROM enc_long) WHERE rn = 1),
+    qd_wide AS (
+      SELECT cb.c, {_PQ_QLIST_SQL} AS ds
+      FROM (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q, cb),
+    qd AS (
+      SELECT c, generate_subscripts(ds, 1) AS j,
+             CAST(FLOOR(unnest(ds) * {_PQ_Q} + 0.5) AS BIGINT) AS qd_q
+      FROM qd_wide)
+    SELECT codes.vec_id, SUM(qd.qd_q) / {_PQ_Q}.0 AS adc_dist
+    FROM codes JOIN qd ON qd.j = codes.j AND qd.c = codes.code
+    GROUP BY codes.vec_id
+    ORDER BY adc_dist, codes.vec_id
+    LIMIT 10
+    """,
+    tags=("E186", "E46", "D6", "W1", "J6", "F8"),
+)
+def q_pq_adc_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance computation —
+    the memory-budget ANN family beside IVF (E46/E62), SRP (E1) and
+    sign-bit Hamming (E122): each vector is encoded as 8 subspace
+    codes (3 bits each here — 64 dims compress to 24 bits), and
+    query distance is the SUM of precomputed query-to-centroid
+    subspace distances looked up by code. Expressed relationally so
+    it is value-checked end-to-end in both engines: encode = argmin
+    window over the vector x codebook cross join (codebook rows are
+    a deterministic stride of the corpus — a trained k-means
+    codebook plugs in exactly like IVF's trained/seeded pair), ADC =
+    an equi-join against the 64-row query distance table with
+    1e-9-quantized terms so the 8-term sum is order-independent. At
+    scale the codebook and distance table are broadcasts; encoding
+    is one map-side pass and codes are 16x smaller than the floats —
+    the re-scan for top-k reads 3-byte codes, not 256-byte vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = (
+        e.filter(F.col("vec_id").isin(*_PQ_IDS))
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("c"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    base = e.filter(F.col("vec_id") != QUERY_VEC_ID).select("vec_id", "embedding")
+    enc_d = base.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "c",
+        F.posexplode(
+            F.array(*[_subdist_spark("embedding", "cvec", j) for j in range(_PQ_M)])
+        ).alias("j0", "d"),
+    )
+    codes = (
+        enc_d.select(
+            "vec_id",
+            (F.col("j0") + 1).alias("j"),
+            "c",
+            "d",
+            F.row_number()
+            .over(Window.partitionBy("vec_id", F.col("j0")).orderBy("d", "c"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "j", F.col("c").alias("code"))
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding")
+    qd = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            "c",
+            F.posexplode(
+                F.array(
+                    *[_subdist_spark("embedding", "cvec", j) for j in range(_PQ_M)]
+                )
+            ).alias("j0", "d"),
+        )
+        .select(
+            "c",
+            (F.col("j0") + 1).alias("j"),
+            F.floor(F.col("d") * _PQ_Q + F.lit(0.5)).cast("bigint").alias("qd_q"),
+        )
+    )
+    return (
+        codes.join(
+            F.broadcast(qd), (qd["j"] == codes["j"]) & (qd["c"] == codes["code"])
+        )
+        .groupBy("vec_id")
+        .agg((F.sum("qd_q") / float(_PQ_Q)).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
         .limit(10)
     )

@@ -1088,3 +1088,116 @@ def q_accuracy_by_label_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.alias("n_correct"),
         (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
     )
+
+
+# --------------------------------------------------------------------------
+# E185: offline policy replay — counterfactual evaluation on logged events
+# --------------------------------------------------------------------------
+
+_REPLAY_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_policy_replay_eval",
+    oracle=f"""
+    WITH us AS (
+      SELECT user_id, event_type, value, event_id, epoch_us(ts) AS t
+      FROM events),
+    mid AS (SELECT (MIN(t) + MAX(t)) // 2 AS m FROM us),
+    train AS (SELECT us.* FROM us, mid WHERE t < m),
+    test AS (SELECT us.* FROM us, mid WHERE t >= m),
+    arm AS (
+      SELECT user_id, event_type AS greedy_arm FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type) AS rn
+        FROM train GROUP BY user_id, event_type)
+      WHERE rn = 1),
+    replay AS (
+      SELECT t.value,
+             t.event_type = a.greedy_arm AS g_hit,
+             t.event_type = (['click','error','purchase','signup','view'])[
+               CAST(CAST(('0x' || substring(md5('arm:' || CAST(t.event_id AS VARCHAR)),
+                                            1, 13)) AS BIGINT) % 5 AS INTEGER) + 1]
+               AS r_hit
+      FROM test t JOIN arm a USING (user_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(COUNT(*) FILTER (WHERE g_hit) AS BIGINT) AS greedy_n_matched,
+           SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) FILTER (WHERE g_hit)
+             / 1000000.0 / COUNT(*) FILTER (WHERE g_hit) AS greedy_reward,
+           CAST(COUNT(*) FILTER (WHERE r_hit) AS BIGINT) AS random_n_matched,
+           SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) FILTER (WHERE r_hit)
+             / 1000000.0 / COUNT(*) FILTER (WHERE r_hit) AS random_reward
+    FROM replay
+    """,
+    tags=("E185", "W1", "J5", "F11", "A2"),
+)
+def q_policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy evaluation by replay (the logged-bandit recipe):
+    fit a greedy per-user policy (most frequent event type) on the
+    first temporal half, then replay the second half — an event
+    counts only when the policy's arm matches the logged action, and
+    the matched events' mean value estimates the policy's reward.
+    The uniform-random baseline replays the same log with an
+    md5-derived arm per event, so both estimates are deterministic
+    and engine-identical (no RNG state). The split point is computed
+    in epoch-microsecond integer space (interval halving diverges
+    between engines); the per-user arm table is a broadcast join."""
+    e = load_table(spark, sf_dir, "events")
+    us = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+    )
+    mid = us.agg(F.expr("(MIN(t) + MAX(t)) DIV 2").alias("m"))
+    split = us.crossJoin(F.broadcast(mid))
+    train = split.filter(F.col("t") < F.col("m"))
+    test = split.filter(F.col("t") >= F.col("m"))
+    arm = (
+        train.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("greedy_arm"))
+    )
+    rand_arm = F.element_at(
+        F.array(*[F.lit(t) for t in _REPLAY_TYPES]),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("arm:"), F.col("event_id").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).cast("int")
+        + 1,
+    )
+    replay = test.join(F.broadcast(arm), "user_id").select(
+        "value",
+        (F.col("event_type") == F.col("greedy_arm")).alias("g_hit"),
+        (F.col("event_type") == rand_arm).alias("r_hit"),
+    )
+    q6 = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+    g_n = F.sum(F.col("g_hit").cast("long"))
+    r_n = F.sum(F.col("r_hit").cast("long"))
+    return replay.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        g_n.alias("greedy_n_matched"),
+        (F.sum(F.when(F.col("g_hit"), q6)) / 1e6 / g_n).alias("greedy_reward"),
+        r_n.alias("random_n_matched"),
+        (F.sum(F.when(F.col("r_hit"), q6)) / 1e6 / r_n).alias("random_reward"),
+    )

@@ -1306,3 +1306,255 @@ def q_ks_two_sample_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ks_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# E183: Benjamini-Hochberg FDR — step-up correction over a slice scan
+# --------------------------------------------------------------------------
+
+import math as _math
+
+
+def _z_crit(p: float) -> float:
+    """Two-sided normal critical value for tail probability ``p``,
+    by bisection on erfc — computed ONCE driver-side so both engines
+    compare against the same double literal (no erf in either
+    engine's plan, hence no libm-divergence risk)."""
+    lo, hi = 0.0, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if _math.erfc(mid / _math.sqrt(2)) > p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+_BH_M = 30  # designed slice grid: 5 event types x 6 hour buckets
+_BH_Q = 0.05  # FDR level
+# BH compares p_(i) <= i*q/m with p ascending == |z| descending, so the
+# rank-i threshold in z-space is the critical value for i*q/m.
+_BH_CRITS = tuple(_z_crit((i + 1) * _BH_Q / _BH_M) for i in range(_BH_M))
+_BH_BONF = _z_crit(_BH_Q / _BH_M)
+# 'e0' suffix forces DuckDB to parse each value as DOUBLE; a plain
+# decimal literal infers DECIMAL(16,15) and the decimal->double cast
+# can land one ulp off the Python/Spark double.
+_SQL_BH_CRITS = "[" + ", ".join(f"{c!r}e0" for c in _BH_CRITS) + "]"
+
+
+@query(
+    "q_bh_fdr_slice_scan",
+    oracle=f"""
+    WITH arms AS (
+      SELECT event_type || ':' || CAST(hour(ts) % 6 AS VARCHAR) AS slice,
+             CAST(user_id % 2 AS INTEGER) AS arm,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS s,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0))
+                      * CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0))) AS DOUBLE)
+               AS s2
+      FROM events GROUP BY 1, 2),
+    wide AS (
+      SELECT slice,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN s END) AS s_1,
+             MAX(CASE WHEN arm = 1 THEN s2 END) AS s2_1,
+             MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN s END) AS s_0,
+             MAX(CASE WHEN arm = 0 THEN s2 END) AS s2_0
+      FROM arms GROUP BY slice),
+    z AS (
+      SELECT slice,
+             (s_1 / n1 - s_0 / n0)
+               / SQRT( (s2_1 / 10000.0 / n1 - (s_1 / n1) * (s_1 / n1)) / n1
+                     + (s2_0 / 10000.0 / n0 - (s_0 / n0) * (s_0 / n0)) / n0 )
+               AS z_stat
+      FROM wide),
+    ranked AS (
+      SELECT slice, z_stat,
+             ROW_NUMBER() OVER (ORDER BY ABS(z_stat) DESC, slice) AS rnk
+      FROM z),
+    crit AS (
+      SELECT slice, z_stat, rnk,
+             ({_SQL_BH_CRITS})[rnk] AS z_crit
+      FROM ranked),
+    kstar AS (
+      SELECT slice, z_stat, rnk, z_crit,
+             MAX(CASE WHEN ABS(z_stat) >= z_crit THEN rnk END) OVER () AS k_star
+      FROM crit)
+    SELECT slice, z_stat, CAST(rnk AS BIGINT) AS rnk, z_crit,
+           rnk <= COALESCE(k_star, 0) AS bh_significant,
+           ABS(z_stat) > {_BH_BONF!r}e0 AS bonferroni_significant
+    FROM kstar
+    ORDER BY rnk
+    """,
+    tags=("E183", "E170", "W1", "A6", "F6"),
+)
+def q_bh_fdr_slice_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over a 30-slice scan (5 event types x 6
+    hour buckets, two-sample z per slice): rank slices by |z|, find
+    the largest rank whose |z| clears the rank's critical value, and
+    flag everything at-or-above it — the step-up procedure that
+    controls the EXPECTED false-discovery fraction instead of
+    Bonferroni's family-wise error, i.e. what a slice-scanning
+    metrics dashboard should actually use at scale (Bonferroni's
+    power collapses as m grows; BH's doesn't).
+
+    Determinism: the procedure runs entirely in z-space against 30
+    critical-value double literals bisected driver-side from erfc —
+    neither engine evaluates erf/exp, so there is nothing to
+    quantize. The slice aggregate is one shuffle; the ranking and
+    step-up max are windows over 30 rows."""
+    e = load_table(spark, sf_dir, "events")
+    qi6 = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+    qi2 = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    slice_c = F.concat(
+        F.col("event_type"), F.lit(":"), (F.hour("ts") % 6).cast("string")
+    )
+    arms = e.groupBy(
+        slice_c.alias("slice"), (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(qi6) / 1e6).alias("s"),
+        F.sum(qi2 * qi2).cast("double").alias("s2"),
+    )
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
+    wide = arms.groupBy("slice").agg(
+        pick(1, "n").alias("n1"),
+        pick(1, "s").alias("s_1"),
+        pick(1, "s2").alias("s2_1"),
+        pick(0, "n").alias("n0"),
+        pick(0, "s").alias("s_0"),
+        pick(0, "s2").alias("s2_0"),
+    )
+    m1 = F.col("s_1") / F.col("n1")
+    m0 = F.col("s_0") / F.col("n0")
+    v1 = (F.col("s2_1") / 1e4 / F.col("n1") - m1 * m1) / F.col("n1")
+    v0 = (F.col("s2_0") / 1e4 / F.col("n0") - m0 * m0) / F.col("n0")
+    z = wide.select("slice", ((m1 - m0) / F.sqrt(v1 + v0)).alias("z_stat"))
+    ranked = z.select(
+        "slice",
+        "z_stat",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("z_stat")).desc(), "slice"))
+        .alias("rnk"),
+    ).withColumn(
+        # F.lit floats ship IEEE bits over py4j; a SQL-text double
+        # literal can parse one ulp off (observed on these values).
+        "z_crit",
+        F.element_at(F.array(*[F.lit(c) for c in _BH_CRITS]), F.col("rnk")),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    k_star = F.max(
+        F.when(F.abs(F.col("z_stat")) >= F.col("z_crit"), F.col("rnk"))
+    ).over(w_all)
+    return (
+        ranked.select(
+            "slice",
+            "z_stat",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "z_crit",
+            (F.col("rnk") <= F.coalesce(k_star, F.lit(0))).alias("bh_significant"),
+            (F.abs(F.col("z_stat")) > _BH_BONF).alias("bonferroni_significant"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# E184: mutual information — dependence between two categorical columns
+# --------------------------------------------------------------------------
+
+_MI_Q = 1000000000  # 1e9 quantization of each ln term
+
+
+@query(
+    "q_event_mutual_information",
+    oracle=f"""
+    WITH joint AS (
+      SELECT event_type AS x, hour(ts) % 6 AS y, COUNT(*) AS nxy
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n FROM joint),
+    marg AS (
+      SELECT x, y, nxy,
+             SUM(nxy) OVER (PARTITION BY x) AS nx,
+             SUM(nxy) OVER (PARTITION BY y) AS ny
+      FROM joint),
+    terms AS (
+      SELECT CAST(FLOOR(nxy / tot.n
+                        * ln(nxy * tot.n / (nx * ny))
+                        * {_MI_Q} + 0.5) AS BIGINT) AS mi_t,
+             CAST(FLOOR(CASE WHEN y = 0 THEN nx / tot.n * ln(tot.n / nx) END
+                        * {_MI_Q} + 0.5) AS BIGINT) AS hx_t,
+             CAST(FLOOR(CASE WHEN x = 'click' THEN ny / tot.n * ln(tot.n / ny) END
+                        * {_MI_Q} + 0.5) AS BIGINT) AS hy_t
+      FROM marg, tot)
+    SELECT SUM(mi_t) / {_MI_Q}.0 AS mi_nats,
+           SUM(hx_t) / {_MI_Q}.0 AS h_x,
+           SUM(hy_t) / {_MI_Q}.0 AS h_y,
+           CAST(FLOOR(CAST(SUM(mi_t) AS DOUBLE) / LEAST(SUM(hx_t), SUM(hy_t))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS nmi
+    FROM terms
+    """,
+    tags=("E184", "A1", "W4", "F6"),
+)
+def q_event_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day bucket —
+    the model-free dependence screen feature selection runs over
+    every categorical pair: MI = sum p(x,y) ln(p(x,y)/(p(x)p(y))),
+    with marginal entropies and normalized MI (MI/min(Hx,Hy))
+    alongside so the number is comparable across pairs. One
+    aggregate builds the joint table; marginals are window sums over
+    it (30 cells — no second scan); each ln term is 1e-9-quantized
+    before the final integer sum so the result is order-independent
+    and engine-exact. The entropy terms reuse the same 30-cell frame
+    (picked off one representative row per marginal) instead of
+    separate scans."""
+    e = load_table(spark, sf_dir, "events")
+    joint = e.groupBy(
+        F.col("event_type").alias("x"), (F.hour("ts") % 6).alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    marg = joint.select(
+        "x",
+        "y",
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("x")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("y")).alias("ny"),
+        F.sum("nxy").over(w_all).cast("double").alias("n"),
+    )
+    mi_t = F.floor(
+        F.col("nxy") / F.col("n")
+        * F.log(F.col("nxy") * F.col("n") / (F.col("nx") * F.col("ny")))
+        * _MI_Q
+        + F.lit(0.5)
+    ).cast("bigint")
+    hx_t = F.floor(
+        F.when(F.col("y") == 0, F.col("nx") / F.col("n") * F.log(F.col("n") / F.col("nx")))
+        * _MI_Q
+        + F.lit(0.5)
+    ).cast("bigint")
+    hy_t = F.floor(
+        F.when(
+            F.col("x") == "click", F.col("ny") / F.col("n") * F.log(F.col("n") / F.col("ny"))
+        )
+        * _MI_Q
+        + F.lit(0.5)
+    ).cast("bigint")
+    terms = marg.select(
+        mi_t.alias("mi_t"), hx_t.alias("hx_t"), hy_t.alias("hy_t")
+    )
+    return terms.agg(
+        (F.sum("mi_t") / float(_MI_Q)).alias("mi_nats"),
+        (F.sum("hx_t") / float(_MI_Q)).alias("h_x"),
+        (F.sum("hy_t") / float(_MI_Q)).alias("h_y"),
+        (
+            F.floor(
+                F.sum("mi_t").cast("double")
+                / F.least(F.sum("hx_t"), F.sum("hy_t"))
+                * 1e6
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("nmi"),
+    )
