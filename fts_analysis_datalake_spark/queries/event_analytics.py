@@ -2363,3 +2363,122 @@ def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.alias("n_correct"),
         (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
     )
+
+
+# --------------------------------------------------------------------------
+# E188: exact Shapley-value channel attribution
+# --------------------------------------------------------------------------
+
+_SHAP_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+# w(s) = s!(|C|-1-s)!/|C|! for |C| = 4 channels, indexed by |S|
+_SHAP_W = (0.25, 0.08333333333333333, 0.08333333333333333, 0.25)
+_SHAP_W_SQL = "[" + ", ".join(f"{w!r}e0" for w in _SHAP_W) + "]"
+
+
+@query(
+    "q_shapley_channel_attribution",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             + MAX(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+             + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+             + MAX(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    vmask AS (
+      SELECT mask, CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS v
+      FROM users GROUP BY mask),
+    lattice AS (
+      SELECT s.range AS mask, COALESCE(vmask.v, 0.0e0) AS v
+      FROM range(16) s LEFT JOIN vmask ON vmask.mask = s.range),
+    channels AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4),
+                            ('error', 8)) AS t(channel, bit)),
+    contrib AS (
+      SELECT c.channel,
+             ({_SHAP_W_SQL})[bit_count(CAST(s.mask AS BIGINT)) + 1]
+               * (w.v - s.v) AS term
+      FROM channels c
+      JOIN lattice s ON (s.mask & c.bit) = 0
+      JOIN lattice w ON w.mask = s.mask + c.bit)
+    SELECT channel,
+           CAST(FLOOR(SUM(CAST(FLOOR(term * 1000000000 + 0.5) AS BIGINT))
+                      / 1000000000.0 * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS shapley_value
+    FROM contrib GROUP BY channel
+    ORDER BY channel
+    """,
+    tags=("E188", "A12", "J6", "F6", "F9"),
+)
+def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the 4 non-purchase
+    channels: each user contributes their observed channel SET
+    (a 4-bit mask), coalition value v(S) is the observed conversion
+    rate of users with exactly mask S (unobserved coalitions
+    contribute 0 — the standard practical convention), and each
+    channel's Shapley value enumerates all 8 complementary subsets
+    with the closed-form permutation weights — no sampling, because
+    the coalition lattice has 16 rows regardless of user count. This
+    is the game-theoretic sibling of the positional (linear) and
+    Markov attribution queries: the only data-sized stage is the
+    per-user mask aggregate; everything after runs on the 16-row
+    lattice. Per-term products are 1e-9-quantized before the 8-term
+    sum so the result is order-independent across engines."""
+    e = load_table(spark, sf_dir, "events")
+    mask_col = sum(
+        F.max(F.when(F.col("event_type") == ch, b).otherwise(0))
+        for ch, b in _SHAP_CHANNELS
+    )
+    users = e.groupBy("user_id").agg(
+        mask_col.alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    vmask = users.groupBy("mask").agg(
+        (F.sum("conv").cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    lattice = (
+        spark.range(16)
+        .select(F.col("id").cast("int").alias("mask"))
+        .join(F.broadcast(vmask), "mask", "left")
+        .select("mask", F.coalesce("v", F.lit(0.0)).alias("v"))
+    )
+    channels = spark.createDataFrame(
+        list(_SHAP_CHANNELS), ["channel", "bit"]
+    )
+    s = lattice.select(F.col("mask").alias("s_mask"), F.col("v").alias("s_v"))
+    w = lattice.select(F.col("mask").alias("w_mask"), F.col("v").alias("w_v"))
+    weights = F.element_at(
+        F.array(*[F.lit(x) for x in _SHAP_W]),
+        F.bit_count(F.col("s_mask").cast("bigint")).cast("int") + 1,
+    )
+    contrib = (
+        channels.join(
+            F.broadcast(s), (F.col("s_mask").bitwiseAND(F.col("bit"))) == 0
+        )
+        .join(F.broadcast(w), F.col("w_mask") == F.col("s_mask") + F.col("bit"))
+        .select(
+            "channel",
+            (weights * (F.col("w_v") - F.col("s_v"))).alias("term"),
+        )
+    )
+    return (
+        contrib.groupBy("channel")
+        .agg(
+            (
+                F.floor(
+                    (
+                        F.sum(F.floor(F.col("term") * 1e9 + F.lit(0.5)).cast("bigint"))
+                        / 1e9
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                / 1e6
+            ).alias("shapley_value")
+        )
+        .orderBy("channel")
+    )

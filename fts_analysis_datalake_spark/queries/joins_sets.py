@@ -746,3 +746,93 @@ def q_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# E189: triangle counting + global clustering coefficient
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cosupplier_triangles",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    wedge AS (SELECT SUM(d * (d - 1) / 2) AS w, COUNT(*) AS n_nodes FROM deg)
+    SELECT CAST(wedge.n_nodes AS BIGINT) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           CAST(wedge.w AS BIGINT) AS n_wedges,
+           CAST(FLOOR(3.0e0 * tri.t / wedge.w * 1000000000 + 0.5) AS BIGINT)
+             / 1000000000.0 AS clustering_coeff
+    FROM tri, wedge
+    """,
+    tags=("E189", "J11", "J6", "A10", "A1"),
+)
+def q_cosupplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and global clustering coefficient of the
+    co-supplier graph (suppliers sharing an order are adjacent) —
+    the static-graph metric beside the iterative ones (pagerank,
+    BFS, connected components). Edges are canonical u<v pairs, so
+    the edge-edge-edge join counts every triangle exactly once with
+    NO orientation dedup pass — the standard distributed triangle
+    algorithm, two hash joins over the edge list. The clustering
+    coefficient 3T/wedges comes from the same degree aggregate; at
+    scale the wedge-heavy hubs dominate the join, which is the known
+    skew (degree-ordered orientation is the mitigation, noted here
+    because the fixture graph is dense enough not to need it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v2u"), F.col("v").alias("v2v"))
+    e3 = edges.select(F.col("u").alias("v3u"), F.col("v").alias("v3v"))
+    tri = (
+        e1.join(e2, F.col("v2u") == F.col("v"))
+        .join(e3, (F.col("v3u") == F.col("u")) & (F.col("v3v") == F.col("v2v")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    wedge = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        wedge.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.col("w").alias("n_wedges"),
+            (
+                F.floor(3.0 * F.col("t") / F.col("w") * 1e9 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+                / 1e9
+            ).alias("clustering_coeff"),
+        )
+    )

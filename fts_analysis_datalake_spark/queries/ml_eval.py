@@ -1201,3 +1201,132 @@ def q_policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_n.alias("random_n_matched"),
         (F.sum(F.when(F.col("r_hit"), q6)) / 1e6 / r_n).alias("random_reward"),
     )
+
+
+# --------------------------------------------------------------------------
+# E187: split-conformal prediction intervals — calibrated uncertainty
+# --------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1  # target 90% coverage
+
+
+@query(
+    "q_conformal_interval_coverage",
+    oracle=f"""
+    WITH split AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS v,
+             CAST(('0x' || substring(md5('cp:' || CAST(event_id AS VARCHAR)), 1, 1))
+                  AS INTEGER) AS h
+      FROM events),
+    train AS (SELECT * FROM split WHERE h < 8),
+    calib AS (SELECT * FROM split WHERE h >= 8 AND h < 12),
+    test  AS (SELECT * FROM split WHERE h >= 12),
+    mu AS (
+      SELECT user_id,
+             SUM(CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT)) / 1000000.0 / COUNT(*)
+               AS mu
+      FROM train GROUP BY user_id),
+    resid AS (
+      SELECT ABS(c.v - mu.mu) AS r, c.event_id
+      FROM calib c JOIN mu USING (user_id)),
+    nq AS (
+      SELECT COUNT(*) AS n_calib,
+             CAST(CEIL((1.0 - {_CONF_ALPHA}e0) * (COUNT(*) + 1)) AS BIGINT) AS k
+      FROM resid),
+    qhat AS (
+      SELECT r AS q_hat FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, event_id) AS rn FROM resid), nq
+      WHERE rn = k),
+    cover AS (
+      SELECT COUNT(*) AS n_test,
+             SUM(CASE WHEN ABS(t.v - mu.mu) <= q.q_hat THEN 1 ELSE 0 END)
+               AS n_covered
+      FROM test t JOIN mu USING (user_id), qhat q)
+    SELECT (SELECT COUNT(*) FROM train) AS n_train,
+           CAST(nq.n_calib AS BIGINT) AS n_calib,
+           CAST(cover.n_test AS BIGINT) AS n_test,
+           CAST(FLOOR(q.q_hat * 1000000000 + 0.5) AS BIGINT) / 1000000000.0
+             AS q_hat,
+           CAST(FLOOR(CAST(cover.n_covered AS DOUBLE) / cover.n_test
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS coverage
+    FROM nq, qhat q, cover
+    """,
+    tags=("E187", "W1", "A5", "F11", "J1"),
+)
+def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction: a deliberately crude model (the
+    user's train-split mean) is wrapped with a calibration-split
+    residual quantile q_hat = ceil((1-alpha)(n+1))-th smallest
+    |error|, and the test split checks the promise — coverage of
+    mu +/- q_hat should be >= 90% REGARDLESS of how bad the model
+    is, which is the whole point of conformal calibration. The
+    md5-digit 50/25/25 split, the order-statistic quantile
+    (row_number, event_id tie-break), and the quantized values make
+    every number engine-exact. One shuffle builds per-user means;
+    the scalar q_hat rides a broadcast to the coverage scan."""
+    e = load_table(spark, sf_dir, "events")
+    split = e.select(
+        "user_id",
+        "event_id",
+        (F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint") / 1e6).alias("v"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cp:"), F.col("event_id").cast("string"))), 1, 1
+            ),
+            16,
+            10,
+        )
+        .cast("int")
+        .alias("h"),
+    )
+    train = split.filter(F.col("h") < 8)
+    calib = split.filter((F.col("h") >= 8) & (F.col("h") < 12))
+    test = split.filter(F.col("h") >= 12)
+    q6 = F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
+    mu = train.groupBy("user_id").agg(
+        (F.sum(q6) / 1e6 / F.count(F.lit(1))).alias("mu")
+    )
+    resid = calib.join(mu, "user_id").select(
+        F.abs(F.col("v") - F.col("mu")).alias("r"), "event_id"
+    )
+    nq = resid.agg(
+        F.count(F.lit(1)).alias("n_calib"),
+        F.ceil((1.0 - _CONF_ALPHA) * (F.count(F.lit(1)) + 1))
+        .cast("bigint")
+        .alias("k"),
+    )
+    qhat = (
+        resid.select(
+            "r", F.row_number().over(Window.orderBy("r", "event_id")).alias("rn")
+        )
+        .crossJoin(F.broadcast(nq))
+        .filter(F.col("rn") == F.col("k"))
+        .select("r", "n_calib")
+    )
+    cover = (
+        test.join(mu, "user_id")
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.max("n_calib").cast("bigint").alias("n_calib"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            (
+                F.floor(F.max("r") * 1e9 + F.lit(0.5)).cast("bigint") / 1e9
+            ).alias("q_hat"),
+            (
+                F.floor(
+                    F.sum((F.abs(F.col("v") - F.col("mu")) <= F.col("r")).cast("long"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                / 1e6
+            ).alias("coverage"),
+        )
+    )
+    n_train = train.agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
+    return n_train.crossJoin(F.broadcast(cover)).select(
+        "n_train", "n_calib", "n_test", "q_hat", "coverage"
+    )
