@@ -230,3 +230,34 @@ def test_shuffle_hash_hint_controls_strategy(spark):
     p = explain_text(REGISTRY["q_shuffle_hash_hint_join"].fn(spark, SF_DIR), "simple")
     assert "ShuffledHashJoin" in p
     assert "BroadcastHashJoin" not in p
+
+
+def test_sketch_probes_ride_broadcasts(spark, plans):
+    """E175/E179/E186: the sketch/filter/codebook side of each probe
+    join is tiny by construction (256 counters, 4096 bits, 64
+    codebook rows) and must arrive via broadcast — a shuffled probe
+    would move the full fact side for a constant-size lookup."""
+    for name in [
+        "q_countmin_heavy_hitters",
+        "q_bloom_semi_join_prune",
+        "q_pq_adc_topk_ann",
+    ]:
+        assert "BroadcastHashJoin" in plans[name], (name, plans[name])
+
+
+def test_kmv_topk_compiles_to_window_group_limit(spark, plans):
+    """E176: the per-group k-smallest-hash stage must keep the
+    WindowGroupLimit shape (per-partition heaps of k=64) — losing it
+    means fully sorting every group's distinct hashes at scale."""
+    assert "WindowGroupLimit" in plans["q_kmv_distinct_custkeys"], plans[
+        "q_kmv_distinct_custkeys"
+    ]
+
+
+def test_negative_sampling_fanout_is_spread(spark, plans):
+    """E156: the sampled panel must be explicitly repartitioned before
+    the panel x catalog fan-out — without it the filtered dim arrives
+    as one partition and the whole 3M-row candidate stage (and its
+    md5 draws) runs in a single task."""
+    p = plans["q_negative_item_samples"]
+    assert "REPARTITION_BY_NUM" in p, p
