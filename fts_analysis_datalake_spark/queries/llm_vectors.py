@@ -17,7 +17,14 @@ from pyspark.sql import functions as F
 from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
-from fts_analysis_datalake_spark.functions.vector import cosine, norm, sql_cosine, sql_norm
+from fts_analysis_datalake_spark.functions.vector import (
+    cosine,
+    dot,
+    norm,
+    sql_cosine,
+    sql_dot,
+    sql_norm,
+)
 from fts_analysis_datalake_spark.operators.multimodal import (
     bundle_multimodal,
     decode_media,
@@ -823,3 +830,137 @@ def q_pq_adc_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# E190: MMR diversified re-ranking — unrolled greedy selection
+# --------------------------------------------------------------------------
+
+_MMR_LAM = 0.7
+_MMR_POOL = 20  # candidate shortlist (top-N by relevance)
+_MMR_K = 5  # selections, unrolled
+
+
+def _mmr_oracle() -> str:
+    """Generate the unrolled DuckDB twin: sel1..selK CTEs, each the
+    argmax of lam*rel - (1-lam)*max-sim-to-already-selected."""
+    lam = f"{_MMR_LAM!r}e0"
+    parts = [
+        f"""cand AS (
+      SELECT e.vec_id, e.embedding, {sql_dot('e.embedding', 'q.embedding')} AS rel
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY rel DESC, e.vec_id LIMIT {_MMR_POOL})"""
+    ]
+    for t in range(1, _MMR_K + 1):
+        prev = [f"sel{i}" for i in range(1, t)]
+        if prev:
+            sims = ", ".join(
+                sql_cosine("c.embedding", f"{s}.embedding") for s in prev
+            )
+            max_sim = f"GREATEST({sims})" if len(prev) > 1 else sims
+            excl = " AND ".join(f"c.vec_id <> {s}.vec_id" for s in prev)
+            frm = "cand c, " + ", ".join(prev)
+            where = f"WHERE {excl}"
+        else:
+            max_sim = "0.0e0"
+            frm = "cand c"
+            where = ""
+        parts.append(
+            f"""sel{t} AS (
+      SELECT c.vec_id, c.embedding,
+             {lam} * c.rel - (1.0e0 - {lam}) * {max_sim} AS score
+      FROM {frm} {where}
+      ORDER BY score DESC, c.vec_id LIMIT 1)"""
+        )
+    finals = "\n      UNION ALL ".join(
+        f"SELECT {t} AS step, vec_id, CAST(FLOOR(score * 1000000000 + 0.5) AS BIGINT)"
+        f" / 1000000000.0 AS mmr_score FROM sel{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT CAST(step AS BIGINT) AS step, vec_id, mmr_score FROM ({finals})
+    ORDER BY step
+    """
+    )
+
+
+@query(
+    "q_mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    tags=("E190", "D6", "O3", "F8", "J10"),
+)
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from the top-20
+    relevance shortlist, greedily pick 5 results maximizing
+    lam*relevance - (1-lam)*max-similarity-to-already-picked — the
+    standard diversification pass between retrieval and a RAG
+    context window. The greedy recursion is UNROLLED to the fixed
+    k=5, so both engines express it as pure declarative plans (each
+    selection is a 1-row argmax over the 20-row candidate frame
+    cross-joined with the previous 1-row picks — every join is a
+    broadcast of at most 20 rows) and the whole trajectory is
+    hash-checked. At scale only the shortlist stage touches the
+    corpus (TakeOrderedAndProject); MMR itself runs on k*N tiny
+    rows regardless of data size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            dot(F.col("embedding"), F.col("qv")).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+    )
+    sels: list[DataFrame] = []
+    outs: list[DataFrame] = []
+    for t in range(1, _MMR_K + 1):
+        scored = cand
+        sim_cols = []
+        for i, s in enumerate(sels, start=1):
+            scored = scored.crossJoin(
+                F.broadcast(
+                    s.select(
+                        F.col("vec_id").alias(f"s{i}_id"),
+                        F.col("embedding").alias(f"s{i}_emb"),
+                    )
+                )
+            )
+            sim_cols.append(cosine(F.col("embedding"), F.col(f"s{i}_emb")))
+        if sim_cols:
+            max_sim = F.greatest(*sim_cols) if len(sim_cols) > 1 else sim_cols[0]
+            for i in range(1, len(sels) + 1):
+                scored = scored.filter(F.col("vec_id") != F.col(f"s{i}_id"))
+        else:
+            max_sim = F.lit(0.0)
+        scored = scored.select(
+            "vec_id",
+            "embedding",
+            (
+                F.lit(_MMR_LAM) * F.col("rel")
+                - (F.lit(1.0) - F.lit(_MMR_LAM)) * max_sim
+            ).alias("score"),
+        )
+        sel = scored.orderBy(F.col("score").desc(), "vec_id").limit(1)
+        sels.append(sel)
+        outs.append(
+            sel.select(
+                F.lit(t).cast("bigint").alias("step"),
+                "vec_id",
+                (F.floor(F.col("score") * 1e9 + F.lit(0.5)).cast("bigint") / 1e9).alias(
+                    "mmr_score"
+                ),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result.orderBy("step")
