@@ -670,3 +670,86 @@ def q_zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / denx).alias("zipf_slope"),
         ((num * num) / (denx * deny)).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# E193: vocabulary coverage — Good-Turing unseen mass + Heaps exponent
+# --------------------------------------------------------------------------
+
+_VOCAB_Q = 1000000000
+
+
+@query(
+    "q_vocab_coverage_estimate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents),
+    full_counts AS (
+      SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+    full_stats AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS hapax
+      FROM full_counts),
+    half_stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens_h,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS vocab_h
+      FROM toks WHERE doc_id % 2 = 0)
+    SELECT f.n_tokens, f.vocab, f.hapax,
+           CAST(FLOOR(CAST(f.hapax AS DOUBLE) / f.n_tokens * {_VOCAB_Q} + 0.5)
+                AS BIGINT) / {_VOCAB_Q}.0 AS gt_unseen_mass,
+           CAST(FLOOR(
+             (FLOOR(ln(CAST(f.vocab AS DOUBLE) / h.vocab_h) * {_VOCAB_Q} + 0.5)
+              / FLOOR(ln(CAST(f.n_tokens AS DOUBLE) / h.n_tokens_h) * {_VOCAB_Q} + 0.5))
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS heaps_beta
+    FROM full_stats f, half_stats h
+    """,
+    tags=("E193", "D9", "D12", "A1", "F6"),
+)
+def q_vocab_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary coverage: the Good-Turing unseen-species
+    mass N1/N (hapax share — the probability the NEXT token is a
+    never-seen type, i.e. how much more scraping will still surface
+    new vocabulary) and the Heaps'-law exponent fitted from the
+    half-vs-full corpus growth ratio ln(V/V_half)/ln(N/N_half).
+    Together they answer the curation question 'is this corpus
+    lexically saturated?'. One tokenize feeds both: term counts for
+    GT, and the doc_id-parity half for the growth point. The ln
+    ratios are 1e-9-quantized before dividing so the exponent is
+    engine-exact."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term"))
+    full_counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    full_stats = full_counts.agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("n") == 1).cast("long")).cast("bigint").alias("hapax"),
+    )
+    half_stats = toks.filter(F.col("doc_id") % 2 == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_h"),
+        F.count_distinct("term").cast("bigint").alias("vocab_h"),
+    )
+    qln = lambda c: F.floor(F.log(c) * _VOCAB_Q + F.lit(0.5))  # noqa: E731
+    return full_stats.crossJoin(F.broadcast(half_stats)).select(
+        "n_tokens",
+        "vocab",
+        "hapax",
+        (
+            F.floor(
+                F.col("hapax").cast("double") / F.col("n_tokens") * _VOCAB_Q
+                + F.lit(0.5)
+            ).cast("bigint")
+            / float(_VOCAB_Q)
+        ).alias("gt_unseen_mass"),
+        (
+            F.floor(
+                (
+                    qln(F.col("vocab").cast("double") / F.col("vocab_h"))
+                    / qln(F.col("n_tokens").cast("double") / F.col("n_tokens_h"))
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("heaps_beta"),
+    )

@@ -734,3 +734,106 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(_NEYMAN_BUDGET * share).cast("bigint").alias("alloc_floor"),
         F.least(_NEYMAN_BUDGET * share / F.col("nh"), F.lit(1.0)).alias("sample_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# E194: range-partition boundary planner + balance audit
+# --------------------------------------------------------------------------
+
+_RP_BUCKETS = 16
+
+
+@query(
+    "q_range_partition_planner",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v, o_orderkey
+      FROM orders),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM vals),
+    bounds AS (
+      SELECT b.range AS b_idx, r.v AS bound
+      FROM range(1, {_RP_BUCKETS}) b
+      JOIN ranked r ON r.rn = CAST(CEIL(b.range * r.n / {_RP_BUCKETS}.0) AS BIGINT)),
+    assigned AS (
+      SELECT vals.v,
+             COALESCE((SELECT COUNT(*) FROM bounds WHERE bounds.bound < vals.v), 0)
+               AS bucket
+      FROM vals)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) / 100.0 AS min_v, MAX(v) / 100.0 AS max_v,
+           CAST(FLOOR(COUNT(*) * {_RP_BUCKETS}.0 / ANY_VALUE(n2.n)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS balance_ratio
+    FROM assigned, (SELECT COUNT(*) AS n FROM vals) n2
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("E194", "A5", "W1", "O1", "E7"),
+)
+def q_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary planning, surfaced as a query: the
+    15 boundary values are exact order statistics at k/16 of the
+    sort key (what repartitionByRange samples approximately), every
+    row is assigned by counting boundaries below it, and the audit
+    reports per-bucket counts and the balance ratio
+    (bucket_n * buckets / total — 1.0 is perfect). Duplicate key
+    runs straddling a boundary show up as ratio spikes, which is
+    exactly the skew a range-shuffle planner needs to know about
+    before a 100 TB global sort. The boundary table is 15 rows and
+    rides a broadcast; assignment is one map-side pass."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+        "o_orderkey",
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = vals.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "o_orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    bounds = (
+        spark.range(1, _RP_BUCKETS)
+        .select(F.col("id").alias("b_idx"))
+        .join(
+            ranked,
+            F.col("rn")
+            == F.ceil(F.col("b_idx") * F.col("n") / float(_RP_BUCKETS)).cast(
+                "bigint"
+            ),
+        )
+        .select(F.col("v").alias("bound"))
+    )
+    assigned = (
+        vals.crossJoin(F.broadcast(bounds))
+        .groupBy("v", "o_orderkey")
+        .agg(F.sum((F.col("bound") < F.col("v")).cast("long")).alias("bucket"))
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        assigned.crossJoin(F.broadcast(total))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.min("v") / 100.0).alias("min_v"),
+            (F.max("v") / 100.0).alias("max_v"),
+            (
+                F.floor(
+                    F.count(F.lit(1)) * float(_RP_BUCKETS) / F.max("n") * 1e6
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("balance_ratio"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_rows",
+            "min_v",
+            "max_v",
+            "balance_ratio",
+        )
+        .orderBy("bucket")
+    )

@@ -1558,3 +1558,211 @@ def q_event_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("nmi"),
     )
+
+
+# --------------------------------------------------------------------------
+# E191: group-sequential interim monitoring with alpha spending
+# --------------------------------------------------------------------------
+
+_GS_LOOKS = 5
+# Equal Bonferroni spending: alpha/K at each look. Conservative but
+# exactly computable driver-side (no multivariate-normal integration),
+# and the monitoring MECHANICS — cumulative z at interim looks vs a
+# pre-registered boundary — are identical to O'Brien-Fleming use.
+_GS_BOUND = _z_crit(0.05 / _GS_LOOKS)
+
+
+@query(
+    "q_group_sequential_looks",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT value, CAST(user_id % 2 AS INTEGER) AS arm,
+             CAST(CEIL(CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS DOUBLE)
+                       * {_GS_LOOKS} / COUNT(*) OVER ()) AS INTEGER) AS look
+      FROM events),
+    per_look AS (
+      SELECT look, arm, COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS s,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0))
+                      * CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0))) AS DOUBLE)
+               AS s2
+      FROM ordered GROUP BY look, arm),
+    cum AS (
+      SELECT look, arm,
+             SUM(n) OVER w AS n, SUM(s) OVER w AS s, SUM(s2) OVER w AS s2
+      FROM per_look
+      WINDOW w AS (PARTITION BY arm ORDER BY look ROWS UNBOUNDED PRECEDING)),
+    wide AS (
+      SELECT look,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN s END) AS s_1,
+             MAX(CASE WHEN arm = 1 THEN s2 END) AS s2_1,
+             MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN s END) AS s_0,
+             MAX(CASE WHEN arm = 0 THEN s2 END) AS s2_0
+      FROM cum GROUP BY look)
+    SELECT CAST(look AS BIGINT) AS look,
+           CAST(n1 + n0 AS BIGINT) AS n_cum,
+           (s_1 / n1 - s_0 / n0)
+             / SQRT( (s2_1 / 10000.0 / n1 - (s_1 / n1) * (s_1 / n1)) / n1
+                   + (s2_0 / 10000.0 / n0 - (s_0 / n0) * (s_0 / n0)) / n0 )
+             AS z_stat,
+           {_GS_BOUND!r}e0 AS z_boundary,
+           ABS((s_1 / n1 - s_0 / n0)
+             / SQRT( (s2_1 / 10000.0 / n1 - (s_1 / n1) * (s_1 / n1)) / n1
+                   + (s2_0 / 10000.0 / n0 - (s_0 / n0) * (s_0 / n0)) / n0 ))
+             > {_GS_BOUND!r}e0 AS crossed
+    FROM wide ORDER BY look
+    """,
+    tags=("E191", "E98", "W4", "W1", "A6"),
+)
+def q_group_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential experiment monitoring: the two-sample z is
+    recomputed at 5 interim looks (event-count quintiles of the
+    stream) against a pre-registered alpha-spending boundary, so the
+    experiment can stop early without inflating false positives —
+    the sequential sibling of the one-shot z test (E98) and the
+    slice corrections (E170/E183). Spending is equal Bonferroni per
+    look (exactly computable driver-side; the boundary is one double
+    literal in both plans). Cumulative per-arm moments come from ONE
+    pass: per-look partial sums then a running window over 5 rows —
+    the stream never rescans."""
+    e = load_table(spark, sf_dir, "events")
+    qi6 = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+    qi2 = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    w_seq = Window.orderBy("ts", "event_id")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ordered = e.select(
+        "value",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.ceil(
+            F.row_number().over(w_seq).cast("double")
+            * _GS_LOOKS
+            / F.count(F.lit(1)).over(w_all)
+        )
+        .cast("int")
+        .alias("look"),
+    )
+    per_look = ordered.groupBy("look", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(qi6) / 1e6).alias("s"),
+        F.sum(qi2 * qi2).cast("double").alias("s2"),
+    )
+    w_cum = Window.partitionBy("arm").orderBy("look").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_look.select(
+        "look",
+        "arm",
+        F.sum("n").over(w_cum).alias("n"),
+        F.sum("s").over(w_cum).alias("s"),
+        F.sum("s2").over(w_cum).alias("s2"),
+    )
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
+    wide = cum.groupBy("look").agg(
+        pick(1, "n").alias("n1"),
+        pick(1, "s").alias("s_1"),
+        pick(1, "s2").alias("s2_1"),
+        pick(0, "n").alias("n0"),
+        pick(0, "s").alias("s_0"),
+        pick(0, "s2").alias("s2_0"),
+    )
+    m1 = F.col("s_1") / F.col("n1")
+    m0 = F.col("s_0") / F.col("n0")
+    v1 = (F.col("s2_1") / 1e4 / F.col("n1") - m1 * m1) / F.col("n1")
+    v0 = (F.col("s2_0") / 1e4 / F.col("n0") - m0 * m0) / F.col("n0")
+    z = (m1 - m0) / F.sqrt(v1 + v0)
+    return (
+        wide.select(
+            F.col("look").cast("bigint").alias("look"),
+            (F.col("n1") + F.col("n0")).cast("bigint").alias("n_cum"),
+            z.alias("z_stat"),
+            F.lit(_GS_BOUND).alias("z_boundary"),
+            (F.abs(z) > F.lit(_GS_BOUND)).alias("crossed"),
+        )
+        .orderBy("look")
+    )
+
+
+# --------------------------------------------------------------------------
+# E192: quantile treatment effects — distributional lift by decile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_quantile_treatment_effects",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             event_id
+      FROM events),
+    ranked AS (
+      SELECT arm, vq,
+             ROW_NUMBER() OVER (PARTITION BY arm ORDER BY vq, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY arm) AS n
+      FROM vals),
+    deciles AS (
+      SELECT d.range AS decile, r.arm, r.vq / 1000000.0 AS q
+      FROM range(1, 11) d
+      JOIN ranked r
+        ON r.rn = CAST(CEIL(d.range / 10.0 * r.n) AS BIGINT))
+    SELECT a1.decile AS decile, a1.q AS q_treat, a0.q AS q_control,
+           CAST(FLOOR((a1.q - a0.q) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS qte
+    FROM (SELECT * FROM deciles WHERE arm = 1) a1
+    JOIN (SELECT * FROM deciles WHERE arm = 0) a0 USING (decile)
+    ORDER BY decile
+    """,
+    tags=("E192", "A5", "W1", "J1"),
+)
+def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the per-decile gap between the two
+    arms' value distributions — the distributional view a mean-only
+    z test cannot give (a treatment can move the p90 while leaving
+    the mean flat). Deciles are exact type-1 order statistics
+    (ceil(d/10*n)-th smallest, event_id tie-break) over
+    integer-quantized values, so every decile is engine-identical;
+    per-arm ranking is one window, and the decile extraction joins
+    rank = target instead of sorting twice."""
+    e = load_table(spark, sf_dir, "events")
+    vals = e.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint").alias("vq"),
+        "event_id",
+    )
+    w_rank = Window.partitionBy("arm").orderBy("vq", "event_id")
+    ranked = vals.select(
+        "arm",
+        "vq",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("arm")).alias("n"),
+    )
+    deciles = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("decile"))
+        .join(
+            ranked,
+            F.col("rn")
+            == F.ceil(F.col("decile") / 10.0 * F.col("n")).cast("bigint"),
+        )
+        .select("decile", "arm", (F.col("vq") / 1e6).alias("q"))
+    )
+    a1 = deciles.filter(F.col("arm") == 1).select("decile", F.col("q").alias("q_treat"))
+    a0 = deciles.filter(F.col("arm") == 0).select(
+        "decile", F.col("q").alias("q_control")
+    )
+    return (
+        a1.join(a0, "decile")
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "q_treat",
+            "q_control",
+            (
+                F.floor((F.col("q_treat") - F.col("q_control")) * 1e6 + F.lit(0.5))
+                .cast("bigint")
+                / 1e6
+            ).alias("qte"),
+        )
+        .orderBy("decile")
+    )
