@@ -602,3 +602,174 @@ def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E195: Fellegi-Sunter record linkage — probabilistic match scoring
+# --------------------------------------------------------------------------
+
+_FS_Q = 1000000000
+
+
+def _fs_dirty_sql() -> str:
+    """The deterministic corruption applied to build the dirty copy:
+    md5-parity field noise (20% truncated names, 30% wiped segments,
+    40% perturbed balances)."""
+    h = lambda tag: (  # noqa: E731
+        f"CAST(('0x' || substring(md5('{tag}:' || CAST(c_custkey AS VARCHAR)), 1, 13))"
+        f" AS BIGINT) % 10"
+    )
+    return f"""
+      SELECT c_custkey AS d_key, c_nationkey AS d_nation,
+             CASE WHEN {h('nm')} < 2 THEN substring(c_name, 1, 12)
+                  ELSE c_name END AS d_name,
+             CASE WHEN {h('sg')} < 3 THEN 'UNKNOWN'
+                  ELSE c_mktsegment END AS d_seg,
+             CASE WHEN {h('bl')} < 4
+                  THEN CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 7
+                  ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) END AS d_bal
+      FROM customer"""
+
+
+@query(
+    "q_fellegi_sunter_linkage",
+    oracle=f"""
+    WITH dirty AS ({_fs_dirty_sql()}),
+    cand AS (
+      SELECT d.d_key, c.c_custkey,
+             CASE WHEN d.d_name = c.c_name THEN 1 ELSE 0 END AS a_name,
+             CASE WHEN d.d_seg = c.c_mktsegment THEN 1 ELSE 0 END AS a_seg,
+             CASE WHEN d.d_bal = CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                  THEN 1 ELSE 0 END AS a_bal,
+             CASE WHEN d.d_key = c.c_custkey THEN 1 ELSE 0 END AS is_match
+      FROM dirty d JOIN customer c ON c.c_nationkey = d.d_nation),
+    mu AS (
+      SELECT
+        CAST(SUM(a_name * is_match) + 1 AS DOUBLE) / (SUM(is_match) + 2) AS m_name,
+        CAST(SUM(a_name * (1 - is_match)) + 1 AS DOUBLE) / (SUM(1 - is_match) + 2) AS u_name,
+        CAST(SUM(a_seg * is_match) + 1 AS DOUBLE) / (SUM(is_match) + 2) AS m_seg,
+        CAST(SUM(a_seg * (1 - is_match)) + 1 AS DOUBLE) / (SUM(1 - is_match) + 2) AS u_seg,
+        CAST(SUM(a_bal * is_match) + 1 AS DOUBLE) / (SUM(is_match) + 2) AS m_bal,
+        CAST(SUM(a_bal * (1 - is_match)) + 1 AS DOUBLE) / (SUM(1 - is_match) + 2) AS u_bal
+      FROM cand),
+    scored AS (
+      SELECT is_match,
+             ( CASE WHEN a_name = 1
+                    THEN FLOOR(ln(m_name / u_name) * {_FS_Q} + 0.5)
+                    ELSE FLOOR(ln((1 - m_name) / (1 - u_name)) * {_FS_Q} + 0.5) END
+             + CASE WHEN a_seg = 1
+                    THEN FLOOR(ln(m_seg / u_seg) * {_FS_Q} + 0.5)
+                    ELSE FLOOR(ln((1 - m_seg) / (1 - u_seg)) * {_FS_Q} + 0.5) END
+             + CASE WHEN a_bal = 1
+                    THEN FLOOR(ln(m_bal / u_bal) * {_FS_Q} + 0.5)
+                    ELSE FLOOR(ln((1 - m_bal) / (1 - u_bal)) * {_FS_Q} + 0.5) END
+             ) / {_FS_Q}.0 AS score
+      FROM cand, mu)
+    SELECT CAST(FLOOR(score) AS BIGINT) AS score_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_match) AS BIGINT) AS n_true,
+           CAST(FLOOR(CAST(SUM(is_match) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS precision_in_band
+    FROM scored
+    GROUP BY score_band
+    ORDER BY score_band
+    """,
+    tags=("E195", "E23", "J6", "A1", "F11", "F6"),
+)
+def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage, end-to-end: a
+    dirty copy of every customer is derived with deterministic
+    md5-parity corruption (20% truncated names, 30% wiped segments,
+    40% perturbed balances), candidates are blocked on the
+    uncorrupted nation key, per-field m/u probabilities are
+    ESTIMATED FROM THE CANDIDATE SET ITSELF (m from true pairs, u
+    from cross pairs, both add-one smoothed — u_name is exactly 0
+    unsmoothed), and each candidate scores the classic sum of
+    log-likelihood ratios — positive evidence log(m/u) on agreement,
+    negative log((1-m)/(1-u)) on disagreement. The score-band
+    histogram with per-band precision IS the linkage quality curve a
+    threshold gets picked from. Blocking keeps the pair space at
+    sum-of-block-sizes squared; ln terms are 1e-9-quantized, so the
+    whole curve is engine-exact."""
+    c = load_table(spark, sf_dir, "customer")
+    h = lambda tag: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{tag}:"), F.col("c_custkey").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    balc = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    dirty = c.select(
+        F.col("c_custkey").alias("d_key"),
+        F.col("c_nationkey").alias("d_nation"),
+        F.when(h("nm") < 2, F.substring(F.col("c_name"), 1, 12))
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.when(h("sg") < 3, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_seg"),
+        F.when(h("bl") < 4, balc + 7).otherwise(balc).alias("d_bal"),
+    )
+    cand = dirty.join(c, dirty["d_nation"] == c["c_nationkey"]).select(
+        (F.col("d_name") == F.col("c_name")).cast("int").alias("a_name"),
+        (F.col("d_seg") == F.col("c_mktsegment")).cast("int").alias("a_seg"),
+        (F.col("d_bal") == balc).cast("int").alias("a_bal"),
+        (F.col("d_key") == F.col("c_custkey")).cast("int").alias("is_match"),
+    )
+    mu = cand.agg(
+        *[
+            expr
+            # Add-one (Laplace) smoothing: u_name is EXACTLY 0 without
+            # it (names are unique, non-matches never agree), and
+            # log(m/0) is undefined — smoothing is the standard fix.
+            for f in ("name", "seg", "bal")
+            for expr in (
+                (
+                    (F.sum(F.col(f"a_{f}") * F.col("is_match")) + 1).cast("double")
+                    / (F.sum("is_match") + 2)
+                ).alias(f"m_{f}"),
+                (
+                    (F.sum(F.col(f"a_{f}") * (1 - F.col("is_match"))) + 1).cast(
+                        "double"
+                    )
+                    / (F.sum(1 - F.col("is_match")) + 2)
+                ).alias(f"u_{f}"),
+            )
+        ]
+    )
+    def term(f: str):
+        return F.when(
+            F.col(f"a_{f}") == 1,
+            F.floor(F.log(F.col(f"m_{f}") / F.col(f"u_{f}")) * _FS_Q + F.lit(0.5)),
+        ).otherwise(
+            F.floor(
+                F.log((1 - F.col(f"m_{f}")) / (1 - F.col(f"u_{f}"))) * _FS_Q
+                + F.lit(0.5)
+            )
+        )
+
+    scored = cand.crossJoin(F.broadcast(mu)).select(
+        "is_match",
+        ((term("name") + term("seg") + term("bal")) / float(_FS_Q)).alias("score"),
+    )
+    return (
+        scored.groupBy(F.floor(F.col("score")).cast("bigint").alias("score_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("is_match").cast("bigint").alias("n_true"),
+            (
+                F.floor(
+                    F.sum("is_match").cast("double") / F.count(F.lit(1)) * 1e6
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("precision_in_band"),
+        )
+        .orderBy("score_band")
+    )

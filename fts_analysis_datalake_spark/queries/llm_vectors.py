@@ -964,3 +964,112 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         result = result.unionAll(o)
     return result.orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# E197: diversification audit — MMR top-5 vs plain top-5
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_diversification_audit",
+    oracle=f"""
+    WITH mmr_ids AS (SELECT vec_id FROM ({_mmr_oracle()}) m),
+    plain_ids AS (
+      SELECT e.vec_id
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY {sql_dot('e.embedding', 'q.embedding')} DESC, e.vec_id
+      LIMIT {_MMR_K}),
+    both_lists AS (
+      SELECT 'mmr' AS list_name, vec_id FROM mmr_ids
+      UNION ALL SELECT 'plain', vec_id FROM plain_ids),
+    joined AS (
+      SELECT b.list_name, b.vec_id, e.embedding, e.label
+      FROM both_lists b JOIN embeddings e USING (vec_id)),
+    pairs AS (
+      SELECT a.list_name,
+             CAST(FLOOR({sql_cosine('a.embedding', 'b.embedding')}
+                        * 1000000000 + 0.5) AS BIGINT) AS cos_q
+      FROM joined a JOIN joined b
+        ON a.list_name = b.list_name AND a.vec_id < b.vec_id)
+    SELECT p.list_name,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(FLOOR(CAST(SUM(p.cos_q) AS DOUBLE) / COUNT(*) / 1000000000.0
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS avg_pairwise_cos,
+           ANY_VALUE(l.n_labels) AS n_labels
+    FROM pairs p
+    JOIN (SELECT list_name, CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+          FROM joined GROUP BY list_name) l USING (list_name)
+    GROUP BY p.list_name
+    ORDER BY p.list_name
+    """,
+    tags=("E197", "E190", "D5", "A1", "J11"),
+)
+def q_diversification_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did diversification WORK? The audit recommender evals run
+    after an MMR pass: average pairwise cosine (intra-list
+    redundancy) and distinct label coverage for the MMR top-5 vs
+    the plain relevance top-5 over the same corpus — MMR should
+    show lower redundancy at equal-or-better coverage. Reuses the
+    declared MMR trajectory (E190) as a subplan, so this query also
+    pins MMR's composability; both lists are 5 rows, so every join
+    here is a broadcast and the pairwise stage is 10 pairs per
+    list."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    mmr_ids = q_mmr_diversified_topk(spark, sf_dir).select("vec_id")
+    plain_ids = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", dot(F.col("embedding"), F.col("qv")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_K)
+        .select("vec_id")
+    )
+    both = mmr_ids.select(F.lit("mmr").alias("list_name"), "vec_id").unionAll(
+        plain_ids.select(F.lit("plain").alias("list_name"), "vec_id")
+    )
+    joined = both.join(e.select("vec_id", "embedding", "label"), "vec_id")
+    a = joined.select(
+        F.col("list_name"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = joined.select(
+        F.col("list_name").alias("list_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("list_name") == F.col("list_b")) & (F.col("id_a") < F.col("id_b")),
+    ).select(
+        "list_name",
+        F.floor(cosine(F.col("va"), F.col("vb")) * 1e9 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cos_q"),
+    )
+    labels = joined.groupBy("list_name").agg(
+        F.count_distinct("label").cast("bigint").alias("n_labels")
+    )
+    return (
+        pairs.groupBy("list_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (
+                F.floor(
+                    F.sum("cos_q").cast("double") / F.count(F.lit(1)) / 1e9 * 1e6
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("avg_pairwise_cos"),
+        )
+        .join(F.broadcast(labels), "list_name")
+        .select("list_name", "n_pairs", "avg_pairwise_cos", "n_labels")
+        .orderBy("list_name")
+    )

@@ -1766,3 +1766,57 @@ def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# E196: sample-ratio mismatch — the experiment-validity tripwire
+# --------------------------------------------------------------------------
+
+# SRM convention: a very strict alpha (1e-3) so a flag means broken
+# randomization, not noise.
+_SRM_BOUND = _z_crit(0.001)
+
+
+@query(
+    "q_sample_ratio_mismatch",
+    oracle=f"""
+    WITH arms AS (
+      SELECT event_type,
+             COUNT(*) FILTER (WHERE user_id % 2 = 1) AS n1,
+             COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n0
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'ALL',
+             COUNT(*) FILTER (WHERE user_id % 2 = 1),
+             COUNT(*) FILTER (WHERE user_id % 2 = 0)
+      FROM events)
+    SELECT event_type AS slice, CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+           (n1 - n0) / SQRT(CAST(n1 + n0 AS DOUBLE)) AS srm_z,
+           ABS((n1 - n0) / SQRT(CAST(n1 + n0 AS DOUBLE))) > {_SRM_BOUND!r}e0
+             AS srm_flag
+    FROM arms ORDER BY slice
+    """,
+    tags=("E196", "E98", "A1", "U1"),
+)
+def q_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check — the first gate every experiment
+    readout must pass: under a 50/50 split the arm-count imbalance
+    z = (n1-n0)/sqrt(n) should be noise, so |z| beyond the strict
+    1e-3 boundary means the RANDOMIZATION is broken (biased
+    assignment, lossy logging) and every downstream metric is
+    untrustworthy. Checked per event-type slice and overall in one
+    scan (conditional counts + a union'd total row)."""
+    e = load_table(spark, sf_dir, "events")
+    n1 = F.sum((F.col("user_id") % 2 == 1).cast("long")).alias("n1")
+    n0 = F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("n0")
+    per = e.groupBy(F.col("event_type").alias("slice")).agg(n1, n0)
+    overall = e.agg(n1, n0).select(F.lit("ALL").alias("slice"), "n1", "n0")
+    arms = per.unionByName(overall)
+    z = (F.col("n1") - F.col("n0")) / F.sqrt((F.col("n1") + F.col("n0")).cast("double"))
+    return arms.select(
+        "slice",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n0").cast("bigint").alias("n0"),
+        z.alias("srm_z"),
+        (F.abs(z) > F.lit(_SRM_BOUND)).alias("srm_flag"),
+    ).orderBy("slice")
