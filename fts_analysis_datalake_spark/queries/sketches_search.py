@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum
 from fts_analysis_datalake_spark.operators.text import (
     ngrams,
@@ -505,7 +505,7 @@ def q_phrase_match_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame
     after a term-selective filter (the phrase terms prune the
     postings FIRST, broadcast from the 1-row phrase frame), so the
     self-join never sees the full index."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("toks"))
     top_bigram = (
         toks.select(F.explode(ngrams(F.col("toks"), 2)).alias("phrase"))
@@ -593,4 +593,183 @@ def q_part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.filter(~dominated)
         .select("p_partkey", "price_c", "p_size")
         .orderBy("price_c", "p_size", "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# E198: PMI co-occurrence mining — skip-gram association scores
+# --------------------------------------------------------------------------
+
+_PMI_WINDOW = 2  # tokens to the right
+_PMI_MIN_PAIR = 5  # min co-occurrence count
+_PMI_TOPK = 20
+_PMI_Q = 1000000000
+
+
+@query(
+    "q_pmi_cooccurrence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    posting AS (
+      SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS term
+      FROM toks),
+    pairs AS (
+      SELECT p1.term AS t1, p2.term AS t2, COUNT(*) AS nxy
+      FROM posting p1
+      JOIN posting p2
+        ON p2.doc_id = p1.doc_id
+       AND p2.pos > p1.pos AND p2.pos <= p1.pos + {_PMI_WINDOW}
+      GROUP BY t1, t2
+      HAVING COUNT(*) >= {_PMI_MIN_PAIR}),
+    uni AS (SELECT term, COUNT(*) AS n FROM posting GROUP BY term),
+    tot AS (
+      SELECT CAST(SUM(nxy) AS DOUBLE) AS n_pairs FROM (
+        SELECT COUNT(*) AS nxy
+        FROM posting p1
+        JOIN posting p2
+          ON p2.doc_id = p1.doc_id
+         AND p2.pos > p1.pos AND p2.pos <= p1.pos + {_PMI_WINDOW}))
+    SELECT t1, t2, CAST(nxy AS BIGINT) AS nxy,
+           FLOOR(ln(nxy * tot.n_pairs / (CAST(u1.n AS DOUBLE) * u2.n))
+                 * {_PMI_Q} + 0.5) / {_PMI_Q}.0 AS pmi
+    FROM pairs JOIN uni u1 ON u1.term = pairs.t1
+               JOIN uni u2 ON u2.term = pairs.t2, tot
+    ORDER BY pmi DESC, t1, t2
+    LIMIT {_PMI_TOPK}
+    """,
+    tags=("E198", "D11", "J6", "A1", "F6", "O3"),
+)
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over skip-gram co-occurrence (a
+    2-token right window) — the classic collocation/phrase-discovery
+    statistic (and the matrix word2vec implicitly factorizes). The
+    positional-posting self-join generates ordered pairs, unigram
+    marginals come from the same postings, and PMI =
+    ln(n_xy * N / (n_x * n_y)) is 1e-9-quantized for cross-engine ln
+    agreement. The min-count floor kills the noisy hapax tail before
+    ranking — at corpus scale the pair aggregate is the only big
+    shuffle and it is pre-pruned by HAVING inside the aggregate."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    posting = (
+        d.select(
+            "doc_id",
+            F.posexplode(tokens(normalize_text(F.col("text")))).alias("pos0", "term"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    )
+    p1 = posting.select("doc_id", F.col("pos").alias("pos1"), F.col("term").alias("t1"))
+    p2 = posting.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("pos").alias("pos2"),
+        F.col("term").alias("t2"),
+    )
+    joined = p1.join(
+        p2,
+        (F.col("doc_id") == F.col("doc_id2"))
+        & (F.col("pos2") > F.col("pos1"))
+        & (F.col("pos2") <= F.col("pos1") + _PMI_WINDOW),
+    )
+    pairs = (
+        joined.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .filter(F.col("nxy") >= _PMI_MIN_PAIR)
+    )
+    uni = posting.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = joined.agg(F.count(F.lit(1)).cast("double").alias("n_pairs"))
+    return (
+        pairs.join(F.broadcast(uni.select(F.col("term").alias("t1"), F.col("n").alias("n1"))), "t1")
+        .join(F.broadcast(uni.select(F.col("term").alias("t2"), F.col("n").alias("n2"))), "t2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            F.col("nxy").cast("bigint").alias("nxy"),
+            (
+                F.floor(
+                    F.log(
+                        F.col("nxy")
+                        * F.col("n_pairs")
+                        / (F.col("n1").cast("double") * F.col("n2"))
+                    )
+                    * _PMI_Q
+                    + F.lit(0.5)
+                )
+                / float(_PMI_Q)
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(_PMI_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# E199: proximity (slop) search — terms within a window, any order
+# --------------------------------------------------------------------------
+
+_PROX_T1 = "spark"
+_PROX_T2 = "stream"
+_PROX_SLOP = 5
+
+
+@query(
+    "q_proximity_slop_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    posting AS (
+      SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS term
+      FROM toks),
+    hits AS (
+      SELECT a.doc_id, ABS(b.pos - a.pos) AS gap
+      FROM posting a
+      JOIN posting b ON b.doc_id = a.doc_id
+      WHERE a.term = '{_PROX_T1}' AND b.term = '{_PROX_T2}'
+        AND ABS(b.pos - a.pos) <= {_PROX_SLOP})
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(gap) AS BIGINT) AS min_gap,
+           CAST(FLOOR(AVG(CAST(gap AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS avg_gap
+    FROM hits
+    """,
+    tags=("E199", "E180", "D9", "J6", "A1"),
+)
+def q_proximity_slop_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search: '{_PROX_T1}' NEAR/{_PROX_SLOP} '{_PROX_T2}'
+    in either order — the slop operator between exact-phrase and
+    bag-of-words retrieval. Term-selective filters prune the
+    postings BEFORE the position join (two tiny filtered lists per
+    doc), so the proximity check costs per-doc occurrence products,
+    not posting-list squares; the report aggregates doc hits and
+    gap statistics."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    posting = (
+        d.select(
+            "doc_id",
+            F.posexplode(tokens(normalize_text(F.col("text")))).alias("pos0", "term"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    )
+    a = posting.filter(F.col("term") == _PROX_T1).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = posting.filter(F.col("term") == _PROX_T2).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("pos").alias("pos_b")
+    )
+    hits = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_id_b"))
+        & (F.abs(F.col("pos_b") - F.col("pos_a")) <= _PROX_SLOP),
+    ).select("doc_id", F.abs(F.col("pos_b") - F.col("pos_a")).alias("gap"))
+    return hits.agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.min("gap").cast("bigint").alias("min_gap"),
+        (
+            F.floor(F.avg(F.col("gap").cast("double")) * 1e6 + F.lit(0.5)).cast(
+                "bigint"
+            )
+            / 1e6
+        ).alias("avg_gap"),
     )

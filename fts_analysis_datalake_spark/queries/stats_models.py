@@ -1820,3 +1820,68 @@ def q_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("srm_z"),
         (F.abs(z) > F.lit(_SRM_BOUND)).alias("srm_flag"),
     ).orderBy("slice")
+
+
+# --------------------------------------------------------------------------
+# E200: Simpson's paradox detector — aggregate vs per-slice sign flips
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_simpsons_paradox_scan",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS s
+      FROM events GROUP BY 1, 2),
+    slice_diff AS (
+      SELECT event_type,
+             MAX(CASE WHEN arm = 1 THEN s END) / MAX(CASE WHEN arm = 1 THEN n END)
+             - MAX(CASE WHEN arm = 0 THEN s END) / MAX(CASE WHEN arm = 0 THEN n END)
+               AS d_slice
+      FROM cells GROUP BY event_type),
+    overall AS (
+      SELECT SUM(CASE WHEN arm = 1 THEN s END) / SUM(CASE WHEN arm = 1 THEN n END)
+             - SUM(CASE WHEN arm = 0 THEN s END) / SUM(CASE WHEN arm = 0 THEN n END)
+               AS d_all
+      FROM cells)
+    SELECT s.event_type AS slice, s.d_slice, o.d_all,
+           SIGN(s.d_slice) <> SIGN(o.d_all) AS reversed
+    FROM slice_diff s, overall o
+    ORDER BY slice
+    """,
+    tags=("E200", "A1", "A12", "P5"),
+)
+def q_simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox scan: the arm effect on mean value computed
+    overall AND within each event-type slice, flagging slices whose
+    effect sign disagrees with the aggregate — the confounding
+    tripwire that should run before any segmented readout is
+    trusted (the aggregate can flip when slice sizes differ across
+    arms). One pass builds the (slice, arm) cells; both the slice
+    and overall effects reuse those 10 rows, so detection is free
+    beyond the base aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    q6 = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+    cells = e.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(F.count(F.lit(1)).alias("n"), (F.sum(q6) / 1e6).alias("s"))
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
+    slice_diff = cells.groupBy("event_type").agg(
+        (pick(1, "s") / pick(1, "n") - pick(0, "s") / pick(0, "n")).alias("d_slice")
+    )
+    tot = lambda a, c: F.sum(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
+    overall = cells.agg(
+        (tot(1, "s") / tot(1, "n") - tot(0, "s") / tot(0, "n")).alias("d_all")
+    )
+    return (
+        slice_diff.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("event_type").alias("slice"),
+            "d_slice",
+            "d_all",
+            (F.signum("d_slice") != F.signum("d_all")).alias("reversed"),
+        )
+        .orderBy("slice")
+    )
