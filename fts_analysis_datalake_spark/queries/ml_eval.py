@@ -1330,3 +1330,101 @@ def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     return n_train.crossJoin(F.broadcast(cover)).select(
         "n_train", "n_calib", "n_test", "q_hat", "coverage"
     )
+
+
+# --------------------------------------------------------------------------
+# E201: out-of-fold target encoding — leakage-safe categorical features
+# --------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 20.0  # prior weight (pseudo-rows of the global mean)
+
+
+@query(
+    "q_target_encoding_oof",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(CASE WHEN event_type = 'purchase' THEN 0 ELSE
+               CAST(('0x' || substring(md5('te:' || CAST(event_id AS VARCHAR)), 1, 13))
+                    AS BIGINT) % {_TE_FOLDS} END AS INTEGER) AS fold,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS y_q
+      FROM events WHERE event_type <> 'purchase'),
+    cat AS (
+      SELECT event_type, COUNT(*) AS n_cat, SUM(y_q) AS s_cat FROM base
+      GROUP BY event_type),
+    fold_cat AS (
+      SELECT event_type, fold, COUNT(*) AS n_f, SUM(y_q) AS s_f FROM base
+      GROUP BY event_type, fold),
+    g_all AS (
+      SELECT CAST(SUM(y_q) AS DOUBLE) / COUNT(*) / 1000000.0 AS mu FROM base)
+    SELECT f.event_type, CAST(f.fold AS BIGINT) AS fold,
+           CAST(f.n_f AS BIGINT) AS n_fold_rows,
+           CAST(FLOOR(
+             ((CAST(c.s_cat - f.s_f AS DOUBLE) / 1000000.0
+               + {_TE_SMOOTH!r}e0 * g.mu)
+              / (c.n_cat - f.n_f + {_TE_SMOOTH!r}e0))
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS te_value
+    FROM fold_cat f JOIN cat c USING (event_type), g_all g
+    ORDER BY f.event_type, f.fold
+    """,
+    tags=("E201", "A1", "J5", "F11"),
+)
+def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding: each (category, fold) cell gets
+    the target mean computed from the OTHER folds only —
+    (sum_cat - sum_fold) / (n_cat - n_fold) — smoothed toward the
+    global mean with a 20-pseudo-row prior, so a row never sees its
+    own label through its feature (the leak that silently inflates
+    offline metrics). Folds are md5-assigned; the encoding table is
+    category x fold = 20 rows built from TWO aggregates of one scan
+    (no per-row subtraction pass), and at scale it broadcasts back
+    onto the feature join."""
+    e = load_table(spark, sf_dir, "events")
+    base = (
+        e.filter(F.col("event_type") != "purchase")
+        .select(
+            "event_type",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit("te:"), F.col("event_id").cast("string"))
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _TE_FOLDS
+            )
+            .cast("int")
+            .alias("fold"),
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint").alias("y_q"),
+        )
+    )
+    cat = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cat"), F.sum("y_q").alias("s_cat")
+    )
+    fold_cat = base.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).alias("n_f"), F.sum("y_q").alias("s_f")
+    )
+    glob = base.agg(
+        (F.sum("y_q").cast("double") / F.count(F.lit(1)) / 1e6).alias("mu")
+    )
+    te = (
+        (F.col("s_cat") - F.col("s_f")).cast("double") / 1e6
+        + _TE_SMOOTH * F.col("mu")
+    ) / (F.col("n_cat") - F.col("n_f") + F.lit(_TE_SMOOTH))
+    return (
+        fold_cat.join(F.broadcast(cat), "event_type")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            F.col("fold").cast("bigint").alias("fold"),
+            F.col("n_f").cast("bigint").alias("n_fold_rows"),
+            (F.floor(te * 1e6 + F.lit(0.5)).cast("bigint") / 1e6).alias("te_value"),
+        )
+        .orderBy("event_type", "fold")
+    )
