@@ -909,7 +909,14 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
     )
-    cand = (
+    # Persist the 20-row shortlist AND each 1-row pick: every later
+    # selection references ALL earlier ones, so without caching the
+    # recursive re-evaluation is exponential in k (sel5's lineage
+    # re-derives sel1..sel4, each re-deriving theirs — ~2^k corpus
+    # scans). At sf0.1 wall-clock is dominated by the k sequential
+    # job launches either way; the caching is what keeps the plan
+    # linear when the corpus scan is no longer ~free.
+    cand = tracked_persist(
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .select(
@@ -949,7 +956,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - (F.lit(1.0) - F.lit(_MMR_LAM)) * max_sim
             ).alias("score"),
         )
-        sel = scored.orderBy(F.col("score").desc(), "vec_id").limit(1)
+        sel = tracked_persist(scored.orderBy(F.col("score").desc(), "vec_id").limit(1))
         sels.append(sel)
         outs.append(
             sel.select(
