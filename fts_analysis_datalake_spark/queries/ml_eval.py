@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
-from fts_analysis_datalake_spark.functions.vector import cosine, sql_cosine
+from fts_analysis_datalake_spark.functions.vector import cosine, dot, sql_cosine, sql_dot
 from fts_analysis_datalake_spark.operators.text import normalize_text, sql_tokens, tokens
 from fts_analysis_datalake_spark.registry import query
 
@@ -1469,7 +1469,8 @@ def _bt_oracle() -> str:
             f"""raw{t} AS MATERIALIZED (
       SELECT d.i,
              COALESCE(w.wi, 0.0e0)
-               / SUM(d.n_ij / (si.s + sj.s)) AS s_raw
+               / (SUM(CAST(FLOOR(d.n_ij / (si.s + sj.s) * 1000000000 + 0.5)
+                           AS BIGINT)) / 1000000000.0) AS s_raw
       FROM duels d
       JOIN {prev} si ON si.i = d.i
       JOIN {prev} sj ON sj.i = d.j
@@ -1549,9 +1550,21 @@ def q_bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(wins.withColumnRenamed("i", "w_i")), F.col("w_i") == F.col("i"), "left")
             .groupBy("i", "wi")
             .agg(
+                # each denominator term is quantized before the 4-term
+                # sum — an unordered double reduction otherwise
                 (
                     F.coalesce(F.col("wi"), F.lit(0.0))
-                    / F.sum(F.col("n_ij") / (F.col("si_s") + F.col("sj_s")))
+                    / (
+                        F.sum(
+                            F.floor(
+                                F.col("n_ij")
+                                / (F.col("si_s") + F.col("sj_s"))
+                                * 1e9
+                                + F.lit(0.5)
+                            ).cast("bigint")
+                        )
+                        / 1e9
+                    )
                 ).alias("s_raw")
             )
         )
@@ -1711,9 +1724,9 @@ _BRIER_VMAX = 500.0  # value column upper bound (fixture range 0..490)
              CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ybar
       FROM binned GROUP BY b),
     tot AS (
-      SELECT CAST(SUM(nb) AS DOUBLE) AS n,
-             CAST(SUM(CAST(ybar * nb AS DOUBLE)) AS DOUBLE) / SUM(nb) AS ybar_all
-      FROM per_bin),
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ybar_all
+      FROM binned),
     comps AS (
       SELECT
         SUM(CAST(FLOOR(nb / tot.n * (pbar - ybar) * (pbar - ybar)
@@ -1771,11 +1784,12 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("p_q").cast("double") / F.count(F.lit(1)) / 1e9).alias("pbar"),
         (F.sum("y").cast("double") / F.count(F.lit(1))).alias("ybar"),
     )
-    tot = per_bin.agg(
-        F.sum("nb").cast("double").alias("n"),
-        (F.sum(F.col("ybar") * F.col("nb")).cast("double") / F.sum("nb")).alias(
-            "ybar_all"
-        ),
+    # ybar_all from the INTEGER outcome sum over rows: the weighted
+    # double sum over bins is an unordered double reduction (the
+    # Simpson's-scan lesson).
+    tot = binned.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("ybar_all"),
     )
     comps = per_bin.crossJoin(F.broadcast(tot)).agg(
         F.sum(
@@ -1825,4 +1839,95 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
             / 1e6
         ).alias("uncertainty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E205: MRR + hit@k over a multi-query retrieval panel
+# --------------------------------------------------------------------------
+
+_MRR_STRIDE = 61  # query panel: vec_id % 61 == 1
+
+
+@query(
+    "q_mrr_retrieval_panel",
+    oracle=f"""
+    WITH qs AS (
+      SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+      FROM embeddings WHERE vec_id % {_MRR_STRIDE} = 1),
+    ranked AS (
+      SELECT qs.q_id,
+             CASE WHEN e.label = qs.q_label THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY qs.q_id
+               ORDER BY {sql_dot('e.embedding', 'qs.qv')} DESC, e.vec_id) AS rnk
+      FROM embeddings e JOIN qs ON e.vec_id <> qs.q_id),
+    firsts AS (
+      SELECT q_id, MIN(CASE WHEN rel = 1 THEN rnk END) AS first_hit
+      FROM ranked GROUP BY q_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(COALESCE(1.0e0 / first_hit, 0.0e0)
+                                          * 1000000000 + 0.5) AS BIGINT))
+                           AS DOUBLE) / 1000000000.0 / COUNT(*)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS mrr,
+           CAST(FLOOR(AVG(CASE WHEN first_hit = 1 THEN 1.0e0 ELSE 0.0e0 END)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS hit_at_1,
+           CAST(FLOOR(AVG(CASE WHEN first_hit <= 10 THEN 1.0e0 ELSE 0.0e0 END)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS hit_at_10
+    FROM firsts
+    """,
+    tags=("E205", "D6", "W1", "J10", "A1"),
+)
+def q_mrr_retrieval_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank + hit@1/hit@10 over a PANEL of query
+    vectors (every 61st embedding), label-match relevance — the
+    multi-query completion of the single-query metrics (nDCG E203,
+    RBO E161): per-query rankings are one window over the query x
+    corpus dot products (query side broadcast), the first relevant
+    rank collapses per query, and the panel averages are quantized.
+    Ranking by raw dot is cosine-equivalent per query (shared query
+    norm), saving the per-row norm fold."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % _MRR_STRIDE == 1).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
+            F.row_number()
+            .over(
+                Window.partitionBy("q_id").orderBy(
+                    dot(F.col("embedding"), F.col("qv")).desc(), F.col("vec_id")
+                )
+            )
+            .alias("rnk"),
+        )
+    )
+    firsts = ranked.groupBy("q_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_hit")
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("bigint") / 1e6  # noqa: E731
+    return firsts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        q6(
+            F.sum(
+                F.floor(
+                    F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)) * 1e9
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("double")
+            / 1e9
+            / F.count(F.lit(1))
+        ).alias("mrr"),
+        q6(F.avg(F.when(F.col("first_hit") == 1, 1.0).otherwise(0.0))).alias(
+            "hit_at_1"
+        ),
+        q6(F.avg(F.when(F.col("first_hit") <= 10, 1.0).otherwise(0.0))).alias(
+            "hit_at_10"
+        ),
     )

@@ -1582,14 +1582,15 @@ _GS_BOUND = _z_crit(0.05 / _GS_LOOKS)
       FROM events),
     per_look AS (
       SELECT look, arm, COUNT(*) AS n,
-             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS s,
-             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0))
-                      * CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0))) AS DOUBLE)
-               AS s2
+             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS sq,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0))
+                 * CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0))) AS s2q
       FROM ordered GROUP BY look, arm),
     cum AS (
       SELECT look, arm,
-             SUM(n) OVER w AS n, SUM(s) OVER w AS s, SUM(s2) OVER w AS s2
+             SUM(n) OVER w AS n,
+             CAST(SUM(sq) OVER w AS DOUBLE) / 1000000.0 AS s,
+             CAST(SUM(s2q) OVER w AS DOUBLE) AS s2
       FROM per_look
       WINDOW w AS (PARTITION BY arm ORDER BY look ROWS UNBOUNDED PRECEDING)),
     wide AS (
@@ -1643,10 +1644,13 @@ def q_group_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("look"),
     )
+    # Cumulative moments stay INTEGER through the running window —
+    # windowed double sums are engine-internal reduction trees, not
+    # guaranteed sequential (the Simpson's-scan lesson).
     per_look = ordered.groupBy("look", "arm").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(qi6) / 1e6).alias("s"),
-        F.sum(qi2 * qi2).cast("double").alias("s2"),
+        F.sum(qi6).alias("sq"),
+        F.sum(qi2 * qi2).alias("s2q"),
     )
     w_cum = Window.partitionBy("arm").orderBy("look").rowsBetween(
         Window.unboundedPreceding, 0
@@ -1655,8 +1659,8 @@ def q_group_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "look",
         "arm",
         F.sum("n").over(w_cum).alias("n"),
-        F.sum("s").over(w_cum).alias("s"),
-        F.sum("s2").over(w_cum).alias("s2"),
+        (F.sum("sq").over(w_cum).cast("double") / 1e6).alias("s"),
+        F.sum("s2q").over(w_cum).cast("double").alias("s2"),
     )
     pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
     wide = cum.groupBy("look").agg(
@@ -1833,18 +1837,20 @@ def q_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cells AS (
       SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,
              COUNT(*) AS n,
-             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS s
+             SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS sq
       FROM events GROUP BY 1, 2),
     slice_diff AS (
       SELECT event_type,
-             MAX(CASE WHEN arm = 1 THEN s END) / MAX(CASE WHEN arm = 1 THEN n END)
-             - MAX(CASE WHEN arm = 0 THEN s END) / MAX(CASE WHEN arm = 0 THEN n END)
-               AS d_slice
+             CAST(MAX(CASE WHEN arm = 1 THEN sq END) AS DOUBLE) / 1000000.0
+               / MAX(CASE WHEN arm = 1 THEN n END)
+             - CAST(MAX(CASE WHEN arm = 0 THEN sq END) AS DOUBLE) / 1000000.0
+               / MAX(CASE WHEN arm = 0 THEN n END) AS d_slice
       FROM cells GROUP BY event_type),
     overall AS (
-      SELECT SUM(CASE WHEN arm = 1 THEN s END) / SUM(CASE WHEN arm = 1 THEN n END)
-             - SUM(CASE WHEN arm = 0 THEN s END) / SUM(CASE WHEN arm = 0 THEN n END)
-               AS d_all
+      SELECT CAST(SUM(CASE WHEN arm = 1 THEN sq END) AS DOUBLE) / 1000000.0
+               / SUM(CASE WHEN arm = 1 THEN n END)
+             - CAST(SUM(CASE WHEN arm = 0 THEN sq END) AS DOUBLE) / 1000000.0
+               / SUM(CASE WHEN arm = 0 THEN n END) AS d_all
       FROM cells)
     SELECT s.event_type AS slice, s.d_slice, o.d_all,
            SIGN(s.d_slice) <> SIGN(o.d_all) AS reversed
@@ -1864,16 +1870,26 @@ def q_simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the base aggregate."""
     e = load_table(spark, sf_dir, "events")
     q6 = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+    # The per-cell value sums stay INTEGER until after every cross-cell
+    # sum: summing the per-cell doubles first diverges in the last ulp
+    # between engines (order-dependent double reduction — caught by the
+    # bit-exact suite, not the isolated run).
     cells = e.groupBy(
         "event_type", (F.col("user_id") % 2).cast("int").alias("arm")
-    ).agg(F.count(F.lit(1)).alias("n"), (F.sum(q6) / 1e6).alias("s"))
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(q6).alias("sq"))
     pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
     slice_diff = cells.groupBy("event_type").agg(
-        (pick(1, "s") / pick(1, "n") - pick(0, "s") / pick(0, "n")).alias("d_slice")
+        (
+            pick(1, "sq").cast("double") / 1e6 / pick(1, "n")
+            - pick(0, "sq").cast("double") / 1e6 / pick(0, "n")
+        ).alias("d_slice")
     )
     tot = lambda a, c: F.sum(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
     overall = cells.agg(
-        (tot(1, "s") / tot(1, "n") - tot(0, "s") / tot(0, "n")).alias("d_all")
+        (
+            tot(1, "sq").cast("double") / 1e6 / tot(1, "n")
+            - tot(0, "sq").cast("double") / 1e6 / tot(0, "n")
+        ).alias("d_all")
     )
     return (
         slice_diff.crossJoin(F.broadcast(overall))
