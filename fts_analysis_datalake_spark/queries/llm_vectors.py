@@ -1080,3 +1080,192 @@ def q_diversification_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("list_name", "n_pairs", "avg_pairwise_cos", "n_labels")
         .orderBy("list_name")
     )
+
+
+# --------------------------------------------------------------------------
+# E207: power-iteration PCA — top principal component, fully relational
+# --------------------------------------------------------------------------
+
+_PCA_ITERS = 5
+_PCA_Q = 1000000000
+_PCA_TOPD = 8
+
+
+def _pca_oracle() -> str:
+    parts = [
+        """elem AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    mu AS MATERIALIZED (
+      SELECT i, CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS mu
+      FROM elem GROUP BY i),
+    cent AS MATERIALIZED (
+      SELECT e.vec_id, e.i, e.x - mu.mu AS c
+      FROM elem e JOIN mu ON mu.i = e.i),
+    cov AS MATERIALIZED (
+      SELECT a.i, b.i AS j,
+             SUM(CAST(FLOOR(a.c * b.c * 1000000000 + 0.5) AS BIGINT)) AS aq
+      FROM cent a JOIN cent b ON b.vec_id = a.vec_id
+      GROUP BY a.i, b.i),
+    v0 AS (SELECT r.range AS j, 1.0e0 AS v FROM range(1, 65) r)"""
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+      SELECT cov.i,
+             SUM(CAST(FLOOR(CAST(aq AS DOUBLE) * v.v + 0.5) AS BIGINT)) AS wq
+      FROM cov JOIN v{t-1} v ON v.j = cov.j GROUP BY cov.i),
+    n{t} AS MATERIALIZED (
+      SELECT SUM(CAST(FLOOR((CAST(wq AS DOUBLE) / 1000000000.0)
+                            * (CAST(wq AS DOUBLE) / 1000000000.0)
+                            * 1000000000 + 0.5) AS BIGINT)) AS n2q FROM w{t}),
+    v{t} AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(FLOOR((CAST(wq AS DOUBLE) / 1000000000.0)
+                        / SQRT(CAST(n2q AS DOUBLE) / 1000000000.0)
+                        * 1000000000 + 0.5) AS BIGINT) / 1000000000.0 AS v
+      FROM w{t}, n{t})"""
+        )
+    vt = f"v{_PCA_ITERS}"
+    parts.append(
+        f"""wf AS MATERIALIZED (
+      SELECT cov.i,
+             SUM(CAST(FLOOR(CAST(aq AS DOUBLE) * v.v + 0.5) AS BIGINT)) AS wq
+      FROM cov JOIN {vt} v ON v.j = cov.j GROUP BY cov.i),
+    ray AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(FLOOR(v.v * (CAST(wf.wq AS DOUBLE) / 1000000000.0)
+                                 * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               AS num_q,
+             CAST(SUM(CAST(FLOOR(v.v * v.v * 1000000000 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS den_q
+      FROM {vt} v JOIN wf ON wf.i = v.j)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(v.j AS BIGINT) AS dim,
+           v.v AS loading,
+           CAST(FLOOR(ray.num_q / ray.den_q / 1000000000.0 * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS eigenvalue
+    FROM {vt} v, ray
+    ORDER BY ABS(v.v) DESC, v.j
+    LIMIT {_PCA_TOPD}
+    """
+    )
+
+
+@query(
+    "q_pca_power_iteration",
+    oracle=_pca_oracle(),
+    tags=("E207", "F7", "J6", "A1", "W1", "F6"),
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by POWER
+    ITERATION, fully relational: the 64x64 scatter matrix comes from
+    a posexplode self-join (per-element products, integer-quantized
+    before the sum), and five matvec+normalize rounds run on the
+    4096-row matrix joined with the 64-row vector — the distributed
+    PCA recipe where the data-sized work is ONE pass to build the
+    scatter matrix and every iteration is constant-size. Each
+    round's vector is quantized and localCheckpoint'd (lineage
+    doubles per round otherwise); the oracle mirrors with
+    MATERIALIZED CTEs. Output: top-8 loadings + the Rayleigh
+    eigenvalue of the scatter matrix — the embedding-health check
+    (a dominant component means the embedding space collapsed)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    elem = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    mu = elem.groupBy("i").agg(
+        (
+            F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("bigint")).cast("double")
+            / 1e6
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    cent = elem.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("mu")).alias("c")
+    )
+    a = cent.select("vec_id", "i", F.col("c").alias("ca"))
+    b = cent.select(
+        F.col("vec_id").alias("vb"), F.col("i").alias("j"), F.col("c").alias("cb")
+    )
+    cov = tracked_persist(
+        a.join(b, F.col("vb") == F.col("vec_id"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.floor(F.col("ca") * F.col("cb") * _PCA_Q + F.lit(0.5)).cast("bigint")
+            ).alias("aq")
+        )
+    )
+    v = spark.range(1, 65).select(F.col("id").alias("j"), F.lit(1.0).alias("v"))
+    for _ in range(_PCA_ITERS):
+        w = cov.join(F.broadcast(v), "j").groupBy("i").agg(
+            F.sum(
+                F.floor(F.col("aq").cast("double") * F.col("v") + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("wq")
+        )
+        w1 = F.col("wq").cast("double") / float(_PCA_Q)
+        n2 = w.agg(
+            F.sum(F.floor(w1 * w1 * _PCA_Q + F.lit(0.5)).cast("bigint")).alias("n2q")
+        )
+        v = (
+            w.crossJoin(F.broadcast(n2))
+            .select(
+                F.col("i").alias("j"),
+                (
+                    F.floor(
+                        w1
+                        / F.sqrt(F.col("n2q").cast("double") / float(_PCA_Q))
+                        * _PCA_Q
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                    / float(_PCA_Q)
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wf = cov.join(F.broadcast(v), "j").groupBy("i").agg(
+        F.sum(
+            F.floor(F.col("aq").cast("double") * F.col("v") + F.lit(0.5)).cast("bigint")
+        ).alias("wq")
+    )
+    ray = (
+        v.join(wf, F.col("i") == F.col("j"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("v") * (F.col("wq").cast("double") / float(_PCA_Q)) * _PCA_Q
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("double")
+            .alias("num_q"),
+            F.sum(
+                F.floor(F.col("v") * F.col("v") * _PCA_Q + F.lit(0.5)).cast("bigint")
+            )
+            .cast("double")
+            .alias("den_q"),
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .select(
+            F.col("j").cast("bigint").alias("dim"),
+            F.col("v").alias("loading"),
+            (
+                F.floor(
+                    F.col("num_q") / F.col("den_q") / float(_PCA_Q) * 1e6 + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("eigenvalue"),
+        )
+        .orderBy(F.abs(F.col("loading")).desc(), "dim")
+        .limit(_PCA_TOPD)
+    )

@@ -1901,3 +1901,54 @@ def q_simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("slice")
     )
+
+
+# --------------------------------------------------------------------------
+# E206: feature correlation matrix — all pairs in one aggregate
+# --------------------------------------------------------------------------
+
+_CM_COLS = [  # (name, scale) — lineitem numeric feature set
+    ("l_quantity", 0),
+    ("l_extendedprice", 2),
+    ("l_discount", 2),
+    ("l_tax", 2),
+]
+
+
+def _cm_pairs():
+    cols = _CM_COLS
+    return [
+        (cols[a][0], cols[a][1], cols[b][0], cols[b][1])
+        for a in range(len(cols))
+        for b in range(a + 1, len(cols))
+    ]
+
+
+@query(
+    "q_feature_correlation_matrix",
+    oracle="SELECT "
+    + ", ".join(
+        f"{sql_dcorr(x, y, sx, sy)} AS corr_{x.split('_', 1)[1]}_{y.split('_', 1)[1]}"
+        for x, sx, y, sy in _cm_pairs()
+    )
+    + " FROM lineitem",
+    tags=("E206", "E29", "A6", "A1"),
+)
+def q_feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pairwise Pearson correlation matrix over the lineitem
+    numeric features, ALL SIX pairs from ONE aggregate pass — the
+    multicollinearity screen run before any feature set ships. Each
+    pair uses the deterministic DECIMAL-moment form (E29's dcorr);
+    because every pair's moments ride the same hash aggregate, the
+    full matrix costs one scan + one reduce regardless of how many
+    features are crossed (moment count grows quadratically, data
+    passes don't)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            dcorr(F.col(x), F.col(y), sx, sy).alias(
+                f"corr_{x.split('_', 1)[1]}_{y.split('_', 1)[1]}"
+            )
+            for x, sx, y, sy in _cm_pairs()
+        ]
+    )
