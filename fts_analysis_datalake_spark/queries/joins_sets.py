@@ -841,3 +841,97 @@ def q_cosupplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E210: graph modularity of a 2-community split
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cosupplier_modularity",
+    oracle="""
+    WITH edges AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY u, v HAVING COUNT(*) >= 5),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+             CAST(COUNT(*) FILTER (WHERE u % 2 = 0 AND v % 2 = 0) AS DOUBLE)
+               AS e00,
+             CAST(COUNT(*) FILTER (WHERE u % 2 = 1 AND v % 2 = 1) AS DOUBLE)
+               AS e11
+      FROM edges),
+    deg AS (
+      SELECT CAST(node % 2 AS INTEGER) AS c, CAST(COUNT(*) AS DOUBLE) AS dc
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY c),
+    dsum AS (
+      SELECT MAX(CASE WHEN c = 0 THEN dc END) AS d0,
+             MAX(CASE WHEN c = 1 THEN dc END) AS d1
+      FROM deg)
+    SELECT CAST(stats.m AS BIGINT) AS n_edges,
+           CAST(stats.e00 AS BIGINT) AS edges_within_0,
+           CAST(stats.e11 AS BIGINT) AS edges_within_1,
+           CAST(FLOOR(
+             ( (stats.e00 / stats.m - (dsum.d0 / (2.0e0 * stats.m))
+                                      * (dsum.d0 / (2.0e0 * stats.m)))
+             + (stats.e11 / stats.m - (dsum.d1 / (2.0e0 * stats.m))
+                                      * (dsum.d1 / (2.0e0 * stats.m))))
+             * 1000000000 + 0.5) AS BIGINT) / 1000000000.0 AS modularity
+    FROM stats, dsum
+    """,
+    tags=("E210", "E189", "A1", "F6"),
+)
+def q_cosupplier_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the parity 2-community split on the
+    thresholded co-supplier graph: Q = sum_c (e_c/m - (D_c/2m)^2) —
+    the partition-quality number community detection optimizes, here
+    evaluated for a fixed split so the metric itself is the declared
+    operator (a Q near 0 says supplier parity is no community
+    structure — the null check a clustering pipeline needs). Shares
+    the E189 edge builder; one edge aggregate + one degree aggregate
+    produce every term."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("u", "v")
+    )
+    stats = edges.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(((F.col("u") % 2 == 0) & (F.col("v") % 2 == 0)).cast("long"))
+        .cast("double")
+        .alias("e00"),
+        F.sum(((F.col("u") % 2 == 1) & (F.col("v") % 2 == 1)).cast("long"))
+        .cast("double")
+        .alias("e11"),
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy((F.col("node") % 2).cast("int").alias("c"))
+        .agg(F.count(F.lit(1)).cast("double").alias("dc"))
+    )
+    pick = lambda cc: F.max(F.when(F.col("c") == cc, F.col("dc")))  # noqa: E731
+    dsums = deg.agg(pick(0).alias("d0"), pick(1).alias("d1"))
+    mm = F.col("m")
+    q = (
+        F.col("e00") / mm
+        - (F.col("d0") / (2.0 * mm)) * (F.col("d0") / (2.0 * mm))
+    ) + (
+        F.col("e11") / mm
+        - (F.col("d1") / (2.0 * mm)) * (F.col("d1") / (2.0 * mm))
+    )
+    return stats.crossJoin(F.broadcast(dsums)).select(
+        mm.cast("bigint").alias("n_edges"),
+        F.col("e00").cast("bigint").alias("edges_within_0"),
+        F.col("e11").cast("bigint").alias("edges_within_1"),
+        (F.floor(q * 1e9 + F.lit(0.5)).cast("bigint") / 1e9).alias("modularity"),
+    )

@@ -1952,3 +1952,223 @@ def q_feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             for x, sx, y, sy in _cm_pairs()
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# E208: multiple linear regression — normal equations via Cramer's rule
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_multiple_regression_price",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))) AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))
+                      * CAST(l_quantity AS DECIMAL(19,0))) AS DOUBLE) AS sx11,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))
+                      * CAST(FLOOR(l_discount * 100 + 0.5) AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sx12,
+             CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS DECIMAL(19,0))
+                      * CAST(FLOOR(l_discount * 100 + 0.5) AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sx22,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))
+                      * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sx1y,
+             CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS DECIMAL(19,0))
+                      * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sx2y,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(28,0))
+                      * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(28,0)))
+                  AS DOUBLE) AS syy
+      FROM lineitem),
+    sol AS (
+      SELECT n, sy, sx1y, sx2y, syy,
+             (n * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx12 - sx11 * sx2)) AS det,
+             (sy * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1y * sx22 - sx12 * sx2y)
+              + sx2 * (sx1y * sx12 - sx11 * sx2y)) AS det0,
+             (n * (sx1y * sx22 - sx12 * sx2y)
+              - sy * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx2y - sx1y * sx2)) AS det1,
+             (n * (sx11 * sx2y - sx1y * sx12)
+              - sx1 * (sx1 * sx2y - sx1y * sx2)
+              + sy * (sx1 * sx12 - sx11 * sx2)) AS det2
+      FROM m)
+    SELECT CAST(FLOOR(det0 / det / 100.0 * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS b0,
+           CAST(FLOOR(det1 / det / 100.0 * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS b1_per_qty,
+           CAST(FLOOR(det2 / det * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS b2_per_discount,
+           CAST(FLOOR(
+             (1.0e0 - (syy - (det0 / det) * sy - (det1 / det) * sx1y
+                           - (det2 / det) * sx2y)
+                      / (syy - sy * sy / n)) * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS r2
+    FROM sol
+    """,
+    tags=("E208", "E109", "A6", "F6"),
+)
+def q_multiple_regression_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression (price ~ quantity + discount) by
+    the NORMAL EQUATIONS, solved in closed form with Cramer's rule —
+    the multivariate extension of the single-feature OLS (E109): all
+    nine moment sums are exact DECIMAL integers from one aggregate
+    pass, the 3x3 determinants are fixed-order double expressions,
+    and no iteration or solver library appears anywhere. b0/b1 are
+    reported in price units (cents scale divided back out), b2 per
+    unit discount, plus in-sample R^2 from the same moments. At any
+    scale this is one scan + a 1-row solve."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("decimal(19,0)")
+    x2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    y28 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("decimal(28,0)")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("sx1"),
+        F.sum(x2).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("sx11"),
+        F.sum(x1 * x2).cast("double").alias("sx12"),
+        F.sum(x2 * x2).cast("double").alias("sx22"),
+        F.sum(x1 * y).cast("double").alias("sx1y"),
+        F.sum(x2 * y).cast("double").alias("sx2y"),
+        F.sum(y28 * y28).cast("double").alias("syy"),
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sy, sx11, sx12 = F.col("sy"), F.col("sx11"), F.col("sx12")
+    sx22, sx1y, sx2y, syy = F.col("sx22"), F.col("sx1y"), F.col("sx2y"), F.col("syy")
+    det = (
+        n * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx12 - sx11 * sx2)
+    )
+    det0 = (
+        sy * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1y * sx22 - sx12 * sx2y)
+        + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    )
+    det1 = (
+        n * (sx1y * sx22 - sx12 * sx2y)
+        - sy * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    det2 = (
+        n * (sx11 * sx2y - sx1y * sx12)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx12 - sx11 * sx2)
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("bigint") / 1e6  # noqa: E731
+    sse = syy - (det0 / det) * sy - (det1 / det) * sx1y - (det2 / det) * sx2y
+    sst = syy - sy * sy / n
+    return m.select(
+        q6(det0 / det / 100.0).alias("b0"),
+        q6(det1 / det / 100.0).alias("b1_per_qty"),
+        q6(det2 / det).alias("b2_per_discount"),
+        q6(F.lit(1.0) - sse / sst).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E209: Mahalanobis outlier ranking — covariance-aware anomaly distance
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_mahalanobis_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))
+                      * CAST(l_quantity AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))
+                      * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(28,0))
+                      * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DECIMAL(28,0)))
+                  AS DOUBLE) AS syy
+      FROM lineitem),
+    cov AS (
+      SELECT sx / n AS mx, sy / n AS my,
+             (sxx - sx * sx / n) / (n - 1) AS vxx,
+             (sxy - sx * sy / n) / (n - 1) AS vxy,
+             (syy - sy * sy / n) / (n - 1) AS vyy
+      FROM m),
+    scored AS (
+      SELECT l_orderkey, l_linenumber,
+             (  vyy * (l_quantity - mx) * (l_quantity - mx)
+              - 2.0e0 * vxy * (l_quantity - mx)
+                * (CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) - my)
+              + vxx * (CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) - my)
+                * (CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) - my))
+             / (vxx * vyy - vxy * vxy) AS d2
+      FROM lineitem, cov)
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(d2 * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS maha_d2
+    FROM scored
+    ORDER BY maha_d2 DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+    tags=("E209", "A6", "F6", "O3"),
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mahalanobis outlier ranking over (quantity, price): the
+    covariance-AWARE anomaly distance — a point can be unremarkable
+    on each axis yet wildly off the joint distribution (high
+    quantity at a low price), which per-column z-scores (E32) and
+    p99 bands miss. The 2x2 covariance comes from exact DECIMAL
+    moments, its inverse is closed-form inside the quadratic form,
+    and the top-10 is TakeOrderedAndProject — one scan for moments,
+    one broadcast-join scan to score."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(19,0)")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    y28 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("decimal(28,0)")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y28 * y28).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = m.select(
+        (sx / n).alias("mx"),
+        (sy / n).alias("my"),
+        ((F.col("sxx") - sx * sx / n) / (n - 1)).alias("vxx"),
+        ((F.col("sxy") - sx * sy / n) / (n - 1)).alias("vxy"),
+        ((F.col("syy") - sy * sy / n) / (n - 1)).alias("vyy"),
+    )
+    xd = F.col("l_quantity") - F.col("mx")
+    yd = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("double")
+        - F.col("my")
+    )
+    d2 = (
+        F.col("vyy") * xd * xd
+        - F.lit(2.0) * F.col("vxy") * xd * yd
+        + F.col("vxx") * yd * yd
+    ) / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+    return (
+        li.crossJoin(F.broadcast(cov))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.floor(d2 * 1e6 + F.lit(0.5)).cast("bigint") / 1e6).alias("maha_d2"),
+        )
+        .orderBy(F.col("maha_d2").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
