@@ -2172,3 +2172,282 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maha_d2").desc(), "l_orderkey", "l_linenumber")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# E211: VaR / CVaR — tail-risk order statistics
+# --------------------------------------------------------------------------
+
+_VAR_ALPHA = 0.95
+
+
+@query(
+    "q_value_at_risk",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v, o_orderkey
+      FROM orders),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM vals),
+    var AS (
+      SELECT v AS var_c, n FROM ranked
+      WHERE rn = CAST(CEIL({_VAR_ALPHA!r}e0 * n) AS BIGINT)),
+    tail AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+             CAST(SUM(r.v) AS DOUBLE) / COUNT(*) / 100.0 AS cvar
+      FROM ranked r, var
+      WHERE r.rn > CAST(CEIL({_VAR_ALPHA!r}e0 * var.n) AS BIGINT))
+    SELECT var.var_c / 100.0 AS var95,
+           CAST(FLOOR(tail.cvar * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS cvar95,
+           tail.n_tail
+    FROM var, tail
+    """,
+    tags=("E211", "A5", "W1", "O1"),
+)
+def q_value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-risk and conditional VaR (expected shortfall) of the
+    order-value distribution: VaR95 is the exact ceil(0.95n) order
+    statistic, CVaR95 the mean of everything beyond it — the
+    coherent tail-risk pair (CVaR sees HOW BAD the tail is, VaR only
+    where it starts). Exact order statistics over integer cents with
+    orderkey tie-break; the tail mean sums integers before the one
+    division."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+        "o_orderkey",
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = vals.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "o_orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    k = F.ceil(F.lit(_VAR_ALPHA) * F.col("n")).cast("bigint")
+    var = ranked.filter(F.col("rn") == k).select(
+        F.col("v").alias("var_c"), F.col("n")
+    )
+    tail = (
+        ranked.crossJoin(F.broadcast(var.select(F.col("n").alias("n_v"))))
+        .filter(F.col("rn") > F.ceil(F.lit(_VAR_ALPHA) * F.col("n_v")).cast("bigint"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+            (F.sum("v").cast("double") / F.count(F.lit(1)) / 100.0).alias("cvar"),
+        )
+    )
+    return var.crossJoin(F.broadcast(tail)).select(
+        (F.col("var_c") / 100.0).alias("var95"),
+        (F.floor(F.col("cvar") * 1e6 + F.lit(0.5)).cast("bigint") / 1e6).alias(
+            "cvar95"
+        ),
+        "n_tail",
+    )
+
+
+# --------------------------------------------------------------------------
+# E212: James-Stein / empirical-Bayes shrinkage of per-user means
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_james_stein_user_means",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n_i,
+             CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS mean_i
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS mu,
+             (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0))
+                       * CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0)))
+                   AS DOUBLE) / 10000.0
+              - CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 1000000.0
+                * (CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0) / COUNT(*))
+             / (COUNT(*) - 1) AS s2
+      FROM events),
+    tau AS (
+      SELECT g.mu, g.s2,
+             GREATEST(
+               (CAST(SUM(CAST(FLOOR((p.mean_i - g.mu) * (p.mean_i - g.mu)
+                                    * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 1000000000.0 / COUNT(*))
+               - g.s2 * CAST(SUM(CAST(FLOOR(1000000000.0 / p.n_i + 0.5) AS BIGINT))
+                             AS DOUBLE) / 1000000000.0 / COUNT(*),
+               0.0e0) AS tau2
+      FROM per_user p, g
+      GROUP BY g.mu, g.s2)
+    SELECT p.user_id, CAST(p.n_i AS BIGINT) AS n_i,
+           CAST(FLOOR(p.mean_i * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS raw_mean,
+           CAST(FLOOR(
+             (t.tau2 / (t.tau2 + t.s2 / p.n_i) * p.mean_i
+              + (t.s2 / p.n_i) / (t.tau2 + t.s2 / p.n_i) * t.mu)
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS shrunk_mean
+    FROM per_user p, tau t
+    ORDER BY p.user_id
+    """,
+    tags=("E212", "A1", "A6", "F6"),
+)
+def q_james_stein_user_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (James-Stein-style) shrinkage of per-user mean
+    values: each user's noisy mean is pulled toward the global mean
+    with weight s2/n_i / (tau2 + s2/n_i), where the between-user
+    variance tau2 is method-of-moments estimated from the spread of
+    user means minus the sampling noise — the partial-pooling move
+    that beats raw per-key means whenever keys are thin (every
+    per-user dashboard at 100 TB has thin keys). Within-user
+    variance and tau2 come from quantized moment sums; shrinkage
+    itself is a per-row closed form."""
+    e = load_table(spark, sf_dir, "events")
+    q6 = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+    q2 = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        (F.sum(q6).cast("double") / 1e6 / F.count(F.lit(1))).alias("mean_i"),
+    )
+    g = e.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(q6).cast("double") / 1e6 / F.count(F.lit(1))).alias("mu"),
+        (
+            (
+                F.sum(q2 * q2).cast("double") / 1e4
+                - (F.sum(q6).cast("double") / 1e6)
+                * (F.sum(q6).cast("double") / 1e6)
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("s2"),
+    )
+    tau = (
+        per_user.crossJoin(F.broadcast(g))
+        .groupBy("mu", "s2")
+        .agg(
+            F.greatest(
+                (
+                    F.sum(
+                        F.floor(
+                            (F.col("mean_i") - F.col("mu"))
+                            * (F.col("mean_i") - F.col("mu"))
+                            * 1e9
+                            + F.lit(0.5)
+                        ).cast("bigint")
+                    ).cast("double")
+                    / 1e9
+                    / F.count(F.lit(1))
+                )
+                - F.col("s2")
+                * F.sum(
+                    F.floor(F.lit(1e9) / F.col("n_i") + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / 1e9
+                / F.count(F.lit(1)),
+                F.lit(0.0),
+            ).alias("tau2")
+        )
+    )
+    b_num = F.col("tau2")
+    b_noise = F.col("s2") / F.col("n_i")
+    shrunk = (
+        b_num / (b_num + b_noise) * F.col("mean_i")
+        + b_noise / (b_num + b_noise) * F.col("mu")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(tau))
+        .select(
+            "user_id",
+            F.col("n_i").cast("bigint").alias("n_i"),
+            (F.floor(F.col("mean_i") * 1e6 + F.lit(0.5)).cast("bigint") / 1e6).alias(
+                "raw_mean"
+            ),
+            (F.floor(shrunk * 1e6 + F.lit(0.5)).cast("bigint") / 1e6).alias(
+                "shrunk_mean"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# E213: capture-recapture population estimate (Chapman)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_capture_recapture_users",
+    oracle="""
+    WITH sample1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(('0x' || substring(md5('cr1:' || CAST(event_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) % 10 < 3),
+    sample2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(('0x' || substring(md5('cr2:' || CAST(event_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) % 10 < 3),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM sample1) AS n1,
+             (SELECT COUNT(*) FROM sample2) AS n2,
+             (SELECT COUNT(*) FROM sample1 WHERE user_id IN
+               (SELECT user_id FROM sample2)) AS m,
+             (SELECT COUNT(DISTINCT user_id) FROM events) AS truth)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(m AS BIGINT) AS n_both,
+           CAST(FLOOR(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m + 1) - 1.0e0)
+                AS BIGINT) AS chapman_estimate,
+           CAST(truth AS BIGINT) AS true_population
+    FROM counts
+    """,
+    tags=("E213", "A4", "J3", "F11"),
+)
+def q_capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation (Chapman estimator):
+    two independent md5-derived 30% event samples 'capture' users,
+    and N-hat = (n1+1)(n2+1)/(m+1) - 1 estimates the total
+    population from the overlap — the ecology/census method that
+    answers 'how many distinct entities exist beyond what any one
+    sample saw', a different question than counting distinct in
+    data you HAVE (A4). Both samples, the overlap semi-join, and
+    the truth column are deterministic, so the estimate itself is
+    hash-checked."""
+    e = load_table(spark, sf_dir, "events")
+    h = lambda tag: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{tag}:"), F.col("event_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    s1 = e.filter(h("cr1") < 3).select("user_id").distinct()
+    s2 = e.filter(h("cr2") < 3).select("user_id").distinct()
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    m = s1.join(s2, "user_id", "left_semi").agg(F.count(F.lit(1)).alias("m"))
+    truth = e.agg(F.count_distinct("user_id").alias("truth"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.col("m").cast("bigint").alias("n_both"),
+            F.floor(
+                ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+                / (F.col("m") + 1)
+                - F.lit(1.0)
+            )
+            .cast("bigint")
+            .alias("chapman_estimate"),
+            F.col("truth").cast("bigint").alias("true_population"),
+        )
+    )
