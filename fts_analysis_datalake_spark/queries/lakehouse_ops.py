@@ -824,3 +824,184 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
         (F.sum(rev) / 100.0).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# E214: optimistic-concurrency write-write conflict audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_occ_conflict_audit",
+    oracle="""
+    WITH batch_a AS (
+      SELECT c_custkey FROM customer
+      WHERE CAST(('0x' || substring(md5('occ-a:' || CAST(c_custkey AS VARCHAR)),
+                  1, 13)) AS BIGINT) % 10 < 2),
+    batch_b AS (
+      SELECT c_custkey FROM customer
+      WHERE CAST(('0x' || substring(md5('occ-b:' || CAST(c_custkey AS VARCHAR)),
+                  1, 13)) AS BIGINT) % 10 < 2),
+    conflict AS (
+      SELECT c_custkey FROM batch_a WHERE c_custkey IN
+        (SELECT c_custkey FROM batch_b))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM batch_a) AS n_writes_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM batch_b) AS n_writes_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM conflict) AS n_conflicts,
+           CAST(FLOOR(
+             CAST((SELECT COUNT(*) FROM conflict) AS DOUBLE)
+             / (SELECT COUNT(*) FROM batch_a) * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS conflict_rate_a,
+           (SELECT CAST(MIN(c_custkey) AS BIGINT) FROM conflict)
+             AS first_conflict_key
+    """,
+    tags=("E214", "J3", "F11", "A1"),
+)
+def q_occ_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency conflict detection — what a lakehouse
+    commit protocol checks before accepting the second of two
+    overlapping transactions: two md5-derived 20% update batches
+    against the customer table, their write-write intersection
+    (keys BOTH transactions touched), the conflict rate, and the
+    first conflicting key for the retry/abort report. The check is
+    a semi-join of key sets — at table scale this is exactly the
+    file-level/row-level conflict test a Delta/Iceberg commit runs,
+    expressed at row granularity."""
+    c = load_table(spark, sf_dir, "customer")
+    h = lambda tag: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{tag}:"), F.col("c_custkey").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    a = c.filter(h("occ-a") < 2).select("c_custkey")
+    b = c.filter(h("occ-b") < 2).select("c_custkey")
+    conflict = a.join(b, "c_custkey", "left_semi")
+    na = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_writes_a"))
+    nb = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_writes_b"))
+    nc = conflict.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conflicts"),
+        F.min("c_custkey").cast("bigint").alias("first_conflict_key"),
+    )
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_writes_a",
+            "n_writes_b",
+            "n_conflicts",
+            (
+                F.floor(
+                    F.col("n_conflicts").cast("double")
+                    / F.col("n_writes_a")
+                    * 1e6
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("conflict_rate_a"),
+            "first_conflict_key",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E215: bitemporal as-of query — valid time x transaction time
+# --------------------------------------------------------------------------
+
+_BT_VALID_CUTOFF = "2024-01-15 00:00:00"
+
+
+@query(
+    "q_bitemporal_asof_state",
+    oracle=f"""
+    WITH versioned AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS v,
+             CAST(('0x' || substring(md5('load:' || CAST(event_id AS VARCHAR)),
+                   1, 13)) AS BIGINT) % 3 AS load_batch
+      FROM events),
+    at_l1 AS (
+      SELECT user_id, v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM versioned
+      WHERE ts <= TIMESTAMP '{_BT_VALID_CUTOFF}' AND load_batch <= 1),
+    at_now AS (
+      SELECT user_id, v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM versioned
+      WHERE ts <= TIMESTAMP '{_BT_VALID_CUTOFF}')
+    SELECT n.user_id,
+           l.v AS value_known_at_load1,
+           n.v AS value_known_now,
+           l.v IS DISTINCT FROM n.v AS late_corrected
+    FROM (SELECT user_id, v FROM at_now WHERE rn = 1) n
+    LEFT JOIN (SELECT user_id, v FROM at_l1 WHERE rn = 1) l USING (user_id)
+    ORDER BY n.user_id
+    """,
+    tags=("E215", "E26", "W1", "W7", "F4"),
+)
+def q_bitemporal_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of: per-user state at VALID time Jan-15 as the
+    system knew it at TRANSACTION time load-1 vs as it knows it now
+    (all loads) — the two-clock query that separates 'what was true'
+    from 'what we believed was true', which SCD2 (one clock) cannot
+    answer. Rows flagged late_corrected are exactly the late-arriving
+    facts that rewrote history between loads — the restatement audit
+    a regulated pipeline must produce. Each knowledge state is one
+    window rank over the load-filtered stream; the load batch is an
+    md5-derived deterministic stand-in for ingestion time."""
+    e = load_table(spark, sf_dir, "events")
+    versioned = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint") / 1e6).alias("v"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("load:"), F.col("event_id").cast("string"))
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        ).alias("load_batch"),
+    ).filter(F.col("ts") <= F.lit(_BT_VALID_CUTOFF).cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    at_l1 = (
+        versioned.filter(F.col("load_batch") <= 1)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("v").alias("value_known_at_load1"))
+    )
+    at_now = (
+        versioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("v").alias("value_known_now"))
+    )
+    return (
+        at_now.join(at_l1, "user_id", "left")
+        .select(
+            "user_id",
+            "value_known_at_load1",
+            "value_known_now",
+            (
+                ~F.col("value_known_at_load1").eqNullSafe(F.col("value_known_now"))
+            ).alias("late_corrected"),
+        )
+        .orderBy("user_id")
+    )
