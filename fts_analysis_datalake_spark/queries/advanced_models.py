@@ -1,0 +1,946 @@
+"""Advanced model-evaluation and inference queries (SURVEY.md §2.12
+E216-E225): ranked-retrieval AP, threshold sweeps with MCC, one-way
+ANOVA, Mann-Whitney U, Nelson-Aalen hazard, AR(1) Yule-Walker with
+Ljung-Box, and their kin.
+
+Design rules shared by every query here:
+
+- **Exact-integer determinism.** Every statistic that sums a rational
+  series (precision@k terms, d/n hazard increments) quantizes each
+  term with BIGINT floor-division *before* the sum, so both engines
+  add identical integers in any order (the functions/deterministic.py
+  recipe extended from sums to series).
+- **Moments, not rows.** ANOVA/U/AR(1) reduce the fact table to
+  per-group DECIMAL moment sums or distinct-value count frames first;
+  the O(rows) stage is one partial-aggregated scan, and everything
+  after runs on frames bounded by the attribute domain — the 100 TB
+  shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# E216: average precision (area under the PR curve, step interpolation)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_average_precision",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(event_type = 'purchase' AS BIGINT) AS pos,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC,
+                        event_id) AS rnk,
+             SUM(CAST(event_type = 'purchase' AS BIGINT)) OVER (
+               ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC,
+                        event_id) AS cumpos
+      FROM events),
+    terms AS (
+      SELECT pos, cumpos, rnk,
+             (cumpos * 1000000000) // rnk AS prec_q
+      FROM scored)
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pos = 1 THEN prec_q ELSE 0 END) AS BIGINT)
+             / 1000000000.0 / SUM(pos) AS average_precision,
+           CAST(SUM(pos) AS BIGINT) * 1.0 / COUNT(*) AS base_rate
+    FROM terms
+    """,
+    tags=("E216", "W4", "W1", "A1"),
+)
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision — the area under the precision-recall curve
+    under step interpolation: AP = mean over positives of
+    precision@rank, ranking events by `value` as a purchase score.
+    The PR complement of E135's ROC AUC: on a 20%-positive base rate
+    the two disagree exactly when a ranker piles false positives at
+    the head, which ROC under-penalizes. Ranking ties are broken by
+    event_id on BOTH sides (scores first quantized to cents so the
+    double sort key is identical cross-engine), and each
+    precision@rank term is floor-quantized to 1e-9 via BIGINT
+    division before the sum, so the engine-side accumulation adds
+    exact integers in any order. One global-sort window over the
+    scored scan — at 100 TB the ranked prefix sum is a single
+    range-partitioned window, no per-rank shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    score = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    pos = (F.col("event_type") == "purchase").cast("bigint")
+    w = Window.orderBy(score.desc(), "event_id")
+    scored = e.select(
+        pos.alias("pos"),
+        F.row_number().over(w).alias("rnk"),
+        F.sum(pos).over(w).alias("cumpos"),
+    )
+    terms = scored.select(
+        "pos",
+        F.expr("(cumpos * 1000000000) DIV rnk").alias("prec_q"),
+    )
+    return terms.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.when(F.col("pos") == 1, F.col("prec_q")).otherwise(F.lit(0)))
+            .cast("bigint")
+            / 1000000000.0
+            / F.sum("pos")
+        ).alias("average_precision"),
+        (F.sum("pos").cast("bigint") * 1.0 / F.count(F.lit(1))).alias("base_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E217: threshold sweep — confusion matrix, F1 and MCC per cutoff
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_threshold_sweep_mcc",
+    oracle="""
+    WITH labeled AS (
+      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(event_type = 'purchase' AS BIGINT) AS pos
+      FROM events),
+    grid AS (SELECT 4900 * g AS thr FROM generate_series(1, 9) t(g)),
+    conf AS (
+      SELECT g.thr,
+             SUM(CASE WHEN l.cents >= g.thr THEN l.pos ELSE 0 END) AS tp,
+             SUM(CASE WHEN l.cents >= g.thr THEN 1 - l.pos ELSE 0 END) AS fp,
+             SUM(CASE WHEN l.cents <  g.thr THEN l.pos ELSE 0 END) AS fn,
+             SUM(CASE WHEN l.cents <  g.thr THEN 1 - l.pos ELSE 0 END) AS tn
+      FROM labeled l CROSS JOIN grid g
+      GROUP BY g.thr)
+    SELECT thr,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(FLOOR(2.0e0 * tp / (2.0e0 * tp + fp + fn) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS f1,
+           CAST(FLOOR(
+             (tp * tn - fp * fn) /
+             sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                  * CAST((tn + fp) * (tn + fn) AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS mcc,
+           CAST(FLOOR(
+             (1.0e0 * tp / (tp + fn) + 1.0e0 * tn / (tn + fp) - 1.0e0)
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS youden_j
+    FROM conf ORDER BY thr
+    """,
+    tags=("E217", "A1", "J10", "F6"),
+)
+def q_threshold_sweep_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier operating-point sweep: confusion matrix, F1,
+    Matthews correlation and Youden's J at nine fixed cutoffs of the
+    value score (a 49-unit grid over the score range) — the table a
+    deployment picks its threshold from, with MCC as the
+    prevalence-robust summary and J as the ROC-optimal pick. The
+    9-row grid is CROSS JOINed against the labeled scan and reduced
+    in ONE partial aggregate (each event contributes to every
+    threshold's counters map-side), so the full sweep costs one scan
+    and a 9-row shuffle regardless of data size. Counts are exact
+    integers; each derived ratio is floor-quantized to 1e-6
+    identically on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    labeled = e.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("pos"),
+    )
+    grid = spark.range(1, 10).select((F.col("id") * 4900).alias("thr"))
+    hit = F.col("cents") >= F.col("thr")
+    conf = (
+        labeled.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(hit, F.col("pos")).otherwise(0)).alias("tp"),
+            F.sum(F.when(hit, 1 - F.col("pos")).otherwise(0)).alias("fp"),
+            F.sum(F.when(~hit, F.col("pos")).otherwise(0)).alias("fn"),
+            F.sum(F.when(~hit, 1 - F.col("pos")).otherwise(0)).alias("tn"),
+        )
+    )
+    tp, fp, fn, tn = [F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn")]
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1000000.0
+
+    return conf.select(
+        "thr",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        q6(2.0 * tp / (2.0 * tp + fp + fn)).alias("f1"),
+        q6(
+            (tp * tn - fp * fn)
+            / F.sqrt((tp + fp) * (tp + fn) * ((tn + fp) * (tn + fn)))
+        ).alias("mcc"),
+        q6(tp / (tp + fn) + tn / (tn + fp) - 1.0).alias("youden_j"),
+    ).orderBy("thr")
+
+
+# --------------------------------------------------------------------------
+# E218: one-way ANOVA — F statistic across event-type groups
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_anova_value_by_type",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0)))
+                  AS BIGINT) AS s1,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0))
+                      * CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(19,0)))
+                  AS BIGINT) AS s2
+      FROM events GROUP BY event_type),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s1) AS BIGINT) AS s1,
+             CAST(SUM(s2) AS BIGINT) AS s2,
+             CAST(SUM(CAST(FLOOR(CAST(s1 AS DOUBLE) * s1 / n) AS BIGINT))
+                  AS BIGINT) AS sg
+      FROM g)
+    SELECT k AS n_groups, n AS n_rows,
+           CAST(FLOOR((sg - CAST(s1 AS DOUBLE) * s1 / n) / 10000.0 * 10000 + 0.5)
+                AS BIGINT) / 10000.0 AS ss_between,
+           CAST(FLOOR((s2 - CAST(sg AS DOUBLE)) / 10000.0 * 10000 + 0.5)
+                AS BIGINT) / 10000.0 AS ss_within,
+           CAST(FLOOR(((sg - CAST(s1 AS DOUBLE) * s1 / n) / (k - 1))
+                      / ((s2 - CAST(sg AS DOUBLE)) / (n - k))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS f_stat
+    FROM tot
+    """,
+    tags=("E218", "A1", "A6", "F6"),
+)
+def q_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five event types on `value`: the
+    between/within sum-of-squares decomposition and the F statistic —
+    the k-group generalization of E130's two-sample z test (F near 1
+    = the type means are indistinguishable). Everything derives from
+    per-group exact integer moments (n, sum, sum-of-squares over
+    cents), so the partial aggregation is one scan with map-side
+    combine; the k-row algebra after it quantizes each group's
+    s1^2/n contribution to BIGINT before the cross-group sum, so no
+    double is accumulated in data-dependent order — hash-exact. At
+    100 TB the shuffle carries k rows of three numbers."""
+    e = load_table(spark, sf_dir, "events")
+    xi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi).cast("bigint").alias("s1"),
+        F.sum(xi * xi).cast("bigint").alias("s2"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("s1"),
+        F.sum("s2").cast("bigint").alias("s2"),
+        F.sum(
+            F.floor(
+                F.col("s1").cast("double") * F.col("s1") / F.col("n")
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sg"),
+    )
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("sg") - F.col("s1").cast("double") * F.col("s1") / n
+    ssw = F.col("s2") - F.col("sg").cast("double")
+
+    def q4(c):
+        return F.floor(c * 10000 + F.lit(0.5)).cast("bigint") / 10000.0
+
+    return tot.select(
+        k.alias("n_groups"),
+        n.alias("n_rows"),
+        q4(ssb / 10000.0).alias("ss_between"),
+        q4(ssw / 10000.0).alias("ss_within"),
+        (
+            F.floor((ssb / (k - 1)) / (ssw / (n - k)) * 1000000 + F.lit(0.5)).cast(
+                "bigint"
+            )
+            / 1000000.0
+        ).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E219: Mann-Whitney U — rank-sum test with tie correction
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_mann_whitney_value",
+    oracle="""
+    WITH pool AS (
+      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(event_type = 'purchase' AS BIGINT) AS in_a
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    byval AS (
+      SELECT cents, COUNT(*) AS cnt, SUM(in_a) AS cnt_a
+      FROM pool GROUP BY cents),
+    ranked AS (
+      SELECT cents, cnt, cnt_a,
+             COALESCE(SUM(cnt) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM byval),
+    sums AS (
+      SELECT SUM(cnt_a) AS n1, SUM(cnt - cnt_a) AS n2, SUM(cnt) AS n,
+             SUM(cnt_a * (2 * below + cnt + 1)) AS two_r1,
+             SUM(cnt * cnt * cnt - cnt) AS tie_term
+      FROM ranked)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(FLOOR(
+             ((two_r1 - n1 * (n1 + 1)) / 2.0e0 - n1 * n2 / 2.0e0)
+             / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0e0
+                    * ((n + 1) - CAST(tie_term AS DOUBLE) / (n * (n - 1.0e0))))
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS z_stat
+    FROM sums
+    """,
+    tags=("E219", "W4", "A1", "F6"),
+)
+def q_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing purchase vs view
+    values — the nonparametric two-sample test that E130's z test
+    can't replace when the distributions are skewed. Classic
+    distributed formulation: collapse to the distinct-value count
+    frame (bounded by the cents domain, not row count), get each
+    value's midrank from a prefix sum over counts, and form the rank
+    sum R1 as an exact integer by carrying 2*R1 (midranks are
+    half-integers). Tie correction uses the same frame's cnt^3-cnt
+    sum. The z statistic is one fixed-order double expression off
+    five exact integers, floor-quantized at 1e-6. One scan + one
+    domain-sized window — no per-row ranking shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    pool = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("in_a"),
+    )
+    byval = pool.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("in_a").alias("cnt_a")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.select(
+        "cents",
+        "cnt",
+        "cnt_a",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+    )
+    sums = ranked.agg(
+        F.sum("cnt_a").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).alias("n2"),
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt_a") * (2 * F.col("below") + F.col("cnt") + 1)).alias(
+            "two_r1"
+        ),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_term"),
+    )
+    n1, n2, n = [F.col(c).cast("double") for c in ("n1", "n2", "n")]
+    u1 = (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)) / 2
+    mu = n1 * n2 / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0 * ((n + 1) - F.col("tie_term").cast("double") / (n * (n - 1.0)))
+    )
+    return sums.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+        .cast("bigint")
+        .alias("u1_x2"),
+        (
+            F.floor((u1.cast("double") - mu) / sigma * 1000000 + F.lit(0.5)).cast(
+                "bigint"
+            )
+            / 1000000.0
+        ).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E220: Nelson-Aalen cumulative hazard over user lifetimes
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_nelson_aalen_hazard",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(FLOOR(epoch(MAX(l_shipdate))) AS BIGINT) AS end_s
+      FROM lineitem),
+    lifetimes AS (
+      SELECT l_orderkey,
+             (CAST(FLOOR(epoch(MAX(l_shipdate))) AS BIGINT)
+              - CAST(FLOOR(epoch(MIN(l_shipdate))) AS BIGINT)) // 86400
+               AS life_days,
+             CAST(CAST(FLOOR(epoch(MAX(l_shipdate))) AS BIGINT)
+                  < (SELECT end_s FROM span) - 5184000 AS BIGINT) AS died
+      FROM lineitem GROUP BY l_orderkey),
+    risk AS (
+      SELECT life_days AS t, SUM(died) AS d, COUNT(*) AS ended,
+             SUM(COUNT(*)) OVER (ORDER BY life_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ended_before,
+             (SELECT COUNT(*) FROM lifetimes) AS n_total
+      FROM lifetimes GROUP BY life_days),
+    steps AS (
+      SELECT t, d, n_total - COALESCE(ended_before, 0) AS at_risk,
+             (d * 1000000000) // (n_total - COALESCE(ended_before, 0)) AS dh_q
+      FROM risk WHERE d > 0)
+    SELECT t AS life_days, CAST(d AS BIGINT) AS deaths,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(SUM(dh_q) OVER (ORDER BY t) AS BIGINT) / 1000000000.0
+             AS cum_hazard
+    FROM steps ORDER BY t
+    """,
+    tags=("E220", "W4", "A8", "F4"),
+)
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over order shipping
+    spans (first-to-last lineitem shipdate, whole days — always >= 0
+    in this fixture, unlike orderdate-based spans), the
+    counting-process sibling of E158's Kaplan-Meier:
+    H(t) = sum_{t_i<=t} d_i/n_i. Orders whose last shipment falls in
+    the final 60 days of the global ship horizon are right-censored
+    (more shipments could still arrive). Spans reduce the lineitem
+    scan to one row per order; the at-risk set n_i comes from a
+    prefix sum over the day-granular span histogram (domain-sized,
+    ~100 rows), and each hazard increment d/n is floor-quantized to
+    1e-9 via BIGINT division BEFORE the cumulative sum, so both
+    engines accumulate identical integers. Censored spans contribute
+    to n_i but emit no step, matching the estimator's definition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t_end = li.agg(F.max(F.unix_timestamp("l_shipdate")).alias("end_s"))
+    lifetimes = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min(F.unix_timestamp("l_shipdate")).alias("s0"),
+            F.max(F.unix_timestamp("l_shipdate")).alias("s1"),
+        )
+        .crossJoin(F.broadcast(t_end))
+        .select(
+            F.expr("(s1 - s0) DIV 86400").alias("life_days"),
+            (F.col("s1") < F.col("end_s") - 5184000).cast("bigint").alias("died"),
+        )
+    )
+    n_total = lifetimes.agg(F.count(F.lit(1)).alias("n_total"))
+    risk = (
+        lifetimes.groupBy("life_days")
+        .agg(F.sum("died").alias("d"), F.count(F.lit(1)).alias("ended"))
+        .crossJoin(F.broadcast(n_total))
+    )
+    wprev = Window.orderBy("life_days").rowsBetween(Window.unboundedPreceding, -1)
+    steps = (
+        risk.select(
+            F.col("life_days").alias("t"),
+            "d",
+            (
+                F.col("n_total") - F.coalesce(F.sum("ended").over(wprev), F.lit(0))
+            ).alias("at_risk"),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            "t",
+            "d",
+            "at_risk",
+            F.expr("(d * 1000000000) DIV at_risk").alias("dh_q"),
+        )
+    )
+    wcum = Window.orderBy("t")
+    return steps.select(
+        F.col("t").alias("life_days"),
+        F.col("d").cast("bigint").alias("deaths"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        (F.sum("dh_q").over(wcum).cast("bigint") / 1000000000.0).alias(
+            "cum_hazard"
+        ),
+    ).orderBy("life_days")
+
+
+# --------------------------------------------------------------------------
+# E221: k-core decomposition — fixed-round iterative peeling
+# --------------------------------------------------------------------------
+
+
+def _kcore_oracle() -> str:
+    base = """
+    WITH w AS MATERIALIZED (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+             COUNT(*) AS c
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY u, v),
+    e0 AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT u, v, ROW_NUMBER() OVER (ORDER BY c DESC, u, v) AS rn FROM w)
+      WHERE rn <= 300)"""
+    prev = "e0"
+    for i in range(1, 7):
+        base += f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+      GROUP BY node),
+    n{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= 5),
+    e{i} AS MATERIALIZED (
+      SELECT u, v FROM {prev}
+      WHERE u IN (SELECT node FROM n{i}) AND v IN (SELECT node FROM n{i}))"""
+        prev = f"e{i}"
+    base += """
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+      SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6)
+    GROUP BY node ORDER BY node"""
+    return base
+
+
+@query(
+    "q_kcore_suppliers",
+    oracle=_kcore_oracle(),
+    tags=("E221", "J3", "A1", "W1", "E189"),
+)
+def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=5) of the co-supplier graph by
+    iterative peeling: drop every node of degree < 5, recompute
+    degrees, repeat — the standard dense-subgraph primitive (the
+    5-core is where every member keeps >= 5 strong ties even after
+    weak nodes leave; cliques/communities live inside it). The graph
+    is the top-300 co-supplier pairs by shared-order count
+    (rank-based sparsification so the density is scale-free — a fixed
+    weight cutoff saturates to a complete graph as volume grows).
+    Peeling runs a FIXED 6 rounds on both engines, so the result is
+    well-defined parity even if the fixpoint needs more; each Spark
+    round localCheckpoints (eager) because the edge frame feeds both
+    the degree aggregate and two semi-joins — without it the logical
+    plan doubles per round (the 2^k analyzer blow-up documented in
+    the verify notes; DuckDB twin marks the same CTEs MATERIALIZED).
+    At 100 TB: degrees are one shuffle per round on an edge list
+    already sparsified to O(nodes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
+    w = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("c").desc(), "u", "v"))
+    edges = (
+        w.withColumn("rn", rn).filter(F.col("rn") <= 300).select("u", "v")
+    ).localCheckpoint(eager=True)
+    for _ in range(6):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nodes = deg.filter(F.col("deg") >= 5).select("node")
+        edges = (
+            edges.join(nodes.withColumnRenamed("node", "u"), "u", "leftsemi")
+            .join(nodes.withColumnRenamed("node", "v"), "v", "leftsemi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .orderBy("node")
+    )
+
+
+# --------------------------------------------------------------------------
+# E222: resource-allocation link prediction over the bipartite graph
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_resource_allocation_links",
+    oracle="""
+    WITH sp AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    pd AS (SELECT p, COUNT(*) AS d FROM sp GROUP BY p),
+    scores AS (
+      SELECT a.s AS u, b.s AS v,
+             CAST(COUNT(*) AS BIGINT) AS common_parts,
+             CAST(SUM(1000000000 // pd.d) AS BIGINT) AS score_q
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+      JOIN pd ON pd.p = a.p
+      GROUP BY u, v),
+    ranked AS (
+      SELECT u, v, common_parts, score_q / 1000000000.0 AS ra_score,
+             ROW_NUMBER() OVER (ORDER BY score_q DESC, u, v) AS rn
+      FROM scores)
+    SELECT u, v, common_parts, ra_score FROM ranked WHERE rn <= 20
+    ORDER BY rn
+    """,
+    tags=("E222", "J1", "J11", "A1", "O3"),
+)
+def q_resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (Zhou-Lu-Zhang's RA index,
+    the exactly-computable sibling of Adamic-Adar): for supplier
+    pairs, score = sum over commonly-supplied parts of 1/deg(part) —
+    parts supplied by few suppliers are strong evidence the two
+    suppliers occupy the same niche. Each 1/deg term is BIGINT
+    floor-division-quantized to 1e-9 (RA's rational weights make the
+    whole score exact integer arithmetic — the reason to prefer it
+    over AA's 1/ln(deg) when hash-exact parity matters). The pair
+    generation is the bipartite self-join on part — candidate pairs
+    are bounded by sum-over-parts of deg^2, NOT suppliers^2, which is
+    the scale story: hub parts (deg ~ thousands) would be capped or
+    salted in a 100 TB deployment, exactly like the LSH band-bucket
+    joins. Top-20 by (score, u, v) via one TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pd_ = sp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    a = sp.select(F.col("s").alias("u"), "p")
+    b = sp.select(F.col("s").alias("v"), "p")
+    scores = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .join(pd_, "p")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_parts"),
+            F.sum(F.expr("1000000000 DIV d")).cast("bigint").alias("score_q"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("score_q").desc(), "u", "v")
+    )
+    return (
+        scores.withColumn("rn", rn)
+        .filter(F.col("rn") <= 20)
+        .select("u", "v", "common_parts", (F.col("score_q") / 1000000000.0).alias("ra_score"))
+        .orderBy("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# E223: grid-bucketed spatial within-radius join (the scale path of E172)
+# --------------------------------------------------------------------------
+
+_GRID_HAVERSINE = (
+    "2 * 6371.0 * asin(sqrt("
+    "pow(sin(radians(({blat}) - ({alat})) / 2), 2)"
+    " + cos(radians({alat})) * cos(radians({blat}))"
+    " * pow(sin(radians(({blon}) - ({alon})) / 2), 2)))"
+)
+
+
+@query(
+    "q_grid_spatial_pairs",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             40.0 + ((c_custkey * 7919) % 1000) / 100.0 AS lat,
+             ((c_custkey * 104729) % 2000) / 100.0 AS lon,
+             40 + ((c_custkey * 7919) % 1000) // 100 AS cell_lat,
+             ((c_custkey * 104729) % 2000) // 100 AS cell_lon
+      FROM customer),
+    offsets AS (
+      SELECT dlat, dlon
+      FROM generate_series(-1, 1) t1(dlat), generate_series(-1, 1) t2(dlon)),
+    cand AS (
+      SELECT a.k AS a_key, b.k AS b_key,
+             CAST(FLOOR({_GRID_HAVERSINE.format(alat='a.lat', alon='a.lon',
+                                                blat='b.lat', blon='b.lon')}
+                        * 1000 + 0.5) AS BIGINT) AS dist_m
+      FROM pts a
+      JOIN offsets o ON TRUE
+      JOIN pts b
+        ON b.cell_lat = a.cell_lat + o.dlat
+       AND b.cell_lon = a.cell_lon + o.dlon
+       AND a.k < b.k),
+    hits AS (
+      SELECT a_key, b_key, dist_m,
+             ROW_NUMBER() OVER (ORDER BY dist_m, a_key, b_key) AS rn
+      FROM cand WHERE dist_m <= 25000)
+    SELECT a_key, b_key, dist_m / 1000.0 AS dist_km FROM hits
+    WHERE rn <= 50 ORDER BY rn
+    """,
+    tags=("E223", "J7", "J6", "F6", "O3", "E172"),
+)
+def q_grid_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial within-radius join — the scale path E172's
+    brute-force haversine kNN documents: bucket each point into a
+    1-degree grid cell (integer arithmetic on the deterministic
+    synthetic coordinates, derived from c_custkey because the fixture
+    has no geo columns), equi-join each cell against its 3x3 neighbor
+    block via a 9-row broadcast offset table, and verify candidates
+    with the exact haversine. 25 km < 1 degree of latitude, so the
+    neighbor block is a correct cover — no pair is missed. Candidate
+    work is sum-over-cells of |cell| * |3x3 block|, NOT points^2; at
+    100 TB cell granularity tracks the radius so each bucket stays
+    executor-sized (skewed megacity cells would be salted like any
+    hot key). Distances are quantized to 1 m before ranking and
+    output (E172's trig-ulp rule); top-50 closest pairs returned."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    pts = c.select(
+        key.alias("k"),
+        (40.0 + ((key * 7919) % 1000) / 100.0).alias("lat"),
+        (((key * 104729) % 2000) / 100.0).alias("lon"),
+        (40 + F.expr("((c_custkey * 7919) % 1000) DIV 100")).alias("cell_lat"),
+        F.expr("((c_custkey * 104729) % 2000) DIV 100").alias("cell_lon"),
+    )
+    offsets = spark.range(0, 9).select(
+        (F.col("id") % 3 - 1).cast("int").alias("dlat"),
+        (F.col("id") / 3).cast("int").alias("dlon_raw"),
+    ).select("dlat", (F.col("dlon_raw") - 1).alias("dlon"))
+    a = pts.select(
+        F.col("k").alias("a_key"),
+        F.col("lat").alias("alat"),
+        F.col("lon").alias("alon"),
+        "cell_lat",
+        "cell_lon",
+    ).crossJoin(F.broadcast(offsets))
+    b = pts.select(
+        F.col("k").alias("b_key"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.col("cell_lat").alias("bcl"),
+        F.col("cell_lon").alias("bco"),
+    )
+    hav = (
+        2.0
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("blat") - F.col("alat")) / 2), 2)
+                + F.cos(F.radians("alat"))
+                * F.cos(F.radians("blat"))
+                * F.pow(F.sin(F.radians(F.col("blon") - F.col("alon")) / 2), 2)
+            )
+        )
+    )
+    cand = a.join(
+        b,
+        (F.col("bcl") == F.col("cell_lat") + F.col("dlat"))
+        & (F.col("bco") == F.col("cell_lon") + F.col("dlon"))
+        & (F.col("a_key") < F.col("b_key")),
+    ).select(
+        "a_key",
+        "b_key",
+        F.floor(hav * 1000 + F.lit(0.5)).cast("bigint").alias("dist_m"),
+    )
+    rn = F.row_number().over(Window.orderBy("dist_m", "a_key", "b_key"))
+    return (
+        cand.filter(F.col("dist_m") <= 25000)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= 50)
+        .select("a_key", "b_key", (F.col("dist_m") / 1000.0).alias("dist_km"))
+        .orderBy("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# E224: TextRank keywords — quantized power iteration on the word graph
+# --------------------------------------------------------------------------
+
+
+def _textrank_oracle() -> str:
+    from fts_analysis_datalake_spark.operators.text import sql_tokens
+
+    base = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> {{'a': t[i], 'b': t[i + 1]}})) AS s
+      FROM toks),
+    adj AS MATERIALIZED (
+      SELECT least(s.a, s.b) AS w1, greatest(s.a, s.b) AS w2
+      FROM pairs WHERE s.a <> s.b),
+    edges AS MATERIALIZED (
+      SELECT w1, w2 FROM (
+        SELECT w1, w2, COUNT(*) AS c FROM adj GROUP BY w1, w2)
+      WHERE c >= 3),
+    dir AS MATERIALIZED (
+      SELECT w1 AS src, w2 AS dst FROM edges
+      UNION ALL SELECT w2, w1 FROM edges),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM dir GROUP BY src),
+    pr0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS pr_q FROM deg)"""
+    prev = "pr0"
+    for i in range(1, 6):
+        base += f""",
+    pr{i} AS MATERIALIZED (
+      SELECT d.node,
+             CAST(150000000 + (17 * COALESCE(s.contrib, 0)) // 20 AS BIGINT)
+               AS pr_q
+      FROM deg d LEFT JOIN (
+        SELECT dir.dst AS node, SUM(p.pr_q // dg.d) AS contrib
+        FROM dir JOIN {prev} p ON p.node = dir.src
+        JOIN deg dg ON dg.node = dir.src
+        GROUP BY dir.dst) s ON s.node = d.node)"""
+        prev = f"pr{i}"
+    base += """
+    SELECT node AS keyword, pr_q / 1000000000.0 AS textrank
+    FROM pr5 ORDER BY pr_q DESC, node LIMIT 15"""
+    return base
+
+
+@query(
+    "q_textrank_keywords",
+    oracle=_textrank_oracle(),
+    tags=("E224", "D9", "D11", "F7", "E107", "W1"),
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the word
+    co-occurrence graph (adjacent normalized tokens, undirected,
+    edges kept at count >= 3) for 5 damped power-iteration rounds —
+    the graph-centrality alternative to TF-IDF (E106) that surfaces
+    words *connecting* many contexts rather than merely frequent
+    ones. Determinism is full-integer: ranks live as 1e-9-scaled
+    BIGINTs, each neighbor contribution is pr_q DIV deg, and the
+    0.85 damping is the exact rational 17/20 — every round maps
+    integers to integers identically on both engines, so no float is
+    ever accumulated. Spark localCheckpoints each round (the rank
+    frame feeds the join and the fallback LEFT side; verify-notes
+    2^k rule) and the DuckDB twin MATERIALIZEs its round CTEs. The
+    vocabulary graph is corpus-size-free (vocab nodes, not doc
+    rows) — at 100 TB only the one adjacency aggregate scans data."""
+    from fts_analysis_datalake_spark.operators.text import normalize_text, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i - 1] AS x, t[i] AS y))"
+            )
+        ).alias("pr")
+    ).select(
+        F.least("pr.x", "pr.y").alias("w1"), F.greatest("pr.x", "pr.y").alias("w2")
+    ).filter(F.col("w1") != F.col("w2"))
+    edges = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+        .select("w1", "w2")
+    )
+    direct = edges.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).unionAll(edges.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+    deg = direct.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    direct = direct.localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
+    pr = deg.select("node", F.lit(1000000000).cast("bigint").alias("pr_q"))
+    for _ in range(5):
+        contrib = (
+            direct.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(
+                deg.select(F.col("node").alias("src"), "d"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("pr_q DIV d")).alias("contrib"))
+        )
+        pr = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000000)
+                    + F.expr("(17 * COALESCE(contrib, 0)) DIV 20")
+                )
+                .cast("bigint")
+                .alias("pr_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    rn = F.row_number().over(Window.orderBy(F.col("pr_q").desc(), "node"))
+    return (
+        pr.withColumn("rn", rn)
+        .filter(F.col("rn") <= 15)
+        .select(
+            F.col("node").alias("keyword"),
+            (F.col("pr_q") / 1000000000.0).alias("textrank"),
+        )
+        .orderBy(F.col("textrank").desc(), "keyword")
+    )
+
+
+# --------------------------------------------------------------------------
+# E225: compaction bin-packing plan — next-fit over the file manifest
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_compaction_binpack_plan",
+    oracle="""
+    WITH manifest AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               ORDER BY source, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM documents),
+    binned AS (
+      SELECT CAST(prior // 16384 AS BIGINT) AS bin_id, source, n_chars
+      FROM manifest)
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS bytes,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(FLOOR(SUM(n_chars) * 1000000.0 / 16384 + 0.5) AS BIGINT)
+             / 1000000.0 AS fill_ratio
+    FROM binned GROUP BY bin_id ORDER BY bin_id
+    """,
+    tags=("E225", "W4", "A1", "E65"),
+)
+def q_compaction_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: treat the documents table as a
+    file manifest (n_chars = file size) and assign files to
+    target-sized output bins by NEXT-FIT over the (source, doc_id)
+    order — bin = prefix-sum-before-me DIV target. Next-fit (not
+    first-fit-decreasing) is the deliberate choice: it's the only
+    classic bin-packing heuristic expressible as one window prefix
+    sum, it preserves source/key locality in the rewritten files, and
+    its 2x-of-optimal bound is fine when sizes are far below the
+    target. This is the planning half of E65's compaction audit:
+    output = the per-bin manifest (file count, bytes, source spread,
+    fill ratio vs the 16 KiB demo target). At 100 TB the manifest is
+    metadata (one row per FILE, not per data row) — the prefix sum
+    runs on millions of rows, not billions."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("source", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    manifest = d.select(
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("prior"),
+    )
+    binned = manifest.select(
+        F.expr("prior DIV 16384").alias("bin_id"), "source", "n_chars"
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_chars").cast("bigint").alias("bytes"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            (
+                F.floor(
+                    F.sum("n_chars") * 1000000.0 / 16384 + F.lit(0.5)
+                ).cast("bigint")
+                / 1000000.0
+            ).alias("fill_ratio"),
+        )
+        .orderBy("bin_id")
+    )
