@@ -1,0 +1,704 @@
+"""Robust-estimation and distributed-algorithm queries (SURVEY.md
+§2.12 E232-E237): Huber IRLS regression, grid-search quantile
+regression, iterative proportional fitting (raking), grid-bucketed
+DBSCAN, the two-pass exact-median algorithm, and a tokenizer
+fertility panel.
+
+Same determinism discipline as prob_models.py: iterative fits
+re-quantize their parameters after every round, all data-dependent
+weights are quantized per row BEFORE cross-row sums, and order
+statistics are taken with fully-keyed deterministic orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.operators.graphs import connected_components
+from fts_analysis_datalake_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    normalize_text,
+    token_count_bpe_ish,
+    tokens,
+)
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# E232: Huber robust regression via IRLS — price ~ quantity, 3 rounds
+# --------------------------------------------------------------------------
+
+_HUBER_DELTA = 2000000.0  # cents; residuals beyond this are downweighted
+
+
+def _huber_oracle() -> str:
+    moments = """
+    WITH pts AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem),
+    ols AS MATERIALIZED (
+      SELECT
+        CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * 1000000000 + 0.5) AS BIGINT) / 1000000000.0 AS b,
+        n, sx, sy, sxx, sxy
+      FROM (
+        SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts)),
+    beta0 AS MATERIALIZED (
+      SELECT b AS b1,
+             CAST(FLOOR((CAST(sy AS DOUBLE) - b * sx) / n * 1000000000 + 0.5)
+                  AS BIGINT) / 1000000000.0 AS b0,
+        b AS b_ols
+      FROM ols)"""
+    prev = "beta0"
+    for i in range(1, 4):
+        moments += f""",
+    w{i} AS MATERIALIZED (
+      SELECT x, y,
+             CASE WHEN ABS(y - (b.b0 + b.b1 * x)) <= {_HUBER_DELTA}
+                  THEN 1.0e0
+                  ELSE {_HUBER_DELTA} / ABS(y - (b.b0 + b.b1 * x)) END AS w,
+             b.b0 AS pb0, b.b1 AS pb1, b.b_ols
+      FROM pts CROSS JOIN {prev} b),
+    s{i} AS MATERIALIZED (
+      SELECT MIN(b_ols) AS b_ols,
+        CAST(SUM(CAST(FLOOR(w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS nw,
+        CAST(SUM(CAST(FLOOR(w * x * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sxw,
+        CAST(SUM(CAST(FLOOR(w * y * 100 + 0.5) AS BIGINT)) AS BIGINT) AS syw,
+        CAST(SUM(CAST(FLOOR(w * x * x * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sxxw,
+        CAST(SUM(CAST(FLOOR(w * x * y * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sxyw,
+        CAST(SUM(CASE WHEN w < 1.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+      FROM w{i}),
+    beta{i} AS MATERIALIZED (
+      SELECT
+        CAST(FLOOR((wn * sy2 - wx * wy) / (wn * sx2 - wx * wx)
+                   * 1000000000 + 0.5) AS BIGINT) / 1000000000.0 AS b1,
+        CAST(FLOOR((wy - ((wn * sy2 - wx * wy) / (wn * sx2 - wx * wx)) * wx)
+                   / wn * 1000000000 + 0.5) AS BIGINT) / 1000000000.0 AS b0,
+        b_ols, n_down
+      FROM (
+        SELECT b_ols, n_down,
+               CAST(nw AS DOUBLE) / 1000000 AS wn,
+               CAST(sxw AS DOUBLE) / 10000 AS wx,
+               CAST(syw AS DOUBLE) / 100 AS wy,
+               CAST(sxxw AS DOUBLE) / 10000 AS sx2,
+               CAST(sxyw AS DOUBLE) / 100 AS sy2
+        FROM s{i}))"""
+        prev = f"beta{i}"
+    moments += """
+    SELECT b1 AS slope_huber, b0 AS intercept_huber, b_ols AS slope_ols,
+           n_down AS n_downweighted
+    FROM beta3"""
+    return moments
+
+
+@query(
+    "q_huber_irls_price",
+    oracle=_huber_oracle(),
+    tags=("E232", "E109", "A1", "F6"),
+)
+def q_huber_irls_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust regression of extended price (cents) on quantity
+    by 3 IRLS rounds seeded from the exact-moment OLS fit — the
+    outlier-resistant line E109's least squares can't give (rows with
+    residuals beyond delta get weight delta/|r| instead of pulling
+    the fit quadratically). Each round is one data pass that computes
+    PER-ROW Huber weights from the previous (quantized) beta and
+    reduces five weighted moment sums, each term floor-quantized to
+    a per-term integer scale chosen so the BIGINT sums stay exact;
+    beta is re-quantized to 1e-9 after every round so both engines
+    weight the next round identically. IRLS genuinely needs a pass
+    per round (weights depend on residuals) — the honest cost, 3
+    partial-aggregated scans with no shuffle wider than one row.
+    Also reports the OLS slope and the downweighted-row count so the
+    robustness correction is visible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+
+    def q9(c):
+        return F.floor(c * 1000000000 + F.lit(0.5)).cast("bigint") / 1000000000.0
+
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd, sxd, syd = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    b_expr = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    ols = m.select(q9(b_expr).alias("b"), "n", "sx", "sy")
+    beta = ols.select(
+        F.col("b").alias("b1"),
+        q9((syd - F.col("b") * sxd) / nd).alias("b0"),
+        F.col("b").alias("b_ols"),
+    ).localCheckpoint(eager=True)
+    for _ in range(3):
+        r = F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))
+        w = F.when(F.abs(r) <= _HUBER_DELTA, F.lit(1.0)).otherwise(
+            _HUBER_DELTA / F.abs(r)
+        )
+        wk = pts.crossJoin(F.broadcast(beta)).select(
+            "x", "y", w.alias("w"), "b_ols"
+        )
+
+        def qi(c, s):
+            return F.floor(c * s + F.lit(0.5)).cast("bigint")
+
+        s = wk.agg(
+            F.min("b_ols").alias("b_ols"),
+            F.sum(qi(F.col("w"), 1000000)).cast("bigint").alias("nw"),
+            F.sum(qi(F.col("w") * F.col("x"), 10000)).cast("bigint").alias("sxw"),
+            F.sum(qi(F.col("w") * F.col("y"), 100)).cast("bigint").alias("syw"),
+            F.sum(qi(F.col("w") * F.col("x") * F.col("x"), 10000))
+            .cast("bigint")
+            .alias("sxxw"),
+            F.sum(qi(F.col("w") * F.col("x") * F.col("y"), 100))
+            .cast("bigint")
+            .alias("sxyw"),
+            F.sum(F.when(F.col("w") < 1.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_down"),
+        )
+        wn = F.col("nw").cast("double") / 1000000
+        wx = F.col("sxw").cast("double") / 10000
+        wy = F.col("syw").cast("double") / 100
+        sx2 = F.col("sxxw").cast("double") / 10000
+        sy2 = F.col("sxyw").cast("double") / 100
+        slope = (wn * sy2 - wx * wy) / (wn * sx2 - wx * wx)
+        beta = s.select(
+            q9(slope).alias("b1"),
+            q9((wy - slope * wx) / wn).alias("b0"),
+            "b_ols",
+            "n_down",
+        ).localCheckpoint(eager=True)
+    return beta.select(
+        F.col("b1").alias("slope_huber"),
+        F.col("b0").alias("intercept_huber"),
+        F.col("b_ols").alias("slope_ols"),
+        F.col("n_down").alias("n_downweighted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E233: quantile (median) regression by deterministic grid search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_quantile_regression_grid",
+    oracle="""
+    WITH pts AS MATERIALIZED (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS x,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events),
+    grid AS (SELECT (g - 10) * 5 AS b FROM generate_series(0, 20) t(g)),
+    resid AS MATERIALIZED (
+      SELECT g.b, p.event_id, p.y - g.b * p.x AS r
+      FROM pts p CROSS JOIN grid g),
+    med AS MATERIALIZED (
+      SELECT b, r AS a FROM (
+        SELECT b, r,
+               ROW_NUMBER() OVER (PARTITION BY b ORDER BY r, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY b) AS n
+        FROM resid)
+      WHERE rn = (n + 1) // 2),
+    losses AS (
+      SELECT resid.b, MIN(med.a) AS a,
+             CAST(SUM(ABS(resid.r - med.a)) AS BIGINT) AS loss_q
+      FROM resid JOIN med ON med.b = resid.b
+      GROUP BY resid.b)
+    SELECT b AS slope_cents_per_k, CAST(a AS BIGINT) AS intercept_cents,
+           loss_q / 100.0 AS abs_loss_total
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY loss_q, b) AS rn FROM losses)
+    WHERE rn = 1
+    """,
+    tags=("E233", "E109", "W1", "J10", "A1", "F10"),
+)
+def q_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (L1 / quantile) regression of event value on the JSON
+    props k feature, fit by DETERMINISTIC grid search: for each of 21
+    candidate slopes the optimal intercept is the exact lower median
+    of the residuals (the 1-D L1 minimizer), and the winning slope
+    minimizes total absolute loss — tie-broken by slope. Everything
+    is exact integer arithmetic (cents x integer slope grid), so
+    unlike simplex/IRLS quantile solvers there is NO float anywhere:
+    loss sums are BIGINTs and the argmin is hash-exact. The shape is
+    pts x grid (a 21-row broadcast), one partitioned window for the
+    21 medians, one join-back for the losses — embarrassingly
+    parallel over slope candidates, which is exactly how you'd sweep
+    a hyperparameter at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    grid = spark.range(0, 21).select(((F.col("id") - 10) * 5).alias("b"))
+    resid = pts.crossJoin(F.broadcast(grid)).select(
+        "b", "event_id", (F.col("y") - F.col("b") * F.col("x")).alias("r")
+    )
+    wspec = Window.partitionBy("b").orderBy("r", "event_id")
+    wall = Window.partitionBy("b")
+    med = (
+        resid.select(
+            "b",
+            "r",
+            F.row_number().over(wspec).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("b", F.col("r").alias("a"))
+    )
+    losses = (
+        resid.join(F.broadcast(med), "b")
+        .groupBy("b")
+        .agg(
+            F.min("a").alias("a"),
+            F.sum(F.abs(F.col("r") - F.col("a"))).cast("bigint").alias("loss_q"),
+        )
+    )
+    rn = F.row_number().over(Window.orderBy("loss_q", "b"))
+    return (
+        losses.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("b").alias("slope_cents_per_k"),
+            F.col("a").cast("bigint").alias("intercept_cents"),
+            (F.col("loss_q") / 100.0).alias("abs_loss_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E234: iterative proportional fitting (raking) to uniform margins
+# --------------------------------------------------------------------------
+
+
+def _ipf_oracle() -> str:
+    base = """
+    WITH cells AS MATERIALIZED (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+            FROM cells),
+    w0 AS MATERIALIZED (
+      SELECT lang, source, n, CAST(1000000000 AS BIGINT) AS w_q FROM cells)"""
+    prev = "w0"
+    for i in range(1, 6):
+        base += f""",
+    r{i} AS MATERIALIZED (
+      SELECT w.lang,
+             (CAST(t.nt AS DOUBLE) / t.nl)
+               / (CAST(SUM(w.n * w.w_q) AS DOUBLE) / 1000000000) AS scale
+      FROM {prev} w CROSS JOIN tot t
+      GROUP BY w.lang, t.nt, t.nl),
+    wr{i} AS MATERIALIZED (
+      SELECT w.lang, w.source, w.n,
+             CAST(FLOOR(w.w_q * r.scale + 0.5) AS BIGINT) AS w_q
+      FROM {prev} w JOIN r{i} r ON r.lang = w.lang),
+    c{i} AS MATERIALIZED (
+      SELECT w.source,
+             (CAST(t.nt AS DOUBLE) / t.ns)
+               / (CAST(SUM(w.n * w.w_q) AS DOUBLE) / 1000000000) AS scale
+      FROM wr{i} w CROSS JOIN tot t
+      GROUP BY w.source, t.nt, t.ns),
+    w{i} AS MATERIALIZED (
+      SELECT w.lang, w.source, w.n,
+             CAST(FLOOR(w.w_q * c.scale + 0.5) AS BIGINT) AS w_q
+      FROM wr{i} w JOIN c{i} c ON c.source = w.source)"""
+        prev = f"w{i}"
+    base += """
+    SELECT lang, source, n, w_q / 1000000000.0 AS weight
+    FROM w5 ORDER BY lang, source"""
+    return base
+
+
+@query(
+    "q_ipf_raking_weights",
+    oracle=_ipf_oracle(),
+    tags=("E234", "A1", "J1", "E42"),
+)
+def q_ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking): per-(lang, source)
+    cell weights that rebalance the corpus toward UNIFORM lang and
+    source margins, by 5 alternating row/column scaling rounds — the
+    survey-statistics operator a training-mixture pipeline uses to
+    hit target domain proportions without dropping data (the
+    continuous sibling of E42's integer mixture allocation). The
+    whole fit runs on the lang x source contingency table (~100
+    rows — domain-sized, data scanned ONCE); weights live as
+    1e-9-scaled BIGINTs, margin sums n*w_q are exact integer
+    arithmetic, and each scaling factor is applied then re-floored,
+    so both engines walk identical integer states round for round."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.countDistinct("lang").cast("bigint").alias("nl"),
+        F.countDistinct("source").cast("bigint").alias("ns"),
+    )
+    w = cells.select(
+        "lang", "source", "n", F.lit(1000000000).cast("bigint").alias("w_q")
+    ).localCheckpoint(eager=True)
+    for _ in range(5):
+        for dim, nd in (("lang", "nl"), ("source", "ns")):
+            margins = (
+                w.crossJoin(F.broadcast(tot))
+                .groupBy(dim, "nt", nd)
+                .agg(F.sum(F.col("n") * F.col("w_q")).alias("mw"))
+                .select(
+                    dim,
+                    (
+                        (F.col("nt").cast("double") / F.col(nd))
+                        / (F.col("mw").cast("double") / 1000000000)
+                    ).alias("scale"),
+                )
+            )
+            w = (
+                w.join(F.broadcast(margins), dim)
+                .select(
+                    "lang",
+                    "source",
+                    "n",
+                    F.floor(F.col("w_q") * F.col("scale") + F.lit(0.5))
+                    .cast("bigint")
+                    .alias("w_q"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return w.select(
+        "lang", "source", "n", (F.col("w_q") / 1000000000.0).alias("weight")
+    ).orderBy("lang", "source")
+
+
+# --------------------------------------------------------------------------
+# E235: grid-bucketed DBSCAN — density clustering without pairwise scans
+# --------------------------------------------------------------------------
+
+_DB_HAV = (
+    "2 * 6371.0 * asin(sqrt("
+    "pow(sin(radians(({blat}) - ({alat})) / 2), 2)"
+    " + cos(radians({alat})) * cos(radians({blat}))"
+    " * pow(sin(radians(({blon}) - ({alon})) / 2), 2)))"
+)
+
+
+@query(
+    "q_dbscan_grid_clusters",
+    oracle=f"""
+    WITH RECURSIVE pts AS MATERIALIZED (
+      SELECT c_custkey AS k,
+             40.0 + ((c_custkey * 7919) % 1000) / 100.0 AS lat,
+             ((c_custkey * 104729) % 2000) / 100.0 AS lon,
+             40 + ((c_custkey * 7919) % 1000) // 100 AS cl,
+             ((c_custkey * 104729) % 2000) // 100 AS co
+      FROM customer),
+    offsets AS (
+      SELECT dlat, dlon
+      FROM generate_series(-1, 1) t1(dlat), generate_series(-1, 1) t2(dlon)),
+    nbr AS MATERIALIZED (
+      SELECT a.k AS ak, b.k AS bk
+      FROM pts a JOIN offsets o ON TRUE
+      JOIN pts b ON b.cl = a.cl + o.dlat AND b.co = a.co + o.dlon
+      WHERE a.k <> b.k
+        AND CAST(FLOOR({_DB_HAV.format(alat='a.lat', alon='a.lon',
+                                       blat='b.lat', blon='b.lon')}
+                       * 1000 + 0.5) AS BIGINT) <= 10000),
+    core AS MATERIALIZED (
+      SELECT ak AS k FROM nbr GROUP BY ak HAVING COUNT(*) >= 4),
+    edges AS MATERIALIZED (
+      SELECT n.ak AS a, n.bk AS b FROM nbr n
+      WHERE n.ak IN (SELECT k FROM core) AND n.bk IN (SELECT k FROM core)),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(node, comp) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node),
+    cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+    SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_core,
+           CAST(MIN(node) AS BIGINT) AS min_member,
+           CAST(MAX(node) AS BIGINT) AS max_member
+    FROM cc GROUP BY comp ORDER BY cluster_id
+    """,
+    tags=("E235", "E223", "E15", "J7", "A1"),
+)
+def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN on the synthetic customer coordinates, grid-bucketed:
+    eps = 10 km, minPts = 4 neighbors (excluding self). Neighbor
+    candidates come from the same 1-degree 3x3 cell cover as E223
+    (never points^2); core points are one HAVING over the neighbor
+    aggregate; clusters are connected components of the core-core
+    eps-graph via the repo's iterative min-label propagation, whose
+    fixpoint the oracle reproduces with a recursive CTE (the E15
+    pattern). Border points are intentionally excluded from cluster
+    membership (core-only DBSCAN* variant — deterministic, no
+    order-dependent border assignment). Distances are 1 m-quantized
+    before the eps test so the trig ulp can't flip an edge. The
+    report is one row per cluster: id (min core member), size,
+    member range."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    pts = c.select(
+        key.alias("k"),
+        (40.0 + ((key * 7919) % 1000) / 100.0).alias("lat"),
+        (((key * 104729) % 2000) / 100.0).alias("lon"),
+        (40 + F.expr("((c_custkey * 7919) % 1000) DIV 100")).alias("cl"),
+        F.expr("((c_custkey * 104729) % 2000) DIV 100").alias("co"),
+    )
+    offsets = (
+        spark.range(0, 9)
+        .select(
+            (F.col("id") % 3 - 1).cast("int").alias("dlat"),
+            (F.col("id") / 3).cast("int").alias("d3"),
+        )
+        .select("dlat", (F.col("d3") - 1).alias("dlon"))
+    )
+    a = pts.select(
+        F.col("k").alias("ak"),
+        F.col("lat").alias("alat"),
+        F.col("lon").alias("alon"),
+        "cl",
+        "co",
+    ).crossJoin(F.broadcast(offsets))
+    b = pts.select(
+        F.col("k").alias("bk"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.col("cl").alias("bcl"),
+        F.col("co").alias("bco"),
+    )
+    hav = (
+        2.0
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("blat") - F.col("alat")) / 2), 2)
+                + F.cos(F.radians("alat"))
+                * F.cos(F.radians("blat"))
+                * F.pow(F.sin(F.radians(F.col("blon") - F.col("alon")) / 2), 2)
+            )
+        )
+    )
+    nbr = (
+        a.join(
+            b,
+            (F.col("bcl") == F.col("cl") + F.col("dlat"))
+            & (F.col("bco") == F.col("co") + F.col("dlon"))
+            & (F.col("ak") != F.col("bk")),
+        )
+        .filter(F.floor(hav * 1000 + F.lit(0.5)).cast("bigint") <= 10000)
+        .select("ak", "bk")
+        .localCheckpoint(eager=True)
+    )
+    core = nbr.groupBy("ak").agg(F.count(F.lit(1)).alias("deg")).filter(
+        F.col("deg") >= 4
+    ).select(F.col("ak").alias("k"))
+    edges = (
+        nbr.join(core.withColumnRenamed("k", "ak"), "ak", "leftsemi")
+        .join(core.withColumnRenamed("k", "bk"), "bk", "leftsemi")
+        .select(F.col("ak").alias("a"), F.col("bk").alias("b"))
+    )
+    cc = connected_components(edges, "a", "b")
+    return (
+        cc.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_core"),
+            F.min("node").cast("bigint").alias("min_member"),
+            F.max("node").cast("bigint").alias("max_member"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# E236: two-pass exact median — histogram narrowing, no global sort
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_two_pass_exact_median",
+    oracle="""
+    WITH pts AS MATERIALIZED (
+      SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    bounds AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi, COUNT(*) AS n,
+             (COUNT(*) + 1) // 2 AS k
+      FROM pts),
+    hist AS (
+      SELECT ((p.cents - b.lo) * 1000) // (b.hi - b.lo + 1) AS bucket,
+             COUNT(*) AS c
+      FROM pts p CROSS JOIN bounds b GROUP BY bucket),
+    cum AS (
+      SELECT bucket, c,
+             COALESCE(SUM(c) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM hist),
+    target AS (
+      SELECT bucket, c AS bucket_rows, before
+      FROM cum CROSS JOIN bounds b
+      WHERE before < b.k AND before + c >= b.k),
+    winner AS (
+      SELECT p.cents,
+             ROW_NUMBER() OVER (ORDER BY p.cents, p.event_id) AS rn,
+             t.bucket, t.bucket_rows, b.k - t.before AS pos, b.n
+      FROM pts p CROSS JOIN target t CROSS JOIN bounds b
+      WHERE ((p.cents - b.lo) * 1000) // (b.hi - b.lo + 1) = t.bucket)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           cents / 100.0 AS median_value,
+           CAST(bucket AS BIGINT) AS target_bucket,
+           CAST(bucket_rows AS BIGINT) AS bucket_rows
+    FROM winner WHERE rn = pos
+    """,
+    tags=("E236", "A5", "W4", "A1"),
+)
+def q_two_pass_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median (lower order statistic) of event value in two
+    passes with NO global sort — the classic distributed selection
+    algorithm: pass 1 builds a 1000-bucket histogram and a prefix sum
+    locates the bucket holding the k-th element; pass 2 ranks only
+    that bucket's rows (n/1000 of the data in expectation) and reads
+    off element k - cum_before. This is how a 100 TB engine answers
+    exact quantiles when approx_percentile's error bound isn't
+    acceptable: the sort cost collapses from O(n log n) global to
+    O(bucket log bucket), and the histogram pass is one map-side
+    partial aggregate. All arithmetic is integer (cents, counts);
+    ties inside the bucket break on event_id identically on both
+    engines. Output includes the bucket metadata so the narrowing is
+    auditable."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    bounds = pts.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        ((F.count(F.lit(1)) + 1) / 2).cast("bigint").alias("k"),
+    )
+    withb = pts.crossJoin(F.broadcast(bounds))
+    bucket = F.expr("((cents - lo) * 1000) DIV (hi - lo + 1)")
+    hist = withb.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wprev = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "bucket",
+        "c",
+        F.coalesce(F.sum("c").over(wprev), F.lit(0)).alias("before"),
+    )
+    target = (
+        cum.crossJoin(F.broadcast(bounds))
+        .filter((F.col("before") < F.col("k")) & (F.col("before") + F.col("c") >= F.col("k")))
+        .select(F.col("bucket").alias("tbucket"), F.col("c").alias("bucket_rows"), "before")
+    )
+    winner = (
+        withb.crossJoin(F.broadcast(target))
+        .filter(bucket == F.col("tbucket"))
+        .select(
+            "cents",
+            "event_id",
+            "tbucket",
+            "bucket_rows",
+            (F.col("k") - F.col("before")).alias("pos"),
+            "n",
+        )
+    )
+    rn = F.row_number().over(Window.orderBy("cents", "event_id"))
+    return (
+        winner.withColumn("rn", rn)
+        .filter(F.col("rn") == F.col("pos"))
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            (F.col("cents") / 100.0).alias("median_value"),
+            F.col("tbucket").cast("bigint").alias("target_bucket"),
+            F.col("bucket_rows").cast("bigint").alias("bucket_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E237: tokenizer fertility panel — BPE-ish vs whitespace economics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang, n_chars,
+             len(list_filter(str_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+               t -> t <> '')) AS ws,
+             len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(FLOOR(CAST(SUM(bpe) AS DOUBLE) / SUM(ws) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS fertility,
+           CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / SUM(bpe) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS chars_per_bpe_token
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    tags=("E237", "D9", "D13", "F2", "A1"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility panel per language: BPE-ish regex tokens
+    per whitespace word (fertility — the multiplier that converts
+    word budgets into token budgets) and characters per BPE-ish
+    token (compression — how much text each token buys). These are
+    the two numbers a pretraining-data plan needs per language
+    before it can convert corpus bytes into training tokens, and the
+    per-lang spread is the classic tokenizer-equity diagnostic. One
+    scan, integer count sums, two 1e-6-quantized ratios; the BPE-ish
+    pattern is the shared operators/text.py vocabulary-free
+    approximation (letter runs | digit runs | single symbol), which
+    both regex engines evaluate identically."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        "n_chars",
+        F.size(tokens(normalize_text(F.col("text")))).alias("ws"),
+        token_count_bpe_ish(F.col("text")).alias("bpe"),
+    )
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1000000.0
+
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("ws").cast("bigint").alias("ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+            q6(F.sum("bpe").cast("double") / F.sum("ws")).alias("fertility"),
+            q6(F.sum("n_chars").cast("double") / F.sum("bpe")).alias(
+                "chars_per_bpe_token"
+            ),
+        )
+        .orderBy("lang")
+    )
