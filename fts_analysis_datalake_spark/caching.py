@@ -50,3 +50,24 @@ def release_tracked() -> int:
         except Exception:  # noqa: BLE001 — a dead session must not mask cleanup
             pass
     return n
+
+
+def reroot(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` (localCheckpoint) and re-wrap the result as
+    a FRESH LogicalRDD with brand-new attribute ids.
+
+    Iterative algorithms that SELF-JOIN their loop state every round
+    (connected components' pointer jump, label propagation) hit a
+    Spark pathology this works around: chaining
+    ``join(self) -> localCheckpoint`` keeps the checkpointed plan's
+    attribute ids alive in the next round's self-join dedup, and
+    per-round cost starts multiplying by the reference count —
+    measured ~3x per round from round ~15, i.e. minutes by round 20
+    on a 15k-node graph even though every plan is a constant-size
+    scan of materialized blocks. Re-wrapping the checkpointed RDD via
+    ``createDataFrame(rdd, schema)`` severs that id lineage; the same
+    40-round loop then runs at a flat ~0.4 s/round. Single-reference
+    loops don't need this — plain localCheckpoint stays flat.
+    """
+    d = df.localCheckpoint()
+    return d.sparkSession.createDataFrame(d.rdd, d.schema)

@@ -11,9 +11,13 @@ Scale notes (100 TB / billions of edges):
 - Min-label propagation: each iteration is one edge-label hash join
   plus one groupBy(min) — two shuffles on the node key, no driver-side
   graph state, nothing ever collected.
-- Iteration count is O(max component *diameter*), not component size.
-  Near-dup components are dense (LSH buckets emit near-cliques), so
-  diameters are tiny; ``max_iter`` guards the pathological-chain case.
+- Each round ALSO pointer-jumps (comp <- comp[comp], the path-halving
+  step from the MapReduce-CC literature), so iteration count is
+  O(log diameter) instead of O(diameter). Near-dup components are
+  dense near-cliques where this hardly matters, but geometric graphs
+  (grid-DBSCAN eps-neighborhoods, E235) form long chains — diameter
+  ~150 at sf0.1 — that plain propagation cannot finish inside any
+  reasonable round budget.
 - Lineage is truncated every iteration with ``localCheckpoint`` —
   without it the plan doubles per iteration and the driver OOMs on
   plan size long before data is a problem.
@@ -28,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.caching import reroot
 
 
 def connected_components(
@@ -50,7 +56,15 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    # Checkpointed so round 1's hop joins two INDEPENDENT lineages —
+    # a sym-derived labels frame self-joined against sym shares
+    # attribute ids, and Spark's self-join dedup can degrade that
+    # first join badly on large inputs.
+    labels = reroot(
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
 
     def hop(lbl):
         # Min neighbour label per node: one hash join + one partial agg.
@@ -66,12 +80,32 @@ def connected_components(
             (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("_changed"),
         )
 
+    def jump(lbl):
+        # Pointer jumping (path halving): comp <- comp[comp]. Labels
+        # only ever decrease toward the component min, so this is
+        # monotone and preserves the unique fixpoint while collapsing
+        # label chains exponentially. comp values are always node ids,
+        # so the self-join is total; left join guards regardless.
+        parent = lbl.select(
+            F.col("node").alias("_pnode"), F.col("comp").alias("_pcomp")
+        )
+        return (
+            lbl.join(parent, lbl["comp"] == parent["_pnode"], "left")
+            .select(
+                "node",
+                F.coalesce("_pcomp", "comp").alias("comp"),
+                (
+                    F.col("_changed")
+                    | (F.coalesce("_pcomp", "comp") < F.col("comp"))
+                ).alias("_changed"),
+            )
+        )
+
     for _ in range(max_iter):
-        # TWO propagation hops per materialization+convergence check:
-        # halves the per-round job/action overhead, and testing only
-        # the SECOND hop stays sound — any hop with zero changes is
-        # already the fixpoint.
-        new_labels = hop(hop(labels).drop("_changed")).localCheckpoint()
+        # One propagation hop + one pointer jump per materialization.
+        # The convergence test ORs both steps' change flags: zero
+        # changes across hop AND jump means labels are the fixpoint.
+        new_labels = reroot(jump(hop(labels)))
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -214,3 +248,80 @@ def bfs_hops(
         visited = visited.union(nxt)
         frontier = nxt
     return visited
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") -> (node, comp), comp = component min, identical
+    fixpoint to :func:`connected_components`.
+
+    Use this for HIGH-DIAMETER graphs: min-label propagation needs
+    O(diameter)-ish rounds (a 250-hop geometric eps-graph needs 40+
+    even with pointer jumping), while star contraction rewires edges
+    toward local minima and converges in O(log^2 n) — measured 8-9
+    rounds on both a 15k-node eps-graph and 500-long chains. Each
+    round is two phases of (neighborhood-min aggregate + edge join +
+    distinct), i.e. a constant number of node-key shuffles, no driver
+    graph state; per-round frames are rerooted (see
+    caching.reroot) to dodge the self-join re-execution pathology.
+    Convergence is detected by an order-free xxhash64 bit_xor fingerprint
+    of the edge set (internal loop control only — a collision would
+    merely end one round early on an already-contracted forest).
+
+    Only nodes incident to an edge appear, as in
+    :func:`connected_components`.
+    """
+    edges0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sym_of(e: DataFrame) -> DataFrame:
+        return e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        s = sym_of(e)
+        m = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        j = s.join(m, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = j.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).union(m.select(F.col("u"), F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    e, fp = edges0, fingerprint(edges0)
+    for _ in range(max_iter):
+        # One reroot per round: the two star phases chain within a
+        # round (bounded re-execution), and the reroot severs the
+        # cross-round id lineage that triggers the re-execution
+        # pathology.
+        e = reroot(star(star(e, True), False))
+        fp_new = fingerprint(e)
+        if fp_new == fp:
+            memb = sym_of(e).groupBy("u").agg(F.min("v").alias("mn"))
+            return memb.select(
+                F.col("u").alias("node"),
+                F.least("u", "mn").alias("comp"),
+            )
+        fp = fp_new
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} iterations"
+    )

@@ -473,15 +473,21 @@ def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kcore_oracle() -> str:
     base = """
     WITH w AS MATERIALIZED (
-      SELECT a.l_suppkey AS u, b.l_suppkey AS v,
-             COUNT(*) AS c
-      FROM lineitem a JOIN lineitem b
-        ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
+      SELECT u, v, COUNT(*) AS c FROM (
+        SELECT DISTINCT a.l_orderkey, a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey)
       GROUP BY u, v),
+    nn AS (SELECT COUNT(DISTINCT l_suppkey) AS n_nodes FROM lineitem),
+    whist AS (
+      SELECT c, COUNT(*) AS cnt,
+             SUM(COUNT(*)) OVER (ORDER BY c DESC) AS cum_ge
+      FROM w GROUP BY c),
+    cstar AS (
+      SELECT COALESCE(MAX(c), 0) AS cs FROM whist
+      WHERE cum_ge >= 5 * (SELECT n_nodes FROM nn)),
     e0 AS MATERIALIZED (
-      SELECT u, v FROM (
-        SELECT u, v, ROW_NUMBER() OVER (ORDER BY c DESC, u, v) AS rn FROM w)
-      WHERE rn <= 300)"""
+      SELECT u, v FROM w WHERE c >= GREATEST((SELECT cs FROM cstar), 1))"""
     prev = "e0"
     for i in range(1, 7):
         base += f""",
@@ -512,9 +518,14 @@ def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees, repeat — the standard dense-subgraph primitive (the
     5-core is where every member keeps >= 5 strong ties even after
     weak nodes leave; cliques/communities live inside it). The graph
-    is the top-300 co-supplier pairs by shared-order count
-    (rank-based sparsification so the density is scale-free — a fixed
-    weight cutoff saturates to a complete graph as volume grows).
+    is the co-supplier graph sparsified by a weight threshold chosen
+    FROM THE WEIGHT HISTOGRAM: the largest shared-order count c* whose
+    cumulative pair count reaches 5*|V| (ties at c* all kept). That
+    keeps average degree ~10 at every scale factor without any global
+    ranking pass — the histogram is domain-sized (distinct weights),
+    so no single-partition row_number window ever sees the pair list
+    (a fixed weight cutoff saturates to a complete graph as volume
+    grows; a fixed edge count starves the core as nodes grow).
     Peeling runs a FIXED 6 rounds on both engines, so the result is
     well-defined parity even if the fixpoint needs more; each Spark
     round localCheckpoints (eager) because the edge frame feeds both
@@ -524,17 +535,46 @@ def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: degrees are one shuffle per round on an edge list
     already sparsified to O(nodes)."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
+    sup_lists = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
     w = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
+        sup_lists.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) ->"
+                    " transform(slice(ss, i + 2, size(ss)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    rn = F.row_number().over(Window.orderBy(F.col("c").desc(), "u", "v"))
+    nn = li.agg(F.countDistinct("l_suppkey").alias("n_nodes"))
+    whist = (
+        w.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "c",
+            F.sum("cnt").over(
+                Window.orderBy(F.col("c").desc()).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ).alias("cum_ge"),
+        )
+    )
+    cstar = (
+        whist.crossJoin(F.broadcast(nn))
+        .filter(F.col("cum_ge") >= 5 * F.col("n_nodes"))
+        .agg(F.coalesce(F.max("c"), F.lit(0)).alias("cs"))
+    )
     edges = (
-        w.withColumn("rn", rn).filter(F.col("rn") <= 300).select("u", "v")
+        w.crossJoin(F.broadcast(cstar))
+        .filter(F.col("c") >= F.greatest(F.col("cs"), F.lit(1)))
+        .select("u", "v")
     ).localCheckpoint(eager=True)
     for _ in range(6):
         deg = (
@@ -545,8 +585,12 @@ def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         nodes = deg.filter(F.col("deg") >= 5).select("node")
         edges = (
-            edges.join(nodes.withColumnRenamed("node", "u"), "u", "leftsemi")
-            .join(nodes.withColumnRenamed("node", "v"), "v", "leftsemi")
+            edges.join(
+                F.broadcast(nodes.withColumnRenamed("node", "u")), "u", "leftsemi"
+            )
+            .join(
+                F.broadcast(nodes.withColumnRenamed("node", "v")), "v", "leftsemi"
+            )
             .select("u", "v")
             .localCheckpoint(eager=True)
         )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.catalog import load_table
-from fts_analysis_datalake_spark.operators.graphs import connected_components
+from fts_analysis_datalake_spark.operators.graphs import connected_components_star
 from fts_analysis_datalake_spark.operators.text import (
     BPE_ISH_PATTERN,
     normalize_text,
@@ -509,15 +509,20 @@ def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ak", "bk")
         .localCheckpoint(eager=True)
     )
-    core = nbr.groupBy("ak").agg(F.count(F.lit(1)).alias("deg")).filter(
-        F.col("deg") >= 4
-    ).select(F.col("ak").alias("k"))
+    core = (
+        nbr.groupBy("ak")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 4)
+        .select(F.col("ak").alias("k"))
+        .localCheckpoint(eager=True)
+    )
     edges = (
         nbr.join(core.withColumnRenamed("k", "ak"), "ak", "leftsemi")
         .join(core.withColumnRenamed("k", "bk"), "bk", "leftsemi")
         .select(F.col("ak").alias("a"), F.col("bk").alias("b"))
+        .localCheckpoint(eager=True)
     )
-    cc = connected_components(edges, "a", "b")
+    cc = connected_components_star(edges, "a", "b")
     return (
         cc.groupBy(F.col("comp").alias("cluster_id"))
         .agg(

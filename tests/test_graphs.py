@@ -84,3 +84,26 @@ def test_pagerank_degree_correlates_with_rank(spark):
     top_deg = top.join(deg, top.node == deg.src).first().deg
     med_deg = deg.agg(F.median("deg")).first()[0]
     assert top_deg >= med_deg, (top_deg, med_deg)
+
+
+def test_star_cc_matches_min_label_on_chains(spark):
+    """connected_components_star must reach the identical fixpoint as
+    min-label propagation — verified on long chains (diameter 499,
+    the regime star contraction exists for: min-label needs ~diameter
+    rounds there) with known ground-truth components."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.operators.graphs import (
+        connected_components_star,
+    )
+
+    # 8 chains of 500 nodes each: node k belongs to component (k//500)*500
+    edges = (
+        spark.range(3999)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        .filter((F.col("id") % 500) != 499)
+    )
+    cc = connected_components_star(edges, "src", "dst")
+    rows = cc.collect()
+    assert len(rows) == 4000
+    assert all(r.comp == (r.node // 500) * 500 for r in rows)
