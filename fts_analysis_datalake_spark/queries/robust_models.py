@@ -247,7 +247,7 @@ def q_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("x"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
-    )
+    ).localCheckpoint(eager=True)  # parse JSON once, not once per grid slope
     grid = spark.range(0, 21).select(((F.col("id") - 10) * 5).alias("b"))
     resid = pts.crossJoin(F.broadcast(grid)).select(
         "b", "event_id", (F.col("y") - F.col("b") * F.col("x")).alias("r")

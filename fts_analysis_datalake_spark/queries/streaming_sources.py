@@ -10,6 +10,7 @@ batch run — that is the streaming correctness story.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -628,3 +629,61 @@ def q_python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").cast("bigint").alias("min_val"),
         F.max("val").cast("bigint").alias("max_val"),
     )
+
+
+@query(
+    "q_python_datasource_writer",
+    oracle="""
+    WITH agg AS (
+      SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS total_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name)
+    SELECT nation, n_orders, total_cents FROM agg ORDER BY nation
+    """,
+    tags=("S8", "E238", "S4", "A1", "J1"),
+)
+def q_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 writer half: push per-nation order totals through the
+    custom Python DataSource SINK (Spark-4 DataSourceWriter API —
+    executor tasks write JSONL part files and return commit
+    messages; the driver commit publishes a manifest, the minimal
+    two-phase-commit contract), then read the part files back and
+    verify against the direct aggregation oracle. This closes the
+    round-trip the reader-side q_python_datasource_agg started: the
+    hash check proves schema handling, per-partition write, commit
+    protocol, and read-back all preserve the data exactly. The
+    aggregate is 25 rows — the sink surface under test, not volume;
+    at scale the same writer shape streams arbitrary partitions as
+    task files with a metastore commit."""
+    from fts_analysis_datalake_spark.sources.pydatasource import register_tallysink
+
+    register_tallysink(spark)
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    agg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(CACHE_DIR, f"tally_{sf_tag}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    agg.write.format("tallysink").option("path", path).mode("append").save()
+    back = spark.read.json(os.path.join(path, "part-*.jsonl"))
+    return back.select(
+        "nation",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+    ).orderBy("nation")

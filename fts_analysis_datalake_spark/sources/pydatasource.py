@@ -96,3 +96,79 @@ def register_synthlog(spark: SparkSession) -> None:
     if app not in _REGISTERED:
         spark.dataSource.register(_make_source())
         _REGISTERED.add(app)
+
+
+def _make_sink():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class TallyCommit(WriterCommitMessage):
+        def __init__(self, path: str, rows: int) -> None:
+            self.path = path
+            self.rows = rows
+
+    class TallyWriter(DataSourceWriter):
+        """Per-partition JSONL writer with a commit manifest — the
+        minimal two-phase-commit shape of the DataSourceWriter API:
+        executors write task files and return commit messages; the
+        driver's commit() publishes the manifest only after every
+        task succeeded, so readers keying on the manifest never see a
+        partial write (abort() leaves no manifest)."""
+
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json
+            import os
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            fp = f"{self.path}/part-{pid:05d}.jsonl"
+            n = 0
+            with open(fp, "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                    n += 1
+            return TallyCommit(fp, n)
+
+        def commit(self, messages):
+            import json
+
+            with open(f"{self.path}/_MANIFEST.json", "w") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "files": len(messages),
+                            "rows": sum(m.rows for m in messages),
+                        }
+                    )
+                )
+
+        def abort(self, messages):
+            pass
+
+    class TallySink(DataSource):
+        """df.write.format("tallysink").option("path", p).save()."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "tallysink"
+
+        def writer(self, schema, overwrite):
+            return TallyWriter(self.options)
+
+    return TallySink
+
+
+def register_tallysink(spark: SparkSession) -> None:
+    """Register the sink once per SparkSession (idempotent)."""
+    app = "sink:" + spark.sparkContext.applicationId
+    if app not in _REGISTERED:
+        spark.dataSource.register(_make_sink())
+        _REGISTERED.add(app)
