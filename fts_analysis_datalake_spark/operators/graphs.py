@@ -298,7 +298,12 @@ def connected_components_star(
             out = j.filter(F.col("v") <= F.col("u")).select(
                 F.col("v").alias("u"), F.col("m").alias("v")
             ).union(m.select(F.col("u"), F.col("m").alias("v")))
-        return out.filter(F.col("u") != F.col("v")).distinct()
+        out = out.filter(F.col("u") != F.col("v"))
+        # Dedupe only at the end of a round (the small-star phase):
+        # duplicate edges don't change any min aggregate, and within
+        # one round the dup blow-up is bounded by the phase fan-out,
+        # so skipping the intermediate shuffle is pure savings.
+        return out.distinct() if not large else out
 
     def fingerprint(e: DataFrame):
         row = e.agg(
@@ -308,12 +313,17 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     e, fp = edges0, fingerprint(edges0)
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # One reroot per round: the two star phases chain within a
         # round (bounded re-execution), and the reroot severs the
         # cross-round id lineage that triggers the re-execution
         # pathology.
         e = reroot(star(star(e, True), False))
+        # Fingerprint every other round: a converged forest is a
+        # fixpoint of the round operator, so at worst one redundant
+        # round runs before detection — cheaper than a per-round job.
+        if rnd % 2 == 0:
+            continue
         fp_new = fingerprint(e)
         if fp_new == fp:
             memb = sym_of(e).groupBy("u").agg(F.min("v").alias("mn"))

@@ -921,3 +921,59 @@ def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return arms.agg(ra.alias("rate_a"), rb.alias("rate_b"), z.alias("z_score"))
+
+
+# --------------------------------------------------------------------------
+# E239: observable metrics — df.observe() side-channel aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_observed_metrics_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+           CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+    FROM lineitem
+    """,
+    tags=("E239", "S5", "A1", "A8"),
+)
+def q_observed_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observable metrics (``df.observe`` + ``Observation``): attach
+    side-channel aggregates to a scan so ONE pass yields both the
+    pipeline's real output and its data-quality counters — the API a
+    production job uses to emit row counts / checksums per batch
+    without a second scan (in streaming, the same node surfaces per
+    micro-batch via the listener). The observed values (row count,
+    exact cents total, quantity bounds) are collected through the
+    Observation handle after the consuming action and re-emitted as a
+    1-row frame (the S5 createDataFrame surface), hash-checked
+    against the direct-aggregation oracle — proving the observe node
+    sees every row exactly once."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_metrics")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("total_cents"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["total_cents"]),
+                int(m["min_qty"]),
+                int(m["max_qty"]),
+            )
+        ],
+        "n_rows bigint, total_cents bigint, min_qty bigint, max_qty bigint",
+    )
