@@ -1,0 +1,113 @@
+"""Algorithm-equivalence property tests for the round-4 operators:
+independent reimplementations (numpy) or sibling operators must agree
+with the Spark versions exactly — stronger evidence than the oracle
+hash because the reference computation shares no code path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_SMALL
+
+
+def test_star_cc_equals_min_label_cc(spark):
+    """Both CC implementations must produce the identical (node, comp)
+    labeling on seeded random graphs spanning sparse fragments to a
+    near-connected blob."""
+    from fts_analysis_datalake_spark.operators.graphs import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed, n_nodes, n_edges in ((1, 60, 40), (2, 80, 90), (3, 50, 200)):
+        rng = np.random.RandomState(seed)
+        pairs = rng.randint(0, n_nodes, size=(n_edges, 2)).tolist()
+        pairs = [(int(a), int(b)) for a, b in pairs if a != b]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        a = {
+            (r.node, r.comp)
+            for r in connected_components(edges, "src", "dst").collect()
+        }
+        b = {
+            (r.node, r.comp)
+            for r in connected_components_star(edges, "src", "dst").collect()
+        }
+        assert a == b, (seed, sorted(a ^ b)[:10])
+
+
+def test_logistic_newton_matches_numpy(spark):
+    """The quantized Newton fit must agree with an independent numpy
+    implementation of the same algorithm (same binning, same
+    per-term quantization, same iteration count) to the last digit."""
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    got = REGISTRY["q_logistic_newton_purchase"].fn(spark, SF_DIR_SMALL).first()
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 4900, 9)
+                        AS DOUBLE) AS x,
+                   COUNT(*) AS m,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+            FROM read_parquet('{SF_DIR_SMALL}/events.parquet') GROUP BY 1"""
+    ).fetchall()
+    x = np.array([r[0] for r in rows])
+    m = np.array([float(r[1]) for r in rows])
+    s = np.array([float(r[2]) for r in rows])
+    b0, b1 = 0.0, 0.0
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(b0 + b1 * x)))
+        q6 = lambda v: np.floor(v * 1e6 + 0.5)  # noqa: E731
+        g0 = q6(s - m * p).sum()
+        g1 = q6(x * (s - m * p)).sum()
+        h00 = q6(m * p * (1 - p)).sum()
+        h01 = q6(x * m * p * (1 - p)).sum()
+        h11 = q6(x * x * m * p * (1 - p)).sum()
+        det = h00 * h11 - h01 * h01
+        b0 = np.floor((b0 + (h11 * g0 - h01 * g1) / det) * 1e9 + 0.5) / 1e9
+        b1 = np.floor((b1 + (h00 * g1 - h01 * g0) / det) * 1e9 + 0.5) / 1e9
+    assert got.beta0 == b0, (got.beta0, b0)
+    assert got.beta1 == b1, (got.beta1, b1)
+
+
+def test_ipf_margins_near_uniform(spark):
+    """After 5 raking rounds the weighted lang and source margins must
+    each be within 2% of their uniform target."""
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    w = REGISTRY["q_ipf_raking_weights"].fn(spark, SF_DIR_SMALL)
+    total = w.agg(F.sum(F.col("n") * F.col("weight"))).first()[0]
+    for dim in ("lang", "source"):
+        margins = (
+            w.groupBy(dim).agg(F.sum(F.col("n") * F.col("weight")).alias("mw"))
+        ).collect()
+        target = total / len(margins)
+        for r in margins:
+            assert abs(r.mw - target) / target < 0.02, (dim, r)
+
+
+def test_two_pass_median_equals_sorted_median(spark):
+    """The histogram-narrowing median must equal the direct lower
+    median of the sorted cents values."""
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    got = REGISTRY["q_two_pass_exact_median"].fn(spark, SF_DIR_SMALL).first()
+
+    import duckdb
+
+    con = duckdb.connect()
+    vals = con.execute(
+        f"""SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+            FROM read_parquet('{SF_DIR_SMALL}/events.parquet')"""
+    ).fetchnumpy()
+    arr = np.sort(list(vals.values())[0])
+    k = (len(arr) + 1) // 2
+    assert got.median_value == arr[k - 1] / 100.0
+    assert got.n_rows == len(arr)
