@@ -11,13 +11,11 @@ Scale notes (100 TB / billions of edges):
 - Min-label propagation: each iteration is one edge-label hash join
   plus one groupBy(min) — two shuffles on the node key, no driver-side
   graph state, nothing ever collected.
-- Each round ALSO pointer-jumps (comp <- comp[comp], the path-halving
-  step from the MapReduce-CC literature), so iteration count is
-  O(log diameter) instead of O(diameter). Near-dup components are
-  dense near-cliques where this hardly matters, but geometric graphs
-  (grid-DBSCAN eps-neighborhoods, E235) form long chains — diameter
-  ~150 at sf0.1 — that plain propagation cannot finish inside any
-  reasonable round budget.
+- Iteration count is O(max component *diameter*): right for dedup
+  graphs (LSH buckets emit near-cliques, diameter ~2-4), wrong for
+  geometric graphs (grid-DBSCAN eps-neighborhoods, E235, diameter
+  ~250 at sf0.1) — those use ``connected_components_star`` below,
+  whose star contraction converges in O(log^2 n) rounds.
 - Lineage is truncated every iteration with ``localCheckpoint`` —
   without it the plan doubles per iteration and the driver OOMs on
   plan size long before data is a problem.
@@ -80,32 +78,16 @@ def connected_components(
             (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("_changed"),
         )
 
-    def jump(lbl):
-        # Pointer jumping (path halving): comp <- comp[comp]. Labels
-        # only ever decrease toward the component min, so this is
-        # monotone and preserves the unique fixpoint while collapsing
-        # label chains exponentially. comp values are always node ids,
-        # so the self-join is total; left join guards regardless.
-        parent = lbl.select(
-            F.col("node").alias("_pnode"), F.col("comp").alias("_pcomp")
-        )
-        return (
-            lbl.join(parent, lbl["comp"] == parent["_pnode"], "left")
-            .select(
-                "node",
-                F.coalesce("_pcomp", "comp").alias("comp"),
-                (
-                    F.col("_changed")
-                    | (F.coalesce("_pcomp", "comp") < F.col("comp"))
-                ).alias("_changed"),
-            )
-        )
-
     for _ in range(max_iter):
-        # One propagation hop + one pointer jump per materialization.
-        # The convergence test ORs both steps' change flags: zero
-        # changes across hop AND jump means labels are the fixpoint.
-        new_labels = reroot(jump(hop(labels)))
+        # TWO propagation hops per materialization+convergence check:
+        # halves the per-round job/action overhead, and testing only
+        # the SECOND hop stays sound — any hop with zero changes is
+        # already the fixpoint. Dedup/near-dup graphs are near-cliques
+        # (diameter ~2-4), so this converges in a handful of rounds;
+        # HIGH-diameter graphs should use connected_components_star
+        # instead — min-label propagation is O(diameter) regardless
+        # of per-round tricks.
+        new_labels = reroot(hop(hop(labels).drop("_changed")))
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
