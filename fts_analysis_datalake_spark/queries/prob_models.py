@@ -774,3 +774,235 @@ def q_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ate_outcome_model"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# E241: Markov removal-effect attribution — absorbing-chain conversion
+# --------------------------------------------------------------------------
+
+_MRK_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_attr_oracle() -> str:
+    scen_rows = ", ".join(f"('{c}')" for c in ("full", *_MRK_CHANNELS))
+    base = f"""
+    WITH ordered AS MATERIALIZED (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events),
+    firstbuy AS (
+      SELECT user_id, MIN(rn) AS pr FROM ordered
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    journey AS MATERIALIZED (
+      SELECT o.user_id, o.event_type, o.rn,
+             MAX(o.rn) OVER (PARTITION BY o.user_id) AS last_rn,
+             f.pr
+      FROM ordered o LEFT JOIN firstbuy f USING (user_id)
+      WHERE f.pr IS NULL OR o.rn <= f.pr),
+    trans AS MATERIALIZED (
+      SELECT s, t, COUNT(*) AS c FROM (
+        SELECT 'start' AS s, event_type AS t FROM journey WHERE rn = 1
+        UNION ALL
+        SELECT j1.event_type, j2.event_type
+        FROM journey j1 JOIN journey j2
+          ON j2.user_id = j1.user_id AND j2.rn = j1.rn + 1
+        UNION ALL
+        SELECT event_type, 'null' FROM journey
+        WHERE pr IS NULL AND rn = last_rn)
+      GROUP BY s, t),
+    probs AS MATERIALIZED (
+      SELECT s, t, (c * 1000000000) // SUM(c) OVER (PARTITION BY s) AS p_q
+      FROM trans),
+    scen(x) AS (VALUES {scen_rows}),
+    sp AS MATERIALIZED (
+      SELECT scen.x AS sc, probs.s,
+             CASE WHEN probs.t = scen.x THEN 'null' ELSE probs.t END AS t,
+             CAST(SUM(p_q) AS BIGINT) AS p_q
+      FROM probs CROSS JOIN scen
+      WHERE probs.s <> scen.x
+      GROUP BY sc, probs.s, t),
+    conv0 AS MATERIALIZED (
+      SELECT DISTINCT sc, s, CAST(0 AS BIGINT) AS v FROM sp)"""
+    prev = "conv0"
+    for i in range(1, 25):
+        base += f""",
+    conv{i} AS MATERIALIZED (
+      SELECT sp.sc, sp.s,
+             CAST(SUM(CASE WHEN sp.t = 'purchase' THEN sp.p_q
+                           WHEN sp.t = 'null' THEN 0
+                           ELSE (sp.p_q * COALESCE(pv.v, 0)) // 1000000000
+                      END) AS BIGINT) AS v
+      FROM sp LEFT JOIN {prev} pv ON pv.sc = sp.sc AND pv.s = sp.t
+      GROUP BY sp.sc, sp.s)"""
+        prev = f"conv{i}"
+    base += f"""
+    , final AS (
+      SELECT sc, v FROM conv24 WHERE s = 'start'),
+    eff AS (
+      SELECT c.sc AS channel,
+             CAST(f.v AS BIGINT) AS conv_full_q,
+             CAST(c.v AS BIGINT) AS conv_removed_q,
+             CAST(f.v - c.v AS BIGINT) AS effect_q
+      FROM final c CROSS JOIN (SELECT v FROM final WHERE sc = 'full') f
+      WHERE c.sc <> 'full')
+    SELECT channel,
+           conv_full_q / 1000000000.0 AS conv_full,
+           conv_removed_q / 1000000000.0 AS conv_removed,
+           CAST(FLOOR(CAST(effect_q AS DOUBLE) / conv_full_q * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS removal_effect,
+           CAST(FLOOR(CAST(effect_q AS DOUBLE)
+                      / (SELECT SUM(effect_q) FROM eff) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS attribution_share
+    FROM eff ORDER BY channel"""
+    return base
+
+
+@query(
+    "q_markov_removal_attribution",
+    oracle=_markov_attr_oracle(),
+    tags=("E241", "E117", "W1", "J11", "A1"),
+)
+def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: model each user's journey
+    (start -> events -> first purchase | null) as an absorbing Markov
+    chain, compute the start-to-purchase absorption probability, then
+    re-compute it with each channel REMOVED (its inbound transitions
+    redirected to the null sink, its outbound dropped) — the channel's
+    removal effect is the conversion it was load-bearing for, and the
+    normalized effects are the attribution shares (Anderl et al.'s
+    framework; the causal-structure alternative to E116 position
+    rules and E186's Shapley). Absorption probabilities come from 24
+    fixed power-iteration rounds in PURE INTEGER arithmetic:
+    transition probabilities are 1e-9 BIGINT rationals, each round
+    maps integers to integers via floor division, and all five
+    scenarios (full + 4 removals) iterate together on one
+    scenario-keyed frame of ~30 rows. The only data-sized work is the
+    journey window + one self-join for consecutive pairs; everything
+    after is domain-sized."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    firstbuy = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("pr"))
+    )
+    journey = (
+        ordered.join(F.broadcast(firstbuy), "user_id", "left")
+        .filter(F.col("pr").isNull() | (F.col("rn") <= F.col("pr")))
+        .select(
+            "user_id",
+            "event_type",
+            "rn",
+            F.max("rn").over(Window.partitionBy("user_id")).alias("last_rn"),
+            "pr",
+        )
+        .localCheckpoint(eager=True)
+    )
+    starts = journey.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("s"), F.col("event_type").alias("t")
+    )
+    nxt = journey.select("user_id", F.col("rn").alias("rn2"), F.col("event_type").alias("t"))
+    steps = (
+        journey.join(
+            nxt,
+            (journey["user_id"] == nxt["user_id"])
+            & (nxt["rn2"] == journey["rn"] + 1),
+        )
+        .select(F.col("event_type").alias("s"), "t")
+    )
+    drops = journey.filter(
+        F.col("pr").isNull() & (F.col("rn") == F.col("last_rn"))
+    ).select(F.col("event_type").alias("s"), F.lit("null").alias("t"))
+    trans = (
+        starts.unionAll(steps).unionAll(drops).groupBy("s", "t").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    probs = trans.select(
+        "s", "t", F.expr("(c * 1000000000) DIV SUM(c) OVER (PARTITION BY s)").alias("p_q")
+    )
+    scen = spark.createDataFrame(
+        [(x,) for x in ("full", *_MRK_CHANNELS)], "x string"
+    )
+    sp = (
+        probs.crossJoin(F.broadcast(scen))
+        .filter(F.col("s") != F.col("x"))
+        .select(
+            F.col("x").alias("sc"),
+            "s",
+            F.when(F.col("t") == F.col("x"), F.lit("null")).otherwise(F.col("t")).alias("t"),
+            "p_q",
+        )
+        .groupBy("sc", "s", "t")
+        .agg(F.sum("p_q").cast("bigint").alias("p_q"))
+        .localCheckpoint(eager=True)
+    )
+    conv = sp.select("sc", "s").distinct().select(
+        "sc", "s", F.lit(0).cast("bigint").alias("v")
+    )
+    for rnd in range(24):
+        pv = conv.select(
+            F.col("sc").alias("psc"), F.col("s").alias("pt"), F.col("v")
+        )
+        conv = (
+            sp.join(
+                pv,
+                (F.col("psc") == F.col("sc")) & (F.col("pt") == F.col("t")),
+                "left",
+            )
+            .groupBy("sc", "s")
+            .agg(
+                F.sum(
+                    F.when(F.col("t") == "purchase", F.col("p_q"))
+                    .when(F.col("t") == "null", F.lit(0))
+                    .otherwise(
+                        F.expr("(p_q * COALESCE(v, 0)) DIV 1000000000")
+                    )
+                )
+                .cast("bigint")
+                .alias("v")
+            )
+        )
+        # conv is referenced ONCE per round (the join probe side), so
+        # plain lineage grows linearly, not exponentially; checkpoint
+        # every 6th round only to bound analyzer depth.
+        if rnd % 6 == 5:
+            conv = conv.localCheckpoint(eager=True)
+    final = conv.filter(F.col("s") == "start").select("sc", "v")
+    full = final.filter(F.col("sc") == "full").select(
+        F.col("v").alias("v_full")
+    )
+    eff = (
+        final.filter(F.col("sc") != "full")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("sc").alias("channel"),
+            F.col("v_full").cast("bigint").alias("conv_full_q"),
+            F.col("v").cast("bigint").alias("conv_removed_q"),
+            (F.col("v_full") - F.col("v")).cast("bigint").alias("effect_q"),
+        )
+    )
+    tot_eff = eff.agg(F.sum("effect_q").alias("sum_eff"))
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1000000.0
+
+    return (
+        eff.crossJoin(F.broadcast(tot_eff))
+        .select(
+            "channel",
+            (F.col("conv_full_q") / 1000000000.0).alias("conv_full"),
+            (F.col("conv_removed_q") / 1000000000.0).alias("conv_removed"),
+            q6(F.col("effect_q").cast("double") / F.col("conv_full_q")).alias(
+                "removal_effect"
+            ),
+            q6(F.col("effect_q").cast("double") / F.col("sum_eff")).alias(
+                "attribution_share"
+            ),
+        )
+        .orderBy("channel")
+    )
