@@ -707,3 +707,308 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# E242: consistent-hash ring rebalance audit
+# --------------------------------------------------------------------------
+
+
+def _ring_sql(n_shards: int, vnodes: int = 8) -> str:
+    rows = ", ".join(
+        f"({s}, {v}, CAST(('0x' || substring(md5('shard{s}#v{v}'), 1, 13)) AS BIGINT))"
+        for s in range(n_shards)
+        for v in range(vnodes)
+    )
+    return f"(VALUES {rows}) AS ring_{n_shards}(shard, vnode, pos)"
+
+
+@query(
+    "q_consistent_hash_rebalance",
+    oracle=f"""
+    WITH keys AS (
+      SELECT c_custkey AS k,
+             CAST(('0x' || substring(md5('key:' || CAST(c_custkey AS VARCHAR)),
+                   1, 13)) AS BIGINT) AS kpos
+      FROM customer),
+    r4 AS (SELECT * FROM {_ring_sql(4)}),
+    r5 AS (SELECT * FROM {_ring_sql(5)}),
+    a4 AS (
+      SELECT k.k,
+             COALESCE(
+               (SELECT r.shard FROM r4 r WHERE r.pos >= k.kpos
+                ORDER BY r.pos, r.shard LIMIT 1),
+               (SELECT r.shard FROM r4 r ORDER BY r.pos, r.shard LIMIT 1))
+               AS shard
+      FROM keys k),
+    a5 AS (
+      SELECT k.k,
+             COALESCE(
+               (SELECT r.shard FROM r5 r WHERE r.pos >= k.kpos
+                ORDER BY r.pos, r.shard LIMIT 1),
+               (SELECT r.shard FROM r5 r ORDER BY r.pos, r.shard LIMIT 1))
+               AS shard
+      FROM keys k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN a4.shard <> a5.shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST(FLOOR(SUM(CASE WHEN a4.shard <> a5.shard THEN 1.0e0 ELSE 0 END)
+                      / COUNT(*) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS moved_frac,
+           CAST(SUM(CASE WHEN a4.shard <> a5.shard AND a5.shard = 4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS moved_to_new
+    FROM a4 JOIN a5 USING (k)
+    """,
+    tags=("E242", "F11", "J7", "A1"),
+)
+def q_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring rebalance audit: place every customer key
+    on an md5 ring served by 4 shards x 8 virtual nodes, add a 5th
+    shard, and measure what moved — the data-placement property that
+    makes consistent hashing the standard for shard growth (only
+    ~1/(n+1) of keys move, and essentially all moves land ON the new
+    shard; modulo hashing would reshuffle ~4/5 of everything). Ring
+    lookup (successor vnode, wrapping) is a min-over-candidates
+    aggregate against the 32/40-row broadcast ring — no sort, no
+    per-key subquery in the Spark plan (the oracle's correlated form
+    is the same lookup in DuckDB's idiom). All md5-derived positions
+    are exact integers; the moved fraction is 1e-6-quantized."""
+    import itertools
+
+    c = load_table(spark, sf_dir, "customer")
+    keys = c.select(
+        F.col("c_custkey").alias("k"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("key:"), F.col("c_custkey").cast("string"))), 1, 13),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("kpos"),
+    )
+
+    def ring(n_shards: int, vnodes: int = 8):
+        rows = [
+            (s, v)
+            for s, v in itertools.product(range(n_shards), range(vnodes))
+        ]
+        df = spark.createDataFrame(rows, "shard int, vnode int")
+        return df.select(
+            "shard",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("shard"),
+                            F.col("shard").cast("string"),
+                            F.lit("#v"),
+                            F.col("vnode").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("pos"),
+        )
+
+    def assign(ring_df, out: str):
+        # successor vnode on the ring: min (pos, shard) among vnodes at
+        # or after the key; wrap to the global min when none.
+        r = F.broadcast(ring_df)
+        succ = (
+            keys.crossJoin(r)
+            .groupBy("k")
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("pos") >= F.col("kpos"),
+                        F.struct("pos", "shard"),
+                    )
+                ).alias("after"),
+                F.min(F.struct("pos", "shard")).alias("wrap"),
+            )
+            .select(
+                "k",
+                F.coalesce(F.col("after.shard"), F.col("wrap.shard")).alias(out),
+            )
+        )
+        return succ
+
+    a4 = assign(ring(4), "shard4")
+    a5 = assign(ring(5), "shard5")
+    moved = (F.col("shard4") != F.col("shard5")).cast("bigint")
+    return a4.join(a5, "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(moved).cast("bigint").alias("n_moved"),
+        (
+            F.floor(
+                F.sum(moved.cast("double")) / F.count(F.lit(1)) * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1000000.0
+        ).alias("moved_frac"),
+        F.sum(
+            ((F.col("shard4") != F.col("shard5")) & (F.col("shard5") == 4)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("moved_to_new"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E243: Wilson score confidence intervals — rate panel
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_wilson_rate_intervals",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits
+      FROM events GROUP BY event_type),
+    wilson AS (
+      SELECT event_type, n, hits,
+             CAST(hits AS DOUBLE) / n AS p,
+             1.959963985e0 AS z
+      FROM counts)
+    SELECT event_type, n, hits,
+           CAST(FLOOR(p * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS rate,
+           CAST(FLOOR(
+             ((p + z * z / (2.0e0 * n)
+               - z * sqrt((p * (1.0e0 - p) + z * z / (4.0e0 * n)) / n))
+              / (1.0e0 + z * z / n)) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS wilson_lo,
+           CAST(FLOOR(
+             ((p + z * z / (2.0e0 * n)
+               + z * sqrt((p * (1.0e0 - p) + z * z / (4.0e0 * n)) / n))
+              / (1.0e0 + z * z / n)) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS wilson_hi
+    FROM wilson ORDER BY event_type
+    """,
+    tags=("E243", "A1", "F6", "E130"),
+)
+def q_wilson_rate_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence intervals for the high-value rate
+    per event type — the binomial interval that stays inside [0, 1]
+    and behaves at small n / extreme p where the naive Wald interval
+    (rate +- z*sqrt(pq/n)) collapses; the standard choice for rate
+    dashboards and ranking-by-lower-bound. One partial-aggregated
+    scan to (n, hits) per type; the interval is a fixed-order double
+    expression over exact integers with the z constant written
+    identically on both sides, 1e-6-quantized."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("value") >= 100.0).cast("bigint")).cast("bigint").alias("hits"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("hits").cast("double") / F.col("n")
+    z = F.lit(1.959963985)
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1000000.0
+
+    center = p + z * z / (2.0 * n)
+    half = z * F.sqrt((p * (1.0 - p) + z * z / (4.0 * n)) / n)
+    denom = 1.0 + z * z / n
+    return counts.select(
+        "event_type",
+        "n",
+        "hits",
+        q6(p).alias("rate"),
+        q6((center - half) / denom).alias("wilson_lo"),
+        q6((center + half) / denom).alias("wilson_hi"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# E244: maximum drawdown — running-peak analysis per user
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_max_drawdown_users",
+    oracle="""
+    WITH dd AS (
+      SELECT user_id,
+             CAST(MAX(peak - bal) AS BIGINT) AS max_dd,
+             CAST(MAX(peak) AS BIGINT) AS max_peak
+      FROM (
+        SELECT user_id, bal,
+               MAX(bal) OVER (PARTITION BY user_id
+                 ORDER BY bal_rn ROWS UNBOUNDED PRECEDING) AS peak
+        FROM (
+          SELECT user_id, bal,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS bal_rn, ts, event_id
+          FROM (
+            SELECT user_id, ts, event_id,
+                   SUM(CAST(FLOOR((CASE WHEN event_type = 'purchase'
+                                        THEN -value ELSE value END) * 100
+                                  + 0.5) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bal
+            FROM events)))
+      GROUP BY user_id),
+    ranked AS (
+      SELECT user_id, max_dd, max_peak,
+             ROW_NUMBER() OVER (ORDER BY max_dd DESC, user_id) AS rn
+      FROM dd)
+    SELECT user_id, max_dd / 100.0 AS max_drawdown,
+           max_peak / 100.0 AS peak_balance
+    FROM ranked WHERE rn <= 10 ORDER BY rn
+    """,
+    tags=("E244", "W4", "W1", "O3"),
+)
+def q_max_drawdown_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: treat each user's event stream as a
+    signed balance series (purchases debit, everything else credits),
+    track the running peak, and report the 10 largest peak-to-trough
+    drops — the risk statistic that running totals alone can't show
+    (a user can end positive after a deep trough). Two stacked
+    windows over ONE per-user ordering (cumulative balance, then
+    running max), a per-user aggregate, and a top-10 — all on exact
+    integer cents with (ts, event_id) tie-breaks, no self-join over
+    the series."""
+    e = load_table(spark, sf_dir, "events")
+    signed = F.floor(
+        (
+            F.when(F.col("event_type") == "purchase", -F.col("value")).otherwise(
+                F.col("value")
+            )
+        )
+        * 100
+        + F.lit(0.5)
+    ).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = e.select(
+        "user_id", F.sum(signed).over(w).alias("bal"), "ts", "event_id"
+    )
+    wpeak = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    peaked = series.select(
+        "user_id", "bal", F.max("bal").over(wpeak).alias("peak")
+    )
+    dd = peaked.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("bal")).cast("bigint").alias("max_dd"),
+        F.max("peak").cast("bigint").alias("max_peak"),
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("max_dd").desc(), "user_id"))
+    return (
+        dd.withColumn("rn", rn)
+        .filter(F.col("rn") <= 10)
+        .select(
+            "user_id",
+            (F.col("max_dd") / 100.0).alias("max_drawdown"),
+            (F.col("max_peak") / 100.0).alias("peak_balance"),
+        )
+        .orderBy("rn")
+    )
