@@ -1107,3 +1107,404 @@ def q_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_root",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E245: permutation test — resampling null via md5 label reassignment
+# --------------------------------------------------------------------------
+
+
+def _perm_oracle() -> str:
+    perm_cols = ",\n             ".join(
+        "CAST(('0x' || substring(md5('perm{i}:' || CAST(event_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT) % 2 AS g{i}".format(i=i)
+        for i in range(20)
+    )
+    diffs = ",\n           ".join(
+        f"""ABS(CAST(SUM(CASE WHEN g{i} = 1 THEN cents ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN g{i} = 1 THEN 1 ELSE 0 END)
+           - CAST(SUM(CASE WHEN g{i} = 0 THEN cents ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN g{i} = 0 THEN 1 ELSE 0 END)) AS pd{i}"""
+        for i in range(20)
+    )
+    exceeds = " + ".join(
+        f"CASE WHEN pd{i} >= obs THEN 1 ELSE 0 END" for i in range(20)
+    )
+    return f"""
+    WITH pool AS MATERIALIZED (
+      SELECT event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(event_type = 'purchase' AS BIGINT) AS grp,
+             {perm_cols}
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    stats AS (
+      SELECT ABS(CAST(SUM(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS DOUBLE)
+                 / SUM(grp)
+               - CAST(SUM(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS DOUBLE)
+                 / SUM(1 - grp)) AS obs,
+             {diffs}
+      FROM pool)
+    SELECT CAST(FLOOR(obs * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS observed_abs_diff_cents,
+           CAST(1 + {exceeds} AS BIGINT) AS n_as_extreme,
+           CAST(FLOOR((1.0e0 + ({exceeds})) / 21.0e0 * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS p_value
+    FROM stats
+    """
+
+
+@query(
+    "q_permutation_test_value",
+    oracle=_perm_oracle(),
+    tags=("E245", "E130", "F11", "A1"),
+)
+def q_permutation_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the purchase-vs-view mean-value gap: the
+    group labels are reassigned 20 times by independent md5 coin
+    flips, the |mean difference| is recomputed under each null
+    relabeling, and the p-value is the add-one-smoothed fraction of
+    permutations at least as extreme — distribution-free inference
+    that needs no normality or variance model (the resampling
+    complement of E130's z test and the bootstrap CI). ALL 21
+    statistics (observed + 20 permuted) reduce in ONE
+    partial-aggregated scan — each row carries its 20 md5-derived
+    null labels as columns, so the permutation sweep costs one pass
+    regardless of data size. Means are exact-integer ratios; each
+    |diff| is a fixed-order double expression, compared exactly on
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    pool = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("grp"),
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"perm{i}:"),
+                                F.col("event_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias(f"g{i}")
+            for i in range(20)
+        ],
+    )
+
+    def absdiff(flag):
+        m1 = F.sum(F.when(flag == 1, F.col("cents")).otherwise(0)).cast(
+            "double"
+        ) / F.sum(flag)
+        m0 = F.sum(F.when(flag == 0, F.col("cents")).otherwise(0)).cast(
+            "double"
+        ) / F.sum(1 - flag)
+        return F.abs(m1 - m0)
+
+    aggs = [absdiff(F.col("grp")).alias("obs")] + [
+        absdiff(F.col(f"g{i}")).alias(f"pd{i}") for i in range(20)
+    ]
+    stats = pool.agg(*aggs)
+    n_ext = None
+    for i in range(20):
+        t = F.when(F.col(f"pd{i}") >= F.col("obs"), 1).otherwise(0)
+        n_ext = t if n_ext is None else n_ext + t
+    return stats.select(
+        (
+            F.floor(F.col("obs") * 10000 + F.lit(0.5)).cast("bigint") / 10000.0
+        ).alias("observed_abs_diff_cents"),
+        (1 + n_ext).cast("bigint").alias("n_as_extreme"),
+        (
+            F.floor((1.0 + n_ext) / 21.0 * 1000000 + F.lit(0.5)).cast("bigint")
+            / 1000000.0
+        ).alias("p_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E246: log-rank test — comparing survival curves across two arms
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_logrank_shipping_arms",
+    oracle="""
+    WITH lifetimes AS MATERIALIZED (
+      SELECT l_orderkey % 2 AS arm,
+             (CAST(FLOOR(epoch(MAX(l_shipdate))) AS BIGINT)
+              - CAST(FLOOR(epoch(MIN(l_shipdate))) AS BIGINT)) // 86400
+               AS t,
+             CAST(CAST(FLOOR(epoch(MAX(l_shipdate))) AS BIGINT)
+                  < (SELECT CAST(FLOOR(epoch(MAX(l_shipdate))) AS BIGINT)
+                     FROM lineitem) - 5184000 AS BIGINT) AS died
+      FROM lineitem GROUP BY l_orderkey),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_all
+      FROM lifetimes),
+    byday AS (
+      SELECT t,
+             CAST(SUM(died) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN arm = 1 THEN died ELSE 0 END) AS BIGINT) AS d1,
+             CAST(COUNT(*) AS BIGINT) AS ended,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ended1
+      FROM lifetimes GROUP BY t),
+    risk AS (
+      SELECT t, d, d1,
+             tt.n_all - COALESCE(SUM(ended) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+             tt.n1_all - COALESCE(SUM(ended1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+      FROM byday CROSS JOIN totals tt),
+    terms AS (
+      SELECT CAST(FLOOR((d1 - CAST(d AS DOUBLE) * n1 / n) * 1000000000 + 0.5)
+                  AS BIGINT) AS oe_q,
+             CASE WHEN n > 1 THEN
+               CAST(FLOOR(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+                          * (1.0e0 - CAST(n1 AS DOUBLE) / n)
+                          * (n - d) / (n - 1.0e0) * 1000000000 + 0.5) AS BIGINT)
+             ELSE 0 END AS v_q
+      FROM risk WHERE d > 0)
+    SELECT CAST(SUM(oe_q) AS BIGINT) / 1000000000.0 AS observed_minus_expected,
+           CAST(SUM(v_q) AS BIGINT) / 1000000000.0 AS variance,
+           CAST(FLOOR(
+             (CAST(SUM(oe_q) AS DOUBLE) / 1000000000.0)
+             / sqrt(CAST(SUM(v_q) AS DOUBLE) / 1000000000.0)
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS logrank_z
+    FROM terms
+    """,
+    tags=("E246", "E220", "W4", "A1", "F4"),
+)
+def q_logrank_shipping_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing the shipping-span survival curves of
+    the two orderkey-parity arms — the hypothesis test that belongs
+    NEXT TO the Kaplan-Meier/Nelson-Aalen estimators (E158/E220): at
+    each death time, observed arm-1 deaths vs the expected count
+    under the shared-hazard null (hypergeometric mean d*n1/n), summed
+    into the O-E statistic with its variance; Z near 0 = the arms'
+    curves are indistinguishable. At-risk counts per arm come from
+    prefix sums over the day-granular span histogram (domain-sized),
+    and every O-E and variance term is 1e-9-quantized BEFORE its sum
+    — the same exact-series discipline as the estimators it tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t_end = li.agg(F.max(F.unix_timestamp("l_shipdate")).alias("end_s"))
+    lifetimes = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min(F.unix_timestamp("l_shipdate")).alias("s0"),
+            F.max(F.unix_timestamp("l_shipdate")).alias("s1"),
+        )
+        .crossJoin(F.broadcast(t_end))
+        .select(
+            (F.col("l_orderkey") % 2).alias("arm"),
+            F.expr("(s1 - s0) DIV 86400").alias("t"),
+            (F.col("s1") < F.col("end_s") - 5184000).cast("bigint").alias("died"),
+        )
+    )
+    totals = lifetimes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum((F.col("arm") == 1).cast("bigint")).cast("bigint").alias("n1_all"),
+    )
+    byday = lifetimes.groupBy("t").agg(
+        F.sum("died").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("died")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.count(F.lit(1)).cast("bigint").alias("ended"),
+        F.sum((F.col("arm") == 1).cast("bigint")).cast("bigint").alias("ended1"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byday.crossJoin(F.broadcast(totals)).select(
+        "t",
+        "d",
+        "d1",
+        (F.col("n_all") - F.coalesce(F.sum("ended").over(wprev), F.lit(0))).alias(
+            "n"
+        ),
+        (
+            F.col("n1_all") - F.coalesce(F.sum("ended1").over(wprev), F.lit(0))
+        ).alias("n1"),
+    )
+    dd, nn, n1 = (
+        F.col("d").cast("double"),
+        F.col("n").cast("double"),
+        F.col("n1").cast("double"),
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        F.floor((F.col("d1") - dd * F.col("n1") / F.col("n")) * 1000000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("oe_q"),
+        F.when(
+            F.col("n") > 1,
+            F.floor(
+                dd * (n1 / nn) * (1.0 - n1 / nn) * (F.col("n") - F.col("d"))
+                / (F.col("n") - 1.0)
+                * 1000000000
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("v_q"),
+    )
+    return terms.agg(
+        (F.sum("oe_q").cast("bigint") / 1000000000.0).alias(
+            "observed_minus_expected"
+        ),
+        (F.sum("v_q").cast("bigint") / 1000000000.0).alias("variance"),
+        (
+            F.floor(
+                (F.sum("oe_q").cast("double") / 1000000000.0)
+                / F.sqrt(F.sum("v_q").cast("double") / 1000000000.0)
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1000000.0
+        ).alias("logrank_z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E247: Little's law audit — L = lambda * W over the session process
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_littles_law_audit",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS MATERIALIZED (
+      SELECT user_id, sid, MIN(s) AS t0, MAX(s) + 1 AS t1
+      FROM (
+        SELECT user_id, s,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY s
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered)
+      GROUP BY user_id, sid),
+    bounds AS (SELECT MIN(t0) AS w0, MAX(t1) AS w1,
+                      CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                      CAST(SUM(t1 - t0) AS BIGINT) AS total_dur
+               FROM sess),
+    deltas AS (
+      SELECT t0 AS tick, 1 AS delta FROM sess
+      UNION ALL SELECT t1, -1 FROM sess),
+    sweep AS (
+      SELECT tick, SUM(delta) AS d FROM deltas GROUP BY tick),
+    active AS (
+      SELECT tick,
+             SUM(d) OVER (ORDER BY tick ROWS UNBOUNDED PRECEDING) AS conc,
+             LEAD(tick) OVER (ORDER BY tick) - tick AS span
+      FROM sweep)
+    SELECT b.n_sessions,
+           CAST(FLOOR(CAST(b.total_dur AS DOUBLE) / b.n_sessions * 10000 + 0.5)
+                AS BIGINT) / 10000.0 AS w_avg_duration_s,
+           CAST(FLOOR(CAST(b.n_sessions AS DOUBLE) / (b.w1 - b.w0) * 3600.0e0
+                      * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS lambda_per_hour,
+           CAST(FLOOR(CAST((SELECT SUM(conc * span) FROM active
+                            WHERE span IS NOT NULL) AS DOUBLE)
+                      / (b.w1 - b.w0) * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS l_time_avg_concurrency,
+           CAST(FLOOR(CAST(b.n_sessions AS DOUBLE) / (b.w1 - b.w0)
+                      * (CAST(b.total_dur AS DOUBLE) / b.n_sessions)
+                      * 10000 + 0.5) AS BIGINT) / 10000.0 AS lambda_times_w
+    FROM bounds b
+    """,
+    tags=("E247", "W8", "W4", "A1", "F4"),
+)
+def q_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit over the user-session process: L (time-
+    averaged concurrent sessions, computed exactly by a sweep line —
+    +1/-1 boundary deltas, running sum, weighted by the span to the
+    next boundary) must equal lambda x W (arrival rate x mean
+    duration) over the observation window — the queueing identity an
+    SRE uses to sanity-check load metrics, and it holds EXACTLY here
+    because the window spans the whole process (no edge truncation:
+    sum of durations = integral of concurrency). Sessions are the
+    repo-standard 30-min-gap sessionization (whole-second spans,
+    +1 s so zero-length sessions still occupy their second). All
+    terms are exact integers until the final quantized ratios; the
+    identity surviving the hash check on BOTH engines is itself the
+    correctness proof of the sweep-line integral."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = F.unix_timestamp("ts")
+    ordered = e.select(
+        "user_id",
+        s.alias("s"),
+        F.when(
+            F.lag(F.col("ts")).over(w).isNull()
+            | ((s - F.lag(s).over(w)) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wsid = Window.partitionBy("user_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        ordered.select(
+            "user_id", "s", F.sum("is_new").over(wsid).alias("sid")
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("s").alias("t0"), (F.max("s") + 1).alias("t1"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = sess.agg(
+        F.min("t0").alias("w0"),
+        F.max("t1").alias("w1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.col("t1") - F.col("t0")).cast("bigint").alias("total_dur"),
+    )
+    deltas = sess.select(F.col("t0").alias("tick"), F.lit(1).alias("delta")).unionAll(
+        sess.select(F.col("t1").alias("tick"), F.lit(-1).alias("delta"))
+    )
+    sweep = deltas.groupBy("tick").agg(F.sum("delta").alias("d"))
+    wt = Window.orderBy("tick")
+    active = sweep.select(
+        "tick",
+        F.sum("d").over(wt.rowsBetween(Window.unboundedPreceding, 0)).alias("conc"),
+        (F.lead("tick").over(wt) - F.col("tick")).alias("span"),
+    )
+    integral = active.filter(F.col("span").isNotNull()).agg(
+        F.sum(F.col("conc") * F.col("span")).alias("area")
+    )
+
+    def q4(c):
+        return F.floor(c * 10000 + F.lit(0.5)).cast("bigint") / 10000.0
+
+    win = F.col("w1") - F.col("w0")
+    return (
+        bounds.crossJoin(F.broadcast(integral))
+        .select(
+            "n_sessions",
+            q4(F.col("total_dur").cast("double") / F.col("n_sessions")).alias(
+                "w_avg_duration_s"
+            ),
+            q4(
+                F.col("n_sessions").cast("double") / win * 3600.0
+            ).alias("lambda_per_hour"),
+            q4(F.col("area").cast("double") / win).alias(
+                "l_time_avg_concurrency"
+            ),
+            q4(
+                F.col("n_sessions").cast("double")
+                / win
+                * (F.col("total_dur").cast("double") / F.col("n_sessions"))
+            ).alias("lambda_times_w"),
+        )
+    )
