@@ -27,3 +27,4 @@ from fts_analysis_datalake_spark.queries import sketches_search  # noqa: F401
 from fts_analysis_datalake_spark.queries import advanced_models  # noqa: F401
 from fts_analysis_datalake_spark.queries import prob_models  # noqa: F401
 from fts_analysis_datalake_spark.queries import robust_models  # noqa: F401
+from fts_analysis_datalake_spark.queries import sql_surfaces  # noqa: F401

@@ -1,0 +1,181 @@
+"""SQL-language surface queries (SURVEY.md §2.12 E248-E250): SQL
+UDFs (CREATE FUNCTION ... RETURN), SQL scripting (BEGIN/DECLARE/
+WHILE/FOR), and parameterized SQL with named markers.
+
+These exercise the engine's SQL-language features rather than new
+analytics: a reference user migrating stored procedures, macro-style
+helper functions, or parameter-driven report templates needs all
+three. Each declared query routes its whole computation through the
+feature under test and hash-checks against a plain-SQL oracle, so
+the feature's SEMANTICS (not just its parser) are verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (parity with sibling modules)
+
+from fts_analysis_datalake_spark.catalog import register_views
+from fts_analysis_datalake_spark.registry import query
+
+# --------------------------------------------------------------------------
+# E248: SQL UDFs — CREATE FUNCTION ... RETURN <expr>
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_udf_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0e0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(SUM(CASE WHEN l_discount >= 0.05e0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_discounted
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("E248", "F6", "A1", "S6"),
+)
+def q_sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDFs (Spark 4 ``CREATE FUNCTION ... RETURN expr``): the
+    engine-native way to share expression vocabulary across queries
+    without Python — the revenue computation and the
+    discounted-line predicate are declared ONCE as named functions
+    and the query text uses only those names. Catalyst inlines the
+    bodies at analysis time, so the physical plan is identical to
+    writing the expressions out (whole-stage codegen, no function
+    call at runtime) — which is exactly what the hash check against
+    the inlined-SQL oracle proves. The quantized-revenue helper is
+    the SQL-UDF form of functions/deterministic.py's dsum recipe."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION revenue_cents(price DOUBLE,"
+        " disc DOUBLE) RETURNS BIGINT"
+        " RETURN CAST(FLOOR(price * (1.0D - disc) * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_discounted(disc DOUBLE)"
+        " RETURNS BOOLEAN RETURN disc >= 0.05D"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(revenue_cents(l_extendedprice, l_discount)) AS BIGINT)
+                 AS revenue_cents,
+               CAST(SUM(CASE WHEN is_discounted(l_discount) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_discounted
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# E249: SQL scripting — BEGIN / DECLARE / FOR / control flow
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_scripting_rollup",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY m)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(SUM(CASE WHEN rev > 2000000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big_months,
+           CAST(SUM(CASE WHEN rev > 2000000000 THEN rev ELSE 0 END) AS BIGINT)
+             AS big_month_revenue_cents
+    FROM monthly
+    """,
+    tags=("E249", "F4", "A1", "S6"),
+)
+def q_sql_scripting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 ``BEGIN ... END`` with DECLARE and a
+    FOR-over-result loop): the stored-procedure surface a migrating
+    warehouse user reaches for first. The script iterates the
+    monthly-revenue result set in SQL control flow, accumulating
+    month counts and the revenue of months above a threshold into
+    declared variables, and returns the final SELECT — semantics the
+    hash check pins against the set-based oracle (proving the loop
+    visited every month exactly once). Control flow runs on the
+    DRIVER over an already-aggregated 50-row result; the data-sized
+    work stays one declarative aggregation, which is the right
+    division of labor for scripting at any scale."""
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n_months BIGINT DEFAULT 0;
+          DECLARE n_big BIGINT DEFAULT 0;
+          DECLARE big_rev BIGINT DEFAULT 0;
+          FOR row AS
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY m
+          DO
+            SET n_months = n_months + 1;
+            IF row.rev > 2000000000 THEN
+              SET n_big = n_big + 1;
+              SET big_rev = big_rev + row.rev;
+            END IF;
+          END FOR;
+          SELECT n_months, n_big AS n_big_months,
+                 big_rev AS big_month_revenue_cents;
+        END
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# E250: parameterized SQL — named parameter markers
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_parameterized_sql_report",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("E250", "P2", "F4", "A1", "S6"),
+)
+def q_parameterized_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named markers (``spark.sql(query,
+    args=...)``): the report-template surface — one SQL text, values
+    bound at run time as TYPED literals by the engine (no string
+    interpolation, no injection surface, and Catalyst still constant-
+    folds and pushes the bound predicates into the scan exactly like
+    hand-written literals). The oracle is the same report with the
+    parameters inlined; the hash check proves binding semantics,
+    including the timestamp cast path."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_orderdate >= CAST(:start AS TIMESTAMP)
+          AND o_orderdate < CAST(:end AS TIMESTAMP)
+          AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={
+            "start": "1996-01-01",
+            "end": "1997-01-01",
+            "min_price": 1000.0,
+        },
+    )
