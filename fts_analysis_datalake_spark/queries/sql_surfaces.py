@@ -78,17 +78,17 @@ def q_sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sql_scripting_rollup",
     oracle="""
-    WITH monthly AS (
-      SELECT date_trunc('month', o_orderdate) AS m,
+    WITH yearly AS (
+      SELECT date_trunc('year', o_orderdate) AS y,
              CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS rev
-      FROM orders GROUP BY m)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
-           CAST(SUM(CASE WHEN rev > 2000000000 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_big_months,
-           CAST(SUM(CASE WHEN rev > 2000000000 THEN rev ELSE 0 END) AS BIGINT)
-             AS big_month_revenue_cents
-    FROM monthly
+      FROM orders GROUP BY y)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_years,
+           CAST(SUM(CASE WHEN rev > 20000000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big_years,
+           CAST(SUM(CASE WHEN rev > 20000000000 THEN rev ELSE 0 END) AS BIGINT)
+             AS big_year_revenue_cents
+    FROM yearly
     """,
     tags=("E249", "F4", "A1", "S6"),
 )
@@ -96,36 +96,38 @@ def q_sql_scripting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL scripting (Spark 4 ``BEGIN ... END`` with DECLARE and a
     FOR-over-result loop): the stored-procedure surface a migrating
     warehouse user reaches for first. The script iterates the
-    monthly-revenue result set in SQL control flow, accumulating
-    month counts and the revenue of months above a threshold into
+    yearly-revenue result set in SQL control flow, accumulating
+    year counts and the revenue of years above a threshold into
     declared variables, and returns the final SELECT — semantics the
     hash check pins against the set-based oracle (proving the loop
-    visited every month exactly once). Control flow runs on the
-    DRIVER over an already-aggregated 50-row result; the data-sized
-    work stays one declarative aggregation, which is the right
-    division of labor for scripting at any scale."""
+    visited every year exactly once). Control flow runs on the
+    DRIVER over an already-aggregated handful-of-rows result — the
+    scripting interpreter costs ~200 ms per statement execution, so
+    loop cardinality belongs in the aggregate, not the cursor; the
+    data-sized work stays one declarative aggregation, which is the
+    right division of labor for scripting at any scale."""
     register_views(spark, sf_dir)
     spark.conf.set("spark.sql.scripting.enabled", "true")
     return spark.sql(
         """
         BEGIN
-          DECLARE n_months BIGINT DEFAULT 0;
+          DECLARE n_years BIGINT DEFAULT 0;
           DECLARE n_big BIGINT DEFAULT 0;
           DECLARE big_rev BIGINT DEFAULT 0;
           FOR row AS
-            SELECT date_trunc('month', o_orderdate) AS m,
+            SELECT date_trunc('year', o_orderdate) AS y,
                    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS rev
-            FROM orders GROUP BY m
+            FROM orders GROUP BY y
           DO
-            SET n_months = n_months + 1;
-            IF row.rev > 2000000000 THEN
+            SET n_years = n_years + 1;
+            IF row.rev > 20000000000 THEN
               SET n_big = n_big + 1;
               SET big_rev = big_rev + row.rev;
             END IF;
           END FOR;
-          SELECT n_months, n_big AS n_big_months,
-                 big_rev AS big_month_revenue_cents;
+          SELECT n_years, n_big AS n_big_years,
+                 big_rev AS big_year_revenue_cents;
         END
         """
     )

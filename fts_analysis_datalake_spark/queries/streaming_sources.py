@@ -680,7 +680,11 @@ def q_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(CACHE_DIR, f"tally_{sf_tag}")
     if os.path.exists(path):
         shutil.rmtree(path)
-    agg.write.format("tallysink").option("path", path).mode("append").save()
+    # The aggregate is ~25 rows spread over the shuffle partitioning;
+    # coalesce before the sink so only a few Python writer tasks spin up.
+    agg.coalesce(4).write.format("tallysink").option("path", path).mode(
+        "append"
+    ).save()
     back = spark.read.json(os.path.join(path, "part-*.jsonl"))
     return back.select(
         "nation",
