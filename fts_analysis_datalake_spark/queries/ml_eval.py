@@ -1931,3 +1931,216 @@ def q_mrr_retrieval_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hit_at_10"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# E251: equalized-odds fairness audit across user cohorts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_equalized_odds_audit",
+    oracle="""
+    WITH scored AS (
+      SELECT user_id % 4 AS cohort,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 9800 AS pred,
+             event_type = 'purchase' AS actual
+      FROM events),
+    rates AS (
+      SELECT cohort,
+             CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp,
+             CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+               AS neg,
+             CAST(SUM(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS npred,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM scored GROUP BY cohort)
+    SELECT cohort, n,
+           CAST(FLOOR(CAST(tp AS DOUBLE) / pos * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS tpr,
+           CAST(FLOOR(CAST(fp AS DOUBLE) / neg * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS fpr,
+           CAST(FLOOR(CAST(npred AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS selection_rate,
+           CAST(FLOOR((CAST(tp AS DOUBLE) / pos
+                       - (SELECT CAST(SUM(tp) AS DOUBLE) / SUM(pos) FROM rates))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS tpr_gap,
+           CAST(FLOOR((CAST(fp AS DOUBLE) / neg
+                       - (SELECT CAST(SUM(fp) AS DOUBLE) / SUM(neg) FROM rates))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS fpr_gap
+    FROM rates ORDER BY cohort
+    """,
+    tags=("E251", "E148", "A1", "F6"),
+)
+def q_equalized_odds_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equalized-odds fairness audit of the fixed-threshold value
+    classifier across four user-id cohorts (the protected-attribute
+    stand-in): per-cohort TPR, FPR, and selection rate, each shown
+    with its gap to the pooled rate — equalized odds holds when the
+    TPR and FPR gaps are ~0 even if base rates differ, which is
+    exactly what per-slice ACCURACY (E148) cannot distinguish. One
+    partial-aggregated scan to six exact counters per cohort; every
+    rate and gap is a fixed-order expression over integers,
+    1e-6-quantized. At 100 TB this is the shape of every fairness
+    dashboard: counters per (cohort x outcome x prediction) cell,
+    never row-level reprocessing."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        (F.col("user_id") % 4).alias("cohort"),
+        (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") >= 9800).alias(
+            "pred"
+        ),
+        (F.col("event_type") == "purchase").alias("actual"),
+    )
+    rates = scored.groupBy("cohort").agg(
+        F.sum((F.col("pred") & F.col("actual")).cast("bigint"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.col("actual").cast("bigint")).cast("bigint").alias("pos"),
+        F.sum((F.col("pred") & ~F.col("actual")).cast("bigint"))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((~F.col("actual")).cast("bigint")).cast("bigint").alias("neg"),
+        F.sum(F.col("pred").cast("bigint")).cast("bigint").alias("npred"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    pooled = rates.agg(
+        (F.sum("tp").cast("double") / F.sum("pos")).alias("tpr_all"),
+        (F.sum("fp").cast("double") / F.sum("neg")).alias("fpr_all"),
+    )
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1000000.0
+
+    tpr = F.col("tp").cast("double") / F.col("pos")
+    fpr = F.col("fp").cast("double") / F.col("neg")
+    return (
+        rates.crossJoin(F.broadcast(pooled))
+        .select(
+            "cohort",
+            "n",
+            q6(tpr).alias("tpr"),
+            q6(fpr).alias("fpr"),
+            q6(F.col("npred").cast("double") / F.col("n")).alias(
+                "selection_rate"
+            ),
+            q6(tpr - F.col("tpr_all")).alias("tpr_gap"),
+            q6(fpr - F.col("fpr_all")).alias("fpr_gap"),
+        )
+        .orderBy("cohort")
+    )
+
+
+# --------------------------------------------------------------------------
+# E252: Kish effective sample size of the raking weights
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_kish_effective_n",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl
+            FROM cells),
+    w1 AS (
+      SELECT c.lang, c.source, c.n,
+             (CAST(t.nt AS DOUBLE) / t.nl)
+               / (SELECT SUM(c2.n) FROM cells c2 WHERE c2.lang = c.lang)
+               AS w
+      FROM cells c CROSS JOIN tot t),
+    sums AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(FLOOR(n * w * 1000000000 + 0.5) AS BIGINT))
+                  AS BIGINT) / 1000000000.0 AS sw,
+             CAST(SUM(CAST(FLOOR(n * w * w * 1000000000 + 0.5) AS BIGINT))
+                  AS BIGINT) / 1000000000.0 AS sww
+      FROM w1)
+    SELECT n_docs,
+           CAST(FLOOR(sw * sw / sww * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS kish_effective_n,
+           CAST(FLOOR(sw * sw / sww / n_docs * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS efficiency,
+           CAST(FLOOR((CAST(n_docs AS DOUBLE) * sww / (sw * sw) - 1.0e0)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS design_effect_minus_1
+    FROM sums
+    """,
+    tags=("E252", "E234", "A1", "F6"),
+)
+def q_kish_effective_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of a lang-rebalancing weighting:
+    n_eff = (sum w)^2 / sum w^2 over per-document weights that
+    rebalance languages to uniform — the number that tells you what
+    reweighting COSTS (weighting to equality never adds information;
+    n_eff/n is the efficiency retained, and the design effect is the
+    variance inflation every weighted estimate inherits). The
+    weights are exact rationals (uniform target share over the
+    actual lang share), aggregated per (lang, source) cell with
+    per-cell multiplicities, so the whole audit runs on the ~100-row
+    contingency frame. The companion knob for E234's raking: rake to
+    margins, then CHECK the effective n before trusting the
+    reweighted metrics."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.countDistinct("lang").cast("bigint").alias("nl"),
+    )
+    lang_tot = cells.groupBy("lang").agg(F.sum("n").alias("ln"))
+    w1 = (
+        cells.join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            (
+                (F.col("nt").cast("double") / F.col("nl"))
+                / F.col("ln").cast("double")
+            ).alias("w"),
+        )
+    )
+    sums = w1.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        (
+            F.sum(
+                F.floor(F.col("n") * F.col("w") * 1000000000 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).cast("bigint")
+            / 1000000000.0
+        ).alias("sw"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("n") * F.col("w") * F.col("w") * 1000000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("bigint")
+            / 1000000000.0
+        ).alias("sww"),
+    )
+    sw, sww, nd = F.col("sw"), F.col("sww"), F.col("n_docs")
+    return sums.select(
+        "n_docs",
+        (
+            F.floor(sw * sw / sww * 10000 + F.lit(0.5)).cast("bigint") / 10000.0
+        ).alias("kish_effective_n"),
+        (
+            F.floor(sw * sw / sww / nd * 1000000 + F.lit(0.5)).cast("bigint")
+            / 1000000.0
+        ).alias("efficiency"),
+        (
+            F.floor(
+                (nd.cast("double") * sww / (sw * sw) - 1.0) * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1000000.0
+        ).alias("design_effect_minus_1"),
+    )
