@@ -33,6 +33,7 @@ from fts_analysis_datalake_spark.streaming.transforms import (
     tumbling_counts,
     user_accumulator,
     view_click_attribution,
+    view_click_attribution_outer,
 )
 
 # Per-process cache root: two concurrent sessions (driver verify +
@@ -691,3 +692,36 @@ def q_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("total_cents").cast("bigint").alias("total_cents"),
     ).orderBy("nation")
+
+
+@query(
+    "q_view_click_attribution_outer",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           CAST(FLOOR(epoch(c.ts)) - FLOOR(epoch(v.ts)) AS BIGINT) AS delay_s
+    FROM events v LEFT JOIN events c
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    WHERE v.event_type = 'view'
+    """,
+    tags=("T9", "J2", "T4", "E253"),
+)
+def q_view_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER watermarked stream-stream join
+    (streaming/transforms.py view_click_attribution_outer): every
+    view appears — matched views once per attributing click,
+    unmatched views once with null click columns. The outer form is
+    the state-management hard case of T9: in streaming, a null row is
+    only decidable once the click watermark passes the view's
+    attribution horizon, so unmatched rows surface with watermark
+    latency (the stream-equals-batch test drives a sentinel batch to
+    flush them; this batch twin is what that run must equal). The
+    unmatched share is the 'attribution coverage' number funnel
+    dashboards track."""
+    e = load_table(spark, sf_dir, "events")
+    return view_click_attribution_outer(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "click"),
+        attribution_window="2 hours",
+    )

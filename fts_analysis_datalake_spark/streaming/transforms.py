@@ -343,3 +343,54 @@ def user_topk_state(df: DataFrame, k: int = 3) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def view_click_attribution_outer(
+    views: DataFrame,
+    clicks: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T9 outer: LEFT OUTER watermarked stream-stream interval join —
+    every view emits, attributed clicks attached, and views with NO
+    click in the window emit with nulls.
+
+    The semantics difference from the inner form is pure state
+    management: an unmatched view row can only be emitted once the
+    CLICK watermark has passed view_ts + window (before that a match
+    could still arrive), so null rows surface with watermark latency
+    while matches still emit eagerly. That is why outer stream-stream
+    joins REQUIRE watermarks on both inputs plus the time-bounded
+    condition — without them "no match" is undecidable in an
+    unbounded stream. On bounded input the final watermark never
+    advances past the last batch, so a driver of this transform must
+    push one watermark-advancing sentinel batch through to flush
+    trailing unmatched state (tests/test_streaming.py does exactly
+    that).
+    """
+    v = _maybe_watermark(views, "ts", watermark).select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = _maybe_watermark(clicks, "ts", watermark).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return v.join(
+        c,
+        [
+            v.user_id == c.c_user_id,
+            c.click_ts > v.view_ts,
+            c.click_ts <= v.view_ts + F.expr(f"INTERVAL {attribution_window}"),
+        ],
+        "leftOuter",
+    ).select(
+        v.user_id,
+        "view_id",
+        "click_id",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")).alias(
+            "delay_s"
+        ),
+    )

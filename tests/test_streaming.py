@@ -182,3 +182,78 @@ def test_transform_with_state_topk_stream_equals_batch(spark, stream_dir):
     b = {r.user_id: (r.n, tuple(r.top_values)) for r in batch.itertuples()}
     s = {r.user_id: (r.n, tuple(r.top_values)) for r in last.itertuples()}
     assert b == s
+
+
+def test_stream_stream_outer_join_equals_batch(spark, stream_dir, tmp_path):
+    """T9 outer: the LEFT OUTER watermarked join must emit the batch
+    twin's rows INCLUDING null rows for unmatched views. Unmatched
+    state only flushes when the watermark passes, so the stream gets
+    one sentinel file (far-future event, user_id -1) as its final
+    micro-batch; sentinel rows are excluded from the comparison."""
+    import time as _time
+
+    from fts_analysis_datalake_spark.streaming.transforms import (
+        view_click_attribution_outer,
+    )
+
+    # Copy the source files, then append a strictly-newer sentinel file
+    # (FileStreamSource orders batches by modification time).
+    src_dir = str(tmp_path / "outer_src")
+    shutil.copytree(stream_dir, src_dir)
+    # TWO sentinel batches, each with a view AND a click row: the
+    # global watermark is the MIN across both watermarked inputs, so
+    # both sides must advance; the first sentinel moves the watermark,
+    # the second triggers the state scan that actually flushes
+    # unmatched rows (eviction happens in the batch AFTER the
+    # watermark moves).
+    for i, ts in enumerate(("2030-01-01 00:00:00", "2030-01-02 00:00:00")):
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [
+                (999980 + i, ts, -1, "view", 1.0, "{}"),
+                (999990 + i, ts, -1, "click", 1.0, "{}"),
+            ],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def views(src):
+        return src.filter(F.col("event_type") == "view")
+
+    def clicks(src):
+        return src.filter(F.col("event_type") == "click")
+
+    batch_src = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    batch = view_click_attribution_outer(
+        views(batch_src), clicks(batch_src), "2 hours", "40 days"
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        view_click_attribution_outer(
+            views(stream), clicks(stream), "2 hours", "40 days"
+        )
+        .writeStream.format("memory")
+        .queryName("mem_ss_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    cols = ["user_id", "view_id", "click_id", "delay_s"]
+    got = _canon(spark.table("mem_ss_outer").filter(F.col("user_id") >= 0), cols)
+    want = _canon(batch, cols)
+    assert got == want and len(want) > 0
+    # the outer form must actually contain unmatched views
+    assert any(r[2] is None for r in want)
