@@ -2451,3 +2451,195 @@ def q_capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("truth").cast("bigint").alias("true_population"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E254: one-way fixed-effects (within) regression
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_fixed_effects_within",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS x,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY user_id),
+    within AS (
+      SELECT
+        CAST(SUM(CAST(FLOOR(sxy - CAST(sx AS DOUBLE) * sy / n) AS BIGINT))
+             AS BIGINT) AS wxy_q,
+        CAST(SUM(CAST(FLOOR(sxx - CAST(sx AS DOUBLE) * sx / n) AS BIGINT))
+             AS BIGINT) AS wxx_q,
+        CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM per_user),
+    pooled AS (
+      SELECT
+        CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) * SUM(x * y)
+                    - CAST(SUM(x) AS DOUBLE) * SUM(y))
+                   / (CAST(COUNT(*) AS DOUBLE) * SUM(x * x)
+                      - CAST(SUM(x) AS DOUBLE) * SUM(x))
+                   * 1000000000 + 0.5) AS BIGINT) / 1000000000.0 AS b_pooled
+      FROM pts)
+    SELECT w.n_rows, w.n_users,
+           CAST(FLOOR(CAST(w.wxy_q AS DOUBLE) / w.wxx_q * 1000000000 + 0.5)
+                AS BIGINT) / 1000000000.0 AS beta_within,
+           p.b_pooled
+    FROM within w CROSS JOIN pooled p
+    """,
+    tags=("E254", "E109", "E159", "A1", "F10"),
+)
+def q_fixed_effects_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way fixed-effects (within) regression of event value on
+    the props k feature, absorbing a PER-USER intercept — the panel
+    estimator that removes all time-invariant user heterogeneity,
+    shown against the pooled OLS slope so the confounding the fixed
+    effects absorb is visible (E159's diff-in-diff is the two-period
+    special case). The within moments are computed WITHOUT
+    materializing any demeaned rows: sum_u [Sxy_u - Sx_u*Sy_u/n_u]
+    from per-user exact integer moments, each user's correction term
+    floor-quantized to an integer before the cross-user sum (the
+    units are cents x k, so integer granularity is far below any
+    meaningful digit). One per-user aggregate + one k-row reduction
+    — the 100 TB panel shape, no row-level demeaning pass."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    ).localCheckpoint(eager=True)
+    per_user = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    within = per_user.agg(
+        F.sum(
+            F.floor(
+                F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("wxy_q"),
+        F.sum(
+            F.floor(
+                F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("wxx_q"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    pooled = pts.agg(
+        (
+            F.floor(
+                (
+                    F.count(F.lit(1)).cast("double") * F.sum(F.col("x") * F.col("y"))
+                    - F.sum("x").cast("double") * F.sum("y")
+                )
+                / (
+                    F.count(F.lit(1)).cast("double") * F.sum(F.col("x") * F.col("x"))
+                    - F.sum("x").cast("double") * F.sum("x")
+                )
+                * 1000000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1000000000.0
+        ).alias("b_pooled")
+    )
+    return within.crossJoin(F.broadcast(pooled)).select(
+        "n_rows",
+        "n_users",
+        (
+            F.floor(
+                F.col("wxy_q").cast("double") / F.col("wxx_q") * 1000000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1000000000.0
+        ).alias("beta_within"),
+        "b_pooled",
+    )
+
+
+# --------------------------------------------------------------------------
+# E255: event study — relative-time outcome profile around signup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_event_study_signup",
+    oracle="""
+    WITH first_signup AS (
+      SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS s0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    rel AS (
+      SELECT CASE
+               WHEN (CAST(FLOOR(epoch(e.ts)) AS BIGINT) - f.s0) >= 0
+               THEN (CAST(FLOOR(epoch(e.ts)) AS BIGINT) - f.s0) // 86400
+               ELSE -(1 + (f.s0 - 1 - CAST(FLOOR(epoch(e.ts)) AS BIGINT))
+                      // 86400)
+             END AS rel_day,
+             CAST(FLOOR(e.value * 1000000 + 0.5) AS BIGINT) AS v_q
+      FROM events e JOIN first_signup f USING (user_id)
+      WHERE e.event_type <> 'signup')
+    SELECT rel_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v_q) AS BIGINT) / 1000000.0 / COUNT(*) AS mean_value
+    FROM rel WHERE rel_day BETWEEN -3 AND 3
+    GROUP BY rel_day ORDER BY rel_day
+    """,
+    tags=("E255", "E159", "J1", "A1", "F4"),
+)
+def q_event_study_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study profile around each user's FIRST signup: mean
+    event value by day relative to the signup (-3..+3), the panel
+    view that shows pre-trends and dynamic effects where E159's
+    diff-in-diff collapses everything to one before/after number (a
+    flat pre-period is the identifying assumption made VISIBLE).
+    Relative days use explicit floor-toward-negative-infinity
+    arithmetic on epoch seconds (integer division semantics for
+    negative offsets differ between engines, so the negative branch
+    is spelled out identically on both). One broadcast join of the
+    first-signup frame onto the event scan, values quantized 1e-6
+    before the per-bucket sums."""
+    e = load_table(spark, sf_dir, "events")
+    first_signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_timestamp("ts")).alias("s0"))
+    )
+    delta = F.unix_timestamp("ts") - F.col("s0")
+    rel_day = F.when(delta >= 0, F.expr("(unix_timestamp(ts) - s0) DIV 86400")).otherwise(
+        -(1 + F.expr("(s0 - 1 - unix_timestamp(ts)) DIV 86400"))
+    )
+    rel = (
+        e.filter(F.col("event_type") != "signup")
+        .join(F.broadcast(first_signup), "user_id")
+        .select(
+            rel_day.alias("rel_day"),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint").alias("v_q"),
+        )
+    )
+    return (
+        rel.filter(F.col("rel_day").between(-3, 3))
+        .groupBy("rel_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum("v_q").cast("bigint") / 1000000.0 / F.count(F.lit(1))).alias(
+                "mean_value"
+            ),
+        )
+        .orderBy("rel_day")
+    )
