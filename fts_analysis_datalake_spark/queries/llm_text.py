@@ -753,3 +753,177 @@ def q_vocab_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("heaps_beta"),
     )
+
+
+# --------------------------------------------------------------------------
+# E256: KWIC concordance — keyword-in-context windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_kwic_concordance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+    hits AS (
+      SELECT doc_id, t, unnest(list_filter(
+               list_transform(generate_series(1, len(t)),
+                              i -> CASE WHEN t[i] = 'data' THEN i END),
+               p -> p IS NOT NULL)) AS pos
+      FROM toks),
+    kwic AS (
+      SELECT doc_id, pos,
+             COALESCE(array_to_string(
+               list_slice(t, greatest(pos - 3, 1), pos - 1), ' '), '')
+               AS left_ctx,
+             COALESCE(array_to_string(
+               list_slice(t, pos + 1, least(pos + 3, len(t))), ' '), '')
+               AS right_ctx
+      FROM hits)
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, left_ctx, right_ctx
+    FROM kwic ORDER BY doc_id, pos LIMIT 100
+    """,
+    tags=("E256", "D9", "F7", "F8", "O2"),
+)
+def q_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance for the term 'data':
+    every occurrence with its +-3-token context windows — the corpus
+    QA operator an annotation or curation team uses to eyeball how a
+    term is actually used before writing filter rules (the classic
+    concordancer, as an engine query). Positions come from
+    higher-order array functions (transform + filter over the token
+    array — no explode until one row per HIT, never per token), and
+    the context slices are pure array arithmetic with the same
+    clamped bounds on both engines. First 100 hits in (doc, pos)
+    order; at scale the ordering key makes the LIMIT a
+    TakeOrdered, not a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("t"))
+    hits = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, size(t)),"
+                " i -> CASE WHEN t[i - 1] = 'data' THEN i END),"
+                " p -> p IS NOT NULL)"
+            )
+        ).alias("pos"),
+    )
+    kwic = hits.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.array_join(
+            F.expr("slice(t, greatest(pos - 3, 1),"
+                   " pos - greatest(pos - 3, 1))"),
+            " ",
+        ).alias("left_ctx"),
+        F.array_join(
+            F.expr("slice(t, pos + 1, least(3, size(t) - pos))"), " "
+        ).alias("right_ctx"),
+    )
+    return kwic.orderBy("doc_id", "pos").limit(100)
+
+
+# --------------------------------------------------------------------------
+# E257: winnowing fingerprints — MOSS-style local-minimum selection
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_winnowing_overlap",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+    shingles AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t) - 2)) AS pos
+      FROM toks WHERE len(t) >= 3),
+    hashed AS MATERIALIZED (
+      SELECT s.doc_id, s.pos,
+             CAST(('0x' || substring(md5(
+               array_to_string(list_slice(tk.t, s.pos, s.pos + 2), ' ')),
+               1, 13)) AS BIGINT) AS h
+      FROM shingles s JOIN toks tk ON tk.doc_id = s.doc_id),
+    winnowed AS MATERIALIZED (
+      SELECT DISTINCT doc_id, mh AS fp FROM (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM hashed)
+      WHERE rn >= 4),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fps
+      FROM winnowed a JOIN winnowed b
+        ON b.fp = a.fp AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b),
+    ranked AS (
+      SELECT doc_a, doc_b, shared_fps,
+             ROW_NUMBER() OVER (ORDER BY shared_fps DESC, doc_a, doc_b) AS rn
+      FROM pairs)
+    SELECT doc_a, doc_b, shared_fps FROM ranked WHERE rn <= 20 ORDER BY rn
+    """,
+    tags=("E257", "D11", "D3", "F11", "W4", "O3"),
+)
+def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS algorithm): hash every
+    3-token shingle, keep each sliding window's MINIMUM hash, dedup —
+    a fingerprint set with a POSITIONAL GUARANTEE MinHash lacks (any
+    shared run of >= window+shingle tokens must share a fingerprint,
+    so matches can't fall between samples; that's why it's the
+    plagiarism-detection standard). Selection is one rolling-min
+    window over per-doc shingle hashes; candidate generation is the
+    equi-join on fingerprint values (work bounded by bucket sizes,
+    the LSH shape); output is the top-20 most-overlapping doc pairs.
+    md5-derived shingle hashes keep both engines' fingerprints
+    identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("t"))
+    shingled = toks.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("pos"),
+        "t",
+    )
+    hashed = shingled.select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.expr("slice(t, pos, 3)"), " ")), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    winnowed = (
+        hashed.select(
+            "doc_id",
+            F.min("h").over(w.rowsBetween(-3, 0)).alias("mh"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") >= 4)
+        .select("doc_id", F.col("mh").alias("fp"))
+        .distinct()
+    )
+    a = winnowed.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = winnowed.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
+    )
+    return (
+        pairs.withColumn("rn", rn)
+        .filter(F.col("rn") <= 20)
+        .select("doc_a", "doc_b", "shared_fps")
+        .orderBy("rn")
+    )
