@@ -552,7 +552,8 @@ def q_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents, unnest({sql_tokens('text')}) AS t(tok)),
     postings AS (
       SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             list_slice(list(doc_id ORDER BY doc_id), 1, 16) AS first_postings
+             array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 16),
+                             ',') AS first_postings
       FROM pairs GROUP BY tok)
     SELECT token, n_docs, first_postings FROM postings
     """,
@@ -568,8 +569,11 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped at 16 entries (the skip-list head) so output width is
     bounded no matter how common the token — at 100 TB full posting
     lists would be written as their own partitioned table, but the
-    per-token head+count is what serves index statistics. Arrays
-    compare element-wise against the oracle (deterministic order)."""
+    per-token head+count is what serves index statistics. The
+    posting head is emitted as a CSV string (E82 listagg pattern):
+    the correctness harness canonicalizes with a pandas sort that
+    cannot hash array cells, so an array column would error out of
+    the check entirely."""
     d = load_table(spark, sf_dir, "documents")
     rows = ensure_parallelism(d).select(
         "doc_id",
@@ -579,9 +583,9 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rows.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 16).alias(
-            "first_postings"
-        ),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 16), ","
+        ).alias("first_postings"),
     )
 
 
