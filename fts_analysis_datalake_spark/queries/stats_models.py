@@ -2643,3 +2643,247 @@ def q_event_study_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_day")
     )
+
+
+# --------------------------------------------------------------------------
+# E258: partial correlation — controlling for a third variable
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_partial_correlation",
+    oracle=f"""
+    WITH m AS (
+      SELECT {sql_dcorr('l_quantity', 'l_extendedprice', 0, 2)} AS rxy,
+             {sql_dcorr('l_quantity', 'l_discount', 0, 4)} AS rxz,
+             {sql_dcorr('l_extendedprice', 'l_discount', 2, 4)} AS ryz
+      FROM lineitem),
+    q AS (
+      SELECT CAST(FLOOR(rxy * 1000000000 + 0.5) AS BIGINT) / 1000000000.0 AS rxy,
+             CAST(FLOOR(rxz * 1000000000 + 0.5) AS BIGINT) / 1000000000.0 AS rxz,
+             CAST(FLOOR(ryz * 1000000000 + 0.5) AS BIGINT) / 1000000000.0 AS ryz
+      FROM m)
+    SELECT rxy AS r_qty_price, rxz AS r_qty_disc, ryz AS r_price_disc,
+           CAST(FLOOR((rxy - rxz * ryz)
+                      / sqrt((1.0e0 - rxz * rxz) * (1.0e0 - ryz * ryz))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS partial_r_qty_price_given_disc
+    FROM q
+    """,
+    tags=("E258", "E28", "E206", "A1", "F6"),
+)
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and price CONTROLLING for
+    discount: r_xy.z = (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2))
+    — the statistic that says whether a pairwise correlation survives
+    once a common driver is held fixed (the first-order version of
+    what E208's multiple regression does with coefficients; shown
+    with all three raw correlations so the adjustment is auditable).
+    The three Pearson terms come from ONE exact-moment aggregate pass
+    (dcorr at per-column scales); each r is 1e-9-quantized before
+    entering the closed-form combination, which is a fixed-order
+    expression — hash-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def q9(c):
+        return F.floor(c * 1000000000 + F.lit(0.5)).cast("bigint") / 1000000000.0
+
+    m = li.agg(
+        q9(dcorr(F.col("l_quantity"), F.col("l_extendedprice"), 0, 2)).alias("rxy"),
+        q9(dcorr(F.col("l_quantity"), F.col("l_discount"), 0, 4)).alias("rxz"),
+        q9(dcorr(F.col("l_extendedprice"), F.col("l_discount"), 2, 4)).alias("ryz"),
+    )
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    return m.select(
+        rxy.alias("r_qty_price"),
+        rxz.alias("r_qty_disc"),
+        ryz.alias("r_price_disc"),
+        (
+            F.floor(
+                (rxy - rxz * ryz)
+                / F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1000000.0
+        ).alias("partial_r_qty_price_given_disc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E259: Cronbach's alpha — internal-consistency reliability
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cronbach_alpha",
+    oracle="""
+    WITH items AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS i1,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS i2,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS i3,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS i4,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS i5
+      FROM events GROUP BY user_id),
+    moments AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(i1) AS DOUBLE) AS s1, CAST(SUM(i1 * i1) AS DOUBLE) AS ss1,
+             CAST(SUM(i2) AS DOUBLE) AS s2, CAST(SUM(i2 * i2) AS DOUBLE) AS ss2,
+             CAST(SUM(i3) AS DOUBLE) AS s3, CAST(SUM(i3 * i3) AS DOUBLE) AS ss3,
+             CAST(SUM(i4) AS DOUBLE) AS s4, CAST(SUM(i4 * i4) AS DOUBLE) AS ss4,
+             CAST(SUM(i5) AS DOUBLE) AS s5, CAST(SUM(i5 * i5) AS DOUBLE) AS ss5,
+             CAST(SUM(i1 + i2 + i3 + i4 + i5) AS DOUBLE) AS st,
+             CAST(SUM((i1 + i2 + i3 + i4 + i5) * (i1 + i2 + i3 + i4 + i5))
+                  AS DOUBLE) AS sst
+      FROM items)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(FLOOR(
+             ((ss1 - s1 * s1 / n) + (ss2 - s2 * s2 / n) + (ss3 - s3 * s3 / n)
+              + (ss4 - s4 * s4 / n) + (ss5 - s5 * s5 / n))
+             / (sst - st * st / n) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS item_to_total_var_ratio,
+           CAST(FLOOR(
+             1.25e0 * (1.0e0
+               - ((ss1 - s1 * s1 / n) + (ss2 - s2 * s2 / n)
+                  + (ss3 - s3 * s3 / n) + (ss4 - s4 * s4 / n)
+                  + (ss5 - s5 * s5 / n)) / (sst - st * st / n))
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS cronbach_alpha
+    FROM moments
+    """,
+    tags=("E259", "A12", "A6", "A1"),
+)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the five per-user event-type counts
+    treated as scale items: alpha = k/(k-1) * (1 - sum item variance
+    / total-score variance) — the internal-consistency statistic that
+    says whether the five activity counters measure ONE underlying
+    engagement trait (alpha near 0/negative = independent behaviors;
+    near 1 = redundant items). The per-user item matrix is one
+    pivoted aggregate; every variance comes from exact integer
+    moment sums (counts, so no scaling needed), and the final alpha
+    is a fixed-order expression with k/(k-1) = 1.25 written
+    identically on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    items = e.groupBy("user_id").agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("bigint"))
+            .cast("bigint")
+            .alias(f"i{j + 1}")
+            for j, t in enumerate(("click", "view", "purchase", "signup", "error"))
+        ]
+    )
+    tot = sum(F.col(f"i{j}") for j in range(1, 6))
+    maggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for j in range(1, 6):
+        maggs.append(F.sum(F.col(f"i{j}")).cast("double").alias(f"s{j}"))
+        maggs.append(
+            F.sum(F.col(f"i{j}") * F.col(f"i{j}")).cast("double").alias(f"ss{j}")
+        )
+    maggs.append(F.sum(tot).cast("double").alias("st"))
+    maggs.append(F.sum(tot * tot).cast("double").alias("sst"))
+    m = items.agg(*maggs)
+    n = F.col("n")
+    item_var = None
+    for j in range(1, 6):
+        v = F.col(f"ss{j}") - F.col(f"s{j}") * F.col(f"s{j}") / n
+        item_var = v if item_var is None else item_var + v
+    tot_var = F.col("sst") - F.col("st") * F.col("st") / n
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1000000.0
+
+    return m.select(
+        n.cast("bigint").alias("n_users"),
+        q6(item_var / tot_var).alias("item_to_total_var_ratio"),
+        q6(1.25 * (1.0 - item_var / tot_var)).alias("cronbach_alpha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E260: Anderson-Darling uniformity test — tail-weighted EDF statistic
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_anderson_darling_uniform",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, event_id FROM events),
+    bounds AS (
+      SELECT MIN(s) AS t0, MAX(s) AS t1, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts),
+    ranked AS (
+      SELECT (CAST(p.s - b.t0 + 1 AS DOUBLE)) / (b.t1 - b.t0 + 2) AS u,
+             ROW_NUMBER() OVER (ORDER BY p.s, p.event_id) AS j,
+             b.n
+      FROM pts p CROSS JOIN bounds b),
+    terms AS (
+      SELECT n,
+             CAST(FLOOR(((2 * j - 1) * ln(u)
+                         + (2 * (n - j) + 1) * ln(1.0e0 - u)) * 1000000 + 0.5)
+                  AS BIGINT) AS t_q
+      FROM ranked)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(FLOOR((-CAST(MAX(n) AS DOUBLE)
+                       - (CAST(SUM(t_q) AS DOUBLE) / 1000000.0) / MAX(n))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS anderson_darling_a2
+    FROM terms
+    """,
+    tags=("E260", "E131", "W1", "A1", "F4"),
+)
+def q_anderson_darling_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling test of arrival-time uniformity over the
+    observation window: A^2 = -n - (1/n) sum (2i-1)[ln u_(i) +
+    ln(1-u_(n+1-i))] — the tail-weighted sibling of E131's KS test
+    (KS sees only the single largest EDF gap; AD's 1/[F(1-F)] weight
+    makes it sharp exactly where KS is blind, at the window edges).
+    Times are normalized with add-one smoothing ((s-t0+1)/(t1-t0+2))
+    so no u touches 0 or 1 and every ln is finite. The reversed-rank
+    term is folded into the same row by the substitution j = n+1-i,
+    so ONE ranked pass computes both series; each row's combined term
+    is 1e-6-quantized before the exact BIGINT sum."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(F.unix_timestamp("ts").alias("s"), "event_id")
+    bounds = pts.agg(
+        F.min("s").alias("t0"),
+        F.max("s").alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ranked = pts.crossJoin(F.broadcast(bounds)).select(
+        (
+            (F.col("s") - F.col("t0") + 1).cast("double")
+            / (F.col("t1") - F.col("t0") + 2)
+        ).alias("u"),
+        F.row_number().over(Window.orderBy("s", "event_id")).alias("j"),
+        "n",
+    )
+    t_q = F.floor(
+        (
+            (2 * F.col("j") - 1) * F.log("u")
+            + (2 * (F.col("n") - F.col("j")) + 1) * F.log(1.0 - F.col("u"))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    terms = ranked.select("n", t_q.alias("t_q"))
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        (
+            F.floor(
+                (
+                    -F.max("n").cast("double")
+                    - (F.sum("t_q").cast("double") / 1000000.0) / F.max("n")
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1000000.0
+        ).alias("anderson_darling_a2"),
+    )
