@@ -931,3 +931,131 @@ def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "shared_fps")
         .orderBy("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# E261: Dunning log-likelihood-ratio collocations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dunning_llr_collocations",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+    bg AS MATERIALIZED (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> {{'a': t[i], 'b': t[i + 1]}})) AS s
+      FROM toks),
+    pairs AS MATERIALIZED (
+      SELECT s.a AS w1, s.b AS w2, CAST(COUNT(*) AS BIGINT) AS k11
+      FROM bg GROUP BY w1, w2),
+    margins AS MATERIALIZED (
+      SELECT w1, CAST(SUM(k11) AS BIGINT) AS c1 FROM pairs GROUP BY w1),
+    margins2 AS MATERIALIZED (
+      SELECT w2, CAST(SUM(k11) AS BIGINT) AS c2 FROM pairs GROUP BY w2),
+    tot AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM pairs),
+    cells AS (
+      SELECT p.w1, p.w2, p.k11,
+             m1.c1 - p.k11 AS k12,
+             m2.c2 - p.k11 AS k21,
+             t.n - m1.c1 - m2.c2 + p.k11 AS k22,
+             t.n
+      FROM pairs p
+      JOIN margins m1 ON m1.w1 = p.w1
+      JOIN margins2 m2 ON m2.w2 = p.w2
+      CROSS JOIN tot t),
+    llr AS (
+      SELECT w1, w2, k11,
+             CAST(FLOOR(2.0e0 * (
+               (CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE) * n
+                 / (CAST(k11 + k12 AS DOUBLE) * (k11 + k21))) ELSE 0 END)
+             + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE) * n
+                 / (CAST(k11 + k12 AS DOUBLE) * (k12 + k22))) ELSE 0 END)
+             + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE) * n
+                 / (CAST(k21 + k22 AS DOUBLE) * (k11 + k21))) ELSE 0 END)
+             + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE) * n
+                 / (CAST(k21 + k22 AS DOUBLE) * (k12 + k22))) ELSE 0 END)
+             ) * 10000 + 0.5) AS BIGINT) / 10000.0 AS llr
+      FROM cells),
+    ranked AS (
+      SELECT w1, w2, k11, llr,
+             ROW_NUMBER() OVER (ORDER BY llr DESC, w1, w2) AS rn
+      FROM llr)
+    SELECT w1, w2, k11 AS n_cooccur, llr FROM ranked WHERE rn <= 15
+    ORDER BY rn
+    """,
+    tags=("E261", "E198", "D11", "A1", "O3"),
+)
+def q_dunning_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations: rank adjacent-token
+    bigrams by the G^2 statistic of their 2x2 contingency table
+    against independence — THE collocation test for text (unlike
+    E198's PMI it doesn't explode on rare pairs, because expected
+    counts enter through the likelihood, not a ratio). The table
+    cells come from the bigram count frame and its two margins
+    (vocab-bounded joins); each of the four k*ln(kN/(rowcol)) terms
+    guards k=0 and the total G^2 is quantized to 1e-4 before the
+    deterministic (llr, w1, w2) top-15. One corpus scan; everything
+    after is vocabulary-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens(normalize_text(F.col("text"))).alias("t"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i - 1] AS a, t[i] AS b))"
+            )
+        ).alias("s")
+    )
+    pairs = bg.groupBy(
+        F.col("s.a").alias("w1"), F.col("s.b").alias("w2")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("k11"))
+    m1 = pairs.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("c1"))
+    m2 = pairs.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("c2"))
+    tot = pairs.agg(F.sum("k11").cast("bigint").alias("n"))
+    cells = (
+        pairs.join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("c1") - F.col("k11")).alias("k12"),
+            (F.col("c2") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("c1") - F.col("c2") + F.col("k11")).alias("k22"),
+            "n",
+        )
+    )
+
+    def term(k, row, col):
+        return F.when(
+            k > 0,
+            k
+            * F.log(
+                k.cast("double") * F.col("n") / (row.cast("double") * col)
+            ),
+        ).otherwise(F.lit(0.0))
+
+    k11, k12 = F.col("k11"), F.col("k12")
+    k21, k22 = F.col("k21"), F.col("k22")
+    g2 = 2.0 * (
+        term(k11, k11 + k12, k11 + k21)
+        + term(k12, k11 + k12, k12 + k22)
+        + term(k21, k21 + k22, k11 + k21)
+        + term(k22, k21 + k22, k12 + k22)
+    )
+    llr = cells.select(
+        "w1",
+        "w2",
+        "k11",
+        (F.floor(g2 * 10000 + F.lit(0.5)).cast("bigint") / 10000.0).alias("llr"),
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("llr").desc(), "w1", "w2"))
+    return (
+        llr.withColumn("rn", rn)
+        .filter(F.col("rn") <= 15)
+        .select("w1", "w2", F.col("k11").alias("n_cooccur"), "llr")
+        .orderBy("rn")
+    )

@@ -2887,3 +2887,228 @@ def q_anderson_darling_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("anderson_darling_a2"),
     )
+
+
+# --------------------------------------------------------------------------
+# E262: Mantel-Haenszel pooled odds ratio across strata
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_mantel_haenszel_or",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CAST(FLOOR(COUNT(*) / 20) AS BIGINT) AS stratum,
+             CAST(arg_min(event_type,
+                          CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000 + event_id)
+                  = 'signup' AS BIGINT) AS exposed,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND value >= 200.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS outcome
+      FROM events GROUP BY user_id),
+    strata AS (
+      SELECT stratum,
+             CAST(SUM(exposed * outcome) AS BIGINT) AS a,
+             CAST(SUM(exposed * (1 - outcome)) AS BIGINT) AS b,
+             CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS c,
+             CAST(SUM((1 - exposed) * (1 - outcome)) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM users GROUP BY stratum),
+    terms AS (
+      SELECT CAST(FLOOR(CAST(a AS DOUBLE) * d / n * 1000000000 + 0.5)
+                  AS BIGINT) AS num_q,
+             CAST(FLOOR(CAST(b AS DOUBLE) * c / n * 1000000000 + 0.5)
+                  AS BIGINT) AS den_q,
+             CAST(a AS BIGINT) AS a_obs,
+             CAST(FLOOR(CAST(a + b AS DOUBLE) * (a + c) / n * 1000000000 + 0.5)
+                  AS BIGINT) AS exp_q
+      FROM strata WHERE n > 0),
+    sums AS (
+      SELECT CAST(SUM(num_q) AS BIGINT) AS num,
+             CAST(SUM(den_q) AS BIGINT) AS den,
+             CAST(SUM(a_obs) AS BIGINT) AS a_tot,
+             CAST(SUM(exp_q) AS BIGINT) AS e_tot
+      FROM terms)
+    SELECT CAST(FLOOR(CAST(num AS DOUBLE) / den * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS mh_odds_ratio,
+           a_tot AS observed_exposed_cases,
+           CAST(e_tot AS BIGINT) / 1000000000.0 AS expected_exposed_cases
+    FROM sums
+    """,
+    tags=("E262", "E200", "A1", "F6"),
+)
+def q_mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio of starts-with-signup
+    exposure on high-value purchasing, stratified by user activity — the
+    stratified 2x2 estimator that gives ONE confounder-adjusted
+    effect where E200's Simpson's-paradox scan only flags that
+    pooling flips the sign: OR_MH = sum(a_i d_i / n_i) /
+    sum(b_i c_i / n_i), shown with observed vs expected exposed
+    cases (the CMH test's ingredients). Strata reduce to exact 2x2
+    integer counts; each stratum's numerator, denominator, and
+    expected-count terms are 1e-9-quantized before the cross-stratum
+    sums — order-free at any partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.floor(F.count(F.lit(1)) / 20).cast("bigint").alias("stratum"),
+        (
+            F.min_by(
+                "event_type",
+                F.unix_timestamp("ts") * 1000000 + F.col("event_id"),
+            )
+            == "signup"
+        )
+        .cast("bigint")
+        .alias("exposed"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 200.0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("outcome"),
+    )
+    strata = users.groupBy("stratum").agg(
+        F.sum(F.col("exposed") * F.col("outcome")).cast("bigint").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome")))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+    def q9i(c):
+        return F.floor(c * 1000000000 + F.lit(0.5)).cast("bigint")
+
+    terms = strata.filter(F.col("n") > 0).select(
+        q9i(F.col("a").cast("double") * F.col("d") / F.col("n")).alias("num_q"),
+        q9i(F.col("b").cast("double") * F.col("c") / F.col("n")).alias("den_q"),
+        F.col("a").alias("a_obs"),
+        q9i(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("a") + F.col("c"))
+            / F.col("n")
+        ).alias("exp_q"),
+    )
+    return terms.agg(
+        (
+            F.floor(
+                F.sum("num_q").cast("double") / F.sum("den_q") * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1000000.0
+        ).alias("mh_odds_ratio"),
+        F.sum("a_obs").cast("bigint").alias("observed_exposed_cases"),
+        (F.sum("exp_q").cast("bigint") / 1000000000.0).alias(
+            "expected_exposed_cases"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# E263: McNemar's test — paired comparison of two classifiers
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_mcnemar_paired_rules",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN value >= 98.0 THEN 1 ELSE 0 END AS rule_a,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 80
+                  THEN 1 ELSE 0 END AS rule_b,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS actual
+      FROM events),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN rule_a = actual AND rule_b <> actual
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN rule_a <> actual AND rule_b = actual
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN rule_a = actual AND rule_b = actual
+                      THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+        CAST(SUM(CASE WHEN rule_a <> actual AND rule_b <> actual
+                      THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+      FROM scored)
+    SELECT b AS a_only_correct, c AS b_only_correct, both_right, both_wrong,
+           CAST(FLOOR((CAST(b - c AS DOUBLE) * (b - c)) / (b + c)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS mcnemar_chi2
+    FROM cells
+    """,
+    tags=("E263", "E154", "A1", "F10"),
+)
+def q_mcnemar_paired_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test comparing two purchase-prediction rules (value
+    threshold vs props-k threshold) on the SAME events: only the
+    DISCORDANT pairs — rows where exactly one rule is right — carry
+    information about which rule is better, and chi^2 = (b-c)^2/(b+c)
+    tests their symmetry. This is the correct paired-classifier test
+    where comparing two independent accuracy numbers (E148/E154
+    style) ignores that both rules saw identical rows. One scan to
+    four exact counters; the statistic is one quantized fixed-order
+    expression."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.when(F.col("value") >= 98.0, 1).otherwise(0).alias("rule_a"),
+        F.when(
+            F.get_json_object("props", "$.k").cast("bigint") >= 80, 1
+        )
+        .otherwise(0)
+        .alias("rule_b"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("actual"),
+    )
+    cells = scored.agg(
+        F.sum(
+            F.when(
+                (F.col("rule_a") == F.col("actual"))
+                & (F.col("rule_b") != F.col("actual")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when(
+                (F.col("rule_a") != F.col("actual"))
+                & (F.col("rule_b") == F.col("actual")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.sum(
+            F.when(
+                (F.col("rule_a") == F.col("actual"))
+                & (F.col("rule_b") == F.col("actual")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_right"),
+        F.sum(
+            F.when(
+                (F.col("rule_a") != F.col("actual"))
+                & (F.col("rule_b") != F.col("actual")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_wrong"),
+    )
+    b, c = F.col("b"), F.col("c")
+    return cells.select(
+        b.alias("a_only_correct"),
+        c.alias("b_only_correct"),
+        "both_right",
+        "both_wrong",
+        (
+            F.floor(
+                ((b - c).cast("double") * (b - c)) / (b + c) * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1000000.0
+        ).alias("mcnemar_chi2"),
+    )
