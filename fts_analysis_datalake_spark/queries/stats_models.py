@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dcorr, sql_dcorr
+from fts_analysis_datalake_spark.operators.text import (
+    normalize_text,
+    sql_tokens,
+    tokens,
+)
 from fts_analysis_datalake_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -3111,4 +3116,386 @@ def q_mcnemar_paired_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
             / 1000000.0
         ).alias("mcnemar_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E264: Theil index — decomposable inequality, within + between nations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_theil_decomposition",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey,
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY nation, l.l_suppkey),
+    tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rt,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM rev),
+    terms AS (
+      SELECT CAST(FLOOR((CAST(r AS DOUBLE) / t.rt)
+                        * ln(CAST(r AS DOUBLE) / t.rt * t.n)
+                        * 1000000000 + 0.5) AS BIGINT) AS t_q
+      FROM rev CROSS JOIN tot t WHERE r > 0),
+    grp AS (
+      SELECT nation, CAST(SUM(r) AS BIGINT) AS rg,
+             CAST(COUNT(*) AS BIGINT) AS ng
+      FROM rev GROUP BY nation),
+    between_terms AS (
+      SELECT CAST(FLOOR((CAST(g.rg AS DOUBLE) / t.rt)
+                        * ln((CAST(g.rg AS DOUBLE) / t.rt)
+                             / (CAST(g.ng AS DOUBLE) / t.n))
+                        * 1000000000 + 0.5) AS BIGINT) AS b_q
+      FROM grp g CROSS JOIN tot t WHERE g.rg > 0)
+    SELECT CAST((SELECT SUM(t_q) FROM terms) AS BIGINT) / 1000000000.0
+             AS theil_total,
+           CAST((SELECT SUM(b_q) FROM between_terms) AS BIGINT) / 1000000000.0
+             AS theil_between,
+           CAST((SELECT SUM(t_q) FROM terms)
+                - (SELECT SUM(b_q) FROM between_terms) AS BIGINT)
+             / 1000000000.0 AS theil_within
+    """,
+    tags=("E264", "E101", "A1", "F6", "J1"),
+)
+def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of supplier revenue, decomposed into
+    BETWEEN-nation and WITHIN-nation components — the property that
+    makes Theil the inequality measure for drill-downs (Gini, E101,
+    does not decompose additively: a Gini gap can't be attributed to
+    groups). T = sum (r_i/R) ln(r_i/R * n); between = group shares
+    vs population shares; within = the exact remainder. Every ln
+    term is 1e-9-quantized at formation and the three sums are exact
+    BIGINTs, so total = between + within holds EXACTLY in the output
+    — an identity the hash check certifies on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    tot = rev.agg(
+        F.sum("r").cast("bigint").alias("rt"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    share = F.col("r").cast("double") / F.col("rt")
+    terms = (
+        rev.crossJoin(F.broadcast(tot))
+        .filter(F.col("r") > 0)
+        .select(
+            F.floor(
+                share * F.log(share * F.col("n")) * 1000000000 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("t_q")
+        )
+    )
+    grp = rev.groupBy("nation").agg(
+        F.sum("r").cast("bigint").alias("rg"),
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+    )
+    gshare = F.col("rg").cast("double") / F.col("rt")
+    nshare = F.col("ng").cast("double") / F.col("n")
+    between = (
+        grp.crossJoin(F.broadcast(tot))
+        .filter(F.col("rg") > 0)
+        .select(
+            F.floor(gshare * F.log(gshare / nshare) * 1000000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("b_q")
+        )
+    )
+    t_sum = terms.agg(F.sum("t_q").cast("bigint").alias("ts"))
+    b_sum = between.agg(F.sum("b_q").cast("bigint").alias("bs"))
+    return t_sum.crossJoin(F.broadcast(b_sum)).select(
+        (F.col("ts") / 1000000000.0).alias("theil_total"),
+        (F.col("bs") / 1000000000.0).alias("theil_between"),
+        ((F.col("ts") - F.col("bs")) / 1000000000.0).alias("theil_within"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E265: Chao1 richness — how much vocabulary remains unseen
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_chao1_vocab_richness",
+    oracle=f"""
+    WITH freq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest({sql_tokens('text')}) AS term FROM documents)
+      GROUP BY term),
+    counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM freq)
+    SELECT v AS observed_vocab, f1 AS singletons, f2 AS doubletons,
+           CAST(FLOOR(
+             v + CAST(f1 AS DOUBLE) * f1 / (2.0e0 * (f2 + 1)) * 1.0e0
+             + 0.5) AS BIGINT) AS chao1_estimate
+    FROM counts
+    """,
+    tags=("E265", "E193", "A1", "F6"),
+)
+def q_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the TRUE vocabulary size:
+    V + F1^2 / (2(F2+1)) from the singleton and doubleton counts (the
+    bias-corrected form, defined even when doubletons are absent) —
+    the abundance-based companion to E193's Good-Turing unseen MASS:
+    Good-Turing says how much probability the unseen words carry,
+    Chao1 says HOW MANY of them exist, the number a vocabulary-size
+    or coverage plan actually needs. One token scan to the frequency
+    frame, three exact counters, one closed-form expression rounded
+    to an integer estimate identically on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    counts = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum((F.col("n") == 1).cast("bigint")).cast("bigint").alias("f1"),
+        F.sum((F.col("n") == 2).cast("bigint")).cast("bigint").alias("f2"),
+    )
+    return counts.select(
+        F.col("v").alias("observed_vocab"),
+        F.col("f1").alias("singletons"),
+        F.col("f2").alias("doubletons"),
+        F.floor(
+            F.col("v")
+            + F.col("f1").cast("double") * F.col("f1") / (2.0 * (F.col("f2") + 1)) * 1.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("chao1_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E266: Gumbel block-maxima fit — extreme value theory panel
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_gumbel_block_maxima",
+    oracle="""
+    WITH blocks AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS mx
+      FROM events GROUP BY d),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mx) AS BIGINT) AS s1,
+             CAST(SUM(mx * mx) AS BIGINT) AS s2
+      FROM blocks),
+    fit AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / n / 100.0 AS mean_max,
+             sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                  / (CAST(n AS DOUBLE) * (n - 1))) / 100.0 AS sd_max
+      FROM m)
+    SELECT n AS n_blocks,
+           CAST(FLOOR(mean_max * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS mean_block_max,
+           CAST(FLOOR((sd_max * 0.7796968012336609e0) * 10000 + 0.5) AS BIGINT)
+             / 10000.0 AS gumbel_beta,
+           CAST(FLOOR((mean_max - 0.5772156649015329e0
+                       * (sd_max * 0.7796968012336609e0)) * 10000 + 0.5)
+                AS BIGINT) / 10000.0 AS gumbel_mu,
+           CAST(FLOOR((mean_max - 0.5772156649015329e0
+                       * (sd_max * 0.7796968012336609e0)
+                       - (sd_max * 0.7796968012336609e0)
+                         * ln(-ln(1.0e0 - 1.0e0 / 30.0e0)))
+                      * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS return_level_30_blocks
+    FROM fit
+    """,
+    tags=("E266", "E96", "A6", "A8", "F4"),
+)
+def q_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on daily block maxima of event value
+    (method of moments: beta = s*sqrt(6)/pi written as the exact
+    double constant 0.7796..., mu = m - gamma*beta with
+    Euler-Mascheroni spelled out identically on both sides), plus
+    the 30-block return level mu - beta*ln(-ln(1-1/30)) — the EVT
+    answer to 'how big a daily spike should we provision for per
+    month', which P99-style order statistics (E96) can't extrapolate
+    beyond the observed window. Block maxima come from one
+    day-grouped aggregate (domain-sized frame); mean/sd from exact
+    integer moments; the fit is a fixed-order expression quantized
+    to 1e-4."""
+    e = load_table(spark, sf_dir, "events")
+    blocks = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.max(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("mx")
+    )
+    m = blocks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mx").cast("bigint").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("bigint").alias("s2"),
+    )
+    n = F.col("n")
+    mean_max = F.col("s1").cast("double") / n / 100.0
+    sd_max = (
+        F.sqrt(
+            (n.cast("double") * F.col("s2") - F.col("s1").cast("double") * F.col("s1"))
+            / (n.cast("double") * (n - 1))
+        )
+        / 100.0
+    )
+    beta = sd_max * 0.7796968012336609
+    mu = mean_max - 0.5772156649015329 * beta
+
+    def q4(c):
+        return F.floor(c * 10000 + F.lit(0.5)).cast("bigint") / 10000.0
+
+    import math
+
+    rl = mu - beta * math.log(-math.log(1.0 - 1.0 / 30.0))
+    return m.select(
+        n.alias("n_blocks"),
+        q4(mean_max).alias("mean_block_max"),
+        q4(beta).alias("gumbel_beta"),
+        q4(mu).alias("gumbel_mu"),
+        q4(rl).alias("return_level_30_blocks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E267: propensity-score-style 1-NN matching — ATT with replacement
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_psm_att_matching",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(arg_min(event_type,
+                          CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000 + event_id)
+                  = 'signup' AS BIGINT) AS treated,
+             CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y_q
+      FROM events GROUP BY user_id),
+    controls_by_x AS (
+      SELECT x, MIN(user_id) AS rep_id FROM users WHERE treated = 0 GROUP BY x),
+    rep_outcome AS (
+      SELECT c.x, c.rep_id, u.y_q AS y_ctrl_q
+      FROM controls_by_x c JOIN users u ON u.user_id = c.rep_id),
+    matched AS (
+      SELECT t.user_id, t.y_q, r.y_ctrl_q,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.user_id
+               ORDER BY ABS(t.x - r.x), r.x, r.rep_id) AS rn
+      FROM users t JOIN rep_outcome r ON ABS(t.x - r.x) <= 5
+      WHERE t.treated = 1),
+    pairs AS (SELECT y_q, y_ctrl_q FROM matched WHERE rn = 1),
+    naive AS (
+      SELECT CAST(SUM(CASE WHEN treated = 1 THEN y_q ELSE 0 END) AS BIGINT)
+               AS yt,
+             CAST(SUM(treated) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN treated = 0 THEN y_q ELSE 0 END) AS BIGINT)
+               AS yc,
+             CAST(SUM(1 - treated) AS BIGINT) AS nc
+      FROM users)
+    SELECT CAST((SELECT nt FROM naive) AS BIGINT) AS n_treated,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(y_q - y_ctrl_q) AS BIGINT) / 1000000.0 / COUNT(*)
+             AS att_matched,
+           (SELECT CAST(yt AS DOUBLE) / 1000000.0 / nt
+                   - CAST(yc AS DOUBLE) / 1000000.0 / nc
+            FROM naive) AS naive_diff
+    FROM pairs
+    """,
+    tags=("E267", "E158", "E231", "J7", "W1", "A1"),
+)
+def q_psm_att_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-nearest-neighbor matching ATT (with replacement, caliper 5)
+    of starts-with-signup treatment on per-user total value, matched
+    on the activity-count covariate — the third member of the causal
+    toolbox next to IPW (E158) and AIPW (E231): matching makes the
+    counterfactual EXPLICIT (each treated user's matched control is
+    inspectable) where weighting buries it in a formula. The
+    matching join is treated x DISTINCT CONTROL COVARIATE VALUES
+    (domain-sized, one deterministic representative per value — min
+    user id), not treated x controls, with the (distance, x, rep)
+    ordering fixing every tie; unmatched-beyond-caliper treated drop
+    out and are accounted in n_treated vs n_matched. Naive mean gap
+    shown for the confounding reveal."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        (
+            F.min_by(
+                "event_type", F.unix_timestamp("ts") * 1000000 + F.col("event_id")
+            )
+            == "signup"
+        )
+        .cast("bigint")
+        .alias("treated"),
+        F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("y_q"),
+    ).localCheckpoint(eager=True)
+    controls_by_x = (
+        users.filter(F.col("treated") == 0)
+        .groupBy("x")
+        .agg(F.min("user_id").alias("rep_id"))
+    )
+    rep_outcome = controls_by_x.join(
+        users.select(F.col("user_id").alias("rep_id"), F.col("y_q").alias("y_ctrl_q")),
+        "rep_id",
+    ).select(F.col("x").alias("cx"), "rep_id", "y_ctrl_q")
+    treated = users.filter(F.col("treated") == 1).select(
+        "user_id", F.col("x").alias("tx"), "y_q"
+    )
+    cand = treated.join(
+        F.broadcast(rep_outcome), F.abs(F.col("tx") - F.col("cx")) <= 5
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.abs(F.col("tx") - F.col("cx")), "cx", "rep_id"
+        )
+    )
+    pairs = cand.withColumn("rn", rn).filter(F.col("rn") == 1)
+    naive = users.agg(
+        F.sum(F.when(F.col("treated") == 1, F.col("y_q")).otherwise(0))
+        .cast("bigint")
+        .alias("yt"),
+        F.sum("treated").cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y_q")).otherwise(0))
+        .cast("bigint")
+        .alias("yc"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("nc"),
+    )
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum(F.col("y_q") - F.col("y_ctrl_q")).cast("bigint").alias("gap_q"),
+        )
+        .crossJoin(F.broadcast(naive))
+        .select(
+            F.col("nt").alias("n_treated"),
+            "n_matched",
+            (F.col("gap_q") / 1000000.0 / F.col("n_matched")).alias("att_matched"),
+            (
+                F.col("yt").cast("double") / 1000000.0 / F.col("nt")
+                - F.col("yc").cast("double") / 1000000.0 / F.col("nc")
+            ).alias("naive_diff"),
+        )
     )
