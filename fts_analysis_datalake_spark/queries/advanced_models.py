@@ -1508,3 +1508,231 @@ def q_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lambda_times_w"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E268: Holm-Bonferroni step-down — FWER control beside BH's FDR
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_holm_stepdown_slices",
+    oracle="""
+    WITH slices AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits
+      FROM events GROUP BY event_type),
+    pooled AS (
+      SELECT CAST(SUM(hits) AS DOUBLE) / SUM(n) AS p0 FROM slices),
+    zstats AS (
+      SELECT s.event_type, s.n, s.hits,
+             ABS((CAST(s.hits AS DOUBLE) / s.n - p.p0)
+                 / sqrt(p.p0 * (1.0e0 - p.p0) / s.n)) AS z
+      FROM slices s CROSS JOIN pooled p),
+    pvals AS (
+      SELECT event_type, n, hits,
+             CAST(FLOOR(2.0e0 * exp(-0.717e0 * z - 0.416e0 * z * z)
+                        * 1000000000 + 0.5) AS BIGINT) AS p_q
+      FROM zstats),
+    ranked AS (
+      SELECT event_type, n, hits, p_q,
+             ROW_NUMBER() OVER (ORDER BY p_q, event_type) AS i,
+             COUNT(*) OVER () AS m
+      FROM pvals),
+    holm AS (
+      SELECT event_type, n, hits, p_q, i,
+             MAX(p_q * (m - i + 1)) OVER (ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS adj_q
+      FROM ranked)
+    SELECT event_type, n, hits,
+           CAST(p_q AS BIGINT) / 1000000000.0 AS p_raw,
+           CAST(LEAST(adj_q, 1000000000) AS BIGINT) / 1000000000.0 AS p_holm,
+           adj_q < 50000000 AS reject_at_5pct
+    FROM holm ORDER BY i
+    """,
+    tags=("E268", "E134", "W1", "W4", "A1"),
+)
+def q_holm_stepdown_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-down over the per-event-type
+    high-value-rate tests: p-values sorted ascending, the i-th
+    multiplied by (m-i+1), then a running MAX enforces monotonicity —
+    family-wise error control, the stricter sibling of E134's BH FDR
+    (Holm bounds the chance of ANY false positive; BH bounds the
+    false fraction). The two-sided p uses the same closed-form normal
+    tail bound both engines evaluate identically (2*exp(-0.717z -
+    0.416z^2), the standard Lin approximation — exact tail CDFs
+    aren't available as builtins in either engine), quantized to
+    1e-9 BEFORE ranking so order and adjustment are integer-exact.
+    The running max is one tiny ordered window over m rows."""
+    e = load_table(spark, sf_dir, "events")
+    slices = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("value") >= 100.0).cast("bigint")).cast("bigint").alias("hits"),
+    )
+    pooled = slices.agg(
+        (F.sum("hits").cast("double") / F.sum("n")).alias("p0")
+    )
+    z = F.abs(
+        (F.col("hits").cast("double") / F.col("n") - F.col("p0"))
+        / F.sqrt(F.col("p0") * (1.0 - F.col("p0")) / F.col("n"))
+    )
+    pvals = slices.crossJoin(F.broadcast(pooled)).select(
+        "event_type",
+        "n",
+        "hits",
+        F.floor(
+            2.0 * F.exp(-0.717 * z - 0.416 * z * z) * 1000000000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("p_q"),
+    )
+    wr = Window.orderBy("p_q", "event_type")
+    ranked = pvals.select(
+        "event_type",
+        "n",
+        "hits",
+        "p_q",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    adj = F.max(F.col("p_q") * (F.col("m") - F.col("i") + 1)).over(
+        Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranked.select(
+            "event_type",
+            "n",
+            "hits",
+            (F.col("p_q").cast("bigint") / 1000000000.0).alias("p_raw"),
+            adj.alias("adj_q"),
+            "i",
+        )
+        .select(
+            "event_type",
+            "n",
+            "hits",
+            "p_raw",
+            (
+                F.least(F.col("adj_q"), F.lit(1000000000)).cast("bigint")
+                / 1000000000.0
+            ).alias("p_holm"),
+            (F.col("adj_q") < 50000000).alias("reject_at_5pct"),
+            "i",
+        )
+        .orderBy("i")
+        .drop("i")
+    )
+
+
+# --------------------------------------------------------------------------
+# E269: DFT periodogram — spectral power at candidate cycles
+# --------------------------------------------------------------------------
+
+
+def _dft_oracle() -> str:
+    rows = []
+    for label, period in (("24h", 24), ("12h", 12), ("168h", 168)):
+        rows.append(f"""
+      SELECT '{label}' AS cycle, {period} AS period_hours,
+             CAST(SUM(cos_q) AS BIGINT) AS c_q, CAST(SUM(sin_q) AS BIGINT) AS s_q,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM (
+        SELECT CAST(FLOOR(cnt * cos(2 * pi() * (hidx % {period}) / {period})
+                          * 1000000 + 0.5) AS BIGINT) AS cos_q,
+               CAST(FLOOR(cnt * sin(2 * pi() * (hidx % {period}) / {period})
+                          * 1000000 + 0.5) AS BIGINT) AS sin_q,
+               COUNT(*) OVER () AS n
+        FROM serie)""")
+    sel = "\n      UNION ALL".join(rows)
+    return f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY h),
+    h0 AS (SELECT MIN(h) AS start_h FROM hourly),
+    serie AS (
+      SELECT (CAST(FLOOR(epoch(hy.h)) AS BIGINT)
+              - CAST(FLOOR(epoch(z.start_h)) AS BIGINT)) // 3600 AS hidx,
+             hy.cnt
+      FROM hourly hy CROSS JOIN h0 z),
+    spectra AS ({sel})
+    SELECT cycle, period_hours,
+           CAST(FLOOR(
+             (CAST(c_q AS DOUBLE) / 1000000.0 * (CAST(c_q AS DOUBLE) / 1000000.0)
+              + CAST(s_q AS DOUBLE) / 1000000.0 * (CAST(s_q AS DOUBLE) / 1000000.0))
+             / n * 10000 + 0.5) AS BIGINT) / 10000.0 AS power
+    FROM spectra ORDER BY period_hours
+    """
+
+
+@query(
+    "q_dft_periodogram",
+    oracle=_dft_oracle(),
+    tags=("E269", "E110", "E97", "A1", "F6"),
+)
+def q_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of the hourly arrival series at
+    three candidate cycles (24 h, 12 h, weekly): power =
+    (sum cnt*cos(2*pi*t/T))^2 + (sum cnt*sin(...))^2, normalized by
+    series length — the frequency-domain answer to 'which seasonality
+    dominates', complementary to E110's lag-domain ACF (ACF needs the
+    lag guessed; the periodogram scores each candidate period
+    directly). Each cos/sin term is evaluated at t mod T (so both
+    engines feed small identical arguments to libm) and
+    1e-6-quantized per row before the exact integer sums; three
+    frequencies = three aggregates over one domain-sized hourly
+    frame, unioned."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    h0 = hourly.agg(F.min("h").alias("start_h"))
+    serie = hourly.crossJoin(F.broadcast(h0)).select(
+        F.expr(
+            "(unix_timestamp(h) - unix_timestamp(start_h)) DIV 3600"
+        ).alias("hidx"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+    import math
+
+    parts = []
+    for label, period in (("24h", 24), ("12h", 12), ("168h", 168)):
+        ang = 2 * math.pi * (F.col("hidx") % period) / period
+        part = serie.agg(
+            F.sum(
+                F.floor(F.col("cnt") * F.cos(ang) * 1000000 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("c_q"),
+            F.sum(
+                F.floor(F.col("cnt") * F.sin(ang) * 1000000 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("s_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        ).select(
+            F.lit(label).alias("cycle"),
+            F.lit(period).alias("period_hours"),
+            "c_q",
+            "s_q",
+            "n",
+        )
+        parts.append(part)
+    spectra = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    cd = F.col("c_q").cast("double") / 1000000.0
+    sd = F.col("s_q").cast("double") / 1000000.0
+    return spectra.select(
+        "cycle",
+        "period_hours",
+        (
+            F.floor((cd * cd + sd * sd) / F.col("n") * 10000 + F.lit(0.5)).cast(
+                "bigint"
+            )
+            / 10000.0
+        ).alias("power"),
+    ).orderBy("period_hours")
