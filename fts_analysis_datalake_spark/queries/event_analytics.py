@@ -2482,3 +2482,113 @@ def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# E271: bounce rate by session entry type
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_bounce_rate_by_entry",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             event_id,
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, sid,
+             arg_min(event_type, s * 1000000 + event_id) AS entry_type,
+             CAST(COUNT(*) AS BIGINT) AS depth
+      FROM (
+        SELECT user_id, event_type, s, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered)
+      GROUP BY user_id, sid)
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(FLOOR(CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS bounce_rate,
+           CAST(FLOOR(CAST(SUM(depth) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+                AS BIGINT) / 10000.0 AS avg_depth
+    FROM sess GROUP BY entry_type ORDER BY entry_type
+    """,
+    tags=("E271", "W8", "A8", "A1"),
+)
+def q_bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session ENTRY type: sessions (repo-standard
+    30-min gaps) grouped by their first event's type, with the
+    single-event-session share and mean depth per entry — the
+    landing-page analytics staple that tells you which entry points
+    fail to hold users (session-level aggregates alone, E?-depth
+    histograms, can't attribute the bounce to the entrance). One
+    sessionization window, per-session argmin entry via the
+    epoch*1e6+event_id composite key both engines order identically,
+    one group-by."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = F.unix_timestamp("ts")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        s.alias("s"),
+        "event_id",
+        F.when(
+            F.lag(F.col("ts")).over(w).isNull() | ((s - F.lag(s).over(w)) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wsid = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        ordered.select(
+            "user_id",
+            "event_type",
+            "s",
+            "event_id",
+            F.sum("is_new").over(wsid).alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min_by("event_type", F.col("s") * 1000000 + F.col("event_id")).alias(
+                "entry_type"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("depth"),
+        )
+    )
+    bounce = F.sum((F.col("depth") == 1).cast("bigint"))
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            bounce.cast("bigint").alias("n_bounces"),
+            (
+                F.floor(
+                    bounce.cast("double") / F.count(F.lit(1)) * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1000000.0
+            ).alias("bounce_rate"),
+            (
+                F.floor(
+                    F.sum("depth").cast("double") / F.count(F.lit(1)) * 10000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 10000.0
+            ).alias("avg_depth"),
+        )
+        .orderBy("entry_type")
+    )

@@ -1010,3 +1010,78 @@ def q_slice_ablation_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ablated_mean.alias("ablated_mean_chars"),
         (ablated_mean - corpus_mean).alias("mean_shift"),
     )
+
+
+# --------------------------------------------------------------------------
+# E270: top-k drift — vocabulary churn between corpus halves
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_topk_term_drift",
+    oracle=f"""
+    WITH halves AS (
+      SELECT doc_id % 2 AS half, unnest({sql_tokens('text')}) AS term
+      FROM documents),
+    counts AS (
+      SELECT half, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM halves GROUP BY half, term),
+    ranked AS (
+      SELECT half, term, n,
+             ROW_NUMBER() OVER (PARTITION BY half ORDER BY n DESC, term) AS rk
+      FROM counts),
+    tops AS (SELECT half, term, rk FROM ranked WHERE rk <= 20),
+    a AS (SELECT term, rk FROM tops WHERE half = 0),
+    b AS (SELECT term, rk FROM tops WHERE half = 1),
+    joined AS (SELECT a.term, a.rk AS rk_a, b.rk AS rk_b
+               FROM a JOIN b USING (term))
+    SELECT CAST((SELECT COUNT(*) FROM joined) AS BIGINT) AS n_common,
+           CAST(FLOOR(CAST((SELECT COUNT(*) FROM joined) AS DOUBLE)
+                      / (40 - (SELECT COUNT(*) FROM joined))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS jaccard_topk,
+           CAST((SELECT COALESCE(SUM(ABS(rk_a - rk_b)), 0) FROM joined)
+                AS BIGINT) AS rank_displacement
+    """,
+    tags=("E270", "E84", "W1", "A1", "U3"),
+)
+def q_topk_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k drift monitor: the top-20 term lists of the two corpus
+    halves (doc_id parity as the before/after stand-in), summarized
+    as top-k Jaccard, common-term count, and total rank displacement
+    — the cheap production alarm for 'did the corpus composition
+    move' that full-distribution tests (PSI, E84-family) are
+    overkill for (monitoring systems track exactly this triple for
+    trending dashboards and feed-quality checks). Two partitioned
+    rank windows over the term-count frame, one 20x20 join — all
+    vocabulary-sized; the fact table is scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    halves = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens(normalize_text(F.col("text")))).alias("term"),
+    )
+    counts = halves.groupBy("half", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("half").orderBy(F.col("n").desc(), "term")
+    )
+    tops = counts.withColumn("rk", rk).filter(F.col("rk") <= 20)
+    a = tops.filter(F.col("half") == 0).select("term", F.col("rk").alias("rk_a"))
+    b = tops.filter(F.col("half") == 1).select("term", F.col("rk").alias("rk_b"))
+    joined = a.join(b, "term")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        (
+            F.floor(
+                F.count(F.lit(1)).cast("double")
+                / (40 - F.count(F.lit(1)))
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1000000.0
+        ).alias("jaccard_topk"),
+        F.coalesce(F.sum(F.abs(F.col("rk_a") - F.col("rk_b"))), F.lit(0))
+        .cast("bigint")
+        .alias("rank_displacement"),
+    )
