@@ -3499,3 +3499,170 @@ def q_psm_att_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("naive_diff"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E272: negative-binomial fit — overdispersed count model by moments
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_negbin_user_counts",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM counts),
+    fit AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / n AS mean_c,
+             (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_c
+      FROM m)
+    SELECT n AS n_users,
+           CAST(FLOOR(mean_c * 10000 + 0.5) AS BIGINT) / 10000.0 AS mean_count,
+           CAST(FLOOR(var_c * 10000 + 0.5) AS BIGINT) / 10000.0 AS var_count,
+           CAST(FLOOR(var_c / mean_c * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS dispersion_index,
+           CAST(FLOOR(CASE WHEN var_c > mean_c
+                           THEN mean_c * mean_c / (var_c - mean_c)
+                           ELSE -1.0e0 END * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS nb_r,
+           CAST(FLOOR(CASE WHEN var_c > mean_c THEN mean_c / var_c
+                           ELSE -1.0e0 END * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS nb_p
+    FROM fit
+    """,
+    tags=("E272", "E103", "A6", "A1"),
+)
+def q_negbin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit of per-user event counts by method of
+    moments: r = m^2/(v-m), p = m/v — the overdispersed count model a
+    Poisson assumption silently gets wrong whenever users are
+    heterogeneous (dispersion index v/m > 1 is the tell, reported
+    alongside; a Poisson fit would force it to 1 and misprice every
+    tail probability). Sentinel -1 values when the data is actually
+    UNDER-dispersed and NB is undefined — an explicit signal, not a
+    NaN. Per-user counts then exact integer moments; the fit is one
+    fixed-order quantized expression."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    n = F.col("n")
+    mean_c = F.col("s1").cast("double") / n
+    var_c = (n.cast("double") * F.col("s2") - F.col("s1").cast("double") * F.col("s1")) / (
+        n.cast("double") * (n - 1)
+    )
+
+    def q4(c):
+        return F.floor(c * 10000 + F.lit(0.5)).cast("bigint") / 10000.0
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1000000.0
+
+    return m.select(
+        n.alias("n_users"),
+        q4(mean_c).alias("mean_count"),
+        q4(var_c).alias("var_count"),
+        q6(var_c / mean_c).alias("dispersion_index"),
+        q4(
+            F.when(var_c > mean_c, mean_c * mean_c / (var_c - mean_c)).otherwise(
+                F.lit(-1.0)
+            )
+        ).alias("nb_r"),
+        q6(F.when(var_c > mean_c, mean_c / var_c).otherwise(F.lit(-1.0))).alias(
+            "nb_p"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# E273: Herfindahl-Hirschman concentration index per nation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey,
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY nation, l.l_suppkey),
+    tot AS (SELECT nation, CAST(SUM(r) AS BIGINT) AS rt,
+                   CAST(COUNT(*) AS BIGINT) AS n_sup
+            FROM rev GROUP BY nation),
+    hhi AS (
+      SELECT r.nation, t.n_sup,
+             CAST(SUM(CAST(FLOOR((CAST(r.r AS DOUBLE) / t.rt)
+                                 * (CAST(r.r AS DOUBLE) / t.rt)
+                                 * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS h_q
+      FROM rev r JOIN tot t ON t.nation = r.nation
+      GROUP BY r.nation, t.n_sup)
+    SELECT nation, n_sup AS n_suppliers,
+           CAST(h_q AS BIGINT) / 1000000000.0 AS hhi,
+           CAST(FLOOR(1000000000.0e0 / h_q * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS effective_competitors
+    FROM hhi ORDER BY nation
+    """,
+    tags=("E273", "E101", "E264", "A1", "J1"),
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation: HHI = sum of squared revenue shares, plus its
+    reciprocal — the 'effective number of competitors' (the
+    antitrust/market-structure number; 1/HHI = how many EQUAL-sized
+    suppliers would look like this market, the interpretable form
+    Gini/Theil lack). Per-(nation, supplier) revenue, per-nation
+    totals broadcast back, each squared share 1e-9-quantized before
+    the per-nation sum — exact at any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("r").cast("bigint").alias("rt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sup"),
+    )
+    share = F.col("r").cast("double") / F.col("rt")
+    hhi = (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation", "n_sup")
+        .agg(
+            F.sum(
+                F.floor(share * share * 1000000000 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("h_q")
+        )
+    )
+    return hhi.select(
+        "nation",
+        F.col("n_sup").alias("n_suppliers"),
+        (F.col("h_q") / 1000000000.0).alias("hhi"),
+        (
+            F.floor(1000000000.0 / F.col("h_q") * 10000 + F.lit(0.5)).cast(
+                "bigint"
+            )
+            / 10000.0
+        ).alias("effective_competitors"),
+    ).orderBy("nation")
