@@ -2144,3 +2144,91 @@ def q_kish_effective_n(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("design_effect_minus_1"),
     )
+
+
+# --------------------------------------------------------------------------
+# E274: expected calibration error — the reliability scalar
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_expected_calibration_error",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS lo,
+             MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS hi
+      FROM events),
+    scored AS (
+      SELECT (CAST(FLOOR(value * 100 + 0.5) AS BIGINT) - b.lo) * 1.0e0
+               / (b.hi - b.lo) AS conf,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             ntile(10) OVER (ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                             event_id) AS bin
+      FROM events CROSS JOIN bounds b),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(conf * 1000000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS conf_q,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY bin),
+    terms AS (
+      SELECT n,
+             CAST(FLOOR(ABS(CAST(pos AS DOUBLE) / n
+                            - CAST(conf_q AS DOUBLE) / 1000000000.0 / n)
+                        * n * 1000000 + 0.5) AS BIGINT) AS w_gap_q,
+             CAST(FLOOR(ABS(CAST(pos AS DOUBLE) / n
+                            - CAST(conf_q AS DOUBLE) / 1000000000.0 / n)
+                        * 1000000 + 0.5) AS BIGINT) AS gap_q
+      FROM bins)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(w_gap_q) AS BIGINT) * 1.0 / SUM(n) / 1000000.0 AS ece,
+           CAST(MAX(gap_q) AS BIGINT) / 1000000.0 AS mce
+    FROM terms
+    """,
+    tags=("E274", "E147", "W1", "A1"),
+)
+def q_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — the scalar that E147's per-bin
+    reliability table rolls up to: ECE = sum over deciles of
+    (n_b/N)|accuracy_b - confidence_b|, with MCE (the worst bin) as
+    the tail companion; the pair every model card reports.
+    Confidence is the min-max-normalized score (the fixture's value
+    is a score, not a probability — normalization documented, same
+    on both engines); deciles are the same deterministic
+    (score, event_id) ntile as E147. Per-bin confidence sums are
+    1e-9-quantized BEFORE aggregation and each bin's weighted gap is
+    quantized before the cross-bin sum — the whole scalar is exact
+    integer arithmetic after one ranked pass."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    bounds = e.agg(
+        F.min(cents).alias("lo"), F.max(cents).alias("hi")
+    )
+    scored = e.crossJoin(F.broadcast(bounds)).select(
+        ((cents - F.col("lo")) * 1.0 / (F.col("hi") - F.col("lo"))).alias("conf"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.ntile(10).over(Window.orderBy(cents, "event_id")).alias("bin"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("conf") * 1000000000 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("conf_q"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    gap = F.abs(
+        F.col("pos").cast("double") / F.col("n")
+        - F.col("conf_q").cast("double") / 1000000000.0 / F.col("n")
+    )
+    terms = bins.select(
+        "n",
+        F.floor(gap * F.col("n") * 1000000 + F.lit(0.5)).cast("bigint").alias("w_gap_q"),
+        F.floor(gap * 1000000 + F.lit(0.5)).cast("bigint").alias("gap_q"),
+    )
+    return terms.agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        (
+            F.sum("w_gap_q").cast("bigint") * 1.0 / F.sum("n") / 1000000.0
+        ).alias("ece"),
+        (F.max("gap_q").cast("bigint") / 1000000.0).alias("mce"),
+    )
