@@ -295,8 +295,16 @@ def srp_topk(
     shuffle before the final top-k."""
     planes = _srp_planes(64, bits)
     probes = _probe_buckets(query_vec, planes, radius)
+    # Bucket via the same vectorized Arrow matmul as the banded path
+    # (1 band of ``bits`` bits). The pure-Catalyst srp_bucket() form is
+    # semantically identical but Janino-compiles a bits*dim-term
+    # expression (~1.2 s one-time codegen, BENCH r4's only regression);
+    # the numpy matmul also matches _probe_buckets' plane@q sign
+    # arithmetic exactly, so index and probe can't disagree on a
+    # borderline dot's last ulp.
+    bucket_udf = _srp_band_buckets_udf(planes, 1, bits)
     return (
-        emb.withColumn("_bucket", srp_bucket(vec_col, planes))
+        emb.withColumn("_bucket", bucket_udf(F.col(vec_col))[0])
         .filter(F.col("_bucket").isin(probes))
         .select(F.col(id_col), _cosine_to_query(vec_col, query_vec).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
