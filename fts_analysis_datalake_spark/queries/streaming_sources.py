@@ -10,7 +10,6 @@ batch run — that is the streaming correctness story.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -614,7 +613,7 @@ def q_user_topk_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: custom Python Data Source plugin (Spark 4 DataSource API):
     read 20k rows from the registered 'synthlog' generator source
-    (8 declared InputPartitions -> 8 parallel tasks, nothing on the
+    (4 declared InputPartitions -> 4 parallel tasks, nothing on the
     driver) and aggregate per group. Every value is deterministic
     integer arithmetic, so the oracle regenerates the identical
     table with generate_series and the hash check verifies the
@@ -623,7 +622,10 @@ def q_python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fts_analysis_datalake_spark.sources.pydatasource import register_synthlog
 
     register_synthlog(spark)
-    synth = spark.read.format("synthlog").option("n", 20000).load()
+    # parts=4 (5k rows each): enough to verify parallel split planning
+    # while spinning up 4 read workers, not 8, on first use — Python
+    # data-source tasks each cost a worker process until the pool warms.
+    synth = spark.read.format("synthlog").option("n", 20000).option("parts", 4).load()
     return synth.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("val").cast("bigint").alias("total_val"),
@@ -679,12 +681,13 @@ def q_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(CACHE_DIR, f"tally_{sf_tag}")
-    if os.path.exists(path):
-        shutil.rmtree(path)
     # The aggregate is ~25 rows spread over the shuffle partitioning;
-    # coalesce before the sink so only a few Python writer tasks spin up.
+    # coalesce before the sink so only a few Python writer tasks spin
+    # up. mode('overwrite') is the sink's only supported mode — its
+    # writer() clears stale part files itself, so re-runs are safe
+    # without any caller-side rmtree.
     agg.coalesce(4).write.format("tallysink").option("path", path).mode(
-        "append"
+        "overwrite"
     ).save()
     back = spark.read.json(os.path.join(path, "part-*.jsonl"))
     return back.select(

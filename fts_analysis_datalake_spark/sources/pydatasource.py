@@ -118,8 +118,9 @@ def _make_sink():
         task succeeded, so readers keying on the manifest never see a
         partial write (abort() leaves no manifest)."""
 
-        def __init__(self, options: dict) -> None:
+        def __init__(self, options: dict, overwrite: bool) -> None:
             self.path = options["path"]
+            self.overwrite = overwrite
 
         def write(self, iterator):
             import json
@@ -151,7 +152,16 @@ def _make_sink():
                 )
 
         def abort(self, messages):
-            pass
+            # Failed job: remove task files already written so a
+            # glob-based reader can never pick up partial output
+            # (the manifest is the authoritative commit marker, but
+            # leaving stale part-*.jsonl around is a trap for anyone
+            # reading the directory directly).
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
 
     class TallySink(DataSource):
         """df.write.format("tallysink").option("path", p).save()."""
@@ -161,7 +171,20 @@ def _make_sink():
             return "tallysink"
 
         def writer(self, schema, overwrite):
-            return TallyWriter(self.options)
+            if not overwrite:
+                # Append would silently interleave with prior part
+                # files under the glob readers use; only overwrite
+                # has well-defined semantics for this sink.
+                raise ValueError("tallysink supports mode('overwrite') only")
+            import glob as _glob
+            import os
+
+            path = self.options["path"]
+            for stale in _glob.glob(f"{path}/part-*.jsonl") + _glob.glob(
+                f"{path}/_MANIFEST.json"
+            ):
+                os.remove(stale)
+            return TallyWriter(self.options, overwrite)
 
     return TallySink
 
