@@ -30,6 +30,9 @@ PYTHON_SURFACE = {
     "q_media_resize_thumbs",  # D14 mapInPandas decode+resize
     "q_media_frame_sample",  # D14 mapInPandas row fan-out
     "q_embedding_near_dup_pairs",  # E11 vectorized-UDF LSH signature build
+    "q_srp_topk_ann",  # E1 vectorized-UDF bucket assignment (r5: replaced
+    # the bits*dim-term Catalyst fold whose one-time Janino compile cost
+    # ~1.2 s per single-shot bench run)
     "q_son_frequent_tokens",  # E37 SON phase-1 per-partition mapInPandas
     "q_holt_forecast_hourly",  # E54 X2 per-series smoothing recursion
     "q_embedding_norms_arrow",  # E60 mapInArrow vector kernel
