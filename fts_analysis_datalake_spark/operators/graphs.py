@@ -249,15 +249,29 @@ def connected_components_star(
     distinct), i.e. a constant number of node-key shuffles, no driver
     graph state; per-round frames are rerooted (see
     caching.reroot) to dodge the self-join re-execution pathology.
-    Convergence is detected by an order-free xxhash64 bit_xor fingerprint
-    of the edge set (internal loop control only — a collision would
-    merely end one round early on an already-contracted forest).
+    Convergence is detected by an order-free xxhash64 bit_xor
+    fingerprint of the edge set. A fingerprint collision between two
+    DISTINCT consecutive edge sets would stop the loop on a
+    non-converged graph and return wrong components; the probability
+    is ~2^-64 per compared round (the count is also compared, so the
+    sets must additionally be equal-sized), which this operator
+    accepts in exchange for skipping an exact set-difference job per
+    round — callers needing certainty can verify the returned
+    labeling (one semi-join: no edge may cross components).
 
     Only nodes incident to an edge appear, as in
     :func:`connected_components`.
     """
+    # Normalize to the undirected canonical form (u < v) BEFORE the
+    # dedup: an input carrying both orientations (typical for
+    # grid-cover neighbor joins, which emit every ordered pair)
+    # otherwise enters round 0 at twice the size for identical
+    # components.
     edges0 = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
@@ -294,26 +308,65 @@ def connected_components_star(
         ).first()
         return (row["n"], row["h"])
 
-    e, fp = edges0, fingerprint(edges0)
-    for rnd in range(max_iter):
-        # One reroot per round: the two star phases chain within a
-        # round (bounded re-execution), and the reroot severs the
-        # cross-round id lineage that triggers the re-execution
-        # pathology.
-        e = reroot(star(star(e, True), False))
-        # Fingerprint every other round: a converged forest is a
-        # fixpoint of the round operator, so at worst one redundant
-        # round runs before detection — cheaper than a per-round job.
-        if rnd % 2 == 0:
-            continue
-        fp_new = fingerprint(e)
-        if fp_new == fp:
-            memb = sym_of(e).groupBy("u").agg(F.min("v").alias("mn"))
-            return memb.select(
-                F.col("u").alias("node"),
-                F.least("u", "mn").alias("comp"),
-            )
-        fp = fp_new
-    raise RuntimeError(
-        f"connected_components_star did not converge in {max_iter} iterations"
-    )
+    fp = fingerprint(edges0)
+
+    # Per-round cost in the fixpoint loop is dominated by FIXED
+    # per-stage scheduling, not data: with AQE on, each exchange
+    # becomes its own re-planned job (measured 97 jobs / 207 stages
+    # for 9 rounds over a 322k-edge graph — ~10 s of overhead on
+    # ~milliseconds of actual work). For SMALL edge sets, run the
+    # loop with AQE off and few shuffle partitions, restoring the
+    # session confs after; a genuinely large graph (where AQE's skew
+    # splitting and coalescing earn their keep) keeps the session
+    # settings. The threshold is rows, known free from the initial
+    # fingerprint's count.
+    spark = edges0.sparkSession
+    small = fp[0] < 5_000_000
+    saved: dict[str, str | None] = {}
+    if small:
+        for k, v in (
+            ("spark.sql.adaptive.enabled", "false"),
+            ("spark.sql.shuffle.partitions", "4"),
+        ):
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+    try:
+        e = edges0
+        for rnd in range(max_iter):
+            # One reroot per round: the two star phases chain within a
+            # round (bounded re-execution), and the reroot severs the
+            # cross-round id lineage that triggers the re-execution
+            # pathology. (Rerooting every OTHER round was measured 2x
+            # SLOWER on the sf0.1 DBSCAN eps-graph — the four chained
+            # phases re-execute their doubly-referenced inputs;
+            # exchange reuse does not cover the fingerprint +
+            # next-round actions.)
+            e = reroot(star(star(e, True), False))
+            # Fingerprint every other round: a converged forest is a
+            # fixpoint of the round operator, so at worst one redundant
+            # round runs before detection — cheaper than a per-round
+            # job. The final round is ALWAYS checked (even when it
+            # falls on an unchecked parity), so a graph converging
+            # exactly at the iteration cap returns instead of raising.
+            if rnd % 2 == 0 and rnd != max_iter - 1:
+                continue
+            fp_new = fingerprint(e)
+            if fp_new == fp:
+                memb = sym_of(e).groupBy("u").agg(F.min("v").alias("mn"))
+                return memb.select(
+                    F.col("u").alias("node"),
+                    F.least("u", "mn").alias("comp"),
+                )
+            fp = fp_new
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} iterations"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
