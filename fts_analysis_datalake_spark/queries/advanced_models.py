@@ -1378,7 +1378,7 @@ def q_logrank_shipping_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_littles_law_audit",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+      SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
              CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
                        - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
                          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
@@ -1389,8 +1389,11 @@ def q_logrank_shipping_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess AS MATERIALIZED (
       SELECT user_id, sid, MIN(s) AS t0, MAX(s) + 1 AS t1
       FROM (
+        -- sid window tie-broken by event_id: a session-opening event
+        -- sharing its second with a prior-session event must not make
+        -- the cumulative sum order-dependent.
         SELECT user_id, s,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY s
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
                  ROWS UNBOUNDED PRECEDING) AS sid
         FROM ordered)
       GROUP BY user_id, sid),
@@ -1444,6 +1447,7 @@ def q_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.unix_timestamp("ts")
     ordered = e.select(
         "user_id",
+        "event_id",
         s.alias("s"),
         F.when(
             F.lag(F.col("ts")).over(w).isNull()
@@ -1453,7 +1457,10 @@ def q_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_new"),
     )
-    wsid = Window.partitionBy("user_id").orderBy("s").rowsBetween(
+    # Tie-break the cumulative-sum window by event_id (same in the
+    # oracle): with epoch-second ties, ordering by s alone would make
+    # session bounds nondeterministic.
+    wsid = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     sess = (

@@ -2504,7 +2504,8 @@ def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM events),
     sess AS (
       SELECT user_id, sid,
-             arg_min(event_type, s * 1000000 + event_id) AS entry_type,
+             arg_min(event_type, printf('%019d%019d', s, event_id))
+               AS entry_type,
              CAST(COUNT(*) AS BIGINT) AS depth
       FROM (
         SELECT user_id, event_type, s, event_id,
@@ -2532,9 +2533,11 @@ def q_bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing-page analytics staple that tells you which entry points
     fail to hold users (session-level aggregates alone, E?-depth
     histograms, can't attribute the bounce to the entrance). One
-    sessionization window, per-session argmin entry via the
-    epoch*1e6+event_id composite key both engines order identically,
-    one group-by."""
+    sessionization window, per-session argmin entry via a
+    fixed-width zero-padded (s, event_id) string key — lexicographic
+    order equals tuple order at ANY id magnitude (an arithmetic
+    s*1e6+event_id key silently drifts once event_id >= 1e6, and
+    DuckDB's arg_min takes no struct key), one group-by."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = F.unix_timestamp("ts")
@@ -2563,9 +2566,10 @@ def q_bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "sid")
         .agg(
-            F.min_by("event_type", F.col("s") * 1000000 + F.col("event_id")).alias(
-                "entry_type"
-            ),
+            F.min_by(
+                "event_type",
+                F.format_string("%019d%019d", F.col("s"), F.col("event_id")),
+            ).alias("entry_type"),
             F.count(F.lit(1)).cast("bigint").alias("depth"),
         )
     )

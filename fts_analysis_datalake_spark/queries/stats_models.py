@@ -3387,7 +3387,8 @@ def q_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              CAST(COUNT(*) AS BIGINT) AS x,
              CAST(arg_min(event_type,
-                          CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000 + event_id)
+                          printf('%019d%019d',
+                                 CAST(FLOOR(epoch(ts)) AS BIGINT), event_id))
                   = 'signup' AS BIGINT) AS treated,
              CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
                AS y_q
@@ -3441,8 +3442,14 @@ def q_psm_att_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = e.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("x"),
         (
+            # Zero-padded (s, event_id) string key: tuple-order exact
+            # at any id magnitude (s*1e6+event_id drifts once
+            # event_id >= 1e6; DuckDB's arg_min takes no struct key).
             F.min_by(
-                "event_type", F.unix_timestamp("ts") * 1000000 + F.col("event_id")
+                "event_type",
+                F.format_string(
+                    "%019d%019d", F.unix_timestamp("ts"), F.col("event_id")
+                ),
             )
             == "signup"
         )
