@@ -403,7 +403,15 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embedding_norms_arrow",
-    oracle=None,  # float reduction order differs from SQL twins; equivalence tested
+    oracle="""
+    SELECT vec_id,
+           sqrt(CAST(list_aggregate(
+                  list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                    * 1000000000000 + 0.5) AS BIGINT)),
+                  'sum') AS DOUBLE) / 1000000000000) AS l2_norm
+    FROM embeddings
+    """,
     tags=("E60", "X1", "X5", "D5"),
 )
 def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,9 +420,17 @@ def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     each batch vectorized, and nothing is ever row-at-a-time — the
     remaining UDF surface beside pandas UDFs (X1) and grouped-map
     (X2). This is the escape hatch for kernels that want raw Arrow
-    buffers (quantization, packing, custom distance kernels);
-    numeric agreement with the Catalyst higher-order `norm` is
-    asserted to 1e-4 in tests/test_udfs.py."""
+    buffers (quantization, packing, custom distance kernels).
+
+    Exact-oracle discipline (rows-only until round 5): each squared
+    element is quantized independently to int64 (float->double cast
+    exact; square, *1e12, +0.5, floor are single IEEE ops identical
+    in numpy and DuckDB), the int64 sum is order-free, and the final
+    /1e12 + sqrt are one correctly-rounded op each — so the norm is
+    bit-identical across engines, unlike a float dot whose reduction
+    order differs (numpy pairwise vs SQL sequential). Agreement with
+    the unquantized Catalyst `norm` stays asserted in
+    tests/test_udfs.py (quantization error ~1e-7)."""
     import numpy as np
     import pyarrow as pa
 
@@ -424,10 +440,11 @@ def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             tbl = pa.table(batch)
             vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+            q = np.floor(vecs * vecs * 1e12 + 0.5).astype(np.int64).sum(axis=1)
             out = pa.record_batch(
                 [
                     tbl["vec_id"].combine_chunks(),
-                    pa.array(np.sqrt((vecs * vecs).sum(axis=1))),
+                    pa.array(np.sqrt(q.astype(np.float64) / 1e12)),
                 ],
                 names=["vec_id", "l2_norm"],
             )

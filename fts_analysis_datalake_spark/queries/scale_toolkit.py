@@ -27,6 +27,7 @@ from fts_analysis_datalake_spark.operators.text import (
     sql_tokens,
     tokens,
 )
+from fts_analysis_datalake_spark.queries.sketches_search import _h52, _sql_h52
 from fts_analysis_datalake_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -378,9 +379,43 @@ def q_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_JSE_W = 1024  # buckets per hash row
+_JSE_D = 2  # hash rows
+
+
 @query(
     "q_join_size_estimate",
-    oracle=None,  # sketch estimate is hash-dependent; bound tested (test_approx)
+    oracle=f"""
+    WITH a AS (
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS n1 FROM (
+        SELECT 0 AS d, {_sql_h52('jse0', 'o_custkey')} % {_JSE_W} AS bucket
+        FROM orders
+        UNION ALL
+        SELECT 1 AS d, {_sql_h52('jse1', 'o_custkey')} % {_JSE_W} AS bucket
+        FROM orders)
+      GROUP BY d, bucket),
+    b AS (
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS n2 FROM (
+        SELECT 0 AS d, {_sql_h52('jse0', 'c_custkey')} % {_JSE_W} AS bucket
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT 1 AS d, {_sql_h52('jse1', 'c_custkey')} % {_JSE_W} AS bucket
+        FROM customer WHERE c_mktsegment = 'BUILDING')
+      GROUP BY d, bucket),
+    dots AS (
+      SELECT a.d, CAST(SUM(a.n1 * b.n2) AS BIGINT) AS dot
+      FROM a JOIN b ON a.d = b.d AND a.bucket = b.bucket
+      GROUP BY a.d),
+    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS cms_estimate FROM dots),
+    truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS true_join_rows
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING')
+    SELECT t.true_join_rows, e.cms_estimate,
+           CAST(e.cms_estimate AS DOUBLE)
+             / CAST(GREATEST(t.true_join_rows, 1) AS DOUBLE) AS inflation
+    FROM truth t, est e
+    """,
     tags=("E81", "E48", "J1"),
 )
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,11 +423,18 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner product of two count-min sketches (per depth row, min over
     depths) upper-bounds |A JOIN B on key| — the sketch-side version
     of what a cost-based optimizer wants before picking join
-    strategy/order at 100 TB. Both sketches are ~4k cells built in
-    one scan each; the estimate is a 4k-row join + sum, and the true
+    strategy/order at 100 TB. Both sketches are ~2k cells built in
+    one scan each; the estimate is a 2k-row join + sum, and the true
     size (computed here for the report) is provably <= the estimate
-    (collisions only inflate). Bound asserted in tests/test_approx.py."""
-    from fts_analysis_datalake_spark.operators.scale import cms_build
+    (collisions only inflate; bound asserted in tests/test_approx.py).
+    Rows-only until round 5: bucket ids now come from the repo's
+    md5-derived 52-bit hash (E175 discipline), bit-identical in both
+    engines, so the ESTIMATE itself is driver hash-checked — the
+    operator-library sibling (operators/scale.cms_build) keeps the
+    cheaper JVM xxhash64 for production use."""
+
+    def h(prefix: str, col) -> F.Column:
+        return _h52(prefix, col) % _JSE_W
 
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("string").alias("k")
@@ -400,19 +442,42 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     ).select(F.col("c_custkey").cast("string").alias("k"))
-    s1 = cms_build(o, "k").withColumnRenamed("n", "n1")
-    s2 = cms_build(c, "k").withColumnRenamed("n", "n2")
+
+    def sketch(df: DataFrame, out: str) -> DataFrame:
+        cells = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            h(f"jse{d}", F.col("k")).alias("bucket"),
+                        )
+                        for d in range(_JSE_D)
+                    ]
+                )
+            ).alias("c")
+        ).select("c.d", "c.bucket")
+        return cells.groupBy("d", "bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias(out)
+        )
+
     per_depth = (
-        s1.join(s2, ["d", "bucket"])
+        sketch(o, "n1")
+        .join(sketch(c, "n2"), ["d", "bucket"])
         .groupBy("d")
-        .agg(F.sum(F.col("n1") * F.col("n2")).alias("dot"))
+        .agg(F.sum(F.col("n1") * F.col("n2")).cast("bigint").alias("dot"))
     )
-    est = per_depth.agg(F.min("dot").alias("cms_estimate"))
-    true_n = o.join(c, "k").agg(F.count(F.lit(1)).alias("true_join_rows"))
+    est = per_depth.agg(F.min("dot").cast("bigint").alias("cms_estimate"))
+    true_n = o.join(c, "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_join_rows")
+    )
     return true_n.crossJoin(F.broadcast(est)).select(
         "true_join_rows",
         "cms_estimate",
-        (F.col("cms_estimate").cast("double") / F.greatest("true_join_rows", F.lit(1))).alias("inflation"),
+        (
+            F.col("cms_estimate").cast("double")
+            / F.greatest("true_join_rows", F.lit(1)).cast("double")
+        ).alias("inflation"),
     )
 
 
