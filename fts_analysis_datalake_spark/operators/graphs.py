@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.caching import reroot
+from fts_analysis_datalake_spark.caching import fixpoint_confs, reroot
 
 
 def connected_components(
@@ -86,7 +86,8 @@ def connected_components(
         # (diameter ~2-4), so this converges in a handful of rounds;
         # HIGH-diameter graphs should use connected_components_star
         # instead — min-label propagation is O(diameter) regardless
-        # of per-round tricks.
+        # of per-round tricks. AQE stays ON (see pagerank's note):
+        # the edge x label hop join wants runtime broadcast.
         new_labels = reroot(hop(hop(labels).drop("_changed")))
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
@@ -176,6 +177,13 @@ def pagerank(
     # depth. A 5-deep join+agg lineage is well inside Catalyst's
     # comfort zone, and measured wall-clock halves vs. every-2-hops
     # (the checkpoint jobs, not the hops, dominated the loop).
+    # NOTE: this loop deliberately KEEPS AQE on (unlike
+    # connected_components_star's fixpoint_confs): each hop's
+    # edge x rank join benefits from AQE's runtime broadcast
+    # conversion of the small rank side — measured 5.6 s with AQE vs
+    # 7.3 s without on the sf0.1 part-supplier graph. The star loop's
+    # groupBy-heavy phases have no broadcast opportunity, which is
+    # why the same tuning wins there and loses here.
     done = 0
     while done < iters:
         for _ in range(min(5, iters - done)):
@@ -227,6 +235,8 @@ def bfs_hops(
         # lineage tree at most max_hops deep with materialized leaves,
         # so it needs no checkpoint of its own. Dropping it halves the
         # loop's materialization jobs (measured 2x on the bench graph).
+        # AQE stays ON here: the frontier x edges join relies on AQE's
+        # runtime broadcast of the small frontier side.
         visited = visited.union(nxt)
         frontier = nxt
     return visited
@@ -321,19 +331,7 @@ def connected_components_star(
     # settings. The threshold is rows, known free from the initial
     # fingerprint's count.
     spark = edges0.sparkSession
-    small = fp[0] < 5_000_000
-    saved: dict[str, str | None] = {}
-    if small:
-        for k, v in (
-            ("spark.sql.adaptive.enabled", "false"),
-            ("spark.sql.shuffle.partitions", "4"),
-        ):
-            try:
-                saved[k] = spark.conf.get(k)
-            except Exception:
-                saved[k] = None
-            spark.conf.set(k, v)
-    try:
+    with fixpoint_confs(spark, enabled=fp[0] < 5_000_000):
         e = edges0
         for rnd in range(max_iter):
             # One reroot per round: the two star phases chain within a
@@ -364,9 +362,3 @@ def connected_components_star(
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} iterations"
         )
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
