@@ -1085,3 +1085,118 @@ def q_topk_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank_displacement"),
     )
+
+
+# --------------------------------------------------------------------------
+# E277: URL canonicalization dedup — crawl-frontier hygiene
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_url_canonical_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+             || '://'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+             || source || '.Example.COM'
+             || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0
+                      THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+                      WHEN doc_id % 5 = 1
+                      THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '#.*$', ''),
+                     'utm_[a-z]+=[^&#]*&?', ''),
+                   '[?&]$', ''),
+                 '://www\\.', '://'),
+               '/(?=[?]|$)', '') AS curl
+      FROM raw)
+    SELECT regexp_extract(curl, '://([^/?]+)', 1) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST(COUNT(*) - COUNT(DISTINCT curl) AS BIGINT) AS n_dup_fetches
+    FROM canon GROUP BY host ORDER BY host
+    """,
+    tags=("E277", "F2", "F3", "A3", "A1"),
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier hygiene pass
+    every web-scale corpus runs before fetch/dedup: scheme+host
+    lowercasing, www-stripping, tracking-parameter (utm_*) removal,
+    fragment removal, trailing-slash normalization, then canonical-
+    form dedup counts per host. Messy-but-deterministic URL variants
+    are derived from (doc_id, source) identically on both engines
+    (the fixture has no URL column — same derivation discipline as
+    E39's PII and F3's transfer URLs); the regex chain stays in the
+    Java/RE2 common subset. At 100 TB the canonicalizer is a
+    map-side expression and the dedup one count-distinct per host —
+    no shuffle beyond the final rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (F.col("doc_id") % 7).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("?id="), (F.col("doc_id") % 7).cast("string")),
+        )
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    # Slash normalization avoids regex lookahead on purpose: RE2
+    # (DuckDB) silently treats '(?=...)' as unmatchable while Java
+    # honors it — a literal '/?'->'?' replace plus a '/$' strip is
+    # the portable form (SURVEY F2 dialect warning).
+    curl = F.regexp_replace(
+        F.replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower(url), "#.*$", ""),
+                        "utm_[a-z]+=[^&#]*&?",
+                        "",
+                    ),
+                    "[?&]$",
+                    "",
+                ),
+                "://www\\.",
+                "://",
+            ),
+            F.lit("/?"),
+            F.lit("?"),
+        ),
+        "/$",
+        "",
+    )
+    canon = d.select(F.col("doc_id"), curl.alias("curl"))
+    return (
+        canon.groupBy(F.regexp_extract("curl", "://([^/?]+)", 1).alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("curl").cast("bigint").alias("n_canonical"),
+            (F.count(F.lit(1)) - F.countDistinct("curl"))
+            .cast("bigint")
+            .alias("n_dup_fetches"),
+        )
+        .orderBy("host")
+    )

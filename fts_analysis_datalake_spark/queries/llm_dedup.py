@@ -22,11 +22,13 @@ from fts_analysis_datalake_spark.operators.dedup import (
     simhash_table,
 )
 from fts_analysis_datalake_spark.operators.text import (
+    ngrams,
     sql_ngrams,
     sql_normalize_text,
     sql_tokens,
     tokens,
 )
+from fts_analysis_datalake_spark.queries.sketches_search import _h52, _sql_h52
 from fts_analysis_datalake_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -794,4 +796,243 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_in_band"),
         )
         .orderBy("score_band")
+    )
+
+
+# --------------------------------------------------------------------------
+# E275: md5-deterministic MinHash-LSH — the driver-hash-checkable D3 twin
+# --------------------------------------------------------------------------
+
+_MH_SEEDS = 12  # minhash functions
+_MH_BANDS = 3  # bands of _MH_SEEDS/_MH_BANDS rows each
+_MH_ROWS = _MH_SEEDS // _MH_BANDS
+_MH_JACC = 0.5  # exact-verify threshold
+_MH_P = 4503599627370449  # prime < 2^52: (a*h+b) % p stays in int64
+
+
+def _mh_oracle() -> str:
+    # ONE md5 base hash per shingle, then 12 universal-hash
+    # derivations (odd multiplier, additive offset, prime modulus) —
+    # integer arithmetic identical in both engines, 12x fewer md5s.
+    mins = ",\n             ".join(
+        f"MIN(({2 * i + 1} * h + {7919 * i}) % {_MH_P}) AS m{i}"
+        for i in range(_MH_SEEDS)
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b,
+            key="||'_'||".join(
+                f"CAST(m{b * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)
+            ),
+        )
+        for b in range(_MH_BANDS)
+    )
+    h = _sql_h52("mh", "s")
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' zz zz' AS text
+      FROM documents WHERE doc_id % 10 = 0),
+    sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct({sql_ngrams(sql_tokens('text'), 3)}) AS sh
+      FROM corpus),
+    ex AS (SELECT doc_id, {h} AS h
+           FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             {mins}
+      FROM ex GROUP BY doc_id),
+    bands AS (
+      {bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    jac AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(x.sh || y.sh)) AS j
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b)
+    SELECT id_a, id_b,
+           CAST(FLOOR(j * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS jaccard_q
+    FROM jac WHERE j >= {_MH_JACC}e0
+    """
+
+
+@query("q_minhash_lsh_md5_pairs", oracle=_mh_oracle(), tags=("E275", "D3", "D4", "J11", "F11"))
+def q_minhash_lsh_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with EVERY stage hash-checkable:
+    signatures use the repo's md5-derived 52-bit hash (E175
+    discipline) instead of xxhash64, so the DuckDB oracle reproduces
+    the exact signature matrix, band keys, candidate set, and
+    verified pairs — closing SURVEY D3's 'banding is not
+    SQL-expressible' gap for the driver record (the xxhash64 operator
+    path, operators/dedup.near_dup_pairs, stays the production form:
+    JVM-side hashing is ~10x cheaper than md5-over-py-expression at
+    100 TB; THIS query proves the algorithm, that one carries the
+    scale).
+
+    Shape is the scale shape: signatures via one explode + grouped
+    MIN per seed (map-side combinable), band keys via posexplode,
+    candidates via band-key equi self-join (hash join, never
+    all-pairs), exact 3-gram Jaccard verify on candidates only.
+    Planted near-dups (every 10th doc re-delivered with a 2-token
+    suffix) guarantee a non-trivial pair set on the synthetic corpus.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz zz")).alias("text"),
+        )
+    )
+    sh = tracked_persist(
+        corpus.select(
+            "doc_id",
+            F.array_distinct(ngrams(tokens(F.col("text")), 3)).alias("sh"),
+        )
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    exh = ex.select("doc_id", _h52("mh", F.col("s")).alias("h"))
+    sig = exh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i)) % F.lit(_MH_P)).alias(
+                f"m{i}"
+            )
+            for i in range(_MH_SEEDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"m{b * _MH_ROWS + r}").cast("string")
+                            for r in range(_MH_ROWS)
+                        ],
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    jac = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / F.size(F.array_distinct(F.concat("sha", "shb")))
+            ).alias("j"),
+        )
+    )
+    return jac.filter(F.col("j") >= _MH_JACC).select(
+        "id_a",
+        "id_b",
+        (F.floor(F.col("j") * 1000000 + F.lit(0.5)).cast("bigint") / 1000000.0).alias(
+            "jaccard_q"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# E276: duplicate n-gram span coverage — exact-substring dedup telemetry
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dup_ngram_coverage",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, source, list_distinct({sql_ngrams(sql_tokens('text'), 3)}) AS sh
+      FROM documents),
+    ex AS MATERIALIZED (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+    df AS MATERIALIZED (
+      SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs FROM ex GROUP BY s),
+    per_doc AS (
+      SELECT e.doc_id, e.source,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN d.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      FROM ex e JOIN df d ON d.s = e.s
+      GROUP BY e.doc_id, e.source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_dup) AS BIGINT) AS dup_shingles,
+           CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+           CAST(FLOOR(CAST(SUM(n_dup) AS DOUBLE) / SUM(n_shingles) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS dup_coverage,
+           CAST(SUM(CASE WHEN n_dup * 2 > n_shingles THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_majority_dup
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("E276", "D11", "A1", "A3"),
+)
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication telemetry (the Lee et al.
+    'Deduplicating Training Data' signal, shingle-granular): for each
+    document, the fraction of its distinct 3-gram spans that occur in
+    at least one OTHER document, rolled up per source — the metric
+    that decides whether a source needs span-level dedup before
+    training, which doc-level near-dup (D3/E275) cannot see.
+
+    Scale shape: one explode to (doc, shingle), one groupBy for
+    corpus-wide document frequency, one join back keyed on the
+    shingle (both sides shuffle on the same key), one rollup — no
+    pairwise anything; at 100 TB the df table is the classic
+    inverted-index build."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(ngrams(tokens(F.col("text")), 3))).alias("s"),
+    )
+    ex = tracked_persist(sh)
+    df_tbl = ex.groupBy("s").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("docs")
+    )
+    per_doc = (
+        ex.join(df_tbl, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("docs") >= 2).cast("bigint")).cast("bigint").alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_dup").cast("bigint").alias("dup_shingles"),
+            F.sum("n_shingles").cast("bigint").alias("total_shingles"),
+            (
+                F.floor(
+                    F.sum("n_dup").cast("double") / F.sum("n_shingles") * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1000000.0
+            ).alias("dup_coverage"),
+            F.sum((F.col("n_dup") * 2 > F.col("n_shingles")).cast("bigint"))
+            .cast("bigint")
+            .alias("docs_majority_dup"),
+        )
+        .orderBy("source")
     )

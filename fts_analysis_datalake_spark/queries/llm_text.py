@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.functions.vector import dot, sql_dot
 from fts_analysis_datalake_spark.operators.text import (
@@ -1058,4 +1059,163 @@ def q_dunning_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 15)
         .select("w1", "w2", F.col("k11").alias("n_cooccur"), "llr")
         .orderBy("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# E278: context-window chunking with overlap — tokenizer-feed geometry
+# --------------------------------------------------------------------------
+
+_CHUNK_W = 32  # window tokens
+_CHUNK_S = 24  # stride (W - S = 8 tokens of overlap)
+
+
+@query(
+    "q_context_window_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({sql_tokens('text')}) AS n
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, source, n,
+             unnest(range(0, 1 + (GREATEST(n - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
+                                 // {_CHUNK_S})) AS i
+      FROM t WHERE n > 0),
+    sized AS (
+      SELECT doc_id, source, n, i,
+             LEAST({_CHUNK_W}, n - i * {_CHUNK_S}) AS chunk_tokens
+      FROM chunks)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS chunk_token_sum,
+           CAST(SUM(CASE WHEN chunk_tokens = {_CHUNK_W} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_full,
+           CAST(FLOOR(CAST(SUM(chunk_tokens) AS DOUBLE)
+                      / SUM(CASE WHEN i = 0 THEN n ELSE 0 END)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS expansion
+    FROM sized GROUP BY source ORDER BY source
+    """,
+    tags=("E278", "F7", "F8", "D9", "A1"),
+)
+def q_context_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking (W=32 tokens, stride 24 — 8
+    tokens of overlap): the geometry of feeding documents to a
+    fixed-context tokenizer, reported per source as chunk counts,
+    full-window share, and the token EXPANSION factor the overlap
+    costs (chunk tokens emitted / raw tokens — the number that sizes
+    the tokenized dataset a pipeline actually pays to store). Chunk
+    fan-out is a per-row sequence explode (1->N, partition-local, no
+    shuffle until the rollup) — at 100 TB this is a map stage; the
+    expansion denominator counts each doc once via its i=0 chunk
+    row."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n")
+    ).filter(F.col("n") > 0)
+    n_chunks = 1 + F.floor(
+        (F.greatest(F.col("n") - _CHUNK_W, F.lit(0)) + _CHUNK_S - 1) / _CHUNK_S
+    ).cast("int")
+    sized = t.select(
+        "doc_id",
+        "source",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "source",
+        "n",
+        "i",
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("i") * _CHUNK_S).alias(
+            "chunk_tokens"
+        ),
+    )
+    return (
+        sized.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("chunk_tokens").cast("bigint").alias("chunk_token_sum"),
+            F.sum((F.col("chunk_tokens") == _CHUNK_W).cast("bigint"))
+            .cast("bigint")
+            .alias("n_full"),
+            (
+                F.floor(
+                    F.sum("chunk_tokens").cast("double")
+                    / F.sum(F.when(F.col("i") == 0, F.col("n")).otherwise(0))
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1000000.0
+            ).alias("expansion"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# E279: unigram-LM surprisal scoring — the CCNet-style quality signal
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_unigram_surprisal_scores",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS t FROM documents),
+    lm AS MATERIALIZED (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM lm),
+    scored AS (
+      SELECT k.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(FLOOR(-ln(CAST(l.c AS DOUBLE) / t.total)
+                                 * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+      FROM tok k JOIN lm l ON l.t = k.t CROSS JOIN tot t
+      GROUP BY k.doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(CAST(sq AS DOUBLE) / 1000000000.0 / n_tokens * 10000 + 0.5)
+                AS BIGINT) / 10000.0 AS nats_per_token
+    FROM scored
+    """,
+    tags=("E279", "D13", "A1", "F6"),
+)
+def q_unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM surprisal (mean -ln p(token) in nats)
+    — the CCNet-style quality score: documents far from the corpus
+    distribution (rare-token soup) score high, formulaic ones low;
+    thresholding these buckets is the classic perplexity filter with
+    the LM trained ON the corpus itself in one groupBy. Per-token
+    surprisals are 1e-9-quantized to int64 BEFORE the per-doc sum
+    (unordered-sum discipline); the LM join is token-keyed — at
+    100 TB the unigram table is vocabulary-sized and broadcastable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = tracked_persist(
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    )
+    lm = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    total = lm.agg(F.sum("c").cast("bigint").alias("total"))
+    surprisal_q = F.floor(
+        -F.log(F.col("c").cast("double") / F.col("total")) * 1000000000 + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        tok.join(F.broadcast(lm), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(surprisal_q).cast("bigint").alias("sq"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("sq").cast("double") / 1000000000.0 / F.col("n_tokens") * 10000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 10000.0
+        ).alias("nats_per_token"),
     )
