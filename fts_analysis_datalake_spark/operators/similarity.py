@@ -24,7 +24,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.caching import tracked_persist
+from fts_analysis_datalake_spark.caching import fixpoint_confs, tracked_persist
 from fts_analysis_datalake_spark.functions.vector import dot, norm
 
 
@@ -444,6 +444,12 @@ def kmeans_train(
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
         .localCheckpoint()
     )
+    # NOT under fixpoint_confs: each round's assignment shuffles the
+    # FULL vector table (ivf_assign's per-vector argmax window), so
+    # this loop is data-sized — cutting shuffle partitions serializes
+    # the big stage (measured 3.9 -> 4.4 s). fixpoint_confs is for
+    # loops whose state is domain-sized (markov, Bradley-Terry, PCA
+    # matvec, star contraction).
     for _ in range(iters):
         assigned = ivf_assign(emb, cents, id_col, vec_col)
         cents = (

@@ -14,7 +14,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.caching import tracked_persist
+from fts_analysis_datalake_spark.caching import fixpoint_confs, tracked_persist
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.functions.vector import (
@@ -1220,34 +1220,39 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v = spark.range(1, 65).select(F.col("id").alias("j"), F.lit(1.0).alias("v"))
-    for _ in range(_PCA_ITERS):
-        w = cov.join(F.broadcast(v), "j").groupBy("i").agg(
-            F.sum(
-                F.floor(F.col("aq").cast("double") * F.col("v") + F.lit(0.5)).cast(
-                    "bigint"
-                )
-            ).alias("wq")
-        )
-        w1 = F.col("wq").cast("double") / float(_PCA_Q)
-        n2 = w.agg(
-            F.sum(F.floor(w1 * w1 * _PCA_Q + F.lit(0.5)).cast("bigint")).alias("n2q")
-        )
-        v = (
-            w.crossJoin(F.broadcast(n2))
-            .select(
-                F.col("i").alias("j"),
-                (
-                    F.floor(
-                        w1
-                        / F.sqrt(F.col("n2q").cast("double") / float(_PCA_Q))
-                        * _PCA_Q
-                        + F.lit(0.5)
-                    ).cast("bigint")
-                    / float(_PCA_Q)
-                ).alias("v"),
+    # Matvec rounds move a 4096-row matrix against a 64-row vector
+    # with explicit broadcast hints — nothing for AQE to decide, so
+    # run them under fixpoint_confs (fewer per-round jobs; measured
+    # on the markov/dbscan loops).
+    with fixpoint_confs(spark):
+        for _ in range(_PCA_ITERS):
+            w = cov.join(F.broadcast(v), "j").groupBy("i").agg(
+                F.sum(
+                    F.floor(F.col("aq").cast("double") * F.col("v") + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).alias("wq")
             )
-            .localCheckpoint(eager=True)
-        )
+            w1 = F.col("wq").cast("double") / float(_PCA_Q)
+            n2 = w.agg(
+                F.sum(F.floor(w1 * w1 * _PCA_Q + F.lit(0.5)).cast("bigint")).alias("n2q")
+            )
+            v = (
+                w.crossJoin(F.broadcast(n2))
+                .select(
+                    F.col("i").alias("j"),
+                    (
+                        F.floor(
+                            w1
+                            / F.sqrt(F.col("n2q").cast("double") / float(_PCA_Q))
+                            * _PCA_Q
+                            + F.lit(0.5)
+                        ).cast("bigint")
+                        / float(_PCA_Q)
+                    ).alias("v"),
+                )
+                .localCheckpoint(eager=True)
+            )
     wf = cov.join(F.broadcast(v), "j").groupBy("i").agg(
         F.sum(
             F.floor(F.col("aq").cast("double") * F.col("v") + F.lit(0.5)).cast("bigint")

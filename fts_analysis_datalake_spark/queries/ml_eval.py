@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.caching import tracked_persist
+from fts_analysis_datalake_spark.caching import fixpoint_confs, tracked_persist
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.functions.vector import cosine, dot, sql_cosine, sql_dot
@@ -1541,48 +1541,52 @@ def q_bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wins = pairs.groupBy("i").agg(F.sum("w").cast("double").alias("wi"))
     s = duels.select("i").distinct().select("i", F.lit(1.0).alias("s"))
-    for _ in range(_BT_ITERS):
-        si = s.select(F.col("i").alias("si_i"), F.col("s").alias("si_s"))
-        sj = s.select(F.col("i").alias("sj_i"), F.col("s").alias("sj_s"))
-        raw = (
-            duels.join(F.broadcast(si), F.col("si_i") == F.col("i"))
-            .join(F.broadcast(sj), F.col("sj_i") == F.col("j"))
-            .join(F.broadcast(wins.withColumnRenamed("i", "w_i")), F.col("w_i") == F.col("i"), "left")
-            .groupBy("i", "wi")
-            .agg(
-                # each denominator term is quantized before the 4-term
-                # sum — an unordered double reduction otherwise
-                (
-                    F.coalesce(F.col("wi"), F.lit(0.0))
-                    / (
-                        F.sum(
-                            F.floor(
-                                F.col("n_ij")
-                                / (F.col("si_s") + F.col("sj_s"))
-                                * 1e9
-                                + F.lit(0.5)
-                            ).cast("bigint")
+    # MM rounds move a 20-cell duel matrix with explicit broadcasts —
+    # run under fixpoint_confs to strip AQE's per-exchange jobs from
+    # the per-round checkpoint materializations.
+    with fixpoint_confs(spark):
+        for _ in range(_BT_ITERS):
+            si = s.select(F.col("i").alias("si_i"), F.col("s").alias("si_s"))
+            sj = s.select(F.col("i").alias("sj_i"), F.col("s").alias("sj_s"))
+            raw = (
+                duels.join(F.broadcast(si), F.col("si_i") == F.col("i"))
+                .join(F.broadcast(sj), F.col("sj_i") == F.col("j"))
+                .join(F.broadcast(wins.withColumnRenamed("i", "w_i")), F.col("w_i") == F.col("i"), "left")
+                .groupBy("i", "wi")
+                .agg(
+                    # each denominator term is quantized before the 4-term
+                    # sum — an unordered double reduction otherwise
+                    (
+                        F.coalesce(F.col("wi"), F.lit(0.0))
+                        / (
+                            F.sum(
+                                F.floor(
+                                    F.col("n_ij")
+                                    / (F.col("si_s") + F.col("sj_s"))
+                                    * 1e9
+                                    + F.lit(0.5)
+                                ).cast("bigint")
+                            )
+                            / 1e9
                         )
-                        / 1e9
-                    )
-                ).alias("s_raw")
+                    ).alias("s_raw")
+                )
             )
-        )
-        q = raw.select(
-            "i", F.floor(F.col("s_raw") * _BT_Q + F.lit(0.5)).cast("bigint").alias("sq")
-        )
-        tot = q.agg(F.sum("sq").alias("tot"))
-        # localCheckpoint each round's 5-row strength table: si and sj
-        # both reference it, so the analyzed plan doubles per round
-        # (2^k nodes — the un-truncated form OOMs the analyzer, not
-        # the executors). Same lineage-bounding move as the graph
-        # iterations in operators/graphs.py; persist alone is not
-        # enough because the logical plan still carries the full tree.
-        s = (
-            q.crossJoin(F.broadcast(tot))
-            .select("i", (F.col("sq").cast("double") / F.col("tot") * 5.0).alias("s"))
-            .localCheckpoint(eager=True)
-        )
+            q = raw.select(
+                "i", F.floor(F.col("s_raw") * _BT_Q + F.lit(0.5)).cast("bigint").alias("sq")
+            )
+            tot = q.agg(F.sum("sq").alias("tot"))
+            # localCheckpoint each round's 5-row strength table: si and sj
+            # both reference it, so the analyzed plan doubles per round
+            # (2^k nodes — the un-truncated form OOMs the analyzer, not
+            # the executors). Same lineage-bounding move as the graph
+            # iterations in operators/graphs.py; persist alone is not
+            # enough because the logical plan still carries the full tree.
+            s = (
+                q.crossJoin(F.broadcast(tot))
+                .select("i", (F.col("sq").cast("double") / F.col("tot") * 5.0).alias("s"))
+                .localCheckpoint(eager=True)
+            )
     return s.select(
         F.col("i").alias("event_type"),
         (F.floor(F.col("s") * 1e6 + F.lit(0.5)).cast("bigint") / 1e6).alias(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import fixpoint_confs
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dcorr, sql_dcorr
 from fts_analysis_datalake_spark.operators.text import (
@@ -944,34 +945,40 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv = sp.select("sc", "s").distinct().select(
         "sc", "s", F.lit(0).cast("bigint").alias("v")
     )
-    for rnd in range(24):
-        pv = conv.select(
-            F.col("sc").alias("psc"), F.col("s").alias("pt"), F.col("v")
-        )
-        conv = (
-            sp.join(
-                pv,
-                (F.col("psc") == F.col("sc")) & (F.col("pt") == F.col("t")),
-                "left",
+    # The 24 power-iteration rounds move a ~30-row scenario-keyed
+    # frame: run them under fixpoint_confs (AQE off, few partitions)
+    # — at this size there is nothing for runtime re-planning to
+    # decide, and each adaptive exchange otherwise becomes its own
+    # job inside the periodic checkpoint materializations.
+    with fixpoint_confs(spark):
+        for rnd in range(24):
+            pv = conv.select(
+                F.col("sc").alias("psc"), F.col("s").alias("pt"), F.col("v")
             )
-            .groupBy("sc", "s")
-            .agg(
-                F.sum(
-                    F.when(F.col("t") == "purchase", F.col("p_q"))
-                    .when(F.col("t") == "null", F.lit(0))
-                    .otherwise(
-                        F.expr("(p_q * COALESCE(v, 0)) DIV 1000000000")
-                    )
+            conv = (
+                sp.join(
+                    pv,
+                    (F.col("psc") == F.col("sc")) & (F.col("pt") == F.col("t")),
+                    "left",
                 )
-                .cast("bigint")
-                .alias("v")
+                .groupBy("sc", "s")
+                .agg(
+                    F.sum(
+                        F.when(F.col("t") == "purchase", F.col("p_q"))
+                        .when(F.col("t") == "null", F.lit(0))
+                        .otherwise(
+                            F.expr("(p_q * COALESCE(v, 0)) DIV 1000000000")
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("v")
+                )
             )
-        )
-        # conv is referenced ONCE per round (the join probe side), so
-        # plain lineage grows linearly, not exponentially; checkpoint
-        # every 6th round only to bound analyzer depth.
-        if rnd % 6 == 5:
-            conv = conv.localCheckpoint(eager=True)
+            # conv is referenced ONCE per round (the join probe side),
+            # so plain lineage grows linearly, not exponentially;
+            # checkpoint every 6th round only to bound analyzer depth.
+            if rnd % 6 == 5:
+                conv = conv.localCheckpoint(eager=True)
     final = conv.filter(F.col("s") == "start").select("sc", "v")
     full = final.filter(F.col("sc") == "full").select(
         F.col("v").alias("v_full")
