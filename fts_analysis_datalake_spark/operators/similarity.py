@@ -24,7 +24,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.caching import fixpoint_confs, tracked_persist
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.functions.vector import dot, norm
 
 
