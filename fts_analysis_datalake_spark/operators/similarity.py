@@ -132,30 +132,58 @@ def ivf_assign(
     cent_id: str = "cent_id",
     cent_vec: str = "cent_vec",
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (broadcast join +
-    per-row argmax via row_number over the tiny centroid fan-out).
+    """Assign each vector to its max-cosine centroid — fully MAP-SIDE:
+    the centroid table is collapsed to ONE row holding a sorted
+    array<struct> (a Spark-side aggregation, nothing on the driver),
+    broadcast-crossed onto the vectors, and the argmax is a
+    higher-order fold over that array. NO exchange of the vector
+    table at all (the previous row_number-over-window form shuffled
+    every vector by id just to rank a k-row fan-out — at 100 TB that
+    shuffle IS the assignment cost; this form is one scan).
 
     Ranking uses ``dot(v,c)/|c|`` — cosine times the per-vector
     constant ``|v|``, which cannot change the per-vector argmax (or
-    its ties) — so the row norm is never computed and each (v,c) pair
-    costs one fold; centroid norms are computed once on the tiny
-    broadcast side."""
-    from pyspark.sql import Window
+    its ties); ties break to the LOWEST cent_id (the fold keeps the
+    first strict maximum of the cent_id-sorted array — same
+    tie-break as the old rank form). Centroid norms are computed once
+    on the tiny side before the collapse."""
+    cents_arr = (
+        centroids.select(
+            F.struct(
+                F.col(cent_id).alias("cid"),
+                norm(F.col(cent_vec)).alias("cn"),
+                F.col(cent_vec).alias("cv"),
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("_cents"))
+    )
+    # The fold runs WHERE THE ROWS SIT — a single-row-group parquet
+    # input would pin every centroid dot to one core (the old
+    # window form's shuffle incidentally fanned the work out), so
+    # rebalance small scans first; well-partitioned inputs (the
+    # 100 TB case) pass through untouched.
+    from fts_analysis_datalake_spark.catalog import ensure_parallelism
 
-    cents = centroids.select(
-        F.col(cent_id), F.col(cent_vec), norm(F.col(cent_vec)).alias("_cnorm")
+    emb = ensure_parallelism(emb)
+    # argmax as transform -> array_max: ONE dot per centroid, and the
+    # struct comparator (score, -cid) makes ties resolve to the
+    # lowest cent_id exactly like the old rank form.
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (dot(F.col(vec_col), c["cv"]) / c["cn"]).alias("score"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
     )
-    joined = emb.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col(cent_id),
-        (dot(F.col(vec_col), F.col(cent_vec)) / F.col("_cnorm")).alias("cent_cos"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("cent_cos").desc(), F.col(cent_id))
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, cent_id)
+        emb.crossJoin(F.broadcast(cents_arr))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-best["ncid"]).alias(cent_id),
+        )
     )
 
 
@@ -495,8 +523,14 @@ def semantic_dedup_pairs(
         if centroids is not None
         else deterministic_centroids(emb, every, id_col, vec_col)
     )
-    assigned = ivf_assign(emb, cents, id_col, vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("cent_id"), norm(F.col(vec_col)).alias("_n")
+    # Persist the assignment: both self-join sides read it, and since
+    # ivf_assign became a pure map-side expression (no exchange to
+    # reuse) an unpersisted frame would recompute every centroid fold
+    # twice. Lifecycle owned by caching.release_tracked.
+    assigned = tracked_persist(
+        ivf_assign(emb, cents, id_col, vec_col).select(
+            F.col(id_col), F.col(vec_col), F.col("cent_id"), norm(F.col(vec_col)).alias("_n")
+        )
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
