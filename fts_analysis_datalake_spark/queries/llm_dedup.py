@@ -645,17 +645,20 @@ def _fs_dirty_sql() -> str:
                   THEN 1 ELSE 0 END AS a_bal,
              CASE WHEN d.d_key = c.c_custkey THEN 1 ELSE 0 END AS is_match
       FROM dirty d JOIN customer c ON c.c_nationkey = d.d_nation),
+    cells AS MATERIALIZED (
+      SELECT a_name, a_seg, a_bal, is_match, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cand GROUP BY a_name, a_seg, a_bal, is_match),
     mu AS (
       SELECT
-        CAST(SUM(a_name * is_match) + 1 AS DOUBLE) / (SUM(is_match) + 2) AS m_name,
-        CAST(SUM(a_name * (1 - is_match)) + 1 AS DOUBLE) / (SUM(1 - is_match) + 2) AS u_name,
-        CAST(SUM(a_seg * is_match) + 1 AS DOUBLE) / (SUM(is_match) + 2) AS m_seg,
-        CAST(SUM(a_seg * (1 - is_match)) + 1 AS DOUBLE) / (SUM(1 - is_match) + 2) AS u_seg,
-        CAST(SUM(a_bal * is_match) + 1 AS DOUBLE) / (SUM(is_match) + 2) AS m_bal,
-        CAST(SUM(a_bal * (1 - is_match)) + 1 AS DOUBLE) / (SUM(1 - is_match) + 2) AS u_bal
-      FROM cand),
+        CAST(SUM(a_name * is_match * cnt) + 1 AS DOUBLE) / (SUM(is_match * cnt) + 2) AS m_name,
+        CAST(SUM(a_name * (1 - is_match) * cnt) + 1 AS DOUBLE) / (SUM((1 - is_match) * cnt) + 2) AS u_name,
+        CAST(SUM(a_seg * is_match * cnt) + 1 AS DOUBLE) / (SUM(is_match * cnt) + 2) AS m_seg,
+        CAST(SUM(a_seg * (1 - is_match) * cnt) + 1 AS DOUBLE) / (SUM((1 - is_match) * cnt) + 2) AS u_seg,
+        CAST(SUM(a_bal * is_match * cnt) + 1 AS DOUBLE) / (SUM(is_match * cnt) + 2) AS m_bal,
+        CAST(SUM(a_bal * (1 - is_match) * cnt) + 1 AS DOUBLE) / (SUM((1 - is_match) * cnt) + 2) AS u_bal
+      FROM cells),
     scored AS (
-      SELECT is_match,
+      SELECT is_match, cnt,
              ( CASE WHEN a_name = 1
                     THEN FLOOR(ln(m_name / u_name) * {_FS_Q} + 0.5)
                     ELSE FLOOR(ln((1 - m_name) / (1 - u_name)) * {_FS_Q} + 0.5) END
@@ -666,11 +669,11 @@ def _fs_dirty_sql() -> str:
                     THEN FLOOR(ln(m_bal / u_bal) * {_FS_Q} + 0.5)
                     ELSE FLOOR(ln((1 - m_bal) / (1 - u_bal)) * {_FS_Q} + 0.5) END
              ) / {_FS_Q}.0 AS score
-      FROM cand, mu)
+      FROM cells, mu)
     SELECT CAST(FLOOR(score) AS BIGINT) AS score_band,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(SUM(is_match) AS BIGINT) AS n_true,
-           CAST(FLOOR(CAST(SUM(is_match) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+           CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_match * cnt) AS BIGINT) AS n_true,
+           CAST(FLOOR(CAST(SUM(is_match * cnt) AS DOUBLE) / SUM(cnt) * 1000000 + 0.5)
                 AS BIGINT) / 1000000.0 AS precision_in_band
     FROM scored
     GROUP BY score_band
@@ -746,7 +749,17 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d_key") == F.col("c_custkey")).cast("int").alias("is_match"),
         )
     )
-    mu = cand.agg(
+    # Sufficient statistics: the agreement vector has only 2^4 = 16
+    # distinct cells, so ONE pass over the salted pair fan-out
+    # collapses it to a 16-row table and both the m/u estimation and
+    # the band scoring run on that — the pair frame is built exactly
+    # once (it previously fed two aggregation passes).
+    cells = (
+        cand.groupBy("a_name", "a_seg", "a_bal", "is_match")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    mu = cells.agg(
         *[
             expr
             # Add-one (Laplace) smoothing: u_name is EXACTLY 0 without
@@ -755,14 +768,14 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in ("name", "seg", "bal")
             for expr in (
                 (
-                    (F.sum(F.col(f"a_{f}") * F.col("is_match")) + 1).cast("double")
-                    / (F.sum("is_match") + 2)
+                    (F.sum(F.col(f"a_{f}") * F.col("is_match") * F.col("cnt")) + 1).cast("double")
+                    / (F.sum(F.col("is_match") * F.col("cnt")) + 2)
                 ).alias(f"m_{f}"),
                 (
-                    (F.sum(F.col(f"a_{f}") * (1 - F.col("is_match"))) + 1).cast(
+                    (F.sum(F.col(f"a_{f}") * (1 - F.col("is_match")) * F.col("cnt")) + 1).cast(
                         "double"
                     )
-                    / (F.sum(1 - F.col("is_match")) + 2)
+                    / (F.sum((1 - F.col("is_match")) * F.col("cnt")) + 2)
                 ).alias(f"u_{f}"),
             )
         ]
@@ -778,18 +791,21 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    scored = cand.crossJoin(F.broadcast(mu)).select(
+    scored = cells.crossJoin(F.broadcast(mu)).select(
         "is_match",
+        "cnt",
         ((term("name") + term("seg") + term("bal")) / float(_FS_Q)).alias("score"),
     )
     return (
         scored.groupBy(F.floor(F.col("score")).cast("bigint").alias("score_band"))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.sum("is_match").cast("bigint").alias("n_true"),
+            F.sum("cnt").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("is_match") * F.col("cnt")).cast("bigint").alias("n_true"),
             (
                 F.floor(
-                    F.sum("is_match").cast("double") / F.count(F.lit(1)) * 1e6
+                    F.sum(F.col("is_match") * F.col("cnt")).cast("double")
+                    / F.sum("cnt")
+                    * 1e6
                     + F.lit(0.5)
                 ).cast("bigint")
                 / 1e6
