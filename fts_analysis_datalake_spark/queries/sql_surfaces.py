@@ -196,3 +196,128 @@ def q_parameterized_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_price": 1000.0,
         },
     )
+
+
+# --------------------------------------------------------------------------
+# E280: WITH RECURSIVE — hierarchy walk in pure SQL (Spark 4 recursion)
+# --------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE walk(s_suppkey, anc, depth) AS (
+  SELECT s_suppkey, s_suppkey AS anc, 0 AS depth FROM supplier
+  UNION ALL
+  SELECT w.s_suppkey,
+         CAST(FLOOR(w.anc / 2) AS BIGINT) AS anc,
+         w.depth + 1 AS depth
+  FROM walk w WHERE w.anc > 1
+)
+SELECT depth AS root_distance,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
+       CAST(MAX(s_suppkey) AS BIGINT) AS max_key
+FROM walk
+WHERE anc <= 1
+GROUP BY depth
+ORDER BY root_distance
+"""
+
+
+@query(
+    "q_recursive_hierarchy_walk",
+    oracle=_RECURSIVE_SQL,
+    tags=("E280", "A1", "F6"),
+)
+def q_recursive_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): walk every supplier
+    up a deterministic binary hierarchy (parent = key DIV 2 — the
+    org-chart / thread-ancestry shape) to the root and histogram the
+    root distances. The SAME SQL text runs on both engines — the walk
+    is linear per node (each row has one parent), depth is
+    log2(max key), and the working set SHRINKS as rows reach the
+    root, so the recursion is blow-up-free by construction (the
+    anti-pattern to avoid is UNION ALL path enumeration on a dense
+    graph — that is what the operator-form BFS in operators/graphs.py
+    is for). Engine-side this is the declarative twin of the repo's
+    iterative-DataFrame loops; Catalyst 4.1 executes it with a
+    per-step loop over materialized steps, the same execution shape
+    as localCheckpoint rounds but driven by the engine."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# --------------------------------------------------------------------------
+# E281: IDENTIFIER() — SQL-injection-safe dynamic table/column binding
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_identifier_dynamic_report",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY grp ORDER BY grp
+    """,
+    tags=("E281", "S6", "A1"),
+)
+def q_identifier_dynamic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER(:param)`` dynamic binding (Spark 4): the
+    template-report surface where the TABLE and GROUPING COLUMN are
+    runtime parameters bound as identifiers, not string-spliced —
+    the engine parses them as names (injection-safe) and Catalyst
+    plans exactly as if they were literal, which the hash check
+    against the inlined oracle proves. The same report text serves
+    any (table, column) pair a dashboard wants to pivot on."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp_col)
+        ORDER BY grp
+        """,
+        args={"tbl": "orders", "grp_col": "o_orderpriority"},
+    )
+
+
+# --------------------------------------------------------------------------
+# E282: GROUP BY ALL / ORDER BY ALL — analyst-shorthand resolution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_group_by_all_report",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS balance_cents
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY nation, segment
+    ORDER BY nation, segment
+    """,
+    tags=("E282", "S6", "J1", "A1"),
+)
+def q_group_by_all_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` (Spark 4 analyst
+    shorthand): the engine infers the grouping set as every
+    non-aggregate select item and the sort key as the full select
+    list — resolution semantics the hash check pins against an
+    explicitly-written oracle (wrong inference would change rows or
+    order-sensitive hashing of ties)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS balance_cents
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
