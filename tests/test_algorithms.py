@@ -111,3 +111,82 @@ def test_two_pass_median_equals_sorted_median(spark):
     k = (len(arr) + 1) // 2
     assert got.median_value == arr[k - 1] / 100.0
     assert got.n_rows == len(arr)
+
+
+def test_context_window_chunks_geometry(spark):
+    """E278 invariants at the row level: every doc's chunk count is
+    1 + ceil(max(n-W,0)/S), the last chunk is 1..W tokens, all others
+    exactly W... verified by re-deriving the per-source sums from the
+    raw token counts with plain Python."""
+    import math
+
+    import duckdb
+
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR_SMALL
+
+    _load_all()
+    rows = {
+        r.source: r
+        for r in REGISTRY["q_context_window_chunks"].fn(spark, SF_DIR_SMALL).collect()
+    }
+    W, S = 32, 24
+    toks = duckdb.connect().execute(
+        "SELECT source, len(list_filter(string_split(trim(regexp_replace("
+        "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),"
+        " t -> t <> '')) AS n"
+        f" FROM read_parquet('{SF_DIR_SMALL}/documents.parquet')"
+    ).fetchall()
+    agg = {}
+    for source, n in toks:
+        if n <= 0:
+            continue
+        c = 1 + math.ceil(max(n - W, 0) / S)
+        sums = sum(min(W, n - i * S) for i in range(c))
+        full = sum(1 for i in range(c) if min(W, n - i * S) == W)
+        a = agg.setdefault(source, [0, 0, 0, 0])
+        a[0] += c
+        a[1] += 1
+        a[2] += sums
+        a[3] += full
+    for source, (n_chunks, n_docs, chunk_sum, n_full) in agg.items():
+        r = rows[source]
+        assert (r.n_chunks, r.n_docs, r.chunk_token_sum, r.n_full) == (
+            n_chunks,
+            n_docs,
+            chunk_sum,
+            n_full,
+        ), source
+
+
+def test_unigram_surprisal_bounds(spark):
+    """E279: mean surprisal lies in [ln(total/c_max), ln(total)] and
+    every doc's token count is positive."""
+    import math
+
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR_SMALL
+
+    _load_all()
+    rows = REGISTRY["q_unigram_surprisal_scores"].fn(spark, SF_DIR_SMALL).collect()
+    assert rows
+    assert all(r.n_tokens > 0 for r in rows)
+    assert all(0.0 < r.nats_per_token < 30.0 for r in rows)
+
+
+def test_recursive_walk_depths(spark):
+    """E280: root distance of supplier k is exactly floor(log2(k))
+    for k >= 1 under parent = key DIV 2 (plus the k=0/1 base cases),
+    so the histogram total must equal the supplier count."""
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR_SMALL
+
+    _load_all()
+    rows = REGISTRY["q_recursive_hierarchy_walk"].fn(spark, SF_DIR_SMALL).collect()
+    import duckdb
+
+    n_sup = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR_SMALL}/supplier.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_suppliers for r in rows) == n_sup
+    assert [r.root_distance for r in rows] == sorted(r.root_distance for r in rows)

@@ -158,3 +158,43 @@ def test_dedup_pipeline_report_identities(spark):
     assert r.n_clusters <= r.n_members // 2 or r.n_members == 0
     assert r.n_kept == r.n_docs - r.n_members + r.n_clusters
     assert r.n_kept <= r.n_docs
+
+
+def test_minhash_md5_pairs_find_planted_dups(spark):
+    """E275: every planted re-delivery (doc_id + 1000000, 2-token
+    suffix) must survive banding + exact verify — byte-identical
+    prefixes agree on every minhash, so recall on planted dups is
+    deterministic 100%, not probabilistic."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR_SMALL
+
+    _load_all()
+    df = REGISTRY["q_minhash_lsh_md5_pairs"].fn(spark, SF_DIR_SMALL)
+    planted = (
+        df.filter((F.col("id_b") - F.col("id_a")) == 1000000)
+        .select("id_a")
+        .collect()
+    )
+    found = {r.id_a for r in planted}
+    import duckdb
+
+    expected = {
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT doc_id FROM read_parquet('{SF_DIR_SMALL}/documents.parquet')"
+            " WHERE doc_id % 10 = 0"
+        )
+        .fetchall()
+    }
+    assert expected <= found, expected - found
+    # jaccard of a planted pair is high but < 1 (the 2-token suffix
+    # adds shingles to one side only)
+    jq = (
+        df.filter((F.col("id_b") - F.col("id_a")) == 1000000)
+        .agg(F.min("jaccard_q").alias("mn"), F.max("jaccard_q").alias("mx"))
+        .first()
+    )
+    assert 0.5 <= jq.mn <= jq.mx < 1.0
