@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import fixpoint_confs
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.registry import query
 
@@ -576,24 +577,29 @@ def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= F.greatest(F.col("cs"), F.lit(1)))
         .select("u", "v")
     ).localCheckpoint(eager=True)
-    for _ in range(6):
-        deg = (
-            edges.select(F.col("u").alias("node"))
-            .unionAll(edges.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        nodes = deg.filter(F.col("deg") >= 5).select("node")
-        edges = (
-            edges.join(
-                F.broadcast(nodes.withColumnRenamed("node", "u")), "u", "leftsemi"
+    # Peel rounds move the already-sparsified O(nodes) edge list with
+    # explicit broadcast semi-joins — domain-sized loop state, so
+    # fixpoint_confs applies (caching.py rationale; nothing here
+    # depends on AQE's runtime broadcast decisions).
+    with fixpoint_confs(spark):
+        for _ in range(6):
+            deg = (
+                edges.select(F.col("u").alias("node"))
+                .unionAll(edges.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
             )
-            .join(
-                F.broadcast(nodes.withColumnRenamed("node", "v")), "v", "leftsemi"
+            nodes = deg.filter(F.col("deg") >= 5).select("node")
+            edges = (
+                edges.join(
+                    F.broadcast(nodes.withColumnRenamed("node", "u")), "u", "leftsemi"
+                )
+                .join(
+                    F.broadcast(nodes.withColumnRenamed("node", "v")), "v", "leftsemi"
+                )
+                .select("u", "v")
+                .localCheckpoint(eager=True)
             )
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
     return (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
