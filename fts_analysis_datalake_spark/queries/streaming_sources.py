@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.catalog import load_table, register_views
 from fts_analysis_datalake_spark.operators.udfs import mad_udaf, per_user_value_trend, token_positions_udtf
 from fts_analysis_datalake_spark.registry import query
 from fts_analysis_datalake_spark.sources.ingest import (
@@ -728,3 +728,158 @@ def q_view_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
         e.filter(F.col("event_type") == "click"),
         attribution_window="2 hours",
     )
+
+
+# --------------------------------------------------------------------------
+# E283: native XML ingest + from_xml parsing (Spark 4 built-in XML)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_xml_ingest",
+    oracle="""
+    SELECT n_regionkey AS region_key,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY region_key
+    """,
+    tags=("E283", "S2", "A1"),
+)
+def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML ingest (Spark 4 built-in ``format('xml')`` — no
+    external package): parquet -> XML roundtrip on the nation table
+    with a pinned schema and explicit rowTag, then aggregate — the
+    S2-pattern proof that the XML reader preserves values against
+    the parquet-backed oracle. XML is the interchange format half of
+    scientific/metadata feeds still arrive in; at scale the reader
+    splits files exactly like the other text sources."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{CACHE_DIR}/nation_xml_{sf_tag}"
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    _write_once(
+        path,
+        lambda p: src.write.mode("overwrite").option("rowTag", "nation").format("xml").save(p),
+    )
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .load(path)
+    )
+    return (
+        df.groupBy(F.col("n_regionkey").alias("region_key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("region_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# E284: collation-aware comparison (Spark 4 COLLATE)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_collated_segment_rollup",
+    oracle="""
+    SELECT lower(CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                      WHEN c_custkey % 3 = 1 THEN c_mktsegment
+                      ELSE concat(upper(substring(c_mktsegment, 1, 1)),
+                                  lower(substring(c_mktsegment, 2)))
+                 END) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS balance_cents
+    FROM customer GROUP BY segment ORDER BY segment
+    """,
+    tags=("E284", "F1", "A1"),
+)
+def q_collated_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 ``COLLATE UTF8_LCASE``): a
+    deliberately case-mangled segment column groups back into the
+    canonical 5 segments under the case-insensitive collation — the
+    engine-native form of the lower()-everywhere workaround, which is
+    exactly what the oracle does (grouping sets must coincide; the
+    output key is lowercased on both sides since a collated group can
+    surface any member as its label)."""
+    c = load_table(spark, sf_dir, "customer")
+    mangled = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lower(F.col("c_mktsegment")))
+        .when(F.col("c_custkey") % 3 == 1, F.col("c_mktsegment"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring(F.col("c_mktsegment"), 1, 1)),
+                F.lower(F.expr("substring(c_mktsegment, 2)")),
+            )
+        )
+    )
+    collated = c.select(
+        F.expr(
+            "CAST(" +
+            """CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                    WHEN c_custkey % 3 = 1 THEN c_mktsegment
+                    ELSE concat(upper(substring(c_mktsegment, 1, 1)),
+                                lower(substring(c_mktsegment, 2))) END"""
+            + " AS STRING COLLATE UTF8_LCASE) AS seg_ci"
+        ),
+        "c_acctbal",
+    )
+    return (
+        collated.groupBy("seg_ci")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("balance_cents"),
+        )
+        .select(
+            F.lower(F.col("seg_ci").cast("string")).alias("segment"),
+            "n",
+            "balance_cents",
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# E285: EXECUTE IMMEDIATE — dynamic SQL with bound parameters
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_execute_immediate_report",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("E285", "S6", "A1", "P2"),
+)
+def q_execute_immediate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE ... USING`` (Spark 4): a statement held in
+    a session variable executes with a named parameter bound at run
+    time — the dynamic-SQL surface warehouse procedures use for
+    statement templates (distinct from E250's spark.sql(args=...):
+    here the TEXT itself is data, and binding still goes through the
+    parser as a typed parameter, not string splicing)."""
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+    spark.sql(
+        """SET VAR stmt =
+           'SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+            FROM lineitem WHERE l_quantity >= :minq
+            GROUP BY l_returnflag ORDER BY l_returnflag'
+        """
+    )
+    return spark.sql("EXECUTE IMMEDIATE stmt USING 30 AS minq")
