@@ -902,3 +902,141 @@ def q_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# E286: one-scan column-profile report — the data-profiling utility
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_table_profile_report",
+    oracle="""
+    WITH profs AS (
+      SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(o_orderstatus) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+             CAST(MIN(o_orderstatus) AS VARCHAR),
+             CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(o_totalprice) AS BIGINT),
+             CAST(COUNT(DISTINCT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+             CAST(CAST(FLOOR(MIN(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR),
+             CAST(CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(o_orderdate) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+             strftime(MIN(o_orderdate), '%Y-%m-%d'),
+             strftime(MAX(o_orderdate), '%Y-%m-%d')
+      FROM orders)
+    SELECT col, n_rows, n_nonnull, n_distinct, min_val, max_val,
+           CAST(FLOOR(CAST(n_distinct AS DOUBLE) / n_rows * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS distinct_ratio
+    FROM profs ORDER BY col
+    """,
+    tags=("E286", "A2", "A3", "F1", "U1"),
+)
+def q_table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column-profile report (row count, null count,
+    exact distinct, min/max, distinct ratio per column) — the
+    data-profiling pass every onboarding/lake-hygiene workflow runs
+    before trusting a table. All per-column aggregates compute in a
+    SINGLE aggregation over one scan (Catalyst plans the mixed
+    COUNT/MIN/MAX battery as one partial+final hash agg; the four
+    count-distincts expand to one grouping-sets pass), then unpivot
+    to the per-column report — the oracle spells the same numbers as
+    four scans because DuckDB lacks the expand trick, values
+    identical. Doubles are profiled in cents (quantized), timestamps
+    as dates, everything surfaced as strings so one report schema
+    fits every column type."""
+    o = load_table(spark, sf_dir, "orders")
+    price_c = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    wide = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        # o_custkey
+        F.count("o_custkey").cast("bigint").alias("ck_nn"),
+        F.countDistinct("o_custkey").cast("bigint").alias("ck_nd"),
+        F.min("o_custkey").cast("string").alias("ck_min"),
+        F.max("o_custkey").cast("string").alias("ck_max"),
+        # o_orderstatus
+        F.count("o_orderstatus").cast("bigint").alias("st_nn"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("st_nd"),
+        F.min("o_orderstatus").cast("string").alias("st_min"),
+        F.max("o_orderstatus").cast("string").alias("st_max"),
+        # o_totalprice (cents-quantized)
+        F.count("o_totalprice").cast("bigint").alias("tp_nn"),
+        F.countDistinct(price_c).cast("bigint").alias("tp_nd"),
+        F.min(F.col("o_totalprice")).alias("tp_min_raw"),
+        F.max(F.col("o_totalprice")).alias("tp_max_raw"),
+        # o_orderdate
+        F.count("o_orderdate").cast("bigint").alias("od_nn"),
+        F.countDistinct("o_orderdate").cast("bigint").alias("od_nd"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("od_min"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("od_max"),
+    ).select(
+        "*",
+        F.floor(F.col("tp_min_raw") * 100 + F.lit(0.5)).cast("bigint").cast("string").alias("tp_min"),
+        F.floor(F.col("tp_max_raw") * 100 + F.lit(0.5)).cast("bigint").cast("string").alias("tp_max"),
+    )
+    rows = F.explode(
+        F.array(
+            F.struct(
+                F.lit("o_custkey").alias("col"),
+                F.col("ck_nn").alias("n_nonnull"),
+                F.col("ck_nd").alias("n_distinct"),
+                F.col("ck_min").alias("min_val"),
+                F.col("ck_max").alias("max_val"),
+            ),
+            F.struct(
+                F.lit("o_orderstatus").alias("col"),
+                F.col("st_nn").alias("n_nonnull"),
+                F.col("st_nd").alias("n_distinct"),
+                F.col("st_min").alias("min_val"),
+                F.col("st_max").alias("max_val"),
+            ),
+            F.struct(
+                F.lit("o_totalprice").alias("col"),
+                F.col("tp_nn").alias("n_nonnull"),
+                F.col("tp_nd").alias("n_distinct"),
+                F.col("tp_min").alias("min_val"),
+                F.col("tp_max").alias("max_val"),
+            ),
+            F.struct(
+                F.lit("o_orderdate").alias("col"),
+                F.col("od_nn").alias("n_nonnull"),
+                F.col("od_nd").alias("n_distinct"),
+                F.col("od_min").alias("min_val"),
+                F.col("od_max").alias("max_val"),
+            ),
+        )
+    ).alias("p")
+    return (
+        wide.select(F.col("n_rows"), rows)
+        .select(
+            F.col("p.col").alias("col"),
+            "n_rows",
+            F.col("p.n_nonnull").alias("n_nonnull"),
+            F.col("p.n_distinct").alias("n_distinct"),
+            F.col("p.min_val").alias("min_val"),
+            F.col("p.max_val").alias("max_val"),
+            (
+                F.floor(
+                    F.col("p.n_distinct").cast("double") / F.col("n_rows") * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1000000.0
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("col")
+    )
