@@ -1056,3 +1056,126 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# E287: md5-deterministic 32-bit SimHash — the hash-checkable SimHash twin
+# --------------------------------------------------------------------------
+
+_SH_BITS = 32
+_SH_HAM = 6  # exact-verify Hamming threshold
+
+
+def _simhash_oracle() -> str:
+    h = _sql_h52("sh", "t")
+    bit_sums = ",\n             ".join(
+        f"CAST(SUM(({h} >> {i}) & 1) AS BIGINT) AS b{i}" for i in range(_SH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{i} * 2 > n THEN {1 << i} ELSE 0 END)" for i in range(_SH_BITS)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' zz zz' AS text
+      FROM documents WHERE doc_id % 10 = 0),
+    toks AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS t FROM corpus),
+    votes AS MATERIALIZED (
+      SELECT doc_id,
+             {bit_sums},
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks GROUP BY doc_id),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM votes),
+    chunks AS (
+      SELECT doc_id, sig, 0 AS idx, sig & 65535 AS chunk FROM sigs
+      UNION ALL
+      SELECT doc_id, sig, 1 AS idx, (sig >> 16) & 65535 AS chunk FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sa, b.sig AS sb
+      FROM chunks a JOIN chunks b
+        ON a.idx = b.idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= {_SH_HAM}
+    """
+
+
+@query(
+    "q_simhash_md5_candidates",
+    oracle=_simhash_oracle(),
+    tags=("E287", "D3", "F11", "J11"),
+)
+def q_simhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash with EVERY stage hash-checkable (the SimHash
+    sibling of E275's MinHash twin): token hashes come from the
+    md5-derived 52-bit hash (low 32 bits voted), signatures are a
+    64-way... here 32-way majority vote in one grouped aggregate,
+    candidates block on the two 16-bit signature chunks (equi
+    self-join — a random pair shares a chunk with p ~ 2^-16), and
+    the exact Hamming verify keeps pairs <= 6 bits apart. The DuckDB
+    oracle reproduces hashes, votes, signatures, blocking and
+    Hamming bit-for-bit. The xxhash64 64-bit operator
+    (operators/dedup.simhash_table) stays the production path; this
+    query proves the algorithm end-to-end in the driver record.
+    Planted near-dups (E275's scheme) guarantee non-trivial output."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz zz")).alias("text"),
+        )
+    )
+    toks = corpus.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).select("doc_id", _h52("sh", F.col("t")).alias("h"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)))
+            .cast("bigint")
+            .alias(f"b{i}")
+            for i in range(_SH_BITS)
+        ],
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    sig = None
+    for i in range(_SH_BITS):
+        term = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1 << i)).otherwise(0)
+        sig = term if sig is None else sig + term
+    sigs = tracked_persist(
+        votes.select("doc_id", sig.cast("bigint").alias("sig"))
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                F.col("sig").bitwiseAND(F.lit(65535)),
+                F.shiftrightunsigned(F.col("sig"), 16).bitwiseAND(F.lit(65535)),
+            )
+        ).alias("idx", "chunk"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= _SH_HAM)
