@@ -1,10 +1,14 @@
 """LLM-pipeline dedup declared queries (SURVEY.md §2.10 D1-D4;
 exact dedup D1/D2 live in windows_dedup.py).
 
-MinHash-LSH and SimHash depend on Spark-side hash functions
-(xxhash64 / md5-prefix votes), so they're declared rows-only and
-property-tested (tests/test_minhash.py). The exact-Jaccard pass (D4)
-is SQL-expressible and oracle-checked on blocked candidate pairs.
+The PRODUCTION MinHash-LSH and SimHash operators use JVM xxhash64 and
+are declared rows-only + property-tested (tests/test_minhash.py).
+Since round 5, each also has a fully hash-checkable twin built on the
+md5-derived 52-bit hash both engines compute identically
+(q_minhash_lsh_md5_pairs E275, q_simhash_md5_candidates E287) — the
+algorithm is driver-verified there; the xxhash64 form carries the
+scale. The exact-Jaccard pass (D4) is SQL-expressible and
+oracle-checked on blocked candidate pairs.
 """
 
 from __future__ import annotations
