@@ -654,9 +654,50 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_HOLT_ORACLE = """
+WITH RECURSIVE hourly AS MATERIALIZED (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY event_type, h),
+idx AS MATERIALIZED (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly),
+rec(event_type, t, n, level_q, trend_q, abs_q, n_err) AS (
+  SELECT event_type, CAST(1 AS BIGINT), n,
+         CAST(FLOOR(y * 1000000000 + 0.5) AS BIGINT),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT event_type, t + 1, n, nl_q,
+         CAST(FLOOR((0.3e0 * (nl_q / 1.0e9 - level_q / 1.0e9)
+                     + 0.7e0 * (trend_q / 1.0e9)) * 1.0e9 + 0.5) AS BIGINT),
+         abs_q + CAST(FLOOR(ABS(y - (level_q / 1.0e9 + trend_q / 1.0e9))
+                            * 1.0e9 + 0.5) AS BIGINT),
+         n_err + 1
+  FROM (
+    SELECT r.event_type, r.t, r.n, r.level_q, r.trend_q, r.abs_q, r.n_err,
+           i.y,
+           CAST(FLOOR((0.5e0 * i.y
+                       + 0.5e0 * (r.level_q / 1.0e9 + r.trend_q / 1.0e9))
+                      * 1.0e9 + 0.5) AS BIGINT) AS nl_q
+    FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1))
+SELECT event_type, n AS n_hours,
+       level_q / 1.0e9 AS level,
+       trend_q / 1.0e9 AS trend,
+       (level_q + trend_q) / 1.0e9 AS f1,
+       (level_q + 2 * trend_q) / 1.0e9 AS f2,
+       (level_q + 3 * trend_q) / 1.0e9 AS f3,
+       CAST(FLOOR(abs_q / 1.0e9 / GREATEST(n_err, 1) * 1000000 + 0.5) AS BIGINT)
+         / 1000000.0 AS mae
+FROM rec WHERE t = n
+"""
+
+
 @query(
     "q_holt_forecast_hourly",
-    oracle=None,  # sequential smoothing recursion; determinism + sanity tested
+    oracle=_HOLT_ORACLE,
     tags=("E54", "X2", "T1"),
 )
 def q_holt_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,7 +708,18 @@ def q_holt_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the per-user OLS. The hourly aggregation shrinks each
     group to O(hours) rows BEFORE Python ever sees data, so the
     pandas stage is tiny regardless of event volume. Output: fitted
-    level/trend, 3-step-ahead forecasts, in-sample MAE."""
+    level/trend, 3-step-ahead forecasts, in-sample MAE.
+
+    Rows-only until round 5; now the first HASH-CHECKED
+    applyInPandas query: level and trend are quantized to 1e-9 int64
+    after every smoothing step (each intra-step expression is a
+    fixed sequence of single IEEE ops written identically in the
+    kernel and in the oracle's recursive CTE), so the whole fit
+    trajectory — and therefore the forecasts and MAE — is
+    bit-identical to DuckDB's WITH RECURSIVE replay of the same
+    recursion."""
+    import math
+
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events")
@@ -678,27 +730,34 @@ def q_holt_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("h").reset_index(drop=True)
-        y = pdf["y"].to_numpy()
-        alpha, beta = 0.5, 0.3
-        level, trend = y[0], 0.0
-        abs_err, n_err = 0.0, 0
+        y = pdf["y"].to_list()
+        level_q = math.floor(y[0] * 1000000000 + 0.5)
+        trend_q = 0
+        abs_q, n_err = 0, 0
         for t in range(1, len(y)):
-            pred = level + trend
-            abs_err += abs(y[t] - pred)
+            pred = level_q / 1.0e9 + trend_q / 1.0e9
+            abs_q += math.floor(abs(y[t] - pred) * 1.0e9 + 0.5)
             n_err += 1
-            new_level = alpha * y[t] + (1 - alpha) * (level + trend)
-            trend = beta * (new_level - level) + (1 - beta) * trend
-            level = new_level
+            nl_q = math.floor((0.5 * y[t] + 0.5 * pred) * 1.0e9 + 0.5)
+            trend_q = math.floor(
+                (0.3 * (nl_q / 1.0e9 - level_q / 1.0e9) + 0.7 * (trend_q / 1.0e9))
+                * 1.0e9
+                + 0.5
+            )
+            level_q = nl_q
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n_hours": [len(y)],
-                "level": [level],
-                "trend": [trend],
-                "f1": [level + trend],
-                "f2": [level + 2 * trend],
-                "f3": [level + 3 * trend],
-                "mae": [abs_err / max(n_err, 1)],
+                "level": [level_q / 1.0e9],
+                "trend": [trend_q / 1.0e9],
+                "f1": [(level_q + trend_q) / 1.0e9],
+                "f2": [(level_q + 2 * trend_q) / 1.0e9],
+                "f3": [(level_q + 3 * trend_q) / 1.0e9],
+                "mae": [
+                    math.floor(abs_q / 1.0e9 / max(n_err, 1) * 1000000 + 0.5)
+                    / 1000000.0
+                ],
             }
         )
 
