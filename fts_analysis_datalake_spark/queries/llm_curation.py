@@ -1200,3 +1200,84 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --------------------------------------------------------------------------
+# E288: right-to-erasure audit — takedown/opt-out purge with verification
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_erasure_audit",
+    oracle="""
+    WITH dels AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+    ev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+             CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS purged_rows
+      FROM events),
+    survivors AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS surviving_rows,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS surviving_users
+      FROM events e WHERE NOT EXISTS
+        (SELECT 1 FROM dels d WHERE d.user_id = e.user_id)),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leaked_rows
+      FROM events e JOIN dels d ON d.user_id = e.user_id
+      WHERE NOT EXISTS (SELECT 1 FROM dels x WHERE x.user_id = e.user_id))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dels) AS n_requests,
+           ev.total_rows, ev.purged_rows,
+           s.surviving_rows, s.surviving_users,
+           l.leaked_rows,
+           ev.total_rows - ev.purged_rows = s.surviving_rows AS accounting_ok
+    FROM ev, survivors s, leak l
+    """,
+    tags=("E288", "J4", "A3", "A2"),
+)
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (takedown/opt-out) purge audit — the
+    compliance pass a training-data platform runs after a deletion
+    batch: the deletion list (here the deterministic user_id % 97
+    cohort standing in for an opt-out table) anti-joins the event
+    store to produce the surviving view, and the report carries the
+    three numbers an auditor asks for — rows purged, rows surviving,
+    and a LEAK CHECK (deleted users still present post-purge — zero
+    by construction, and the oracle proves the accounting identity
+    total = purged + surviving). At 100 TB the purge is one
+    broadcast anti-join per table (the deletion list is tiny) and
+    the audit is the same scan that writes the purged copy."""
+    e = load_table(spark, sf_dir, "events")
+    dels = e.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    purged_view = e.join(F.broadcast(dels), "user_id", "left_anti")
+    leaked = purged_view.join(F.broadcast(dels), "user_id", "left_semi")
+    totals = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_rows"),
+        F.sum((F.col("user_id") % 97 == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("purged_rows"),
+    )
+    surv = purged_view.agg(
+        F.count(F.lit(1)).cast("bigint").alias("surviving_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("surviving_users"),
+    )
+    return (
+        dels.agg(F.count(F.lit(1)).cast("bigint").alias("n_requests"))
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(surv))
+        .crossJoin(
+            F.broadcast(
+                leaked.agg(F.count(F.lit(1)).cast("bigint").alias("leaked_rows"))
+            )
+        )
+        .select(
+            "n_requests",
+            "total_rows",
+            "purged_rows",
+            "surviving_rows",
+            "surviving_users",
+            "leaked_rows",
+            (F.col("total_rows") - F.col("purged_rows") == F.col("surviving_rows")).alias(
+                "accounting_ok"
+            ),
+        )
+    )
