@@ -318,7 +318,51 @@ def connected_components_star(
         ).first()
         return (row["n"], row["h"])
 
-    fp = fingerprint(edges0)
+    # Seed contraction: merge every node into min(self, min neighbor)
+    # — ONE grouped aggregate + two label joins, strictly cheaper per
+    # row than a star round, and component-preserving (each merge
+    # follows an edge). The star loop then runs on the contracted
+    # graph (nodes = local minima only; the DBSCAN eps-graph drops
+    # 15k nodes / 161k edges -> ~1.5k nodes, and one round of work
+    # on the full graph is saved). The component min survives
+    # contraction: the minimum node m of a component has lbl(m) = m.
+    lbl = (
+        sym_of(edges0)
+        .groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("l"))
+        .localCheckpoint()
+    )
+    contracted = (
+        edges0.join(lbl.select(F.col("u"), F.col("l").alias("lu")), "u")
+        .join(
+            lbl.select(F.col("u").alias("v"), F.col("l").alias("lv")),
+            "v",
+        )
+        .select(
+            F.least(F.col("lu"), F.col("lv")).alias("u"),
+            F.greatest(F.col("lu"), F.col("lv")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def expand(memb: DataFrame) -> DataFrame:
+        # Map every ORIGINAL incident node through its seed label to
+        # the contracted component; labels whose contracted node is
+        # edge-free (the whole component collapsed in the seed pass)
+        # are their own component id.
+        return lbl.join(
+            memb.withColumnRenamed("node", "l"), "l", "left"
+        ).select(
+            F.col("u").alias("node"),
+            F.coalesce(F.col("comp"), F.col("l")).alias("comp"),
+        )
+
+    fp = fingerprint(contracted)
+    if fp[0] == 0:
+        # Every component collapsed into its minimum in the seed pass.
+        return lbl.select(F.col("u").alias("node"), F.col("l").alias("comp"))
 
     # Per-round cost in the fixpoint loop is dominated by FIXED
     # per-stage scheduling, not data: with AQE on, each exchange
@@ -332,7 +376,7 @@ def connected_components_star(
     # fingerprint's count.
     spark = edges0.sparkSession
     with fixpoint_confs(spark, enabled=fp[0] < 5_000_000):
-        e = edges0
+        e = contracted
         for rnd in range(max_iter):
             # One reroot per round: the two star phases chain within a
             # round (bounded re-execution), and the reroot severs the
@@ -353,11 +397,16 @@ def connected_components_star(
                 continue
             fp_new = fingerprint(e)
             if fp_new == fp:
-                memb = sym_of(e).groupBy("u").agg(F.min("v").alias("mn"))
-                return memb.select(
-                    F.col("u").alias("node"),
-                    F.least("u", "mn").alias("comp"),
+                memb = (
+                    sym_of(e)
+                    .groupBy("u")
+                    .agg(F.min("v").alias("mn"))
+                    .select(
+                        F.col("u").alias("node"),
+                        F.least("u", "mn").alias("comp"),
+                    )
                 )
+                return expand(memb)
             fp = fp_new
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} iterations"
