@@ -1183,3 +1183,105 @@ def q_simhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "id_a", "id_b", ham.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= _SH_HAM)
+
+
+# --------------------------------------------------------------------------
+# E289: integer-exact PageRank twin — the hash-checked iterative-graph row
+# --------------------------------------------------------------------------
+
+_PRQ_ROUNDS = 6
+_PRQ_ONE = 1_000_000_000  # rank unit (1e-9 rationals)
+_PRQ_BASE = 150_000_000  # (1 - damping) in rank units
+_PRQ_TOPK = 20
+
+
+def _pagerank_q_oracle() -> str:
+    base = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+      FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS MATERIALIZED (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+    r0 AS MATERIALIZED (
+      SELECT u AS node, CAST(1000000000 AS BIGINT) AS r_q FROM deg)"""
+    prev = "r0"
+    for i in range(1, _PRQ_ROUNDS + 1):
+        base += f""",
+    r{i} AS MATERIALIZED (
+      SELECT e.v AS node,
+             CAST({_PRQ_BASE} + (85 * SUM(r.r_q // d.deg)) // 100 AS BIGINT)
+               AS r_q
+      FROM {prev} r
+      JOIN deg d ON d.u = r.node
+      JOIN edges e ON e.u = r.node
+      GROUP BY e.v)"""
+        prev = f"r{i}"
+    return base + f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'p' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+           r_q / 1000000000.0 AS rank
+    FROM {prev}
+    ORDER BY r_q DESC, node LIMIT {_PRQ_TOPK}
+    """
+
+
+@query(
+    "q_pagerank_quantized_exact",
+    oracle=_pagerank_q_oracle(),
+    tags=("E289", "E47", "A1", "O3"),
+)
+def q_pagerank_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank in PURE INTEGER arithmetic — the driver-hash-checked
+    twin of the float operator (q_pagerank_parts_suppliers stays the
+    production path): ranks live as 1e-9 BIGINT rationals, each
+    round's contribution is a floor division r_q DIV deg, the damping
+    update is 0.15e9 + (85 * sum) DIV 100, and every operation maps
+    integers to integers — so all 6 rounds replay bit-identically in
+    the oracle's unrolled MATERIALIZED CTE chain (the E241 markov
+    discipline applied to the E47 graph). Fixed 6 rounds on both
+    engines; top-20 with node-id tiebreak. Quantization bias per
+    round is < 1e-9 x degree — ordering-irrelevant, and exactness is
+    the point: this row upgrades the iterative-graph family from
+    rows-only to value-verified in the driver record."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_partkey") * 2).alias("u"),
+        (F.col("l_suppkey") * 2 + 1).alias("v"),
+    ).distinct()
+    edges = e0.unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    edges_deg = edges.join(deg, "u").localCheckpoint()
+    r = deg.select("u", F.lit(_PRQ_ONE).cast("bigint").alias("r_q"))
+    for _ in range(_PRQ_ROUNDS):
+        r = (
+            edges_deg.join(
+                r.withColumnsRenamed({"u": "ru", "r_q": "prev_q"}),
+                F.col("ru") == F.col("u"),
+            )
+            .select(F.col("v"), F.expr("prev_q div deg").alias("c"))
+            .groupBy("v")
+            .agg(
+                (
+                    F.lit(_PRQ_BASE)
+                    + F.expr("85 * sum(c) div 100")
+                )
+                .cast("bigint")
+                .alias("r_q")
+            )
+            .withColumnRenamed("v", "u")
+            .localCheckpoint(eager=True)
+        )
+    label = F.when(
+        F.col("u") % 2 == 0, F.concat(F.lit("p"), F.expr("u div 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("(u - 1) div 2")))
+    return (
+        r.select(label.alias("node"), (F.col("r_q") / 1000000000.0).alias("rank"),
+                 F.col("r_q"))
+        .orderBy(F.desc("r_q"), "node")
+        .limit(_PRQ_TOPK)
+        .select("node", "rank")
+    )
