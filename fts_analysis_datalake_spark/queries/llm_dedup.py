@@ -1189,7 +1189,7 @@ def q_simhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E289: integer-exact PageRank twin — the hash-checked iterative-graph row
 # --------------------------------------------------------------------------
 
-_PRQ_ROUNDS = 6
+_PRQ_ROUNDS = 4
 _PRQ_ONE = 1_000_000_000  # rank unit (1e-9 rationals)
 _PRQ_BASE = 150_000_000  # (1 - damping) in rank units
 _PRQ_TOPK = 20
@@ -1199,7 +1199,7 @@ def _pagerank_q_oracle() -> str:
     base = """
     WITH e0 AS MATERIALIZED (
       SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
-      FROM lineitem),
+      FROM lineitem WHERE l_partkey % 3 = 0),
     edges AS MATERIALIZED (
       SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
     deg AS MATERIALIZED (
@@ -1238,18 +1238,26 @@ def q_pagerank_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path): ranks live as 1e-9 BIGINT rationals, each
     round's contribution is a floor division r_q DIV deg, the damping
     update is 0.15e9 + (85 * sum) DIV 100, and every operation maps
-    integers to integers — so all 6 rounds replay bit-identically in
+    integers to integers — so all 4 rounds replay bit-identically in
     the oracle's unrolled MATERIALIZED CTE chain (the E241 markov
-    discipline applied to the E47 graph). Fixed 6 rounds on both
+    discipline applied to the E47 graph). Fixed 4 rounds on both
     engines; top-20 with node-id tiebreak. Quantization bias per
     round is < 1e-9 x degree — ordering-irrelevant, and exactness is
     the point: this row upgrades the iterative-graph family from
     rows-only to value-verified in the driver record."""
     li = load_table(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        (F.col("l_partkey") * 2).alias("u"),
-        (F.col("l_suppkey") * 2 + 1).alias("v"),
-    ).distinct()
+    # A third of the parts: the verification value (bit-exact replay
+    # of 6 integer rounds) is independent of graph size, and the full
+    # graph costs ~3x the bench time for the same proof — the float
+    # operator covers the full graph.
+    e0 = (
+        li.filter(F.col("l_partkey") % 3 == 0)
+        .select(
+            (F.col("l_partkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
     edges = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
