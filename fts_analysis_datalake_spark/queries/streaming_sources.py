@@ -375,14 +375,36 @@ def q_user_value_trend_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_value_mad_udaf",
-    oracle=None,  # float median arithmetic differs from DuckDB's; sanity-tested
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS DOUBLE) AS vq
+      FROM events),
+    m AS (SELECT event_type, median(vq) AS med FROM q GROUP BY event_type)
+    SELECT q.event_type,
+           median(ABS(q.vq - m.med)) / 100.0 AS mad_value
+    FROM q JOIN m USING (event_type)
+    GROUP BY q.event_type
+    """,
     tags=("X3",),
 )
 def q_value_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation of value per event_type via a
-    grouped-agg pandas UDAF."""
+    grouped-agg pandas UDAF (X3).
+
+    Rows-only until round 5; hash-checked now by feeding the UDAF
+    CENT-QUANTIZED values: over integral doubles below 2^52 every
+    median interpolation step ((a+b)/2 in pandas, a+(b-a)*0.5 in
+    DuckDB) is EXACT binary arithmetic, so the two formulations
+    cannot disagree — float medians of raw doubles could differ in
+    the last ulp between the interpolation forms, quantized ones
+    cannot. The /100 rescale is one exact-input division on both
+    sides."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(mad_udaf()(F.col("value")).alias("mad_value"))
+    vq = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
+    return (
+        e.groupBy("event_type")
+        .agg((mad_udaf()(vq) / 100.0).alias("mad_value"))
+    )
 
 
 @query(
