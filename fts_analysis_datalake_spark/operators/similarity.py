@@ -143,10 +143,12 @@ def ivf_assign(
 
     Ranking uses ``dot(v,c)/|c|`` — cosine times the per-vector
     constant ``|v|``, which cannot change the per-vector argmax (or
-    its ties); ties break to the LOWEST cent_id (the fold keeps the
-    first strict maximum of the cent_id-sorted array — same
-    tie-break as the old rank form). Centroid norms are computed once
-    on the tiny side before the collapse."""
+    its ties); ties break to the LOWEST cent_id via an explicit
+    array_sort comparator on (score desc, cent_id asc) — no numeric
+    negation, so cent_id may be any orderable type (ints, strings).
+    An empty centroid table yields an empty result (matching the old
+    rank form). Centroid norms are computed once on the tiny side
+    before the collapse."""
     cents_arr = (
         centroids.select(
             F.struct(
@@ -156,6 +158,7 @@ def ivf_assign(
             ).alias("c")
         )
         .agg(F.array_sort(F.collect_list("c")).alias("_cents"))
+        .where(F.size("_cents") > 0)
     )
     # The fold runs WHERE THE ROWS SIT — a single-row-group parquet
     # input would pin every centroid dot to one core (the old
@@ -165,24 +168,36 @@ def ivf_assign(
     from fts_analysis_datalake_spark.catalog import ensure_parallelism
 
     emb = ensure_parallelism(emb)
-    # argmax as transform -> array_max: ONE dot per centroid, and the
-    # struct comparator (score, -cid) makes ties resolve to the
-    # lowest cent_id exactly like the old rank form.
-    best = F.array_max(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                (dot(F.col(vec_col), c["cv"]) / c["cn"]).alias("score"),
-                (-c["cid"]).alias("ncid"),
-            ),
-        )
+    # argmax as transform -> comparator sort: ONE dot per centroid
+    # (the transform runs once), then a (score desc, cid asc)
+    # comparator sort whose head is the argmax — ties resolve to the
+    # lowest cent_id exactly like the old rank form, without the
+    # numeric negation that would bar string centroid ids. k log k
+    # comparisons over the (small, broadcast) centroid count.
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (dot(F.col(vec_col), c["cv"]) / c["cn"]).alias("score"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.element_at(
+        F.array_sort(
+            scored,
+            lambda a, b: F.when(a["score"] > b["score"], F.lit(-1))
+            .when(a["score"] < b["score"], F.lit(1))
+            .when(a["cid"] < b["cid"], F.lit(-1))
+            .when(a["cid"] > b["cid"], F.lit(1))
+            .otherwise(F.lit(0)),
+        ),
+        1,
     )
     return (
         emb.crossJoin(F.broadcast(cents_arr))
         .select(
             F.col(id_col),
             F.col(vec_col),
-            (-best["ncid"]).alias(cent_id),
+            best["cid"].alias(cent_id),
         )
     )
 
@@ -472,12 +487,14 @@ def kmeans_train(
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
         .localCheckpoint()
     )
-    # NOT under fixpoint_confs: each round's assignment shuffles the
-    # FULL vector table (ivf_assign's per-vector argmax window), so
-    # this loop is data-sized — cutting shuffle partitions serializes
-    # the big stage (measured 3.9 -> 4.4 s). fixpoint_confs is for
-    # loops whose state is domain-sized (markov, Bradley-Terry, PCA
-    # matvec, star contraction).
+    # NOT under fixpoint_confs: ivf_assign is now fully map-side
+    # (broadcast centroids + argmax fold — no vector shuffle), but
+    # each round still shuffles a data-sized stage: the per-vector
+    # assignment groupBy that feeds the centroid recompute (k x dim
+    # partial means over ALL vectors). Cutting shuffle partitions
+    # serializes that big stage (measured 3.9 -> 4.4 s).
+    # fixpoint_confs is for loops whose state is domain-sized
+    # (markov, Bradley-Terry, PCA matvec, star contraction).
     for _ in range(iters):
         assigned = ivf_assign(emb, cents, id_col, vec_col)
         cents = (

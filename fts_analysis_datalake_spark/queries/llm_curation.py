@@ -1113,14 +1113,16 @@ def q_topk_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon AS (
       SELECT doc_id, url,
              regexp_replace(
-               regexp_replace(
+               replace(
                  regexp_replace(
                    regexp_replace(
-                     regexp_replace(lower(url), '#.*$', ''),
-                     'utm_[a-z]+=[^&#]*&?', ''),
-                   '[?&]$', ''),
-                 '://www\\.', '://'),
-               '/(?=[?]|$)', '') AS curl
+                     regexp_replace(
+                       regexp_replace(lower(url), '#.*$', ''),
+                       'utm_[a-z]+=[^&#]*&?', ''),
+                     '[?&]$', ''),
+                   '://www\\.', '://'),
+                 '/?', '?'),
+               '/$', '') AS curl
       FROM raw)
     SELECT regexp_extract(curl, '://([^/?]+)', 1) AS host,
            CAST(COUNT(*) AS BIGINT) AS n_urls,

@@ -1247,7 +1247,7 @@ def q_pagerank_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only to value-verified in the driver record."""
     li = load_table(spark, sf_dir, "lineitem")
     # A third of the parts: the verification value (bit-exact replay
-    # of 6 integer rounds) is independent of graph size, and the full
+    # of _PRQ_ROUNDS=4 integer rounds) is independent of graph size, and the full
     # graph costs ~3x the bench time for the same proof — the float
     # operator covers the full graph.
     e0 = (

@@ -106,17 +106,21 @@ def _make_sink():
     )
 
     class TallyCommit(WriterCommitMessage):
-        def __init__(self, path: str, rows: int) -> None:
-            self.path = path
+        def __init__(self, path: str, final_path: str, rows: int) -> None:
+            self.path = path          # temp file the task wrote
+            self.final_path = final_path  # name it gets at commit()
             self.rows = rows
 
     class TallyWriter(DataSourceWriter):
         """Per-partition JSONL writer with a commit manifest — the
         minimal two-phase-commit shape of the DataSourceWriter API:
-        executors write task files and return commit messages; the
-        driver's commit() publishes the manifest only after every
-        task succeeded, so readers keying on the manifest never see a
-        partial write (abort() leaves no manifest)."""
+        executors write TEMP files under ``_tmp/`` and return commit
+        messages; the driver's commit() swaps them into place,
+        removes stale parts from the previous commit, and publishes
+        the manifest LAST — so a failed overwrite never destroys the
+        previously committed output, and the old manifest stays
+        valid until the new job commits (abort() deletes only the
+        temp files)."""
 
         def __init__(self, options: dict, overwrite: bool) -> None:
             self.path = options["path"]
@@ -129,18 +133,34 @@ def _make_sink():
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            os.makedirs(self.path, exist_ok=True)
-            fp = f"{self.path}/part-{pid:05d}.jsonl"
+            tmpdir = f"{self.path}/_tmp"
+            os.makedirs(tmpdir, exist_ok=True)
+            final = f"{self.path}/part-{pid:05d}.jsonl"
+            fp = f"{tmpdir}/part-{pid:05d}.jsonl"
             n = 0
             with open(fp, "w") as fh:
                 for row in iterator:
                     fh.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
                     n += 1
-            return TallyCommit(fp, n)
+            return TallyCommit(fp, final, n)
 
         def commit(self, messages):
+            import glob as _glob
             import json
+            import os
 
+            # 1) swap new parts into place (os.replace is atomic per
+            #    file and overwrites same-named old parts)
+            new_finals = set()
+            for m in messages:
+                os.replace(m.path, m.final_path)
+                new_finals.add(m.final_path)
+            # 2) drop stale parts from a previous commit with more
+            #    partitions than this one
+            for old in _glob.glob(f"{self.path}/part-*.jsonl"):
+                if old not in new_finals:
+                    os.remove(old)
+            # 3) publish the manifest last — the commit point
             with open(f"{self.path}/_MANIFEST.json", "w") as fh:
                 fh.write(
                     json.dumps(
@@ -150,18 +170,25 @@ def _make_sink():
                         }
                     )
                 )
+            try:
+                os.rmdir(f"{self.path}/_tmp")
+            except OSError:
+                pass  # another attempt's temp files may remain
 
         def abort(self, messages):
-            # Failed job: remove task files already written so a
-            # glob-based reader can never pick up partial output
-            # (the manifest is the authoritative commit marker, but
-            # leaving stale part-*.jsonl around is a trap for anyone
-            # reading the directory directly).
+            # Failed job: remove only the TEMP files this attempt
+            # wrote — the previously committed part files and
+            # manifest remain intact and consistent (the manifest is
+            # the authoritative commit marker).
             import os
 
             for m in messages:
                 if m is not None and os.path.exists(m.path):
                     os.remove(m.path)
+            try:
+                os.rmdir(f"{self.path}/_tmp")
+            except OSError:
+                pass
 
     class TallySink(DataSource):
         """df.write.format("tallysink").option("path", p).save()."""
@@ -176,14 +203,8 @@ def _make_sink():
                 # files under the glob readers use; only overwrite
                 # has well-defined semantics for this sink.
                 raise ValueError("tallysink supports mode('overwrite') only")
-            import glob as _glob
-            import os
-
-            path = self.options["path"]
-            for stale in _glob.glob(f"{path}/part-*.jsonl") + _glob.glob(
-                f"{path}/_MANIFEST.json"
-            ):
-                os.remove(stale)
+            # No eager deletion here: the previous commit's output
+            # stays readable until commit() swaps in the new files.
             return TallyWriter(self.options, overwrite)
 
     return TallySink
