@@ -390,10 +390,12 @@ def connected_components_star(
             # Fingerprint every other round: a converged forest is a
             # fixpoint of the round operator, so at worst one redundant
             # round runs before detection — cheaper than a per-round
-            # job. The final round is ALWAYS checked (even when it
-            # falls on an unchecked parity), so a graph converging
-            # exactly at the iteration cap returns instead of raising.
-            if rnd % 2 == 0 and rnd != max_iter - 1:
+            # job. The LAST TWO rounds are always checked (even when
+            # one falls on an unchecked parity): checking only the
+            # final round left `fp` two rounds stale when the cap
+            # landed on even parity, so a graph converging exactly at
+            # round max_iter-1 raised despite being converged.
+            if rnd % 2 == 0 and rnd < max_iter - 2:
                 continue
             fp_new = fingerprint(e)
             if fp_new == fp:

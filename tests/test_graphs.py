@@ -107,3 +107,29 @@ def test_star_cc_matches_min_label_on_chains(spark):
     rows = cc.collect()
     assert len(rows) == 4000
     assert all(r.comp == (r.node // 500) * 500 for r in rows)
+
+
+def test_star_cc_converges_exactly_at_cap(spark):
+    """Cap-edge regression (round-5 verdict): a graph whose star-CC
+    fixpoint is first detectable at the pair (max_iter-2, max_iter-1)
+    with an EVEN cap. The old schedule fingerprinted only odd rounds
+    plus the final one, so `fp` at the final check was two rounds
+    stale and the converged graph raised RuntimeError. The 400-node
+    chain stabilizes at round 8 (measured: cap 9 raises, cap 10
+    returns); cap 10 is even, so round 9's check used to compare
+    against round 7's stale fingerprint. With the last-two-rounds
+    schedule it returns.
+    """
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.operators.graphs import (
+        connected_components_star,
+    )
+
+    edges = spark.range(400).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    cc = connected_components_star(edges, "src", "dst", max_iter=10)
+    rows = cc.collect()
+    assert len(rows) == 401
+    assert all(r.comp == 0 for r in rows)
