@@ -123,6 +123,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 10,
     damping: float = 0.85,
+    symmetrize_dedup: bool = True,
 ) -> DataFrame:
     """PageRank over the undirected graph ``edges`` -> (node, rank).
 
@@ -137,11 +138,18 @@ def pagerank(
     rank ORDERING stabilizes much earlier than the values, the
     standard fixed-round batch tradeoff instead of a fixpoint loop
     with per-round convergence actions."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    # symmetrize_dedup=False lets a caller who GUARANTEES the input
+    # is already duplicate-free with disjoint orientations (e.g. the
+    # even/odd-encoded bipartite graphs, where a swapped pair can
+    # never collide with an original) skip one full edge-sized
+    # shuffle. Unlike BFS, PageRank is NOT insensitive to parallel
+    # edges — multiplicity changes contributions — so the dedup
+    # stays on by default.
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if symmetrize_dedup:
+        sym = sym.distinct()
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     # Hoist the loop-invariant degree join OUT of the iteration: the
     # edge list annotated with its source degree never changes, so it
@@ -171,12 +179,16 @@ def pagerank(
             )
         )
 
-    # Five hops per localCheckpoint: each checkpoint is a full
-    # materialization job, and with no convergence action in this loop
-    # (fixed iteration count) the ONLY reason to materialize is plan
-    # depth. A 5-deep join+agg lineage is well inside Catalyst's
-    # comfort zone, and measured wall-clock halves vs. every-2-hops
-    # (the checkpoint jobs, not the hops, dominated the loop).
+    # NO mid-loop checkpoints: each hop references `ranks` exactly
+    # ONCE, so the lineage stays LINEAR (the plan-doubling pathology
+    # needs a self-join) and a 10-hop join+agg chain is well inside
+    # Catalyst's comfort zone — the whole loop compiles into a single
+    # job. Measured on the sf0.1 part-supplier graph: 4.4 s with a
+    # checkpoint every 5 hops vs 4.0 s warm / 4.9 vs 9.2 s cold
+    # without (each checkpoint is a full materialization job plus a
+    # second codegen pass over the same plan shapes). Callers pushing
+    # iters far beyond ~20 should re-introduce a periodic checkpoint
+    # for plan depth, not for correctness.
     # NOTE: this loop deliberately KEEPS AQE on (unlike
     # connected_components_star's fixpoint_confs): each hop's
     # edge x rank join benefits from AQE's runtime broadcast
@@ -184,12 +196,8 @@ def pagerank(
     # 7.3 s without on the sf0.1 part-supplier graph. The star loop's
     # groupBy-heavy phases have no broadcast opportunity, which is
     # why the same tuning wins there and loses here.
-    done = 0
-    while done < iters:
-        for _ in range(min(5, iters - done)):
-            ranks = hop(ranks)
-            done += 1
-        ranks = ranks.localCheckpoint()
+    for _ in range(iters):
+        ranks = hop(ranks)
     return ranks
 
 
@@ -210,11 +218,17 @@ def bfs_hops(
     edge-pass overall. Same lineage discipline as
     ``connected_components``: localCheckpoint per round, convergence
     via an empty-frontier count, deterministic result (min-hop is
-    unique regardless of expansion order)."""
+    unique regardless of expansion order).
+
+    The symmetrized edge table is deliberately NOT deduplicated:
+    min-hop is insensitive to parallel edges (each hop's candidate
+    set goes through its own ``distinct`` anyway), so a global
+    edge-table dedup would be one full shuffle spent shaving
+    duplicates the per-hop dedup absorbs for free — measured ~2 s of
+    the sf0.1 bench query."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
         .localCheckpoint()
     )
     spark = edges.sparkSession
@@ -242,8 +256,58 @@ def bfs_hops(
     return visited
 
 
+def _union_find_one_task(e: DataFrame) -> DataFrame:
+    """(node, comp=component min) for a SMALL canonical edge set
+    ``(u, v)`` via single-task union-find: ``repartition(1)`` pulls
+    every edge into one partition (never the driver) and an
+    Arrow-batched mapInPandas kernel runs path-compressed union-find
+    with union-by-min, so each tree's root is always its minimum
+    member. O(E alpha(E)) in one bounded task — the right finisher
+    once contraction has shrunk the graph below a row threshold,
+    where any scheduled round would cost more than the whole
+    remainder. Works for any orderable node type (ints, strings)."""
+    import pyspark.sql.types as T
+
+    node_t = e.schema["u"].dataType
+    out_schema = T.StructType(
+        [T.StructField("node", node_t), T.StructField("comp", node_t)]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes = set()
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                nodes.add(u)
+                nodes.add(v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        ns = sorted(nodes)
+        yield pd.DataFrame({"node": ns, "comp": [find(n) for n in ns]})
+
+    return e.repartition(1).mapInPandas(kernel, out_schema)
+
+
 def connected_components_star(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    small_finish_rows: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -271,6 +335,20 @@ def connected_components_star(
 
     Only nodes incident to an edge appear, as in
     :func:`connected_components`.
+
+    ``small_finish_rows`` (opt-in): once seed contraction has shrunk
+    the edge set to at most this many rows, finish with a SINGLE-TASK
+    union-find (``repartition(1).mapInPandas``) instead of the star
+    loop. Locally the star loop's cost is rounds x fixed per-stage
+    scheduling regardless of data size (~0.5 s/round on a 1.3k-edge
+    graph), so an O(edges alpha(edges)) one-task finisher beats ~8
+    scheduled rounds outright; at cluster scale the same pattern
+    holds — seed passes (each a constant number of node-key shuffles,
+    halving-or-better per pass) run until the remainder fits one
+    bounded task, the way production graph engines finish small
+    remainders. Extra seed passes compose into the expansion label
+    map, so the returned labeling is identical to the star loop's.
+    Callers on the pure-JVM path (plan-audit surface) leave it None.
     """
     # Normalize to the undirected canonical form (u < v) BEFORE the
     # dedup: an input carrying both orientations (typical for
@@ -364,6 +442,50 @@ def connected_components_star(
         # Every component collapsed into its minimum in the seed pass.
         return lbl.select(F.col("u").alias("node"), F.col("l").alias("comp"))
 
+    e = contracted
+    if small_finish_rows is not None:
+        n_edges = fp[0]
+        # Extra seed passes (same contraction as above, composed into
+        # the expansion map) until the remainder fits one task. Each
+        # pass at least halves a path graph and collapses dense blobs
+        # outright, so the pass count is log-bounded; the cap is a
+        # safety net, after which the star loop takes over.
+        for _ in range(8):
+            if n_edges <= small_finish_rows:
+                break
+            l2 = (
+                sym_of(e)
+                .groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("l"))
+                .localCheckpoint()
+            )
+            e = (
+                e.join(l2.select(F.col("u"), F.col("l").alias("lu")), "u")
+                .join(
+                    l2.select(F.col("u").alias("v"), F.col("l").alias("lv")),
+                    "v",
+                )
+                .select(
+                    F.least(F.col("lu"), F.col("lv")).alias("u"),
+                    F.greatest(F.col("lu"), F.col("lv")).alias("v"),
+                )
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            lbl = reroot(
+                lbl.join(
+                    l2.select(F.col("u").alias("l"), F.col("l").alias("l2")),
+                    "l",
+                    "left",
+                ).select("u", F.coalesce("l2", "l").alias("l"))
+            )
+            n_edges = e.count()
+        if n_edges <= small_finish_rows:
+            memb = _union_find_one_task(e)
+            return expand(memb)
+        fp = fingerprint(e)
+
     # Per-round cost in the fixpoint loop is dominated by FIXED
     # per-stage scheduling, not data: with AQE on, each exchange
     # becomes its own re-planned job (measured 97 jobs / 207 stages
@@ -376,7 +498,6 @@ def connected_components_star(
     # fingerprint's count.
     spark = edges0.sparkSession
     with fixpoint_confs(spark, enabled=fp[0] < 5_000_000):
-        e = contracted
         for rnd in range(max_iter):
             # One reroot per round: the two star phases chain within a
             # round (bounded re-execution), and the reroot severs the

@@ -216,7 +216,11 @@ def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
-    ranks = pagerank(edges, iters=10)
+    # symmetrize_dedup=False: edges is already distinct and the
+    # even/odd id encoding makes the two orientations disjoint, so
+    # the operator's post-union dedup would re-shuffle 2x the edge
+    # table to remove nothing.
+    ranks = pagerank(edges, iters=10, symmetrize_dedup=False)
     label = F.when(
         F.col("node") % 2 == 0, F.concat(F.lit("p"), (F.col("node") / 2).cast("long"))
     ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
@@ -509,10 +513,14 @@ def q_bfs_hops_from_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fts_analysis_datalake_spark.operators.graphs import bfs_hops
 
     li = load_table(spark, sf_dir, "lineitem")
+    # No edge dedup: BFS min-hop is insensitive to parallel edges
+    # (bfs_hops documents the same for its symmetrization), so the
+    # distinct would be a full lineitem-sized shuffle for nothing —
+    # unlike the PageRank twin, where multiplicity changes the answer.
     edges = li.select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    ).distinct()
+    )
     hops = bfs_hops(edges, 2 * 1 + 1, max_hops=6)
     label = F.when(
         F.col("node") % 2 == 0, F.concat(F.lit("p"), (F.col("node") / 2).cast("long"))

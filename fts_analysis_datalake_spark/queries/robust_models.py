@@ -522,7 +522,13 @@ def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ak").alias("a"), F.col("bk").alias("b"))
         .localCheckpoint(eager=True)
     )
-    cc = connected_components_star(edges, "a", "b")
+    # Small-finish: seed contraction shrinks the 322k-edge eps-graph
+    # to ~1.3k edges (sf0.1); finishing those with 8 scheduled star
+    # rounds costs ~4 s of pure per-stage overhead, while one bounded
+    # union-find task is milliseconds. The 2M threshold keeps the
+    # finisher task ~tens of MB at any scale; above it, extra seed
+    # passes (log-bounded) or the star loop take over.
+    cc = connected_components_star(edges, "a", "b", small_finish_rows=2_000_000)
     return (
         cc.groupBy(F.col("comp").alias("cluster_id"))
         .agg(

@@ -133,3 +133,58 @@ def test_star_cc_converges_exactly_at_cap(spark):
     rows = cc.collect()
     assert len(rows) == 401
     assert all(r.comp == 0 for r in rows)
+
+
+def test_star_cc_small_finish_matches_star_path(spark):
+    """small_finish_rows: the single-task union-find finisher (and the
+    extra composed seed passes before it) must produce the identical
+    labeling to the pure star loop — checked on the 8x500-chain graph
+    with three thresholds: huge (finish immediately after the first
+    seed pass), small (forces extra composed seed passes first), and
+    1 (passes can never get below it -> falls through to the star
+    loop with a composed expansion map)."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.operators.graphs import (
+        connected_components_star,
+    )
+
+    edges = (
+        spark.range(3999)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        .filter((F.col("id") % 500) != 499)
+    )
+    expect = {(r.node, r.comp) for r in connected_components_star(edges, "src", "dst").collect()}
+    assert len(expect) == 4000
+    for thr in (10_000_000, 100, 1):
+        got = {
+            (r.node, r.comp)
+            for r in connected_components_star(
+                edges, "src", "dst", small_finish_rows=thr
+            ).collect()
+        }
+        assert got == expect, thr
+
+
+def test_star_cc_small_finish_string_nodes(spark):
+    """The union-find finisher must support non-numeric orderable node
+    ids (comp = lexicographic min)."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.operators.graphs import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y"), ("z", "y")], ["src", "dst"]
+    )
+    got = {
+        (r.node, r.comp)
+        for r in connected_components_star(
+            edges, "src", "dst", small_finish_rows=1_000
+        ).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"), ("z", "x"),
+    }
