@@ -338,18 +338,40 @@ def q_event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_distinct_parts",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_ok,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("A4",),
 )
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct at 2% rsd — the 100 TB cardinality path
     (exact distinct shuffles every key; HLL merges fixed sketches).
-    Declared without oracle; a local test checks |approx-exact|/exact
-    <= 5*rsd."""
+    Declared in the driver-verifiable ENVELOPE form (r6, replacing the
+    rows-only form that left a permanent no_oracle record): the HLL
+    value itself is engine-specific, so the query emits the exact
+    distinct count plus a boolean asserting the sketch landed within
+    5x its declared rsd — the same contract tests/test_approx.py
+    asserts — and the oracle recomputes the exact count expecting
+    every flag TRUE. A broken or drifting HLL flips the value hash."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.col("exact_parts") * 0.1
+        ).alias("approx_ok"),
+        "n",
     )
 
 

@@ -329,6 +329,60 @@ def q_feature_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_feature_hashed_md5_cells",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5('fh:' || token), 1, 13)) AS BIGINT) AS h
+      FROM tok),
+    cells AS (
+      SELECT doc_id, h % {_FH_DIM} AS bucket,
+             CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM h)
+    SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+           CAST(SUM(sign) AS BIGINT) AS w
+    FROM cells GROUP BY doc_id, bucket
+    HAVING SUM(sign) <> 0
+    """,
+    tags=("E69", "D9", "A1", "F8"),
+)
+def q_feature_hashed_md5_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable E69 twin (r6): same hashing-trick semantics
+    as q_feature_hashed_vectors — vec[h(token) % 64] += sign(token) —
+    but with the repo's md5-derived 52-bit hash (E175 discipline)
+    instead of xxhash64, and emitted as EXACT integer (doc, bucket,
+    weight) cells rather than a double array (the driver's sort-based
+    canonicalizer can't hash arrays; the cells ARE the sparse vector,
+    losslessly). The DuckDB oracle replays hash, bucket, sign, and
+    sum bit-identically, upgrading the feature-hashing row from
+    property-tested to value-verified. The xxhash64 form stays the
+    production path (JVM-side hashing, no md5 cost). Same scale
+    shape: explode -> one map-side-combined aggregate on (doc,
+    bucket); the 52-bit hash is non-negative, so % and pmod agree."""
+    from fts_analysis_datalake_spark.queries.sketches_search import _h52
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token")
+    )
+    h = _h52("fh", F.col("token"))
+    return (
+        tok.select(
+            "doc_id",
+            F.pmod(h, F.lit(_FH_DIM)).cast("int").alias("bucket"),
+            F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1)).otherwise(F.lit(-1)).alias(
+                "sign"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+
 # --------------------------------------------------------------------------
 # E70: corpus filter funnel — first-failing-rule drop accounting
 # --------------------------------------------------------------------------

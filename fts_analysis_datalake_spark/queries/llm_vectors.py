@@ -396,6 +396,181 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cent_id")
     )
 
+_KMQ_K = 4  # centroids in the integer-exact twin
+_KMQ_ROUNDS = 3  # fixed Lloyd rounds (unrolled in the oracle)
+# 16-dim slice of the 64-dim embeddings: the bit-exact-replay proof
+# is independent of dimensionality (the E289 "third of the parts"
+# discipline), while the 64-wide per-dimension sum/floor-div
+# expressions cost ~4 s of one-time Janino codegen per single-shot
+# bench run. The float production path (q_kmeans_embeddings) trains
+# on all 64 dims.
+_KMQ_DIM = 16
+
+
+def _kmq_fdiv(s: str, n: str) -> str:
+    """Portable FLOOR division of integers (negative-safe): DuckDB //
+    truncates and Spark DIV truncates, so both get the same explicit
+    (s - nonneg_mod(s, n)) / n form instead."""
+    return f"((({s}) - (((({s}) % ({n})) + ({n})) % ({n}))) // ({n}))"
+
+
+def _kmq_oracle() -> str:
+    dist = (
+        "CAST(list_sum(list_transform(generate_series(1, {d}),"
+        " i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT)"
+    ).format(d=_KMQ_DIM)
+    rounds = []
+    for r in range(_KMQ_ROUNDS):
+        rounds.append(
+            f"""
+    a{r + 1} AS MATERIALIZED (
+      SELECT vec_id, q, cid FROM (
+        SELECT v.vec_id, v.q, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM q v CROSS JOIN c{r} c) WHERE rn = 1),
+    c{r + 1} AS MATERIALIZED (
+      SELECT cid, list(s ORDER BY i) AS c
+      FROM (
+        SELECT a.cid, g.i,
+               {_kmq_fdiv('CAST(SUM(a.q[g.i]) AS BIGINT)', 'COUNT(*)')} AS s
+        FROM a{r + 1} a CROSS JOIN generate_series(1, {_KMQ_DIM}) AS g(i)
+        GROUP BY a.cid, g.i)
+      GROUP BY cid)"""
+        )
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding[1:{_KMQ_DIM}],
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {_KMQ_K}),
+    {','.join(rounds)},
+    fin AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT v.vec_id, c.cid, {dist} AS dist,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM q v CROSS JOIN c{_KMQ_ROUNDS} c) WHERE rn = 1)
+    SELECT f.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(f.dist) AS BIGINT) AS total_qdist,
+           CAST(ANY_VALUE(cs.cent_sum) AS BIGINT) AS cent_sum
+    FROM fin f
+    JOIN (SELECT cid, CAST(list_sum(c) AS BIGINT) AS cent_sum
+          FROM c{_KMQ_ROUNDS}) cs USING (cid)
+    GROUP BY f.cid ORDER BY f.cid
+    """
+
+
+@query(
+    "q_kmeans_quantized_exact",
+    oracle=_kmq_oracle(),
+    tags=("E46", "E289", "A1", "O3", "X5"),
+)
+def q_kmeans_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means in PURE INTEGER arithmetic — the hash-checked
+    twin that upgrades the E46 family from property-tested to
+    value-verified (q_kmeans_embeddings stays the production float
+    path). The E289 discipline applied to clustering: a {_KMQ_DIM}-dim
+    slice of each embedding is 1e-6 BIGINT-quantized once (see the
+    _KMQ_DIM note), distances are integer squared-L2,
+    assignment ties break to the lowest centroid id, and each
+    centroid update is a per-dimension FLOOR division (negative-safe
+    nonneg-mod form, since Spark DIV and DuckDB // both truncate) —
+    so all {_KMQ_ROUNDS} rounds replay bit-identically in the
+    oracle's unrolled MATERIALIZED CTE chain. k={_KMQ_K} first-k
+    seeds; output is the cluster report (members, total quantized
+    distance, centroid-component sum). Same scale shape as
+    kmeans_train: per round the vectors are scanned map-side against
+    broadcast centroids and only k x dim partial sums shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.slice("embedding", 1, _KMQ_DIM),
+            lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    ).localCheckpoint()
+    cents = q.filter(F.col("vec_id") < _KMQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    ).localCheckpoint()
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        # Fully MAP-SIDE assignment (the ivf_assign shape): centroids
+        # collapse to one broadcast row holding a cid-sorted
+        # array<struct>, and argmin is array_min over per-centroid
+        # integer distances — struct comparison on (dist, cid) IS the
+        # lowest-cid tie-break. No vector shuffle per round; the only
+        # shuffle left is the k x dim partial-sum update aggregate.
+        carr = cents_df.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("_cs")
+        )
+        scored = F.transform(
+            F.col("_cs"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with("q", c["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        best = F.array_min(scored)
+        return q.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            "q",
+            best["cid"].alias("cid"),
+            best["dist"].alias("dist"),
+        )
+
+    def fdiv(s: F.Column, n: F.Column) -> F.Column:
+        return ((s - F.pmod(s, n)) / n).cast("long")
+
+    for _ in range(_KMQ_ROUNDS):
+        a = assign(cents)
+        upd = a.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(_KMQ_DIM)],
+        )
+        # No per-round checkpoint: each round references `cents`
+        # exactly once (the broadcast collapse), so the lineage is
+        # LINEAR and all rounds compile into one job — the same
+        # insight as the r6 pagerank loop. Only the `q` table (read
+        # every round) is materialized.
+        cents = upd.select(
+            "cid",
+            F.array(
+                *[fdiv(F.col(f"s{i}"), F.col("n")) for i in range(_KMQ_DIM)]
+            ).alias("c"),
+        )
+
+    # The final centroid table IS referenced twice (assignment +
+    # component sums), so materialize once — one checkpoint job for
+    # the whole training chain instead of one per round.
+    cents = cents.localCheckpoint()
+    fin = assign(cents)
+    cent_sums = cents.select(
+        "cid",
+        F.aggregate("c", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "cent_sum"
+        ),
+    )
+    return (
+        fin.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("dist").cast("bigint").alias("total_qdist"),
+        )
+        .join(F.broadcast(cent_sums), "cid")
+        .select("cid", "n_vectors", "total_qdist", "cent_sum")
+        .orderBy("cid")
+    )
+
+
 # --------------------------------------------------------------------------
 # E60: mapInArrow — zero-copy Arrow batch path for vector math
 # --------------------------------------------------------------------------

