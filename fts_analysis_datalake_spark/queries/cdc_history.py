@@ -138,25 +138,60 @@ def q_scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_quantity_percentiles",
-    oracle=None,  # sketch-based (GK algorithm); bounded-error vs the
-    # exact percentiles is asserted in tests/test_approx.py
+    oracle="""
+    SELECT l_returnflag,
+           CAST(FLOOR(quantile_cont(l_quantity, 0.25) * 100 + 0.5) AS BIGINT)
+             / 100.0 AS p25,
+           CAST(FLOOR(quantile_cont(l_quantity, 0.50) * 100 + 0.5) AS BIGINT)
+             / 100.0 AS p50,
+           CAST(FLOOR(quantile_cont(l_quantity, 0.75) * 100 + 0.5) AS BIGINT)
+             / 100.0 AS p75,
+           TRUE AS approx_ok,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     tags=("E14", "A4", "A5"),
 )
 def q_approx_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p25/p50/p75 of l_quantity per returnflag via
     percentile_approx (Greenwald-Khanna sketch, accuracy 10^4) — the
     mergeable-sketch path for percentiles at 100 TB, where the exact
-    sort-based form needs a full shuffle of the column. Declared
-    rows-only: DuckDB's approx_quantile uses a different sketch."""
+    sort-based form needs a full shuffle of the column. Envelope-
+    oracle form since r6 (DuckDB's approx_quantile is a different
+    sketch, so the GK values themselves stay uncheckable): the query
+    emits the EXACT continuous percentiles (Spark `percentile` and
+    DuckDB `quantile_cont` share the (n-1)p interpolation definition;
+    on 1..50-integer quantities with p in {.25,.5,.75} every
+    interpolation step is exact binary arithmetic, cent-quantized as
+    belt) plus a flag asserting each GK estimate landed within 1
+    quantity unit of it — the bound tests/test_approx.py enforces.
+    The oracle recomputes the exact percentiles and expects every
+    flag TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("approx_pcts"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("l_returnflag")
+
+    def q100(c: F.Column) -> F.Column:
+        return F.floor(c * 100 + F.lit(0.5)).cast("bigint") / 100.0
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("e25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("e50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("e75"),
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("a"),
+        F.count(F.lit(1)).alias("n"),
     )
+    ok = (
+        (F.abs(F.col("a")[0] - F.col("e25")) <= 1.0)
+        & (F.abs(F.col("a")[1] - F.col("e50")) <= 1.0)
+        & (F.abs(F.col("a")[2] - F.col("e75")) <= 1.0)
+    )
+    return agg.select(
+        "l_returnflag",
+        q100(F.col("e25")).alias("p25"),
+        q100(F.col("e50")).alias("p50"),
+        q100(F.col("e75")).alias("p75"),
+        ok.alias("approx_ok"),
+        F.col("n").cast("bigint").alias("n"),
+    ).orderBy("l_returnflag")
 
 
 # --------------------------------------------------------------------------

@@ -75,7 +75,15 @@ def q_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_hll_user_rollup",
-    oracle=None,  # Datasketches HLL binary; bounded-error tested
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+    ORDER BY event_type
+    """,
     tags=("E17", "A4", "U1"),
 )
 def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,19 +91,55 @@ def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan: per-group HLL sketches (hll_sketch_agg) are estimated for
     the group rows and MERGED (hll_union_agg) for the 'ALL' row —
     the 100 TB pattern where per-partition/per-day sketches roll up
-    without rescanning history. approx_count_distinct gives one-shot
-    estimates; this query demonstrates the mergeable-sketch form."""
+    without rescanning history. Envelope-oracle form since r6 (the
+    Datasketches binary itself is engine-specific): each row carries
+    the exact distinct count plus a flag asserting the sketch landed
+    within 5% (lgK=14 => rsd ~0.8%, so the bound is ~6 sigma); the
+    oracle recomputes the exact counts and expects every flag TRUE —
+    a broken sketch or merge flips the hash. The MERGED 'ALL'
+    estimate being checked matters: union-merge bugs wouldn't show
+    in per-group rows."""
     e = load_table(spark, sf_dir, "events")
     sketches = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", 14).alias("sk")
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
     per_group = sketches.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+        "event_type",
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
     )
-    merged = sketches.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("ALL").alias("event_type"), F.hll_sketch_estimate("sk").alias("approx_users")
+    merged = (
+        e.agg(
+            F.hll_sketch_agg("user_id", 14).alias("sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        # build the ALL sketch by UNION-MERGING the per-group sketches
+        # (the mergeable-rollup demonstration), not by re-aggregating
+        .drop("sk")
+        .crossJoin(
+            F.broadcast(
+                sketches.agg(F.hll_union_agg("sk").alias("sk")).select(
+                    F.hll_sketch_estimate("sk").alias("approx_users")
+                )
+            )
+        )
+        .select(
+            F.lit("ALL").alias("event_type"), "exact_users", "approx_users"
+        )
     )
-    return per_group.unionByName(merged).orderBy("event_type")
+    return (
+        per_group.unionByName(merged)
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.col("exact_users") * 0.05
+            ).alias("approx_ok"),
+        )
+        .orderBy("event_type")
+    )
 
 
 # --------------------------------------------------------------------------

