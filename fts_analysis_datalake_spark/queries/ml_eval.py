@@ -902,6 +902,130 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_score.groupBy("event_type").applyInPandas(_pava, ISO_SCHEMA)
 
 
+_ISO_BINW = 8  # score-bin width of the exact twin (~62 bins over 0..490)
+
+ISO_EXACT_SCHEMA = (
+    "event_type string, bin_lo long, bin_hi long, n long, pos long,"
+    " fitted_rate double"
+)
+
+
+@query(
+    "q_isotonic_binned_exact",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, CAST(FLOOR(value / {_ISO_BINW}) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+      FROM events GROUP BY 1, 2),
+    ord_b AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bin) AS i
+      FROM b),
+    pre AS MATERIALIZED (
+      SELECT event_type, i, bin, n, pos,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY i) AS cn,
+             SUM(pos) OVER (PARTITION BY event_type ORDER BY i) AS cp
+      FROM ord_b),
+    pairs AS MATERIALIZED (
+      SELECT j.event_type, j.i AS j, k.i AS k,
+             CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg
+      FROM pre j JOIN pre k
+        ON k.event_type = j.event_type AND k.i >= j.i),
+    m AS MATERIALIZED (
+      SELECT event_type, j, k AS i,
+             MIN(avg) OVER (PARTITION BY event_type, j
+                            ORDER BY k DESC
+                            ROWS UNBOUNDED PRECEDING) AS mn
+      FROM pairs),
+    fitted AS MATERIALIZED (
+      SELECT p.event_type, p.i, p.bin, p.n, p.pos, f.fv
+      FROM pre p JOIN (
+        SELECT event_type, i, MAX(mn) AS fv FROM m GROUP BY event_type, i)
+        f ON f.event_type = p.event_type AND f.i = p.i),
+    runs AS (
+      SELECT *, SUM(CASE WHEN pv IS NULL OR pv <> fv THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY i) AS blk
+      FROM (SELECT *, LAG(fv) OVER (PARTITION BY event_type ORDER BY i) AS pv
+            FROM fitted))
+    SELECT event_type,
+           MIN(bin) AS bin_lo, MAX(bin) AS bin_hi,
+           CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS pos,
+           CAST(FLOOR(ANY_VALUE(fv) * 1000000000 + 0.5) AS BIGINT)
+             / 1000000000.0 AS fitted_rate
+    FROM runs GROUP BY event_type, blk
+    ORDER BY event_type, bin_lo
+    """,
+    tags=("E155", "X2", "A1", "W2"),
+)
+def q_isotonic_binned_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable E155 twin (r6): the SAME pool-adjacent-
+    violators fit as q_isotonic_calibration, but over ~62 integer
+    score bins, checked against the MINIMAX closed form of isotonic
+    regression — fitted(i) = max_(j<=i) min_(k>=i) avg(y[j..k]) —
+    which DuckDB evaluates non-iteratively over O(bins^2) prefix-sum
+    pairs. The two formulations agree exactly in floating point:
+    every block value is ONE division of the same integer prefix
+    sums on both sides (PAVA accumulates integer masses exactly
+    below 2^53), equal-rate blocks merge under PAVA's >= just as
+    equal doubles form one run in the oracle, and the result is
+    1e-9-quantized as belt. The production PAVA over raw continuous
+    scores stays rows-only (its per-score histogram is corpus-sized;
+    the oracle's pair table would be rows^2). Plan shape unchanged:
+    one corpus-sized shuffle to the binned histogram, then X2
+    grouped-map PAVA per event type."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    per_bin = (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") / _ISO_BINW).cast("long").alias("bin"),
+            (F.col("event_id") % 3 == 0).cast("int").alias("y"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+
+    def _pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin").reset_index(drop=True)
+        et = pdf["event_type"].iloc[0]
+        blocks: list[list[float]] = []  # [pos, n, bin_lo, bin_hi]
+        for x, n, pos in zip(pdf["bin"], pdf["n"], pdf["pos"]):
+            blocks.append([float(pos), float(n), int(x), int(x)])
+            while (
+                len(blocks) > 1
+                and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+            ):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][3] = b[3]
+        return pd.DataFrame(
+            {
+                "event_type": et,
+                "bin_lo": [b[2] for b in blocks],
+                "bin_hi": [b[3] for b in blocks],
+                "n": [int(b[1]) for b in blocks],
+                "pos": [int(b[0]) for b in blocks],
+                "fitted_rate": [b[0] / b[1] for b in blocks],
+            }
+        )
+
+    fit = per_bin.groupBy("event_type").applyInPandas(_pava, ISO_EXACT_SCHEMA)
+    return fit.select(
+        "event_type",
+        "bin_lo",
+        "bin_hi",
+        "n",
+        "pos",
+        (F.floor(F.col("fitted_rate") * 1e9 + F.lit(0.5)).cast("bigint") / 1e9).alias(
+            "fitted_rate"
+        ),
+    ).orderBy("event_type", "bin_lo")
+
+
 # --------------------------------------------------------------------------
 # E161: rank-biased overlap — ANN ranking quality vs exact ranking
 # --------------------------------------------------------------------------

@@ -39,6 +39,7 @@ PYTHON_SURFACE = {
     "q_embedding_qsum_arrow",  # X5 mapInArrow exact-oracle twin
     "q_orderkey_lcg_pandas_udf",  # X1 scalar pandas UDF exact-oracle twin
     "q_isotonic_calibration",  # E155 X2 PAVA pooling loop
+    "q_isotonic_binned_exact",  # E155 X2 PAVA twin (minimax-oracle-checked)
     "q_dbscan_grid_clusters",  # E235 single-task union-find finisher on
     # the seed-contracted eps-graph (r6: replaces ~8 star rounds of
     # fixed per-stage scheduling on a ~1.3k-edge remainder)
