@@ -147,7 +147,12 @@ def lsh_candidate_pairs(
 
 
 def exact_jaccard_for_pairs(
-    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, shingle_n: int | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    shingle_n: int | None = None,
+    elem_rows: DataFrame | None = None,
 ) -> DataFrame:
     """D4: exact set-Jaccard for given (id_a, id_b) pairs —
     array_intersect/array_union on pre-deduped element arrays; only
@@ -162,8 +167,16 @@ def exact_jaccard_for_pairs(
     Element sets are assembled row-wise (explode/shingle rows ->
     collect_set) instead of via array-fold expressions — same
     codegen-vs-interpreted reasoning as shingle_table.
+
+    ``elem_rows``: an already-built (id, elem) table to reuse — a
+    candidate generator that materialized the same shingle rows
+    (prefix filter, containment) passes its persisted table here so
+    the normalize->tokenize->ngram lineage does not run a second
+    time; duplicates are fine (collect_set dedups).
     """
-    if shingle_n is None:
+    if elem_rows is not None:
+        rows = elem_rows
+    elif shingle_n is None:
         rows = ensure_parallelism(df).select(
             F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("elem")
         )
@@ -352,6 +365,7 @@ def prefix_filter_candidates(
     text_col: str,
     threshold: float,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """PPJoin-style prefix filtering: LOSSLESS candidate generation
     for set-Jaccard >= ``threshold`` without MinHash and without
@@ -370,7 +384,14 @@ def prefix_filter_candidates(
     # The deduped shingle table is read FOUR times below (freq, sizes,
     # ranked, both posting sides); persist so the normalize->tokenize->
     # ngram->explode lineage executes once (clearCache lifecycle).
-    sh = tracked_persist(shingle_table(df, id_col, text_col, shingle_n).distinct())
+    # ``shingles``: a caller that ALSO needs the shingle rows (the
+    # exact-verify stage) builds and persists the deduped (id,
+    # shingle) table once and shares it here.
+    sh = (
+        shingles
+        if shingles is not None
+        else tracked_persist(shingle_table(df, id_col, text_col, shingle_n).distinct())
+    )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy(id_col).orderBy("freq", "shingle")

@@ -314,11 +314,25 @@ def q_prefix_filtered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, and the results match EXACTLY, which is the point. Prefix
     postings are keyed on rare shingles, so the candidate join stays
     near the true pair count instead of |docs|^2."""
+    from fts_analysis_datalake_spark.caching import tracked_persist
+    from fts_analysis_datalake_spark.operators.dedup import shingle_table
+
     d = load_table(spark, sf_dir, "documents")
-    cands = prefix_filter_candidates(d, "doc_id", "text", _PPJ_T, shingle_n=3)
-    return exact_jaccard_for_pairs(d, "doc_id", "text", cands, shingle_n=3).filter(
-        F.col("jaccard") >= _PPJ_T
+    # ONE persisted shingle table feeds both the prefix filter and the
+    # exact verify (r6): previously each stage rebuilt the
+    # normalize->tokenize->ngram lineage independently.
+    sh = tracked_persist(shingle_table(d, "doc_id", "text", 3).distinct())
+    cands = prefix_filter_candidates(
+        d, "doc_id", "text", _PPJ_T, shingle_n=3, shingles=sh
     )
+    return exact_jaccard_for_pairs(
+        d,
+        "doc_id",
+        "text",
+        cands,
+        shingle_n=3,
+        elem_rows=sh.withColumnRenamed("shingle", "elem"),
+    ).filter(F.col("jaccard") >= _PPJ_T)
 
 # --------------------------------------------------------------------------
 # E93: containment detection — asymmetric overlap (excerpt mining)

@@ -257,3 +257,58 @@ def test_stream_stream_outer_join_equals_batch(spark, stream_dir, tmp_path):
     assert got == want and len(want) > 0
     # the outer form must actually contain unmatched views
     assert any(r[2] is None for r in want)
+
+
+def test_tallysink_failed_overwrite_keeps_previous_commit(spark, tmp_path):
+    """r5-advice regression: a FAILED overwrite must leave the
+    previously committed part files AND the manifest intact (tasks
+    write under _tmp/, commit() swaps, abort() removes only temps).
+    The old writer deleted the committed output on the driver before
+    the job ran, so a failing job destroyed it."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.sources.pydatasource import (
+        register_tallysink,
+    )
+
+    register_tallysink(spark)
+    path = str(tmp_path / "tally")
+    ok = spark.range(10).select(F.col("id").alias("k"))
+    ok.coalesce(2).write.format("tallysink").option("path", path).mode(
+        "overwrite"
+    ).save()
+    parts = sorted(os.listdir(path))
+    assert "_MANIFEST.json" in parts and len([p for p in parts if p.startswith("part-")]) == 2
+    manifest0 = json.load(open(f"{path}/_MANIFEST.json"))
+    assert manifest0["rows"] == 10
+
+    # A write whose evaluation raises on the executors: the job fails
+    # after writer() was created, exercising the abort path.
+    bad = spark.range(4).select(
+        F.when(F.col("id") < 99, F.col("id"))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.assert_true(F.col("id") < 2).alias("boom"),
+    )
+    with pytest.raises(Exception):
+        bad.coalesce(1).write.format("tallysink").option("path", path).mode(
+            "overwrite"
+        ).save()
+
+    # Previously committed output untouched; no temp residue is
+    # visible to a manifest-keyed reader.
+    parts_after = sorted(
+        p for p in os.listdir(path) if p.startswith("part-") or p == "_MANIFEST.json"
+    )
+    assert parts_after == parts
+    assert json.load(open(f"{path}/_MANIFEST.json")) == manifest0
+    total = 0
+    for p in parts_after:
+        if p.startswith("part-"):
+            with open(f"{path}/{p}") as fh:
+                total += sum(1 for _ in fh)
+    assert total == 10
