@@ -476,9 +476,9 @@ def kmeans_train(
     shuffle of k x dim partials per iteration — map-side combined,
     never the vectors themselves). Seeds are the first k vectors by
     id (deterministic — no RNG, reproducible across runs/cluster
-    sizes); the loop lineage is LINEAR (one reference per round), so
-    all iterations compile into one job and only the returned
-    centroid table is materialized. Clusters that lose every member drop out
+    sizes); lineage is truncated per iteration with localCheckpoint
+    on the tiny (k, dim) centroid table — see the in-loop comment
+    for the measured codegen rationale. Clusters that lose every member drop out
     (standard Lloyd handling). Upgrades ``deterministic_centroids``
     seeding into a trained IVF coarse quantizer."""
     cents = (
@@ -495,24 +495,28 @@ def kmeans_train(
     # serializes that big stage (measured 3.9 -> 4.4 s).
     # fixpoint_confs is for loops whose state is domain-sized
     # (markov, Bradley-Terry, PCA matvec, star contraction).
-    # Mid-loop checkpoints removed (r6): each iteration references
-    # `cents` exactly once (the broadcast collapse inside
-    # ivf_assign), so the lineage is LINEAR and all iterations
-    # compile into one job — measured 7.4 -> 4.4 s cold (the
-    # single-shot bench case; warm runs pay ~0.5 s for the deeper
-    # plan, the right trade for a training call that runs once).
-    # Only the RETURNED table is materialized: every caller feeds it
-    # to at least one broadcast and most read it twice. Callers
-    # pushing iters far beyond ~20 should checkpoint periodically
-    # for plan depth.
+    # Per-iteration checkpoints are a measured choice, not just
+    # lineage hygiene: the lineage IS linear (one `cents` reference
+    # per round via the broadcast collapse), so a checkpoint-free
+    # loop compiles into one job and wins in a COLD JVM (7.4 vs
+    # 4.4 s) — but in the bench modality (warm JVM, cold plan) the
+    # per-iteration form wins (4.4 vs 5.3 s in-suite): every round
+    # re-uses the SAME plan shape, so codegen is compiled once,
+    # while the fused form's nesting-depth-unique stages each pay
+    # Janino. Training runs once either way; the repeated-shape
+    # form is the better default.
     for _ in range(iters):
         assigned = ivf_assign(emb, cents, id_col, vec_col)
-        cents = assigned.groupBy("cent_id").agg(
-            F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias(
-                "cent_vec"
+        cents = (
+            assigned.groupBy("cent_id")
+            .agg(
+                F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias(
+                    "cent_vec"
+                )
             )
+            .localCheckpoint()
         )
-    return cents.localCheckpoint()
+    return cents
 
 
 def semantic_dedup_pairs(
