@@ -188,3 +188,27 @@ def test_star_cc_small_finish_string_nodes(spark):
         ("a", "a"), ("b", "a"), ("c", "a"),
         ("x", "x"), ("y", "x"), ("z", "x"),
     }
+
+
+def test_bfs_unrolled_and_frontier_paths_agree(spark):
+    """bfs_hops dispatches on max_hops (<=8 -> single-job unrolled
+    plan, else early-terminating frontier loop); both must produce
+    the identical min-hop labeling — checked on a 30-node path graph
+    whose diameter (29) exceeds both caps, from an interior source."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.operators.graphs import bfs_hops
+
+    edges = spark.range(29).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    fast = {
+        (r.node, r.hop) for r in bfs_hops(edges, 5, max_hops=8).collect()
+    }
+    deep = {
+        (r.node, r.hop) for r in bfs_hops(edges, 5, max_hops=9).collect()
+    }
+    want8 = {(n, abs(n - 5)) for n in range(30) if abs(n - 5) <= 8}
+    want9 = {(n, abs(n - 5)) for n in range(30) if abs(n - 5) <= 9}
+    assert fast == want8
+    assert deep == want9
