@@ -261,7 +261,12 @@ def q_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract as near_dup_pairs' signature persist (bench/driver
     # clearCache between queries releases it).
     pairs = tracked_persist(near_dup_pairs(d, "doc_id", "text", threshold=0.8))
-    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    # Verified pairs are bounded-size by construction (LSH + exact
+    # verify ≪ corpus), so the union-find small-finish beats even the
+    # ~3 min-label rounds a near-clique graph needs (r6).
+    clusters = dedup_clusters(
+        pairs.select("id_a", "id_b"), small_finish_rows=2_000_000
+    )
     cstats = clusters.agg(
         F.count(F.lit(1)).alias("n_members"),
         F.countDistinct("cluster_id").alias("n_clusters"),

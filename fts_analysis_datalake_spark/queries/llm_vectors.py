@@ -771,7 +771,13 @@ def q_semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pairs feed BOTH the CC edge set and the pair count — persist to
     # run the assign+self-join lineage once (same contract as E57).
     pairs = tracked_persist(semantic_dedup_pairs(e, _SEMDEDUP_T))
-    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    # The cos>=0.3 graph over near-orthogonal fixtures is
+    # quasi-random, not near-clique — min-label CC pays a scheduled
+    # round per diameter hop there. Route through seed contraction +
+    # the bounded union-find finisher instead (4.2 -> ~0.8 s).
+    clusters = dedup_clusters(
+        pairs.select("id_a", "id_b"), small_finish_rows=2_000_000
+    )
     cstats = clusters.agg(
         F.count(F.lit(1)).alias("n_members"),
         F.countDistinct("cluster_id").alias("n_clusters"),

@@ -43,6 +43,11 @@ PYTHON_SURFACE = {
     "q_dbscan_grid_clusters",  # E235 single-task union-find finisher on
     # the seed-contracted eps-graph (r6: replaces ~8 star rounds of
     # fixed per-stage scheduling on a ~1.3k-edge remainder)
+    "q_semantic_dedup_report",  # E103 same union-find finisher on the
+    # quasi-random cos>=0.3 pair graph (min-label would pay a round
+    # per diameter hop)
+    "q_dedup_pipeline_report",  # E57 union-find finisher on the
+    # bounded verified-pair graph
 }
 
 ALL_QUERIES = sorted(REGISTRY)
