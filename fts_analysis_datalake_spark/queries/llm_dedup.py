@@ -1320,3 +1320,176 @@ def q_pagerank_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PRQ_TOPK)
         .select("node", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# E291: incremental LSH index probe — dedup a NEW batch against the corpus
+# --------------------------------------------------------------------------
+
+
+def _ilp_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN(({2 * i + 1} * h + {7919 * i}) % {_MH_P}) AS m{i}"
+        for i in range(_MH_SEEDS)
+    )
+
+    def bands(src: str) -> str:
+        return "\n      UNION ALL\n      ".join(
+            "SELECT doc_id, {b} AS band, {key} AS bkey FROM {src}".format(
+                b=b,
+                src=src,
+                key="||'_'||".join(
+                    f"CAST(m{b * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)
+                ),
+            )
+            for b in range(_MH_BANDS)
+        )
+
+    h = _sql_h52("ilp", "s")
+    return f"""
+    WITH corpus_sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct({sql_ngrams(sql_tokens('text'), 3)}) AS sh
+      FROM documents),
+    batch_sh AS MATERIALIZED (
+      SELECT doc_id + 2000000 AS doc_id,
+             list_distinct({sql_ngrams(sql_tokens("text || ' qq'"), 3)}) AS sh
+      FROM documents WHERE doc_id % 7 = 0),
+    corpus_sig AS MATERIALIZED (
+      SELECT doc_id, {mins}
+      FROM (SELECT doc_id, {h} AS h
+            FROM (SELECT doc_id, unnest(sh) AS s FROM corpus_sh))
+      GROUP BY doc_id),
+    batch_sig AS MATERIALIZED (
+      SELECT doc_id, {mins}
+      FROM (SELECT doc_id, {h} AS h
+            FROM (SELECT doc_id, unnest(sh) AS s FROM batch_sh))
+      GROUP BY doc_id),
+    corpus_bands AS (
+      {bands('corpus_sig')}),
+    batch_bands AS (
+      {bands('batch_sig')}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS index_doc_id
+      FROM batch_bands n JOIN corpus_bands c
+        ON n.band = c.band AND n.bkey = c.bkey),
+    jac AS (
+      SELECT cd.new_doc_id, cd.index_doc_id,
+             CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(x.sh || y.sh)) AS j
+      FROM cand cd
+      JOIN batch_sh x ON x.doc_id = cd.new_doc_id
+      JOIN corpus_sh y ON y.doc_id = cd.index_doc_id)
+    SELECT new_doc_id, index_doc_id,
+           CAST(FLOOR(j * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS jaccard_q
+    FROM jac WHERE j >= {_MH_JACC}e0
+    ORDER BY new_doc_id, index_doc_id
+    """
+
+
+@query(
+    "q_incremental_lsh_probe",
+    oracle=_ilp_oracle(),
+    tags=("E291", "E275", "D3", "D4", "J11", "F11"),
+)
+def q_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection — the production shape a corpus
+    pipeline actually runs day to day: the existing corpus already
+    has a banded MinHash INDEX; a NEW ingest batch (every 7th doc
+    re-delivered with a suffix, ids offset) computes signatures for
+    ITS documents only and PROBES the index with a band-key equi-join
+    — never a self-join over old+new, and nothing about the existing
+    corpus is recomputed per ingest in a real deployment (the band
+    table is the persisted index; it is derived in-plan here because
+    the sandbox has no cross-query state). Matches are
+    exact-Jaccard-verified against the stored shingle sets, J >= 0.5.
+
+    md5-derived 52-bit hashes (E275 discipline) make every stage —
+    signature matrix, band keys, probe candidates, verified matches —
+    bit-reproducible by the DuckDB oracle. Scale shape: batch-sized
+    signature work, probe join keyed on rare band keys, verify on
+    candidates only; at 100 TB the corpus side is a bucketed parquet
+    index and the probe shuffles only the batch."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+
+    def shingles(df: DataFrame) -> DataFrame:
+        return tracked_persist(
+            df.select(
+                "doc_id",
+                F.array_distinct(ngrams(tokens(F.col("text")), 3)).alias("sh"),
+            )
+        )
+
+    def sig_bands(sh: DataFrame) -> DataFrame:
+        exh = sh.select("doc_id", F.explode("sh").alias("s")).select(
+            "doc_id", _h52("ilp", F.col("s")).alias("h")
+        )
+        sig = exh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i)) % F.lit(_MH_P)
+                ).alias(f"m{i}")
+                for i in range(_MH_SEEDS)
+            ]
+        )
+        return sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"m{b * _MH_ROWS + r}").cast("string")
+                                for r in range(_MH_ROWS)
+                            ],
+                        )
+                        for b in range(_MH_BANDS)
+                    ]
+                )
+            ).alias("band", "bkey"),
+        )
+
+    sh_corpus = shingles(d)
+    sh_batch = shingles(batch)
+    cand = (
+        sig_bands(sh_batch)
+        .alias("n")
+        .join(
+            sig_bands(sh_corpus).alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bkey") == F.col("c.bkey")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("index_doc_id"),
+        )
+        .distinct()
+    )
+    j = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(
+        F.array_union("sha", "shb")
+    )
+    return (
+        cand.join(
+            sh_batch.select(F.col("doc_id").alias("new_doc_id"), F.col("sh").alias("sha")),
+            "new_doc_id",
+        )
+        .join(
+            sh_corpus.select(
+                F.col("doc_id").alias("index_doc_id"), F.col("sh").alias("shb")
+            ),
+            "index_doc_id",
+        )
+        .select(
+            "new_doc_id",
+            "index_doc_id",
+            (F.floor(j * 1e6 + F.lit(0.5)).cast("bigint") / 1e6).alias("jaccard_q"),
+            j.alias("_j"),
+        )
+        .filter(F.col("_j") >= _MH_JACC)
+        .drop("_j")
+        .orderBy("new_doc_id", "index_doc_id")
+    )

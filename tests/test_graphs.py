@@ -212,3 +212,46 @@ def test_bfs_unrolled_and_frontier_paths_agree(spark):
     want9 = {(n, abs(n - 5)) for n in range(30) if abs(n - 5) <= 9}
     assert fast == want8
     assert deep == want9
+
+
+def test_cc_three_algorithms_agree_on_seeded_random_graphs(spark):
+    """Cross-algorithm equivalence sweep: min-label propagation,
+    star contraction, and star + union-find small-finish must emit
+    the IDENTICAL (node, comp) labeling on a battery of seeded
+    LCG-random graphs spanning sparse forests, quasi-random blobs,
+    and dense near-cliques (the three regimes the dispatch notes
+    care about). Deterministic — fixed LCG, no RNG."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.operators.graphs import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for n_nodes, n_edges, seed in [(60, 30, 1), (80, 120, 2), (25, 200, 3)]:
+        # LCG edge list: deterministic, possibly with self-loops and
+        # duplicates (both must be handled identically).
+        rows, x = [], seed
+        for _ in range(n_edges):
+            x = (x * 1103515245 + 12345) % (2**31)
+            u = x % n_nodes
+            x = (x * 1103515245 + 12345) % (2**31)
+            v = x % n_nodes
+            rows.append((u, v))
+        edges = spark.createDataFrame(rows, "src BIGINT, dst BIGINT")
+        base = {
+            (r.node, r.comp)
+            for r in connected_components(edges, "src", "dst", 40).collect()
+        }
+        star = {
+            (r.node, r.comp)
+            for r in connected_components_star(edges, "src", "dst", 40).collect()
+        }
+        finish = {
+            (r.node, r.comp)
+            for r in connected_components_star(
+                edges, "src", "dst", 40, small_finish_rows=10_000
+            ).collect()
+        }
+        assert star == base, (n_nodes, n_edges, seed)
+        assert finish == base, (n_nodes, n_edges, seed)
