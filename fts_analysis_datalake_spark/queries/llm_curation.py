@@ -1337,3 +1337,107 @@ def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E292: training-mixture token-budget planner — per-source sampling plan
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000  # total training-token budget for the plan
+# class weights in ppm (sources are classed by numeric suffix % 3 —
+# a stand-in for web/code/books tiers on the synthetic fixture)
+_MIX_W_PPM = (500_000, 300_000, 200_000)
+
+
+@query(
+    "q_mixture_token_plan",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(substring(source, 4) AS INTEGER) % 3 AS cls,
+             CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tok
+      FROM documents),
+    per_src AS (
+      SELECT source, cls, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS avail_tokens
+      FROM tok GROUP BY source, cls),
+    per_cls AS (
+      SELECT cls, CAST(SUM(avail_tokens) AS BIGINT) AS cls_tokens
+      FROM per_src GROUP BY cls),
+    w(cls, w_ppm) AS (VALUES (0, {_MIX_W_PPM[0]}), (1, {_MIX_W_PPM[1]}),
+                             (2, {_MIX_W_PPM[2]})),
+    plan AS (
+      SELECT s.source, s.cls, s.n_docs, s.avail_tokens, w.w_ppm,
+             (CAST({_MIX_BUDGET} AS BIGINT) * w.w_ppm * s.avail_tokens)
+               // (CAST(1000000 AS BIGINT) * c.cls_tokens) AS planned_tokens
+      FROM per_src s JOIN per_cls c USING (cls) JOIN w USING (cls))
+    SELECT source, CAST(cls AS BIGINT) AS cls, n_docs, avail_tokens,
+           CAST(w_ppm AS BIGINT) AS class_weight_ppm,
+           CAST(planned_tokens AS BIGINT) AS planned_tokens,
+           CAST((planned_tokens * 1000000) // avail_tokens AS BIGINT)
+             AS sampling_rate_ppm,
+           CAST((planned_tokens + avail_tokens - 1) // avail_tokens AS BIGINT)
+             AS epochs
+    FROM plan ORDER BY source
+    """,
+    tags=("E292", "E71", "A1", "A2", "J5"),
+)
+def q_mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing computation every LLM training run starts
+    with: given per-source available tokens, tier weights (web/code/
+    books stand-ins via source-suffix classes), and a total token
+    budget, emit the per-source plan — planned tokens (budget x tier
+    weight, allocated within a tier proportional to availability),
+    the sampling rate in ppm (> 1e6 means the source must repeat),
+    and the epoch count ceil(planned/available) that flags
+    repetition. PURE INTEGER arithmetic end to end (ppm weights,
+    floor divisions on non-negative operands, ceil via the
+    (a+b-1) DIV b identity), so the driver hash is exact. Scale
+    shape: one token-count aggregate over the corpus (map-side
+    combined), a tiny per-class rollup broadcast back — the plan
+    itself is catalog-sized."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "source",
+        (F.substring("source", 4, 10).cast("int") % 3).alias("cls"),
+        F.size(tokens(normalize_text(F.col("text")))).cast("bigint").alias("n_tok"),
+    )
+    per_src = tok.groupBy("source", "cls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("avail_tokens"),
+    )
+    per_cls = per_src.groupBy("cls").agg(
+        F.sum("avail_tokens").cast("bigint").alias("cls_tokens")
+    )
+    w = spark.createDataFrame(
+        [(i, _MIX_W_PPM[i]) for i in range(3)], "cls int, w_ppm bigint"
+    )
+    plan = (
+        per_src.join(F.broadcast(per_cls), "cls")
+        .join(F.broadcast(w), "cls")
+        .select(
+            "source",
+            F.col("cls").cast("bigint").alias("cls"),
+            "n_docs",
+            "avail_tokens",
+            F.col("w_ppm").alias("class_weight_ppm"),
+            F.expr(
+                f"({_MIX_BUDGET} * w_ppm * avail_tokens)"
+                " DIV (1000000 * cls_tokens)"
+            ).alias("planned_tokens"),
+        )
+    )
+    return plan.select(
+        "source",
+        "cls",
+        "n_docs",
+        "avail_tokens",
+        "class_weight_ppm",
+        "planned_tokens",
+        F.expr("(planned_tokens * 1000000) DIV avail_tokens").alias(
+            "sampling_rate_ppm"
+        ),
+        F.expr("(planned_tokens + avail_tokens - 1) DIV avail_tokens").alias(
+            "epochs"
+        ),
+    ).orderBy("source")
