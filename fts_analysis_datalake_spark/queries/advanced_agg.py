@@ -503,8 +503,10 @@ def q_top_terms_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_geometric_mean_value",
     oracle="""
     SELECT event_type,
-           exp(SUM(CAST(FLOOR(ln(value) * 1000000000 + 0.5) AS BIGINT))
-               / 1000000000.0 / COUNT(*)) AS geo_mean,
+           CAST(FLOOR(
+             exp(SUM(CAST(FLOOR(ln(value) * 1000000000 + 0.5) AS BIGINT))
+                 / 1000000000.0 / COUNT(*)) * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS geo_mean,
            COUNT(*) AS n
     FROM events WHERE value > 0
     GROUP BY event_type
@@ -515,11 +517,15 @@ def q_geometric_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometric mean per type — the right average for multiplicative
     quantities (rates, ratios), computed in log space: per-row ln is
     quantized to 1e-9 integers (libm guard, house pattern) so the
-    sum is order-independent, and the final exp of an identical
-    double is identical. Map-side partials only."""
+    sum is order-independent — and the final exp is ALSO 1e-6
+    output-quantized (r6): exp itself is libm-implementation-defined
+    in the last ulp (JVM vs DuckDB diverged on one sf0.001 group),
+    so identical inputs do not guarantee identical raw doubles.
+    Map-side partials only."""
     e = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
     qln = F.floor(F.log(F.col("value")) * 1000000000 + F.lit(0.5)).cast("long")
+    geo = F.exp(F.sum(qln) / 1000000000.0 / F.count(F.lit(1)))
     return e.groupBy("event_type").agg(
-        F.exp(F.sum(qln) / 1000000000.0 / F.count(F.lit(1))).alias("geo_mean"),
+        (F.floor(geo * 1e6 + F.lit(0.5)).cast("bigint") / 1e6).alias("geo_mean"),
         F.count(F.lit(1)).alias("n"),
     )

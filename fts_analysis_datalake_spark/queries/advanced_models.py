@@ -120,15 +120,17 @@ def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT thr,
            CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
            CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-           CAST(FLOOR(2.0e0 * tp / (2.0e0 * tp + fp + fn) * 1000000 + 0.5)
+           CAST(FLOOR(2.0e0 * tp / NULLIF(2.0e0 * tp + fp + fn, 0)
+                * 1000000 + 0.5)
                 AS BIGINT) / 1000000.0 AS f1,
            CAST(FLOOR(
              (tp * tn - fp * fn) /
-             sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)
-                  * CAST((tn + fp) * (tn + fn) AS DOUBLE))
+             NULLIF(sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                         * CAST((tn + fp) * (tn + fn) AS DOUBLE)), 0)
              * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS mcc,
            CAST(FLOOR(
-             (1.0e0 * tp / (tp + fn) + 1.0e0 * tn / (tn + fp) - 1.0e0)
+             (1.0e0 * tp / NULLIF(tp + fn, 0)
+              + 1.0e0 * tn / NULLIF(tn + fp, 0) - 1.0e0)
              * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS youden_j
     FROM conf ORDER BY thr
     """,
@@ -174,12 +176,20 @@ def q_threshold_sweep_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").cast("bigint").alias("fp"),
         F.col("fn").cast("bigint").alias("fn"),
         F.col("tn").cast("bigint").alias("tn"),
-        q6(2.0 * tp / (2.0 * tp + fp + fn)).alias("f1"),
+        # try_divide: an empty confusion cell (possible at tiny SFs or
+        # extreme thresholds) makes a denominator 0 — both engines
+        # emit NULL for that metric instead of erroring (Spark ANSI
+        # raises on /0; the oracle uses NULLIF identically).
+        q6(F.try_divide(2.0 * tp, 2.0 * tp + fp + fn)).alias("f1"),
         q6(
-            (tp * tn - fp * fn)
-            / F.sqrt((tp + fp) * (tp + fn) * ((tn + fp) * (tn + fn)))
+            F.try_divide(
+                tp * tn - fp * fn,
+                F.sqrt((tp + fp) * (tp + fn) * ((tn + fp) * (tn + fn))),
+            )
         ).alias("mcc"),
-        q6(tp / (tp + fn) + tn / (tn + fp) - 1.0).alias("youden_j"),
+        q6(
+            F.try_divide(tp, tp + fn) + F.try_divide(tn, tn + fp) - 1.0
+        ).alias("youden_j"),
     ).orderBy("thr")
 
 

@@ -907,14 +907,17 @@ _NEYMAN_BUDGET = 5000
       FROM lineitem GROUP BY l_returnflag),
     scored AS (
       SELECT stratum, nh,
-             nh * SQRT((nh * s2 - s1 * s1) / (nh * (nh - 1))) / 100.0 AS nh_sh
+             CAST(FLOOR(nh * SQRT((nh * s2 - s1 * s1) / (nh * (nh - 1)))
+                        / 100.0 * 1000000 + 0.5) AS BIGINT) AS nh_sh
       FROM strata),
-    tot AS (SELECT SUM(nh_sh) AS t FROM scored)
+    tot AS (SELECT CAST(SUM(nh_sh) AS BIGINT) AS t FROM scored)
     SELECT stratum,
            CAST(nh AS BIGINT) AS stratum_n,
-           nh_sh / t AS weight,
-           CAST(FLOOR({_NEYMAN_BUDGET} * nh_sh / t) AS BIGINT) AS alloc_floor,
-           LEAST({_NEYMAN_BUDGET} * nh_sh / t / nh, 1.0) AS sample_rate
+           CAST(nh_sh AS DOUBLE) / t AS weight,
+           CAST(FLOOR(CAST(nh_sh AS DOUBLE) * {_NEYMAN_BUDGET} / t) AS BIGINT)
+             AS alloc_floor,
+           LEAST(CAST(nh_sh AS DOUBLE) * {_NEYMAN_BUDGET} / t / nh, 1.0)
+             AS sample_rate
     FROM scored, tot
     """,
     tags=("E169", "E111", "A6", "A1", "O4"),
@@ -929,8 +932,11 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row sampling rate that realizes it.
 
     The stddev comes from the same-scale DECIMAL integer moments
-    (the dstddev recipe), so weights are bit-equal across engines;
-    one scan produces all strata."""
+    (the dstddev recipe), and each stratum's N_h x S_h score is
+    1e-6-quantized to a BIGINT BEFORE the total (r6): the 3-term
+    double total was summation-order-dependent and diverged by one
+    ulp at sf0.001; an integer total is order-free, and every derived
+    ratio divides the same integers on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     xi = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("decimal(19,0)")
     strata = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
@@ -942,17 +948,35 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = strata.select(
         "stratum",
         nh,
-        (nh * F.sqrt((nh * s2 - s1 * s1) / (nh * (nh - 1))) / 100.0).alias("nh_sh"),
+        F.floor(
+            nh * F.sqrt((nh * s2 - s1 * s1) / (nh * (nh - 1))) / 100.0 * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("nh_sh"),
     )
-    tot = scored.agg(F.sum("nh_sh").alias("t"))
+    tot = scored.agg(F.sum("nh_sh").cast("bigint").alias("t"))
     s = scored.crossJoin(F.broadcast(tot))
-    share = F.col("nh_sh") / F.col("t")
+    share = F.col("nh_sh").cast("double") / F.col("t")
     return s.select(
         "stratum",
         F.col("nh").cast("bigint").alias("stratum_n"),
         share.alias("weight"),
-        F.floor(_NEYMAN_BUDGET * share).cast("bigint").alias("alloc_floor"),
-        F.least(_NEYMAN_BUDGET * share / F.col("nh"), F.lit(1.0)).alias("sample_rate"),
+        # multiply in DOUBLE: the integer product budget x nh_sh
+        # overflows int64 at sf0.1 (Spark ANSI errors; DuckDB would
+        # silently widen to HUGEINT and round at a different point)
+        F.floor(
+            F.col("nh_sh").cast("double") * _NEYMAN_BUDGET / F.col("t")
+        )
+        .cast("bigint")
+        .alias("alloc_floor"),
+        F.least(
+            F.col("nh_sh").cast("double")
+            * _NEYMAN_BUDGET
+            / F.col("t")
+            / F.col("nh"),
+            F.lit(1.0),
+        ).alias("sample_rate"),
     )
 
 
