@@ -102,6 +102,14 @@ def dcorr(x: Column, y: Column, scale_x: int = 2, scale_y: int = 2) -> Column:
     expression, evaluated in the same operation order on both sides.
     Built-in ``F.corr`` is order-dependent in its double partials and
     can't hash-match a DuckDB twin.
+
+    The result is 1e-9 OUTPUT-quantized (r6): once a DECIMAL(38)
+    moment exceeds 2^53 (sf0.1-sized second moments), its cast to
+    DOUBLE is correctly rounded by the JVM (BigDecimal.doubleValue)
+    but DOUBLE-ROUNDED by DuckDB (int128 -> upper*2^64 + lower, two
+    roundings) — a last-ulp divergence no operand discipline can
+    remove. Correlations live in [-1, 1], so 1e-9 keeps 9
+    significant digits.
     """
     mx, my = float(10**scale_x), float(10**scale_y)
     xi = F.floor(x * mx + F.lit(0.5)).cast("decimal(19,0)")
@@ -112,9 +120,10 @@ def dcorr(x: Column, y: Column, scale_x: int = 2, scale_y: int = 2) -> Column:
     sxx = F.sum(xi * xi).cast("double")
     syy = F.sum(yi * yi).cast("double")
     sxy = F.sum(xi * yi).cast("double")
-    return (n * sxy - sx * sy) / (
+    raw = (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
+    return F.floor(raw * 1e9 + F.lit(0.5)).cast("bigint") / 1e9
 
 
 def sql_dcorr(x: str, y: str, scale_x: int = 2, scale_y: int = 2) -> str:
@@ -122,7 +131,7 @@ def sql_dcorr(x: str, y: str, scale_x: int = 2, scale_y: int = 2) -> str:
     xi = f"CAST(FLOOR(({x}) * {mx} + 0.5) AS DECIMAL(19,0))"
     yi = f"CAST(FLOOR(({y}) * {my} + 0.5) AS DECIMAL(19,0))"
     n = f"CAST(COUNT({x}) AS DOUBLE)"
-    return (
+    raw = (
         f"(({n} * CAST(SUM({xi} * {yi}) AS DOUBLE)"
         f" - CAST(SUM({xi}) AS DOUBLE) * CAST(SUM({yi}) AS DOUBLE))"
         f" / (SQRT({n} * CAST(SUM({xi} * {xi}) AS DOUBLE)"
@@ -130,3 +139,6 @@ def sql_dcorr(x: str, y: str, scale_x: int = 2, scale_y: int = 2) -> str:
         f" * SQRT({n} * CAST(SUM({yi} * {yi}) AS DOUBLE)"
         f" - CAST(SUM({yi}) AS DOUBLE) * CAST(SUM({yi}) AS DOUBLE))))"
     )
+    # 1e-9 output quantization — see dcorr's docstring (DuckDB's
+    # int128->double cast is double-rounded past 2^53).
+    return f"(CAST(FLOOR({raw} * 1000000000 + 0.5) AS BIGINT) / 1000000000.0)"
