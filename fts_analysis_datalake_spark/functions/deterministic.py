@@ -54,15 +54,22 @@ def dstddev_samp(c: Column, scale: int = 4) -> Column:
     HUGEINT, silently diverging. DECIMAL(19,0) terms widen to
     DECIMAL(38,0) products/sums in BOTH engines — exact (and
     identical) up to 1e38, i.e. safe for |x|*10^scale < 1e14 at a
-    billion rows. Only the final cast touches doubles, and casting
-    the same exact integer is deterministic in both engines.
+    billion rows.
+
+    The result is 1e-6 OUTPUT-quantized (r6, the dcorr lesson): a
+    DECIMAL(38) moment past 2^53 casts to DOUBLE correctly rounded on
+    the JVM but DOUBLE-ROUNDED by DuckDB (int128 -> upper*2^64 +
+    lower) — so the final expression can differ in the last ulp even
+    though every operand is the same exact integer. Money-magnitude
+    stddevs keep 9+ significant digits at 1e-6.
     """
     m = float(10**scale)
     xi = F.floor(c * m + F.lit(0.5)).cast("decimal(19,0)")
     n = F.count(c).cast("double")
     s1 = F.sum(xi).cast("double")
     s2 = F.sum(xi * xi).cast("double")
-    return F.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) / m
+    raw = F.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) / m
+    return F.floor(raw * 1e6 + F.lit(0.5)).cast("bigint") / 1e6
 
 
 # ----------------------------------------------------------------- SQL side
@@ -80,14 +87,16 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 
 def sql_dstddev_samp(expr: str, scale: int = 4) -> str:
     # DECIMAL(19,0) moments for the same overflow-safety reasons as
-    # the Spark form (see dstddev_samp docstring).
+    # the Spark form; 1e-6 output quantization for the same
+    # int128->double double-rounding reason (see dstddev_samp).
     m = 10**scale
     xi = f"CAST(FLOOR(({expr}) * {m} + 0.5) AS DECIMAL(19,0))"
-    return (
+    raw = (
         f"SQRT((COUNT({expr}) * CAST(SUM({xi} * {xi}) AS DOUBLE)"
         f" - CAST(SUM({xi}) AS DOUBLE) * CAST(SUM({xi}) AS DOUBLE))"
         f" / (COUNT({expr}) * (COUNT({expr}) - 1.0))) / {m}.0"
     )
+    return f"(CAST(FLOOR({raw} * 1000000 + 0.5) AS BIGINT) / 1000000.0)"
 
 
 def dcorr(x: Column, y: Column, scale_x: int = 2, scale_y: int = 2) -> Column:
