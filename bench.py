@@ -68,7 +68,15 @@ def main() -> None:
     # Per-query detail: to a file (survives any stdout truncation) and
     # to an early stdout line (may be head-truncated by log capture) ...
     repo = os.path.dirname(os.path.abspath(__file__))
-    detail = {"sf": sf, "queries": per_query}
+    # anchor_q1_sec: q1's wall-clock doubles as a machine-speed anchor
+    # — container speed varies ~2x between rounds (BASELINE.md), so
+    # cross-round comparisons should use per-query ratios normalized
+    # by this anchor, not absolute totals.
+    detail = {
+        "sf": sf,
+        "queries": per_query,
+        "anchor_q1_sec": per_query.get("q1_pricing_summary"),
+    }
     with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     # Per-round copy so cross-round per-query ratios (the only
@@ -96,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(per_query),
                 "sf": sf,
+                "anchor_q1_sec": per_query.get("q1_pricing_summary"),
             }
         )
     )
