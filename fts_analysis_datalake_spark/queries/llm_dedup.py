@@ -1493,3 +1493,83 @@ def q_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_j")
         .orderBy("new_doc_id", "index_doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# E293: md5 dedup-pipeline report — the E57 accounting, value-verified
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_pipeline_md5_report",
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({_mh_oracle()})),
+    corpus_n AS (
+      SELECT CAST(COUNT(*) AS BIGINT)
+             + (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE doc_id % 10 = 0) AS n_docs
+      FROM documents),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, comp) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node),
+    cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+    SELECT (SELECT n_docs FROM corpus_n) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_dup_pairs,
+           (SELECT CAST(COUNT(DISTINCT comp) AS BIGINT) FROM cc) AS n_clusters,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cc) AS n_members,
+           (SELECT n_docs FROM corpus_n)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM cc)
+             + (SELECT CAST(COUNT(DISTINCT comp) AS BIGINT) FROM cc) AS n_kept
+    """,
+    tags=("E293", "E57", "E275", "E15", "D3", "D4", "A2"),
+)
+def q_dedup_pipeline_md5_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E57 pipeline REPORT with every number value-verified (r6):
+    md5 MinHash-LSH verified pairs (the E275 twin, reused as a
+    subplan — composability pinned the same way E190's MMR feeds the
+    diversification audit) -> min-label connected components -> the
+    one-row survivor accounting (docs, pairs, clusters, members,
+    kept = docs - members + clusters). The xxhash64
+    q_dedup_pipeline_report stays the production path; THIS row makes
+    the end-to-end accounting identity driver-hash-checkable, with
+    the oracle recomputing signatures, banding, verification, the CC
+    fixpoint (recursive CTE), and the arithmetic from scratch."""
+    from fts_analysis_datalake_spark.operators.graphs import dedup_clusters
+
+    pairs = tracked_persist(
+        q_minhash_lsh_md5_pairs(spark, sf_dir).select("id_a", "id_b")
+    )
+    # Verified pairs are bounded-size; union-find small-finish beats
+    # the scheduled min-label rounds (same routing as E57/E103).
+    clusters = dedup_clusters(pairs, small_finish_rows=2_000_000)
+    d = load_table(spark, sf_dir, "documents")
+    dstats = d.agg(
+        (
+            F.count(F.lit(1))
+            + F.sum((F.col("doc_id") % 10 == 0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("n_docs")
+    )
+    cstats = clusters.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )
+    pstats = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    return (
+        dstats.crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(cstats))
+        .select(
+            "n_docs",
+            "n_dup_pairs",
+            "n_clusters",
+            "n_members",
+            (F.col("n_docs") - F.col("n_members") + F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

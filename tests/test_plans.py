@@ -48,6 +48,7 @@ PYTHON_SURFACE = {
     # per diameter hop)
     "q_dedup_pipeline_report",  # E57 union-find finisher on the
     # bounded verified-pair graph
+    "q_dedup_pipeline_md5_report",  # E293 same finisher, md5 twin
 }
 
 ALL_QUERIES = sorted(REGISTRY)
