@@ -1095,26 +1095,72 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance shortlist, greedily pick 5 results maximizing
     lam*relevance - (1-lam)*max-similarity-to-already-picked — the
     standard diversification pass between retrieval and a RAG
-    context window. The greedy recursion is UNROLLED to the fixed
-    k=5, so both engines express it as pure declarative plans (each
-    selection is a 1-row argmax over the 20-row candidate frame
-    cross-joined with the previous 1-row picks — every join is a
-    broadcast of at most 20 rows) and the whole trajectory is
-    hash-checked. At scale only the shortlist stage touches the
-    corpus (TakeOrderedAndProject); MMR itself runs on k*N tiny
-    rows regardless of data size."""
+    context window. Only the shortlist stage touches the corpus
+    (crossJoin-broadcast of the 1-row query vector, then
+    TakeOrderedAndProject — no shuffle of the vector table); the
+    greedy recursion then runs on the BOUNDED 20-row shortlist in
+    ONE mapInPandas task, the same small-finish discipline as
+    dedup_clusters' union-find finisher. The kernel replays the
+    engines' shared IEEE sequence exactly — sequential-fold dot
+    (functions/vector.py), correctly-rounded sqrt, lam*rel -
+    (1-lam)*max_sim in the same op order — so the full trajectory
+    stays bit-identical to the DuckDB unrolled-CTE oracle. (The
+    previous declarative unroll was value-identical but paid ~k
+    sequential broadcast-materialization jobs: 2.9 s vs 0.75 s
+    warm at sf0.01.)"""
+    lam, k = _MMR_LAM, _MMR_K
+
+    # Defined locally so cloudpickle ships it by value (workers don't
+    # have the repo on sys.path).
+    def greedy(batches):
+        import math
+
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True)
+
+        def dotp(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        vecs = {}
+        rels = {}
+        for vid, emb, rel in zip(rows["vec_id"], rows["embedding"], rows["rel"]):
+            # float32 -> exact double, same cast the JVM fold applies
+            vecs[int(vid)] = [float(v) for v in emb]
+            rels[int(vid)] = float(rel)
+        norms = {i: math.sqrt(dotp(v, v)) for i, v in vecs.items()}
+        selected: list[int] = []
+        out = []
+        for t in range(1, k + 1):
+            best_id, best_score = None, None
+            # ascending vec_id + strict > == ORDER BY score DESC, vec_id
+            for vid in sorted(vecs):
+                if vid in selected:
+                    continue
+                if selected:
+                    max_sim = max(
+                        dotp(vecs[vid], vecs[s]) / (norms[vid] * norms[s])
+                        for s in selected
+                    )
+                else:
+                    max_sim = 0.0
+                score = lam * rels[vid] - (1.0 - lam) * max_sim
+                if best_score is None or score > best_score:
+                    best_id, best_score = vid, score
+            if best_id is None:  # shortlist exhausted (tiny fixtures)
+                break
+            selected.append(best_id)
+            out.append((t, best_id, math.floor(best_score * 1e9 + 0.5) / 1e9))
+        yield pd.DataFrame(out, columns=["step", "vec_id", "mmr_score"])
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
     )
-    # Persist the 20-row shortlist AND each 1-row pick: every later
-    # selection references ALL earlier ones, so without caching the
-    # recursive re-evaluation is exponential in k (sel5's lineage
-    # re-derives sel1..sel4, each re-deriving theirs — ~2^k corpus
-    # scans). At sf0.1 wall-clock is dominated by the k sequential
-    # job launches either way; the caching is what keeps the plan
-    # linear when the corpus scan is no longer ~free.
-    cand = tracked_persist(
+    cand = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .select(
@@ -1125,50 +1171,9 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(_MMR_POOL)
     )
-    sels: list[DataFrame] = []
-    outs: list[DataFrame] = []
-    for t in range(1, _MMR_K + 1):
-        scored = cand
-        sim_cols = []
-        for i, s in enumerate(sels, start=1):
-            scored = scored.crossJoin(
-                F.broadcast(
-                    s.select(
-                        F.col("vec_id").alias(f"s{i}_id"),
-                        F.col("embedding").alias(f"s{i}_emb"),
-                    )
-                )
-            )
-            sim_cols.append(cosine(F.col("embedding"), F.col(f"s{i}_emb")))
-        if sim_cols:
-            max_sim = F.greatest(*sim_cols) if len(sim_cols) > 1 else sim_cols[0]
-            for i in range(1, len(sels) + 1):
-                scored = scored.filter(F.col("vec_id") != F.col(f"s{i}_id"))
-        else:
-            max_sim = F.lit(0.0)
-        scored = scored.select(
-            "vec_id",
-            "embedding",
-            (
-                F.lit(_MMR_LAM) * F.col("rel")
-                - (F.lit(1.0) - F.lit(_MMR_LAM)) * max_sim
-            ).alias("score"),
-        )
-        sel = tracked_persist(scored.orderBy(F.col("score").desc(), "vec_id").limit(1))
-        sels.append(sel)
-        outs.append(
-            sel.select(
-                F.lit(t).cast("bigint").alias("step"),
-                "vec_id",
-                (F.floor(F.col("score") * 1e9 + F.lit(0.5)).cast("bigint") / 1e9).alias(
-                    "mmr_score"
-                ),
-            )
-        )
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionAll(o)
-    return result.orderBy("step")
+    return cand.mapInPandas(
+        greedy, schema="step bigint, vec_id bigint, mmr_score double"
+    ).orderBy("step")
 
 
 # --------------------------------------------------------------------------
