@@ -14,7 +14,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.caching import fixpoint_confs, tracked_persist
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.functions.vector import (
@@ -1396,7 +1396,9 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cent.select(
         F.col("vec_id").alias("vb"), F.col("i").alias("j"), F.col("c").alias("cb")
     )
-    cov = tracked_persist(
+    # no persist: the scatter matrix is consumed exactly once (by the
+    # single-task power-iteration kernel below)
+    cov = (
         a.join(b, F.col("vb") == F.col("vec_id"))
         .groupBy("i", "j")
         .agg(
@@ -1405,74 +1407,68 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("aq")
         )
     )
-    v = spark.range(1, 65).select(F.col("id").alias("j"), F.lit(1.0).alias("v"))
-    # Matvec rounds move a 4096-row matrix against a 64-row vector
-    # with explicit broadcast hints — nothing for AQE to decide, so
-    # run them under fixpoint_confs (fewer per-round jobs; measured
-    # on the markov/dbscan loops).
-    with fixpoint_confs(spark):
-        for _ in range(_PCA_ITERS):
-            w = cov.join(F.broadcast(v), "j").groupBy("i").agg(
-                F.sum(
-                    F.floor(F.col("aq").cast("double") * F.col("v") + F.lit(0.5)).cast(
-                        "bigint"
-                    )
-                ).alias("wq")
+    # The matvec rounds move the 64x64 scatter matrix against a
+    # 64-row vector — pure domain-sized state regardless of corpus
+    # size. Run all 5 rounds + the Rayleigh quotient in ONE bounded
+    # Arrow task (the dedup_clusters/MMR small-finish discipline)
+    # instead of 5 scheduled join+agg+checkpoint rounds. Bit-exact vs
+    # the unrolled-CTE oracle: every matvec term is floor-quantized
+    # to a BIGINT before the order-free integer sum, the normalize
+    # divides the same doubles through the same correctly-rounded
+    # sqrt, and the per-round re-quantization pins v to 1e-9 grid
+    # points — identical IEEE sequences in Python, the JVM, and
+    # DuckDB.
+    q_scale = float(_PCA_Q)
+    iters = _PCA_ITERS
+
+    def power_iter(batches):
+        import math
+
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True)
+        cells = [
+            (int(i), int(j), float(aq))
+            for i, j, aq in zip(rows["i"], rows["j"], rows["aq"])
+        ]
+        dims = sorted({i for i, _, _ in cells})
+        v = {j: 1.0 for j in dims}
+
+        def matvec(vec):
+            wq = {i: 0 for i in dims}
+            for i, j, aq in cells:
+                wq[i] += int(math.floor(aq * vec[j] + 0.5))
+            return wq
+
+        for _ in range(iters):
+            wq = matvec(v)
+            n2q = 0
+            for i in dims:
+                w1 = float(wq[i]) / q_scale
+                n2q += int(math.floor(w1 * w1 * q_scale + 0.5))
+            nrm = math.sqrt(float(n2q) / q_scale)
+            v = {
+                i: math.floor(float(wq[i]) / q_scale / nrm * q_scale + 0.5)
+                / q_scale
+                for i in dims
+            }
+        wf = matvec(v)
+        num_q = den_q = 0
+        for i in dims:
+            num_q += int(
+                math.floor(v[i] * (float(wf[i]) / q_scale) * q_scale + 0.5)
             )
-            w1 = F.col("wq").cast("double") / float(_PCA_Q)
-            n2 = w.agg(
-                F.sum(F.floor(w1 * w1 * _PCA_Q + F.lit(0.5)).cast("bigint")).alias("n2q")
-            )
-            v = (
-                w.crossJoin(F.broadcast(n2))
-                .select(
-                    F.col("i").alias("j"),
-                    (
-                        F.floor(
-                            w1
-                            / F.sqrt(F.col("n2q").cast("double") / float(_PCA_Q))
-                            * _PCA_Q
-                            + F.lit(0.5)
-                        ).cast("bigint")
-                        / float(_PCA_Q)
-                    ).alias("v"),
-                )
-                .localCheckpoint(eager=True)
-            )
-    wf = cov.join(F.broadcast(v), "j").groupBy("i").agg(
-        F.sum(
-            F.floor(F.col("aq").cast("double") * F.col("v") + F.lit(0.5)).cast("bigint")
-        ).alias("wq")
-    )
-    ray = (
-        v.join(wf, F.col("i") == F.col("j"))
-        .agg(
-            F.sum(
-                F.floor(
-                    F.col("v") * (F.col("wq").cast("double") / float(_PCA_Q)) * _PCA_Q
-                    + F.lit(0.5)
-                ).cast("bigint")
-            )
-            .cast("double")
-            .alias("num_q"),
-            F.sum(
-                F.floor(F.col("v") * F.col("v") * _PCA_Q + F.lit(0.5)).cast("bigint")
-            )
-            .cast("double")
-            .alias("den_q"),
+            den_q += int(math.floor(v[i] * v[i] * q_scale + 0.5))
+        eig = (
+            math.floor(float(num_q) / float(den_q) / q_scale * 1e6 + 0.5) / 1e6
         )
-    )
+        out = [(j, v[j], eig) for j in dims]
+        yield pd.DataFrame(out, columns=["dim", "loading", "eigenvalue"])
+
     return (
-        v.crossJoin(F.broadcast(ray))
-        .select(
-            F.col("j").cast("bigint").alias("dim"),
-            F.col("v").alias("loading"),
-            (
-                F.floor(
-                    F.col("num_q") / F.col("den_q") / float(_PCA_Q) * 1e6 + F.lit(0.5)
-                ).cast("bigint")
-                / 1e6
-            ).alias("eigenvalue"),
+        cov.repartition(1)
+        .mapInPandas(
+            power_iter, schema="dim bigint, loading double, eigenvalue double"
         )
         .orderBy(F.abs(F.col("loading")).desc(), "dim")
         .limit(_PCA_TOPD)

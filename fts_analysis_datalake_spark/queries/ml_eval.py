@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.caching import fixpoint_confs, tracked_persist
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.functions.vector import cosine, dot, sql_cosine, sql_dot
@@ -1664,59 +1664,58 @@ def q_bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("double").alias("n_ij"))
     )
     wins = pairs.groupBy("i").agg(F.sum("w").cast("double").alias("wi"))
-    s = duels.select("i").distinct().select("i", F.lit(1.0).alias("s"))
-    # MM rounds move a 20-cell duel matrix with explicit broadcasts —
-    # run under fixpoint_confs to strip AQE's per-exchange jobs from
-    # the per-round checkpoint materializations.
-    with fixpoint_confs(spark):
+
+    # The MM rounds move a |types|^2 (~20-cell) duel matrix — pure
+    # domain-sized state. Run all 5 rounds in ONE bounded Arrow task
+    # (the dedup_clusters/MMR small-finish discipline) instead of 5
+    # scheduled join+agg+checkpoint rounds (~3.6 -> ~1.3 s in-suite).
+    # Bit-exactness holds because every step replays the engines'
+    # shared IEEE sequence: each denominator term floor-quantized to
+    # a BIGINT before the (order-free) integer sum, s_raw one double
+    # division, per-round re-quantize + sum-normalize — identical op
+    # order to the unrolled-CTE oracle.
+    def mm_rounds(batches):
+        import math
+
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True)
+        duel = [
+            (i, j, float(n))
+            for i, j, n in zip(rows["i"], rows["j"], rows["n_ij"])
+        ]
+        wi = {}
+        for i, w_ in zip(rows["i"], rows["wi"]):
+            if w_ == w_ and w_ is not None:  # left-join null -> 0.0
+                wi[i] = float(w_)
+        s = {i: 1.0 for i, _, _ in duel}
         for _ in range(_BT_ITERS):
-            si = s.select(F.col("i").alias("si_i"), F.col("s").alias("si_s"))
-            sj = s.select(F.col("i").alias("sj_i"), F.col("s").alias("sj_s"))
-            raw = (
-                duels.join(F.broadcast(si), F.col("si_i") == F.col("i"))
-                .join(F.broadcast(sj), F.col("sj_i") == F.col("j"))
-                .join(F.broadcast(wins.withColumnRenamed("i", "w_i")), F.col("w_i") == F.col("i"), "left")
-                .groupBy("i", "wi")
-                .agg(
-                    # each denominator term is quantized before the 4-term
-                    # sum — an unordered double reduction otherwise
-                    (
-                        F.coalesce(F.col("wi"), F.lit(0.0))
-                        / (
-                            F.sum(
-                                F.floor(
-                                    F.col("n_ij")
-                                    / (F.col("si_s") + F.col("sj_s"))
-                                    * 1e9
-                                    + F.lit(0.5)
-                                ).cast("bigint")
-                            )
-                            / 1e9
-                        )
-                    ).alias("s_raw")
+            den_q: dict[str, int] = {i: 0 for i in s}
+            for i, j, n_ij in duel:
+                den_q[i] += int(math.floor(n_ij / (s[i] + s[j]) * 1e9 + 0.5))
+            sq = {
+                i: int(
+                    math.floor(
+                        wi.get(i, 0.0) / (den_q[i] / 1e9) * _BT_Q + 0.5
+                    )
                 )
-            )
-            q = raw.select(
-                "i", F.floor(F.col("s_raw") * _BT_Q + F.lit(0.5)).cast("bigint").alias("sq")
-            )
-            tot = q.agg(F.sum("sq").alias("tot"))
-            # localCheckpoint each round's 5-row strength table: si and sj
-            # both reference it, so the analyzed plan doubles per round
-            # (2^k nodes — the un-truncated form OOMs the analyzer, not
-            # the executors). Same lineage-bounding move as the graph
-            # iterations in operators/graphs.py; persist alone is not
-            # enough because the logical plan still carries the full tree.
-            s = (
-                q.crossJoin(F.broadcast(tot))
-                .select("i", (F.col("sq").cast("double") / F.col("tot") * 5.0).alias("s"))
-                .localCheckpoint(eager=True)
-            )
-    return s.select(
-        F.col("i").alias("event_type"),
-        (F.floor(F.col("s") * 1e6 + F.lit(0.5)).cast("bigint") / 1e6).alias(
-            "bt_strength"
-        ),
-    ).orderBy(F.col("bt_strength").desc(), "event_type")
+                for i in s
+            }
+            tot = sum(sq.values())
+            # explicit double/double division (sq, tot < 2^53, so the
+            # conversions are exact), mirroring sq.cast("double")/tot
+            s = {i: float(sq[i]) / float(tot) * 5.0 for i in s}
+        out = [
+            (i, math.floor(v * 1e6 + 0.5) / 1e6) for i, v in s.items()
+        ]
+        yield pd.DataFrame(out, columns=["event_type", "bt_strength"])
+
+    bt_in = duels.join(F.broadcast(wins), "i", "left")
+    return (
+        bt_in.repartition(1)
+        .mapInPandas(mm_rounds, schema="event_type string, bt_strength double")
+        .orderBy(F.col("bt_strength").desc(), "event_type")
+    )
 
 
 # --------------------------------------------------------------------------

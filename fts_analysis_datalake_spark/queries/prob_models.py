@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.caching import fixpoint_confs
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dcorr, sql_dcorr
 from fts_analysis_datalake_spark.operators.text import (
@@ -942,43 +941,44 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("p_q").cast("bigint").alias("p_q"))
         .localCheckpoint(eager=True)
     )
-    conv = sp.select("sc", "s").distinct().select(
-        "sc", "s", F.lit(0).cast("bigint").alias("v")
+    # The 24 power-iteration rounds move a DOMAIN-sized frame: ~5
+    # scenarios x |states|^2 transition rows (~150 total) regardless
+    # of corpus size — everything data-sized already collapsed into
+    # `sp`. Run all 24 rounds in ONE bounded Arrow task (the same
+    # small-finish discipline as dedup_clusters / MMR): Python ints
+    # replay BIGINT arithmetic exactly (p_q*v <= 1e18 < 2^63, and //
+    # matches DIV on the non-negative operands here), so the result
+    # stays bit-identical to the unrolled-CTE oracle while replacing
+    # 24 scheduled join+agg rounds (~5 s of pure stage overhead
+    # locally) with one task.
+    def absorb(batches):
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True)
+        edges: dict[str, list[tuple[str, str, int]]] = {}
+        states: dict[str, set[str]] = {}
+        for sc, s, t, p_q in zip(
+            rows["sc"], rows["s"], rows["t"], rows["p_q"]
+        ):
+            edges.setdefault(sc, []).append((s, t, int(p_q)))
+            states.setdefault(sc, set()).add(s)
+        out = []
+        for sc, es in edges.items():
+            v = {s: 0 for s in states[sc]}
+            for _ in range(24):
+                nv = {s: 0 for s in states[sc]}
+                for s, t, p_q in es:
+                    if t == "purchase":
+                        nv[s] += p_q
+                    elif t != "null":
+                        nv[s] += (p_q * v.get(t, 0)) // 1_000_000_000
+                v = nv
+            out.extend((sc, s, val) for s, val in v.items())
+        yield pd.DataFrame(out, columns=["sc", "s", "v"])
+
+    conv = sp.repartition(1).mapInPandas(
+        absorb, schema="sc string, s string, v bigint"
     )
-    # The 24 power-iteration rounds move a ~30-row scenario-keyed
-    # frame: run them under fixpoint_confs (AQE off, few partitions)
-    # — at this size there is nothing for runtime re-planning to
-    # decide, and each adaptive exchange otherwise becomes its own
-    # job inside the periodic checkpoint materializations.
-    with fixpoint_confs(spark):
-        for rnd in range(24):
-            pv = conv.select(
-                F.col("sc").alias("psc"), F.col("s").alias("pt"), F.col("v")
-            )
-            conv = (
-                sp.join(
-                    pv,
-                    (F.col("psc") == F.col("sc")) & (F.col("pt") == F.col("t")),
-                    "left",
-                )
-                .groupBy("sc", "s")
-                .agg(
-                    F.sum(
-                        F.when(F.col("t") == "purchase", F.col("p_q"))
-                        .when(F.col("t") == "null", F.lit(0))
-                        .otherwise(
-                            F.expr("(p_q * COALESCE(v, 0)) DIV 1000000000")
-                        )
-                    )
-                    .cast("bigint")
-                    .alias("v")
-                )
-            )
-            # conv is referenced ONCE per round (the join probe side),
-            # so plain lineage grows linearly, not exponentially;
-            # checkpoint every 6th round only to bound analyzer depth.
-            if rnd % 6 == 5:
-                conv = conv.localCheckpoint(eager=True)
     final = conv.filter(F.col("s") == "start").select("sc", "v")
     full = final.filter(F.col("sc") == "full").select(
         F.col("v").alias("v_full")

@@ -351,43 +351,57 @@ def q_ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    tot = cells.agg(
-        F.sum("n").cast("bigint").alias("nt"),
-        F.countDistinct("lang").cast("bigint").alias("nl"),
-        F.countDistinct("source").cast("bigint").alias("ns"),
+    # The 5 alternating row/column scaling rounds move the ~100-row
+    # lang x source contingency table — domain-sized whatever the
+    # corpus. Run all 10 scaling passes in ONE bounded Arrow task
+    # (the dedup_clusters/MMR small-finish discipline) instead of 10
+    # scheduled join+checkpoint stages. Bit-exact vs the unrolled-CTE
+    # oracle: margin sums n*w_q are exact Python-int arithmetic, each
+    # scale is the same two-division double sequence, and w_q is
+    # re-floored to a BIGINT after every pass — identical integer
+    # states round for round on all three engines.
+    def rake(batches):
+        import math
+
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True)
+        cell = [
+            (lg, src, int(n))
+            for lg, src, n in zip(rows["lang"], rows["source"], rows["n"])
+        ]
+        nt = sum(n for _, _, n in cell)
+        nl = len({lg for lg, _, _ in cell})
+        ns = len({src for _, src, _ in cell})
+        w = {(lg, src): 1_000_000_000 for lg, src, _ in cell}
+        for _ in range(5):
+            for axis, nd in ((0, nl), (1, ns)):
+                mw: dict[str, int] = {}
+                for lg, src, n in cell:
+                    k = (lg, src)[axis]
+                    mw[k] = mw.get(k, 0) + n * w[(lg, src)]
+                scale = {
+                    k: (float(nt) / nd) / (float(m) / 1_000_000_000)
+                    for k, m in mw.items()
+                }
+                w = {
+                    (lg, src): int(
+                        math.floor(w[(lg, src)] * scale[(lg, src)[axis]] + 0.5)
+                    )
+                    for lg, src, _ in cell
+                }
+        out = [
+            (lg, src, n, w[(lg, src)] / 1_000_000_000.0) for lg, src, n in cell
+        ]
+        yield pd.DataFrame(out, columns=["lang", "source", "n", "weight"])
+
+    return (
+        cells.repartition(1)
+        .mapInPandas(
+            rake, schema="lang string, source string, n bigint, weight double"
+        )
+        .orderBy("lang", "source")
     )
-    w = cells.select(
-        "lang", "source", "n", F.lit(1000000000).cast("bigint").alias("w_q")
-    ).localCheckpoint(eager=True)
-    for _ in range(5):
-        for dim, nd in (("lang", "nl"), ("source", "ns")):
-            margins = (
-                w.crossJoin(F.broadcast(tot))
-                .groupBy(dim, "nt", nd)
-                .agg(F.sum(F.col("n") * F.col("w_q")).alias("mw"))
-                .select(
-                    dim,
-                    (
-                        (F.col("nt").cast("double") / F.col(nd))
-                        / (F.col("mw").cast("double") / 1000000000)
-                    ).alias("scale"),
-                )
-            )
-            w = (
-                w.join(F.broadcast(margins), dim)
-                .select(
-                    "lang",
-                    "source",
-                    "n",
-                    F.floor(F.col("w_q") * F.col("scale") + F.lit(0.5))
-                    .cast("bigint")
-                    .alias("w_q"),
-                )
-                .localCheckpoint(eager=True)
-            )
-    return w.select(
-        "lang", "source", "n", (F.col("w_q") / 1000000000.0).alias("weight")
-    ).orderBy("lang", "source")
 
 
 # --------------------------------------------------------------------------

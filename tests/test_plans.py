@@ -52,6 +52,14 @@ PYTHON_SURFACE = {
     "q_mmr_diversified_topk",  # E190 greedy on the bounded 20-row
     # shortlist in one mapInPandas task (corpus stage stays JVM-side)
     "q_diversification_audit",  # E197 reuses the E190 subplan
+    "q_markov_removal_attribution",  # E241 24 integer absorption
+    # rounds on the ~150-row scenario frame in one bounded task
+    "q_bradley_terry_ratings",  # E202 MM rounds on the 20-cell duel
+    # matrix in one bounded task
+    "q_pca_power_iteration",  # E207 matvec rounds on the 64x64
+    # scatter matrix in one bounded task
+    "q_ipf_raking_weights",  # E234 scaling rounds on the lang x
+    # source contingency table in one bounded task
 }
 
 ALL_QUERIES = sorted(REGISTRY)
