@@ -1441,3 +1441,129 @@ def q_mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs"
         ),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# E295: multiplicative-weights domain reweighting — DoReMi-flavored
+# --------------------------------------------------------------------------
+
+_DRW_ETA_DEN = 10  # eta = 1/10 per excess nat, as a rational
+
+
+@query(
+    "q_domain_reweighting",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT source, unnest({sql_tokens('text')}) AS t FROM documents),
+    lm AS MATERIALIZED (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM lm),
+    scored AS MATERIALIZED (
+      SELECT k.source,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(CAST(FLOOR(-ln(CAST(l.c AS DOUBLE) / t.total)
+                                 * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sq
+      FROM tok k JOIN lm l ON l.t = k.t CROSS JOIN tot t
+      GROUP BY k.source),
+    gstats AS (
+      SELECT CAST(SUM(n_tok) AS BIGINT) AS total_n,
+             CAST(SUM(sq) AS BIGINT) // CAST(SUM(n_tok) AS BIGINT) AS gavg_q
+      FROM scored),
+    upd AS MATERIALIZED (
+      SELECT s.source, s.n_tok,
+             s.sq // s.n_tok AS avg_q,
+             GREATEST(CAST(0 AS BIGINT), s.sq // s.n_tok - g.gavg_q)
+               AS excess_q,
+             (s.n_tok * 1000000) // g.total_n AS baseline_ppm,
+             ((s.n_tok * 1000000) // g.total_n)
+               * (1000000 + GREATEST(CAST(0 AS BIGINT),
+                                     s.sq // s.n_tok - g.gavg_q)
+                              // (1000 * {_DRW_ETA_DEN})) AS w_raw
+      FROM scored s CROSS JOIN gstats g)
+    SELECT source,
+           n_tok AS n_tokens,
+           avg_q / 1000000000.0 AS avg_nats,
+           excess_q / 1000000000.0 AS excess_nats,
+           baseline_ppm,
+           CAST((w_raw * 1000000) // (SELECT SUM(w_raw) FROM upd) AS BIGINT)
+             AS reweighted_ppm
+    FROM upd ORDER BY source
+    """,
+    tags=("E295", "E230", "E42", "A1", "J2", "D13"),
+)
+def q_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored DOMAIN REWEIGHTING by multiplicative weights:
+    sources whose tokens are harder than the corpus average under
+    the in-engine unigram LM (E279's surprisal, the excess-loss
+    stand-in) get their mixture share multiplied up by one
+    exponentiated-gradient step, here in its integer-rational form
+    w' = w * (1 + eta * excess) so the whole update is exact BIGINT
+    arithmetic (the E289 discipline) — no solver, no RNG, and the
+    only libm call (ln) is 1e-9-quantized at formation exactly as
+    E279 does. Data-sized work is ONE token scan + the vocab-bounded
+    LM join; the update runs on |sources| rows. Output: per-source
+    token counts, average/excess nats, baseline share, and the
+    reweighted ppm share a mixture planner (E292) would consume."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tracked_persist(
+        d.select(
+            "source", F.explode(tokens(normalize_text(F.col("text")))).alias("t")
+        )
+    )
+    lm = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = lm.agg(F.sum("c").cast("bigint").alias("total"))
+    scored = (
+        tok.join(lm, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(
+                F.floor(
+                    -F.log(F.col("c").cast("double") / F.col("total"))
+                    * 1000000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sq"),
+        )
+    )
+    glob = scored.agg(
+        F.sum("n_tok").cast("bigint").alias("total_n"),
+        F.expr("CAST(SUM(sq) AS BIGINT) DIV CAST(SUM(n_tok) AS BIGINT)").alias(
+            "gavg_q"
+        ),
+    )
+    upd = tracked_persist(
+        scored.crossJoin(F.broadcast(glob)).select(
+            "source",
+            "n_tok",
+            F.expr("sq DIV n_tok").alias("avg_q"),
+            F.greatest(F.lit(0).cast("bigint"), F.expr("sq DIV n_tok - gavg_q")).alias(
+                "excess_q"
+            ),
+            F.expr("(n_tok * 1000000) DIV total_n").alias("baseline_ppm"),
+            F.expr(
+                f"((n_tok * 1000000) DIV total_n)"
+                f" * (1000000 + GREATEST(CAST(0 AS BIGINT),"
+                f" sq DIV n_tok - gavg_q) DIV (1000 * {_DRW_ETA_DEN}))"
+            ).alias("w_raw"),
+        )
+    )
+    wsum = upd.agg(F.sum("w_raw").alias("wsum"))
+    return (
+        upd.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            F.col("n_tok").alias("n_tokens"),
+            (F.col("avg_q") / 1000000000.0).alias("avg_nats"),
+            (F.col("excess_q") / 1000000000.0).alias("excess_nats"),
+            "baseline_ppm",
+            F.expr("(w_raw * 1000000) DIV wsum").cast("bigint").alias(
+                "reweighted_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1573,3 +1573,145 @@ def q_dedup_pipeline_md5_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E296: per-source MinHash sketch — corpus-affinity matrix by mergeable mins
+# --------------------------------------------------------------------------
+
+
+def _src_affinity_oracle() -> str:
+    h = _sql_h52("mh", "s")
+    mins = ",\n             ".join(
+        f"MIN(({2 * i + 1} * h + {7919 * i}) % {_MH_P}) AS m{i}"
+        for i in range(_MH_SEEDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_MH_SEEDS)
+    )
+    return f"""
+    WITH ex AS MATERIALIZED (
+      SELECT source, {h} AS h, s
+      FROM (SELECT source, unnest({sql_ngrams(sql_tokens('text'), 3)}) AS s
+            FROM documents)),
+    sig AS MATERIALIZED (
+      SELECT source, {mins} FROM ex GROUP BY source),
+    ds AS MATERIALIZED (SELECT DISTINCT source, s FROM ex),
+    nsh AS MATERIALIZED (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY source),
+    est AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST({matches} AS BIGINT) AS n_sig_matches
+      FROM sig a JOIN sig b ON a.source < b.source),
+    inter AS (
+      SELECT x.source AS src_a, y.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ds x JOIN ds y ON y.s = x.s AND x.source < y.source
+      GROUP BY 1, 2)
+    SELECT e.src_a, e.src_b, e.n_sig_matches,
+           (e.n_sig_matches * 1000000 // {_MH_SEEDS}) / 1000000.0
+             AS est_jaccard,
+           COALESCE(i.n_common, 0) AS n_common_shingles,
+           CAST(FLOOR(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                      / (na.n + nb.n - COALESCE(i.n_common, 0))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS exact_jaccard
+    FROM est e
+    LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+    JOIN nsh na ON na.source = e.src_a
+    JOIN nsh nb ON nb.source = e.src_b
+    ORDER BY e.src_a, e.src_b
+    """
+
+
+@query(
+    "q_source_minhash_affinity",
+    oracle=_src_affinity_oracle(),
+    tags=("E296", "D3", "A2", "J2", "E17"),
+)
+def q_source_minhash_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source-affinity matrix from MERGEABLE MinHash
+    sketches — the data-mixing diagnostic a pretraining pipeline runs
+    before weighting sources (how much does source A's shingle space
+    overlap source B's?). The load-bearing property is MERGEABILITY:
+    a source's signature is the element-wise MIN over its docs'
+    shingle hashes, and MIN is associative/commutative/duplicate-
+    insensitive, so the sketch needs NO per-doc dedup and partial-
+    aggregates map-side — at 100 TB each executor folds its split
+    into 12 BIGINTs per source and the shuffle carries only
+    |sources| x 12 values (the same mergeability contract as E17's
+    HLL rollup). The estimated Jaccard (matching signature
+    coordinates / 12) is reported NEXT TO the exact shingle-set
+    Jaccard (distinct-shingle equi-join — the audit half, corpus-
+    bounded), the E161/D6 honest-baseline discipline. md5-derived
+    52-bit hashes (E175) make every value hash-exact across
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = tracked_persist(
+        d.select(
+            "source",
+            F.explode(ngrams(tokens(F.col("text")), 3)).alias("s"),
+        ).select("source", _h52("mh", F.col("s")).alias("h"), "s")
+    )
+    sig = ex.groupBy("source").agg(
+        *[
+            F.min(
+                (F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i)) % F.lit(_MH_P)
+            ).alias(f"m{i}")
+            for i in range(_MH_SEEDS)
+        ]
+    )
+    matches = None
+    for i in range(_MH_SEEDS):
+        t = F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    est = (
+        sig.alias("a")
+        .join(F.broadcast(sig.alias("b")), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            matches.cast("bigint").alias("n_sig_matches"),
+        )
+    )
+    ds = tracked_persist(ex.select("source", "s").distinct())
+    nsh = ds.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        ds.alias("x")
+        .join(
+            ds.alias("y"),
+            (F.col("y.s") == F.col("x.s"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    na = nsh.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = nsh.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        est.join(F.broadcast(inter), ["src_a", "src_b"], "left")
+        .join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_sig_matches",
+            (
+                F.expr(f"n_sig_matches * 1000000 DIV {_MH_SEEDS}") / 1000000.0
+            ).alias("est_jaccard"),
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("bigint")
+            .alias("n_common_shingles"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                    / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_common"), F.lit(0)))
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1000000.0
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -1219,3 +1219,140 @@ def q_unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("nats_per_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# E294: BPE merge-step training rounds — tokenizer induction in-engine
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE rounds: symbol sequences are '<sym>' wrapped
+    strings (wrappers make replace() boundary-safe without regex
+    lookahead, which DuckDB's RE2 silently treats as unmatchable);
+    pair counting unnests parallel list slices (overlap-inclusive,
+    like Sennrich's get_stats); the merge is one plain replace(),
+    whose left-to-right non-overlapping semantics ARE the greedy
+    BPE merge application."""
+    base = rf"""
+    WITH wc AS MATERIALIZED (
+      SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({sql_tokens('text')}) AS t FROM documents)
+      GROUP BY t),
+    s0 AS MATERIALIZED (
+      SELECT w, cnt, regexp_replace(w, '(.)', '<\1>', 'g') AS seq FROM wc)"""
+    for i in range(1, _BPE_ROUNDS + 1):
+        base += f""",
+    ex{i} AS (
+      SELECT cnt, str_split(regexp_replace(seq, '^<|>$', '', 'g'), '><') AS syms
+      FROM s{i-1}),
+    p{i} AS MATERIALIZED (
+      SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+        SELECT cnt, unnest(syms[1:len(syms)-1]) AS l,
+               unnest(syms[2:len(syms)]) AS r
+        FROM ex{i})
+      GROUP BY l, r),
+    t{i} AS MATERIALIZED (
+      SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1),
+    s{i} AS MATERIALIZED (
+      SELECT w, cnt,
+             replace(seq, '<' || t.l || '><' || t.r || '>',
+                     '<' || t.l || t.r || '>') AS seq
+      FROM s{i-1}, t{i} t)"""
+    finals = "\n      UNION ALL ".join(
+        f"SELECT {i} AS round, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, pc AS pair_count FROM t{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    return (
+        base
+        + f"""
+    SELECT CAST(round AS BIGINT) AS round, left_sym, right_sym, merged,
+           pair_count
+    FROM ({finals}) ORDER BY round"""
+    )
+
+
+@query(
+    "q_bpe_merge_rounds",
+    oracle=_bpe_oracle(),
+    tags=("E294", "D9", "A2", "F8", "J10"),
+)
+def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding TOKENIZER TRAINING, first 3 merge rounds —
+    the vocabulary-induction step every LLM data pipeline runs before
+    token counting (Sennrich et al. 2016). The corpus is touched ONCE
+    (word-frequency aggregate, map-side combinable); every round then
+    runs on the DISTINCT-WORD vocabulary, which is domain-sized at
+    any corpus scale. Pair counting is overlap-inclusive over
+    adjacent symbol pairs weighted by word frequency (zip_with of the
+    two shifted slices — exactly get_stats); the winning pair (max
+    count, lexicographic tie-break) is broadcast back and APPLIED
+    with one plain replace() on the '<sym>' wrapped sequence string:
+    string replace is left-to-right non-overlapping, which is
+    precisely the greedy BPE merge semantics ('<a><a><a>' ->
+    '<aa><a>'), and the wrappers make it boundary-safe without regex
+    lookahead. Output: the merge table (round, pair, merged symbol,
+    exact pair count) — all integer arithmetic, hash-exact."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    wc = d.select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # state = (word, cnt, wrapped symbol sequence); referenced twice
+    # per round (pair counting + merge application), so checkpoint
+    # each round to keep the analyzed plan linear — the frame is
+    # vocab-sized, not corpus-sized.
+    state = wc.select(
+        "w", "cnt", F.regexp_replace("w", "(.)", "<$1>").alias("seq")
+    ).localCheckpoint(eager=True)
+    outs: list[DataFrame] = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        syms = F.split(F.regexp_replace("seq", "^<|>$", ""), "><")
+        pairs = (
+            state.select("cnt", syms.alias("syms"))
+            .select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", "p.l", "p.r")
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+            .orderBy(F.col("pc").desc(), "l", "r")
+            .limit(1)
+        ).localCheckpoint(eager=True)
+        outs.append(
+            top.select(
+                F.lit(i).cast("bigint").alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat("l", "r").alias("merged"),
+                F.col("pc").alias("pair_count"),
+            )
+        )
+        if i < _BPE_ROUNDS:
+            state = (
+                state.crossJoin(F.broadcast(top))
+                .select(
+                    "w",
+                    "cnt",
+                    F.expr(
+                        "replace(seq, '<' || l || '><' || r || '>',"
+                        " '<' || l || r || '>')"
+                    ).alias("seq"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result.orderBy("round")

@@ -1473,3 +1473,100 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("loading")).desc(), "dim")
         .limit(_PCA_TOPD)
     )
+
+
+# --------------------------------------------------------------------------
+# E297: SQ8 scalar quantization audit — int8 codes + reconstruction error
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sq8_quantization_audit",
+    oracle="""
+    WITH elem AS MATERIALIZED (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    stats AS MATERIALIZED (
+      SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM elem GROUP BY i),
+    coded AS (
+      SELECT e.x, s.mn, (s.mx - s.mn) / 255.0e0 AS sc,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE LEAST(CAST(255 AS BIGINT),
+                             CAST(FLOOR((e.x - s.mn)
+                                        / ((s.mx - s.mn) / 255.0e0)
+                                        + 0.5) AS BIGINT))
+             END AS code
+      FROM elem e JOIN stats s ON s.i = e.i),
+    errs AS (
+      SELECT code,
+             CAST(FLOOR(ABS(x - (mn + code * sc)) * 1000000000 + 0.5)
+                  AS BIGINT) AS err_q
+      FROM coded)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM stats) AS n_dims,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           (CAST(SUM(err_q) AS BIGINT) // COUNT(*)) / 1000000000.0
+             AS mean_abs_err,
+           CAST(MAX(err_q) AS BIGINT) / 1000000000.0 AS max_abs_err,
+           CAST(SUM(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_saturated
+    FROM errs
+    """,
+    tags=("E297", "D5", "F8", "A1", "E186"),
+)
+def q_sq8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 SCALAR QUANTIZATION of the embedding table (FAISS
+    ScalarQuantizer-style): per-dimension [min, max] trained over the
+    corpus, each float mapped to an 8-bit code on that dim's 255-step
+    grid, and the audit a vector store runs before switching its
+    index to int8 storage — mean/max reconstruction error and the
+    saturation count (values pinned at code 0/255, the clipping
+    diagnostic). Two corpus passes, both map-side combinable: the
+    per-dim MIN/MAX training aggregate, then code+error formation
+    against the broadcast 64-row stats table. Every emitted number is
+    exact: codes are integer floors of one shared double sequence,
+    per-element errors are 1e-9-quantized BIGINTs before the
+    order-free integer sum, and the means are integer floor
+    divisions. PQ-ADC (E186) is the product-quantizer sibling; SQ8 is
+    what production stores default to at 4x compression."""
+    e = load_table(spark, sf_dir, "embeddings")
+    elem = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i0", "xf")
+    ).select((F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    stats = elem.groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    sc = (F.col("mx") - F.col("mn")) / 255.0
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.lit(255).cast("bigint"),
+            F.floor((F.col("x") - F.col("mn")) / sc + F.lit(0.5)).cast("bigint"),
+        )
+    )
+    coded = elem.join(F.broadcast(stats), "i").select(
+        "x", "mn", sc.alias("sc"), code.alias("code")
+    )
+    errs = coded.select(
+        "code",
+        F.floor(
+            F.abs(F.col("x") - (F.col("mn") + F.col("code") * F.col("sc")))
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("err_q"),
+    )
+    n_dims = stats.agg(F.count(F.lit(1)).cast("bigint").alias("n_dims"))
+    return (
+        errs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            (F.expr("CAST(SUM(err_q) AS BIGINT) DIV COUNT(*)") / 1000000000.0).alias(
+                "mean_abs_err"
+            ),
+            (F.max("err_q").cast("bigint") / 1000000000.0).alias("max_abs_err"),
+            F.sum(F.when(F.col("code").isin(0, 255), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_saturated"),
+        )
+        .crossJoin(F.broadcast(n_dims))
+        .select("n_dims", "n_values", "mean_abs_err", "max_abs_err", "n_saturated")
+    )
