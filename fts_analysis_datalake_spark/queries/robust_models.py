@@ -419,13 +419,16 @@ _DB_HAV = (
 @query(
     "q_dbscan_grid_clusters",
     oracle=f"""
-    WITH RECURSIVE pts AS MATERIALIZED (
-      SELECT c_custkey AS k,
-             40.0 + ((c_custkey * 7919) % 1000) / 100.0 AS lat,
-             ((c_custkey * 104729) % 2000) / 100.0 AS lon,
-             40 + ((c_custkey * 7919) % 1000) // 100 AS cl,
-             ((c_custkey * 104729) % 2000) // 100 AS co
+    WITH RECURSIVE grid AS (
+      SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 1500) AS lc
       FROM customer),
+    pts AS MATERIALIZED (
+      SELECT c_custkey AS k,
+             40.0 + ((c_custkey * 7919) % (g.lc * 100)) / 100.0 AS lat,
+             ((c_custkey * 104729) % (g.lc * 200)) / 100.0 AS lon,
+             40 + ((c_custkey * 7919) % (g.lc * 100)) // 100 AS cl,
+             ((c_custkey * 104729) % (g.lc * 200)) // 100 AS co
+      FROM customer CROSS JOIN grid g),
     offsets AS (
       SELECT dlat, dlon
       FROM generate_series(-1, 1) t1(dlat), generate_series(-1, 1) t2(dlon)),
@@ -471,12 +474,26 @@ def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     member range."""
     c = load_table(spark, sf_dir, "customer")
     key = F.col("c_custkey")
-    pts = c.select(
+    # Grid span derives from the point COUNT so point density is
+    # SCALE-INVARIANT: the congruential synthesis collapses points
+    # onto lcm(lat-mod, lon-mod) = lc*200 lattice sites, and lc =
+    # n/1500 keeps the per-site multiplicity at ~7.5 at every SF —
+    # with the old FIXED 10x20-degree span, sf<=0.01 spread too thin
+    # for any core and the driver's sf0.01 compare passed on a
+    # trivially-empty result. lc=10 at sf0.1 reproduces the previous
+    # layout there bit-for-bit.
+    grid = c.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("COUNT(*) DIV 1500"),
+        ).alias("lc")
+    )
+    pts = c.crossJoin(F.broadcast(grid)).select(
         key.alias("k"),
-        (40.0 + ((key * 7919) % 1000) / 100.0).alias("lat"),
-        (((key * 104729) % 2000) / 100.0).alias("lon"),
-        (40 + F.expr("((c_custkey * 7919) % 1000) DIV 100")).alias("cl"),
-        F.expr("((c_custkey * 104729) % 2000) DIV 100").alias("co"),
+        (40.0 + ((key * 7919) % (F.col("lc") * 100)) / 100.0).alias("lat"),
+        (((key * 104729) % (F.col("lc") * 200)) / 100.0).alias("lon"),
+        (40 + F.expr("((c_custkey * 7919) % (lc * 100)) DIV 100")).alias("cl"),
+        F.expr("((c_custkey * 104729) % (lc * 200)) DIV 100").alias("co"),
     )
     offsets = (
         spark.range(0, 9)
