@@ -587,10 +587,40 @@ def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= F.greatest(F.col("cs"), F.lit(1)))
         .select("u", "v")
     ).localCheckpoint(eager=True)
-    # Peel rounds move the already-sparsified O(nodes) edge list with
-    # explicit broadcast semi-joins — domain-sized loop state, so
-    # fixpoint_confs applies (caching.py rationale; nothing here
-    # depends on AQE's runtime broadcast decisions).
+    # The sparsified edge list is O(nodes) by construction (the c*
+    # cutoff pins average degree ~10), so route it the same way as
+    # connected_components_star's finisher: when it fits one bounded
+    # task, run all 6 peel rounds in a single mapInPandas kernel
+    # (pure integer counting — identical result to the scheduled
+    # loop); above the threshold, the scheduled broadcast-semi-join
+    # rounds take over. Measured 2.3 -> ~1.2 s in-suite at sf0.01.
+    if edges.count() <= 2_000_000:
+
+        def peel(batches):
+            import pandas as pd
+
+            rows = pd.concat(list(batches), ignore_index=True)
+            es = list(zip((int(x) for x in rows["u"]), (int(x) for x in rows["v"])))
+            for _ in range(6):
+                deg: dict[int, int] = {}
+                for u, v in es:
+                    deg[u] = deg.get(u, 0) + 1
+                    deg[v] = deg.get(v, 0) + 1
+                keep = {n for n, d in deg.items() if d >= 5}
+                es = [(u, v) for u, v in es if u in keep and v in keep]
+            out: dict[int, int] = {}
+            for u, v in es:
+                out[u] = out.get(u, 0) + 1
+                out[v] = out.get(v, 0) + 1
+            yield pd.DataFrame(
+                sorted(out.items()), columns=["node", "core_degree"]
+            )
+
+        return (
+            edges.repartition(1)
+            .mapInPandas(peel, schema="node bigint, core_degree bigint")
+            .orderBy("node")
+        )
     with fixpoint_confs(spark):
         for _ in range(6):
             deg = (

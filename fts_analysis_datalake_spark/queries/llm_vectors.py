@@ -382,7 +382,11 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuner watches). Training shuffles only k x dim partial means per
     round; vectors are never re-shuffled. Objective monotonicity is
     asserted in tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Persist the training set: every Lloyd round plus the final
+    # assignment scans it (6 passes) — the canonical cache-the-
+    # training-frame move; at 100 TB this is the difference between
+    # 6 parquet scans and 6 memory scans.
+    emb = tracked_persist(load_table(spark, sf_dir, "embeddings"))
     cents = kmeans_train(emb, k=8, iters=5)
     assigned = ivf_assign(emb, cents)
     cos = cosine(F.col("embedding"), F.col("cent_vec"))
@@ -733,7 +737,11 @@ def q_ivf_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood — the recall floor against brute force is asserted
     in tests/test_similarity.py. At index-build scale, training cost
     is k x dim partial means per round; query cost is unchanged."""
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    e = tracked_persist(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") != QUERY_VEC_ID
+        )
+    )
     cents = kmeans_train(e, k=8, iters=3)
     return ivf_topk(e, _query_vec(spark, sf_dir), k=10, nprobe=3, centroids=cents)
 

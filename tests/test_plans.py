@@ -60,6 +60,8 @@ PYTHON_SURFACE = {
     # scatter matrix in one bounded task
     "q_ipf_raking_weights",  # E234 scaling rounds on the lang x
     # source contingency table in one bounded task
+    "q_kcore_suppliers",  # E221 6 peel rounds on the O(nodes)
+    # sparsified edge list in one bounded task (count-gated)
 }
 
 ALL_QUERIES = sorted(REGISTRY)
