@@ -190,3 +190,55 @@ def test_recursive_walk_depths(spark):
     ).fetchone()[0]
     assert sum(r.n_suppliers for r in rows) == n_sup
     assert [r.root_distance for r in rows] == sorted(r.root_distance for r in rows)
+
+
+def test_bpe_merge_rounds_match_reference(spark):
+    """E294: the in-engine BPE merge table must equal a from-scratch
+    Sennrich-style reference (get_stats + greedy non-overlapping
+    merge on symbol lists) run on the same corpus in pure Python —
+    no shared code path, including the replace()-as-merge trick."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in REGISTRY["q_bpe_merge_rounds"].fn(spark, SF_DIR_SMALL).collect()
+    ]
+
+    texts = pd.read_parquet(f"{SF_DIR_SMALL}/documents.parquet")["text"]
+    wc: Counter = Counter()
+    for t in texts:
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+        for w in norm.split(" "):
+            if w:
+                wc[w] += 1
+    vocab = {w: tuple(w) for w in wc}
+    expected = []
+    for rnd in range(1, 4):
+        stats: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += wc[w]
+        (l, r), pc = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rnd, l, r, l + r, pc))
+        merged = l + r
+        new_vocab = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    assert got == expected, (got, expected)
