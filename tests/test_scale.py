@@ -168,3 +168,119 @@ def test_compaction_reduces_file_count_preserves_rows(spark):
     assert comp.n_files < frag.n_files
     assert comp.total_rows == frag.total_rows
     assert comp.avg_rows_per_file > frag.avg_rows_per_file
+
+
+def test_source_minhash_signature_is_mergeable(spark):
+    """E296's scale contract: the per-source MinHash signature is an
+    elementwise MIN, so partial signatures computed on disjoint
+    corpus splits and merged with MIN must equal the signature of
+    the whole corpus — the property that makes the sketch map-side
+    combinable at 100 TB."""
+    from fts_analysis_datalake_spark.operators.text import ngrams, tokens
+    from fts_analysis_datalake_spark.queries.llm_dedup import _MH_P, _MH_SEEDS
+    from fts_analysis_datalake_spark.queries.sketches_search import _h52
+
+    d = load_table(spark, SF_DIR_SMALL, "documents")
+    ex = d.select(
+        "source", F.explode(ngrams(tokens(F.col("text")), 3)).alias("s")
+    ).select(
+        "source",
+        _h52("mh", F.col("s")).alias("h"),
+        F.crc32(F.col("s")).alias("splitkey"),
+    )
+    mins = [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i)) % F.lit(_MH_P)
+        ).alias(f"m{i}")
+        for i in range(_MH_SEEDS)
+    ]
+    whole = {
+        r["source"]: tuple(r[f"m{i}"] for i in range(_MH_SEEDS))
+        for r in ex.groupBy("source").agg(*mins).collect()
+    }
+    # two disjoint splits -> partial signatures -> MIN-merge
+    partial = (
+        ex.withColumn("split", (F.col("splitkey") % 2).cast("int"))
+        .groupBy("source", "split")
+        .agg(*mins)
+        .groupBy("source")
+        .agg(*[F.min(f"m{i}").alias(f"m{i}") for i in range(_MH_SEEDS)])
+    )
+    merged = {
+        r["source"]: tuple(r[f"m{i}"] for i in range(_MH_SEEDS))
+        for r in partial.collect()
+    }
+    assert merged == whole
+
+
+def test_bpe_pair_counts_scale_linearly_with_duplication(spark):
+    """E294's weighting contract: duplicating every document 3x must
+    leave the chosen merge pairs identical and scale every
+    pair_count by exactly 3 — pair statistics are linear in word
+    frequency, which is why ONE map-side word-count pass is the only
+    corpus-sized stage."""
+    import pandas as pd
+
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    base = [
+        (r.round, r.left_sym, r.right_sym, r.pair_count)
+        for r in REGISTRY["q_bpe_merge_rounds"].fn(spark, SF_DIR_SMALL).collect()
+    ]
+
+    d = load_table(spark, SF_DIR_SMALL, "documents")
+    trip = d.unionAll(d).unionAll(d)
+    trip.createOrReplaceTempView("_bpe_trip_docs")
+    import fts_analysis_datalake_spark.queries.llm_text as lt
+
+    # rebuild the same pipeline over the tripled corpus
+    from pyspark.sql import functions as FF
+
+    wc = trip.select(
+        FF.explode(
+            lt.tokens(lt.normalize_text(FF.col("text")))
+        ).alias("w")
+    ).groupBy("w").agg(FF.count(FF.lit(1)).cast("bigint").alias("cnt"))
+    state = wc.select(
+        "w", "cnt", FF.regexp_replace("w", "(.)", "<$1>").alias("seq")
+    ).localCheckpoint(eager=True)
+    got = []
+    for i in range(1, 4):
+        syms = FF.split(FF.regexp_replace("seq", "^<|>$", ""), "><")
+        pairs = (
+            state.select("cnt", syms.alias("syms"))
+            .select(
+                "cnt",
+                FF.explode(
+                    FF.zip_with(
+                        FF.slice("syms", 1, FF.size("syms") - 1),
+                        FF.slice("syms", 2, FF.size("syms") - 1),
+                        lambda x, y: FF.struct(x.alias("l"), y.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", "p.l", "p.r")
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(FF.sum("cnt").cast("bigint").alias("pc"))
+            .orderBy(FF.col("pc").desc(), "l", "r")
+            .limit(1)
+        ).localCheckpoint(eager=True)
+        row = top.collect()[0]
+        got.append((i, row["l"], row["r"], row["pc"]))
+        if i < 3:
+            state = (
+                state.crossJoin(FF.broadcast(top))
+                .select(
+                    "w",
+                    "cnt",
+                    FF.expr(
+                        "replace(seq, '<' || l || '><' || r || '>',"
+                        " '<' || l || r || '>')"
+                    ).alias("seq"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    assert [(r, l, rr, pc * 3) for r, l, rr, pc in base] == got
