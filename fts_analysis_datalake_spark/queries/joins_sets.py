@@ -935,3 +935,242 @@ def q_cosupplier_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e11").cast("bigint").alias("edges_within_1"),
         (F.floor(q * 1e9 + F.lit(0.5)).cast("bigint") / 1e9).alias("modularity"),
     )
+
+
+# --------------------------------------------------------------------------
+# E298: integer-exact HITS — hubs & authorities on the part->supplier graph
+# --------------------------------------------------------------------------
+
+_HITS_ROUNDS = 2
+_HITS_ONE = 1_000_000  # score unit (1e-6 rationals)
+_HITS_TOPK = 15
+
+
+def _hits_oracle() -> str:
+    base = f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      FROM lineitem WHERE l_partkey % 3 = 0),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT p, CAST({_HITS_ONE} AS BIGINT) AS q FROM e0)"""
+    prev_h = "h0"
+    for i in range(1, _HITS_ROUNDS + 1):
+        base += f""",
+    a{i}r AS MATERIALIZED (
+      SELECT e.s, CAST(SUM(h.q) AS BIGINT) AS raw
+      FROM e0 e JOIN {prev_h} h ON h.p = e.p GROUP BY e.s),
+    a{i} AS MATERIALIZED (
+      SELECT s, (raw * {_HITS_ONE}) // (SELECT MAX(raw) FROM a{i}r) AS q
+      FROM a{i}r),
+    h{i}r AS MATERIALIZED (
+      SELECT e.p, CAST(SUM(a.q) AS BIGINT) AS raw
+      FROM e0 e JOIN a{i} a ON a.s = e.s GROUP BY e.p),
+    h{i} AS MATERIALIZED (
+      SELECT p, (raw * {_HITS_ONE}) // (SELECT MAX(raw) FROM h{i}r) AS q
+      FROM h{i}r)"""
+        prev_h = f"h{i}"
+    return base + f"""
+    SELECT * FROM (
+      SELECT 'auth' AS kind, 's' || CAST(s AS VARCHAR) AS node,
+             q / {_HITS_ONE}.0 AS score
+      FROM a{_HITS_ROUNDS} ORDER BY q DESC, s LIMIT {_HITS_TOPK})
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'hub' AS kind, 'p' || CAST(p AS VARCHAR) AS node,
+             q / {_HITS_ONE}.0 AS score
+      FROM h{_HITS_ROUNDS} ORDER BY q DESC, p LIMIT {_HITS_TOPK})
+    """
+
+
+@query(
+    "q_hits_quantized_exact",
+    oracle=_hits_oracle(),
+    tags=("E298", "E47", "O3", "A1", "J11"),
+)
+def q_hits_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) in PURE INTEGER arithmetic
+    on the part->supplier bipartite graph — the link-analysis sibling
+    of E289's integer PageRank, value-verified the same way: scores
+    live as 1e-6 BIGINT rationals, each half-round is one edge join +
+    SUM aggregate, and normalization is L-infinity (score * 1e6 DIV
+    max) so every operation maps integers to integers and the
+    oracle's unrolled MATERIALIZED-CTE chain replays all
+    ``_HITS_ROUNDS`` rounds bit-identically. Parts are hubs,
+    suppliers authorities (edges point p -> s); top-15 of each side
+    with node-id tiebreak. The max is a scalar over the NODE-sized
+    score table (never the edge table), broadcast back — at 100 TB
+    each round shuffles only (node, score) pairs on the join key, the
+    same contract as PageRank's degree join. Max-normalized scores
+    bound every intermediate at deg * 1e6 < 2^53 — no overflow on
+    either engine (DuckDB's HUGEINT SUM is cast back to BIGINT before
+    the multiply)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") % 3 == 0)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = e0.select("p").distinct().select(
+        "p", F.lit(_HITS_ONE).cast("bigint").alias("q")
+    )
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        a_raw = (
+            e0.join(h.withColumnsRenamed({"p": "hp", "q": "hq"}),
+                    F.col("hp") == F.col("p"))
+            .groupBy("s")
+            .agg(F.sum("hq").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        amax = F.broadcast(a_raw.agg(F.max("raw").alias("mx")))
+        a = a_raw.crossJoin(amax).select(
+            "s", F.expr(f"raw * {_HITS_ONE} div mx").alias("q")
+        )
+        h_raw = (
+            e0.join(a.withColumnsRenamed({"s": "as_", "q": "aq"}),
+                    F.col("as_") == F.col("s"))
+            .groupBy("p")
+            .agg(F.sum("aq").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        hmax = F.broadcast(h_raw.agg(F.max("raw").alias("mx")))
+        h = h_raw.crossJoin(hmax).select(
+            "p", F.expr(f"raw * {_HITS_ONE} div mx").alias("q")
+        )
+    auth_top = (
+        a.select(
+            F.lit("auth").alias("kind"),
+            F.concat(F.lit("s"), F.col("s").cast("string")).alias("node"),
+            (F.col("q") / float(_HITS_ONE)).alias("score"),
+            F.col("q"),
+            F.col("s").alias("nid"),
+        )
+        .orderBy(F.desc("q"), "nid")
+        .limit(_HITS_TOPK)
+        .select("kind", "node", "score")
+    )
+    hub_top = (
+        h.select(
+            F.lit("hub").alias("kind"),
+            F.concat(F.lit("p"), F.col("p").cast("string")).alias("node"),
+            (F.col("q") / float(_HITS_ONE)).alias("score"),
+            F.col("q"),
+            F.col("p").alias("nid"),
+        )
+        .orderBy(F.desc("q"), "nid")
+        .limit(_HITS_TOPK)
+        .select("kind", "node", "score")
+    )
+    return auth_top.unionAll(hub_top)
+
+
+# --------------------------------------------------------------------------
+# E299: deterministic label-propagation communities on the co-purchase graph
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+_LPA_TOPK = 20
+
+
+def _lpa_oracle() -> str:
+    base = """
+    WITH e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+       AND abs(a.l_quantity - b.l_quantity) <= 2
+      GROUP BY u, v),
+    edges AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, u AS lbl FROM edges)"""
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        base += f""",
+    c{i} AS (
+      SELECT e.u AS node, l.lbl, COUNT(*) AS c
+      FROM edges e JOIN {prev} l ON l.node = e.v
+      GROUP BY e.u, l.lbl),
+    l{i} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rk
+        FROM c{i}) WHERE rk = 1)"""
+        prev = f"l{i}"
+    return base + f"""
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM {prev} GROUP BY lbl
+    ORDER BY n_members DESC, community LIMIT {_LPA_TOPK}
+    """
+
+
+@query(
+    "q_lpa_communities",
+    oracle=_lpa_oracle(),
+    tags=("E299", "E15", "E210", "A1", "W1"),
+)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    2007) made fully deterministic: each round every node adopts the
+    MAJORITY label among its neighbors with ties broken by MINIMUM
+    label — so the classic random-order LPA becomes a pure
+    integer-valued fixpoint both engines replay identically
+    (``_LPA_ROUNDS`` unrolled rounds in the oracle's CTE chain).
+    Runs on the part CO-PURCHASE graph — parts appearing in the same
+    order with near-equal quantities (|dq| <= 2; the quantity
+    proximity sparsifies the graph so community structure survives:
+    the supplier projections of this fixture are complete cliques,
+    where any LPA floods to one label, while this graph yields
+    10/131/1078 communities at sf0.001/0.01/0.1). Differs from
+    connected components (E15): min-label CC floods entire
+    components, majority-vote LPA splits dense components into
+    communities. One round = one edge-label hash join + one
+    (node, label) count + one per-node argmax window — everything
+    shuffles on node ids, label state is node-sized, never
+    edge-sized; the same round shape GraphX's LPA runs, here as
+    plain DataFrame ops. Reports the top-20 communities by size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"),
+                  F.col("l_quantity").alias("qu"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"),
+                  F.col("l_quantity").alias("qv"))
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(
+            (F.col("u") < F.col("v"))
+            & (F.abs(F.col("qu") - F.col("qv")) <= 2)
+        )
+        .select("u", "v")
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    rk_w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(
+                labels.withColumnsRenamed({"node": "ln"}),
+                F.col("ln") == F.col("v"),
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rk", F.row_number().over(rk_w))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lbl").cast("bigint").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(_LPA_TOPK)
+    )
