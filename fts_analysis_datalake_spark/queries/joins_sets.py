@@ -1174,3 +1174,112 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(_LPA_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# E301: Bellman-Ford bounded-hop weighted shortest paths
+# --------------------------------------------------------------------------
+
+_BF_ROUNDS = 4
+_BF_TOPK = 20
+
+
+def _bellman_ford_oracle() -> str:
+    base = """
+    WITH e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(MIN(abs(a.l_quantity - b.l_quantity)) AS BIGINT) + 1 AS w
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+       AND abs(a.l_quantity - b.l_quantity) <= 2
+      GROUP BY u, v),
+    edges AS MATERIALIZED (
+      SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+    src AS (SELECT MIN(u) AS s FROM edges),
+    d0 AS MATERIALIZED (SELECT s AS node, CAST(0 AS BIGINT) AS d FROM src)"""
+    prev = "d0"
+    for i in range(1, _BF_ROUNDS + 1):
+        base += f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM {prev}
+        UNION ALL
+        SELECT e.v AS node, p.d + e.w AS d
+        FROM edges e JOIN {prev} p ON p.node = e.u) GROUP BY node)"""
+        prev = f"d{i}"
+    return base + f"""
+    SELECT node, d AS dist FROM {prev} ORDER BY dist, node LIMIT {_BF_TOPK}"""
+
+
+@query(
+    "q_bellman_ford_nearest",
+    oracle=_bellman_ford_oracle(),
+    tags=("E301", "E124", "A2", "J11", "O3"),
+)
+def q_bellman_ford_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths (Bellman-Ford relaxation)
+    — the weighted sibling of BFS min-hops (E124), completing the
+    graph family's distance column: edge weight is the minimum
+    quantity gap (+1, so 1..3) between near-equal-quantity
+    co-purchased parts (the |dq| <= 2 sparsifier that keeps the
+    edge build linear in co-purchase pairs), the source is the
+    minimum part id, and ``_BF_ROUNDS`` synchronous relaxation
+    rounds compute exact shortest distances over paths of <= that
+    many hops. All-integer arithmetic, so the oracle replays the
+    rounds in an unrolled MATERIALIZED-CTE chain bit-identically.
+    Each round = one dist-edges hash join + one per-node MIN — the
+    same two-shuffles-on-the-node-key contract as PageRank. The
+    carry (keep each node's current dist) is folded INTO the join by
+    adding weight-0 SELF-LOOPS to the checkpointed edge table, so
+    the dist state is referenced exactly ONCE per round: the lineage
+    stays linear, the loop needs no mid-round checkpoint, and all
+    ``_BF_ROUNDS`` rounds compile into a single job (the measured
+    PageRank discipline). Returns the top-20 nearest nodes
+    (dist, node tiebreak) via TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"),
+                  F.col("l_quantity").alias("qu"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"),
+                  F.col("l_quantity").alias("qv"))
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(
+            (F.col("u") < F.col("v"))
+            & (F.abs(F.col("qu") - F.col("qv")) <= 2)
+        )
+        .groupBy("u", "v")
+        .agg(
+            (F.min(F.abs(F.col("qu") - F.col("qv"))).cast("bigint") + 1).alias("w")
+        )
+    )
+    sym = e0.select("u", "v", "w").unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    # Weight-0 self-loops make each relaxation round a SINGLE
+    # join+min over the edge table (the self-loop row carries the
+    # node's current dist), so `dist` is referenced once per round
+    # and the loop's lineage stays linear — no plan doubling, no
+    # mid-loop checkpoints, one compiled job for all rounds.
+    edges = sym.unionAll(
+        sym.select("u").distinct().select(
+            "u", F.col("u").alias("v"), F.lit(0).cast("bigint").alias("w")
+        )
+    ).localCheckpoint()
+    dist = (
+        edges.agg(F.min("u").alias("node"))
+        .select("node", F.lit(0).cast("bigint").alias("d"))
+    )
+    for _ in range(_BF_ROUNDS):
+        dist = (
+            edges.join(
+                dist.withColumnsRenamed({"node": "pu", "d": "pd"}),
+                F.col("pu") == F.col("u"),
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min(F.col("pd") + F.col("w")).alias("d"))
+        )
+    return (
+        dist.select("node", F.col("d").alias("dist"))
+        .orderBy("dist", "node")
+        .limit(_BF_TOPK)
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.caching import tracked_persist
+from fts_analysis_datalake_spark.caching import fixpoint_confs, tracked_persist
 from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.operators.text import (
     ngrams,
@@ -1566,4 +1566,162 @@ def q_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# E300: greedy set-cover corpus selection — submodular data subset choice
+# --------------------------------------------------------------------------
+
+_COVER_ROUNDS = 8
+_COVER_N = 3  # shingle order for the coverage universe
+
+
+def _set_cover_oracle() -> str:
+    base = f"""
+    WITH dt AS MATERIALIZED (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id, unnest({sql_ngrams(sql_tokens('text'), _COVER_N)}) AS t
+        FROM documents)),
+    g1 AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM dt GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+    c1 AS MATERIALIZED (SELECT DISTINCT t FROM dt JOIN g1 USING (doc_id))"""
+    for i in range(2, _COVER_ROUNDS + 1):
+        base += f""",
+    g{i} AS MATERIALIZED (
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM dt d WHERE NOT EXISTS (SELECT 1 FROM c{i - 1} c WHERE c.t = d.t)
+      GROUP BY d.doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+    c{i} AS MATERIALIZED (
+      SELECT t FROM c{i - 1} UNION SELECT t FROM dt JOIN g{i} USING (doc_id))"""
+    picks = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, doc_id, gain FROM g{i}"
+        for i in range(1, _COVER_ROUNDS + 1)
+    )
+    return base + f""",
+    picks AS ({picks}),
+    u AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_universe FROM dt)
+    SELECT CAST(rnd AS INTEGER) AS round, doc_id, gain,
+           CAST(SUM(gain) OVER (ORDER BY rnd) AS BIGINT) AS covered_cum,
+           CAST(FLOOR(CAST(SUM(gain) OVER (ORDER BY rnd) AS DOUBLE)
+                      / u.n_universe * 10000 + 0.5) AS BIGINT) / 10000.0
+             AS covered_frac
+    FROM picks CROSS JOIN u ORDER BY round"""
+
+
+@query(
+    "q_greedy_cover_selection",
+    oracle=_set_cover_oracle(),
+    tags=("E300", "D11", "A1", "W1", "J6"),
+)
+def q_greedy_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage corpus selection: pick
+    ``_COVER_ROUNDS`` documents one at a time, each round taking the
+    document that covers the most not-yet-covered word-3-gram
+    shingles (min doc_id tiebreak) — the classic 1-1/e-approximate
+    submodular facility-location selection that coverage-based
+    training-data curation (and k-center-style subset distillation)
+    runs over a corpus. Fully deterministic integers, so the oracle
+    replays every round in an unrolled CTE chain. Round shape at
+    100 TB: the doc-shingle table is corpus-sized but each round
+    touches it with ONE anti-join against the covered set (which is
+    bounded by the shingles of the <= 8 picked docs — broadcastable
+    forever) + one map-side-combinable count + a top-1
+    TakeOrderedAndProject. The ONLY carried round state is the
+    picked-docs frame (<= 8 rows, localCheckpoint'd since it is
+    referenced twice per round): the covered set is always
+    re-derived from the persisted doc-shingle table by a semi-join
+    against the picks, so there is no growing covered-state
+    materialization — one scheduled job per greedy round total.
+    Locally the rounds are pure scheduling overhead, so the
+    count-gated SMALL-FINISH discipline applies (the dbscan/MMR
+    pattern): when the doc-shingle table is bounded, ONE Arrow task
+    replays the identical integer greedy over per-doc shingle sets —
+    bit-exact because every gain is a set-difference cardinality and
+    the tiebreak is the same (gain DESC, doc_id ASC); the
+    distributed round loop remains the gate's else-branch and the
+    100 TB path. Reports pick order, marginal gain, and cumulative
+    coverage of the shingle universe (1e-4-quantized fraction)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    dt = tracked_persist(
+        d.select(
+            "doc_id",
+            F.explode(ngrams(tokens(F.col("text")), _COVER_N)).alias("t"),
+        ).distinct()
+    )
+    universe = dt.agg(F.countDistinct("t").cast("bigint").alias("n_universe"))
+    n_dt = dt.count()
+    if n_dt < 5_000_000:
+        rounds = _COVER_ROUNDS
+
+        def greedy(iters):
+            import pandas as pd
+
+            docs: dict[int, set] = {}
+            for pdf in iters:
+                for did, t in zip(pdf["doc_id"], pdf["t"]):
+                    docs.setdefault(int(did), set()).add(t)
+            covered: set = set()
+            out = []
+            for i in range(1, rounds + 1):
+                best_id, best_gain = None, 0
+                for did in sorted(docs):
+                    g = len(docs[did] - covered)
+                    if g > best_gain:
+                        best_id, best_gain = did, g
+                if best_id is None:
+                    # mirrors the oracle: a round where every doc has
+                    # zero uncovered shingles produces no pick row
+                    break
+                covered |= docs[best_id]
+                out.append((i, best_id, best_gain))
+            yield pd.DataFrame(out, columns=["rnd", "doc_id", "gain"])
+
+        allp = dt.repartition(1).mapInPandas(
+            greedy, "rnd int, doc_id bigint, gain bigint"
+        )
+        allp = allp.select(
+            "rnd", "doc_id", F.col("gain").cast("bigint").alias("gain")
+        ).localCheckpoint(eager=True)
+    else:
+        allp = None
+        with fixpoint_confs(spark, enabled=False):
+            for i in range(1, _COVER_ROUNDS + 1):
+                if allp is None:
+                    uncov = dt
+                else:
+                    covered = dt.join(
+                        F.broadcast(allp.select("doc_id")), "doc_id", "leftsemi"
+                    ).select("t")
+                    uncov = dt.join(F.broadcast(covered), "t", "left_anti")
+                pick = (
+                    uncov.groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+                    .orderBy(F.desc("gain"), "doc_id")
+                    .limit(1)
+                    .select(F.lit(i).cast("int").alias("rnd"), "doc_id", "gain")
+                )
+                allp = (
+                    pick if allp is None else allp.unionAll(pick)
+                ).localCheckpoint(eager=True)
+    cum_w = Window.orderBy("rnd")
+    return (
+        allp.crossJoin(F.broadcast(universe))
+        .select(
+            F.col("rnd").cast("int").alias("round"),
+            "doc_id",
+            "gain",
+            F.sum("gain").over(cum_w).cast("bigint").alias("covered_cum"),
+            (
+                F.floor(
+                    F.sum("gain").over(cum_w).cast("double")
+                    / F.col("n_universe")
+                    * 10000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 10000.0
+            ).alias("covered_frac"),
+        )
+        .orderBy("round")
     )
