@@ -2655,3 +2655,114 @@ def q_bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+# --------------------------------------------------------------------------
+# E303: Page-Hinkley drift alarm — sequential positive-drift detection
+# --------------------------------------------------------------------------
+
+_PH_LAMBDA = 300_000_000_000  # alarm threshold in (cents x 1e6) units = $3000
+
+
+@query(
+    "q_page_hinkley_drift",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, h, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i,
+             SUM(cents) OVER (PARTITION BY event_type ORDER BY h) AS s
+      FROM hourly),
+    terms AS (
+      SELECT event_type, h,
+             cents * 1000000
+               - CAST(FLOOR(CAST(s AS DOUBLE) * 1000000 / i + 0.5) AS BIGINT)
+               AS term
+      FROM seq),
+    ph AS (
+      SELECT event_type, h,
+             CAST(SUM(term) OVER (PARTITION BY event_type ORDER BY h)
+                  AS BIGINT) AS ph
+      FROM terms),
+    exc AS (
+      SELECT event_type, h,
+             ph - MIN(ph) OVER (PARTITION BY event_type ORDER BY h) AS excess
+      FROM ph)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(FLOOR(epoch(MIN(h) FILTER (excess > {_PH_LAMBDA}))) AS BIGINT)
+             AS alarm_hour_s,
+           CAST(MAX(excess) AS DOUBLE) / 100000000.0 AS max_excess_dollars
+    FROM exc GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("E303", "E75", "W4", "A1", "F4"),
+)
+def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift detection per event type — the
+    streaming-monitoring sibling of the retrospective CUSUM locator
+    (E75): PH_t accumulates each hour's deviation from the RUNNING
+    mean (not the full-series mean, so it is computable online), and
+    an alarm fires the first hour the gap between PH_t and its
+    running minimum exceeds lambda — the standard positive-drift
+    test data-quality monitors run over ingest feeds. All integer:
+    hourly values are exact cents, the running mean is quantized to
+    1e-6 cents via FLOOR(s*1e6/i + .5) (s*1e6 stays below 2^53 up to
+    ~1e7 accumulated dollars per series, so the double is exact and
+    both engines round identically), and PH/min/excess are BIGINT
+    window sums — bit-exact parity with no float summation order
+    anywhere. One shuffle to the hourly grain, then three windows
+    over the same (event_type, h) ordering that Catalyst runs in a
+    single WindowExec pass per frame; the hourly table is
+    hours-per-series sized, never event-row sized. Emits per series
+    the first alarm hour (NULL where the series never drifts past
+    lambda — on this fixture 3 of 5 types alarm) and the peak excess
+    in dollars."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    seq = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.sum("cents").over(w).alias("s"),
+    )
+    terms = seq.select(
+        "event_type",
+        "h",
+        (
+            F.col("cents") * F.lit(1000000)
+            - F.floor(
+                F.col("s").cast("double") * 1000000 / F.col("i") + F.lit(0.5)
+            ).cast("long")
+        ).alias("term"),
+    )
+    ph = terms.select(
+        "event_type", "h", F.sum("term").over(w).cast("long").alias("ph")
+    )
+    exc = ph.select(
+        "event_type",
+        "h",
+        (F.col("ph") - F.min("ph").over(w)).alias("excess"),
+    )
+    return (
+        exc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.unix_timestamp(
+                F.min(F.when(F.col("excess") > _PH_LAMBDA, F.col("h")))
+            ).alias("alarm_hour_s"),
+            (F.max("excess").cast("double") / 100000000.0).alias(
+                "max_excess_dollars"
+            ),
+        )
+        .orderBy("event_type")
+    )

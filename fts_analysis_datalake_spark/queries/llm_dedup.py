@@ -1715,3 +1715,97 @@ def q_source_minhash_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# --------------------------------------------------------------------------
+# E302: edit-distance entity resolution — blocked levenshtein fuzzy match
+# --------------------------------------------------------------------------
+
+_ED_MAX = 2  # verify threshold: unit-cost edits
+
+
+@query(
+    "q_edit_distance_entities",
+    oracle=f"""
+    WITH names AS MATERIALIZED (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name),
+    keyed AS MATERIALIZED (
+      SELECT p_name, n_parts,
+             regexp_extract(p_name, '([^ ]+)$', 1) AS blk
+      FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
+           least(a.p_name, b.p_name) AS canonical
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= {_ED_MAX}
+    WHERE levenshtein(a.p_name, b.p_name) <= {_ED_MAX}
+    ORDER BY name_a, name_b
+    """,
+    tags=("E302", "D3", "J2", "A1", "F2"),
+)
+def q_edit_distance_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy entity resolution: the classic blocked
+    edit-distance matcher (dedupe/record-linkage style) that the
+    set/shingle/vector dedup family doesn't cover — typo-grade
+    variants ("cold anvil" vs "old anvil") that share almost no
+    shingles at n=3 and hash to different MinHash buckets. Shape for
+    100 TB: names are deduplicated TO THEIR DOMAIN first (with
+    per-name part counts kept as weights), candidates come from an
+    equi-join on a blocking key (the trailing token — the head noun
+    of the product phrase) plus a length-difference prune (a length
+    gap > the threshold already exceeds it: each unit edit changes
+    length by at most 1), and the O(len^2) ``levenshtein`` verify
+    runs ONLY on blocked candidates — never an all-pairs product.
+    Blocking recall is the standard tradeoff: a pair whose edits fall
+    in the blocking token is missed (on this fixture every
+    distance-<= 2 pair shares its noun, so the block is lossless —
+    measured, not assumed). Both engines evaluate unit-cost
+    insert/delete/substitute Levenshtein natively JVM-/C-side as an
+    exact INTEGER, so the hash check is bit-exact with no
+    quantization. Emits matched name pairs with their distance,
+    part-row weights, and the lexicographic-min canonical survivor."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+    keyed = names.select(
+        "p_name",
+        "n_parts",
+        F.regexp_extract("p_name", r"([^ ]+)$", 1).alias("blk"),
+    )
+    a = keyed.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "blk",
+    )
+    b = keyed.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= _ED_MAX
+            )
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("edit_dist") <= _ED_MAX)
+        .select(
+            "name_a",
+            "name_b",
+            "edit_dist",
+            "n_parts_a",
+            "n_parts_b",
+            F.least("name_a", "name_b").alias("canonical"),
+        )
+        .orderBy("name_a", "name_b")
+    )

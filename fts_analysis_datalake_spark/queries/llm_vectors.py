@@ -1578,3 +1578,109 @@ def q_sq8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_dims))
         .select("n_dims", "n_values", "mean_abs_err", "max_abs_err", "n_saturated")
     )
+
+
+# --------------------------------------------------------------------------
+# E304: Matryoshka truncation audit — does dim-16 retrieval agree with
+# dim-64?
+# --------------------------------------------------------------------------
+
+_MAT_STRIDE = 53  # query panel: vec_id % 53 == 1
+_MAT_DIM = 16  # truncated prefix dimensionality
+_MAT_K = 10  # retrieval depth audited
+
+
+@query(
+    "q_matryoshka_truncation_audit",
+    oracle=f"""
+    WITH qs AS (
+      SELECT vec_id AS q_id, embedding AS qv
+      FROM embeddings WHERE vec_id % {_MAT_STRIDE} = 1),
+    ranked AS (
+      SELECT qs.q_id, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY qs.q_id
+               ORDER BY {sql_dot('e.embedding', 'qs.qv')} DESC, e.vec_id)
+               AS rk_full,
+             ROW_NUMBER() OVER (
+               PARTITION BY qs.q_id
+               ORDER BY {sql_dot(f'list_slice(e.embedding, 1, {_MAT_DIM})',
+                                 f'list_slice(qs.qv, 1, {_MAT_DIM})')} DESC,
+                        e.vec_id) AS rk_trunc
+      FROM embeddings e JOIN qs ON e.vec_id <> qs.q_id)
+    SELECT q_id,
+           CAST(SUM(CASE WHEN rk_full <= {_MAT_K} AND rk_trunc <= {_MAT_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_common_at_k,
+           CAST(SUM(CASE WHEN rk_full <= {_MAT_K} AND rk_trunc <= {_MAT_K}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / {_MAT_K} AS overlap_frac,
+           MAX(CASE WHEN rk_full = 1 THEN vec_id END)
+             = MAX(CASE WHEN rk_trunc = 1 THEN vec_id END) AS top1_same
+    FROM ranked GROUP BY q_id ORDER BY q_id
+    """,
+    tags=("E304", "D6", "D7", "W1", "A1"),
+)
+def q_matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: if retrieval ran on only
+    the first {16} dimensions of each embedding (the MRL trick that
+    cuts index memory 4x), how much of the full-dimension top-10
+    would it still return? Per panel query (every 53rd vector), the
+    corpus is ranked twice inside ONE broadcast query x corpus pass
+    — raw-dot at all 64 dims and at the 16-dim prefix (two window
+    functions over the same partitioning, one WindowExec) — and the
+    audit reports top-10 overlap, overlap fraction, and whether the
+    top-1 neighbor survives truncation. Both dots are the
+    deterministic sequential fold (functions/vector.py), so ranks
+    and hence every emitted value are bit-exact across engines; the
+    vec_id tiebreak pins boundary ties. Scale shape: the panel is
+    broadcast, the corpus is scanned once, ranking is a per-query
+    window — the same contract as the MRR panel (E205), with the
+    prefix slice pushed into the project stage (no second scan, no
+    Python)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % _MAT_STRIDE == 1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    wq = Window.partitionBy("q_id")
+    ranked = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.row_number()
+            .over(
+                wq.orderBy(
+                    dot(F.col("embedding"), F.col("qv")).desc(), F.col("vec_id")
+                )
+            )
+            .alias("rk_full"),
+            F.row_number()
+            .over(
+                wq.orderBy(
+                    dot(
+                        F.slice(F.col("embedding"), 1, _MAT_DIM),
+                        F.slice(F.col("qv"), 1, _MAT_DIM),
+                    ).desc(),
+                    F.col("vec_id"),
+                )
+            )
+            .alias("rk_trunc"),
+        )
+    )
+    both = (F.col("rk_full") <= _MAT_K) & (F.col("rk_trunc") <= _MAT_K)
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias(
+                "n_common_at_k"
+            ),
+            (
+                F.sum(F.when(both, 1).otherwise(0)).cast("double") / _MAT_K
+            ).alias("overlap_frac"),
+            (
+                F.max(F.when(F.col("rk_full") == 1, F.col("vec_id")))
+                == F.max(F.when(F.col("rk_trunc") == 1, F.col("vec_id")))
+            ).alias("top1_same"),
+        )
+        .orderBy("q_id")
+    )
