@@ -1789,3 +1789,118 @@ def q_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("power"),
     ).orderBy("period_hours")
+
+
+# --------------------------------------------------------------------------
+# E305: Welch's t-test — the unequal-variance A/B test over all group pairs
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_welch_ttest_pairs",
+    oracle="""
+    WITH m AS MATERIALIZED (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                      * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS q
+      FROM events GROUP BY event_type),
+    v AS (
+      SELECT event_type, n, CAST(s AS DOUBLE) / n AS mean,
+             (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var
+      FROM m)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           CAST(FLOOR((a.mean - b.mean) / 100.0 * 1000000 + 0.5) AS BIGINT)
+             / 1000000.0 AS mean_diff,
+           CAST(FLOOR((a.mean - b.mean)
+                      / sqrt(a.var / a.n + b.var / b.n) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS t_stat,
+           CAST(FLOOR((a.var / a.n + b.var / b.n)
+                      * (a.var / a.n + b.var / b.n)
+                      / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+                         + (b.var / b.n) * (b.var / b.n) / (b.n - 1))
+                      * 10000 + 0.5) AS BIGINT) / 10000.0 AS welch_df
+    FROM v a JOIN v b ON a.event_type < b.event_type
+    ORDER BY type_a, type_b
+    """,
+    tags=("E305", "E219", "A1", "J2", "F4"),
+)
+def q_welch_ttest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test over every event-type pair —
+    the parametric A/B test completing the two-sample family
+    (Mann-Whitney E219 is the rank twin, chi-square the categorical
+    one): t = (m1-m2)/sqrt(s1^2/n1 + s2^2/n2) with the
+    Welch-Satterthwaite df. Sufficient statistics only: ONE pass
+    collapses each group to exact-integer (n, sum-of-cents,
+    sum-of-squared-cents) — map-side combinable, shuffle carries 5
+    rows — and the 10 pairwise tests are arithmetic over the
+    broadcast 5-row moment table. Every emitted value is a fixed
+    IEEE-op sequence over identical BIGINT moments on both engines
+    (means/variances are single divisions; numerator/denominator
+    shapes written identically in the oracle), quantized at 1e-6/1e-4
+    on output. The squared-cents sum stays below 2^63 up to ~1e14
+    cents^2 per group — document-scale safe; at true 100 TB revenue
+    scale switch s/q to DECIMAL(38,0) sums, same plan shape."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("s"),
+        F.sum(cents * cents).cast("bigint").alias("q"),
+    )
+    v = m.select(
+        "event_type",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = v.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = v.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    q6 = lambda c, s: F.floor(c * s + F.lit(0.5)).cast("bigint") / s  # noqa: E731
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            q6((F.col("mean_a") - F.col("mean_b")) / 100.0, 1000000.0).alias(
+                "mean_diff"
+            ),
+            q6(
+                (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b),
+                1000000.0,
+            ).alias("t_stat"),
+            q6(
+                (se_a + se_b)
+                * (se_a + se_b)
+                / (
+                    se_a * se_a / (F.col("n_a") - 1)
+                    + se_b * se_b / (F.col("n_b") - 1)
+                ),
+                10000.0,
+            ).alias("welch_df"),
+        )
+        .orderBy("type_a", "type_b")
+    )

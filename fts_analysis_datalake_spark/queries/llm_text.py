@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.caching import tracked_persist
-from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
+from fts_analysis_datalake_spark.catalog import (
+    ensure_parallelism,
+    load_table,
+    register_views,
+)
 from fts_analysis_datalake_spark.functions.vector import dot, sql_dot
 from fts_analysis_datalake_spark.operators.text import (
     BPE_ISH_PATTERN,
@@ -1356,3 +1360,128 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         result = result.unionAll(o)
     return result.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# E306: greedy longest-match segmentation — runtime dictionary tokenizer
+# --------------------------------------------------------------------------
+
+_GLM_PREFIX = 40  # chars of de-spaced text segmented per doc (recursion bound)
+
+_GLM_ORACLE = f"""
+WITH RECURSIVE chars AS MATERIALIZED (
+  SELECT doc_id, substring(replace(text, ' ', ''), 1, {_GLM_PREFIX}) AS s
+  FROM documents),
+vocab AS MATERIALIZED (
+  SELECT DISTINCT w, CAST(length(w) AS INTEGER) AS wl FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0),
+lens AS MATERIALIZED (SELECT DISTINCT wl FROM vocab),
+cpos AS MATERIALIZED (
+  SELECT c.doc_id, c.s, CAST(p.pos AS INTEGER) AS pos
+  FROM chars c, (SELECT unnest(generate_series(1, {_GLM_PREFIX})) AS pos) p
+  WHERE p.pos <= length(c.s)),
+matches AS MATERIALIZED (
+  SELECT cp.doc_id, cp.pos, MAX(v.wl) AS mwl
+  FROM cpos cp JOIN lens l ON true
+  JOIN vocab v ON v.wl = l.wl AND v.w = substring(cp.s, cp.pos, l.wl)
+  GROUP BY cp.doc_id, cp.pos),
+steps AS MATERIALIZED (
+  SELECT cp.doc_id, cp.pos,
+         CAST(COALESCE(m.mwl, 1) AS INTEGER) AS adv,
+         CASE WHEN m.mwl IS NULL THEN 1 ELSE 0 END AS fb
+  FROM cpos cp LEFT JOIN matches m
+    ON m.doc_id = cp.doc_id AND m.pos = cp.pos),
+walk AS (
+  SELECT doc_id, CAST(1 AS INTEGER) AS pos, CAST(0 AS BIGINT) AS n_tok,
+         CAST(0 AS BIGINT) AS n_fb
+  FROM chars WHERE length(s) >= 1
+  UNION ALL
+  SELECT w.doc_id, CAST(w.pos + st.adv AS INTEGER), w.n_tok + 1,
+         w.n_fb + st.fb
+  FROM walk w JOIN steps st ON st.doc_id = w.doc_id AND st.pos = w.pos),
+final AS (
+  SELECT w.doc_id, w.n_tok, w.n_fb
+  FROM walk w JOIN chars c ON c.doc_id = w.doc_id
+  WHERE w.pos > length(c.s))
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f.n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(f.n_fb) AS BIGINT) AS total_fallbacks,
+       CAST(FLOOR(CAST(SUM(f.n_tok) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+            AS BIGINT) / 10000.0 AS avg_tokens_per_doc
+FROM final f JOIN documents d ON d.doc_id = f.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+_GLM_SPARK = f"""
+WITH RECURSIVE chars AS (
+  SELECT doc_id, substring(replace(text, ' ', ''), 1, {_GLM_PREFIX}) AS s
+  FROM documents),
+vocab AS (
+  SELECT DISTINCT w, CAST(length(w) AS INT) AS wl FROM (
+    SELECT explode(split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0),
+lens AS (SELECT DISTINCT wl FROM vocab),
+cpos AS (
+  SELECT doc_id, s, CAST(pos AS INT) AS pos
+  FROM chars LATERAL VIEW explode(sequence(1, {_GLM_PREFIX})) t AS pos
+  WHERE pos <= length(s)),
+matches AS (
+  SELECT /*+ BROADCAST(l), BROADCAST(v) */ cp.doc_id, cp.pos, MAX(v.wl) AS mwl
+  FROM cpos cp JOIN lens l ON true
+  JOIN vocab v ON v.wl = l.wl AND v.w = substring(cp.s, cp.pos, l.wl)
+  GROUP BY cp.doc_id, cp.pos),
+steps AS (
+  SELECT cp.doc_id, cp.pos,
+         CAST(COALESCE(m.mwl, 1) AS INT) AS adv,
+         CASE WHEN m.mwl IS NULL THEN 1 ELSE 0 END AS fb
+  FROM cpos cp LEFT JOIN matches m
+    ON m.doc_id = cp.doc_id AND m.pos = cp.pos),
+walk AS (
+  SELECT doc_id, CAST(1 AS INT) AS pos, CAST(0 AS BIGINT) AS n_tok,
+         CAST(0 AS BIGINT) AS n_fb
+  FROM chars WHERE length(s) >= 1
+  UNION ALL
+  SELECT w.doc_id, CAST(w.pos + st.adv AS INT), w.n_tok + 1, w.n_fb + st.fb
+  FROM walk w JOIN steps st ON st.doc_id = w.doc_id AND st.pos = w.pos),
+final AS (
+  SELECT w.doc_id, w.n_tok, w.n_fb
+  FROM walk w JOIN chars c ON c.doc_id = w.doc_id
+  WHERE w.pos > length(c.s))
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f.n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(f.n_fb) AS BIGINT) AS total_fallbacks,
+       CAST(FLOOR(CAST(SUM(f.n_tok) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+            AS BIGINT) / 1e4 AS avg_tokens_per_doc
+FROM final f JOIN documents d ON d.doc_id = f.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@query(
+    "q_greedy_segmentation",
+    oracle=_GLM_ORACLE,
+    tags=("E306", "E280", "E294", "D8", "A1"),
+)
+def q_greedy_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match dictionary segmentation — the RUNTIME
+    half of subword tokenization (BPE training is E294): de-spaced
+    document prefixes are re-segmented against the corpus vocabulary
+    by always taking the longest matching token, with a
+    single-character fallback where nothing matches (the WordPiece
+    inference rule). The sequential-looking greedy walk is made
+    engine-parallel by PRECOMPUTING the advance table: every
+    (doc, position) gets its greedy step in ONE hash-join pass
+    (positions x distinct-token-LENGTHS explode -> substring ->
+    equi-join the broadcast vocabulary -> MAX length per position),
+    and the walk itself is then a pure pointer-chase — a WITH
+    RECURSIVE join that touches one row per unfinished doc per step,
+    strictly position-increasing so depth is bounded by the
+    {_GLM_PREFIX}-char prefix (under Spark's default recursion
+    limit). Both engines run the identical integer recursion, so
+    token and fallback counts are bit-exact. Scale shape: the
+    advance table is linear in corpus chars x #distinct lengths
+    (never chars x vocab), the vocabulary join is broadcast, and the
+    recursion working set SHRINKS as docs finish."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GLM_SPARK)
