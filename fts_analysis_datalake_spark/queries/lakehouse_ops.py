@@ -1210,3 +1210,80 @@ def q_lakehouse_merge_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("stage", "metric")
+
+
+# --------------------------------------------------------------------------
+# E307: functional-dependency discovery — does LHS determine RHS?
+# --------------------------------------------------------------------------
+
+# (table, lhs, rhs) candidates: two key-based dependencies that HOLD
+# and five plausible-but-violated ones — the discovery report's value
+# is the split, not a uniform answer.
+_FD_CANDIDATES = (
+    ("part", "p_partkey", "p_brand"),
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("supplier", "s_nationkey", "s_acctbal"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{tbl}.{lhs} -> {tbl}.{rhs}' AS candidate,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(MAX(nd) AS BIGINT) AS max_rhs_per_group,
+           MAX(nd) = 1 AS holds
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd FROM {tbl}
+          GROUP BY {lhs})""")
+    return " UNION ALL ".join(parts) + " ORDER BY candidate"
+
+
+@query(
+    "q_fd_discovery_report",
+    oracle=_fd_oracle(),
+    tags=("E307", "E114", "E286", "A1", "U2"),
+)
+def q_fd_discovery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (Metanome/profiling-suite
+    style): for each candidate LHS -> RHS column pair, one exact
+    aggregation pass answers whether the dependency HOLDS (every LHS
+    group maps to exactly one RHS value), and if not, how badly —
+    violating-group count and the worst group's RHS fan-out. This is
+    the schema-inference/constraint-mining primitive a lakehouse
+    catalog runs before declaring PRIMARY KEY / UNIQUE metadata or
+    choosing merge keys (the E12 upsert and E214 OCC audits assume
+    such keys; this is where they come from). Each candidate costs
+    one shuffle on its LHS (groupBy + exact COUNT DISTINCT, map-side
+    combinable) over column-pruned scans — candidates on the same
+    table still scan independently, which at 100 TB is the right
+    trade vs a single fat grouping-sets pass whose every row carries
+    all candidate columns. Integers end-to-end; the report stacks
+    via unionByName."""
+    parts = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        agg = (
+            t.groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+            .agg(
+                F.lit(f"{tbl}.{lhs} -> {tbl}.{rhs}").alias("candidate"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.max("nd").cast("bigint").alias("max_rhs_per_group"),
+                (F.max("nd") == 1).alias("holds"),
+            )
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("candidate")
