@@ -242,3 +242,135 @@ def test_bpe_merge_rounds_match_reference(spark):
             new_vocab[w] = tuple(out)
         vocab = new_vocab
     assert got == expected, (got, expected)
+
+
+def test_edit_distance_blocking_is_lossless_on_fixture(spark):
+    """E302's docstring claims the trailing-token block loses no
+    distance-<=2 pair ON THIS FIXTURE (measured, not assumed) — prove
+    it by comparing the blocked result against an unblocked all-pairs
+    levenshtein over the (tiny, domain-sized) distinct-name table."""
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    blocked = {
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in REGISTRY["q_edit_distance_entities"]
+        .fn(spark, SF_DIR_SMALL)
+        .collect()
+    }
+    from fts_analysis_datalake_spark.catalog import load_table
+
+    names = load_table(spark, SF_DIR_SMALL, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("na"))
+    b = names.select(F.col("p_name").alias("nb"))
+    allp = {
+        (r.na, r.nb, r.d)
+        for r in a.crossJoin(b)
+        .filter(F.col("na") < F.col("nb"))
+        .withColumn("d", F.levenshtein("na", "nb"))
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert blocked == allp and len(allp) > 0
+
+
+def test_greedy_segmentation_matches_python_replay(spark):
+    """E306 reference-equivalence: an independent pure-Python greedy
+    longest-match over the same de-spaced prefixes and vocabulary
+    must reproduce the per-source token/fallback totals exactly."""
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.queries.llm_text import _GLM_PREFIX
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    got = {
+        r.source: (r.n_docs, r.total_tokens, r.total_fallbacks)
+        for r in REGISTRY["q_greedy_segmentation"].fn(spark, SF_DIR_SMALL).collect()
+    }
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "text", "source"
+    ).collect()
+    vocab = set()
+    for r in docs:
+        vocab.update(w for w in r.text.split(" ") if w)
+    by_len = sorted({len(w) for w in vocab}, reverse=True)
+    exp: dict = {}
+    for r in docs:
+        s = r.text.replace(" ", "")[:_GLM_PREFIX]
+        pos, n_tok, n_fb = 0, 0, 0
+        while pos < len(s):
+            adv = None
+            for wl in by_len:
+                if s[pos : pos + wl] in vocab and len(s[pos : pos + wl]) == wl:
+                    adv = wl
+                    break
+            if adv is None:
+                adv, n_fb = 1, n_fb + 1
+            pos += adv
+            n_tok += 1
+        d, t, f = exp.get(r.source, (0, 0, 0))
+        exp[r.source] = (d + 1, t + n_tok, f + n_fb)
+    assert got == exp
+
+
+def test_welch_ttest_matches_python_moments(spark):
+    """E305 reference-equivalence: recompute every pair's t statistic
+    and Welch-Satterthwaite df from collected cent values in pure
+    Python (same quantization) and compare exactly."""
+    import math
+
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.mean_diff, r.t_stat, r.welch_df)
+        for r in REGISTRY["q_welch_ttest_pairs"].fn(spark, SF_DIR_SMALL).collect()
+    }
+    rows = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_type", "value"
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append(
+            int(math.floor(r.value * 100 + 0.5))
+        )
+    stats = {}
+    for et, xs in groups.items():
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        mean = s / n
+        var = (q - s / n * s) / (n - 1)
+        stats[et] = (n, mean, var)
+    qz = lambda x, sc: math.floor(x * sc + 0.5) / sc  # noqa: E731
+    exp = {}
+    for ta in stats:
+        for tb in stats:
+            if ta >= tb:
+                continue
+            na, ma, va = stats[ta]
+            nb, mb, vb = stats[tb]
+            sea, seb = va / na, vb / nb
+            exp[(ta, tb)] = (
+                na,
+                nb,
+                qz((ma - mb) / 100.0, 1e6),
+                qz((ma - mb) / math.sqrt(sea + seb), 1e6),
+                qz(
+                    (sea + seb) * (sea + seb)
+                    / (sea * sea / (na - 1) + seb * seb / (nb - 1)),
+                    1e4,
+                ),
+            )
+    assert got == exp
+
+
+def test_ktruss_is_inside_three_core(spark):
+    """E308 theorem contract: the 4-truss is a subgraph of the 3-core,
+    so every surviving node's degree within the truss is >= 3."""
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["q_ktruss_parts"].fn(spark, SF_DIR_SMALL).collect()
+    assert len(rows) > 0
+    assert all(r.truss_deg >= 3 for r in rows)
