@@ -2766,3 +2766,214 @@ def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# E309: delta-encoding storage audit — Gorilla-style timeseries compression
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_delta_encoding_audit",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    deltas AS (
+      SELECT event_type, h, cents,
+             cents - lag(cents) OVER w AS d,
+             (cents - lag(cents) OVER w)
+               - (lag(cents) OVER w - lag(cents, 2) OVER w) AS dd
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+    costed AS (
+      SELECT event_type,
+             CASE
+               WHEN dd IS NULL THEN 64
+               WHEN dd = 0 THEN 1
+               ELSE 5 + length(bin(CASE WHEN dd >= 0 THEN 2 * dd
+                                        ELSE -2 * dd - 1 END))
+             END AS bits,
+             CASE WHEN dd = 0 THEN 1 ELSE 0 END AS is_zero
+      FROM deltas)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(is_zero) AS BIGINT) AS n_zero_dd,
+           CAST(SUM(bits) AS BIGINT) AS total_bits,
+           CAST(FLOOR(64.0e0 * COUNT(*)
+                      / SUM(bits) * 10000 + 0.5) AS BIGINT) / 1e4
+             AS compression_ratio
+    FROM costed GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("E309", "W2", "A1", "F4", "E49"),
+)
+def q_delta_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla-style delta-of-delta storage audit: how compressible
+    is each hourly series under the timeseries-DB encoding
+    (Facebook Gorilla / InfluxDB / TimescaleDB chunks) — first two
+    points stored raw (64 bits), then each point costs 1 bit when
+    its delta-of-delta is zero (steady trend) and 5 control bits +
+    the zigzag magnitude width otherwise. The magnitude width is
+    length(bin(zigzag)) — an exact INTEGER on both engines (no
+    floating log2, whose libm boundary behavior at powers of two is
+    implementation-defined), zigzag folding negatives into
+    non-negatives first. One shuffle to the hourly grain, two lag
+    windows over one frame, map-side aggregable costs: the audit a
+    storage engine runs to choose encodings per column/chunk before
+    a compaction rewrite (E49's sibling decision). Emits per series
+    the zero-dd share (trend steadiness) and the estimated
+    compression ratio vs raw 64-bit, 1e-4-quantized from exact
+    integer bit totals."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    deltas = hourly.select(
+        "event_type",
+        (
+            (F.col("cents") - F.lag("cents", 1).over(w))
+            - (F.lag("cents", 1).over(w) - F.lag("cents", 2).over(w))
+        ).alias("dd"),
+    )
+    zig = F.when(F.col("dd") >= 0, 2 * F.col("dd")).otherwise(
+        -2 * F.col("dd") - 1
+    )
+    costed = deltas.select(
+        "event_type",
+        F.when(F.col("dd").isNull(), 64)
+        .when(F.col("dd") == 0, 1)
+        .otherwise(F.lit(5) + F.length(F.bin(zig)))
+        .cast("long")
+        .alias("bits"),
+        F.when(F.col("dd") == 0, 1).otherwise(0).alias("is_zero"),
+    )
+    return (
+        costed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("is_zero").cast("bigint").alias("n_zero_dd"),
+            F.sum("bits").cast("bigint").alias("total_bits"),
+            (
+                F.floor(
+                    F.lit(64.0) * F.count(F.lit(1)) / F.sum("bits") * 10000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e4
+            ).alias("compression_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E310: clamped running balance — inventory/credit-ledger semantics
+# --------------------------------------------------------------------------
+
+_BAL_CAP = 100_000  # cents: balance clamps to [0, cap]
+
+_BAL_ORACLE = f"""
+WITH RECURSIVE txns AS MATERIALIZED (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+              ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS delta
+  FROM events WHERE event_type IN ('purchase', 'click')),
+walk AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS bal,
+         CAST(0 AS BIGINT) AS n_floor, CAST(0 AS BIGINT) AS n_cap
+  FROM (SELECT DISTINCT user_id FROM txns)
+  UNION ALL
+  SELECT w.user_id, w.rn + 1,
+         LEAST({_BAL_CAP}, GREATEST(0, w.bal + t.delta)),
+         w.n_floor + CASE WHEN w.bal + t.delta < 0 THEN 1 ELSE 0 END,
+         w.n_cap + CASE WHEN w.bal + t.delta > {_BAL_CAP} THEN 1 ELSE 0 END
+  FROM walk w JOIN txns t ON t.user_id = w.user_id AND t.rn = w.rn + 1),
+final AS (
+  SELECT user_id, MAX(rn) AS n_txns FROM walk GROUP BY user_id)
+SELECT w.user_id, CAST(f.n_txns AS BIGINT) AS n_txns,
+       w.bal AS final_balance_cents,
+       w.n_floor AS n_floor_hits, w.n_cap AS n_cap_hits
+FROM walk w JOIN final f ON f.user_id = w.user_id AND w.rn = f.n_txns
+ORDER BY w.user_id
+"""
+
+
+@query(
+    "q_clamped_running_balance",
+    oracle=_BAL_ORACLE,
+    tags=("E310", "X2", "W2", "A1"),
+)
+def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided clamped running balance — credit-ledger / inventory
+    semantics (purchases credit, clicks debit, the balance saturates
+    at 0 and at the cap): the classic NON-windowable running
+    aggregate. A one-sided clamp has the closed form
+    S_t - min(0, running_min(S)); the two-sided clamp does not (each
+    saturation erases history nonlinearly), so engines must either
+    recurse or carry per-entity state — here a grouped-map pandas
+    kernel per user (the X2 contract), with the per-user event list
+    already shrunk to its transactions before Python sees data.
+    Pure BIGINT cents arithmetic (no quantization needed at all), so
+    the DuckDB WITH RECURSIVE replay of the same recurrence is
+    bit-identical — the third value-verified applyInPandas query
+    after Holt (E54) and MAD-UDAF. Reports each user's final
+    saturated balance and how often the floor/cap bound, the
+    overdraft-pressure and idle-capital signals a ledger audit
+    wants. At 100 TB the kernel state is O(1) per user and groups
+    are user-sized; skew-prone power users would shard by
+    (user, epoch-window) with carried opening balances."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    txns = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(-F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .alias("delta"),
+    )
+
+    cap = _BAL_CAP
+
+    def ledger(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        bal, n_floor, n_cap = 0, 0, 0
+        for d in pdf["delta"].to_list():
+            nxt = bal + int(d)
+            if nxt < 0:
+                n_floor += 1
+                nxt = 0
+            elif nxt > cap:
+                n_cap += 1
+                nxt = cap
+            bal = nxt
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_txns": [len(pdf)],
+                "final_balance_cents": [bal],
+                "n_floor_hits": [n_floor],
+                "n_cap_hits": [n_cap],
+            }
+        )
+
+    return (
+        txns.groupBy("user_id")
+        .applyInPandas(
+            ledger,
+            "user_id bigint, n_txns bigint, final_balance_cents bigint,"
+            " n_floor_hits bigint, n_cap_hits bigint",
+        )
+        .orderBy("user_id")
+    )

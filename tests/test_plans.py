@@ -62,6 +62,8 @@ PYTHON_SURFACE = {
     # source contingency table in one bounded task
     "q_kcore_suppliers",  # E221 6 peel rounds on the O(nodes)
     # sparsified edge list in one bounded task (count-gated)
+    "q_clamped_running_balance",  # E310 X2 per-user saturating-ledger
+    # recursion (two-sided clamp has no window closed form)
 }
 
 ALL_QUERIES = sorted(REGISTRY)
