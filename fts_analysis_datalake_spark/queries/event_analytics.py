@@ -2926,9 +2926,14 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     after Holt (E54) and MAD-UDAF. Reports each user's final
     saturated balance and how often the floor/cap bound, the
     overdraft-pressure and idle-capital signals a ledger audit
-    wants. At 100 TB the kernel state is O(1) per user and groups
-    are user-sized; skew-prone power users would shard by
-    (user, epoch-window) with carried opening balances."""
+    wants. The grouped-map runs over coarse user BUCKETS
+    (user_id % 64), not raw user_ids — the per_user_value_trend
+    lesson (operators/udfs.py): one call per user made the Python
+    boundary overhead the whole runtime (~7 ms x users, measured
+    12.9 s at sf0.1), while 64 bucket calls walking their users in
+    one sorted pass keep the boundary cost O(buckets). At 100 TB
+    the kernel state is O(1) per user; skew-prone power users would
+    shard by (user, epoch-window) with carried opening balances."""
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events")
@@ -2942,14 +2947,24 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(-F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
         .alias("delta"),
+        F.pmod(F.col("user_id"), F.lit(64)).alias("bucket"),
     )
 
     cap = _BAL_CAP
 
     def ledger(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        bal, n_floor, n_cap = 0, 0, 0
-        for d in pdf["delta"].to_list():
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"]).reset_index(
+            drop=True
+        )
+        out: list[tuple] = []
+        cur = None
+        bal = n_floor = n_cap = n_txn = 0
+        for uid, d in zip(pdf["user_id"].to_list(), pdf["delta"].to_list()):
+            if uid != cur:
+                if cur is not None:
+                    out.append((cur, n_txn, bal, n_floor, n_cap))
+                cur, bal, n_floor, n_cap, n_txn = uid, 0, 0, 0, 0
+            n_txn += 1
             nxt = bal + int(d)
             if nxt < 0:
                 n_floor += 1
@@ -2958,18 +2973,21 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_cap += 1
                 nxt = cap
             bal = nxt
+        if cur is not None:
+            out.append((cur, n_txn, bal, n_floor, n_cap))
         return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_txns": [len(pdf)],
-                "final_balance_cents": [bal],
-                "n_floor_hits": [n_floor],
-                "n_cap_hits": [n_cap],
-            }
+            out,
+            columns=[
+                "user_id",
+                "n_txns",
+                "final_balance_cents",
+                "n_floor_hits",
+                "n_cap_hits",
+            ],
         )
 
     return (
-        txns.groupBy("user_id")
+        txns.groupBy("bucket")
         .applyInPandas(
             ledger,
             "user_id bigint, n_txns bigint, final_balance_cents bigint,"

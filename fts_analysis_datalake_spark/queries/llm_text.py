@@ -9,6 +9,8 @@ dependent) live in llm_dedup.py as rows-only + property-tested.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1413,8 +1415,8 @@ FROM final f JOIN documents d ON d.doc_id = f.doc_id
 GROUP BY d.source ORDER BY d.source
 """
 
-_GLM_SPARK = f"""
-WITH RECURSIVE chars AS (
+_GLM_STEPS_SPARK = f"""
+WITH chars AS (
   SELECT doc_id, substring(replace(text, ' ', ''), 1, {_GLM_PREFIX}) AS s
   FROM documents),
 vocab AS (
@@ -1430,31 +1432,13 @@ matches AS (
   SELECT /*+ BROADCAST(l), BROADCAST(v) */ cp.doc_id, cp.pos, MAX(v.wl) AS mwl
   FROM cpos cp JOIN lens l ON true
   JOIN vocab v ON v.wl = l.wl AND v.w = substring(cp.s, cp.pos, l.wl)
-  GROUP BY cp.doc_id, cp.pos),
-steps AS (
-  SELECT cp.doc_id, cp.pos,
-         CAST(COALESCE(m.mwl, 1) AS INT) AS adv,
-         CASE WHEN m.mwl IS NULL THEN 1 ELSE 0 END AS fb
-  FROM cpos cp LEFT JOIN matches m
-    ON m.doc_id = cp.doc_id AND m.pos = cp.pos),
-walk AS (
-  SELECT doc_id, CAST(1 AS INT) AS pos, CAST(0 AS BIGINT) AS n_tok,
-         CAST(0 AS BIGINT) AS n_fb
-  FROM chars WHERE length(s) >= 1
-  UNION ALL
-  SELECT w.doc_id, CAST(w.pos + st.adv AS INT), w.n_tok + 1, w.n_fb + st.fb
-  FROM walk w JOIN steps st ON st.doc_id = w.doc_id AND st.pos = w.pos),
-final AS (
-  SELECT w.doc_id, w.n_tok, w.n_fb
-  FROM walk w JOIN chars c ON c.doc_id = w.doc_id
-  WHERE w.pos > length(c.s))
-SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(f.n_tok) AS BIGINT) AS total_tokens,
-       CAST(SUM(f.n_fb) AS BIGINT) AS total_fallbacks,
-       CAST(FLOOR(CAST(SUM(f.n_tok) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
-            AS BIGINT) / 1e4 AS avg_tokens_per_doc
-FROM final f JOIN documents d ON d.doc_id = f.doc_id
-GROUP BY d.source ORDER BY d.source
+  GROUP BY cp.doc_id, cp.pos)
+SELECT cp.doc_id, cp.pos,
+       CAST(cp.pos + COALESCE(m.mwl, 1) AS INT) AS nxt,
+       CAST(1 AS BIGINT) AS n_tok,
+       CAST(CASE WHEN m.mwl IS NULL THEN 1 ELSE 0 END AS BIGINT) AS n_fb
+FROM cpos cp LEFT JOIN matches m
+  ON m.doc_id = cp.doc_id AND m.pos = cp.pos
 """
 
 
@@ -1470,18 +1454,156 @@ def q_greedy_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     by always taking the longest matching token, with a
     single-character fallback where nothing matches (the WordPiece
     inference rule). The sequential-looking greedy walk is made
-    engine-parallel by PRECOMPUTING the advance table: every
-    (doc, position) gets its greedy step in ONE hash-join pass
+    engine-parallel in two moves. (1) PRECOMPUTE the advance table:
+    every (doc, position) gets its greedy step in ONE hash-join pass
     (positions x distinct-token-LENGTHS explode -> substring ->
-    equi-join the broadcast vocabulary -> MAX length per position),
-    and the walk itself is then a pure pointer-chase — a WITH
-    RECURSIVE join that touches one row per unfinished doc per step,
-    strictly position-increasing so depth is bounded by the
-    {_GLM_PREFIX}-char prefix (under Spark's default recursion
-    limit). Both engines run the identical integer recursion, so
-    token and fallback counts are bit-exact. Scale shape: the
-    advance table is linear in corpus chars x #distinct lengths
-    (never chars x vocab), the vocabulary join is broadcast, and the
-    recursion working set SHRINKS as docs finish."""
+    equi-join the broadcast vocabulary -> MAX length per position).
+    (2) POINTER-DOUBLE the walk: instead of chasing the chain one
+    step per scheduled round (a {_GLM_PREFIX}-step WITH RECURSIVE
+    measured 18.9 s at sf0.1 — pure per-round scheduling), compose
+    the jump table with itself log2({_GLM_PREFIX}) times, carrying
+    (token, fallback) path sums through each composition; after 6
+    doublings every position jumps >= 64 >= {_GLM_PREFIX} steps, so
+    row pos=1 holds the whole segmentation. Each doubling is one
+    equi-join of the jump table with itself on (doc, landing
+    position) — 6 hash joins total, localCheckpoint'd because both
+    sides reference the same frame. The oracle replays the plain
+    one-step recursion (WITH RECURSIVE), proving the doubled walk
+    IS the sequential greedy. Scale shape: the advance/jump table
+    is linear in corpus chars x #distinct lengths (never chars x
+    vocab), the vocabulary join is broadcast, and the walk costs a
+    LOGARITHMIC number of joins regardless of prefix length.
+    Locally the 6 composition joins are pure scheduling overhead, so
+    the count-gated SMALL-FINISH discipline applies (the
+    dbscan/kcore/set-cover pattern): when the corpus is bounded, ONE
+    Arrow task replays the identical greedy over the de-spaced
+    prefixes against the collected (domain-sized) vocabulary —
+    bit-exact because every step is the same longest-match integer
+    rule; the doubled-join path remains the gate's else-branch and
+    the 100 TB path."""
     register_views(spark, sf_dir)
-    return spark.sql(_GLM_SPARK)
+    docs = load_table(spark, sf_dir, "documents")
+    if docs.count() <= 1_000_000:
+        prefix = _GLM_PREFIX
+
+        def seg(iters):
+            import pandas as pd
+
+            # Single bounded task sees the whole corpus, so the
+            # vocabulary is built here too (one in-memory pass)
+            # instead of a separate Spark scan+distinct+collect.
+            frames = [pdf for pdf in iters]
+            vset: set = set()
+            for pdf in frames:
+                for text in pdf["text"]:
+                    vset.update(text.split(" "))
+            vset.discard("")
+            by_len = sorted({len(w) for w in vset}, reverse=True)
+            max_wl = by_len[0] if by_len else 1
+            # The greedy advance is a pure function of the next
+            # max_wl chars, and the tiny vocabulary means those
+            # lookahead windows repeat massively across the corpus —
+            # memoize (window -> (advance, is_fallback)) so the hot
+            # loop is one slice + one dict hit per TOKEN.
+            memo: dict = {}
+            out = []
+            for pdf in frames:
+                for did, text, source in zip(
+                    pdf["doc_id"], pdf["text"], pdf["source"]
+                ):
+                    s = text.replace(" ", "")[:prefix]
+                    pos, n_tok, n_fb = 0, 0, 0
+                    while pos < len(s):
+                        win = s[pos : pos + max_wl]
+                        hit = memo.get(win)
+                        if hit is None:
+                            hit = (1, 1)
+                            for wl in by_len:
+                                cand = win[:wl]
+                                if len(cand) == wl and cand in vset:
+                                    hit = (wl, 0)
+                                    break
+                            memo[win] = hit
+                        pos += hit[0]
+                        n_tok += 1
+                        n_fb += hit[1]
+                    out.append((source, int(did), n_tok, n_fb))
+            yield pd.DataFrame(
+                out, columns=["source", "doc_id", "n_tok", "n_fb"]
+            )
+
+        per_doc = (
+            docs.select("doc_id", "text", "source")
+            .repartition(1)
+            .mapInPandas(
+                seg, "source string, doc_id bigint, n_tok long, n_fb long"
+            )
+            .localCheckpoint(eager=True)
+        )
+        return (
+            per_doc.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("total_tokens"),
+                F.sum("n_fb").cast("bigint").alias("total_fallbacks"),
+                (
+                    F.floor(
+                        F.sum("n_tok").cast("double")
+                        / F.count(F.lit(1))
+                        * 10000
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                    / 1e4
+                ).alias("avg_tokens_per_doc"),
+            )
+            .orderBy("source")
+        )
+    jump = spark.sql(_GLM_STEPS_SPARK).localCheckpoint(eager=True)
+    n_doublings = max(1, math.ceil(math.log2(_GLM_PREFIX)))
+    for _ in range(n_doublings):
+        nxt = jump.select(
+            F.col("doc_id").alias("j_doc"),
+            F.col("pos").alias("j_pos"),
+            F.col("nxt").alias("j_nxt"),
+            F.col("n_tok").alias("j_tok"),
+            F.col("n_fb").alias("j_fb"),
+        )
+        jump = (
+            jump.join(
+                nxt,
+                (F.col("j_doc") == F.col("doc_id"))
+                & (F.col("j_pos") == F.col("nxt")),
+                "left",
+            )
+            .select(
+                "doc_id",
+                "pos",
+                F.coalesce(F.col("j_nxt"), F.col("nxt")).alias("nxt"),
+                (
+                    F.col("n_tok") + F.coalesce(F.col("j_tok"), F.lit(0))
+                ).alias("n_tok"),
+                (F.col("n_fb") + F.coalesce(F.col("j_fb"), F.lit(0))).alias(
+                    "n_fb"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        jump.filter(F.col("pos") == 1)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_fb").cast("bigint").alias("total_fallbacks"),
+            (
+                F.floor(
+                    F.sum("n_tok").cast("double") / F.count(F.lit(1)) * 10000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e4
+            ).alias("avg_tokens_per_doc"),
+        )
+        .orderBy("source")
+    )
