@@ -1350,7 +1350,14 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin marks the same CTEs MATERIALIZED). At 100 TB the
     cost is the first round's triangle join on the sparsified edge
     list — later rounds shrink geometrically; degree-ordered
-    orientation is the standing mitigation for wedge-heavy hubs."""
+    orientation is the standing mitigation for wedge-heavy hubs.
+    Locally, round 1 (the ~95% peel) runs distributed and the
+    count-gated SMALL-FINISH discipline (kcore/dbscan pattern) then
+    replays the remaining {_KT_ROUNDS}-1 rounds on the shrunken
+    edge list in ONE bounded Arrow task — identical integer
+    support counting, so the result is the same fixed-round peel
+    the oracle unrolls; the scheduled loop remains the else-branch
+    and the 100 TB path."""
     li = load_table(spark, sf_dir, "lineitem")
     a = li.select("l_orderkey", F.col("l_partkey").alias("u"),
                   F.col("l_quantity").alias("qu"))
@@ -1367,11 +1374,11 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
-    for _ in range(_KT_ROUNDS):
-        e2 = edges.select(F.col("u").alias("t2u"), F.col("v").alias("t2v"))
-        e3 = edges.select(F.col("u").alias("t3u"), F.col("v").alias("t3v"))
+    def peel_round(e: DataFrame) -> DataFrame:
+        e2 = e.select(F.col("u").alias("t2u"), F.col("v").alias("t2v"))
+        e3 = e.select(F.col("u").alias("t3u"), F.col("v").alias("t3v"))
         tri = (
-            edges.join(e2, F.col("t2u") == F.col("v"))
+            e.join(e2, F.col("t2u") == F.col("v"))
             .join(
                 e3,
                 (F.col("t3u") == F.col("u")) & (F.col("t3v") == F.col("t2v")),
@@ -1392,13 +1399,46 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("s"))
             .filter(F.col("s") >= _KT_K - 2)
         )
-        edges = (
-            edges.join(
+        return (
+            e.join(
                 support,
                 (F.col("cu") == F.col("u")) & (F.col("cv") == F.col("v")),
                 "leftsemi",
             )
         ).localCheckpoint(eager=True)
+
+    edges = peel_round(edges)
+    rest = _KT_ROUNDS - 1
+    min_sup = _KT_K - 2
+    if edges.count() <= 2_000_000:
+
+        def peel(batches):
+            import pandas as pd
+
+            es = set()
+            for pdf in batches:
+                es.update(zip(pdf["u"].to_list(), pdf["v"].to_list()))
+            for _ in range(rest):
+                adj: dict = {}
+                for u, v in es:
+                    adj.setdefault(u, set()).add(v)
+                    adj.setdefault(v, set()).add(u)
+                es = {
+                    (u, v)
+                    for u, v in es
+                    if len(adj[u] & adj[v]) >= min_sup
+                }
+            out = sorted(es)
+            yield pd.DataFrame(out, columns=["u", "v"])
+
+        edges = (
+            edges.repartition(1)
+            .mapInPandas(peel, "u bigint, v bigint")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        for _ in range(rest):
+            edges = peel_round(edges)
     return (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
