@@ -374,3 +374,224 @@ def test_ktruss_is_inside_three_core(spark):
     rows = REGISTRY["q_ktruss_parts"].fn(spark, SF_DIR_SMALL).collect()
     assert len(rows) > 0
     assert all(r.truss_deg >= 3 for r in rows)
+
+
+def test_bellman_ford_matches_python_replay(spark):
+    """E301 reference-equivalence: replay the bounded-hop relaxation
+    in pure Python over the same integer edge list."""
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _BF_ROUNDS,
+        _BF_TOPK,
+    )
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    got = [
+        (r.node, r.dist)
+        for r in REGISTRY["q_bellman_ford_nearest"].fn(spark, SF_DIR_SMALL).collect()
+    ]
+
+    li = load_table(spark, SF_DIR_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    ).collect()
+    by_order: dict = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, []).append(
+            (r.l_partkey, r.l_quantity)
+        )
+    w: dict = {}
+    for rows in by_order.values():
+        for i in range(len(rows)):
+            for j in range(len(rows)):
+                u, qu = rows[i]
+                v, qv = rows[j]
+                if u < v and abs(qu - qv) <= 2:
+                    gap = int(abs(qu - qv))
+                    k = (u, v)
+                    w[k] = min(w.get(k, 10**9), gap + 1)
+    adj: dict = {}
+    for (u, v), wt in w.items():
+        adj.setdefault(u, []).append((v, wt))
+        adj.setdefault(v, []).append((u, wt))
+    src = min(adj)
+    dist = {src: 0}
+    for _ in range(_BF_ROUNDS):
+        # weight-0 self-loops in the query carry each node's current
+        # dist through the round — mirror that here
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, wt in adj[u]:
+                if v not in nxt or d + wt < nxt[v]:
+                    nxt[v] = d + wt
+        dist = nxt
+    exp = sorted(((d, n) for n, d in dist.items()))[:_BF_TOPK]
+    assert got == [(n, d) for d, n in exp] and len(got) > 0
+
+
+def test_greedy_cover_gains_are_non_increasing(spark):
+    """E300 submodularity contract: marginal gains of the greedy
+    picks must be non-increasing, cumulative coverage consistent."""
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = sorted(
+        REGISTRY["q_greedy_cover_selection"].fn(spark, SF_DIR_SMALL).collect(),
+        key=lambda r: r.round,
+    )
+    assert len(rows) > 0
+    gains = [r.gain for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    cum = 0
+    for r in rows:
+        cum += r.gain
+        assert r.covered_cum == cum
+
+
+def test_page_hinkley_matches_python_replay(spark):
+    """E303 reference-equivalence: recompute the PH trajectory from
+    collected hourly cents in pure Python (same quantization)."""
+    import math
+
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.queries.event_analytics import _PH_LAMBDA
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    got = {
+        r.event_type: (r.n_hours, r.alarm_hour_s, r.max_excess_dollars)
+        for r in REGISTRY["q_page_hinkley_drift"].fn(spark, SF_DIR_SMALL).collect()
+    }
+    e = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    hourly: dict = {}
+    for r in e:
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        key = (r.event_type, h)
+        hourly[key] = hourly.get(key, 0) + int(
+            math.floor(r.value * 100 + 0.5)
+        )
+    series: dict = {}
+    for (et, h), cents in sorted(hourly.items()):
+        series.setdefault(et, []).append((h, cents))
+    import calendar
+
+    exp = {}
+    for et, pts in series.items():
+        s, ph, mn, mx = 0, 0, 0, 0
+        alarm = None
+        for i, (h, cents) in enumerate(pts, start=1):
+            s += cents
+            term = cents * 1000000 - math.floor(s * 1000000 / i + 0.5)
+            ph += term
+            mn = min(mn, ph)
+            exc = ph - mn
+            mx = max(mx, exc)
+            if alarm is None and exc > _PH_LAMBDA:
+                alarm = int(calendar.timegm(h.timetuple()))
+        exp[et] = (len(pts), alarm, mx / 100000000.0)
+    assert got == exp
+
+
+def test_matryoshka_overlap_matches_numpy(spark):
+    """E304 reference-equivalence: recompute both rankings with numpy
+    float64 dots (same fold order is irrelevant here — numpy's sum
+    differs, so compare via exact-rank replay using Python floats in
+    sequential order)."""
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.queries.llm_vectors import (
+        _MAT_DIM,
+        _MAT_K,
+        _MAT_STRIDE,
+    )
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    got = {
+        r.q_id: (r.n_common_at_k, r.top1_same)
+        for r in REGISTRY["q_matryoshka_truncation_audit"]
+        .fn(spark, SF_DIR_SMALL)
+        .collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF_DIR_SMALL, "embeddings").collect()
+    }
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    exp = {}
+    for qid, qv in vecs.items():
+        if qid % _MAT_STRIDE != 1:
+            continue
+        full, trunc = [], []
+        for vid, cv in vecs.items():
+            if vid == qid:
+                continue
+            full.append((-seq_dot(cv, qv), vid))
+            trunc.append((-seq_dot(cv[:_MAT_DIM], qv[:_MAT_DIM]), vid))
+        top_f = {v for _, v in sorted(full)[:_MAT_K]}
+        top_t = {v for _, v in sorted(trunc)[:_MAT_K]}
+        exp[qid] = (
+            len(top_f & top_t),
+            sorted(full)[0][1] == sorted(trunc)[0][1],
+        )
+    assert got == exp and len(exp) > 0
+
+
+def test_fd_holds_iff_no_violations(spark):
+    """E307 internal consistency + at least one held and one violated
+    candidate on the fixture (the report's value is the split)."""
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["q_fd_discovery_report"].fn(spark, SF_DIR_SMALL).collect()
+    assert all((r.n_violating == 0) == r.holds for r in rows)
+    assert any(r.holds for r in rows) and any(not r.holds for r in rows)
+
+
+def test_delta_encoding_bits_match_python_replay(spark):
+    """E309 reference-equivalence: recompute the Gorilla bit cost
+    from collected hourly cents in pure Python."""
+    import math
+
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    got = {
+        r.event_type: (r.n_points, r.n_zero_dd, r.total_bits)
+        for r in REGISTRY["q_delta_encoding_audit"].fn(spark, SF_DIR_SMALL).collect()
+    }
+    e = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    hourly: dict = {}
+    for r in e:
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        key = (r.event_type, h)
+        hourly[key] = hourly.get(key, 0) + int(math.floor(r.value * 100 + 0.5))
+    series: dict = {}
+    for (et, h), cents in sorted(hourly.items()):
+        series.setdefault(et, []).append(cents)
+    exp = {}
+    for et, xs in series.items():
+        bits, zeros = 0, 0
+        for i, x in enumerate(xs):
+            if i < 2:
+                bits += 64
+                continue
+            dd = (xs[i] - xs[i - 1]) - (xs[i - 1] - xs[i - 2])
+            if dd == 0:
+                bits += 1
+                zeros += 1
+            else:
+                z = 2 * dd if dd >= 0 else -2 * dd - 1
+                bits += 5 + len(bin(z)[2:])
+        exp[et] = (len(xs), zeros, bits)
+    assert got == exp
