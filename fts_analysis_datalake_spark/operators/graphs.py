@@ -140,6 +140,7 @@ def pagerank(
     iters: int = 10,
     damping: float = 0.85,
     symmetrize_dedup: bool = True,
+    small_finish_rows: int | None = None,
 ) -> DataFrame:
     """PageRank over the undirected graph ``edges`` -> (node, rank).
 
@@ -161,11 +162,57 @@ def pagerank(
     # shuffle. Unlike BFS, PageRank is NOT insensitive to parallel
     # edges — multiplicity changes contributions — so the dedup
     # stays on by default.
+    if small_finish_rows is not None:
+        # The gate's count would otherwise recompute the caller's
+        # (typically distinct-ed) edge build a second time for the
+        # sym feed — materialize it once; the join loop below was
+        # going to checkpoint the annotated edge table anyway.
+        edges = edges.localCheckpoint(eager=True)
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     if symmetrize_dedup:
         sym = sym.distinct()
+
+    # Count-gated single-task finisher (the kcore/ktruss/bfs
+    # discipline): a bounded edge table runs all rounds as one
+    # vectorized numpy power iteration in one Arrow task — identical
+    # recursion, same per-edge contribution semantics (parallel
+    # edges contribute per row, exactly as the join form), float
+    # summation order differs only within np.bincount, which is why
+    # the float operator is declared rows-only and the BIGINT twin
+    # (E289) carries the hash check. Above the gate the join loop
+    # below is the 100 TB path.
+    if small_finish_rows is not None and edges.count() * 2 <= small_finish_rows:
+        n_iters, d_factor = iters, damping
+
+        def pr(batches):
+            import numpy as np
+            import pandas as pd
+
+            frames = [pdf for pdf in batches]
+            a = pd.concat([f["a"] for f in frames], ignore_index=True)
+            b = pd.concat([f["b"] for f in frames], ignore_index=True)
+            codes, uniq = pd.factorize(pd.concat([a, b], ignore_index=True))
+            m = len(a)
+            ai, bi = codes[:m], codes[m:]
+            n_nodes = len(uniq)
+            deg = np.bincount(ai, minlength=n_nodes).astype("float64")
+            r = np.ones(n_nodes)
+            for _ in range(n_iters):
+                contrib = r[ai] / deg[ai]
+                r = (1.0 - d_factor) + d_factor * np.bincount(
+                    bi, weights=contrib, minlength=n_nodes
+                )
+            yield pd.DataFrame({"node": uniq, "rank": r})
+
+        out_type = dict(sym.dtypes)["a"]
+        return (
+            sym.repartition(1)
+            .mapInPandas(pr, f"node {out_type}, rank double")
+            .localCheckpoint(eager=True)
+        )
+
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     # Hoist the loop-invariant degree join OUT of the iteration: the
     # edge list annotated with its source degree never changes, so it
@@ -223,6 +270,7 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 10,
+    small_finish_rows: int | None = None,
 ) -> DataFrame:
     """Breadth-first minimum-hop distances from ``source`` over the
     undirected graph ``edges`` -> (node, hop), source included at 0.
@@ -248,11 +296,55 @@ def bfs_hops(
     per hop (measured 7.8 -> 4.0 s cold, 3.9 -> 3.6 warm at sf0.1;
     the same tradeoff holds on a cluster, where the checkpoint costs
     executor memory/disk proportional to the edge table while hops
-    are few)."""
+    are few).
+
+    ``small_finish_rows``: the count-gated single-task discipline
+    (kcore/ktruss/dbscan pattern) — when the edge table fits one
+    bounded Arrow task, run the whole BFS as an in-memory adjacency
+    walk there (min-hop is expansion-order-independent, so the
+    result is identical to the join loop); above the gate the
+    distributed paths below take over unchanged. Even the unrolled
+    one-job form pays ~13 scheduled shuffles of fixed local cost on
+    a 6-hop query; the kernel replaces them with one scan + one
+    task."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     spark = edges.sparkSession
+
+    if small_finish_rows is not None and edges.count() <= small_finish_rows:
+        hops_cap = max_hops
+        src_node = source
+
+        def walk(batches):
+            import pandas as pd
+
+            adj: dict = {}
+            for pdf in batches:
+                for a, b in zip(pdf["a"].to_list(), pdf["b"].to_list()):
+                    adj.setdefault(a, []).append(b)
+            dist = {src_node: 0}
+            frontier = [src_node]
+            for h in range(1, hops_cap + 1):
+                nxt = []
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = h
+                            nxt.append(v)
+                if not nxt:
+                    break
+                frontier = nxt
+            yield pd.DataFrame(
+                sorted(dist.items()), columns=["node", "hop"]
+            )
+
+        out_type = dict(sym.dtypes)["a"]
+        return (
+            sym.repartition(1)
+            .mapInPandas(walk, f"node {out_type}, hop int")
+            .localCheckpoint(eager=True)
+        )
 
     if max_hops <= 8:
         # Bounded-hop fast path: unroll every hop into ONE lazy plan

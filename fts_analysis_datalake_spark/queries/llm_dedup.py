@@ -220,7 +220,9 @@ def q_pagerank_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # even/odd id encoding makes the two orientations disjoint, so
     # the operator's post-union dedup would re-shuffle 2x the edge
     # table to remove nothing.
-    ranks = pagerank(edges, iters=10, symmetrize_dedup=False)
+    ranks = pagerank(
+        edges, iters=10, symmetrize_dedup=False, small_finish_rows=4_000_000
+    )
     label = F.when(
         F.col("node") % 2 == 0, F.concat(F.lit("p"), (F.col("node") / 2).cast("long"))
     ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
@@ -540,7 +542,7 @@ def q_bfs_hops_from_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    hops = bfs_hops(edges, 2 * 1 + 1, max_hops=6)
+    hops = bfs_hops(edges, 2 * 1 + 1, max_hops=6, small_finish_rows=4_000_000)
     label = F.when(
         F.col("node") % 2 == 0, F.concat(F.lit("p"), (F.col("node") / 2).cast("long"))
     ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
