@@ -469,6 +469,7 @@ def kmeans_train(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    small_finish_rows: int | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) centroid training, pure DataFrame:
     assignment is the existing broadcast argmax (``ivf_assign``), the
@@ -480,7 +481,58 @@ def kmeans_train(
     on the tiny (k, dim) centroid table — see the in-loop comment
     for the measured codegen rationale. Clusters that lose every member drop out
     (standard Lloyd handling). Upgrades ``deterministic_centroids``
-    seeding into a trained IVF coarse quantizer."""
+    seeding into a trained IVF coarse quantizer.
+
+    ``small_finish_rows``: count-gated single-task finisher (the
+    bfs/pagerank/kcore discipline) — a bounded vector table trains
+    all rounds as one vectorized numpy Lloyd in one Arrow task: same
+    seeding, same (score desc, cent_id asc) assignment tiebreak,
+    same empty-cluster drop; centroid floats may differ from the
+    DataFrame loop in the last ulp (numpy mean vs partial-avg
+    summation order), which is inside the float operator's declared
+    rows-only contract. Above the gate the per-round loop below is
+    the 100 TB path."""
+    if small_finish_rows is not None and emb.count() <= small_finish_rows:
+        n_iters, n_k = iters, k
+
+        def lloyd(batches):
+            import numpy as np
+            import pandas as pd
+
+            frames = [pdf for pdf in batches]
+            ids = pd.concat([f[id_col] for f in frames], ignore_index=True)
+            order = ids.argsort(kind="stable").to_numpy()
+            vecs = np.asarray(
+                [
+                    np.asarray(v, dtype="float64")
+                    for f in frames
+                    for v in f[vec_col]
+                ]
+            )[order]
+            ids = ids.to_numpy()[order]
+            cvecs = vecs[:n_k].copy()
+            cids = ids[:n_k].copy()
+            for _ in range(n_iters):
+                cn = np.sqrt((cvecs * cvecs).sum(axis=1))
+                scores = vecs @ cvecs.T / cn  # (n, k'), ids ascending
+                best = scores.argmax(axis=1)  # first max = lowest cid
+                keep = np.unique(best)
+                cvecs = np.stack(
+                    [vecs[best == c].mean(axis=0) for c in keep]
+                )
+                cids = cids[keep]
+            yield pd.DataFrame(
+                {"cent_id": cids, "cent_vec": [list(v) for v in cvecs]}
+            )
+
+        id_type = dict(emb.dtypes)[id_col]
+        return (
+            emb.select(id_col, vec_col)
+            .repartition(1)
+            .mapInPandas(lloyd, f"cent_id {id_type}, cent_vec array<double>")
+            .localCheckpoint(eager=True)
+        )
+
     cents = (
         emb.orderBy(id_col)
         .limit(k)

@@ -387,7 +387,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training-frame move; at 100 TB this is the difference between
     # 6 parquet scans and 6 memory scans.
     emb = tracked_persist(load_table(spark, sf_dir, "embeddings"))
-    cents = kmeans_train(emb, k=8, iters=5)
+    cents = kmeans_train(emb, k=8, iters=5, small_finish_rows=500_000)
     assigned = ivf_assign(emb, cents)
     cos = cosine(F.col("embedding"), F.col("cent_vec"))
     return (
@@ -742,7 +742,7 @@ def q_ivf_trained_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id") != QUERY_VEC_ID
         )
     )
-    cents = kmeans_train(e, k=8, iters=3)
+    cents = kmeans_train(e, k=8, iters=3, small_finish_rows=500_000)
     return ivf_topk(e, _query_vec(spark, sf_dir), k=10, nprobe=3, centroids=cents)
 
 
