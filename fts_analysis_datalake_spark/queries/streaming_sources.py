@@ -928,3 +928,93 @@ def q_execute_immediate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("EXECUTE IMMEDIATE stmt USING 30 AS minq")
+
+
+# --------------------------------------------------------------------------
+# E311: Python STREAMING data source — offset-tracked micro-batch ingest
+# --------------------------------------------------------------------------
+
+_TICK_N = 5000
+_TICK_MULT = 2654435761  # Knuth multiplicative-hash constant
+_TICK_MOD = 9973
+
+
+@query(
+    "q_python_stream_source_agg",
+    oracle=f"""
+    WITH ticks AS (
+      SELECT i, (i * {_TICK_MULT}) % {_TICK_MOD} AS val
+      FROM generate_series(0, {_TICK_N - 1}) t(i))
+    SELECT CAST(i % 8 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(val) AS BIGINT) AS total_val,
+           CAST(MIN(val) AS BIGINT) AS min_val,
+           CAST(MAX(val) AS BIGINT) AS max_val
+    FROM ticks GROUP BY grp ORDER BY grp
+    """,
+    tags=("E311", "S8", "T1", "A1"),
+)
+def q_python_stream_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python STREAMING data source (Spark 4
+    ``SimpleDataSourceStreamReader``) — the micro-batch ingest half
+    of the S8 plugin surface (batch reader: q_python_datasource_agg;
+    writer: q_python_datasource_writer): a custom source with
+    replayable integer offsets is streamed through
+    ``readStream -> memory sink`` micro-batches until the bounded
+    generator drains, then the landed table is aggregated. The
+    offset contract (``readBetweenOffsets`` regenerates any
+    committed range bit-identically) is what makes the stream
+    exactly-once recoverable — and is exactly why the oracle can
+    regenerate the whole ingest with ``generate_series`` and the
+    hash check verifies the streaming plumbing end-to-end: every
+    value that crossed a micro-batch boundary must land exactly
+    once. The poll loop watches the sink row count (bounded source,
+    so the fixpoint is exact), the standard pattern for driving a
+    finite stream to completion without availableNow (which
+    snapshots only the first offset window for simple readers)."""
+    import time
+
+    from fts_analysis_datalake_spark.sources.pydatasource import (
+        register_tickstream,
+    )
+
+    register_tickstream(spark)
+    view = "tick_ingest"
+    try:
+        spark.catalog.dropTempView(view)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("tickstream")
+        .option("n", _TICK_N)
+        .option("chunk", 1000)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(view)
+        .trigger(processingTime="10 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if spark.table(view).count() >= _TICK_N:
+                break
+            time.sleep(0.05)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    landed = spark.table(view).localCheckpoint(eager=True)
+    val = (F.col("i") * _TICK_MULT) % _TICK_MOD
+    return (
+        landed.select("i", val.alias("val"))
+        .groupBy((F.col("i") % 8).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("val").cast("bigint").alias("total_val"),
+            F.min("val").cast("bigint").alias("min_val"),
+            F.max("val").cast("bigint").alias("max_val"),
+        )
+        .orderBy("grp")
+    )

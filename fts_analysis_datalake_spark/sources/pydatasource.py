@@ -216,3 +216,58 @@ def register_tallysink(spark: SparkSession) -> None:
     if app not in _REGISTERED:
         spark.dataSource.register(_make_sink())
         _REGISTERED.add(app)
+
+
+def _make_tickstream():
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class TickStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked bounded tick generator: offsets are row
+        indices, each micro-batch advances by ``chunk`` until ``n``
+        — the replayable-offset contract (readBetweenOffsets
+        regenerates any committed range exactly) that makes the
+        stream recoverable, demonstrated with pure integer rows an
+        oracle can regenerate."""
+
+        def __init__(self, options: dict) -> None:
+            self.n = int(options.get("n", 5000))
+            self.chunk = int(options.get("chunk", 1000))
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            s = int(start["i"])
+            if s >= self.n:
+                return (iter(()), {"i": s})
+            e = min(s + self.chunk, self.n)
+            return (iter([(i,) for i in range(s, e)]), {"i": e})
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(i,) for i in range(int(start["i"]), int(end["i"]))]
+            )
+
+    class TickStream(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "tickstream"
+
+        def schema(self) -> str:
+            return "i bigint"
+
+        def simpleStreamReader(self, schema):
+            return TickStreamReader(self.options)
+
+    return TickStream
+
+
+def register_tickstream(spark: SparkSession) -> None:
+    """Register the streaming source once per SparkSession."""
+    app = "tick:" + spark.sparkContext.applicationId
+    if app not in _REGISTERED:
+        spark.dataSource.register(_make_tickstream())
+        _REGISTERED.add(app)
