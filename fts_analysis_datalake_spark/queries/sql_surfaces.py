@@ -321,3 +321,47 @@ def q_group_by_all_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# --------------------------------------------------------------------------
+# E312: SQL pipe syntax — |> operator chains (Spark 4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_pipe_syntax_report",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("E312", "S6", "A1", "P1"),
+)
+def q_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operator chains, the
+    GoogleSQL-lineage linear form): the same filter -> derive ->
+    aggregate -> order report written as a top-to-bottom pipeline
+    instead of inside-out nested SQL. Catalyst plans each pipe stage
+    exactly as the equivalent clause — the hash check against the
+    classic-SQL oracle proves syntax-only equivalence (same exact
+    integer cents, same grouping) — so the surface costs nothing at
+    100 TB while making staged dashboards readable/diffable."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS total_cents,
+                     CAST(MAX(cents) AS BIGINT) AS max_cents
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        |> SELECT o_orderpriority, n, total_cents, max_cents
+        """
+    )

@@ -1018,3 +1018,74 @@ def q_python_stream_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# E313: polymorphic Python UDTF — analyze()-time dynamic output schema
+# --------------------------------------------------------------------------
+
+_PUDTF_K = 3  # leading tokens widened into typed columns
+
+
+@query(
+    "q_polymorphic_udtf",
+    oracle=f"""
+    WITH cols AS (
+      SELECT COALESCE(string_split(text, ' ')[1], '') AS t1,
+             COALESCE(string_split(text, ' ')[2], '') AS t2,
+             COALESCE(string_split(text, ' ')[3], '') AS t3
+      FROM documents)
+    SELECT t1, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT t2) AS BIGINT) AS n_t2,
+           CAST(COUNT(DISTINCT t3) AS BIGINT) AS n_t3
+    FROM cols GROUP BY t1 ORDER BY t1
+    """,
+    tags=("E313", "X4", "A1", "D8"),
+)
+def q_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()``): the output
+    SCHEMA is computed at query-analysis time from the literal
+    argument — ``lead_tokens(text, 3)`` materializes columns
+    t1..t3, ``lead_tokens(text, 5)`` would materialize five —
+    the dynamic-arity surface static UDTFs (X4,
+    q_token_positions_udtf) can't express; a real engine uses it
+    for CSV-widening / pivot-like table functions whose shape
+    depends on arguments. eval is vectorized-enough for the
+    declared Python surface (one row out per doc in). The oracle
+    reproduces the widening with static list indexing, so the
+    hash check pins both the analyze-time schema and the
+    per-row values."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    k = _PUDTF_K
+
+    @udtf
+    class LeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for i in range(int(n.value)):
+                st = st.add(f"t{i + 1}", "string")
+            return AnalyzeResult(st)
+
+        def eval(self, text: str, n: int):
+            toks = [t for t in (text or "").split(" ") if t != ""]
+            yield tuple(
+                (toks[i] if i < len(toks) else "") for i in range(int(n))
+            )
+
+    spark.udtf.register("lead_tokens", LeadTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_pudtf_docs"
+    )
+    return spark.sql(
+        f"""
+        SELECT lt.t1, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT lt.t2) AS BIGINT) AS n_t2,
+               CAST(COUNT(DISTINCT lt.t3) AS BIGINT) AS n_t3
+        FROM _pudtf_docs d, LATERAL lead_tokens(d.text, {k}) lt
+        GROUP BY lt.t1 ORDER BY lt.t1
+        """
+    )

@@ -64,6 +64,8 @@ PYTHON_SURFACE = {
     # sparsified edge list in one bounded task (count-gated)
     "q_clamped_running_balance",  # E310 X2 per-user saturating-ledger
     # recursion (two-sided clamp has no window closed form)
+    "q_polymorphic_udtf",  # E313 analyze()-time dynamic-schema UDTF
+    # (the polymorphic sibling of the X4 static UDTF)
 }
 
 ALL_QUERIES = sorted(REGISTRY)
