@@ -1725,3 +1725,89 @@ def q_greedy_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+# --------------------------------------------------------------------------
+# E314: k-anonymity audit — quasi-identifier re-identification risk
+# --------------------------------------------------------------------------
+
+_KA_K = 5  # groups smaller than this count as re-identification risk
+
+
+def _kanon_oracle() -> str:
+    levels = [
+        ("L0_len100", "CAST(n_chars // 100 AS BIGINT)"),
+        ("L1_len500", "CAST(n_chars // 500 AS BIGINT)"),
+        ("L2_nolen", "CAST(0 AS BIGINT)"),
+    ]
+    parts = []
+    for name, expr in levels:
+        parts.append(f"""
+    SELECT '{name}' AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(c) AS BIGINT) AS k_min,
+           CAST(SUM(CASE WHEN c < {_KA_K} THEN c ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(FLOOR(CAST(SUM(CASE WHEN c < {_KA_K} THEN c ELSE 0 END)
+                           AS DOUBLE) / SUM(c) * 1000000 + 0.5) AS BIGINT)
+             / 1e6 AS risk_frac
+    FROM (SELECT COUNT(*) AS c FROM (
+            SELECT lang, source, {expr} AS len_b FROM documents)
+          GROUP BY lang, source, len_b)""")
+    return " UNION ALL ".join(parts) + " ORDER BY level"
+
+
+@query(
+    "q_k_anonymity_audit",
+    oracle=_kanon_oracle(),
+    tags=("E314", "E39", "E288", "A1", "P2"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the corpus's quasi-identifiers — the
+    privacy-compliance sibling of PII redaction (E39) and the
+    erasure audit (E288): a row whose (lang, source, length-bucket)
+    combination is shared by fewer than k others is
+    re-identifiable by joining those attributes alone, so the audit
+    reports, per GENERALIZATION level of the Mondrian-style lattice
+    (length bucketed at 100, at 500, dropped entirely), the group
+    count, the k floor, and the row mass at risk. Releasing/
+    retaining decisions then pick the coarsest level whose utility
+    is acceptable — on this fixture the risk mass halves per
+    generalization step (measured). One exact groupBy per level
+    over a 3-column projection (map-side combinable, stacked
+    unionByName); pure integers with a 1e-6-quantized risk share."""
+    d = load_table(spark, sf_dir, "documents")
+    levels = [
+        ("L0_len100", (F.col("n_chars") / 100).cast("bigint")),
+        ("L1_len500", (F.col("n_chars") / 500).cast("bigint")),
+        ("L2_nolen", F.lit(0).cast("bigint")),
+    ]
+    parts = []
+    for name, expr in levels:
+        groups = (
+            d.select("lang", "source", expr.alias("len_b"))
+            .groupBy("lang", "source", "len_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        at_risk = F.sum(
+            F.when(F.col("c") < _KA_K, F.col("c")).otherwise(0)
+        )
+        parts.append(
+            groups.agg(
+                F.lit(name).alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.min("c").cast("bigint").alias("k_min"),
+                at_risk.cast("bigint").alias("n_rows_at_risk"),
+                (
+                    F.floor(
+                        at_risk.cast("double") / F.sum("c") * 1000000
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                    / 1e6
+                ).alias("risk_frac"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("level")
