@@ -1811,3 +1811,146 @@ def q_edit_distance_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+# --------------------------------------------------------------------------
+# E315: personalized PageRank — seed-teleport proximity in BIGINT rationals
+# --------------------------------------------------------------------------
+
+_PPR_ROUNDS = 4
+_PPR_ONE = 1_000_000_000
+_PPR_BASE = 150_000_000  # (1 - damping) teleport mass per seed, rank units
+_PPR_TOPK = 20
+
+
+def _ppr_oracle() -> str:
+    base = f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+      FROM lineitem WHERE l_partkey % 3 = 0),
+    edges AS MATERIALIZED (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS MATERIALIZED (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+    seeds AS MATERIALIZED (
+      SELECT DISTINCT v AS node FROM e0 WHERE ((v - 1) // 2) % 7 = 0),
+    r0 AS MATERIALIZED (
+      SELECT node, CAST({_PPR_ONE} AS BIGINT) AS r_q FROM seeds)"""
+    prev = "r0"
+    for i in range(1, _PPR_ROUNDS + 1):
+        base += f""",
+    c{i} AS MATERIALIZED (
+      SELECT e.v AS node,
+             CAST((85 * SUM(r.r_q // d.deg)) // 100 AS BIGINT) AS contrib
+      FROM {prev} r
+      JOIN deg d ON d.u = r.node
+      JOIN edges e ON e.u = r.node
+      GROUP BY e.v),
+    r{i} AS MATERIALIZED (
+      SELECT COALESCE(c.node, s.node) AS node,
+             CAST(COALESCE(s.base, 0) + COALESCE(c.contrib, 0) AS BIGINT)
+               AS r_q
+      FROM c{i} c
+      FULL JOIN (SELECT node, CAST({_PPR_BASE} AS BIGINT) AS base
+                 FROM seeds) s ON s.node = c.node)"""
+        prev = f"r{i}"
+    return base + f""",
+    topk AS (
+      SELECT node AS nid, r_q FROM {prev}
+      ORDER BY r_q DESC, nid LIMIT {_PPR_TOPK})
+    SELECT CASE WHEN nid % 2 = 0 THEN 'p' || CAST(nid // 2 AS VARCHAR)
+                ELSE 's' || CAST((nid - 1) // 2 AS VARCHAR) END AS node,
+           nid IN (SELECT node FROM seeds) AS is_seed,
+           r_q / 1000000000.0 AS rank
+    FROM topk ORDER BY r_q DESC, nid
+    """
+
+
+@query(
+    "q_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    tags=("E315", "E289", "E47", "A1", "J7"),
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank — random walk WITH RESTART to a seed
+    set (every 7th supplier), the similar-entity / recommendation
+    primitive global PageRank (E47/E289) can't express: teleport
+    mass returns to the SEEDS each round, so rank decays with
+    walk distance from them and the top-20 is a proximity ranking
+    around the panel. Same 1e-9 BIGINT-rational discipline as E289
+    (floor-div contributions, integer damping), with one new shape:
+    the per-round update is a FULL OUTER join between the
+    contribution aggregate and the (domain-sized, broadcastable)
+    seed teleport table — a node keeps rank only while walks reach
+    it or it is a seed, so the rank frontier stays SPARSE (locality
+    is the whole point of PPR at 100 TB: state is proportional to
+    the reached neighborhood, never the graph). All 4 rounds replay
+    bit-identically in the unrolled MATERIALIZED-CTE oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") % 3 == 0)
+        .select(
+            (F.col("l_partkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    edges_deg = edges.join(deg, "u").localCheckpoint()
+    seeds = (
+        e0.filter(F.expr("(v - 1) div 2") % 7 == 0)
+        .select(F.col("v").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    r = seeds.select("node", F.lit(_PPR_ONE).cast("bigint").alias("r_q"))
+    base = seeds.select("node", F.lit(_PPR_BASE).cast("bigint").alias("base"))
+    for _ in range(_PPR_ROUNDS):
+        contrib = (
+            edges_deg.join(
+                r.withColumnsRenamed({"node": "ru", "r_q": "prev_q"}),
+                F.col("ru") == F.col("u"),
+            )
+            .select(F.col("v"), F.expr("prev_q div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.expr("85 * sum(c) div 100").cast("bigint").alias("contrib"))
+            .withColumnRenamed("v", "cnode")
+        )
+        r = (
+            contrib.join(
+                base, F.col("cnode") == F.col("node"), "full_outer"
+            )
+            .select(
+                F.coalesce(F.col("cnode"), F.col("node")).alias("node"),
+                (
+                    F.coalesce(F.col("base"), F.lit(0))
+                    + F.coalesce(F.col("contrib"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("r_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("p"), F.expr("node div 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
+    return (
+        r.join(
+            seeds.withColumnRenamed("node", "snode"),
+            F.col("node") == F.col("snode"),
+            "left",
+        )
+        .select(
+            label.alias("node_label"),
+            F.col("snode").isNotNull().alias("is_seed"),
+            (F.col("r_q") / 1000000000.0).alias("rank"),
+            F.col("r_q"),
+            F.col("node"),
+        )
+        .orderBy(F.desc("r_q"), "node")
+        .limit(_PPR_TOPK)
+        .select(F.col("node_label").alias("node"), "is_seed", "rank")
+    )
