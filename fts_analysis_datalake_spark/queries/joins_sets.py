@@ -1446,3 +1446,196 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("truss_deg"))
         .orderBy("node")
     )
+
+
+# --------------------------------------------------------------------------
+# E316: harmonic centrality — multi-source BFS panel, 1/d quantized
+# --------------------------------------------------------------------------
+
+_HC_HOPS = 4
+_HC_TOPK = 20
+_HC_SEED_MOD = 13  # seed panel: every 13th supplier node in the graph
+
+
+def _harmonic_oracle() -> str:
+    return f"""
+    WITH RECURSIVE edges0 AS MATERIALIZED (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY u, v HAVING COUNT(*) >= 5),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+    seeds AS MATERIALIZED (
+      SELECT DISTINCT u AS s FROM sym WHERE u % {_HC_SEED_MOD} = 1),
+    walk(s, node, hop) AS (
+      SELECT s, s, 0 FROM seeds
+      UNION
+      SELECT w.s, sym.v, w.hop + 1
+      FROM walk w JOIN sym ON sym.u = w.node
+      WHERE w.hop < {_HC_HOPS}),
+    dist AS (
+      SELECT s, node, MIN(hop) AS d FROM walk GROUP BY s, node),
+    cent AS (
+      SELECT node,
+             CAST(SUM(CAST(FLOOR(1000000000.0 / d + 0.5) AS BIGINT))
+                  AS BIGINT) AS h_q,
+             CAST(COUNT(*) AS BIGINT) AS n_seeds_reached
+      FROM dist WHERE d >= 1 GROUP BY node)
+    SELECT node, h_q / 1000000000.0 AS harmonic, n_seeds_reached
+    FROM cent ORDER BY h_q DESC, node LIMIT {_HC_TOPK}
+    """
+
+
+@query(
+    "q_harmonic_centrality",
+    oracle=_harmonic_oracle(),
+    tags=("E316", "E124", "E189", "A1", "J11"),
+)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality from a SEED PANEL (every 13th supplier):
+    sum of 1/d(seed, node) over the panel — the bounded, mergeable
+    stand-in for exact closeness (which needs all-pairs distances;
+    the panel estimate is the standard scale form, and adding seeds
+    only ADDS terms, so panels merge). Distances come from one
+    MULTI-SOURCE BFS: the frontier carries a seed column, so all
+    panel walks share each round's single frontier-edge join +
+    (seed, node) distinct — the same two-shuffle contract as
+    single-source BFS (E124) with seed-multiplicity folded into the
+    key, unrolled lazily into ONE job ({_HC_HOPS} bounded hops,
+    min-hop absorbs re-reaches — the bfs_hops fast-path shape).
+    Each 1/d term is quantized to a 1e-9 BIGINT (integer d, so both
+    engines floor the identical double), summed exactly; the oracle
+    replays the walk declaratively with WITH RECURSIVE UNION.
+    Reports the top-20 most panel-central suppliers with how many
+    seeds reach them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("u", "v")
+    )
+    sym = e0.unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    seeds = (
+        sym.filter(F.col("u") % _HC_SEED_MOD == 1)
+        .select(F.col("u").alias("s"))
+        .distinct()
+    )
+    # Count-gated single-task finisher (bfs_hops discipline): on the
+    # near-complete thresholded graph the hop-2 multi-source frontier
+    # is ~seeds x nodes x degree rows (measured 9 s at sf0.1 in the
+    # join form), while one numpy task runs the identical min-hop
+    # walk as boolean frontier x adjacency matmuls in milliseconds.
+    # The join loop below stays the else-branch / 100 TB path.
+    if sym.count() <= 2_000_000:
+        hops_cap, seed_mod = _HC_HOPS, _HC_SEED_MOD
+
+        def multi_bfs(batches):
+            import numpy as np
+            import pandas as pd
+
+            frames = [pdf for pdf in batches]
+            ua = pd.concat([f["u"] for f in frames], ignore_index=True)
+            va = pd.concat([f["v"] for f in frames], ignore_index=True)
+            codes, uniq = pd.factorize(pd.concat([ua, va], ignore_index=True))
+            m = len(ua)
+            ui, vi = codes[:m], codes[m:]
+            n = len(uniq)
+            adj = np.zeros((n, n), dtype=bool)
+            adj[ui, vi] = True
+            seed_idx = np.where((np.asarray(uniq) % seed_mod) == 1)[0]
+            k = len(seed_idx)
+            dist = np.full((k, n), -1, dtype=np.int64)
+            frontier = np.zeros((k, n), dtype=bool)
+            frontier[np.arange(k), seed_idx] = True
+            dist[np.arange(k), seed_idx] = 0
+            for h in range(1, hops_cap + 1):
+                nxt = (frontier.astype(np.int8) @ adj.astype(np.int8)) > 0
+                nxt &= dist < 0
+                if not nxt.any():
+                    break
+                dist[nxt] = h
+                frontier = nxt
+            term = np.where(
+                dist >= 1,
+                np.floor(1000000000.0 / np.maximum(dist, 1) + 0.5).astype(
+                    np.int64
+                ),
+                0,
+            )
+            h_q = term.sum(axis=0)
+            reached = (dist >= 1).sum(axis=0)
+            keep = reached > 0
+            yield pd.DataFrame(
+                {
+                    "node": np.asarray(uniq)[keep],
+                    "h_q": h_q[keep],
+                    "n_seeds_reached": reached[keep].astype(np.int64),
+                }
+            )
+
+        out_type = dict(sym.dtypes)["u"]
+        cent = (
+            sym.repartition(1)
+            .mapInPandas(
+                multi_bfs,
+                f"node {out_type}, h_q bigint, n_seeds_reached bigint",
+            )
+            .localCheckpoint(eager=True)
+        )
+        return (
+            cent.select(
+                "node",
+                (F.col("h_q") / 1000000000.0).alias("harmonic"),
+                "n_seeds_reached",
+                "h_q",
+            )
+            .orderBy(F.desc("h_q"), "node")
+            .limit(_HC_TOPK)
+            .select("node", "harmonic", "n_seeds_reached")
+        )
+
+    levels = [seeds.select("s", F.col("s").alias("node"), F.lit(0).alias("hop"))]
+    frontier = levels[0].select("s", "node")
+    for h in range(1, _HC_HOPS + 1):
+        cand = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select("s", F.col("v").alias("node"))
+            .distinct()
+        )
+        levels.append(cand.withColumn("hop", F.lit(h)))
+        frontier = cand
+    allv = levels[0]
+    for lvl in levels[1:]:
+        allv = allv.unionByName(lvl)
+    dist = allv.groupBy("s", "node").agg(F.min("hop").alias("d"))
+    cent = (
+        dist.filter(F.col("d") >= 1)
+        .groupBy("node")
+        .agg(
+            F.sum(
+                F.floor(F.lit(1000000000.0) / F.col("d") + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("h_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_seeds_reached"),
+        )
+    )
+    return (
+        cent.select(
+            "node", (F.col("h_q") / 1000000000.0).alias("harmonic"),
+            "n_seeds_reached", "h_q",
+        )
+        .orderBy(F.desc("h_q"), "node")
+        .limit(_HC_TOPK)
+        .select("node", "harmonic", "n_seeds_reached")
+    )
