@@ -1290,7 +1290,8 @@ def q_bellman_ford_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _KT_ROUNDS = 5  # peel rounds; every fixture SF reaches its fixpoint by round 4
-_KT_K = 4  # k-truss: every surviving edge sits in >= k-2 = 2 triangles
+_KT_K = 4
+_KT_GATE = 2_000_000  # edges; tests patch to 0 to drive the scheduled peel branch  # k-truss: every surviving edge sits in >= k-2 = 2 triangles
 
 
 def _ktruss_oracle() -> str:
@@ -1410,7 +1411,7 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = peel_round(edges)
     rest = _KT_ROUNDS - 1
     min_sup = _KT_K - 2
-    if edges.count() <= 2_000_000:
+    if edges.count() <= _KT_GATE:
 
         def peel(batches):
             import pandas as pd
@@ -1454,7 +1455,8 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HC_HOPS = 4
 _HC_TOPK = 20
-_HC_SEED_MOD = 13  # seed panel: every 13th supplier node in the graph
+_HC_SEED_MOD = 13
+_HC_GATE = 2_000_000  # sym edges; tests patch to 0 to drive the join-frontier branch  # seed panel: every 13th supplier node in the graph
 
 
 def _harmonic_oracle() -> str:
@@ -1534,7 +1536,7 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join form), while one numpy task runs the identical min-hop
     # walk as boolean frontier x adjacency matmuls in milliseconds.
     # The join loop below stays the else-branch / 100 TB path.
-    if sym.count() <= 2_000_000:
+    if sym.count() <= _HC_GATE:
         hops_cap, seed_mod = _HC_HOPS, _HC_SEED_MOD
 
         def multi_bfs(batches):

@@ -1575,6 +1575,7 @@ def q_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COVER_ROUNDS = 8
 _COVER_N = 3  # shingle order for the coverage universe
+_COVER_GATE = 5_000_000  # doc-shingle rows; tests patch to 0 for the round-loop branch
 
 
 def _set_cover_oracle() -> str:
@@ -1652,7 +1653,7 @@ def q_greedy_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     universe = dt.agg(F.countDistinct("t").cast("bigint").alias("n_universe"))
     n_dt = dt.count()
-    if n_dt < 5_000_000:
+    if n_dt < _COVER_GATE:
         rounds = _COVER_ROUNDS
 
         def greedy(iters):

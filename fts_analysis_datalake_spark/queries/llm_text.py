@@ -1368,7 +1368,8 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E306: greedy longest-match segmentation — runtime dictionary tokenizer
 # --------------------------------------------------------------------------
 
-_GLM_PREFIX = 40  # chars of de-spaced text segmented per doc (recursion bound)
+_GLM_PREFIX = 40
+_GLM_GATE = 1_000_000  # docs; tests patch to 0 to drive the doubled-join branch  # chars of de-spaced text segmented per doc (recursion bound)
 
 _GLM_ORACLE = f"""
 WITH RECURSIVE chars AS MATERIALIZED (
@@ -1483,7 +1484,7 @@ def q_greedy_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path."""
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    if docs.count() <= 1_000_000:
+    if docs.count() <= _GLM_GATE:
         prefix = _GLM_PREFIX
 
         def seg(iters):

@@ -595,3 +595,38 @@ def test_delta_encoding_bits_match_python_replay(spark):
                 bits += 5 + len(bin(z)[2:])
         exp[et] = (len(xs), zeros, bits)
     assert got == exp
+
+
+def test_count_gated_branches_agree(spark, monkeypatch):
+    """The count-gated single-task kernels and their distributed
+    else-branches (the 100 TB paths) must produce IDENTICAL results —
+    force the else-branch by patching each gate to 0 and compare
+    against the kernel output on the same fixture. All four queries
+    are integer-exact, so equality is exact, not approximate."""
+    from fts_analysis_datalake_spark.queries import (
+        joins_sets,
+        llm_curation,
+        llm_text,
+    )
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    cases = [
+        ("q_greedy_segmentation", llm_text, "_GLM_GATE"),
+        ("q_ktruss_parts", joins_sets, "_KT_GATE"),
+        ("q_harmonic_centrality", joins_sets, "_HC_GATE"),
+        ("q_greedy_cover_selection", llm_curation, "_COVER_GATE"),
+    ]
+    for name, mod, gate in cases:
+        kernel = sorted(
+            tuple(r) for r in REGISTRY[name].fn(spark, SF_DIR_SMALL).collect()
+        )
+        monkeypatch.setattr(mod, gate, 0)
+        try:
+            dist = sorted(
+                tuple(r)
+                for r in REGISTRY[name].fn(spark, SF_DIR_SMALL).collect()
+            )
+        finally:
+            monkeypatch.undo()
+        assert kernel == dist and len(kernel) > 0, name
