@@ -3673,3 +3673,140 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("effective_competitors"),
     ).orderBy("nation")
+
+
+# --------------------------------------------------------------------------
+# E317: local outlier factor — k-NN density anomalies, all-integer
+# --------------------------------------------------------------------------
+
+_LOF_K = 5
+_LOF_LRD = 5_000_000  # lrd scale: k * 1e6 (bounds the lof numerator in int64)
+_LOF_TOPK = 15
+
+
+@query(
+    "q_lof_hourly_anomalies",
+    oracle=f"""
+    WITH pts AS MATERIALIZED (
+      SELECT event_type AS et, date_trunc('hour', ts) AS h,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    pairs AS MATERIALIZED (
+      SELECT a.et, a.h AS ha, b.h AS hb, abs(a.x - b.x) AS d
+      FROM pts a JOIN pts b ON b.et = a.et AND b.h <> a.h),
+    k5 AS MATERIALIZED (
+      SELECT et, ha, hb, d FROM (
+        SELECT et, ha, hb, d,
+               ROW_NUMBER() OVER (PARTITION BY et, ha ORDER BY d, hb) AS rk
+        FROM pairs) WHERE rk <= {_LOF_K}),
+    kdist AS MATERIALIZED (
+      SELECT et, ha, MAX(d) AS kd FROM k5 GROUP BY et, ha),
+    reach AS MATERIALIZED (
+      SELECT k.et, k.ha, GREATEST(k.d, kb.kd) AS r
+      FROM k5 k JOIN kdist kb ON kb.et = k.et AND kb.ha = k.hb),
+    lrd AS MATERIALIZED (
+      SELECT et, ha,
+             CAST(CAST({_LOF_LRD} AS BIGINT) // GREATEST(SUM(r), 1)
+                  AS BIGINT) AS lrd
+      FROM reach GROUP BY et, ha),
+    lof AS (
+      SELECT k.et, k.ha,
+             CAST((CAST(1000000000 AS BIGINT) * CAST(SUM(ln.lrd) AS BIGINT))
+                  // ({_LOF_K} * GREATEST(la.lrd, 1)) AS BIGINT) AS lof_q
+      FROM k5 k
+      JOIN lrd ln ON ln.et = k.et AND ln.ha = k.hb
+      JOIN lrd la ON la.et = k.et AND la.ha = k.ha
+      GROUP BY k.et, k.ha, la.lrd)
+    SELECT et AS event_type, CAST(FLOOR(epoch(ha)) AS BIGINT) AS hour_s,
+           lof_q / 1000000000.0 AS lof
+    FROM lof ORDER BY lof_q DESC, et, ha LIMIT {_LOF_TOPK}
+    """,
+    tags=("E317", "E220", "W1", "J2", "A1"),
+)
+def q_lof_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor over each series' hourly revenue profile
+    — the k-NN DENSITY anomaly detector beside the parametric
+    Mahalanobis (E220) and robust-MAD z-scores: a point is anomalous
+    when its local reachability density is low RELATIVE to its
+    neighbors' (global thresholds miss outliers inside sparse
+    regions and flag dense-cluster members; LOF's ratio form
+    adapts). Entirely INTEGER: 1-D distances are |cents - cents|
+    BIGINTs, k-dist is a window max, reachability is
+    GREATEST(d, kdist(neighbor)), lrd and the final LOF are scaled
+    floor divisions — both engines replay the identical arithmetic,
+    no float anywhere until the display division. Cost shape: pairs
+    are per-SERIES (hours_per_series^2, never corpus^2 — the
+    per-group k-NN contract), one window for the k-NN cut, two
+    broadcast-sized joins for kdist/lrd lookups. Top-15 anomalies
+    with deterministic (lof desc, series, hour) order."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "x"
+        )
+    )
+    a = pts.select("et", F.col("h").alias("ha"), F.col("x").alias("xa"))
+    b = pts.select("et", F.col("h").alias("hb"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, "et")
+        .filter(F.col("ha") != F.col("hb"))
+        .select("et", "ha", "hb", F.abs(F.col("xa") - F.col("xb")).alias("d"))
+    )
+    wk = Window.partitionBy("et", "ha").orderBy("d", "hb")
+    k5 = (
+        pairs.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _LOF_K)
+        .select("et", "ha", "hb", "d")
+        .localCheckpoint(eager=True)
+    )
+    kdist = k5.groupBy("et", "ha").agg(F.max("d").alias("kd")).select(
+        F.col("et").alias("kb_et"), F.col("ha").alias("kb_h"), "kd"
+    )
+    reach = k5.join(
+        kdist,
+        (F.col("kb_et") == F.col("et")) & (F.col("kb_h") == F.col("hb")),
+    ).select("et", "ha", F.greatest(F.col("d"), F.col("kd")).alias("r"))
+    lrd = reach.groupBy("et", "ha").agg(
+        F.expr(
+            f"CAST({_LOF_LRD} AS BIGINT) div greatest(sum(r), 1)"
+        ).alias("lrd")
+    )
+    ln = lrd.select(
+        F.col("et").alias("n_et"), F.col("ha").alias("n_h"),
+        F.col("lrd").alias("lrd_n"),
+    )
+    la = lrd.select(
+        F.col("et").alias("a_et"), F.col("ha").alias("a_h"),
+        F.col("lrd").alias("lrd_a"),
+    )
+    lof = (
+        k5.join(
+            ln, (F.col("n_et") == F.col("et")) & (F.col("n_h") == F.col("hb"))
+        )
+        .join(
+            la, (F.col("a_et") == F.col("et")) & (F.col("a_h") == F.col("ha"))
+        )
+        .groupBy("et", "ha", "lrd_a")
+        .agg(
+            F.expr(
+                f"CAST(1000000000 AS BIGINT) * sum(lrd_n)"
+                f" div ({_LOF_K} * greatest(lrd_a, 1))"
+            )
+            .cast("bigint")
+            .alias("lof_q")
+        )
+    )
+    return (
+        lof.select(
+            F.col("et").alias("event_type"),
+            F.unix_timestamp("ha").alias("hour_s"),
+            (F.col("lof_q") / 1000000000.0).alias("lof"),
+            "lof_q",
+            "ha",
+        )
+        .orderBy(F.desc("lof_q"), "event_type", "ha")
+        .limit(_LOF_TOPK)
+        .select("event_type", "hour_s", "lof")
+    )
