@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (parity with sibling modules)
 
-from fts_analysis_datalake_spark.catalog import register_views
+from fts_analysis_datalake_spark.catalog import load_table, register_views
 from fts_analysis_datalake_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -364,4 +364,71 @@ def q_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         |> SELECT o_orderpriority, n, total_cents, max_cents
         """
+    )
+
+
+# --------------------------------------------------------------------------
+# E318: Observation API — in-flight metrics without a second pass
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_observed_write_metrics",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderpriority)
+    SELECT 'observed' AS metric_source,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM q
+    """,
+    tags=("E318", "S6", "A1", "U1"),
+)
+def q_observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe()`` (the Observation API): named aggregate
+    metrics accumulate INSIDE the job that produces a result — the
+    write-audit pattern (row counts, checksums, null tallies
+    collected during the ETL write itself, no second scan). Here
+    the observed frame is a grouped report written to the noop sink;
+    the observation collects total rows / exact-cents checksum /
+    group count from the SAME pass, and the query returns the
+    observed values — so the oracle's independent recomputation
+    hash-checks that in-flight metrics equal the ground truth. At
+    100 TB this is the difference between auditing a petabyte write
+    for free and paying a second full scan; the documented
+    one-collect exception to the no-driver-data rule is the metric
+    ROW itself (a handful of scalars, same class as a COUNT)."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    report = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    obs = Observation("write_audit")
+    observed = report.observe(
+        obs,
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [("observed", m["n_rows"], m["total_cents"], m["n_groups"])],
+        "metric_source string, n_rows bigint, total_cents bigint,"
+        " n_groups bigint",
     )
