@@ -2359,3 +2359,95 @@ def q_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ece"),
         (F.max("gap_q").cast("bigint") / 1000000.0).alias("mce"),
     )
+
+
+# --------------------------------------------------------------------------
+# E319: pass@k — the unbiased combinatorial estimator (Codex/HumanEval)
+# --------------------------------------------------------------------------
+
+_PAK_KS = (1, 5, 10)
+
+
+def _pak_factors_sql(k: int) -> str:
+    """1 - prod_{i<k} (n-c-i)/(n-i) with a FIXED multiplication order
+    (i ascending) so both engines evaluate the identical IEEE
+    sequence over identical integers."""
+    prod = " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / (n - {i}))" for i in range(k)
+    )
+    return (
+        f"CASE WHEN n - c < {k} THEN CAST(1000000000 AS BIGINT)"
+        f" ELSE CAST(FLOOR((1.0e0 - {prod}) * 1000000000 + 0.5) AS BIGINT)"
+        f" END"
+    )
+
+
+def _pak_oracle() -> str:
+    per_task = """
+    WITH tasks AS MATERIALIZED (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM events GROUP BY user_id)"""
+    arms = []
+    for k in _PAK_KS:
+        arms.append(f"""
+    SELECT {k} AS k, CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           CAST(FLOOR(CAST(SUM({_pak_factors_sql(k)}) AS DOUBLE)
+                      / 1000000000.0 / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+             / 1e6 AS pass_at_k
+    FROM tasks WHERE n >= {k}""")
+    return per_task + " " + " UNION ALL ".join(arms) + " ORDER BY k"
+
+
+@query(
+    "q_pass_at_k_estimator",
+    oracle=_pak_oracle(),
+    tags=("E319", "E135", "A1", "F4"),
+)
+def q_pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k — the unbiased combinatorial estimator (Chen et al.,
+    Codex/HumanEval: 1 - C(n-c, k)/C(n, k) per task, averaged) that
+    every LLM eval harness reports; naive empirical pass rates from
+    k samples are biased, this form is not. Tasks are users, n their
+    attempt count, c their successes (purchases). The binomial RATIO
+    never materializes factorials: it unrolls to a FIXED-ORDER
+    product of k per-task ratios over exact BIGINT (n, c) — both
+    engines run the identical IEEE sequence — quantized 1e-9 per
+    task, averaged with the 1e-6 display quantum per k arm. One
+    sufficient-statistics pass (map-side combinable) feeds all three
+    arms; each arm filters to tasks with n >= k (the estimator's
+    validity condition) and is a broadcast-tiny aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    tasks = tracked_persist(
+        e.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    arms = []
+    for k in _PAK_KS:
+        per_task_q = F.expr(_pak_factors_sql(k))
+        arms.append(
+            tasks.filter(F.col("n") >= k).agg(
+                F.lit(k).alias("k"),
+                F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+                (
+                    F.floor(
+                        F.sum(per_task_q).cast("double")
+                        / 1000000000.0
+                        / F.count(F.lit(1))
+                        * 1000000
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                    / 1e6
+                ).alias("pass_at_k"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("k")
