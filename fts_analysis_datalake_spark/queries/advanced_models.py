@@ -1806,7 +1806,7 @@ def q_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                       * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS q
-      FROM events GROUP BY event_type),
+      FROM events GROUP BY event_type HAVING COUNT(*) >= 2),
     v AS (
       SELECT event_type, n, CAST(s AS DOUBLE) / n AS mean,
              (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var
@@ -1815,14 +1815,16 @@ def q_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.n AS n_a, b.n AS n_b,
            CAST(FLOOR((a.mean - b.mean) / 100.0 * 1000000 + 0.5) AS BIGINT)
              / 1000000.0 AS mean_diff,
+           CASE WHEN a.var / a.n + b.var / b.n = 0 THEN 0.0e0 ELSE
            CAST(FLOOR((a.mean - b.mean)
                       / sqrt(a.var / a.n + b.var / b.n) * 1000000 + 0.5)
-                AS BIGINT) / 1000000.0 AS t_stat,
+                AS BIGINT) / 1000000.0 END AS t_stat,
+           CASE WHEN a.var / a.n + b.var / b.n = 0 THEN 0.0e0 ELSE
            CAST(FLOOR((a.var / a.n + b.var / b.n)
                       * (a.var / a.n + b.var / b.n)
                       / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
                          + (b.var / b.n) * (b.var / b.n) / (b.n - 1))
-                      * 10000 + 0.5) AS BIGINT) / 10000.0 AS welch_df
+                      * 10000 + 0.5) AS BIGINT) / 10000.0 END AS welch_df
     FROM v a JOIN v b ON a.event_type < b.event_type
     ORDER BY type_a, type_b
     """,
@@ -1841,7 +1843,9 @@ def q_welch_ttest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-op sequence over identical BIGINT moments on both engines
     (means/variances are single divisions; numerator/denominator
     shapes written identically in the oracle), quantized at 1e-6/1e-4
-    on output. The squared-cents sum stays below 2^63 up to ~1e14
+    on output. Groups need n >= 2 (the variance divisor); a zero
+    pooled SE degenerates to t=0/df=0 identically on both engines.
+    The squared-cents sum stays below 2^63 up to ~1e14
     cents^2 per group — document-scale safe; at true 100 TB revenue
     scale switch s/q to DECIMAL(38,0) sums, same plan shape."""
     e = load_table(spark, sf_dir, "events")
@@ -1850,7 +1854,7 @@ def q_welch_ttest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(cents).cast("bigint").alias("s"),
         F.sum(cents * cents).cast("bigint").alias("q"),
-    )
+    ).filter(F.col("n") >= 2)
     v = m.select(
         "event_type",
         "n",
@@ -1888,19 +1892,31 @@ def q_welch_ttest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             q6((F.col("mean_a") - F.col("mean_b")) / 100.0, 1000000.0).alias(
                 "mean_diff"
             ),
-            q6(
-                (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b),
-                1000000.0,
-            ).alias("t_stat"),
-            q6(
-                (se_a + se_b)
-                * (se_a + se_b)
-                / (
-                    se_a * se_a / (F.col("n_a") - 1)
-                    + se_b * se_b / (F.col("n_b") - 1)
-                ),
-                10000.0,
-            ).alias("welch_df"),
+            # zero pooled SE (both groups constant after quantization)
+            # guards to 0 on BOTH engines: Spark NULLs a double
+            # division by zero where DuckDB yields inf — the one
+            # degenerate case where identical arithmetic diverges
+            F.when(se_a + se_b == 0, F.lit(0.0))
+            .otherwise(
+                q6(
+                    (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b),
+                    1000000.0,
+                )
+            )
+            .alias("t_stat"),
+            F.when(se_a + se_b == 0, F.lit(0.0))
+            .otherwise(
+                q6(
+                    (se_a + se_b)
+                    * (se_a + se_b)
+                    / (
+                        se_a * se_a / (F.col("n_a") - 1)
+                        + se_b * se_b / (F.col("n_b") - 1)
+                    ),
+                    10000.0,
+                )
+            )
+            .alias("welch_df"),
         )
         .orderBy("type_a", "type_b")
     )

@@ -1290,8 +1290,8 @@ def q_bellman_ford_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _KT_ROUNDS = 5  # peel rounds; every fixture SF reaches its fixpoint by round 4
-_KT_K = 4
-_KT_GATE = 2_000_000  # edges; tests patch to 0 to drive the scheduled peel branch  # k-truss: every surviving edge sits in >= k-2 = 2 triangles
+_KT_K = 4  # k-truss: every surviving edge sits in >= k-2 = 2 triangles
+_KT_GATE = 2_000_000  # edges; tests patch to 0 to drive the scheduled peel branch
 
 
 def _ktruss_oracle() -> str:
@@ -1455,8 +1455,8 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HC_HOPS = 4
 _HC_TOPK = 20
-_HC_SEED_MOD = 13
-_HC_GATE = 2_000_000  # sym edges; tests patch to 0 to drive the join-frontier branch  # seed panel: every 13th supplier node in the graph
+_HC_SEED_MOD = 13  # seed panel: every 13th supplier node in the graph
+_HC_GATE = 2_000_000  # sym edges; tests patch to 0 to drive the join-frontier branch
 
 
 def _harmonic_oracle() -> str:
@@ -1559,7 +1559,12 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             frontier[np.arange(k), seed_idx] = True
             dist[np.arange(k), seed_idx] = 0
             for h in range(1, hops_cap + 1):
-                nxt = (frontier.astype(np.int8) @ adj.astype(np.int8)) > 0
+                # matmul in int32: int8 accumulation wraps at 128
+                # frontier-neighbors and silently skips nodes (numpy
+                # has no boolean-matmul kernel, so counts are real)
+                nxt = (
+                    frontier.astype(np.int32) @ adj.astype(np.int32)
+                ) > 0
                 nxt &= dist < 0
                 if not nxt.any():
                     break

@@ -1368,8 +1368,8 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E306: greedy longest-match segmentation — runtime dictionary tokenizer
 # --------------------------------------------------------------------------
 
-_GLM_PREFIX = 40
-_GLM_GATE = 1_000_000  # docs; tests patch to 0 to drive the doubled-join branch  # chars of de-spaced text segmented per doc (recursion bound)
+_GLM_PREFIX = 40  # chars of de-spaced text segmented per doc (recursion bound)
+_GLM_GATE = 1_000_000  # docs; tests patch to 0 to drive the doubled-join branch
 
 _GLM_ORACLE = f"""
 WITH RECURSIVE chars AS MATERIALIZED (
@@ -1513,6 +1513,11 @@ def q_greedy_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pdf["doc_id"], pdf["text"], pdf["source"]
                 ):
                     s = text.replace(" ", "")[:prefix]
+                    if not s:
+                        # mirror the walk's length(s) >= 1 anchor and
+                        # the doubled-join branch (no pos=1 row): an
+                        # empty de-spaced prefix contributes no doc
+                        continue
                     pos, n_tok, n_fb = 0, 0, 0
                     while pos < len(s):
                         win = s[pos : pos + max_wl]

@@ -1071,7 +1071,10 @@ def q_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(st)
 
         def eval(self, text: str, n: int):
-            toks = [t for t in (text or "").split(" ") if t != ""]
+            # raw split, EMPTY TOKENS KEPT — mirrors the oracle's
+            # string_split indexing exactly (a doubled/leading space
+            # yields an empty element on both sides)
+            toks = (text or "").split(" ")
             yield tuple(
                 (toks[i] if i < len(toks) else "") for i in range(int(n))
             )
