@@ -312,3 +312,29 @@ def test_tallysink_failed_overwrite_keeps_previous_commit(spark, tmp_path):
             with open(f"{path}/{p}") as fh:
                 total += sum(1 for _ in fh)
     assert total == 10
+
+
+def test_tickstream_offsets_replay_exactly(spark):
+    """E311's recovery contract: readBetweenOffsets must regenerate
+    any committed range bit-identically to the live read() path, and
+    chunking must not change the landed set."""
+    from fts_analysis_datalake_spark.sources.pydatasource import (
+        _make_tickstream,
+    )
+
+    src = _make_tickstream()({"n": "50", "chunk": "20"})
+    reader = src.simpleStreamReader("i bigint")
+    start = reader.initialOffset()
+    live, offsets = [], [start]
+    while True:
+        rows, end = reader.read(offsets[-1])
+        rows = list(rows)
+        if not rows:
+            break
+        live.extend(rows)
+        offsets.append(end)
+    assert [r[0] for r in live] == list(range(50))
+    # replay every committed micro-batch range
+    for a, b in zip(offsets, offsets[1:]):
+        replay = list(reader.readBetweenOffsets(a, b))
+        assert replay == live[a["i"] : b["i"]]
