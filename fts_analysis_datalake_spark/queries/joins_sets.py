@@ -1457,6 +1457,11 @@ _HC_HOPS = 4
 _HC_TOPK = 20
 _HC_SEED_MOD = 13  # seed panel: every 13th supplier node in the graph
 _HC_GATE = 2_000_000  # sym edges; tests patch to 0 to drive the join-frontier branch
+# The kernel allocates a dense n x n boolean adjacency (n = distinct
+# nodes) plus one int32 copy, so edge count alone cannot bound memory:
+# a SPARSE 2M-edge graph can carry millions of nodes. 16,384 nodes caps
+# the bool matrix at 256 MB and the int32 copy at 1 GB inside one task.
+_HC_NODE_GATE = 16_384  # distinct nodes; tests patch to 0 likewise
 
 
 def _harmonic_oracle() -> str:
@@ -1535,8 +1540,14 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is ~seeds x nodes x degree rows (measured 9 s at sf0.1 in the
     # join form), while one numpy task runs the identical min-hop
     # walk as boolean frontier x adjacency matmuls in milliseconds.
-    # The join loop below stays the else-branch / 100 TB path.
-    if sym.count() <= _HC_GATE:
+    # The join loop below stays the else-branch / 100 TB path. The
+    # gate bounds BOTH edges (rows shipped to the task) and distinct
+    # nodes (the dense-matrix side): sym is symmetric, so distinct u
+    # covers every node.
+    if (
+        sym.count() <= _HC_GATE
+        and sym.select("u").distinct().count() <= _HC_NODE_GATE
+    ):
         hops_cap, seed_mod = _HC_HOPS, _HC_SEED_MOD
 
         def multi_bfs(batches):
@@ -1558,13 +1569,13 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             frontier = np.zeros((k, n), dtype=bool)
             frontier[np.arange(k), seed_idx] = True
             dist[np.arange(k), seed_idx] = 0
+            # matmul in int32: int8 accumulation wraps at 128
+            # frontier-neighbors and silently skips nodes (numpy
+            # has no boolean-matmul kernel, so counts are real);
+            # cast once — the adjacency never changes across hops
+            adj_i = adj.astype(np.int32)
             for h in range(1, hops_cap + 1):
-                # matmul in int32: int8 accumulation wraps at 128
-                # frontier-neighbors and silently skips nodes (numpy
-                # has no boolean-matmul kernel, so counts are real)
-                nxt = (
-                    frontier.astype(np.int32) @ adj.astype(np.int32)
-                ) > 0
+                nxt = (frontier.astype(np.int32) @ adj_i) > 0
                 nxt &= dist < 0
                 if not nxt.any():
                     break

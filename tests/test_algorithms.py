@@ -615,6 +615,10 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         ("q_greedy_segmentation", llm_text, "_GLM_GATE"),
         ("q_ktruss_parts", joins_sets, "_KT_GATE"),
         ("q_harmonic_centrality", joins_sets, "_HC_GATE"),
+        # node-count gate: a sparse many-node graph must route to the
+        # join branch even when the EDGE count is under _HC_GATE —
+        # patching the node gate to 0 simulates exactly that routing
+        ("q_harmonic_centrality", joins_sets, "_HC_NODE_GATE"),
         ("q_greedy_cover_selection", llm_curation, "_COVER_GATE"),
     ]
     for name, mod, gate in cases:

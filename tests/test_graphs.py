@@ -255,3 +255,68 @@ def test_cc_three_algorithms_agree_on_seeded_random_graphs(spark):
         }
         assert star == base, (n_nodes, n_edges, seed)
         assert finish == base, (n_nodes, n_edges, seed)
+
+
+def test_pagerank_finisher_branches_agree(spark):
+    """The pagerank small-finish numpy kernel and the distributed
+    join loop (the 100 TB path) must agree per node on the SAME
+    fixture — tolerance-based, since the float operator's declared
+    contract allows summation-order ulp drift (np.bincount vs
+    partial-sum aggregation). Forces BOTH branches explicitly rather
+    than whichever the fixture size happens to select."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.operators.graphs import pagerank
+
+    li = load_table(spark, SF_DIR_SMALL, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    kernel = {
+        r.node: r.rank
+        for r in pagerank(edges, iters=5, small_finish_rows=10**9).collect()
+    }
+    dist = {r.node: r.rank for r in pagerank(edges, iters=5).collect()}
+    assert set(kernel) == set(dist)
+    assert len(kernel) > 0
+    for node, rk in dist.items():
+        assert abs(kernel[node] - rk) <= 1e-9 * max(1.0, abs(rk)), node
+
+
+def test_bfs_finisher_branches_agree(spark):
+    """bfs_hops: the dict-walk kernel, the bounded-hop unrolled plan,
+    and the early-terminating frontier loop must produce identical
+    (node, hop) sets — min-hop is expansion-order-independent, so
+    equality is exact. All three branches forced on one fixture."""
+    from pyspark.sql import functions as F
+
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.operators.graphs import bfs_hops
+
+    li = load_table(spark, SF_DIR_SMALL, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    src = edges.orderBy("src").first().src
+    kernel = {
+        (r.node, r.hop)
+        for r in bfs_hops(
+            edges, src, max_hops=4, small_finish_rows=10**9
+        ).collect()
+    }
+    unrolled = {
+        (r.node, r.hop) for r in bfs_hops(edges, src, max_hops=4).collect()
+    }
+    # max_hops > 8 routes to the frontier loop; cap re-limits to 4
+    # via a visited-set walk that cannot re-reach, so restrict the
+    # comparison to hops <= 4 reached within the same budget.
+    looped = {
+        (r.node, r.hop)
+        for r in bfs_hops(edges, src, max_hops=9).collect()
+        if r.hop <= 4
+    }
+    assert kernel == unrolled and len(kernel) > 1
+    assert looped == unrolled

@@ -253,3 +253,32 @@ def test_semantic_dedup_report_accounting(spark):
     assert row.n_kept == row.n_vectors - row.n_members + row.n_clusters
     assert row.n_clusters <= row.n_members
     assert row.n_members <= row.n_vectors
+
+
+def test_kmeans_finisher_branches_agree(spark):
+    """kmeans_train: the numpy Lloyd kernel and the per-round
+    DataFrame loop (the 100 TB path) must agree on the SAME fixture —
+    identical surviving centroid ids (assignment ties break the same
+    way: score desc, cent_id asc) and centroid vectors equal to
+    tolerance (numpy mean vs partial-avg summation order is inside
+    the float operator's declared rows-only contract). Forces BOTH
+    branches explicitly."""
+    import numpy as np
+
+    from fts_analysis_datalake_spark.catalog import load_table
+    from fts_analysis_datalake_spark.operators.similarity import kmeans_train
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    kernel = {
+        r.cent_id: np.asarray(r.cent_vec)
+        for r in kmeans_train(
+            emb, k=8, iters=3, small_finish_rows=10**9
+        ).collect()
+    }
+    dist = {
+        r.cent_id: np.asarray(r.cent_vec)
+        for r in kmeans_train(emb, k=8, iters=3).collect()
+    }
+    assert set(kernel) == set(dist) and len(kernel) > 1
+    for cid, vec in dist.items():
+        assert np.allclose(kernel[cid], vec, rtol=1e-9, atol=1e-12), cid
