@@ -1565,7 +1565,10 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             adj[ui, vi] = True
             seed_idx = np.where((np.asarray(uniq) % seed_mod) == 1)[0]
             k = len(seed_idx)
-            dist = np.full((k, n), -1, dtype=np.int64)
+            # int8: values are -1..hops_cap (<=4), and k can approach
+            # n if the id distribution concentrates on the seed
+            # residue — int64 would be 8x the node-gated worst case
+            dist = np.full((k, n), -1, dtype=np.int8)
             frontier = np.zeros((k, n), dtype=bool)
             frontier[np.arange(k), seed_idx] = True
             dist[np.arange(k), seed_idx] = 0
