@@ -320,3 +320,47 @@ def test_bfs_finisher_branches_agree(spark):
     }
     assert kernel == unrolled and len(kernel) > 1
     assert looped == unrolled
+
+
+def test_finisher_battery_random_graphs(spark):
+    """Kernel-vs-distributed equivalence beyond the bench fixture:
+    seeded LCG graphs in the three regimes the dispatch notes care
+    about (sparse forest, quasi-random blob, dense near-clique).
+    bfs_hops must agree EXACTLY; pagerank to float tolerance (its
+    declared rows-only contract). Deterministic — fixed LCG, no RNG."""
+    from fts_analysis_datalake_spark.operators.graphs import bfs_hops, pagerank
+
+    for n_nodes, n_edges, seed in [(60, 30, 11), (80, 120, 12), (25, 200, 13)]:
+        rows, x = [], seed
+        for _ in range(n_edges):
+            x = (x * 1103515245 + 12345) % (2**31)
+            u = x % n_nodes
+            x = (x * 1103515245 + 12345) % (2**31)
+            v = x % n_nodes
+            if u != v:
+                rows.append((u, v))
+        edges = spark.createDataFrame(rows, "src BIGINT, dst BIGINT")
+        src = rows[0][0]
+        k_bfs = {
+            (r.node, r.hop)
+            for r in bfs_hops(
+                edges, src, max_hops=6, small_finish_rows=10**9
+            ).collect()
+        }
+        d_bfs = {
+            (r.node, r.hop) for r in bfs_hops(edges, src, max_hops=6).collect()
+        }
+        assert k_bfs == d_bfs and len(k_bfs) >= 1, (n_nodes, n_edges, seed)
+        k_pr = {
+            r.node: r.rank
+            for r in pagerank(
+                edges, iters=4, small_finish_rows=10**9
+            ).collect()
+        }
+        d_pr = {r.node: r.rank for r in pagerank(edges, iters=4).collect()}
+        assert set(k_pr) == set(d_pr), (n_nodes, n_edges, seed)
+        for node, rk in d_pr.items():
+            assert abs(k_pr[node] - rk) <= 1e-9 * max(1.0, abs(rk)), (
+                seed,
+                node,
+            )
