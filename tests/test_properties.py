@@ -79,3 +79,89 @@ def test_scd2_matches_run_replay(spark, events):
         for r in scd2_history(df, ["k"], "ts", "attr", "tb").collect()
     }
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(
+    gaps=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.integers(min_value=0, max_value=40),  # seconds offset
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_sessionize_matches_gap_replay(spark, gaps):
+    """Gap-and-island session ids == per-user sequential replay with
+    the same >gap_seconds rule (W8). Random offsets cover ties
+    (gap 0), exact-boundary gaps (== gap_seconds stays in-session),
+    and single-event users."""
+    import datetime as dt
+
+    from fts_analysis_datalake_spark.operators.windows import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=s), i) for i, (u, s) in enumerate(gaps)
+    ]
+    df = spark.createDataFrame(rows, "u BIGINT, ts TIMESTAMP, tb BIGINT")
+
+    per_user: dict = {}
+    for u, ts, tb in rows:
+        per_user.setdefault(u, []).append((ts, tb))
+    expected = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        sess = 0
+        prev = None
+        for ts, tb in evs:
+            if prev is None or (ts - prev).total_seconds() > 10:
+                sess += 1
+            expected[(u, tb)] = sess
+            prev = ts
+
+    got = {
+        (r.u, r.tb): r.session_id
+        for r in sessionize(df, "u", "ts", "tb", gap_seconds=10).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, pairs):
+    """Min-label CC == classic union-find replay on arbitrary random
+    graphs (self-loops, duplicate and reversed edges included) —
+    hypothesis shrinks any failure to a minimal edge list, which the
+    fixed LCG battery cannot."""
+    from fts_analysis_datalake_spark.operators.graphs import connected_components
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    expected = {}
+    for n in parent:
+        root = find(n)
+        comp = min(m for m in parent if find(m) == root)
+        expected[n] = comp
+
+    edges = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
+    got = {r.node: r.comp for r in connected_components(edges, max_iter=40).collect()}
+    assert got == expected
