@@ -165,3 +165,59 @@ def test_connected_components_matches_union_find(spark, pairs):
     edges = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
     got = {r.node: r.comp for r in connected_components(edges, max_iter=40).collect()}
     assert got == expected
+
+
+def test_operators_invariant_under_repartitioning(spark):
+    """Physical partitioning must never change results (the cluster
+    contract: the same query on 1 or 1000 partitions is the same
+    query). Run the lifecycle/window operators on the same logical
+    input under several adversarial partitionings and assert
+    identical output sets."""
+    import datetime as dt
+
+    from fts_analysis_datalake_spark.operators.graphs import connected_components
+    from fts_analysis_datalake_spark.operators.windows import sessionize
+
+    base_rows = [(k, k % 3 - 1) for k in range(8)]
+    ch_rows = [(k, k * 2, "U" if k % 3 else "D") for k in range(0, 12, 2)]
+    ev_rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), i)
+        for i, (u, s) in enumerate(
+            [(0, 0), (0, 5), (0, 30), (1, 2), (1, 13), (1, 24), (2, 40)]
+        )
+    ]
+    edge_rows = [(1, 2), (2, 3), (5, 5), (7, 8), (8, 7), (3, 1)]
+
+    results = []
+    for parts in (1, 3, 16):
+        base = spark.createDataFrame(base_rows, "k BIGINT, v BIGINT").repartition(parts)
+        ch = spark.createDataFrame(
+            ch_rows, "k BIGINT, v BIGINT, _op STRING"
+        ).repartition(parts)
+        ev = spark.createDataFrame(
+            ev_rows, "u BIGINT, ts TIMESTAMP, tb BIGINT"
+        ).repartition(parts)
+        edges = spark.createDataFrame(edge_rows, "src BIGINT, dst BIGINT").repartition(
+            parts
+        )
+        results.append(
+            (
+                {(r.k, r.v) for r in merge_upsert(base, ch, ["k"]).collect()},
+                {
+                    (r.u, r.tb, r.session_id)
+                    for r in sessionize(ev, "u", "ts", "tb", gap_seconds=10).collect()
+                },
+                {
+                    (r.u, r.attr, r.valid_from, r.valid_to)
+                    for r in scd2_history(
+                        ev.withColumn("attr", (ev["tb"] % 2).cast("string")),
+                        ["u"],
+                        "ts",
+                        "attr",
+                        "tb",
+                    ).collect()
+                },
+                {(r.node, r.comp) for r in connected_components(edges).collect()},
+            )
+        )
+    assert results[0] == results[1] == results[2]
