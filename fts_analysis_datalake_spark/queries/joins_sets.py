@@ -1544,10 +1544,10 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate bounds BOTH edges (rows shipped to the task) and distinct
     # nodes (the dense-matrix side): sym is symmetric, so distinct u
     # covers every node.
-    if (
-        sym.count() <= _HC_GATE
-        and sym.select("u").distinct().count() <= _HC_NODE_GATE
-    ):
+    n_edges, n_nodes = sym.agg(
+        F.count(F.lit(1)), F.countDistinct("u")
+    ).first()
+    if n_edges <= _HC_GATE and n_nodes <= _HC_NODE_GATE:
         hops_cap, seed_mod = _HC_HOPS, _HC_SEED_MOD
 
         def multi_bfs(batches):
