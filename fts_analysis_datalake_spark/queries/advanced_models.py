@@ -518,6 +518,9 @@ def _kcore_oracle() -> str:
     return base
 
 
+_KCORE_GATE = 2_000_000  # edges; tests patch to 0 to drive the scheduled peel loop
+
+
 @query(
     "q_kcore_suppliers",
     oracle=_kcore_oracle(),
@@ -594,7 +597,7 @@ def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pure integer counting — identical result to the scheduled
     # loop); above the threshold, the scheduled broadcast-semi-join
     # rounds take over. Measured 2.3 -> ~1.2 s in-suite at sf0.01.
-    if edges.count() <= 2_000_000:
+    if edges.count() <= _KCORE_GATE:
 
         def peel(batches):
             import pandas as pd

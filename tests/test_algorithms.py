@@ -604,6 +604,7 @@ def test_count_gated_branches_agree(spark, monkeypatch):
     against the kernel output on the same fixture. All four queries
     are integer-exact, so equality is exact, not approximate."""
     from fts_analysis_datalake_spark.queries import (
+        advanced_models,
         joins_sets,
         llm_curation,
         llm_text,
@@ -613,6 +614,7 @@ def test_count_gated_branches_agree(spark, monkeypatch):
     _load_all()
     cases = [
         ("q_greedy_segmentation", llm_text, "_GLM_GATE"),
+        ("q_kcore_suppliers", advanced_models, "_KCORE_GATE"),
         ("q_ktruss_parts", joins_sets, "_KT_GATE"),
         ("q_harmonic_centrality", joins_sets, "_HC_GATE"),
         # node-count gate: a sparse many-node graph must route to the
