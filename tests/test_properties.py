@@ -221,3 +221,32 @@ def test_operators_invariant_under_repartitioning(spark):
             )
         )
     assert results[0] == results[1] == results[2]
+
+
+def test_operators_handle_empty_input(spark):
+    """Empty-input contract for operator-level finishers and loops:
+    at 100 TB an upstream filter can legitimately yield nothing, and
+    BOTH branches (single-task kernel and distributed loop) must
+    return an empty/degenerate result rather than crash — the kernel
+    branch is the risky one (pd.concat over zero Arrow batches)."""
+    from fts_analysis_datalake_spark.operators.graphs import (
+        bfs_hops,
+        connected_components_star,
+        pagerank,
+    )
+
+    empty = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    assert pagerank(empty, iters=3, small_finish_rows=10**9).count() == 0
+    assert pagerank(empty, iters=3).count() == 0
+    # BFS from an absent source still reports the source at hop 0 in
+    # both branches (distance to itself is defined without edges).
+    k = {(r.node, r.hop) for r in bfs_hops(empty, 1, max_hops=3, small_finish_rows=10**9).collect()}
+    d = {(r.node, r.hop) for r in bfs_hops(empty, 1, max_hops=3).collect()}
+    assert k == d == {(1, 0)}
+    assert connected_components_star(empty, small_finish_rows=10**9).count() == 0
+
+    ch = spark.createDataFrame([], "k BIGINT, v BIGINT, _op STRING")
+    base = spark.createDataFrame([(1, 2)], "k BIGINT, v BIGINT")
+    assert {(r.k, r.v) for r in merge_upsert(base, ch, ["k"]).collect()} == {(1, 2)}
+    empty_base = spark.createDataFrame([], "k BIGINT, v BIGINT")
+    assert merge_upsert(empty_base, ch, ["k"]).count() == 0
