@@ -250,3 +250,147 @@ def test_operators_handle_empty_input(spark):
     assert {(r.k, r.v) for r in merge_upsert(base, ch, ["k"]).collect()} == {(1, 2)}
     empty_base = spark.createDataFrame([], "k BIGINT, v BIGINT")
     assert merge_upsert(empty_base, ch, ["k"]).count() == 0
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=3,
+            max_size=10,
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_prefix_filter_is_lossless(spark, texts):
+    """PPJoin losslessness (the E68 pigeonhole theorem): every pair
+    with set-Jaccard >= threshold over 3-gram shingles MUST appear in
+    the prefix-filtered candidates — on random tiny-vocabulary docs
+    where shingle collisions and boundary Jaccards actually occur.
+    Inputs are pre-normalized (lowercase alnum, single spaces), so
+    the Python truth model is plain word 3-grams."""
+    from fts_analysis_datalake_spark.caching import release_tracked
+    from fts_analysis_datalake_spark.operators.dedup import prefix_filter_candidates
+
+    t = 0.5
+    shingle_sets = {}
+    for i, txt in enumerate(texts):
+        ws = txt.split()
+        shingle_sets[i] = {
+            " ".join(ws[j : j + 3]) for j in range(len(ws) - 2)
+        }
+    qualifying = {
+        (a, b)
+        for a in shingle_sets
+        for b in shingle_sets
+        if a < b
+        and shingle_sets[a]
+        and shingle_sets[b]
+        and len(shingle_sets[a] & shingle_sets[b])
+        / len(shingle_sets[a] | shingle_sets[b])
+        >= t
+    }
+
+    df = spark.createDataFrame(
+        [(i, txt) for i, txt in enumerate(texts)], "id BIGINT, text STRING"
+    )
+    try:
+        cands = {
+            (r.id_a, r.id_b)
+            for r in prefix_filter_candidates(df, "id", "text", t).collect()
+        }
+    finally:
+        release_tracked()
+    assert qualifying <= cands, (qualifying - cands, texts)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(
+    a=st.text(alphabet="0123456789", min_size=9, max_size=9),
+    b=st.text(alphabet="0123456789", min_size=9, max_size=9),
+)
+def test_symspell_deletion_neighborhoods_intersect(a, b):
+    """The E23 completeness theorem, pure Python: for 9-char keys
+    with lev(a,b) <= 2, the delete-<=2 variant neighborhoods (1
+    identity + 9 single + 36 double deletions — the exact recipe both
+    the Spark query and the DuckDB oracle emit) must intersect, so
+    the variant equi-join can never miss a qualifying pair."""
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[-1] + 1,
+                        prev[j - 1] + (cx != cy),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    def variants(d):
+        out = {d}
+        for j in range(9):
+            out.add(d[:j] + d[j + 1 :])
+        for i in range(9):
+            for j in range(i + 1, 9):
+                out.add(d[:i] + d[i + 1 : j] + d[j + 1 :])
+        return out
+
+    if lev(a, b) <= 2:
+        assert variants(a) & variants(b), (a, b)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(
+    a=st.text(alphabet="0123456789", min_size=9, max_size=9),
+    edits=st.lists(
+        st.tuples(
+            st.sampled_from("sdi"),  # substitute / delete+append / insert+trim
+            st.integers(min_value=0, max_value=8),
+            st.sampled_from("0123456789"),
+        ),
+        min_size=0,
+        max_size=2,
+    ),
+)
+def test_symspell_neighborhoods_intersect_under_edits(a, edits):
+    """Constructive companion to the random-pair test: b is built
+    from a by <=2 length-preserving edits (substitution, or the
+    delete-at-i/append and insert-at-i/trim shifts that realize
+    mixed delete+insert alignments), so every example exercises the
+    lev<=2 precondition rather than sampling it by luck."""
+    b = a
+    for op, i, c in edits:
+        if op == "s":
+            b = b[:i] + c + b[i + 1 :]
+        elif op == "d":
+            b = b[:i] + b[i + 1 :] + c
+        else:
+            b = (b[:i] + c + b[i:])[:9]
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for ii, cx in enumerate(x, 1):
+            cur = [ii]
+            for jj, cy in enumerate(y, 1):
+                cur.append(min(prev[jj] + 1, cur[-1] + 1, prev[jj - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    def variants(d):
+        out = {d}
+        for j in range(9):
+            out.add(d[:j] + d[j + 1 :])
+        for i2 in range(9):
+            for j in range(i2 + 1, 9):
+                out.add(d[:i2] + d[i2 + 1 : j] + d[j + 1 :])
+        return out
+
+    if lev(a, b) <= 2:
+        assert variants(a) & variants(b), (a, b, edits)
