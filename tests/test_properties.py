@@ -394,3 +394,47 @@ def test_symspell_neighborhoods_intersect_under_edits(a, edits):
 
     if lev(a, b) <= 2:
         assert variants(a) & variants(b), (a, b, edits)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    dim=st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=30),
+    fact=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+)
+def test_bloom_prefilter_no_false_negatives(spark, dim, fact):
+    """Bloom semi-join contract: a fact key present in the dim set
+    must NEVER be dropped (false positives allowed, false negatives
+    impossible) — on random key universes with real hash collisions
+    in the 2048-bit filter."""
+    from fts_analysis_datalake_spark.operators.scale import bloom_build, bloom_prefilter
+
+    dim_df = spark.createDataFrame([(k,) for k in dim], "k BIGINT")
+    fact_df = spark.createDataFrame([(k, i) for i, k in enumerate(fact)], "k BIGINT, i BIGINT")
+    bloom = bloom_build(dim_df, "k")
+    kept = {(r.k, r.i) for r in bloom_prefilter(fact_df, "k", bloom).collect()}
+    must_keep = {(k, i) for i, k in enumerate(fact) if k in dim}
+    assert must_keep <= kept
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    items=st.lists(
+        st.sampled_from("abcdefgh"), min_size=1, max_size=60
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_son_candidates_superset_of_global_frequents(spark, items, parts):
+    """SON phase-1 guarantee (pigeonhole over fractions): every item
+    with global frequency >= support_frac * total must appear in the
+    per-partition candidate union — under arbitrary (adversarial)
+    partitionings of the item stream."""
+    from collections import Counter
+
+    from fts_analysis_datalake_spark.operators.scale import son_candidates
+
+    frac = 0.3
+    df = spark.createDataFrame([(x,) for x in items], "item STRING").repartition(parts)
+    cands = {r.item for r in son_candidates(df, "item", frac).collect()}
+    counts = Counter(items)
+    global_frequent = {i for i, n in counts.items() if n >= frac * len(items)}
+    assert global_frequent <= cands, (global_frequent - cands, items, parts)
