@@ -438,3 +438,43 @@ def test_son_candidates_superset_of_global_frequents(spark, items, parts):
     counts = Counter(items)
     global_frequent = {i for i, n in counts.items() if n >= frac * len(items)}
     assert global_frequent <= cands, (global_frequent - cands, items, parts)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    left=st.lists(
+        st.tuples(
+            st.sampled_from([0, 0, 0, 0, 1, 2, 3]),  # hot key 0
+            st.integers(min_value=-9, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4), st.integers(min_value=-9, max_value=9)),
+        min_size=0,
+        max_size=10,
+    ),
+    salts=st.integers(min_value=1, max_value=8),
+)
+def test_salted_join_row_identical_to_plain(spark, left, right, salts):
+    """salted_equi_join must be ROW-identical (multiset, not set) to
+    the plain join under randomized skew (a deliberately hot key),
+    duplicate rows on both sides, unmatched keys, an empty right
+    side, and every salt count 1..8."""
+    from collections import Counter
+
+    from fts_analysis_datalake_spark.operators.scale import salted_equi_join
+
+    l_df = spark.createDataFrame(left, "k BIGINT, lv BIGINT")
+    r_df = spark.createDataFrame(right, "k BIGINT, rv BIGINT") if right else (
+        spark.createDataFrame([], "k BIGINT, rv BIGINT")
+    )
+    plain = Counter(
+        (r.k, r.lv, r.rv) for r in l_df.join(r_df, "k").collect()
+    )
+    salted = Counter(
+        (r.k, r.lv, r.rv)
+        for r in salted_equi_join(l_df, r_df, "k", salts=salts).collect()
+    )
+    assert salted == plain
