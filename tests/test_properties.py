@@ -478,3 +478,60 @@ def test_salted_join_row_identical_to_plain(spark, left, right, salts):
         for r in salted_equi_join(l_df, r_df, "k", salts=salts).collect()
     )
     assert salted == plain
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=1,
+            max_size=10,
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_exact_jaccard_matches_set_model(spark, texts):
+    """D4 verify stage == Python set-Jaccard on random docs, in both
+    granularities (token sets and 3-gram shingle sets) — the number
+    every dedup pipeline's final keep/drop decision trusts. Docs
+    shorter than the shingle width have empty shingle sets; those
+    pairs divide 0 by 0 and are excluded from both sides."""
+    from fts_analysis_datalake_spark.caching import release_tracked
+    from fts_analysis_datalake_spark.operators.dedup import exact_jaccard_for_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id BIGINT, text STRING"
+    )
+    all_pairs = [(a, b) for a in range(len(texts)) for b in range(len(texts)) if a < b]
+    pairs = spark.createDataFrame(all_pairs, "id_a BIGINT, id_b BIGINT")
+
+    for shingle_n, mk in [
+        (None, lambda ws: set(ws)),
+        (3, lambda ws: {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}),
+    ]:
+        sets = {i: mk(t.split()) for i, t in enumerate(texts)}
+        expected = {
+            (a, b): len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            for a, b in all_pairs
+            if sets[a] or sets[b]
+        }
+        try:
+            got = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in exact_jaccard_for_pairs(
+                    df, "id", "text", pairs, shingle_n=shingle_n
+                ).collect()
+            }
+        finally:
+            release_tracked()
+        # pairs where one side has no elements at this granularity
+        # drop out of the join (no element row -> no collect_set row)
+        got = {k: v for k, v in got.items() if k in expected}
+        for k, v in expected.items():
+            if k in got:
+                assert abs(got[k] - v) < 1e-12, (k, shingle_n)
+        missing = set(expected) - set(got)
+        for a, b in missing:
+            assert not sets[a] or not sets[b], (a, b, shingle_n)
