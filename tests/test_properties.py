@@ -535,3 +535,36 @@ def test_exact_jaccard_matches_set_model(spark, texts):
         missing = set(expected) - set(got)
         for a, b in missing:
             assert not sets[a] or not sets[b], (a, b, shingle_n)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    coords=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_zorder_key_matches_bit_interleave(spark, coords):
+    """The Morton key (the z-order layout's entire foundation) must
+    equal textbook bit interleaving — a is even bits, b odd — for
+    random 16-bit coordinate pairs including the 0 and 65535
+    extremes hypothesis shrinks toward."""
+    from pyspark.sql import functions as F2
+
+    from fts_analysis_datalake_spark.operators.scale import zorder_key
+
+    df = spark.createDataFrame(coords, "a BIGINT, b BIGINT")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zorder_key(F2.col("a"), F2.col("b")).alias("z")).collect()
+    }
+    for a, b in coords:
+        z = 0
+        for bit in range(16):
+            z |= ((a >> bit) & 1) << (2 * bit)
+            z |= ((b >> bit) & 1) << (2 * bit + 1)
+        assert got[(a, b)] == z, (a, b)
