@@ -568,3 +568,34 @@ def test_zorder_key_matches_bit_interleave(spark, coords):
             z |= ((a >> bit) & 1) << (2 * bit)
             z |= ((b >> bit) & 1) << (2 * bit + 1)
         assert got[(a, b)] == z, (a, b)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    stream=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=60
+    ),
+    absent_probes=st.sets(
+        st.integers(min_value=100, max_value=120), max_size=4
+    ),
+)
+def test_cms_never_underestimates(spark, stream, absent_probes):
+    """Count-min's one deterministic guarantee, under randomized
+    collision patterns: the estimate is >= the true count for every
+    probed item — including never-seen probes, whose floor is 0 via
+    the left-join coalesce (a missing-bucket null must not become a
+    null estimate)."""
+    from collections import Counter
+
+    from fts_analysis_datalake_spark.operators.scale import cms_build, cms_estimate
+
+    items = spark.createDataFrame([(x,) for x in stream], "item BIGINT")
+    probes = spark.createDataFrame(
+        [(x,) for x in set(stream) | absent_probes], "item BIGINT"
+    )
+    sketch = cms_build(items, "item")
+    est = {r.item: r.cms_count for r in cms_estimate(sketch, probes, "item").collect()}
+    truth = Counter(stream)
+    assert set(est) == set(stream) | absent_probes
+    for item, e in est.items():
+        assert e is not None and e >= truth.get(item, 0), (item, e)
