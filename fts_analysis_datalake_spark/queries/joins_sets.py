@@ -1462,6 +1462,14 @@ _HC_GATE = 2_000_000  # sym edges; tests patch to 0 to drive the join-frontier b
 # a SPARSE 2M-edge graph can carry millions of nodes. 16,384 nodes caps
 # the bool matrix at 256 MB and the int32 copy at 1 GB inside one task.
 _HC_NODE_GATE = 16_384  # distinct nodes; tests patch to 0 likewise
+# The per-hop matmul allocates a (seeds x nodes) int32 frontier block
+# and product, so seed count is a third independent memory axis: at
+# k ~ n = 16,384 the un-gated transients reach ~1 GB each and the
+# int32 matmul ~4e12 ops/hop. 4,096 seeds caps the full int32
+# frontier at 256 MB and ops at ~1e12; the blockwise loop below
+# additionally caps the per-block transient at 128 MB regardless.
+_HC_SEED_GATE = 4_096  # seed-panel size; tests patch to 0 likewise
+_HC_MM_BLOCK = 2_048  # matmul row-block: 2048 x 16384 int32 = 128 MB
 
 
 def _harmonic_oracle() -> str:
@@ -1541,14 +1549,24 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join form), while one numpy task runs the identical min-hop
     # walk as boolean frontier x adjacency matmuls in milliseconds.
     # The join loop below stays the else-branch / 100 TB path. The
-    # gate bounds BOTH edges (rows shipped to the task) and distinct
-    # nodes (the dense-matrix side): sym is symmetric, so distinct u
-    # covers every node.
-    n_edges, n_nodes = sym.agg(
-        F.count(F.lit(1)), F.countDistinct("u")
-    ).first()
-    if n_edges <= _HC_GATE and n_nodes <= _HC_NODE_GATE:
+    # gate bounds edges (rows shipped to the task), distinct nodes
+    # (the dense-matrix side; sym is symmetric, so distinct u covers
+    # every node) and seeds (the frontier/matmul side). The cheap
+    # edge count runs first and alone on the 100 TB path; the
+    # distinct-aggregation shuffle only happens once the edge gate
+    # has already admitted a small graph.
+    take_kernel = sym.count() <= _HC_GATE
+    if take_kernel:
+        n_nodes, n_seeds = sym.agg(
+            F.countDistinct("u"),
+            F.countDistinct(
+                F.when(F.col("u") % _HC_SEED_MOD == 1, F.col("u"))
+            ),
+        ).first()
+        take_kernel = n_nodes <= _HC_NODE_GATE and n_seeds <= _HC_SEED_GATE
+    if take_kernel:
         hops_cap, seed_mod = _HC_HOPS, _HC_SEED_MOD
+        mm_block = _HC_MM_BLOCK
 
         def multi_bfs(batches):
             import numpy as np
@@ -1565,9 +1583,11 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             adj[ui, vi] = True
             seed_idx = np.where((np.asarray(uniq) % seed_mod) == 1)[0]
             k = len(seed_idx)
-            # int8: values are -1..hops_cap (<=4), and k can approach
-            # n if the id distribution concentrates on the seed
-            # residue — int64 would be 8x the node-gated worst case
+            # int8: values are -1..hops_cap (<=4); k is bounded by
+            # _HC_SEED_GATE — int64 would be 8x the gated worst case.
+            # dist[nxt] = h stores the hop number directly, so the
+            # dtype silently wraps if the hop cap ever exceeds 127:
+            assert hops_cap < 128, "int8 dist matrix requires _HC_HOPS < 128"
             dist = np.full((k, n), -1, dtype=np.int8)
             frontier = np.zeros((k, n), dtype=bool)
             frontier[np.arange(k), seed_idx] = True
@@ -1578,7 +1598,17 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cast once — the adjacency never changes across hops
             adj_i = adj.astype(np.int32)
             for h in range(1, hops_cap + 1):
-                nxt = (frontier.astype(np.int32) @ adj_i) > 0
+                # blockwise over seed rows: the int32 frontier block
+                # and its matmul product are the per-hop transients
+                # (up to ~1 GB each at the gate boundary if done in
+                # one shot on top of the persistent adj_i); 2048-row
+                # blocks cap each at 128 MB without changing results
+                nxt = np.zeros((k, n), dtype=bool)
+                for b0 in range(0, k, mm_block):
+                    blk = slice(b0, min(b0 + mm_block, k))
+                    nxt[blk] = (
+                        frontier[blk].astype(np.int32) @ adj_i
+                    ) > 0
                 nxt &= dist < 0
                 if not nxt.any():
                     break

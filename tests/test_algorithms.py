@@ -621,6 +621,10 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         # join branch even when the EDGE count is under _HC_GATE —
         # patching the node gate to 0 simulates exactly that routing
         ("q_harmonic_centrality", joins_sets, "_HC_NODE_GATE"),
+        # seed-count gate: the per-hop matmul allocates (seeds x
+        # nodes) transients, so a huge seed panel must also route to
+        # the join branch even when edges AND nodes pass their gates
+        ("q_harmonic_centrality", joins_sets, "_HC_SEED_GATE"),
         ("q_greedy_cover_selection", llm_curation, "_COVER_GATE"),
     ]
     for name, mod, gate in cases:
@@ -636,3 +640,21 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         finally:
             monkeypatch.undo()
         assert kernel == dist and len(kernel) > 0, name
+
+
+def test_harmonic_blockwise_matmul_exact(spark, monkeypatch):
+    """The seed-row-blocked matmul inside the harmonic kernel must be
+    a pure memory optimization: forcing 1-row blocks (maximally many
+    block boundaries) must reproduce the default-block result exactly."""
+    from fts_analysis_datalake_spark.queries import joins_sets
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    fn = REGISTRY["q_harmonic_centrality"].fn
+    base = sorted(tuple(r) for r in fn(spark, SF_DIR_SMALL).collect())
+    monkeypatch.setattr(joins_sets, "_HC_MM_BLOCK", 1)
+    try:
+        blocked = sorted(tuple(r) for r in fn(spark, SF_DIR_SMALL).collect())
+    finally:
+        monkeypatch.undo()
+    assert base == blocked and len(base) > 0
