@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark import probe
 from fts_analysis_datalake_spark.caching import fixpoint_confs, reroot
 
 
@@ -183,7 +184,11 @@ def pagerank(
     # the float operator is declared rows-only and the BIGINT twin
     # (E289) carries the hash check. Above the gate the join loop
     # below is the 100 TB path.
-    if small_finish_rows is not None and edges.count() * 2 <= small_finish_rows:
+    if probe.gate(
+        "pagerank",
+        small_finish_rows is not None
+        and edges.count() * 2 <= small_finish_rows,
+    ):
         n_iters, d_factor = iters, damping
 
         def pr(batches):
@@ -312,7 +317,10 @@ def bfs_hops(
     )
     spark = edges.sparkSession
 
-    if small_finish_rows is not None and edges.count() <= small_finish_rows:
+    if probe.gate(
+        "bfs_hops",
+        small_finish_rows is not None and edges.count() <= small_finish_rows,
+    ):
         hops_cap = max_hops
         src_node = source
 
@@ -582,6 +590,7 @@ def connected_components_star(
     fp = fingerprint(contracted)
     if fp[0] == 0:
         # Every component collapsed into its minimum in the seed pass.
+        probe.record_branch("cc_star", "seed_collapsed")
         return lbl.select(F.col("u").alias("node"), F.col("l").alias("comp"))
 
     e = contracted
@@ -623,7 +632,7 @@ def connected_components_star(
                 ).select("u", F.coalesce("l2", "l").alias("l"))
             )
             n_edges = e.count()
-        if n_edges <= small_finish_rows:
+        if probe.gate("cc_star", n_edges <= small_finish_rows):
             memb = _union_find_one_task(e)
             return expand(memb)
         fp = fingerprint(e)

@@ -24,6 +24,7 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark import probe
 from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.functions.vector import dot, norm
 
@@ -492,7 +493,10 @@ def kmeans_train(
     summation order), which is inside the float operator's declared
     rows-only contract. Above the gate the per-round loop below is
     the 100 TB path."""
-    if small_finish_rows is not None and emb.count() <= small_finish_rows:
+    if probe.gate(
+        "kmeans",
+        small_finish_rows is not None and emb.count() <= small_finish_rows,
+    ):
         n_iters, n_k = iters, k
 
         def lloyd(batches):

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.caching import fixpoint_confs
+from fts_analysis_datalake_spark import probe
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.registry import query
 
@@ -597,7 +598,7 @@ def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pure integer counting — identical result to the scheduled
     # loop); above the threshold, the scheduled broadcast-semi-join
     # rounds take over. Measured 2.3 -> ~1.2 s in-suite at sf0.01.
-    if edges.count() <= _KCORE_GATE:
+    if probe.gate("kcore", edges.count() <= _KCORE_GATE):
 
         def peel(batches):
             import pandas as pd

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark import probe
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.registry import query
 
@@ -1411,7 +1412,7 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = peel_round(edges)
     rest = _KT_ROUNDS - 1
     min_sup = _KT_K - 2
-    if edges.count() <= _KT_GATE:
+    if probe.gate("ktruss", edges.count() <= _KT_GATE):
 
         def peel(batches):
             import pandas as pd
@@ -1564,7 +1565,7 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).first()
         take_kernel = n_nodes <= _HC_NODE_GATE and n_seeds <= _HC_SEED_GATE
-    if take_kernel:
+    if probe.gate("harmonic", take_kernel):
         hops_cap, seed_mod = _HC_HOPS, _HC_SEED_MOD
         mm_block = _HC_MM_BLOCK
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark import probe
 from fts_analysis_datalake_spark.caching import fixpoint_confs, tracked_persist
 from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.operators.text import (
@@ -1653,7 +1654,7 @@ def q_greedy_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     universe = dt.agg(F.countDistinct("t").cast("bigint").alias("n_universe"))
     n_dt = dt.count()
-    if n_dt < _COVER_GATE:
+    if probe.gate("set_cover", n_dt < _COVER_GATE):
         rounds = _COVER_ROUNDS
 
         def greedy(iters):

@@ -14,6 +14,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark import probe
 from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import (
     ensure_parallelism,
@@ -1484,7 +1485,7 @@ def q_greedy_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path."""
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    if docs.count() <= _GLM_GATE:
+    if probe.gate("greedy_segmentation", docs.count() <= _GLM_GATE):
         prefix = _GLM_PREFIX
 
         def seg(iters):

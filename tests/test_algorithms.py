@@ -642,6 +642,29 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         assert kernel == dist and len(kernel) > 0, name
 
 
+def test_probe_force_distributed_routes_and_records(spark, monkeypatch):
+    """probe.FORCE_DISTRIBUTED must route a gated query to its
+    distributed else-branch (recorded as such) without changing the
+    result — the mechanism the scale probe uses to time the 100 TB
+    path on gate-admissible data."""
+    from fts_analysis_datalake_spark import probe
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    fn = REGISTRY["q_kcore_suppliers"].fn
+    probe.enable()
+    try:
+        base = sorted(tuple(r) for r in fn(spark, SF_DIR_SMALL).collect())
+        assert probe.branches().get("kcore") == "kernel"
+        monkeypatch.setattr(probe, "FORCE_DISTRIBUTED", True)
+        forced = sorted(tuple(r) for r in fn(spark, SF_DIR_SMALL).collect())
+        assert probe.branches().get("kcore") == "distributed"
+    finally:
+        monkeypatch.undo()
+        probe.disable()
+    assert base == forced and len(base) > 0
+
+
 def test_harmonic_blockwise_matmul_exact(spark, monkeypatch):
     """The seed-row-blocked matmul inside the harmonic kernel must be
     a pure memory optimization: forcing 1-row blocks (maximally many
