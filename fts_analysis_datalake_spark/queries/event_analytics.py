@@ -1677,6 +1677,22 @@ def q_reorder_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fts_analysis_datalake_spark.catalog import register_views
 
     register_views(spark, sf_dir)
+    # The recursion materializes exactly one row per order that sits
+    # in a chain (every order appears at one depth of one chain), so
+    # its total row count is <= COUNT(orders) — linear in the data,
+    # not a blow-up. Spark's default runaway valve
+    # (spark.sql.cteRecursionRowLimit = 1e6) therefore fails this
+    # query on perfectly healthy inputs past ~1M orders (caught by
+    # the 8x scale probe, SURVEY §6 annex). Raise the valve for the
+    # session: the walk provably terminates (the successor relation
+    # is a FUNCTION, out-degree <= 1, and next_in_chain is strictly
+    # later in the per-customer order), so the limit is pure safety
+    # margin here. Session-wide like catalog._RUNTIME_CONFS (same
+    # documented hygiene note).
+    try:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
+    except Exception:  # noqa: BLE001 — a locked conf must not fail the query
+        pass
     return spark.sql(
         """
         WITH RECURSIVE succ AS (

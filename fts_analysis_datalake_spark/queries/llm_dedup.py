@@ -677,7 +677,10 @@ def _fs_dirty_sql() -> str:
              CASE WHEN d.d_bal = CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)
                   THEN 1 ELSE 0 END AS a_bal,
              CASE WHEN d.d_key = c.c_custkey THEN 1 ELSE 0 END AS is_match
-      FROM dirty d JOIN customer c ON c.c_nationkey = d.d_nation),
+      FROM dirty d JOIN customer c
+        ON c.c_nationkey = d.d_nation
+       AND CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) // 1000
+           = d.d_bal // 1000),
     cells AS MATERIALIZED (
       SELECT a_name, a_seg, a_bal, is_match, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM cand GROUP BY a_name, a_seg, a_bal, is_match),
@@ -718,16 +721,25 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage, end-to-end: a
     dirty copy of every customer is derived with deterministic
     md5-parity corruption (20% truncated names, 30% wiped segments,
-    40% perturbed balances), candidates are blocked on the
-    uncorrupted nation key, per-field m/u probabilities are
+    40% perturbed balances), candidates are blocked on the COMPOUND
+    key (nation, $10 balance band), per-field m/u probabilities are
     ESTIMATED FROM THE CANDIDATE SET ITSELF (m from true pairs, u
     from cross pairs, both add-one smoothed — u_name is exactly 0
     unsmoothed), and each candidate scores the classic sum of
     log-likelihood ratios — positive evidence log(m/u) on agreement,
     negative log((1-m)/(1-u)) on disagreement. The score-band
     histogram with per-band precision IS the linkage quality curve a
-    threshold gets picked from. Blocking keeps the pair space at
-    sum-of-block-sizes squared; ln terms are 1e-9-quantized, so the
+    threshold gets picked from. Blocking choice is the scale lever:
+    pair space is sum-of-block-sizes squared, and a 25-value key
+    (nation alone) makes block sizes — and therefore pairs —
+    QUADRATIC in the data (the 8x scale probe measured a 72x
+    wall-clock slope; SURVEY §6 annex). The banded compound key's
+    cardinality grows with the data, so block occupancy and pair
+    count stay ~linear — the textbook Fellegi-Sunter blocking move.
+    Cost: true pairs whose corrupted balance (+7 cents, 40% of
+    records) crosses a $10 boundary fall out of the candidate set
+    (~0.3% of matches, deterministic on both engines — the standard
+    blocking recall trade). ln terms are 1e-9-quantized, so the
     whole curve is engine-exact."""
     c = load_table(spark, sf_dir, "customer")
     h = lambda tag: (  # noqa: E731
@@ -760,25 +772,26 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(h("bl") < 4, balc + 7).otherwise(balc).alias("d_bal"),
         )
     )
-    # The block key has only 25 distinct values, so a plain equi join
-    # caps parallelism at 25 tasks with block_size^2 pair fan-out each
-    # — the salted join (left salted, right replicated 16x) spreads
-    # the pair production over 400 buckets. Row-identical result
-    # (measured 40 s -> ~4 s warm at sf0.1). The pair frame feeds two
-    # aggregates (m/u estimation AND scoring), so persist it once.
-    from fts_analysis_datalake_spark.operators.scale import salted_equi_join
-
+    # Compound block key (nation, d_bal DIV 1000): cardinality grows
+    # with the data, so the plain two-column equi join parallelizes
+    # naturally (no salting needed — the old 25-value nation-only key
+    # required a 16-way salted join just to spread its quadratic
+    # fan-out, and still blew up 72x at 8x data).
     cand = (
-        salted_equi_join(
-            dirty.withColumnRenamed("d_nation", "blk"),
-            c.withColumn("blk", F.col("c_nationkey")),
-            "blk",
-            salts=16,
-            salt_src=F.col("d_key"),
+        dirty.withColumn("blk_band", F.expr("d_bal DIV 1000"))
+        .join(
+            c.select(
+                "c_custkey",
+                "c_name",
+                "c_mktsegment",
+                F.col("c_nationkey").alias("d_nation"),
+                balc.alias("c_balc"),
+            ).withColumn("blk_band", F.expr("c_balc DIV 1000")),
+            ["d_nation", "blk_band"],
         ).select(
             (F.col("d_name") == F.col("c_name")).cast("int").alias("a_name"),
             (F.col("d_seg") == F.col("c_mktsegment")).cast("int").alias("a_seg"),
-            (F.col("d_bal") == balc).cast("int").alias("a_bal"),
+            (F.col("d_bal") == F.col("c_balc")).cast("int").alias("a_bal"),
             (F.col("d_key") == F.col("c_custkey")).cast("int").alias("is_match"),
         )
     )

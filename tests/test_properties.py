@@ -599,3 +599,238 @@ def test_cms_never_underestimates(spark, stream, absent_probes):
     assert set(est) == set(stream) | absent_probes
     for item, e in est.items():
         assert e is not None and e >= truth.get(item, 0), (item, e)
+
+
+# ---------------------------------------------------------------------------
+# r8: winnowing guarantee, SimHash band completeness, set-cover ln(n)
+# bound, BPE order-determinism (VERDICT r7 task #4)
+# ---------------------------------------------------------------------------
+
+_WVOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+
+def _write_docs(spark, texts):
+    """Write a documents.parquet a query can load_table from a fresh
+    temp dir (unique per hypothesis example — no cross-example state)."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="props_docs_")
+    rows = [
+        (i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d, (lambda: shutil.rmtree(d, ignore_errors=True))
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WVOCAB), min_size=6, max_size=14),
+        min_size=3,
+        max_size=5,
+    ),
+    seg_len=st.integers(min_value=6, max_value=8),
+    data=st.data(),
+)
+def test_winnowing_matches_replay_and_window_guarantee(
+    spark, docs, seg_len, data
+):
+    """q_winnowing_overlap's fingerprint selection vs an exact Python
+    replay (md5-13-hex-digit shingle hashes, rolling 4-window min,
+    distinct), on docs where one pair SHARES A SPLICED TOKEN RUN —
+    which must surface as a shared fingerprint: the winnowing
+    guarantee is that any shared run of >= window+shingle-1 = 6
+    tokens cannot fall between samples (the property MinHash lacks)."""
+    import hashlib
+
+    from fts_analysis_datalake_spark.queries.llm_text import q_winnowing_overlap
+
+    # splice a run from doc0 into doc1 so the guarantee is exercised
+    seg_len = min(seg_len, len(docs[0]))
+    start = data.draw(
+        st.integers(min_value=0, max_value=len(docs[0]) - seg_len)
+    )
+    seg = docs[0][start : start + seg_len]
+    off = data.draw(st.integers(min_value=0, max_value=len(docs[1])))
+    docs = [docs[0], docs[1][:off] + seg + docs[1][off:]] + docs[2:]
+    texts = [" ".join(ws) for ws in docs]
+
+    def fps(ws):
+        hs = [
+            int(
+                hashlib.md5(" ".join(ws[i : i + 3]).encode()).hexdigest()[:13],
+                16,
+            )
+            for i in range(len(ws) - 2)
+        ]
+        return {min(hs[i - 3 : i + 1]) for i in range(3, len(hs))}
+
+    sets = [fps(ws) for ws in docs]
+    expected = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            n = len(sets[a] & sets[b])
+            if n:
+                expected[(a, b)] = n
+
+    d, cleanup = _write_docs(spark, texts)
+    try:
+        got = {
+            (r.doc_a, r.doc_b): r.shared_fps
+            for r in q_winnowing_overlap(spark, d).collect()
+        }
+    finally:
+        cleanup()
+    assert got == expected
+    # the guarantee proper: the spliced pair shares >= 1 fingerprint
+    assert expected.get((0, 1), 0) >= 1
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    base=st.lists(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        min_size=2,
+        max_size=5,
+        unique=True,
+    ),
+    flips=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.sets(st.integers(min_value=0, max_value=63), max_size=5),
+        ),
+        max_size=4,
+    ),
+)
+def test_simhash_band_candidates_complete(spark, base, flips):
+    """Pigeonhole completeness of the 4x16-bit Hamming blocking: any
+    signature pair within Hamming distance 3 differs in at most 3 of
+    the 4 chunks, so it MUST share a chunk and appear as a candidate;
+    every emitted pair's hamming must equal the Python popcount (the
+    derived signatures include bit-flip near-misses at distances
+    0..5, straddling the d=3 completeness boundary)."""
+    from fts_analysis_datalake_spark.operators.dedup import simhash_candidate_pairs
+
+    sigs = list(base)
+    for src_i, bits in flips:
+        v = sigs[src_i % len(sigs)]
+        for b in bits:
+            v ^= 1 << b
+        sigs.append(v)
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    sim_df = spark.createDataFrame(
+        [(i, signed(v)) for i, v in enumerate(sigs)],
+        "doc_id BIGINT, simhash BIGINT",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidate_pairs(sim_df, "doc_id").collect()
+    }
+    for a in range(len(sigs)):
+        for b in range(a + 1, len(sigs)):
+            hd = bin(sigs[a] ^ sigs[b]).count("1")
+            if hd <= 3:
+                assert got.get((a, b)) == hd, (a, b, hd)
+    for (a, b), hd in got.items():
+        assert hd == bin(sigs[a] ^ sigs[b]).count("1")
+        assert any(
+            (sigs[a] >> (16 * i)) & 0xFFFF == (sigs[b] >> (16 * i)) & 0xFFFF
+            for i in range(4)
+        ), "candidate pair shares no 16-bit chunk"
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=3, max_size=8),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_greedy_cover_replay_and_ln_bound(spark, docs):
+    """q_greedy_cover_selection vs an exact Python greedy replay
+    (max marginal gain, min-doc_id tiebreak, zero-gain stop), plus
+    the classical guarantee: picks-to-full-coverage <= OPT * H(|U|)
+    <= OPT * (ln|U| + 1), with OPT brute-forced over all doc subsets
+    (<= 2^6)."""
+    import itertools
+    import math
+
+    from fts_analysis_datalake_spark.queries.llm_curation import (
+        q_greedy_cover_selection,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    sets = [
+        {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} for ws in docs
+    ]
+    universe = set().union(*sets)
+
+    covered: set = set()
+    replay = []
+    for rnd in range(1, 9):
+        best_id, best_gain = None, 0
+        for did, s in enumerate(sets):
+            g = len(s - covered)
+            if g > best_gain:
+                best_id, best_gain = did, g
+        if best_id is None:
+            break
+        covered |= sets[best_id]
+        replay.append((rnd, best_id, best_gain))
+
+    d, cleanup = _write_docs(spark, texts)
+    try:
+        rows = q_greedy_cover_selection(spark, d).collect()
+    finally:
+        cleanup()
+    assert [(r.round, r.doc_id, r.gain) for r in rows] == replay
+    assert rows[-1].covered_cum == len(universe)  # greedy always finishes here
+
+    opt = next(
+        k
+        for k in range(1, len(sets) + 1)
+        for combo in itertools.combinations(range(len(sets)), k)
+        if set().union(*(sets[i] for i in combo)) == universe
+    )
+    assert len(replay) <= opt * (math.log(len(universe)) + 1)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WVOCAB), min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    ),
+    perm_seed=st.integers(min_value=0, max_value=999),
+)
+def test_bpe_merges_invariant_under_doc_order(spark, docs, perm_seed):
+    """BPE merge training must depend only on the corpus BAG of
+    words: the same documents in a shuffled row order and different
+    partitioning must produce the identical merge table (counts are
+    aggregates; the winning pair's tie-break is lexicographic, not
+    positional)."""
+    import random
+
+    from fts_analysis_datalake_spark.queries.llm_text import q_bpe_merge_rounds
+
+    texts = [" ".join(ws) for ws in docs]
+    shuffled = list(texts)
+    random.Random(perm_seed).shuffle(shuffled)
+
+    d1, cleanup1 = _write_docs(spark, texts)
+    d2, cleanup2 = _write_docs(spark, shuffled)
+    try:
+        r1 = [tuple(r) for r in q_bpe_merge_rounds(spark, d1).collect()]
+        r2 = [tuple(r) for r in q_bpe_merge_rounds(spark, d2).collect()]
+    finally:
+        cleanup1()
+        cleanup2()
+    assert r1 == r2 and len(r1) > 0
