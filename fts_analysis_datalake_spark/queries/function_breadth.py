@@ -883,10 +883,10 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CASE WHEN arm = 1 THEN CAST(x AS DOUBLE) / n END) AS rate_b,
            (MAX(CASE WHEN arm = 0 THEN CAST(x AS DOUBLE) / n END)
             - MAX(CASE WHEN arm = 1 THEN CAST(x AS DOUBLE) / n END))
-           / sqrt(CAST(SUM(x) AS DOUBLE) / SUM(n)
+           / NULLIF(sqrt(CAST(SUM(x) AS DOUBLE) / SUM(n)
                   * (1 - CAST(SUM(x) AS DOUBLE) / SUM(n))
                   * (1.0 / MAX(CASE WHEN arm = 0 THEN n END)
-                     + 1.0 / MAX(CASE WHEN arm = 1 THEN n END))) AS z_score
+                     + 1.0 / MAX(CASE WHEN arm = 1 THEN n END))), 0) AS z_score
     FROM arms
     """,
     tags=("E98", "A7", "F6"),
@@ -897,7 +897,14 @@ def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase so the fixture rate sits strictly inside (0,1)) and the
     pooled two-proportion z-score — the number every A/B dashboard
     prints. All inputs are exact integer counts; the z expression is
-    one double formula written identically on both sides."""
+    one double formula written identically on both sides. The pooled
+    variance is NULLIF-guarded: an experiment with zero (or 100%)
+    conversions has an undefined z, and under ANSI the bare division
+    is a hard DIVIDE_BY_ZERO — the 8x scale probe hit exactly that on
+    a fixture where no purchase cleared the value threshold, which is
+    precisely what a sliced 100 TB readout does on its quiet
+    segments. NULL is the correct undefined-z answer on BOTH engines,
+    and on any fixture with conversions the guard is inert."""
     e = load_table(spark, sf_dir, "events")
     assign = e.groupBy("user_id").agg(
         F.max(
@@ -912,13 +919,16 @@ def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra = F.max(F.when(F.col("arm") == 0, F.col("x").cast("double") / F.col("n")))
     rb = F.max(F.when(F.col("arm") == 1, F.col("x").cast("double") / F.col("n")))
     pooled = F.sum("x").cast("double") / F.sum("n")
-    z = (ra - rb) / F.sqrt(
-        pooled
-        * (1 - pooled)
-        * (
-            1.0 / F.max(F.when(F.col("arm") == 0, F.col("n")))
-            + 1.0 / F.max(F.when(F.col("arm") == 1, F.col("n")))
-        )
+    z = (ra - rb) / F.nullif(
+        F.sqrt(
+            pooled
+            * (1 - pooled)
+            * (
+                1.0 / F.max(F.when(F.col("arm") == 0, F.col("n")))
+                + 1.0 / F.max(F.when(F.col("arm") == 1, F.col("n")))
+            )
+        ),
+        F.lit(0.0),
     )
     return arms.agg(ra.alias("rate_a"), rb.alias("rate_b"), z.alias("z_score"))
 

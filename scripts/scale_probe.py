@@ -208,7 +208,10 @@ def gen(outdir: str, mult: int, seed: int = SEED) -> None:
         "event_type": pa.array(
             np.array(dom["event_type"])[rng.integers(0, len(dom["event_type"]), n_ev)]
         ),
-        "value": np.round(rng.uniform(0, 200, n_ev), 2),
+        # exponential, matching the driver fixture's shape (mean ~50,
+        # p99 ~228): value-threshold filters (e.g. purchase > 250)
+        # must stay non-empty at probe scale
+        "value": np.round(rng.exponential(49.87, n_ev), 2),
         "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)],
     }))
 
@@ -309,7 +312,13 @@ def _time_query(fn, spark, sf_dir, reps=2):
     return best
 
 
-def run(probe_dir: str, mult: int, json_out: str | None) -> None:
+def run(
+    probe_dir: str,
+    mult: int,
+    json_out: str | None,
+    all_queries: bool = False,
+    reps: int = 2,
+) -> None:
     from fts_analysis_datalake_spark import probe
     from fts_analysis_datalake_spark.session import get_spark
 
@@ -318,7 +327,14 @@ def run(probe_dir: str, mult: int, json_out: str | None) -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     qs = em.queries()
-    names = PANEL + [n for n in GATED if n not in PANEL]
+    if all_queries:
+        # full-registry screening sweep: every declared query, one
+        # timed rep per size, no forced-distributed leg — flags any
+        # query that errors or goes superlinear at 8x; re-measure
+        # flagged queries with the panel mode afterwards
+        names = list(qs)
+    else:
+        names = PANEL + [n for n in GATED if n not in PANEL]
     result: dict = {"mult": mult, "probe_dir": probe_dir, "queries": {}}
 
     import gc
@@ -338,7 +354,7 @@ def run(probe_dir: str, mult: int, json_out: str | None) -> None:
         for key, d in (("sf01", SF01), ("probe", probe_dir)):
             probe.enable()
             try:
-                rec[f"{key}_sec"] = round(_time_query(fn, spark, d), 4)
+                rec[f"{key}_sec"] = round(_time_query(fn, spark, d, reps), 4)
             except Exception as exc:  # noqa: BLE001 — record, keep probing
                 rec[f"{key}_err"] = f"{type(exc).__name__}: {exc}"[:300]
                 failed = True
@@ -350,7 +366,7 @@ def run(probe_dir: str, mult: int, json_out: str | None) -> None:
                   flush=True)
             continue
         rec["slope"] = round(rec["probe_sec"] / rec["sf01_sec"], 3)
-        if name in GATED:
+        if name in GATED and not all_queries:
             probe.FORCE_DISTRIBUTED = True
             try:
                 f: dict = {}
@@ -399,11 +415,13 @@ def main():
     r.add_argument("--probe-dir", required=True)
     r.add_argument("--mult", type=int, default=8)
     r.add_argument("--json", default=None)
+    r.add_argument("--all", action="store_true")
+    r.add_argument("--reps", type=int, default=2)
     a = ap.parse_args()
     if a.cmd == "gen":
         gen(a.out, a.mult, a.seed)
     else:
-        run(a.probe_dir, a.mult, a.json)
+        run(a.probe_dir, a.mult, a.json, all_queries=a.all, reps=a.reps)
 
 
 if __name__ == "__main__":
