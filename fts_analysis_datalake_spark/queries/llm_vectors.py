@@ -1586,6 +1586,12 @@ def q_sq8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _MAT_STRIDE = 53  # query panel: vec_id % 53 == 1
+# Panel cap (same discipline as ml_eval._PANEL_CAP): freezes the panel
+# at its sf0.1 size — bit-inert at every driver SF (vec_id ends at
+# 1999 there), and above that it keeps the panel x corpus window pass
+# linear in corpus size instead of quadratic (r8 probe slope 30.6
+# before the cap).
+_MAT_CAP = 2000
 _MAT_DIM = 16  # truncated prefix dimensionality
 _MAT_K = 10  # retrieval depth audited
 
@@ -1595,7 +1601,7 @@ _MAT_K = 10  # retrieval depth audited
     oracle=f"""
     WITH qs AS (
       SELECT vec_id AS q_id, embedding AS qv
-      FROM embeddings WHERE vec_id % {_MAT_STRIDE} = 1),
+      FROM embeddings WHERE vec_id % {_MAT_STRIDE} = 1 AND vec_id < {_MAT_CAP}),
     ranked AS (
       SELECT qs.q_id, e.vec_id,
              ROW_NUMBER() OVER (
@@ -1637,9 +1643,9 @@ def q_matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     prefix slice pushed into the project stage (no second scan, no
     Python)."""
     e = load_table(spark, sf_dir, "embeddings")
-    qs = e.filter(F.col("vec_id") % _MAT_STRIDE == 1).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
-    )
+    qs = e.filter(
+        (F.col("vec_id") % _MAT_STRIDE == 1) & (F.col("vec_id") < _MAT_CAP)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
     wq = Window.partitionBy("q_id")
     ranked = (
         e.crossJoin(F.broadcast(qs))

@@ -261,6 +261,17 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HN_K = 3
 _HN_MOD = 50
+# A FIXED eval panel, not a corpus fraction: the stride picks which
+# ids form the panel and the cap freezes the panel SIZE at its sf0.1
+# value (vec_id ends at 1999 there, so the cap predicate is bit-inert
+# at every driver SF). Without the cap, panel ~ n/stride and every
+# panel x corpus broadcast scan in this family is quadratic in corpus
+# size — the r8 8x scale probe measured exactly that (slopes 17-46).
+# With it, the corpus side stays one linear pass at any scale, which
+# is how a real eval harness behaves: the benchmark panel does not
+# grow because the corpus did. Shared by the hard-negative, kNN
+# (label vote / accuracy / slice audit), and MRR panels below.
+_PANEL_CAP = 2000
 
 
 @query(
@@ -268,7 +279,7 @@ _HN_MOD = 50
     oracle=f"""
     WITH qset AS (
       SELECT vec_id AS qid, label AS qlabel, embedding AS qv
-      FROM embeddings WHERE vec_id % {_HN_MOD} = 0),
+      FROM embeddings WHERE vec_id % {_HN_MOD} = 0 AND vec_id < {_PANEL_CAP}),
     scored AS (
       SELECT qid, e.vec_id AS neg_id, e.label AS neg_label,
              {sql_cosine('e.embedding', 'qv')} AS cos_sim,
@@ -289,7 +300,8 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the anchor set is a small broadcast side of a label-mismatch
     nested-loop join (anchors are a fixed panel — hundreds, not
-    corpus-scale — so broadcast-NL is the right physical join; the
+    corpus-scale, frozen by _PANEL_CAP so it stays fixed as the
+    corpus grows — so broadcast-NL is the right physical join; the
     scan side streams once). Per-anchor top-k is a window rank with a
     vec_id tiebreak, deterministic in both engines. At 100 TB the
     full-scan cosine pass is the honest baseline; the ANN shortlist
@@ -302,7 +314,9 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same 3x cut the all-pairs cosine query took in round 2. The
     # quotient keeps the dot/(norm_a*norm_b) association, so values
     # stay bit-equal to the oracle's sql_cosine.
-    qset = e.filter(F.col("vec_id") % _HN_MOD == 0).select(
+    qset = e.filter(
+        (F.col("vec_id") % _HN_MOD == 0) & (F.col("vec_id") < _PANEL_CAP)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
@@ -392,13 +406,14 @@ _KNN_MOD = 97
     oracle=f"""
     WITH test AS (
       SELECT vec_id AS tid, embedding AS tv
-      FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
+      FROM embeddings WHERE vec_id % {_KNN_MOD} = 0 AND vec_id < {_PANEL_CAP}),
     nn AS (
       SELECT tid, e.label,
              row_number() OVER (PARTITION BY tid
                                 ORDER BY {sql_cosine('e.embedding', 'tv')} DESC,
                                          e.vec_id) AS rn
-      FROM embeddings e JOIN test ON e.vec_id % {_KNN_MOD} <> 0),
+      FROM embeddings e JOIN test
+        ON NOT (e.vec_id % {_KNN_MOD} = 0 AND e.vec_id < {_PANEL_CAP})),
     votes AS (
       SELECT tid, label, COUNT(*) AS votes
       FROM nn WHERE rn <= {_KNN_K} GROUP BY tid, label),
@@ -431,14 +446,13 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # Same per-row norm precompute as hard-negative mining: one dot
     # fold per pair, bit-equal to the oracle's sql_cosine.
-    test = e.filter(F.col("vec_id") % _KNN_MOD == 0).select(
+    in_panel = (F.col("vec_id") % _KNN_MOD == 0) & (F.col("vec_id") < _PANEL_CAP)
+    test = e.filter(in_panel).select(
         F.col("vec_id").alias("tid"),
         F.col("embedding").alias("tv"),
         norm(F.col("embedding")).alias("_tn"),
     )
-    train = e.filter(F.col("vec_id") % _KNN_MOD != 0).withColumn(
-        "_n", norm(F.col("embedding"))
-    )
+    train = e.filter(~in_panel).withColumn("_n", norm(F.col("embedding")))
     scored = train.crossJoin(F.broadcast(test)).select(
         "tid",
         "label",
@@ -617,13 +631,14 @@ def q_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH test AS (
       SELECT vec_id AS tid, embedding AS tv, label AS true_label
-      FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
+      FROM embeddings WHERE vec_id % {_KNN_MOD} = 0 AND vec_id < {_PANEL_CAP}),
     nn AS (
       SELECT tid, e.label,
              row_number() OVER (PARTITION BY tid
                                 ORDER BY {sql_cosine('e.embedding', 'tv')} DESC,
                                          e.vec_id) AS rn
-      FROM embeddings e JOIN test ON e.vec_id % {_KNN_MOD} <> 0),
+      FROM embeddings e JOIN test
+        ON NOT (e.vec_id % {_KNN_MOD} = 0 AND e.vec_id < {_PANEL_CAP})),
     votes AS (
       SELECT tid, label, COUNT(*) AS votes
       FROM nn WHERE rn <= {_KNN_K} GROUP BY tid, label),
@@ -656,9 +671,9 @@ def q_knn_eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel and a one-row aggregate; every emitted number divides exact
     integer counts."""
     e = load_table(spark, sf_dir, "embeddings")
-    truth = e.filter(F.col("vec_id") % _KNN_MOD == 0).select(
-        F.col("vec_id").alias("vec_id"), F.col("label").alias("true_label")
-    )
+    truth = e.filter(
+        (F.col("vec_id") % _KNN_MOD == 0) & (F.col("vec_id") < _PANEL_CAP)
+    ).select(F.col("vec_id").alias("vec_id"), F.col("label").alias("true_label"))
     pred = q_knn_label_vote(spark, sf_dir)
     joined = pred.join(F.broadcast(truth), "vec_id")
     correct = F.sum(
@@ -1163,13 +1178,14 @@ def q_rbo_ann_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH test AS (
       SELECT vec_id AS tid, embedding AS tv, label AS true_label
-      FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
+      FROM embeddings WHERE vec_id % {_KNN_MOD} = 0 AND vec_id < {_PANEL_CAP}),
     nn AS (
       SELECT tid, e.label,
              row_number() OVER (PARTITION BY tid
                                 ORDER BY {sql_cosine('e.embedding', 'tv')} DESC,
                                          e.vec_id) AS rn
-      FROM embeddings e JOIN test ON e.vec_id % {_KNN_MOD} <> 0),
+      FROM embeddings e JOIN test
+        ON NOT (e.vec_id % {_KNN_MOD} = 0 AND e.vec_id < {_PANEL_CAP})),
     votes AS (
       SELECT tid, label, COUNT(*) AS votes
       FROM nn WHERE rn <= {_KNN_K} GROUP BY tid, label),
@@ -1200,9 +1216,9 @@ def q_accuracy_by_label_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     these rows is the fairness metric a release gate would check.
     Same plan as E148 with the final aggregate keyed by slice."""
     e = load_table(spark, sf_dir, "embeddings")
-    truth = e.filter(F.col("vec_id") % _KNN_MOD == 0).select(
-        "vec_id", F.col("label").alias("true_label")
-    )
+    truth = e.filter(
+        (F.col("vec_id") % _KNN_MOD == 0) & (F.col("vec_id") < _PANEL_CAP)
+    ).select("vec_id", F.col("label").alias("true_label"))
     pred = q_knn_label_vote(spark, sf_dir)
     joined = pred.join(F.broadcast(truth), "vec_id")
     correct = F.sum(
@@ -1981,7 +1997,7 @@ _MRR_STRIDE = 61  # query panel: vec_id % 61 == 1
     oracle=f"""
     WITH qs AS (
       SELECT vec_id AS q_id, embedding AS qv, label AS q_label
-      FROM embeddings WHERE vec_id % {_MRR_STRIDE} = 1),
+      FROM embeddings WHERE vec_id % {_MRR_STRIDE} = 1 AND vec_id < {_PANEL_CAP}),
     ranked AS (
       SELECT qs.q_id,
              CASE WHEN e.label = qs.q_label THEN 1 ELSE 0 END AS rel,
@@ -2015,7 +2031,9 @@ def q_mrr_retrieval_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking by raw dot is cosine-equivalent per query (shared query
     norm), saving the per-row norm fold."""
     e = load_table(spark, sf_dir, "embeddings")
-    qs = e.filter(F.col("vec_id") % _MRR_STRIDE == 1).select(
+    qs = e.filter(
+        (F.col("vec_id") % _MRR_STRIDE == 1) & (F.col("vec_id") < _PANEL_CAP)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("q_label"),

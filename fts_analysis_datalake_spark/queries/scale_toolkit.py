@@ -796,17 +796,26 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEG_K = 2
 _NEG_CUST_MOD = 100
+# Fixed-size customer panel (same discipline as ml_eval._PANEL_CAP):
+# the cap freezes the panel at its sf0.1 size (c_custkey ends at
+# 14999 there, so it is bit-inert at every driver SF). Without it the
+# panel grows ~n/100 while the part catalog also grows ~n, making the
+# panel x catalog candidate fan-out quadratic (r8 probe slope 36.5);
+# with it, candidates scale linearly with the catalog alone.
+_NEG_CUST_CAP = 15_000
 
 
 @query(
     "q_negative_item_samples",
     oracle=f"""
     WITH panel AS (
-      SELECT c_custkey FROM customer WHERE c_custkey % {_NEG_CUST_MOD} = 0),
+      SELECT c_custkey FROM customer
+      WHERE c_custkey % {_NEG_CUST_MOD} = 0 AND c_custkey < {_NEG_CUST_CAP}),
     seen AS (
       SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-      WHERE o.o_custkey % {_NEG_CUST_MOD} = 0),
+      WHERE o.o_custkey % {_NEG_CUST_MOD} = 0
+        AND o.o_custkey < {_NEG_CUST_CAP}),
     cand AS (
       SELECT panel.c_custkey, p.p_partkey,
              md5(CAST(panel.c_custkey AS VARCHAR) || ':'
@@ -852,12 +861,18 @@ def q_negative_item_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # panel by key costs a ~150-row shuffle and buys full parallelism on
     # the 3M-row candidate stage (measured 4.5 s -> ~1.5 s at sf0.1).
     panel = (
-        c.filter(F.col("c_custkey") % _NEG_CUST_MOD == 0)
+        c.filter(
+            (F.col("c_custkey") % _NEG_CUST_MOD == 0)
+            & (F.col("c_custkey") < _NEG_CUST_CAP)
+        )
         .select("c_custkey")
         .repartition(32, "c_custkey")
     )
     seen = (
-        o.filter(F.col("o_custkey") % _NEG_CUST_MOD == 0)
+        o.filter(
+            (F.col("o_custkey") % _NEG_CUST_MOD == 0)
+            & (F.col("o_custkey") < _NEG_CUST_CAP)
+        )
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
         .distinct()
