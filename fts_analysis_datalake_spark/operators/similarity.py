@@ -94,7 +94,23 @@ def allpairs_above_threshold(
     folds. Values are bit-identical to the naive per-pair
     ``cosine()``: the same IEEE ops run on the same inputs — only
     their multiplicity changes (the oracle's per-pair ``sql_cosine``
-    still matches exactly)."""
+    still matches exactly).
+
+    The stream side gets a parallelism floor first: this operator is
+    WORK-AMPLIFYING — output pairs, not input rows, are the workload
+    — while Spark sizes scan partitions by input BYTES. The r8 8x
+    scale probe caught the mismatch: 16k vectors -> a 4 MB scan -> 2
+    tasks carrying 13M pair evaluations on a 32-core machine (76 s);
+    with the floor the same probe runs in ~8 s (and sf0.1 in ~1 s).
+    Well-partitioned inputs — the 100 TB case — pass through
+    untouched. (A bit-identical unrolled straight-line dot was tried
+    first and measured 6x SLOWER than the fold per pair even inside
+    whole-stage codegen — a 64-term inline chain defeats JIT — so the
+    fold stays; parallelism, not the per-pair constant, was the real
+    lever.)"""
+    from fts_analysis_datalake_spark.catalog import ensure_parallelism
+
+    emb = ensure_parallelism(emb)
     a = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),

@@ -244,11 +244,17 @@ def gen(outdir: str, mult: int, seed: int = SEED) -> None:
         "n_chars": pa.array(np.array([len(t) for t in texts]), type=pa.int64()),
     }))
 
-    # embeddings: 10 label-aligned gaussian clusters, dim 64 float32
+    # embeddings: unit-norm ISOTROPIC vectors with label-independent
+    # geometry, dim 64 float32 — matching the measured driver fixture
+    # (norms exactly 1.0, within-label mean cosine 0.000, max natural
+    # pair ~0.5). The first cut used tight label-aligned gaussian
+    # clusters (within-label mean cos 0.79): a different similarity
+    # regime entirely, which inflated LSH bucket collisions ~700x and
+    # made every banded-candidate slope meaningless.
     n_emb = BASE["embeddings"] * mult
     labels = rng.integers(0, 10, n_emb)
-    centers = rng.normal(0.0, 0.2, (10, 64))
-    vecs = (centers[labels] + rng.normal(0.0, 0.1, (n_emb, 64))).astype(np.float32)
+    vecs = rng.normal(0.0, 1.0, (n_emb, 64))
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(np.float32)
     _write(outdir, "embeddings", pa.table({
         "vec_id": pa.array(np.arange(n_emb), type=pa.int64()),
         "embedding": pa.FixedSizeListArray.from_arrays(
