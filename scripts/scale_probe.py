@@ -324,6 +324,7 @@ def run(
     json_out: str | None,
     all_queries: bool = False,
     reps: int = 2,
+    names_filter: list[str] | None = None,
 ) -> None:
     from fts_analysis_datalake_spark import probe
     from fts_analysis_datalake_spark.session import get_spark
@@ -341,6 +342,8 @@ def run(
         names = list(qs)
     else:
         names = PANEL + [n for n in GATED if n not in PANEL]
+    if names_filter:
+        names = [n for n in names_filter if n in qs]
     result: dict = {"mult": mult, "probe_dir": probe_dir, "queries": {}}
 
     import gc
@@ -423,11 +426,13 @@ def main():
     r.add_argument("--json", default=None)
     r.add_argument("--all", action="store_true")
     r.add_argument("--reps", type=int, default=2)
+    r.add_argument("--names", default=None, help="comma-separated query names: re-probe just these")
     a = ap.parse_args()
     if a.cmd == "gen":
         gen(a.out, a.mult, a.seed)
     else:
-        run(a.probe_dir, a.mult, a.json, all_queries=a.all, reps=a.reps)
+        run(a.probe_dir, a.mult, a.json, all_queries=a.all, reps=a.reps,
+            names_filter=a.names.split(",") if a.names else None)
 
 
 if __name__ == "__main__":
