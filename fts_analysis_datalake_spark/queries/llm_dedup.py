@@ -572,11 +572,11 @@ def q_bfs_hops_from_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents),
     bags AS (
       SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
-    meta AS (SELECT doc_id, lang, n_chars FROM documents),
+    meta AS (SELECT doc_id, lang, substr(text, 1, 12) AS pfx FROM documents),
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM meta a JOIN meta b
-        ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+        ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id),
     joined AS (
       SELECT cand.id_a, cand.id_b, ba.c AS ca, bb.c AS cb
       FROM cand
@@ -616,13 +616,13 @@ def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token")
     )
     bags = tracked_persist(tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c")))
-    meta = d.select("doc_id", "lang", "n_chars")
+    meta = d.select("doc_id", "lang", F.substring("text", 1, 12).alias("pfx"))
     cand = (
         meta.alias("a")
         .join(
             meta.alias("b"),
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.pfx") == F.col("b.pfx"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))

@@ -834,3 +834,130 @@ def test_bpe_merges_invariant_under_doc_order(spark, docs, perm_seed):
         cleanup1()
         cleanup2()
     assert r1 == r2 and len(r1) > 0
+
+
+# ---------------------------------------------------------------------------
+# r8 continuation: blocking-rewrite equivalence contracts for the two pair
+# queries whose join keys the 8x scale probe re-derived (banded band join,
+# density-scaled spatial grid) — the rewritten plans must emit EXACTLY the
+# pairs the plain theta-join semantics define, on shapes the fixtures don't
+# contain (band-boundary prices, wrap-around cells, duplicate coordinates).
+# ---------------------------------------------------------------------------
+
+
+def _write_table(spark, name, rows, schema):
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"props_{name}_")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/{name}.parquet")
+    return d, (lambda: shutil.rmtree(d, ignore_errors=True))
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    prices=st.lists(
+        # cents granularity, clustered tightly so band boundaries
+        # (|diff| exactly 2.00, same-band, adjacent-band, two-band-gap)
+        # all occur; a couple of sizes so the equi-prefix matters
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=90000, max_value=90800),
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_banded_band_join_equals_theta_join(spark, prices):
+    """q_part_price_band_pairs' (size, floor(price/2), +-1 offset)
+    banded join == the plain theta join |a-b| < 2 AND size equal:
+    every true pair lands in the same or an adjacent $2 band (so the
+    3-offset fan-out is a complete cover), and each pair is matched
+    by exactly ONE offset (no duplicate emission)."""
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        q_part_price_band_pairs,
+    )
+
+    rows = [
+        (i + 1, sz, cents / 100.0) for i, (sz, cents) in enumerate(prices)
+    ]
+    expected = sorted(
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[1] == b[1] and a[0] < b[0] and abs(a[2] - b[2]) < 2.0
+    )
+    d, cleanup = _write_table(
+        spark,
+        "part",
+        rows,
+        "p_partkey BIGINT, p_size INT, p_retailprice DOUBLE",
+    )
+    try:
+        got = sorted(
+            (r.key_a, r.key_b) for r in q_part_price_band_pairs(spark, d).collect()
+        )
+    finally:
+        cleanup()
+    assert got == expected  # set-equal AND multiplicity-equal
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    keys=st.lists(
+        st.integers(min_value=1, max_value=400_000),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_grid_spatial_pairs_match_brute_force(spark, keys):
+    """q_grid_spatial_pairs == brute-force haversine over all pairs,
+    for synthetic keys spanning the SCALED lon domain (s > 1 kicks in
+    above 15k customers only via count, so the domain here is s=1 —
+    the test pins the 3x3 neighbor cover and the 1 m quantization,
+    including keys whose cells sit at the lon wrap boundary)."""
+    import math
+
+    from fts_analysis_datalake_spark.queries.advanced_models import (
+        q_grid_spatial_pairs,
+    )
+
+    s = math.ceil(len(keys) / 15000.0)  # == 1 for every example here
+    pts = {}
+    for k in keys:
+        lat = 40.0 + ((k * 7919) % 1000) / 100.0
+        lon = ((k * 104729) % (2000 * s)) / 100.0
+        pts[k] = (lat, lon)
+
+    def hav_m(a, b):
+        (alat, alon), (blat, blon) = pts[a], pts[b]
+        h = (
+            math.sin(math.radians(blat - alat) / 2) ** 2
+            + math.cos(math.radians(alat))
+            * math.cos(math.radians(blat))
+            * math.sin(math.radians(blon - alon) / 2) ** 2
+        )
+        return math.floor(2 * 6371.0 * math.asin(math.sqrt(h)) * 1000 + 0.5)
+
+    brute = sorted(
+        (hav_m(a, b), a, b)
+        for i, a in enumerate(sorted(keys))
+        for b in sorted(keys)[i + 1 :]
+        if hav_m(a, b) <= 25000
+    )[:50]
+    expected = [(a, b, d / 1000.0) for d, a, b in brute]
+
+    d_, cleanup = _write_table(
+        spark, "customer", [(k,) for k in keys], "c_custkey BIGINT"
+    )
+    try:
+        got = [
+            (r.a_key, r.b_key, r.dist_km)
+            for r in q_grid_spatial_pairs(spark, d_).collect()
+        ]
+    finally:
+        cleanup()
+    assert got == expected
