@@ -10,6 +10,7 @@ one-time JVM/codegen costs out of the first query's number.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -86,8 +87,13 @@ def main() -> None:
         # Drop persisted intermediates (e.g. MinHash signatures) so cached
         # blocks never accumulate across the suite. release_tracked() is
         # the library's own lifecycle hook; clearCache stays as a belt.
+        # gc releases the py4j refs behind localCheckpoint blocks
+        # (iterative loops) so the JVM ContextCleaner can reclaim them —
+        # the r8 8x probe hit a "Not enough memory to build and
+        # broadcast" after ~30 heavy queries without it.
         release_tracked()
         spark.catalog.clearCache()
+        gc.collect()
     total = round(time.perf_counter() - t_all, 4)
 
     # Per-query detail: to a file (survives any stdout truncation) and

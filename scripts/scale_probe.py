@@ -310,10 +310,15 @@ GATED = [
 
 
 def _time_query(fn, spark, sf_dir, reps=2):
+    # noop sink, same as bench.py: executes the full plan without
+    # materializing the result on the driver. collect() here killed
+    # the 32x probe on output-bound pair queries (54M/87M rows
+    # through collectToPython is a DRIVER limit, not a plan limit —
+    # both ran fine with a distributed sink).
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -355,7 +360,14 @@ def run(
         # block-manager memory to fail later runtime broadcasts
         # (observed: q_pagerank_parts_suppliers at 8x died with "Not
         # enough memory to build and broadcast" in-session but runs
-        # fine fresh).
+        # fine fresh). release_tracked + clearCache first: gc alone
+        # leaves tracked_persist blocks (MinHash/SimHash signature
+        # tables) pinned — at 32x three queries died in-session from
+        # the accumulation and all three ran fine in fresh sessions.
+        from fts_analysis_datalake_spark.caching import release_tracked
+
+        release_tracked()
+        spark.catalog.clearCache()
         gc.collect()
         fn = qs[name]
         rec: dict = {}
