@@ -961,3 +961,146 @@ def test_grid_spatial_pairs_match_brute_force(spark, keys):
     finally:
         cleanup()
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# r8 continuation 2: as-of join (J9) vs an exact Python replay — randomized
+# timestamp collisions (signup exactly at purchase ts, multiple signups at
+# the same ts, purchases before any signup) are the cases the fixture's
+# organic event stream rarely produces.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=40),     # ts seconds
+            st.booleans(),                              # True = purchase
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_asof_join_matches_bisect_replay(spark, events):
+    """q_asof_purchase_signup == per-purchase replay: the LATEST
+    signup with ts <= purchase ts for the same user, inner semantics
+    (purchases before any signup drop out). Equal-ts signup ties
+    collapse to the same signup_ts value, so the output is
+    deterministic even though row_number breaks them arbitrarily."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        q_asof_purchase_signup,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(seconds=ts),
+            user,
+            "purchase" if is_p else "signup",
+            1.0,
+            "{}",
+        )
+        for i, (user, ts, is_p) in enumerate(events)
+    ]
+    expected = set()
+    for i, (user, ts, is_p) in enumerate(events):
+        if not is_p:
+            continue
+        cands = [
+            ts2
+            for (u2, ts2, p2) in events
+            if u2 == user and not p2 and ts2 <= ts
+        ]
+        if cands:
+            expected.add((i, user, ts, max(cands), ts - max(cands)))
+
+    d = tempfile.mkdtemp(prefix="props_asof_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            (
+                r.purchase_id,
+                r.user_id,
+                int((r.purchase_ts - base).total_seconds()),
+                int((r.signup_ts - base).total_seconds()),
+                r.age_s,
+            )
+            for r in q_asof_purchase_signup(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-4, max_value=4), min_size=3, max_size=3
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    cents=st.lists(
+        st.lists(
+            st.integers(min_value=-4, max_value=4), min_size=3, max_size=3
+        ).filter(lambda c: any(x != 0 for x in c)),
+        min_size=1,
+        max_size=5,
+    ),
+    dup_first=st.booleans(),
+)
+def test_ivf_assign_matches_argmax_replay(spark, vecs, cents, dup_first):
+    """operators.similarity.ivf_assign == exact per-vector replay:
+    argmax of dot(v,c)/|c| with ties to the LOWEST cent_id. Integer
+    coordinates make every score a ratio of exactly-representable
+    doubles, so Python and Spark agree bit-for-bit; dup_first clones
+    centroid 0 under a higher id to force exact score ties, the case
+    the comparator's (score desc, cid asc) order exists for."""
+    import math
+
+    from fts_analysis_datalake_spark.operators.similarity import ivf_assign
+
+    if dup_first:
+        cents = cents + [cents[0]]  # exact tie against cent_id 0
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cdf = spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(cents)],
+        "cent_id BIGINT, cent_vec ARRAY<DOUBLE>",
+    )
+
+    def replay(v):
+        best = None
+        for j, c in enumerate(cents):
+            acc = 0.0
+            for x, y in zip(v, c):
+                acc += float(x) * float(y)
+            cn_acc = 0.0
+            for y in c:
+                cn_acc += float(y) * float(y)
+            score = acc / math.sqrt(cn_acc)
+            if best is None or score > best[0] or (score == best[0] and j < best[1]):
+                best = (score, j)
+        return best[1]
+
+    expected = {(i, replay(v)) for i, v in enumerate(vecs)}
+    got = {
+        (r.vec_id, r.cent_id)
+        for r in ivf_assign(emb, cdf).select("vec_id", "cent_id").collect()
+    }
+    assert got == expected
