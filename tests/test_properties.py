@@ -1104,3 +1104,410 @@ def test_ivf_assign_matches_argmax_replay(spark, vecs, cents, dup_first):
         for r in ivf_assign(emb, cdf).select("vec_id", "cent_id").collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# Fixture-backed replays for the sequential / graph / privacy families
+# (r8 continuation): each test writes a tiny synthetic fixture dir,
+# runs the REAL registered query on it, and compares against an exact
+# Python replay of the documented integer semantics.
+# --------------------------------------------------------------------------
+
+
+def _tmp_fixture(spark, table: str, rows, schema: str) -> str:
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"props_{table}_")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/{table}.parquet")
+    return d
+
+
+_EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _hourly_cents(events):
+    """(etype, hour, dollars) triples -> {etype: [(hour, cents), ...]}
+    sorted by hour — the shared first stage of the PH / delta replays."""
+    agg: dict = {}
+    for etype, h, dollars in events:
+        agg[(etype, h)] = agg.get((etype, h), 0) + dollars * 100
+    series: dict = {}
+    for (etype, h), cents in agg.items():
+        series.setdefault(etype, []).append((h, cents))
+    for s in series.values():
+        s.sort()
+    return series
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=47),
+            st.integers(min_value=0, max_value=5000),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_page_hinkley_matches_online_replay(spark, events):
+    """q_page_hinkley_drift == exact online replay: PH_t accumulates
+    cents*1e6 minus the 1e-6-quantized RUNNING mean, the alarm is the
+    first hour PH exceeds its running minimum by lambda, and series
+    that never drift report a NULL alarm. Dollar values up to 5000
+    drive both alarm and no-alarm branches; every step is the same
+    integer arithmetic both engines run, so equality is exact."""
+    import calendar
+    import datetime
+    import math
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.event_analytics import (
+        _PH_LAMBDA,
+        q_page_hinkley_drift,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(hours=h, minutes=(i * 7) % 60),
+            0,
+            etype,
+            float(dollars),
+            "{}",
+        )
+        for i, (etype, h, dollars) in enumerate(events)
+    ]
+
+    expected = set()
+    for etype, series in _hourly_cents(events).items():
+        s = ph = 0
+        mn = 0
+        alarm = None
+        max_excess = None
+        for i, (h, cents) in enumerate(series, start=1):
+            s += cents
+            ph += cents * 1000000 - math.floor(float(s) * 1000000 / i + 0.5)
+            mn = min(mn, ph) if i > 1 else ph
+            excess = ph - mn
+            if alarm is None and excess > _PH_LAMBDA:
+                alarm = calendar.timegm(
+                    (base + datetime.timedelta(hours=h)).timetuple()
+                )
+            max_excess = excess if max_excess is None else max(max_excess, excess)
+        expected.add(
+            (etype, len(series), alarm, repr(float(max_excess) / 100000000.0))
+        )
+
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        got = {
+            (r.event_type, r.n_hours, r.alarm_hour_s, repr(r.max_excess_dollars))
+            for r in q_page_hinkley_drift(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=47),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_delta_encoding_matches_zigzag_replay(spark, events):
+    """q_delta_encoding_audit == exact Gorilla-cost replay: the first
+    two points of each hourly series cost 64 bits, a zero
+    delta-of-delta costs 1 bit, and any other costs 5 control bits
+    plus the bit-length of the zigzag-folded magnitude — all exact
+    integers, so totals and the 1e-4-quantized ratio match
+    bit-for-bit. Random hour gaps exercise the lag-over-sparse-hours
+    semantics (the encoding is positional, not wall-clock)."""
+    import datetime
+    import math
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.event_analytics import (
+        q_delta_encoding_audit,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(hours=h, minutes=(i * 11) % 60),
+            0,
+            etype,
+            float(dollars),
+            "{}",
+        )
+        for i, (etype, h, dollars) in enumerate(events)
+    ]
+
+    expected = set()
+    for etype, series in _hourly_cents(events).items():
+        cents = [c for _, c in series]
+        total_bits = zero = 0
+        for j in range(len(cents)):
+            if j < 2:
+                total_bits += 64
+            else:
+                dd = (cents[j] - cents[j - 1]) - (cents[j - 1] - cents[j - 2])
+                if dd == 0:
+                    total_bits += 1
+                    zero += 1
+                else:
+                    zig = 2 * dd if dd >= 0 else -2 * dd - 1
+                    total_bits += 5 + zig.bit_length()
+        n = len(cents)
+        ratio = (
+            math.floor(64.0 * n / total_bits * 10000 + 0.5) / 1e4
+        )
+        expected.add((etype, n, zero, total_bits, repr(ratio)))
+
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        got = {
+            (
+                r.event_type,
+                r.n_points,
+                r.n_zero_dd,
+                r.total_bits,
+                repr(r.compression_ratio),
+            )
+            for r in q_delta_encoding_audit(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+_LINEITEM_MIN_SCHEMA = "l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE"
+
+
+def _copurchase_pairs(items):
+    """(order, part, qty) rows -> {(u, v): min |dq|} over co-purchased
+    part pairs with u < v and |dq| <= 2 — the shared edge builder of
+    the Bellman-Ford / k-truss replays (the |dq| <= 2 sparsifier)."""
+    by_order: dict = {}
+    for o, p, q in items:
+        by_order.setdefault(o, []).append((p, q))
+    best: dict = {}
+    for parts in by_order.values():
+        for pa, qa in parts:
+            for pb, qb in parts:
+                if pa < pb and abs(qa - qb) <= 2:
+                    dq = int(abs(qa - qb))
+                    k = (pa, pb)
+                    best[k] = min(best.get(k, 3), dq)
+    return best
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bellman_ford_matches_relaxation_replay(spark, items):
+    """q_bellman_ford_nearest == exact synchronous-relaxation replay:
+    w = min quantity gap + 1 on the symmetric co-purchase graph,
+    source = the minimum node, and _BF_ROUNDS rounds of
+    d'(v) = min over incoming edges (incl. the weight-0 self-loop
+    carry) of d(u) + w. All-integer distances, so equality is exact;
+    random baskets cover disconnected graphs, parallel paths where a
+    2-hop route beats a heavy direct edge, and the empty-graph case
+    (no qualifying pair -> empty result, not a null row)."""
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _BF_ROUNDS,
+        _BF_TOPK,
+        q_bellman_ford_nearest,
+    )
+
+    rows = [(o, p, float(q)) for o, p, q in items]
+    best = _copurchase_pairs(items)
+
+    edges = []
+    nodes = set()
+    for (u, v), dq in best.items():
+        edges.append((u, v, dq + 1))
+        edges.append((v, u, dq + 1))
+        nodes.update((u, v))
+    for n in nodes:
+        edges.append((n, n, 0))
+
+    expected = set()
+    if nodes:
+        dist = {min(nodes): 0}
+        for _ in range(_BF_ROUNDS):
+            nxt: dict = {}
+            for u, v, w in edges:
+                if u in dist:
+                    cand = dist[u] + w
+                    if v not in nxt or cand < nxt[v]:
+                        nxt[v] = cand
+            dist = nxt
+        top = sorted(((d, n) for n, d in dist.items()))[:_BF_TOPK]
+        expected = {(n, d) for d, n in top}
+
+    d = _tmp_fixture(spark, "lineitem", rows, _LINEITEM_MIN_SCHEMA)
+    try:
+        got = {
+            (r.node, r.dist)
+            for r in q_bellman_ford_nearest(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_ktruss_matches_peel_replay(spark, items):
+    """q_ktruss_parts == exact triangle-support peel replay: an edge
+    survives a round only while it closes >= _KT_K - 2 triangles with
+    edges that entered the round, for _KT_ROUNDS synchronous rounds.
+    The narrow quantity range makes dense co-purchase cliques likely,
+    so the peel does real work (cascading deletions where removing a
+    spoke edge breaks a neighbor's last triangle next round) and the
+    k-truss <= (k-1)-core containment is exercised, not vacuous."""
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _KT_K,
+        _KT_ROUNDS,
+        q_ktruss_parts,
+    )
+
+    rows = [(o, p, float(q)) for o, p, q in items]
+    e = set(_copurchase_pairs(items).keys())
+
+    for _ in range(_KT_ROUNDS):
+        tri_support: dict = {}
+        es = e
+        for a, b in es:
+            for c in range(max(a, b) + 1, 8):
+                if (b, c) in es and (a, c) in es:
+                    for edge in ((a, b), (b, c), (a, c)):
+                        tri_support[edge] = tri_support.get(edge, 0) + 1
+        e = {k for k in es if tri_support.get(k, 0) >= _KT_K - 2}
+
+    deg: dict = {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    expected = set(deg.items())
+
+    d = _tmp_fixture(spark, "lineitem", rows, _LINEITEM_MIN_SCHEMA)
+    try:
+        got = {
+            (r.node, r.truss_deg) for r in q_ktruss_parts(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.sampled_from(["web", "book"]),
+            st.integers(min_value=0, max_value=1200),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_kanonymity_matches_replay_and_monotone_risk(spark, docs):
+    """q_k_anonymity_audit == exact per-level group replay, PLUS the
+    lattice theorem the audit exists for: generalization only MERGES
+    groups (len//500 == (len//100)//5, and L2 drops length entirely),
+    so a row at risk at a coarser level was necessarily at risk at
+    every finer level — n_rows_at_risk must be monotone non-increasing
+    up the lattice. Random QI combos cover singleton groups, exactly-k
+    groups, and levels where generalization rescues rows."""
+    import math
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.llm_curation import (
+        _KA_K,
+        q_k_anonymity_audit,
+    )
+
+    rows = [
+        (i, "x", lang, source, n_chars)
+        for i, (lang, source, n_chars) in enumerate(docs)
+    ]
+
+    levels = [
+        ("L0_len100", lambda n: n // 100),
+        ("L1_len500", lambda n: n // 500),
+        ("L2_nolen", lambda n: 0),
+    ]
+    expected = set()
+    risk_by_level = {}
+    for name, bucket in levels:
+        groups: dict = {}
+        for lang, source, n_chars in docs:
+            k = (lang, source, bucket(n_chars))
+            groups[k] = groups.get(k, 0) + 1
+        at_risk = sum(c for c in groups.values() if c < _KA_K)
+        total = sum(groups.values())
+        risk_frac = math.floor(float(at_risk) / total * 1000000 + 0.5) / 1e6
+        risk_by_level[name] = at_risk
+        expected.add(
+            (name, len(groups), min(groups.values()), at_risk, repr(risk_frac))
+        )
+
+    assert (
+        risk_by_level["L0_len100"]
+        >= risk_by_level["L1_len500"]
+        >= risk_by_level["L2_nolen"]
+    )
+
+    schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    d = _tmp_fixture(spark, "documents", rows, schema)
+    try:
+        got = {
+            (r.level, r.n_groups, r.k_min, r.n_rows_at_risk, repr(r.risk_frac))
+            for r in q_k_anonymity_audit(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
