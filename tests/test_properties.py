@@ -1511,3 +1511,84 @@ def test_kanonymity_matches_replay_and_monotone_risk(spark, docs):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_pq_adc_matches_encode_lookup_replay(spark, seed):
+    """q_pq_adc_topk_ann == exact encode-then-lookup replay: each
+    vector's code in subspace j is the argmin squared-L2 centroid
+    (ties to the LOWEST centroid id), the query's per-centroid
+    subspace distances are 1e-9-quantized BIGINTs, and the ADC
+    distance is their 8-term integer sum looked up by code. Integer
+    coordinates (LCG battery, exact in float32 AND double) make the
+    sequential fold exact, so Spark and the replay agree bit-for-bit
+    on distances, tie-breaks, and the (adc_dist, vec_id) top-10.
+    Codebook rows are corpus vectors, so some vector encodes to
+    itself with distance 0 in every subspace — the all-zero-ADC
+    corner rides along whenever the LCG duplicates a stride row."""
+    import math
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.llm_vectors import (
+        _PQ_IDS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_Q,
+        _PQ_SUB,
+        QUERY_VEC_ID,
+        q_pq_adc_topk_ann,
+    )
+
+    n_vecs = max(_PQ_IDS) + 1  # ids 0..414 so every codebook row exists
+    dim = _PQ_M * _PQ_SUB
+    state = seed
+    vecs = []
+    for _ in range(n_vecs):
+        v = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            v.append(state % 9 - 4)  # integers in [-4, 4]
+        vecs.append(v)
+
+    cents = [vecs[i] for i in sorted(_PQ_IDS)]  # c = 1..K in vec_id order
+
+    def subdist(a, b, j):
+        acc = 0.0
+        for t in range(j * _PQ_SUB, (j + 1) * _PQ_SUB):
+            acc += (float(a[t]) - float(b[t])) ** 2
+        return acc
+
+    qd = [
+        [
+            math.floor(subdist(vecs[QUERY_VEC_ID], cents[c], j) * _PQ_Q + 0.5)
+            for c in range(_PQ_K)
+        ]
+        for j in range(_PQ_M)
+    ]
+    scored = []
+    for vid, v in enumerate(vecs):
+        if vid == QUERY_VEC_ID:
+            continue
+        adc = 0
+        for j in range(_PQ_M):
+            code = min(
+                range(_PQ_K), key=lambda c: (subdist(v, cents[c], j), c)
+            )
+            adc += qd[j][code]
+        scored.append((adc / float(_PQ_Q), vid))
+    expected = {(vid, repr(dist)) for dist, vid in sorted(scored)[:10]}
+
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    d = _tmp_fixture(
+        spark, "embeddings", rows,
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    try:
+        got = {
+            (r.vec_id, repr(r.adc_dist))
+            for r in q_pq_adc_topk_ann(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
