@@ -3011,3 +3011,140 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# E322: Viterbi 2-state regime decode — min-cost HMM path per series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_viterbi_regime_decode",
+    oracle="""
+    WITH RECURSIVE hourly AS MATERIALIZED (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    seq AS MATERIALIZED (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i
+      FROM hourly),
+    lim AS MATERIALIZED (
+      SELECT event_type, MIN(cents) AS lo, MAX(cents) AS hi,
+             (MAX(cents) - MIN(cents)) // 4 + 1 AS lam,
+             COUNT(*) AS n
+      FROM seq GROUP BY 1),
+    r AS (
+      SELECT s.event_type, s.i,
+             abs(s.cents - lo) AS cost_lo, abs(s.cents - hi) AS cost_hi,
+             CAST(0 AS BIGINT) AS nh_lo, CAST(0 AS BIGINT) AS nsw_lo,
+             CAST(1 AS BIGINT) AS nh_hi, CAST(0 AS BIGINT) AS nsw_hi
+      FROM seq s JOIN lim USING (event_type) WHERE s.i = 1
+      UNION ALL
+      SELECT r.event_type, s.i,
+             abs(s.cents - lo) + LEAST(r.cost_lo, r.cost_hi + lam),
+             abs(s.cents - hi) + LEAST(r.cost_hi, r.cost_lo + lam),
+             CASE WHEN r.cost_lo <= r.cost_hi + lam
+                  THEN r.nh_lo ELSE r.nh_hi END,
+             CASE WHEN r.cost_lo <= r.cost_hi + lam
+                  THEN r.nsw_lo ELSE r.nsw_hi + 1 END,
+             CASE WHEN r.cost_hi <= r.cost_lo + lam
+                  THEN r.nh_hi ELSE r.nh_lo END + 1,
+             CASE WHEN r.cost_hi <= r.cost_lo + lam
+                  THEN r.nsw_hi ELSE r.nsw_lo + 1 END
+      FROM r
+      JOIN seq s ON s.event_type = r.event_type AND s.i = r.i + 1
+      JOIN lim ON lim.event_type = r.event_type)
+    SELECT r.event_type,
+           CAST(lim.n AS BIGINT) AS n_hours,
+           CAST(CASE WHEN cost_lo <= cost_hi THEN nh_lo ELSE nh_hi END
+                AS BIGINT) AS n_high,
+           CAST(CASE WHEN cost_lo <= cost_hi THEN nsw_lo ELSE nsw_hi END
+                AS BIGINT) AS n_switches,
+           CAST(LEAST(cost_lo, cost_hi) AS BIGINT) AS total_cost,
+           CAST(FLOOR(CAST(CASE WHEN cost_lo <= cost_hi THEN nh_lo
+                                ELSE nh_hi END AS DOUBLE)
+                      / lim.n * 1000000 + 0.5) AS BIGINT) / 1e6
+             AS high_share
+    FROM r JOIN lim ON lim.event_type = r.event_type AND r.i = lim.n
+    ORDER BY r.event_type
+    """,
+    tags=("E322", "E75", "E303", "X2", "W4", "A1"),
+)
+def q_viterbi_regime_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi 2-state regime decode per event-type hourly series —
+    the sequence-labeling DP missing beside the detection family
+    (CUSUM E75 locates ONE shift, Page-Hinkley E303 alarms online;
+    Viterbi labels EVERY hour low/high under a min-cost HMM,
+    tolerating noise through the switch penalty): emission cost is
+    the integer distance to the series' lo/hi anchors (MIN/MAX
+    hourly cents), the transition penalty is (hi-lo)//4+1, and the
+    decode minimizes total cost. No backtracking pass anywhere: the
+    DP carries each state's best-path STATISTICS (hours-high,
+    switches) forward — Viterbi keeps exactly one surviving path per
+    state, so the stats ride the same argmin the costs do (stay wins
+    cost ties, low wins the final tie; both pinned identically in
+    kernel and oracle). All-integer arithmetic end to end, so the
+    grouped-map kernel (Holt X2 shape, q_holt_forecast_hourly) is
+    bit-exact against DuckDB's WITH RECURSIVE replay; only the final
+    high_share quantizes (1e-6). The hourly aggregation shrinks each
+    group to O(hours) rows before Python sees data, and the kernel
+    is one linear pass per series — at scale the cost is the events
+    scan + one hash shuffle to the hourly grain."""
+    import math
+
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        c = [int(x) for x in pdf["cents"].to_list()]
+        lo, hi = min(c), max(c)
+        lam = (hi - lo) // 4 + 1
+        cost_lo, cost_hi = abs(c[0] - lo), abs(c[0] - hi)
+        nh_lo = nsw_lo = nsw_hi = 0
+        nh_hi = 1
+        for x in c[1:]:
+            stay_lo, sw_lo = cost_lo, cost_hi + lam
+            stay_hi, sw_hi = cost_hi, cost_lo + lam
+            if stay_lo <= sw_lo:
+                new_lo = (abs(x - lo) + stay_lo, nh_lo, nsw_lo)
+            else:
+                new_lo = (abs(x - lo) + sw_lo, nh_hi, nsw_hi + 1)
+            if stay_hi <= sw_hi:
+                new_hi = (abs(x - hi) + stay_hi, nh_hi + 1, nsw_hi)
+            else:
+                new_hi = (abs(x - hi) + sw_hi, nh_lo + 1, nsw_lo + 1)
+            (cost_lo, nh_lo, nsw_lo) = new_lo
+            (cost_hi, nh_hi, nsw_hi) = new_hi
+        if cost_lo <= cost_hi:
+            nh, nsw, tc = nh_lo, nsw_lo, cost_lo
+        else:
+            nh, nsw, tc = nh_hi, nsw_hi, cost_hi
+        n = len(c)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [n],
+                "n_high": [nh],
+                "n_switches": [nsw],
+                "total_cost": [tc],
+                "high_share": [math.floor(nh / n * 1000000 + 0.5) / 1e6],
+            }
+        )
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(
+            decode,
+            "event_type string, n_hours bigint, n_high bigint, "
+            "n_switches bigint, total_cost bigint, high_share double",
+        )
+        .orderBy("event_type")
+    )

@@ -1813,3 +1813,199 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("level")
+
+
+# --------------------------------------------------------------------------
+# E321: code-vs-prose heuristic router — corpus composition audit
+# --------------------------------------------------------------------------
+
+# Integer density thresholds, cross-multiplied so no division happens
+# before the final quantized shares: symbol chars >= 2% of chars,
+# digits >= 5% of chars, indented lines >= 25% of lines, snake_case
+# tokens >= 4% of whitespace tokens. A doc is routed "code" when >= 2
+# of the 4 heuristics fire — the cheap pre-filter pipelines run before
+# an expensive learned classifier to route code into its own mixture
+# domain (E292) and tokenizer (E294).
+_CP_SYM_PCT = 2
+_CP_DIG_PCT = 5
+_CP_IND_PCT = 25
+_CP_US_PCT = 4
+_CP_VOTES = 2
+
+_CP_SYM_CLASS = "[{}();=<>\\[\\]]"
+
+
+_CP_SEED_MOD = 17  # every 17th doc gets a deterministic code-ified body
+
+
+def _code_prose_oracle() -> str:
+    return f"""
+    WITH coded AS (
+      SELECT lang, source,
+             CASE WHEN doc_id % {_CP_SEED_MOD} = 0 THEN
+               '  def f_' || CAST(doc_id AS VARCHAR) || '():' || chr(10)
+               || '  x_1 = len("' || substr(text, 1, 40) || '");' || chr(10)
+               || '  return x_1 == 42;'
+             ELSE text END AS text
+      FROM documents),
+    feats AS (
+      SELECT lang, source,
+             length(text) AS n_chars_t,
+             length(text) - length(regexp_replace(text,
+               '{_CP_SYM_CLASS}', '', 'g')) AS sym_cnt,
+             length(text) - length(regexp_replace(text,
+               '[0-9]', '', 'g')) AS dig_cnt,
+             len(str_split(text, chr(10))) AS n_lines,
+             len(list_filter(str_split(text, chr(10)),
+                             l -> l LIKE '  %')) AS ind_lines,
+             len(list_filter(str_split(text, ' '), t -> t <> ''))
+               AS n_toks,
+             len(list_filter(str_split(text, ' '),
+                             t -> t LIKE '%\\_%' ESCAPE '\\')) AS us_toks
+      FROM coded),
+    scored AS (
+      SELECT lang, source, n_chars_t, sym_cnt, dig_cnt, ind_lines, us_toks,
+             (CASE WHEN n_chars_t > 0
+                    AND sym_cnt * 100 >= n_chars_t * {_CP_SYM_PCT}
+                   THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars_t > 0
+                      AND dig_cnt * 100 >= n_chars_t * {_CP_DIG_PCT}
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN ind_lines * 100 >= n_lines * {_CP_IND_PCT}
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN n_toks > 0
+                      AND us_toks * 100 >= n_toks * {_CP_US_PCT}
+                     THEN 1 ELSE 0 END) AS votes
+      FROM feats)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN votes >= {_CP_VOTES} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_code,
+           CAST(FLOOR(CAST(SUM(CASE WHEN votes >= {_CP_VOTES} THEN 1
+                                    ELSE 0 END) AS DOUBLE)
+                      / COUNT(*) * 1000000 + 0.5) AS BIGINT) / 1e6
+             AS code_share,
+           CAST(SUM(sym_cnt) AS BIGINT) AS total_sym,
+           CAST(SUM(dig_cnt) AS BIGINT) AS total_digits,
+           CAST(FLOOR(CAST(SUM(sym_cnt) AS DOUBLE) / SUM(n_chars_t)
+                      * 1000000 + 0.5) AS BIGINT) / 1e6 AS sym_density,
+           CAST(MAX(votes) AS BIGINT) AS max_votes
+    FROM scored GROUP BY lang, source ORDER BY lang, source
+    """
+
+
+@query(
+    "q_code_prose_router",
+    oracle=_code_prose_oracle(),
+    tags=("E321", "E42", "F1", "F2", "A1", "P8"),
+)
+def q_code_prose_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic router — the corpus-composition audit
+    a pretraining pipeline runs before mixture planning (E292/E295):
+    code wants its own sampling weight and tokenizer, and a learned
+    classifier is too expensive for a first pass over 100 TB, so the
+    router votes 4 cheap surface heuristics (symbol-char density,
+    digit density, indented-line share, snake_case token share) and
+    routes a doc to "code" on >= {_CP_VOTES} votes. All features are
+    exact integer counts (length-after-strip deltas, LIKE-filtered
+    line/token lists — the Spark/DuckDB common regex subset per the
+    F2 dialect contract), thresholds are cross-multiplied integer
+    comparisons (no division, no epsilon), and only the final
+    per-(lang, source) shares quantize to 1e-6 — bit-exact parity on
+    any corpus, including zero-length and whitespace-only documents
+    (guarded to score 0, not trip 0*k >= 0). One map-side projection
+    + one exact groupBy: linear, shuffle-minimal, scale-indifferent.
+    The fixture is pure synthetic prose (the router would flag 0 and
+    the vote arithmetic would go untested), so — the E39 PII-fixture
+    pattern — every {_CP_SEED_MOD}th doc first gets a DETERMINISTIC
+    code-ified body derived from (doc_id, text) with identical string
+    ops on both engines: indented def/assign/return lines whose digit
+    density rides the doc_id digits, putting it right AT the 5%
+    threshold boundary so the vote flips per doc, not per fixture.
+    max_votes rides along per group to show how close each slice gets
+    to the thresholds."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    nl = F.lit("\n")
+    txt = F.when(
+        F.col("doc_id") % _CP_SEED_MOD == 0,
+        F.concat(
+            F.lit("  def f_"), F.col("doc_id").cast("string"), F.lit("():"),
+            nl,
+            F.lit('  x_1 = len("'), F.substring(F.col("text"), 1, 40),
+            F.lit('");'), nl,
+            F.lit("  return x_1 == 42;"),
+        ),
+    ).otherwise(F.col("text"))
+    feats = d.select(
+        "lang",
+        "source",
+        F.length(txt).alias("n_chars_t"),
+        (
+            F.length(txt)
+            - F.length(F.regexp_replace(txt, _CP_SYM_CLASS, ""))
+        ).alias("sym_cnt"),
+        (
+            F.length(txt) - F.length(F.regexp_replace(txt, "[0-9]", ""))
+        ).alias("dig_cnt"),
+        F.size(F.split(txt, "\n", -1)).alias("n_lines"),
+        F.size(
+            F.filter(F.split(txt, "\n", -1), lambda l: l.startswith("  "))
+        ).alias("ind_lines"),
+        F.size(
+            F.filter(F.split(txt, " ", -1), lambda t: t != "")
+        ).alias("n_toks"),
+        F.size(
+            F.filter(F.split(txt, " ", -1), lambda t: t.contains("_"))
+        ).alias("us_toks"),
+    )
+    vote = (
+        F.when(
+            (F.col("n_chars_t") > 0)
+            & (F.col("sym_cnt") * 100 >= F.col("n_chars_t") * _CP_SYM_PCT),
+            1,
+        ).otherwise(0)
+        + F.when(
+            (F.col("n_chars_t") > 0)
+            & (F.col("dig_cnt") * 100 >= F.col("n_chars_t") * _CP_DIG_PCT),
+            1,
+        ).otherwise(0)
+        + F.when(
+            F.col("ind_lines") * 100 >= F.col("n_lines") * _CP_IND_PCT, 1
+        ).otherwise(0)
+        + F.when(
+            (F.col("n_toks") > 0)
+            & (F.col("us_toks") * 100 >= F.col("n_toks") * _CP_US_PCT),
+            1,
+        ).otherwise(0)
+    )
+    scored = feats.withColumn("votes", vote)
+    is_code = F.when(F.col("votes") >= _CP_VOTES, 1).otherwise(0)
+    return (
+        scored.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(is_code).cast("bigint").alias("n_code"),
+            (
+                F.floor(
+                    F.sum(is_code).cast("double")
+                    / F.count(F.lit(1))
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("code_share"),
+            F.sum("sym_cnt").cast("bigint").alias("total_sym"),
+            F.sum("dig_cnt").cast("bigint").alias("total_digits"),
+            (
+                F.floor(
+                    F.sum("sym_cnt").cast("double")
+                    / F.sum("n_chars_t")
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("sym_density"),
+            F.max("votes").cast("bigint").alias("max_votes"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -20,10 +20,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.caching import tracked_persist
-from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.functions.vector import cosine, dot, sql_cosine, sql_dot
-from fts_analysis_datalake_spark.operators.text import normalize_text, sql_tokens, tokens
+from fts_analysis_datalake_spark.operators.text import (
+    ngrams,
+    normalize_text,
+    sql_ngrams,
+    sql_tokens,
+    tokens,
+)
 from fts_analysis_datalake_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -2469,3 +2475,235 @@ def q_pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# E320: self-BLEU-2 + distinct-2 — generation/corpus diversity audit
+# --------------------------------------------------------------------------
+
+_SB_MOD = 11  # candidate panel: every 11th doc scores against the rest
+
+
+def _self_bleu_oracle() -> str:
+    toks = sql_tokens("text")
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, lang, {toks} AS toks, len({toks}) AS n_tok
+      FROM documents),
+    cand AS MATERIALIZED (
+      SELECT * FROM d WHERE doc_id % {_SB_MOD} = 0 AND n_tok >= 2),
+    refs AS MATERIALIZED (
+      SELECT * FROM d WHERE doc_id % {_SB_MOD} <> 0),
+    c1 AS (SELECT lang, doc_id, unnest(toks) AS g FROM cand),
+    c1c AS MATERIALIZED (
+      SELECT lang, doc_id, g, COUNT(*) AS cnt FROM c1 GROUP BY 1, 2, 3),
+    r1m AS MATERIALIZED (
+      SELECT lang, g, MAX(cnt) AS rmax FROM (
+        SELECT lang, doc_id, g, COUNT(*) AS cnt FROM (
+          SELECT lang, doc_id, unnest(toks) AS g FROM refs)
+        GROUP BY 1, 2, 3) GROUP BY 1, 2),
+    p1 AS (
+      SELECT lang, doc_id,
+             SUM(LEAST(cnt, COALESCE(rmax, 0))) AS clip1, SUM(cnt) AS tot1
+      FROM c1c LEFT JOIN r1m USING (lang, g) GROUP BY 1, 2),
+    c2 AS (SELECT lang, doc_id, unnest({sql_ngrams('toks', 2)}) AS g FROM cand),
+    c2c AS MATERIALIZED (
+      SELECT lang, doc_id, g, COUNT(*) AS cnt FROM c2 GROUP BY 1, 2, 3),
+    r2m AS MATERIALIZED (
+      SELECT lang, g, MAX(cnt) AS rmax FROM (
+        SELECT lang, doc_id, g, COUNT(*) AS cnt FROM (
+          SELECT lang, doc_id, unnest({sql_ngrams('toks', 2)}) AS g
+          FROM refs)
+        GROUP BY 1, 2, 3) GROUP BY 1, 2),
+    p2 AS (
+      SELECT lang, doc_id,
+             SUM(LEAST(cnt, COALESCE(rmax, 0))) AS clip2, SUM(cnt) AS tot2
+      FROM c2c LEFT JOIN r2m USING (lang, g) GROUP BY 1, 2),
+    rlen AS (SELECT DISTINCT lang, n_tok AS rl FROM refs),
+    closest AS (
+      SELECT c.lang, c.doc_id,
+             MIN(abs(rl - c.n_tok) * 1000000 + rl) % 1000000 AS r
+      FROM cand c LEFT JOIN rlen ON rlen.lang = c.lang
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT p1.lang,
+             CAST(FLOOR(CAST(clip1 AS DOUBLE) / tot1 * 1000000 + 0.5)
+                  AS BIGINT) AS p1_q,
+             CAST(FLOOR(CAST(clip2 AS DOUBLE) / tot2 * 1000000 + 0.5)
+                  AS BIGINT) AS p2_q,
+             CAST(FLOOR(
+               (CASE WHEN n_tok >= COALESCE(r, 0) THEN 1.0
+                     ELSE exp(CAST(FLOOR(
+                       (1.0 - CAST(COALESCE(r, 0) AS DOUBLE) / n_tok)
+                       * 1000000000 + 0.5) AS BIGINT) / 1000000000.0)
+                END)
+               * sqrt((CAST(clip1 AS DOUBLE) / tot1)
+                      * (CAST(clip2 AS DOUBLE) / tot2))
+               * 1000000 + 0.5) AS BIGINT) AS bleu_q
+      FROM p1
+      JOIN p2 USING (lang, doc_id)
+      JOIN cand USING (lang, doc_id)
+      JOIN closest USING (lang, doc_id)),
+    div2 AS (
+      SELECT lang, COUNT(DISTINCT g) AS dg, SUM(cnt) AS tg
+      FROM c2c GROUP BY 1)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_cands,
+           CAST(FLOOR(CAST(SUM(bleu_q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             / 1e6 AS avg_self_bleu2,
+           CAST(FLOOR(CAST(SUM(p1_q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             / 1e6 AS avg_p1,
+           CAST(FLOOR(CAST(SUM(p2_q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             / 1e6 AS avg_p2,
+           CAST(FLOOR(CAST(MAX(dg) AS DOUBLE) / MAX(tg) * 1000000 + 0.5)
+                AS BIGINT) / 1e6 AS distinct2_ratio
+    FROM scored JOIN div2 USING (lang)
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "q_self_bleu_diversity",
+    oracle=_self_bleu_oracle(),
+    tags=("E320", "D8", "D11", "F7", "A1", "J2"),
+)
+def q_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU-2 + distinct-2 diversity audit per language — the
+    corpus-homogeneity metric generation pipelines run beside pass@k
+    (E319) and the drift divergences: every {_SB_MOD}th document is a
+    candidate scored with BLEU-2 against the REST of its language as
+    the reference pool (high self-BLEU = the corpus repeats itself;
+    the metric synthetic-data pipelines gate admission on), and
+    distinct-2 is the candidates' unique-bigram share (the
+    complementary diversity axis). Faithful BLEU mechanics: modified
+    n-gram precision clips each candidate count at the MAX count any
+    single reference attains (per (lang, ngram) — one map-side-
+    combinable aggregate over reference shingles, an equi-join, never
+    candidate x reference), brevity penalty uses the CLOSEST reference
+    length drawn from the per-lang DISTINCT-length dimension (domain-
+    bounded, broadcastable; the MIN-encoded |len-c|*1e6+len key makes
+    the tie-break identical arithmetic in both engines), and the
+    2-gram geometric mean is sqrt(p1*p2) — sqrt is IEEE
+    correctly-rounded in BOTH engines, so unlike exp/ln it needs no
+    libm guard. exp appears only in the brevity penalty with the
+    house 1e-9-quantized-exponent + 1e-6-quantized-output pattern
+    (E74). Per-candidate scores quantize to 1e-6 BIGINTs before the
+    language-level mean, so partial-agg order can't leak into the
+    hash. Scale: candidate panel is a fixed SHARE (hash-mod), all
+    joins are (lang, ngram) hash joins linear in token volume, and
+    the only non-token-linear state is the distinct-length dim."""
+    d = tracked_persist(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "lang",
+            tokens(normalize_text(F.col("text"))).alias("toks"),
+        )
+        .withColumn("n_tok", F.size("toks"))
+    )
+    cand = d.filter((F.col("doc_id") % _SB_MOD == 0) & (F.col("n_tok") >= 2))
+    refs = d.filter(F.col("doc_id") % _SB_MOD != 0)
+
+    def gram_col(n: int):
+        return (
+            F.explode(F.col("toks")) if n == 1
+            else F.explode(ngrams(F.col("toks"), n))
+        )
+
+    def clipped(n: int) -> DataFrame:
+        cc = (
+            cand.select("lang", "doc_id", gram_col(n).alias("g"))
+            .groupBy("lang", "doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        rm = (
+            refs.select("lang", "doc_id", gram_col(n).alias("g"))
+            .groupBy("lang", "doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("lang", "g")
+            .agg(F.max("cnt").alias("rmax"))
+        )
+        return (
+            cc.join(rm, ["lang", "g"], "left")
+            .groupBy("lang", "doc_id")
+            .agg(
+                F.sum(
+                    F.least(F.col("cnt"), F.coalesce(F.col("rmax"), F.lit(0)))
+                ).alias(f"clip{n}"),
+                F.sum("cnt").alias(f"tot{n}"),
+            )
+        ), cc
+
+    p1, _ = clipped(1)
+    p2, c2c = clipped(2)
+    c2c = tracked_persist(c2c)
+
+    rlen = refs.select("lang", F.col("n_tok").alias("rl")).distinct()
+    closest = (
+        cand.join(rlen, "lang", "left")
+        .groupBy("lang", "doc_id")
+        .agg(
+            (
+                F.min(F.abs(F.col("rl") - F.col("n_tok")) * 1000000 + F.col("rl"))
+                % 1000000
+            ).alias("r")
+        )
+    )
+
+    pr1 = F.col("clip1").cast("double") / F.col("tot1")
+    pr2 = F.col("clip2").cast("double") / F.col("tot2")
+    bp = F.when(F.col("n_tok") >= F.coalesce(F.col("r"), F.lit(0)), F.lit(1.0)).otherwise(
+        F.exp(
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.coalesce(F.col("r"), F.lit(0)).cast("double") / F.col("n_tok")
+                )
+                * 1000000000
+                + F.lit(0.5)
+            ).cast("long")
+            / 1000000000.0
+        )
+    )
+    scored = (
+        p1.join(p2, ["lang", "doc_id"])
+        .join(cand.select("lang", "doc_id", "n_tok"), ["lang", "doc_id"])
+        .join(closest, ["lang", "doc_id"])
+        .select(
+            "lang",
+            F.floor(pr1 * 1000000 + F.lit(0.5)).cast("long").alias("p1_q"),
+            F.floor(pr2 * 1000000 + F.lit(0.5)).cast("long").alias("p2_q"),
+            F.floor(bp * F.sqrt(pr1 * pr2) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("bleu_q"),
+        )
+    )
+    div2 = c2c.groupBy("lang").agg(
+        F.countDistinct("g").alias("dg"), F.sum("cnt").alias("tg")
+    )
+
+    def q_mean(col: str):
+        return (
+            F.floor(F.sum(col).cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("bigint")
+            / 1e6
+        )
+
+    return (
+        scored.join(div2, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cands"),
+            q_mean("bleu_q").alias("avg_self_bleu2"),
+            q_mean("p1_q").alias("avg_p1"),
+            q_mean("p2_q").alias("avg_p2"),
+            (
+                F.floor(
+                    F.max("dg").cast("double") / F.max("tg") * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("distinct2_ratio"),
+        )
+        .orderBy("lang")
+    )
