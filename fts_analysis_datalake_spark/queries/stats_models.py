@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.functions.deterministic import dcorr, sql_dcorr
 from fts_analysis_datalake_spark.operators.text import (
@@ -3810,3 +3811,201 @@ def q_lof_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_LOF_TOPK)
         .select("event_type", "hour_s", "lof")
     )
+
+
+# --------------------------------------------------------------------------
+# E323: Granger lead-lag test — nested-model F on lagged hourly series
+# --------------------------------------------------------------------------
+
+_GR_DIRS = [  # (label, y/own series, cross-lag series)
+    ("view_to_purchase", "purchase", "view"),
+    ("purchase_to_view", "view", "purchase"),
+]
+
+
+def _granger_dir_sql(i: int, label: str, a: str, b: str) -> str:
+    return f"""
+    rows_{i} AS (
+      SELECT y.cents AS yv, l1.cents AS x1v, l2.cents AS x2v
+      FROM hourly y
+      JOIN hourly l1 ON l1.event_type = '{a}' AND l1.hs = y.hs - 1
+      JOIN hourly l2 ON l2.event_type = '{b}' AND l2.hs = y.hs - 1
+      WHERE y.event_type = '{a}'),
+    m_{i} AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x1v AS DECIMAL(19,0))) AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(x2v AS DECIMAL(19,0))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(yv AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x1v AS DECIMAL(28,0))
+                      * CAST(x1v AS DECIMAL(28,0))) AS DOUBLE) AS sx11,
+             CAST(SUM(CAST(x1v AS DECIMAL(19,0))
+                      * CAST(x2v AS DECIMAL(19,0))) AS DOUBLE) AS sx12,
+             CAST(SUM(CAST(x2v AS DECIMAL(28,0))
+                      * CAST(x2v AS DECIMAL(28,0))) AS DOUBLE) AS sx22,
+             CAST(SUM(CAST(x1v AS DECIMAL(19,0))
+                      * CAST(yv AS DECIMAL(19,0))) AS DOUBLE) AS sx1y,
+             CAST(SUM(CAST(x2v AS DECIMAL(19,0))
+                      * CAST(yv AS DECIMAL(19,0))) AS DOUBLE) AS sx2y,
+             CAST(SUM(CAST(yv AS DECIMAL(28,0))
+                      * CAST(yv AS DECIMAL(28,0))) AS DOUBLE) AS syy
+      FROM rows_{i}),
+    sol_{i} AS (
+      SELECT n, sy, sx1, sx1y, sx2y, syy,
+             (n * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx12 - sx11 * sx2)) AS det,
+             (sy * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1y * sx22 - sx12 * sx2y)
+              + sx2 * (sx1y * sx12 - sx11 * sx2y)) AS det0,
+             (n * (sx1y * sx22 - sx12 * sx2y)
+              - sy * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx2y - sx1y * sx2)) AS det1,
+             (n * (sx11 * sx2y - sx1y * sx12)
+              - sx1 * (sx1 * sx2y - sx1y * sx2)
+              + sy * (sx1 * sx12 - sx11 * sx2)) AS det2,
+             (n * sx1y - sx1 * sy) / NULLIF(n * sx11 - sx1 * sx1, 0e0) AS br
+      FROM m_{i}),
+    fin_{i} AS (
+      SELECT n, det, det1, det2,
+             syy - (det0 / NULLIF(det, 0e0)) * sy
+                 - (det1 / NULLIF(det, 0e0)) * sx1y
+                 - (det2 / NULLIF(det, 0e0)) * sx2y AS rss_u,
+             syy - ((sy - br * sx1) / n) * sy - br * sx1y AS rss_r,
+             syy - sy * sy / n AS sst
+      FROM sol_{i}),
+    out_{i} AS (
+      SELECT '{label}' AS direction,
+             CAST(n AS BIGINT) AS n_obs,
+             CAST(FLOOR(det1 / NULLIF(det, 0e0) * 1000000 + 0.5) AS BIGINT)
+               / 1e6 AS b_own,
+             CAST(FLOOR(det2 / NULLIF(det, 0e0) * 1000000 + 0.5) AS BIGINT)
+               / 1e6 AS b_cross,
+             CAST(FLOOR((rss_r - rss_u) * (n - 3e0) / NULLIF(rss_u, 0e0)
+                        * 1000000 + 0.5) AS BIGINT) / 1e6 AS f_stat,
+             CAST(FLOOR((1e0 - rss_u / NULLIF(sst, 0e0)) * 1000000 + 0.5)
+                  AS BIGINT) / 1e6 AS r2_u
+      FROM fin_{i})"""
+
+
+@query(
+    "q_granger_lead_lag",
+    oracle="WITH hourly AS MATERIALIZED (\n"
+    "      SELECT event_type,\n"
+    "             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hs,\n"
+    "             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents\n"
+    "      FROM events GROUP BY 1, 2),"
+    + ",".join(
+        _granger_dir_sql(i, label, a, b)
+        for i, (label, a, b) in enumerate(_GR_DIRS)
+    )
+    + "\n    SELECT * FROM out_0 UNION ALL SELECT * FROM out_1"
+    + "\n    ORDER BY direction",
+    tags=("E323", "E208", "E110", "A6", "J6", "F4"),
+)
+def q_granger_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger lead-lag test between the view and purchase hourly
+    series, BOTH directions — the temporal-causality screen beside
+    ACF (E110, one series' own memory) and multiple regression
+    (E208, cross-sectional): does adding LAST hour's view volume to a
+    purchase autoregression reduce residual variance more than chance
+    (nested-model F with 1 and n-3 df)? Restricted model y~1+y_lag,
+    unrestricted y~1+y_lag+x_lag solved by the E208 Cramer
+    normal-equation idiom: hourly cents are exact BIGINTs, lag
+    alignment is an integer epoch-hour equi-join (hs-1; the interval-
+    arithmetic house rule — consecutive-hour triples only, so gaps
+    drop out identically in both engines), all ten moment sums are
+    exact DECIMAL integers from one aggregate pass per direction, and
+    doubles appear only in a final fixed-order expression, 1e-6
+    output-quantized (the dcorr/dstddev DECIMAL38->double contract).
+    Degenerate series (constant, collinear, n<=3) yield NULLs via
+    NULLIF guards, not errors. Scale: the hourly table is series-
+    length-bounded; each direction is one scan + a 1-row solve."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = tracked_persist(
+        e.groupBy(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+            .cast("long")
+            .alias("hs"),
+        ).agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+    )
+
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1e6  # noqa: E731
+
+    def direction(label: str, a: str, b: str) -> DataFrame:
+        y = hourly.filter(F.col("event_type") == a).select("hs", F.col("cents").alias("yv"))
+        l1 = hourly.filter(F.col("event_type") == a).select(
+            (F.col("hs") + 1).alias("hs"), F.col("cents").alias("x1v")
+        )
+        l2 = hourly.filter(F.col("event_type") == b).select(
+            (F.col("hs") + 1).alias("hs"), F.col("cents").alias("x2v")
+        )
+        rows = y.join(l1, "hs").join(l2, "hs")
+        d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+        d28 = lambda c: F.col(c).cast("decimal(28,0)")  # noqa: E731
+        m = rows.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(d19("x1v")).cast("double").alias("sx1"),
+            F.sum(d19("x2v")).cast("double").alias("sx2"),
+            F.sum(d19("yv")).cast("double").alias("sy"),
+            F.sum(d28("x1v") * d28("x1v")).cast("double").alias("sx11"),
+            F.sum(d19("x1v") * d19("x2v")).cast("double").alias("sx12"),
+            F.sum(d28("x2v") * d28("x2v")).cast("double").alias("sx22"),
+            F.sum(d19("x1v") * d19("yv")).cast("double").alias("sx1y"),
+            F.sum(d19("x2v") * d19("yv")).cast("double").alias("sx2y"),
+            F.sum(d28("yv") * d28("yv")).cast("double").alias("syy"),
+        )
+        n, sx1, sx2, sy = F.col("n"), F.col("sx1"), F.col("sx2"), F.col("sy")
+        sx11, sx12, sx22 = F.col("sx11"), F.col("sx12"), F.col("sx22")
+        sx1y, sx2y, syy = F.col("sx1y"), F.col("sx2y"), F.col("syy")
+        z = F.lit(0.0)
+        det = (
+            n * (sx11 * sx22 - sx12 * sx12)
+            - sx1 * (sx1 * sx22 - sx12 * sx2)
+            + sx2 * (sx1 * sx12 - sx11 * sx2)
+        )
+        det0 = (
+            sy * (sx11 * sx22 - sx12 * sx12)
+            - sx1 * (sx1y * sx22 - sx12 * sx2y)
+            + sx2 * (sx1y * sx12 - sx11 * sx2y)
+        )
+        det1 = (
+            n * (sx1y * sx22 - sx12 * sx2y)
+            - sy * (sx1 * sx22 - sx12 * sx2)
+            + sx2 * (sx1 * sx2y - sx1y * sx2)
+        )
+        det2 = (
+            n * (sx11 * sx2y - sx1y * sx12)
+            - sx1 * (sx1 * sx2y - sx1y * sx2)
+            + sy * (sx1 * sx12 - sx11 * sx2)
+        )
+        detn = F.nullif(det, z)
+        br = (n * sx1y - sx1 * sy) / F.nullif(n * sx11 - sx1 * sx1, z)
+        rss_u = (
+            syy
+            - (det0 / detn) * sy
+            - (det1 / detn) * sx1y
+            - (det2 / detn) * sx2y
+        )
+        rss_r = syy - ((sy - br * sx1) / n) * sy - br * sx1y
+        sst = syy - sy * sy / n
+        return m.select(
+            F.lit(label).alias("direction"),
+            n.cast("bigint").alias("n_obs"),
+            q6(det1 / detn).alias("b_own"),
+            q6(det2 / detn).alias("b_cross"),
+            q6(
+                (rss_r - rss_u) * (n - F.lit(3.0)) / F.nullif(rss_u, z)
+            ).alias("f_stat"),
+            q6(F.lit(1.0) - rss_u / F.nullif(sst, z)).alias("r2_u"),
+        )
+
+    out = None
+    for label, a, b in _GR_DIRS:
+        part = direction(label, a, b)
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("direction")
