@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.functions.deterministic import dsum, sql_dsum
 from fts_analysis_datalake_spark.registry import query
@@ -3147,4 +3148,314 @@ def q_viterbi_regime_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_switches bigint, total_cost bigint, high_share double",
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E325: SAX symbolization + motif — PAA words over daily series
+# --------------------------------------------------------------------------
+
+_SAX_W = 4  # days per PAA window (complete windows only)
+
+
+@query(
+    "q_sax_series_motifs",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily),
+    paa AS MATERIALIZED (
+      SELECT event_type, (rn - 1) // {_SAX_W} AS win,
+             SUM(cents) AS pv
+      FROM seq GROUP BY 1, 2 HAVING COUNT(*) = {_SAX_W}),
+    pos AS (
+      SELECT event_type, win, pv,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY pv, win) AS pos,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM paa),
+    brk AS (
+      SELECT event_type,
+             MAX(CASE WHEN pos = (n + 2) // 3 THEN pv END) AS t1,
+             MAX(CASE WHEN pos = (2 * n + 2) // 3 THEN pv END) AS t2
+      FROM pos GROUP BY event_type),
+    sym AS MATERIALIZED (
+      SELECT p.event_type, p.win,
+             CASE WHEN p.pv <= t1 THEN 'a'
+                  WHEN p.pv <= t2 THEN 'b' ELSE 'c' END AS s
+      FROM paa p JOIN brk USING (event_type)),
+    tri AS (
+      SELECT s1.event_type, s1.s || s2.s || s3.s AS tri_w
+      FROM sym s1
+      JOIN sym s2 ON s2.event_type = s1.event_type AND s2.win = s1.win + 1
+      JOIN sym s3 ON s3.event_type = s1.event_type AND s3.win = s1.win + 2),
+    motif AS (
+      SELECT event_type, tri_w, cnt FROM (
+        SELECT event_type, tri_w, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY COUNT(*) DESC, tri_w) AS rk
+        FROM tri GROUP BY event_type, tri_w)
+      WHERE rk = 1)
+    SELECT s.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_paa,
+           string_agg(s.s, '' ORDER BY s.win) AS sax,
+           CAST(SUM(CASE WHEN s.s = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN s.s = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN s.s = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+           MAX(m.tri_w) AS motif,
+           CAST(MAX(m.cnt) AS BIGINT) AS motif_n
+    FROM sym s JOIN motif m ON m.event_type = s.event_type
+    GROUP BY s.event_type ORDER BY s.event_type
+    """,
+    tags=("E325", "E309", "E110", "W1", "A9", "F1"),
+)
+def q_sax_series_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of each event type's daily cents series —
+    the discrete-representation stage of timeseries mining (SAX:
+    Lin/Keogh; the motif/anomaly substrate beside the Gorilla storage
+    audit E309): PAA compresses {_SAX_W}-day windows (complete
+    windows only) to their exact integer cents sum, per-series
+    TERTILE breakpoints come from exact order statistics (positions
+    ceil(n/3), ceil(2n/3) of the sorted PAA values — no gaussian
+    assumption, all-integer), symbols a/b/c by pinned <= comparisons,
+    and the top motif is the most frequent symbol TRIGRAM (ties to
+    the lexicographically first). Everything is integer or string —
+    no doubles anywhere, bit-exact by construction. The series
+    tables are days-per-series sized; the trigram self-joins are
+    window-index equi-joins on domain-bounded state — at scale the
+    cost is the events scan + one hash shuffle to the daily grain."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.select(
+        "event_type", "cents", F.row_number().over(wd).alias("rn")
+    )
+    paa = (
+        seq.groupBy(
+            "event_type",
+            ((F.col("rn") - 1) / _SAX_W).cast("long").alias("win"),
+        )
+        .agg(F.sum("cents").alias("pv"), F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == _SAX_W)
+        .select("event_type", "win", "pv")
+    )
+    paa = tracked_persist(paa)
+    wp = Window.partitionBy("event_type").orderBy("pv", "win")
+    wn = Window.partitionBy("event_type")
+    pos = paa.select(
+        "event_type",
+        "pv",
+        F.row_number().over(wp).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    brk = pos.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("pos") == ((F.col("n") + 2) / 3).cast("long"), F.col("pv"))
+        ).alias("t1"),
+        F.max(
+            F.when(
+                F.col("pos") == ((2 * F.col("n") + 2) / 3).cast("long"),
+                F.col("pv"),
+            )
+        ).alias("t2"),
+    )
+    sym = tracked_persist(
+        paa.join(brk, "event_type").select(
+            "event_type",
+            "win",
+            F.when(F.col("pv") <= F.col("t1"), F.lit("a"))
+            .when(F.col("pv") <= F.col("t2"), F.lit("b"))
+            .otherwise(F.lit("c"))
+            .alias("s"),
+        )
+    )
+    s2 = sym.select(
+        "event_type", (F.col("win") - 1).alias("win"), F.col("s").alias("s2")
+    )
+    s3 = sym.select(
+        "event_type", (F.col("win") - 2).alias("win"), F.col("s").alias("s3")
+    )
+    tri = (
+        sym.join(s2, ["event_type", "win"])
+        .join(s3, ["event_type", "win"])
+        .select(
+            "event_type",
+            F.concat(F.col("s"), F.col("s2"), F.col("s3")).alias("tri_w"),
+        )
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.col("tri_w")
+    )
+    motif = (
+        tri.groupBy("event_type", "tri_w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type", "tri_w", "cnt", F.row_number().over(wrk).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        sym.join(motif, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paa"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("win", "s"))),
+                    lambda x: x["s"],
+                ),
+                "",
+            ).alias("sax"),
+            F.sum(F.when(F.col("s") == "a", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("s") == "b", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("s") == "c", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_c"),
+            F.max("tri_w").alias("motif"),
+            F.max("cnt").cast("bigint").alias("motif_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E326: Kalman local-level filter — state-space smoothing per series
+# --------------------------------------------------------------------------
+
+_KF_Q = 1.0  # process variance per hour
+_KF_R = 25.0  # observation variance
+_KF_P0 = 10.0  # prior variance at t=1
+
+_KALMAN_ORACLE = f"""
+WITH RECURSIVE hourly AS MATERIALIZED (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY event_type, h),
+idx AS MATERIALIZED (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly),
+rec(event_type, t, n, level_q, p_q, k_q, abs_q) AS (
+  SELECT event_type, CAST(1 AS BIGINT), n,
+         CAST(FLOOR(y * 1000000000 + 0.5) AS BIGINT),
+         CAST(FLOOR({_KF_P0!r}e0 * 1000000000 + 0.5) AS BIGINT),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT event_type, t + 1, n,
+         CAST(FLOOR((level_q / 1.0e9
+                     + (k_q2 / 1.0e9) * (y - level_q / 1.0e9))
+                    * 1.0e9 + 0.5) AS BIGINT),
+         CAST(FLOOR(((1.0e0 - k_q2 / 1.0e9) * (p_q / 1.0e9 + {_KF_Q!r}e0))
+                    * 1.0e9 + 0.5) AS BIGINT),
+         k_q2,
+         abs_q + CAST(FLOOR(ABS(y - level_q / 1.0e9) * 1.0e9 + 0.5)
+                      AS BIGINT)
+  FROM (
+    SELECT r.event_type, r.t, r.n, r.level_q, r.p_q, r.abs_q, i.y,
+           CAST(FLOOR(((r.p_q / 1.0e9 + {_KF_Q!r}e0)
+                       / (r.p_q / 1.0e9 + {_KF_Q!r}e0 + {_KF_R!r}e0))
+                      * 1.0e9 + 0.5) AS BIGINT) AS k_q2
+    FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1))
+SELECT event_type, n AS n_hours,
+       level_q / 1.0e9 AS level,
+       p_q / 1.0e9 AS p_var,
+       k_q / 1.0e9 AS gain,
+       CAST(FLOOR(abs_q / 1.0e9 / GREATEST(n - 1, 1) * 1000000 + 0.5)
+            AS BIGINT) / 1000000.0 AS innov_mae
+FROM rec WHERE t = n
+"""
+
+
+@query(
+    "q_kalman_level_hourly",
+    oracle=_KALMAN_ORACLE,
+    tags=("E326", "E54", "X2", "T1", "W4"),
+)
+def q_kalman_level_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman local-level filter over each event type's hourly
+    arrival counts — the state-space smoother beside Holt (E54:
+    fixed gains; Kalman's gain ADAPTS as the posterior variance
+    converges, the standard online denoiser for feed-health
+    monitoring): predict P+Q, gain K = P/(P+R), correct level by
+    K*innovation, shrink P by (1-K). The recursion is per-series
+    sequential, so it runs as the X2 grouped-map kernel; level,
+    variance AND gain are quantized to 1e-9 int64 after every step
+    (each intra-step expression is a fixed sequence of single IEEE
+    ops written identically in the kernel and in the oracle's WITH
+    RECURSIVE replay — the Holt bit-exactness contract), so the
+    whole filter trajectory, the converged gain, and the innovation
+    MAE are hash-exact. The hourly aggregation shrinks each group to
+    O(hours) rows before Python sees data; at scale the cost is the
+    events scan + one hash shuffle."""
+    import math
+
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+
+    def filt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        y = pdf["y"].to_list()
+        level_q = math.floor(y[0] * 1000000000 + 0.5)
+        p_q = math.floor(_KF_P0 * 1000000000 + 0.5)
+        k_q = 0
+        abs_q = 0
+        for t in range(1, len(y)):
+            k_q = math.floor(
+                (
+                    (p_q / 1.0e9 + _KF_Q)
+                    / (p_q / 1.0e9 + _KF_Q + _KF_R)
+                )
+                * 1.0e9
+                + 0.5
+            )
+            abs_q += math.floor(abs(y[t] - level_q / 1.0e9) * 1.0e9 + 0.5)
+            new_level_q = math.floor(
+                (level_q / 1.0e9 + (k_q / 1.0e9) * (y[t] - level_q / 1.0e9))
+                * 1.0e9
+                + 0.5
+            )
+            p_q = math.floor(
+                ((1.0 - k_q / 1.0e9) * (p_q / 1.0e9 + _KF_Q)) * 1.0e9 + 0.5
+            )
+            level_q = new_level_q
+        n = len(y)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [n],
+                "level": [level_q / 1.0e9],
+                "p_var": [p_q / 1.0e9],
+                "gain": [k_q / 1.0e9],
+                "innov_mae": [
+                    math.floor(abs_q / 1.0e9 / max(n - 1, 1) * 1000000 + 0.5)
+                    / 1000000.0
+                ],
+            }
+        )
+
+    schema = (
+        "event_type string, n_hours long, level double, p_var double, "
+        "gain double, innov_mae double"
+    )
+    return hourly.groupBy("event_type").applyInPandas(filt, schema).orderBy(
+        "event_type"
     )

@@ -4009,3 +4009,106 @@ def q_granger_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = direction(label, a, b)
         out = part if out is None else out.unionByName(part)
     return out.orderBy("direction")
+
+
+# --------------------------------------------------------------------------
+# E324: Hill tail-index — power-law heaviness of the value distribution
+# --------------------------------------------------------------------------
+
+_HILL_K = 200  # top-k order statistics per series
+
+
+@query(
+    "q_hill_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rk
+      FROM events WHERE value > 0),
+    top AS MATERIALIZED (
+      SELECT event_type, value, rk FROM ranked WHERE rk <= {_HILL_K}),
+    xk AS (
+      SELECT event_type, value AS x_k FROM top WHERE rk = {_HILL_K}),
+    terms AS (
+      SELECT t.event_type,
+             CAST(FLOOR(ln(t.value) * 1000000000 + 0.5) AS BIGINT)
+               - CAST(FLOOR(ln(xk.x_k) * 1000000000 + 0.5) AS BIGINT)
+               AS lr_q
+      FROM top t JOIN xk USING (event_type)
+      WHERE t.rk < {_HILL_K})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(FLOOR(CAST(SUM(lr_q) AS DOUBLE) / 1000000000e0 / COUNT(*)
+                      * 1000000 + 0.5) AS BIGINT) / 1e6 AS hill_gamma,
+           CAST(FLOOR(1e0 / NULLIF(
+                 CAST(FLOOR(CAST(SUM(lr_q) AS DOUBLE) / 1000000000e0
+                            / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+                 / 1e6, 0e0) * 1000000 + 0.5) AS BIGINT) / 1e6
+             AS alpha
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("E324", "E110", "W1", "A1", "F6"),
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate of each event type's value
+    distribution — the heavy-tail screen run before choosing
+    mean-based vs quantile-based monitoring (a finite-mean Pareto
+    needs alpha > 1, finite variance alpha > 2; the fixture's
+    exponential values have gamma -> 0 as the effective index, which
+    the estimator reports faithfully): gamma_Hill = mean over the
+    top-{_HILL_K} order statistics of ln(x_i) - ln(x_k). Each ln is
+    1e-9-quantized BEFORE the sum (libm house guard, E74/E76
+    pattern), so the per-series total is an exact BIGINT and the
+    only doubles are two final fixed-order ops (mean, reciprocal),
+    1e-6-quantized. alpha = 1/gamma is derived FROM the quantized
+    gamma (one division on identical inputs). Order statistics come
+    from one per-series top-k window — rank ties broken by event_id,
+    value-identical so the sum is tie-insensitive; WindowGroupLimit
+    prunes the scan at any scale."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.col("event_id")
+    )
+    top = (
+        e.select("event_type", "value", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _HILL_K)
+    )
+    lnq = lambda c: F.floor(  # noqa: E731
+        F.log(c) * 1000000000 + F.lit(0.5)
+    ).cast("long")
+    xk = top.filter(F.col("rk") == _HILL_K).select(
+        "event_type", F.col("value").alias("x_k")
+    )
+    terms = (
+        top.filter(F.col("rk") < _HILL_K)
+        .join(xk, "event_type")
+        .select(
+            "event_type", (lnq(F.col("value")) - lnq(F.col("x_k"))).alias("lr_q")
+        )
+    )
+    gamma = (
+        F.floor(
+            F.sum("lr_q").cast("double")
+            / 1000000000.0
+            / F.count(F.lit(1))
+            * 1000000
+            + F.lit(0.5)
+        ).cast("bigint")
+        / 1e6
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+            gamma.alias("hill_gamma"),
+            (
+                F.floor(
+                    F.lit(1.0) / F.nullif(gamma, F.lit(0.0)) * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("alpha"),
+        )
+        .orderBy("event_type")
+    )
