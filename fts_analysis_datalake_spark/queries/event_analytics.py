@@ -3459,3 +3459,170 @@ def q_kalman_level_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.groupBy("event_type").applyInPandas(filt, schema).orderBy(
         "event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# E327: banded DTW — elastic alignment distance between two series
+# --------------------------------------------------------------------------
+
+_DTW_N = 20  # first N days of each series (fixed cap: bit-inert unroll)
+_DTW_BAND = 3  # Sakoe-Chiba band |i - j| <= band
+_DTW_INF = 10**15  # unreachable-cell sentinel (real costs << this)
+
+
+def _dtw_oracle() -> str:
+    head = f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+    seq AS MATERIALIZED (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+      FROM daily),
+    a AS (SELECT i, cents FROM seq WHERE event_type = 'view'
+          AND i <= {_DTW_N}),
+    b AS (SELECT i AS j, cents FROM seq WHERE event_type = 'purchase'
+          AND i <= {_DTW_N}),
+    cells AS MATERIALIZED (
+      SELECT a.i, b.j, a.i + b.j AS k, abs(a.cents - b.cents) AS cost
+      FROM a JOIN b ON abs(a.i - b.j) <= {_DTW_BAND}),
+    w2 AS MATERIALIZED (
+      SELECT i, cost AS dd FROM cells WHERE k = 2)"""
+    parts = [head]
+    for k in range(3, 2 * _DTW_N + 1):
+        # k=3 has no k-2 wavefront (its diagonal predecessor would be
+        # the out-of-grid (0,*) row) — drop that join instead of
+        # referencing a nonexistent w1
+        diag = (
+            f"\n      LEFT JOIN w{k - 2} d2 ON d2.i = c.i - 1" if k > 3 else ""
+        )
+        diag_term = f"COALESCE(d2.dd, {_DTW_INF})" if k > 3 else f"{_DTW_INF}"
+        parts.append(f""",
+    w{k} AS MATERIALIZED (
+      SELECT c.i,
+             c.cost + LEAST(COALESCE(p1.dd, {_DTW_INF}),
+                            COALESCE(p0.dd, {_DTW_INF}),
+                            {diag_term}) AS dd
+      FROM cells c
+      LEFT JOIN w{k - 1} p1 ON p1.i = c.i - 1
+      LEFT JOIN w{k - 1} p0 ON p0.i = c.i{diag}
+      WHERE c.k = {k})"""
+        )
+    parts.append(f""",
+    euclid AS (
+      SELECT CAST(SUM(abs(a.cents - b.cents)) AS BIGINT) AS e
+      FROM a JOIN b ON b.j = a.i)
+    SELECT CAST({_DTW_N} AS BIGINT) AS n_days,
+           CAST(w.dd AS BIGINT) AS dtw_cents,
+           e.e AS euclid_cents,
+           CAST(FLOOR(CAST(w.dd AS DOUBLE) / e.e * 1000000 + 0.5) AS BIGINT)
+             / 1e6 AS elasticity_gain
+    FROM w{2 * _DTW_N} w, euclid e WHERE w.i = {_DTW_N}""")
+    return "".join(parts)
+
+
+@query(
+    "q_dtw_band_alignment",
+    oracle=_dtw_oracle(),
+    tags=("E327", "E325", "E110", "J7", "A1"),
+)
+def q_dtw_band_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping (Sakoe-Chiba band r={_DTW_BAND}) between
+    the view and purchase daily-cents series — the ELASTIC distance
+    the lock-step euclidean family (rolling corr, E110 ACF) cannot
+    express: a demand spike that shows up in purchases a day or two
+    late still aligns, and the elasticity_gain column (dtw/euclid,
+    <= 1 by construction) quantifies exactly how much alignment slack
+    buys. Both series are capped at their first {_DTW_N} days (fixed
+    cap — the panel-freeze rule — which also makes the oracle's
+    unroll bit-inert at any SF): integer |cents| costs, banded cells
+    only, D(i,j) = cost + min(left, down, diag). The oracle replays
+    the DP as {2 * _DTW_N - 2} unrolled MATERIALIZED wavefront CTEs
+    (anti-diagonals k=i+j — each references only k-1 and k-2, the
+    E301 unroll discipline); the Spark side runs the identical
+    integer DP in ONE bounded Arrow task over the 2x{_DTW_N}-row
+    series frame (the house bounded-DP small-finish: the state is
+    {_DTW_N}x{_DTW_N} cells, domain-sized by the cap — at scale DTW
+    fans out as one such kernel PER SERIES PAIR via a grouped map,
+    which this single-pair form is the unit of). All-integer, so
+    parity is exact; series shorter than the cap yield an EMPTY
+    result identically in both engines."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.select(
+        "event_type", "cents", F.row_number().over(wd).alias("i")
+    ).filter(F.col("i") <= _DTW_N)
+
+    n_cap, band, inf = _DTW_N, _DTW_BAND, _DTW_INF
+
+    def dtw(batches):
+        frames = [pdf for pdf in batches]
+        full = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=["event_type", "cents", "i"])
+        )
+        series = {}
+        for et, grp in full.groupby("event_type"):
+            g = grp.sort_values("i")
+            series[et] = [int(x) for x in g["cents"].to_list()]
+        a = series.get("view", [])
+        b = series.get("purchase", [])
+        if len(a) < n_cap or len(b) < n_cap:
+            yield pd.DataFrame(
+                columns=["n_days", "dtw_cents", "euclid_cents",
+                         "elasticity_gain"]
+            ).astype(
+                {"n_days": "int64", "dtw_cents": "int64",
+                 "euclid_cents": "int64", "elasticity_gain": "float64"}
+            )
+            return
+        a, b = a[:n_cap], b[:n_cap]
+        prev: dict = {}
+        prev2: dict = {}
+        for k in range(2, 2 * n_cap + 1):
+            cur = {}
+            for i in range(max(1, k - n_cap), min(n_cap, k - 1) + 1):
+                j = k - i
+                if abs(i - j) > band:
+                    continue
+                cost = abs(a[i - 1] - b[j - 1])
+                if k == 2:
+                    cur[i] = cost
+                else:
+                    cur[i] = cost + min(
+                        prev.get(i - 1, inf),
+                        prev.get(i, inf),
+                        prev2.get(i - 1, inf),
+                    )
+            prev2, prev = prev, cur
+        dd = prev[n_cap]
+        euclid = sum(abs(x - y) for x, y in zip(a, b))
+        import math
+
+        yield pd.DataFrame(
+            {
+                "n_days": [n_cap],
+                "dtw_cents": [dd],
+                "euclid_cents": [euclid],
+                "elasticity_gain": [
+                    math.floor(dd / euclid * 1000000 + 0.5) / 1e6
+                ],
+            }
+        )
+
+    return seq.repartition(1).mapInPandas(
+        dtw,
+        "n_days bigint, dtw_cents bigint, euclid_cents bigint, "
+        "elasticity_gain double",
+    )
