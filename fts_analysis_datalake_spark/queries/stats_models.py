@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.caching import tracked_persist
-from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.functions.deterministic import dcorr, sql_dcorr
 from fts_analysis_datalake_spark.operators.text import (
     normalize_text,
@@ -4026,27 +4026,26 @@ _HILL_K = 200  # top-k order statistics per series
              ROW_NUMBER() OVER (PARTITION BY event_type
                                 ORDER BY value DESC, event_id) AS rk
       FROM events WHERE value > 0),
-    top AS MATERIALIZED (
-      SELECT event_type, value, rk FROM ranked WHERE rk <= {_HILL_K}),
-    xk AS (
-      SELECT event_type, value AS x_k FROM top WHERE rk = {_HILL_K}),
-    terms AS (
-      SELECT t.event_type,
-             CAST(FLOOR(ln(t.value) * 1000000000 + 0.5) AS BIGINT)
-               - CAST(FLOOR(ln(xk.x_k) * 1000000000 + 0.5) AS BIGINT)
-               AS lr_q
-      FROM top t JOIN xk USING (event_type)
-      WHERE t.rk < {_HILL_K})
+    agg AS (
+      SELECT event_type,
+             SUM(CASE WHEN rk < {_HILL_K} THEN
+                   CAST(FLOOR(ln(value) * 1000000000 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS s_q,
+             SUM(CASE WHEN rk < {_HILL_K} THEN 1 ELSE 0 END) AS cnt,
+             MAX(CASE WHEN rk = {_HILL_K} THEN
+                   CAST(FLOOR(ln(value) * 1000000000 + 0.5) AS BIGINT)
+                 END) AS xk_q
+      FROM ranked WHERE rk <= {_HILL_K} GROUP BY 1)
     SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS k_used,
-           CAST(FLOOR(CAST(SUM(lr_q) AS DOUBLE) / 1000000000e0 / COUNT(*)
+           CAST(cnt AS BIGINT) AS k_used,
+           CAST(FLOOR(CAST(s_q - cnt * xk_q AS DOUBLE) / 1000000000e0 / cnt
                       * 1000000 + 0.5) AS BIGINT) / 1e6 AS hill_gamma,
            CAST(FLOOR(1e0 / NULLIF(
-                 CAST(FLOOR(CAST(SUM(lr_q) AS DOUBLE) / 1000000000e0
-                            / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+                 CAST(FLOOR(CAST(s_q - cnt * xk_q AS DOUBLE) / 1000000000e0
+                            / cnt * 1000000 + 0.5) AS BIGINT)
                  / 1e6, 0e0) * 1000000 + 0.5) AS BIGINT) / 1e6
              AS alpha
-    FROM terms GROUP BY event_type ORDER BY event_type
+    FROM agg WHERE xk_q IS NOT NULL ORDER BY event_type
     """,
     tags=("E324", "E110", "W1", "A1", "F6"),
 )
@@ -4066,49 +4065,51 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one per-series top-k window — rank ties broken by event_id,
     value-identical so the sum is tie-insensitive; WindowGroupLimit
     prunes the scan at any scale."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    e = ensure_parallelism(load_table(spark, sf_dir, "events")).filter(
+        F.col("value") > 0
+    )
     w = Window.partitionBy("event_type").orderBy(
         F.desc("value"), F.col("event_id")
-    )
-    top = (
-        e.select("event_type", "value", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= _HILL_K)
     )
     lnq = lambda c: F.floor(  # noqa: E731
         F.log(c) * 1000000000 + F.lit(0.5)
     ).cast("long")
-    xk = top.filter(F.col("rk") == _HILL_K).select(
-        "event_type", F.col("value").alias("x_k")
+    top = (
+        e.select("event_type", "value", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _HILL_K)
     )
-    terms = (
-        top.filter(F.col("rk") < _HILL_K)
-        .join(xk, "event_type")
-        .select(
-            "event_type", (lnq(F.col("value")) - lnq(F.col("x_k"))).alias("lr_q")
+    agg = (
+        top.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("rk") < _HILL_K, lnq(F.col("value"))).otherwise(0)
+            ).alias("s_q"),
+            F.sum(F.when(F.col("rk") < _HILL_K, 1).otherwise(0)).alias("cnt"),
+            F.max(
+                F.when(F.col("rk") == _HILL_K, lnq(F.col("value")))
+            ).alias("xk_q"),
         )
+        .filter(F.col("xk_q").isNotNull())
     )
     gamma = (
         F.floor(
-            F.sum("lr_q").cast("double")
+            (F.col("s_q") - F.col("cnt") * F.col("xk_q")).cast("double")
             / 1000000000.0
-            / F.count(F.lit(1))
+            / F.col("cnt")
             * 1000000
             + F.lit(0.5)
         ).cast("bigint")
         / 1e6
     )
-    return (
-        terms.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("k_used"),
-            gamma.alias("hill_gamma"),
-            (
-                F.floor(
-                    F.lit(1.0) / F.nullif(gamma, F.lit(0.0)) * 1000000
-                    + F.lit(0.5)
-                ).cast("bigint")
-                / 1e6
-            ).alias("alpha"),
-        )
-        .orderBy("event_type")
-    )
+    return agg.select(
+        "event_type",
+        F.col("cnt").cast("bigint").alias("k_used"),
+        gamma.alias("hill_gamma"),
+        (
+            F.floor(
+                F.lit(1.0) / F.nullif(gamma, F.lit(0.0)) * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("alpha"),
+    ).orderBy("event_type")
