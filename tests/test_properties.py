@@ -1592,3 +1592,69 @@ def test_pq_adc_matches_encode_lookup_replay(spark, seed):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=300),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_viterbi_total_cost_is_global_optimum(spark, events):
+    """q_viterbi_regime_decode's total_cost == the brute-force minimum
+    over ALL 2^n state paths, and its (n_high, n_switches) are
+    attained by at least one optimal path — an INDEPENDENT check of
+    the forward-stats DP (the oracle replays the same recursion; this
+    enumerates). Short random series cover constant series (hi == lo,
+    everything ties), single-hour series, and alternating spikes
+    where the switch penalty must arbitrate."""
+    import datetime
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.event_analytics import (
+        q_viterbi_regime_decode,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(hours=h), 0, "a", float(dollars), "{}")
+        for i, (h, dollars) in enumerate(events)
+    ]
+
+    agg: dict = {}
+    for h, dollars in events:
+        agg[h] = agg.get(h, 0) + dollars * 100
+    c = [cents for _, cents in sorted(agg.items())]
+    lo, hi = min(c), max(c)
+    lam = (hi - lo) // 4 + 1
+    n = len(c)
+    best = None  # (cost, {(nh, nsw), ...})
+    for mask in range(1 << n):
+        cost = nh = nsw = 0
+        prev = None
+        for t in range(n):
+            s = (mask >> t) & 1
+            cost += abs(c[t] - (hi if s else lo))
+            nh += s
+            if prev is not None and s != prev:
+                cost += lam
+                nsw += 1
+            prev = s
+        if best is None or cost < best[0]:
+            best = (cost, {(nh, nsw)})
+        elif cost == best[0]:
+            best[1].add((nh, nsw))
+
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        [r] = q_viterbi_regime_decode(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert r.n_hours == n
+    assert r.total_cost == best[0]
+    assert (r.n_high, r.n_switches) in best[1]
