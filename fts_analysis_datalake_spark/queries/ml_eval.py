@@ -2707,3 +2707,201 @@ def q_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# E328: ROUGE-L — LCS overlap between paired documents
+# --------------------------------------------------------------------------
+
+_RL_MOD = 31  # candidate panel: every 31st doc vs its next-in-lang doc
+_RL_NC = 12  # candidate token prefix (asymmetric caps keep P != R)
+_RL_NR = 18  # reference token prefix
+
+
+def _rouge_oracle() -> str:
+    toks = sql_tokens("text")
+    head = f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, lang, list_slice({toks}, 1, {max(_RL_NC, _RL_NR)})
+               AS toks,
+             len({toks}) AS n_tok
+      FROM documents),
+    paired AS MATERIALIZED (
+      SELECT lang, doc_id, toks AS ca, n_tok AS nc,
+             lead(toks) OVER w AS ra, lead(n_tok) OVER w AS nr
+      FROM d WINDOW w AS (PARTITION BY lang ORDER BY doc_id)),
+    pairs AS MATERIALIZED (
+      SELECT lang, doc_id AS pair_id, list_slice(ca, 1, {_RL_NC}) AS ca,
+             list_slice(ra, 1, {_RL_NR}) AS ra
+      FROM paired
+      WHERE doc_id % {_RL_MOD} = 0 AND nc >= {_RL_NC} AND nr >= {_RL_NR}),
+    ce AS (
+      SELECT pair_id, unnest(generate_series(1, {_RL_NC})) AS i,
+             unnest(ca) AS ct
+      FROM pairs),
+    re AS (
+      SELECT pair_id, unnest(generate_series(1, {_RL_NR})) AS j,
+             unnest(ra) AS rt
+      FROM pairs),
+    cells AS MATERIALIZED (
+      SELECT ce.pair_id, ce.i, re.j, ce.i + re.j AS k,
+             CASE WHEN ce.ct = re.rt THEN 1 ELSE 0 END AS eq
+      FROM ce JOIN re USING (pair_id)),
+    w2 AS MATERIALIZED (
+      SELECT pair_id, i, eq AS lcs FROM cells WHERE k = 2)"""
+    parts = [head]
+    for k in range(3, _RL_NC + _RL_NR + 1):
+        diag = (
+            f"\n      LEFT JOIN w{k - 2} d2"
+            f" ON d2.pair_id = c.pair_id AND d2.i = c.i - 1"
+            if k > 3
+            else ""
+        )
+        diag_term = "COALESCE(d2.lcs, 0) + c.eq" if k > 3 else "c.eq"
+        parts.append(f""",
+    w{k} AS MATERIALIZED (
+      SELECT c.pair_id, c.i,
+             GREATEST(COALESCE(p1.lcs, 0), COALESCE(p0.lcs, 0),
+                      {diag_term}) AS lcs
+      FROM cells c
+      LEFT JOIN w{k - 1} p1 ON p1.pair_id = c.pair_id AND p1.i = c.i - 1
+      LEFT JOIN w{k - 1} p0 ON p0.pair_id = c.pair_id AND p0.i = c.i{diag}
+      WHERE c.k = {k})""")
+    parts.append(f""",
+    scored AS (
+      SELECT p.lang,
+             CAST(FLOOR(CAST(w.lcs AS DOUBLE) / {_RL_NC} * 1000000 + 0.5)
+                  AS BIGINT) AS p_q,
+             CAST(FLOOR(CAST(w.lcs AS DOUBLE) / {_RL_NR} * 1000000 + 0.5)
+                  AS BIGINT) AS r_q,
+             CAST(FLOOR(CASE WHEN w.lcs = 0 THEN 0e0 ELSE
+               2e0 * (CAST(w.lcs AS DOUBLE) / {_RL_NC})
+                   * (CAST(w.lcs AS DOUBLE) / {_RL_NR})
+               / (CAST(w.lcs AS DOUBLE) / {_RL_NC}
+                  + CAST(w.lcs AS DOUBLE) / {_RL_NR}) END
+               * 1000000 + 0.5) AS BIGINT) AS f_q
+      FROM w{_RL_NC + _RL_NR} w JOIN pairs p ON p.pair_id = w.pair_id
+      WHERE w.i = {_RL_NC})
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(FLOOR(CAST(SUM(p_q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             / 1e6 AS avg_rouge_p,
+           CAST(FLOOR(CAST(SUM(r_q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             / 1e6 AS avg_rouge_r,
+           CAST(FLOOR(CAST(SUM(f_q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             / 1e6 AS avg_rouge_f1
+    FROM scored GROUP BY lang ORDER BY lang""")
+    return "".join(parts)
+
+
+@query(
+    "q_rouge_l_pairs",
+    oracle=_rouge_oracle(),
+    tags=("E328", "E327", "E320", "D8", "X2", "A1"),
+)
+def q_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L between each panel document (every {_RL_MOD}th) and
+    its next-in-language neighbor — the LCS-based overlap metric
+    summarization/distillation evals report beside the n-gram
+    family (self-BLEU E320 counts shared bags; ROUGE-L rewards
+    shared ORDER): P = LCS/{_RL_NC}, R = LCS/{_RL_NR} over asymmetric
+    fixed token prefixes (the panel-freeze rule, and the asymmetry
+    keeps precision and recall distinct), F1 the usual harmonic mean.
+    The LCS recurrence L(i,j) = max(up, left, diag + [tok_i = tok_j])
+    is the E327 wavefront discipline: the oracle unrolls
+    {_RL_NC + _RL_NR - 2} MATERIALIZED anti-diagonal CTEs carrying
+    (pair_id, i) rows, so EVERY pair's DP advances through the same
+    join — pairs scale the wavefront's row count linearly, never its
+    depth. The Spark side runs the identical integer DP in a BUCKETED
+    grouped kernel (pair_id % 64 — the applyInPandas per-group-cost
+    lesson), walking pairs inside the task: per-pair state is
+    {_RL_NC}x{_RL_NR} cells, domain-sized. Pure integers until the
+    final 1e-6-quantized ratios; pairs with short texts drop
+    identically in both engines."""
+    import math
+
+    import pandas as pd
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        tokens(normalize_text(F.col("text"))).alias("toks"),
+    )
+    d = d.select(
+        "doc_id",
+        "lang",
+        F.slice("toks", 1, max(_RL_NC, _RL_NR)).alias("toks"),
+        F.size("toks").alias("n_tok"),
+    )
+    wlead = Window.partitionBy("lang").orderBy("doc_id")
+    paired = d.select(
+        "lang",
+        F.col("doc_id").alias("pair_id"),
+        F.col("toks").alias("ca"),
+        F.col("n_tok").alias("nc"),
+        F.lead("toks").over(wlead).alias("ra"),
+        F.lead("n_tok").over(wlead).alias("nr"),
+    )
+    pairs = paired.filter(
+        (F.col("pair_id") % _RL_MOD == 0)
+        & (F.col("nc") >= _RL_NC)
+        & (F.col("nr") >= _RL_NR)
+    ).select(
+        "lang",
+        "pair_id",
+        F.slice("ca", 1, _RL_NC).alias("ca"),
+        F.slice("ra", 1, _RL_NR).alias("ra"),
+    )
+
+    nc_cap, nr_cap = _RL_NC, _RL_NR
+
+    def rouge(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            a, b = list(row["ca"]), list(row["ra"])
+            prev = [0] * (nr_cap + 1)
+            for i in range(1, nc_cap + 1):
+                cur = [0] * (nr_cap + 1)
+                for j in range(1, nr_cap + 1):
+                    eq = 1 if a[i - 1] == b[j - 1] else 0
+                    cur[j] = max(prev[j], cur[j - 1], prev[j - 1] + eq)
+                prev = cur
+            lcs = prev[nr_cap]
+            p = lcs / nc_cap
+            r = lcs / nr_cap
+            f1 = 0.0 if lcs == 0 else 2.0 * p * r / (p + r)
+            out.append(
+                (
+                    row["lang"],
+                    math.floor(p * 1000000 + 0.5),
+                    math.floor(r * 1000000 + 0.5),
+                    math.floor(f1 * 1000000 + 0.5),
+                )
+            )
+        return pd.DataFrame(out, columns=["lang", "p_q", "r_q", "f_q"])
+
+    scored = (
+        pairs.withColumn("b", F.col("pair_id") % 64)
+        .groupBy("b")
+        .applyInPandas(
+            rouge, "lang string, p_q long, r_q long, f_q long"
+        )
+    )
+
+    def q_mean(col: str):
+        return (
+            F.floor(F.sum(col).cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("bigint")
+            / 1e6
+        )
+
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            q_mean("p_q").alias("avg_rouge_p"),
+            q_mean("r_q").alias("avg_rouge_r"),
+            q_mean("f_q").alias("avg_rouge_f1"),
+        )
+        .orderBy("lang")
+    )
