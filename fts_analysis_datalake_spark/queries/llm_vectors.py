@@ -1690,3 +1690,100 @@ def q_matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("q_id")
     )
+
+
+# --------------------------------------------------------------------------
+# E329: linear-kernel MMD — embedding-space drift between cohorts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_mmd_drift",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id % 2 AS cohort,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000000
+                        + 0.5) AS BIGINT) AS v_q
+      FROM embeddings),
+    dims AS MATERIALIZED (
+      SELECT dim,
+             SUM(CASE WHEN cohort = 0 THEN v_q ELSE 0 END) AS s0,
+             SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN cohort = 1 THEN v_q ELSE 0 END) AS s1,
+             SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS n1
+      FROM comp GROUP BY dim),
+    d2 AS (
+      SELECT dim, n0, n1,
+             CAST(FLOOR(
+               (CAST(s0 AS DOUBLE) / 1e9 / n0 - CAST(s1 AS DOUBLE) / 1e9 / n1)
+               * (CAST(s0 AS DOUBLE) / 1e9 / n0 - CAST(s1 AS DOUBLE) / 1e9 / n1)
+               * 1e12 + 0.5) AS BIGINT) AS d2_q
+      FROM dims)
+    SELECT CAST(MAX(n0) AS BIGINT) AS n_even,
+           CAST(MAX(n1) AS BIGINT) AS n_odd,
+           CAST(SUM(d2_q) AS DOUBLE) / 1e12 AS mmd2_linear,
+           CAST(128 - MAX(d2_q * 128 + (128 - dim)) % 128 AS BIGINT)
+             AS top_dim,
+           CAST(MAX(d2_q * 128 + (128 - dim)) // 128 AS DOUBLE) / 1e12
+             AS top_dim_diff_sq
+    FROM d2
+    """,
+    tags=("E329", "E137", "E103", "F7", "A1"),
+)
+def q_embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel MMD^2 between the even/odd vec_id embedding
+    cohorts — the EMBEDDING-SPACE drift test beside the token-space
+    divergences (JS E137, PSI): with the linear kernel, MMD^2
+    collapses to the squared distance between MEAN EMBEDDINGS, so the
+    whole two-sample test is one aggregate over exploded components —
+    no pairwise kernel matrix, the reason this form (Gretton's
+    witness-mean shortcut) is the one that runs at corpus scale.
+    Determinism: each float32 component quantizes to a 1e-9 BIGINT
+    before the per-dimension sums (summation-order guard), the
+    per-dim mean gap is a fixed-order double expression over those
+    exact integers, and its square quantizes to 1e-12 before the
+    64-term total — order-free end to end. The most-drifted dimension
+    rides along via an integer-encoded argmax (d2*128 + (128-dim):
+    max picks the largest gap, ties to the LOWEST dim — identical
+    arithmetic both engines). On this isotropic fixture MMD^2 ~ 1/n
+    (no real drift) — the null-calibration reading, not vacuous:
+    the value is hash-pinned. One explode + one 64-row reduce at any
+    scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select(
+        "cohort",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_q"),
+    )
+    dims = comp.groupBy("dim").agg(
+        F.sum(F.when(F.col("cohort") == 0, F.col("v_q")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("v_q")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    gap = (
+        F.col("s0").cast("double") / 1e9 / F.col("n0")
+        - F.col("s1").cast("double") / 1e9 / F.col("n1")
+    )
+    d2 = dims.select(
+        "dim",
+        "n0",
+        "n1",
+        F.floor(gap * gap * F.lit(1e12) + F.lit(0.5)).cast("long").alias("d2_q"),
+    )
+    key = F.col("d2_q") * 128 + (128 - F.col("dim"))
+    return d2.agg(
+        F.max("n0").cast("bigint").alias("n_even"),
+        F.max("n1").cast("bigint").alias("n_odd"),
+        (F.sum("d2_q").cast("double") / 1e12).alias("mmd2_linear"),
+        (128 - F.max(key) % 128).cast("bigint").alias("top_dim"),
+        (F.floor(F.max(key) / 128).cast("double") / 1e12).alias(
+            "top_dim_diff_sq"
+        ),
+    )
