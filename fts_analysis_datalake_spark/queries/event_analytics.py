@@ -3626,3 +3626,139 @@ def q_dtw_band_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days bigint, dtw_cents bigint, euclid_cents bigint, "
         "elasticity_gain double",
     )
+
+
+# --------------------------------------------------------------------------
+# E330: matrix profile — exact motif + discord over daily series
+# --------------------------------------------------------------------------
+
+_MP_W = 5  # subsequence length (days); also the trivial-match exclusion
+
+
+@query(
+    "q_matrix_profile_daily",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    seq AS MATERIALIZED (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily),
+    els AS MATERIALIZED (
+      SELECT s.event_type, s.rn - o.p AS i, o.p, s.cents
+      FROM seq s
+      JOIN (SELECT unnest(generate_series(0, {_MP_W - 1})) AS p) o ON TRUE
+      WHERE s.rn - o.p >= 1),
+    lim AS (
+      SELECT event_type, MAX(rn) - {_MP_W - 1} AS n_sub FROM seq GROUP BY 1),
+    pairs AS MATERIALIZED (
+      SELECT e1.event_type, e1.i AS i, e2.i AS j,
+             SUM(abs(e1.cents - e2.cents)) AS dist
+      FROM els e1
+      JOIN els e2 ON e2.event_type = e1.event_type AND e2.p = e1.p
+      JOIN lim ON lim.event_type = e1.event_type
+      WHERE abs(e1.i - e2.i) >= {_MP_W}
+        AND e1.i <= lim.n_sub AND e2.i <= lim.n_sub
+      GROUP BY 1, 2, 3),
+    mp AS MATERIALIZED (
+      SELECT event_type, i, MIN(dist) AS mp FROM pairs GROUP BY 1, 2)
+    SELECT p.event_type,
+           CAST(MAX(lim.n_sub) AS BIGINT) AS n_subseq,
+           CAST(MIN(p.dist * 10000 + p.i * 100 + p.j) // 10000 AS BIGINT)
+             AS motif_dist,
+           CAST(MIN(p.dist * 10000 + p.i * 100 + p.j) % 10000 // 100
+                AS BIGINT) AS motif_i,
+           CAST(MIN(p.dist * 10000 + p.i * 100 + p.j) % 100 AS BIGINT)
+             AS motif_j,
+           CAST(MAX(m.mp * 128 + (127 - m.i)) // 128 AS BIGINT)
+             AS discord_mp,
+           CAST(127 - MAX(m.mp * 128 + (127 - m.i)) % 128 AS BIGINT)
+             AS discord_i
+    FROM pairs p
+    JOIN mp m ON m.event_type = p.event_type
+    JOIN lim ON lim.event_type = p.event_type
+    GROUP BY p.event_type ORDER BY p.event_type
+    """,
+    tags=("E330", "E325", "E317", "J7", "A1"),
+)
+def q_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (Keogh) of each event type's daily cents series
+    — the EXACT-distance motif/discord substrate the SAX
+    symbolization (E325) approximates: MP(i) = the L1 distance from
+    subsequence i (length {_MP_W}) to its nearest non-trivial
+    neighbor (exclusion zone |i-j| >= {_MP_W}); the global MIN pair
+    is the top MOTIF (the series' most-repeated shape) and the
+    subsequence with the LARGEST profile value is the top DISCORD
+    (the anomaly no other window resembles — LOF's sequence-shaped
+    sibling, E317). All-integer: subsequences unroll via a
+    {_MP_W}-row offset cross join (elements keyed (i, p) — one
+    equi-join on (series, p) then a groupBy computes EVERY pairwise
+    distance, no per-pair recursion), argmin/argmax tie-break to the
+    lowest index via integer-encoded keys (dist*1e4 + i*100 + j;
+    mp*128 + (127-i)) — identical arithmetic in both engines, no
+    doubles anywhere. Series are day-count-bounded, so the pair
+    table is (days/w)^2-sized per series — domain state, not data
+    state; at 100 TB the cost is the events scan + the daily-grain
+    shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.select(
+        "event_type", "cents", F.row_number().over(wd).alias("rn")
+    )
+    offs = F.explode(F.sequence(F.lit(0), F.lit(_MP_W - 1))).alias("p")
+    els = (
+        seq.select("event_type", "cents", "rn", offs)
+        .filter(F.col("rn") - F.col("p") >= 1)
+        .select(
+            "event_type",
+            (F.col("rn") - F.col("p")).alias("i"),
+            "p",
+            "cents",
+        )
+    )
+    els = tracked_persist(els)
+    lim = seq.groupBy("event_type").agg(
+        (F.max("rn") - (_MP_W - 1)).alias("n_sub")
+    )
+    e2 = els.select(
+        "event_type", F.col("i").alias("j"), "p", F.col("cents").alias("c2")
+    )
+    pairs = (
+        els.join(e2, ["event_type", "p"])
+        .join(F.broadcast(lim), "event_type")
+        .filter(
+            (F.abs(F.col("i") - F.col("j")) >= _MP_W)
+            & (F.col("i") <= F.col("n_sub"))
+            & (F.col("j") <= F.col("n_sub"))
+        )
+        .groupBy("event_type", "i", "j")
+        .agg(F.sum(F.abs(F.col("cents") - F.col("c2"))).alias("dist"))
+    )
+    pairs = tracked_persist(pairs)
+    mp = pairs.groupBy("event_type", "i").agg(F.min("dist").alias("mp"))
+    mkey = F.min(F.col("dist") * 10000 + F.col("i") * 100 + F.col("j"))
+    dkey = F.max(F.col("mp") * 128 + (127 - F.col("mp_i")))
+    return (
+        pairs.join(
+            mp.select("event_type", F.col("i").alias("mp_i"), "mp"),
+            "event_type",
+        )
+        .join(F.broadcast(lim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_sub").cast("bigint").alias("n_subseq"),
+            F.floor(mkey / 10000).cast("bigint").alias("motif_dist"),
+            F.floor((mkey % 10000) / 100).cast("bigint").alias("motif_i"),
+            (mkey % 100).cast("bigint").alias("motif_j"),
+            F.floor(dkey / 128).cast("bigint").alias("discord_mp"),
+            (127 - dkey % 128).cast("bigint").alias("discord_i"),
+        )
+        .orderBy("event_type")
+    )
