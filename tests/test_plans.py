@@ -66,6 +66,13 @@ PYTHON_SURFACE = {
     # recursion (two-sided clamp has no window closed form)
     "q_polymorphic_udtf",  # E313 analyze()-time dynamic-schema UDTF
     # (the polymorphic sibling of the X4 static UDTF)
+    "q_viterbi_regime_decode",  # E322 X2 per-series sequential DP
+    # (min-cost path has no window closed form)
+    "q_kalman_level_hourly",  # E326 X2 per-series filter recursion
+    # (adaptive gain depends on the running posterior variance)
+    "q_dtw_band_alignment",  # E327 bounded 20x20 banded DP in one
+    # Arrow task (the unit a per-pair grouped map fans out at scale)
+    "q_rouge_l_pairs",  # E328 bucketed per-pair LCS DP kernel
 }
 
 ALL_QUERIES = sorted(REGISTRY)
