@@ -1658,3 +1658,229 @@ def test_viterbi_total_cost_is_global_optimum(spark, events):
     assert r.n_hours == n
     assert r.total_cost == best[0]
     assert (r.n_high, r.n_switches) in best[1]
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # day offset
+            st.integers(min_value=0, max_value=400),
+        ),
+        min_size=12,
+        max_size=24,
+    )
+)
+def test_matrix_profile_matches_brute_force(spark, events):
+    """q_matrix_profile_daily == brute-force numpy over the full
+    distance matrix: every pairwise L1 subsequence distance outside
+    the exclusion zone, the global-min pair as motif (lowest (i, j)
+    on ties — forced by duplicate day values) and the max-profile
+    subsequence as discord. Series too short for two non-overlapping
+    windows yield an empty result in both."""
+    import datetime
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.event_analytics import (
+        _MP_W,
+        q_matrix_profile_daily,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=d, hours=i % 20), 0, "a",
+         float(v), "{}")
+        for i, (d, v) in enumerate(events)
+    ]
+    agg: dict = {}
+    for d, v in events:
+        agg[d] = agg.get(d, 0) + v * 100
+    c = [cents for _, cents in sorted(agg.items())]
+    n_sub = len(c) - (_MP_W - 1)
+
+    expected = set()
+    if n_sub >= _MP_W + 1:  # at least one admissible pair
+        dist = {}
+        for i in range(1, n_sub + 1):
+            for j in range(1, n_sub + 1):
+                if abs(i - j) >= _MP_W:
+                    dist[(i, j)] = sum(
+                        abs(c[i - 1 + p] - c[j - 1 + p]) for p in range(_MP_W)
+                    )
+        if dist:
+            motif = min((d, i, j) for (i, j), d in dist.items())
+            mp = {}
+            for (i, j), d in dist.items():
+                mp[i] = min(mp.get(i, 10**18), d)
+            discord = max((d, -i) for i, d in mp.items())
+            expected = {
+                (
+                    "a", n_sub, motif[0], motif[1], motif[2],
+                    discord[0], -discord[1],
+                )
+            }
+
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        got = {
+            (
+                r.event_type, r.n_subseq, r.motif_dist, r.motif_i, r.motif_j,
+                r.discord_mp, r.discord_i,
+            )
+            for r in q_matrix_profile_daily(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # day offset
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sax_matches_symbol_replay(spark, events):
+    """q_sax_series_motifs == exact Python replay of PAA-sum windows,
+    order-statistic tertile breakpoints, pinned <= symbol rules, and
+    the (count desc, lex) trigram motif — including duplicate PAA
+    values straddling a breakpoint position (the pos-tie case the
+    (pv, win) sort order exists for). Series with fewer than one
+    complete window yield an empty result."""
+    import datetime
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.event_analytics import (
+        _SAX_W,
+        q_sax_series_motifs,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=d, hours=i % 23), 0, "a",
+         float(v), "{}")
+        for i, (d, v) in enumerate(events)
+    ]
+    agg: dict = {}
+    for d, v in events:
+        agg[d] = agg.get(d, 0) + v * 100
+    c = [cents for _, cents in sorted(agg.items())]
+    pv = [
+        sum(c[w * _SAX_W: (w + 1) * _SAX_W])
+        for w in range(len(c) // _SAX_W)
+    ]
+
+    expected = set()
+    if pv:
+        n = len(pv)
+        srt = sorted(range(n), key=lambda w: (pv[w], w))
+        t1 = pv[srt[(n + 2) // 3 - 1]]
+        t2 = pv[srt[(2 * n + 2) // 3 - 1]]
+        sax = "".join(
+            "a" if v <= t1 else ("b" if v <= t2 else "c") for v in pv
+        )
+        tris: dict = {}
+        for i in range(n - 2):
+            w = sax[i: i + 3]
+            tris[w] = tris.get(w, 0) + 1
+        if tris:
+            motif = min(tris, key=lambda w: (-tris[w], w))
+            motif_n = tris[motif]
+        else:
+            motif, motif_n = None, None
+        if tris:  # the query inner-joins motif, so 1-2 window series drop
+            expected = {
+                (
+                    "a", n, sax, sax.count("a"), sax.count("b"),
+                    sax.count("c"), motif, motif_n,
+                )
+            }
+
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        got = {
+            (r.event_type, r.n_paa, r.sax, r.n_a, r.n_b, r.n_c, r.motif,
+             r.motif_n)
+            for r in q_sax_series_motifs(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_hours=st.integers(min_value=8, max_value=30),
+)
+def test_granger_betas_match_numpy_lstsq(spark, seed, n_hours):
+    """q_granger_lead_lag's unrestricted betas and F statistic match
+    an INDEPENDENT numpy.linalg.lstsq fit (design-matrix least
+    squares, no Cramer determinants) to 1e-4 on dense random hourly
+    series — validating the moment algebra itself, not just the
+    SQL/Spark mirroring. LCG-generated integer dollar values keep
+    the fixture exact; both event types share the dense hour spine
+    so every hour contributes a lagged triple."""
+    import datetime
+    import shutil
+
+    import numpy as np
+
+    from fts_analysis_datalake_spark.queries.stats_models import (
+        q_granger_lead_lag,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    state = seed
+    rows = []
+    series = {"view": [], "purchase": []}
+    i = 0
+    for h in range(n_hours):
+        for et in ("view", "purchase"):
+            state = (1103515245 * state + 12345) % (2**31)
+            dollars = state % 500
+            series[et].append(dollars * 100)
+            rows.append(
+                (i, base + datetime.timedelta(hours=h), 0, et,
+                 float(dollars), "{}")
+            )
+            i += 1
+
+    def np_fit(a, b):
+        y = np.array(a[1:], dtype=float)
+        x1 = np.array(a[:-1], dtype=float)
+        x2 = np.array(b[:-1], dtype=float)
+        n = len(y)
+        xu = np.column_stack([np.ones(n), x1, x2])
+        cu, ru, *_ = np.linalg.lstsq(xu, y, rcond=None)
+        rss_u = float(np.sum((y - xu @ cu) ** 2))
+        xr = np.column_stack([np.ones(n), x1])
+        cr, *_ = np.linalg.lstsq(xr, y, rcond=None)
+        rss_r = float(np.sum((y - xr @ cr) ** 2))
+        f = (rss_r - rss_u) * (n - 3) / rss_u if rss_u > 0 else None
+        return float(cu[1]), float(cu[2]), f
+
+    exp = {
+        "view_to_purchase": np_fit(series["purchase"], series["view"]),
+        "purchase_to_view": np_fit(series["view"], series["purchase"]),
+    }
+
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        got = {r.direction: r for r in q_granger_lead_lag(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    for direction, (b1, b2, f) in exp.items():
+        r = got[direction]
+        assert r.n_obs == n_hours - 1
+        assert abs(r.b_own - b1) < 1e-4, (direction, r.b_own, b1)
+        assert abs(r.b_cross - b2) < 1e-4, (direction, r.b_cross, b2)
+        if f is not None and f > 1e-6:
+            assert abs(r.f_stat - f) / max(f, 1.0) < 1e-3, (
+                direction, r.f_stat, f,
+            )
