@@ -2604,39 +2604,47 @@ def q_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = d.filter((F.col("doc_id") % _SB_MOD == 0) & (F.col("n_tok") >= 2))
     refs = d.filter(F.col("doc_id") % _SB_MOD != 0)
 
-    def gram_col(n: int):
-        return (
-            F.explode(F.col("toks")) if n == 1
-            else F.explode(ngrams(F.col("toks"), n))
+    def grams(src: DataFrame) -> DataFrame:
+        """(lang, doc_id, n, g, cnt) for n in {1, 2} — ONE union-tagged
+        explode + ONE per-doc count shuffle instead of two pipelines
+        (both gram sizes ride the same cached scan and the same
+        aggregate exchange)."""
+        uni = src.select(
+            "lang", "doc_id", F.lit(1).alias("n"),
+            F.explode(F.col("toks")).alias("g"),
         )
-
-    def clipped(n: int) -> DataFrame:
-        cc = (
-            cand.select("lang", "doc_id", gram_col(n).alias("g"))
-            .groupBy("lang", "doc_id", "g")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        rm = (
-            refs.select("lang", "doc_id", gram_col(n).alias("g"))
-            .groupBy("lang", "doc_id", "g")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .groupBy("lang", "g")
-            .agg(F.max("cnt").alias("rmax"))
+        bi = src.select(
+            "lang", "doc_id", F.lit(2).alias("n"),
+            F.explode(ngrams(F.col("toks"), 2)).alias("g"),
         )
         return (
-            cc.join(rm, ["lang", "g"], "left")
-            .groupBy("lang", "doc_id")
-            .agg(
-                F.sum(
-                    F.least(F.col("cnt"), F.coalesce(F.col("rmax"), F.lit(0)))
-                ).alias(f"clip{n}"),
-                F.sum("cnt").alias(f"tot{n}"),
-            )
-        ), cc
+            uni.unionAll(bi)
+            .groupBy("lang", "doc_id", "n", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
 
-    p1, _ = clipped(1)
-    p2, c2c = clipped(2)
-    c2c = tracked_persist(c2c)
+    cand_cnt = tracked_persist(grams(cand))
+    ref_max = (
+        grams(refs)
+        .groupBy("lang", "n", "g")
+        .agg(F.max("cnt").alias("rmax"))
+    )
+    clip = (
+        cand_cnt.join(ref_max, ["lang", "n", "g"], "left")
+        .groupBy("lang", "doc_id", "n")
+        .agg(
+            F.sum(
+                F.least(F.col("cnt"), F.coalesce(F.col("rmax"), F.lit(0)))
+            ).alias("clip"),
+            F.sum("cnt").alias("tot"),
+        )
+    )
+    per_cand = clip.groupBy("lang", "doc_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("clip"))).alias("clip1"),
+        F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("tot1"),
+        F.max(F.when(F.col("n") == 2, F.col("clip"))).alias("clip2"),
+        F.max(F.when(F.col("n") == 2, F.col("tot"))).alias("tot2"),
+    )
 
     rlen = refs.select("lang", F.col("n_tok").alias("rl")).distinct()
     closest = (
@@ -2666,7 +2674,7 @@ def q_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        p1.join(p2, ["lang", "doc_id"])
+        per_cand
         .join(cand.select("lang", "doc_id", "n_tok"), ["lang", "doc_id"])
         .join(closest, ["lang", "doc_id"])
         .select(
@@ -2678,8 +2686,10 @@ def q_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bleu_q"),
         )
     )
-    div2 = c2c.groupBy("lang").agg(
-        F.countDistinct("g").alias("dg"), F.sum("cnt").alias("tg")
+    div2 = (
+        cand_cnt.filter(F.col("n") == 2)
+        .groupBy("lang")
+        .agg(F.countDistinct("g").alias("dg"), F.sum("cnt").alias("tg"))
     )
 
     def q_mean(col: str):
