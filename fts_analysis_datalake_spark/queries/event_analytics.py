@@ -3170,9 +3170,9 @@ _SAX_W = 4  # days per PAA window (complete windows only)
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
       FROM daily),
     paa AS MATERIALIZED (
-      SELECT event_type, (rn - 1) // {_SAX_W} AS win,
+      SELECT event_type, (rn - 1) // 4 AS win,
              SUM(cents) AS pv
-      FROM seq GROUP BY 1, 2 HAVING COUNT(*) = {_SAX_W}),
+      FROM seq GROUP BY 1, 2 HAVING COUNT(*) = 4),
     pos AS (
       SELECT event_type, win, pv,
              ROW_NUMBER() OVER (PARTITION BY event_type
@@ -3218,7 +3218,7 @@ def q_sax_series_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolization of each event type's daily cents series —
     the discrete-representation stage of timeseries mining (SAX:
     Lin/Keogh; the motif/anomaly substrate beside the Gorilla storage
-    audit E309): PAA compresses {_SAX_W}-day windows (complete
+    audit E309): PAA compresses 4-day windows (complete
     windows only) to their exact integer cents sum, per-series
     TERTILE breakpoints come from exact order statistics (positions
     ceil(n/3), ceil(2n/3) of the sorted PAA values — no gaussian
@@ -3516,8 +3516,10 @@ def _dtw_oracle() -> str:
     SELECT CAST({_DTW_N} AS BIGINT) AS n_days,
            CAST(w.dd AS BIGINT) AS dtw_cents,
            e.e AS euclid_cents,
-           CAST(FLOOR(CAST(w.dd AS DOUBLE) / e.e * 1000000 + 0.5) AS BIGINT)
-             / 1e6 AS elasticity_gain
+           CASE WHEN e.e = 0 THEN 1.0
+                ELSE CAST(FLOOR(CAST(w.dd AS DOUBLE) / e.e * 1000000 + 0.5)
+                          AS BIGINT) / 1e6
+           END AS elasticity_gain
     FROM w{2 * _DTW_N} w, euclid e WHERE w.i = {_DTW_N}""")
     return "".join(parts)
 
@@ -3528,26 +3530,28 @@ def _dtw_oracle() -> str:
     tags=("E327", "E325", "E110", "J7", "A1"),
 )
 def q_dtw_band_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic time warping (Sakoe-Chiba band r={_DTW_BAND}) between
+    """Dynamic time warping (Sakoe-Chiba band r=3) between
     the view and purchase daily-cents series — the ELASTIC distance
     the lock-step euclidean family (rolling corr, E110 ACF) cannot
     express: a demand spike that shows up in purchases a day or two
     late still aligns, and the elasticity_gain column (dtw/euclid,
     <= 1 by construction) quantifies exactly how much alignment slack
-    buys. Both series are capped at their first {_DTW_N} days (fixed
+    buys. Both series are capped at their first 20 days (fixed
     cap — the panel-freeze rule — which also makes the oracle's
     unroll bit-inert at any SF): integer |cents| costs, banded cells
     only, D(i,j) = cost + min(left, down, diag). The oracle replays
-    the DP as {2 * _DTW_N - 2} unrolled MATERIALIZED wavefront CTEs
+    the DP as 38 unrolled MATERIALIZED wavefront CTEs
     (anti-diagonals k=i+j — each references only k-1 and k-2, the
     E301 unroll discipline); the Spark side runs the identical
-    integer DP in ONE bounded Arrow task over the 2x{_DTW_N}-row
+    integer DP in ONE bounded Arrow task over the 2x20-row
     series frame (the house bounded-DP small-finish: the state is
-    {_DTW_N}x{_DTW_N} cells, domain-sized by the cap — at scale DTW
+    20x20 cells, domain-sized by the cap — at scale DTW
     fans out as one such kernel PER SERIES PAIR via a grouped map,
     which this single-pair form is the unit of). All-integer, so
     parity is exact; series shorter than the cap yield an EMPTY
-    result identically in both engines."""
+    result identically in both engines, and IDENTICAL series
+    (euclid == 0, the 0/0 edge) emit elasticity_gain = 1.0
+    identically in both (CASE guard / Python branch)."""
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events").filter(
@@ -3616,7 +3620,9 @@ def q_dtw_band_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dtw_cents": [dd],
                 "euclid_cents": [euclid],
                 "elasticity_gain": [
-                    math.floor(dd / euclid * 1000000 + 0.5) / 1e6
+                    1.0
+                    if euclid == 0
+                    else math.floor(dd / euclid * 1000000 + 0.5) / 1e6
                 ],
             }
         )
@@ -3649,32 +3655,35 @@ _MP_W = 5  # subsequence length (days); also the trivial-match exclusion
     els AS MATERIALIZED (
       SELECT s.event_type, s.rn - o.p AS i, o.p, s.cents
       FROM seq s
-      JOIN (SELECT unnest(generate_series(0, {_MP_W - 1})) AS p) o ON TRUE
+      JOIN (SELECT unnest(generate_series(0, 4)) AS p) o ON TRUE
       WHERE s.rn - o.p >= 1),
     lim AS (
-      SELECT event_type, MAX(rn) - {_MP_W - 1} AS n_sub FROM seq GROUP BY 1),
+      SELECT event_type, MAX(rn) - 4 AS n_sub FROM seq GROUP BY 1),
     pairs AS MATERIALIZED (
       SELECT e1.event_type, e1.i AS i, e2.i AS j,
              SUM(abs(e1.cents - e2.cents)) AS dist
       FROM els e1
       JOIN els e2 ON e2.event_type = e1.event_type AND e2.p = e1.p
       JOIN lim ON lim.event_type = e1.event_type
-      WHERE abs(e1.i - e2.i) >= {_MP_W}
+      WHERE abs(e1.i - e2.i) >= 5
         AND e1.i <= lim.n_sub AND e2.i <= lim.n_sub
+        AND CASE WHEN lim.n_sub < 1000 THEN TRUE
+                 ELSE error('matrix-profile: n_sub exceeds encoding bound')
+            END
       GROUP BY 1, 2, 3),
     mp AS MATERIALIZED (
       SELECT event_type, i, MIN(dist) AS mp FROM pairs GROUP BY 1, 2)
     SELECT p.event_type,
            CAST(MAX(lim.n_sub) AS BIGINT) AS n_subseq,
-           CAST(MIN(p.dist * 10000 + p.i * 100 + p.j) // 10000 AS BIGINT)
-             AS motif_dist,
-           CAST(MIN(p.dist * 10000 + p.i * 100 + p.j) % 10000 // 100
+           CAST(MIN(p.dist * 1000000 + p.i * 1000 + p.j) // 1000000
+                AS BIGINT) AS motif_dist,
+           CAST(MIN(p.dist * 1000000 + p.i * 1000 + p.j) % 1000000 // 1000
                 AS BIGINT) AS motif_i,
-           CAST(MIN(p.dist * 10000 + p.i * 100 + p.j) % 100 AS BIGINT)
+           CAST(MIN(p.dist * 1000000 + p.i * 1000 + p.j) % 1000 AS BIGINT)
              AS motif_j,
-           CAST(MAX(m.mp * 128 + (127 - m.i)) // 128 AS BIGINT)
+           CAST(MAX(m.mp * 1024 + (1023 - m.i)) // 1024 AS BIGINT)
              AS discord_mp,
-           CAST(127 - MAX(m.mp * 128 + (127 - m.i)) % 128 AS BIGINT)
+           CAST(1023 - MAX(m.mp * 1024 + (1023 - m.i)) % 1024 AS BIGINT)
              AS discord_i
     FROM pairs p
     JOIN mp m ON m.event_type = p.event_type
@@ -3687,18 +3696,22 @@ def q_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matrix profile (Keogh) of each event type's daily cents series
     — the EXACT-distance motif/discord substrate the SAX
     symbolization (E325) approximates: MP(i) = the L1 distance from
-    subsequence i (length {_MP_W}) to its nearest non-trivial
-    neighbor (exclusion zone |i-j| >= {_MP_W}); the global MIN pair
+    subsequence i (length 5) to its nearest non-trivial
+    neighbor (exclusion zone |i-j| >= 5); the global MIN pair
     is the top MOTIF (the series' most-repeated shape) and the
     subsequence with the LARGEST profile value is the top DISCORD
     (the anomaly no other window resembles — LOF's sequence-shaped
     sibling, E317). All-integer: subsequences unroll via a
-    {_MP_W}-row offset cross join (elements keyed (i, p) — one
+    5-row offset cross join (elements keyed (i, p) — one
     equi-join on (series, p) then a groupBy computes EVERY pairwise
     distance, no per-pair recursion), argmin/argmax tie-break to the
-    lowest index via integer-encoded keys (dist*1e4 + i*100 + j;
-    mp*128 + (127-i)) — identical arithmetic in both engines, no
-    doubles anywhere. Series are day-count-bounded, so the pair
+    lowest index via integer-encoded keys (dist*1e6 + i*1000 + j;
+    mp*1024 + (1023-i)) — identical arithmetic in both engines, no
+    doubles anywhere (decode is BIGINT DIV/% in both). The encoding
+    is valid only while n_sub < 1000 (~2.7 years of daily data at
+    w=5); both engines RAISE identically past the bound
+    (raise_error / error()) rather than silently corrupting the
+    motif indices. Series are day-count-bounded, so the pair
     table is (days/w)^2-sized per series — domain state, not data
     state; at 100 TB the cost is the events scan + the daily-grain
     shuffle."""
@@ -3737,14 +3750,21 @@ def q_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("i") - F.col("j")) >= _MP_W)
             & (F.col("i") <= F.col("n_sub"))
             & (F.col("j") <= F.col("n_sub"))
+            & F.when(F.col("n_sub") < F.lit(1000), F.lit(True)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "matrix-profile: n_sub exceeds encoding bound"
+                    )
+                )
+            )
         )
         .groupBy("event_type", "i", "j")
         .agg(F.sum(F.abs(F.col("cents") - F.col("c2"))).alias("dist"))
     )
     pairs = tracked_persist(pairs)
     mp = pairs.groupBy("event_type", "i").agg(F.min("dist").alias("mp"))
-    mkey = F.min(F.col("dist") * 10000 + F.col("i") * 100 + F.col("j"))
-    dkey = F.max(F.col("mp") * 128 + (127 - F.col("mp_i")))
+    mkey = F.min(F.col("dist") * 1000000 + F.col("i") * 1000 + F.col("j"))
+    dkey = F.max(F.col("mp") * 1024 + (1023 - F.col("mp_i")))
     return (
         pairs.join(
             mp.select("event_type", F.col("i").alias("mp_i"), "mp"),
@@ -3754,11 +3774,21 @@ def q_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.max("n_sub").cast("bigint").alias("n_subseq"),
-            F.floor(mkey / 10000).cast("bigint").alias("motif_dist"),
-            F.floor((mkey % 10000) / 100).cast("bigint").alias("motif_i"),
-            (mkey % 100).cast("bigint").alias("motif_j"),
-            F.floor(dkey / 128).cast("bigint").alias("discord_mp"),
-            (127 - dkey % 128).cast("bigint").alias("discord_i"),
+            mkey.alias("_mkey"),
+            dkey.alias("_dkey"),
+        )
+        .select(
+            "event_type",
+            "n_subseq",
+            F.expr("_mkey DIV 1000000").cast("bigint").alias("motif_dist"),
+            F.expr("_mkey % 1000000 DIV 1000")
+            .cast("bigint")
+            .alias("motif_i"),
+            (F.col("_mkey") % 1000).cast("bigint").alias("motif_j"),
+            F.expr("_dkey DIV 1024").cast("bigint").alias("discord_mp"),
+            (F.lit(1023) - F.col("_dkey") % 1024)
+            .cast("bigint")
+            .alias("discord_i"),
         )
         .orderBy("event_type")
     )

@@ -1364,7 +1364,7 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-equal-quantity co-purchases (the |dq| <= 2 sparsifier shared
     with LPA E299 / Bellman-Ford E301), where peeling does real work
     — the fixture drops ~95% of edges in round 1 and every SF
-    reaches its true fixpoint inside the fixed {_KT_ROUNDS} rounds
+    reaches its true fixpoint inside the fixed 5 rounds
     both engines replay (verified: the k-truss-in-(k-1)-core theorem
     holds on the result, tests/test_algorithms.py).
     Per round: the canonical u<v<w triangle enumeration (two hash
@@ -1379,7 +1379,7 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation is the standing mitigation for wedge-heavy hubs.
     Locally, round 1 (the ~95% peel) runs distributed and the
     count-gated SMALL-FINISH discipline (kcore/dbscan pattern) then
-    replays the remaining {_KT_ROUNDS}-1 rounds on the shrunken
+    replays the remaining 5-1 rounds on the shrunken
     edge list in ONE bounded Arrow task — identical integer
     support counting, so the result is the same fixed-round peel
     the oracle unrolls; the scheduled loop remains the else-branch
@@ -1542,7 +1542,7 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel walks share each round's single frontier-edge join +
     (seed, node) distinct — the same two-shuffle contract as
     single-source BFS (E124) with seed-multiplicity folded into the
-    key, unrolled lazily into ONE job ({_HC_HOPS} bounded hops,
+    key, unrolled lazily into ONE job (4 bounded hops,
     min-hop absorbs re-reaches — the bfs_hops fast-path shape).
     Each 1/d term is quantized to a 1e-9 BIGINT (integer d, so both
     engines floor the identical double), summed exactly; the oracle

@@ -793,13 +793,13 @@ _LEAK_J = 0.4
       ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
     WHERE a.split <> b.split
       AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-            / len(list_distinct(a.toks || b.toks)) >= {_LEAK_J}
+            / len(list_distinct(a.toks || b.toks)) >= 0.4
     """,
     tags=("E141", "E41", "D4", "J11"),
 )
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-leakage audit: near-duplicate pairs (blocked exact
-    Jaccard >= {_LEAK_J}, the q_dedup_clusters edge set) whose two
+    Jaccard >= 0.4, the q_dedup_clusters edge set) whose two
     members landed in DIFFERENT hash splits — the eval-contamination
     every training pipeline must check BEFORE publishing a benchmark
     number, because an 80/10/10 split of an un-deduplicated corpus
@@ -1906,7 +1906,7 @@ def q_code_prose_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier is too expensive for a first pass over 100 TB, so the
     router votes 4 cheap surface heuristics (symbol-char density,
     digit density, indented-line share, snake_case token share) and
-    routes a doc to "code" on >= {_CP_VOTES} votes. All features are
+    routes a doc to "code" on >= 2 votes. All features are
     exact integer counts (length-after-strip deltas, LIKE-filtered
     line/token lists — the Spark/DuckDB common regex subset per the
     F2 dialect contract), thresholds are cross-multiplied integer
@@ -1917,7 +1917,7 @@ def q_code_prose_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one exact groupBy: linear, shuffle-minimal, scale-indifferent.
     The fixture is pure synthetic prose (the router would flag 0 and
     the vote arithmetic would go untested), so — the E39 PII-fixture
-    pattern — every {_CP_SEED_MOD}th doc first gets a DETERMINISTIC
+    pattern — every 17th doc first gets a DETERMINISTIC
     code-ified body derived from (doc_id, text) with identical string
     ops on both engines: indented def/assign/return lines whose digit
     density rides the doc_id digits, putting it right AT the 5%

@@ -1461,11 +1461,11 @@ def q_greedy_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (positions x distinct-token-LENGTHS explode -> substring ->
     equi-join the broadcast vocabulary -> MAX length per position).
     (2) POINTER-DOUBLE the walk: instead of chasing the chain one
-    step per scheduled round (a {_GLM_PREFIX}-step WITH RECURSIVE
+    step per scheduled round (a 40-step WITH RECURSIVE
     measured 18.9 s at sf0.1 — pure per-round scheduling), compose
-    the jump table with itself log2({_GLM_PREFIX}) times, carrying
+    the jump table with itself log2(40) times, carrying
     (token, fallback) path sums through each composition; after 6
-    doublings every position jumps >= 64 >= {_GLM_PREFIX} steps, so
+    doublings every position jumps >= 64 >= 40 steps, so
     row pos=1 holds the whole segmentation. Each doubling is one
     equi-join of the jump table with itself on (doc, landing
     position) — 6 hash joins total, localCheckpoint'd because both

@@ -478,14 +478,14 @@ def q_kmeans_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means in PURE INTEGER arithmetic — the hash-checked
     twin that upgrades the E46 family from property-tested to
     value-verified (q_kmeans_embeddings stays the production float
-    path). The E289 discipline applied to clustering: a {_KMQ_DIM}-dim
+    path). The E289 discipline applied to clustering: a 16-dim
     slice of each embedding is 1e-6 BIGINT-quantized once (see the
     _KMQ_DIM note), distances are integer squared-L2,
     assignment ties break to the lowest centroid id, and each
     centroid update is a per-dimension FLOOR division (negative-safe
     nonneg-mod form, since Spark DIV and DuckDB // both truncate) —
-    so all {_KMQ_ROUNDS} rounds replay bit-identically in the
-    oracle's unrolled MATERIALIZED CTE chain. k={_KMQ_K} first-k
+    so all 3 rounds replay bit-identically in the
+    oracle's unrolled MATERIALIZED CTE chain. k=4 first-k
     seeds; output is the cluster report (members, total quantized
     distance, centroid-component sum). Same scale shape as
     kmeans_train: per round the vectors are scanned map-side against
@@ -1601,7 +1601,7 @@ _MAT_K = 10  # retrieval depth audited
     oracle=f"""
     WITH qs AS (
       SELECT vec_id AS q_id, embedding AS qv
-      FROM embeddings WHERE vec_id % {_MAT_STRIDE} = 1 AND vec_id < {_MAT_CAP}),
+      FROM embeddings WHERE vec_id % 53 = 1 AND vec_id < 2000),
     ranked AS (
       SELECT qs.q_id, e.vec_id,
              ROW_NUMBER() OVER (
@@ -1610,15 +1610,15 @@ _MAT_K = 10  # retrieval depth audited
                AS rk_full,
              ROW_NUMBER() OVER (
                PARTITION BY qs.q_id
-               ORDER BY {sql_dot(f'list_slice(e.embedding, 1, {_MAT_DIM})',
-                                 f'list_slice(qs.qv, 1, {_MAT_DIM})')} DESC,
+               ORDER BY {sql_dot(f'list_slice(e.embedding, 1, 16)',
+                                 f'list_slice(qs.qv, 1, 16)')} DESC,
                         e.vec_id) AS rk_trunc
       FROM embeddings e JOIN qs ON e.vec_id <> qs.q_id)
     SELECT q_id,
-           CAST(SUM(CASE WHEN rk_full <= {_MAT_K} AND rk_trunc <= {_MAT_K}
+           CAST(SUM(CASE WHEN rk_full <= 10 AND rk_trunc <= 10
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_common_at_k,
-           CAST(SUM(CASE WHEN rk_full <= {_MAT_K} AND rk_trunc <= {_MAT_K}
-                         THEN 1 ELSE 0 END) AS DOUBLE) / {_MAT_K} AS overlap_frac,
+           CAST(SUM(CASE WHEN rk_full <= 10 AND rk_trunc <= 10
+                         THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS overlap_frac,
            MAX(CASE WHEN rk_full = 1 THEN vec_id END)
              = MAX(CASE WHEN rk_trunc = 1 THEN vec_id END) AS top1_same
     FROM ranked GROUP BY q_id ORDER BY q_id
@@ -1627,7 +1627,7 @@ _MAT_K = 10  # retrieval depth audited
 )
 def q_matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style truncation audit: if retrieval ran on only
-    the first {16} dimensions of each embedding (the MRL trick that
+    the first 16 dimensions of each embedding (the MRL trick that
     cuts index memory 4x), how much of the full-dimension top-10
     would it still return? Per panel query (every 53rd vector), the
     corpus is ranked twice inside ONE broadcast query x corpus pass

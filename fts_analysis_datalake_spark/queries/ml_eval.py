@@ -215,20 +215,20 @@ _STRIDE = 24
       WHERE doc_id % 7 = 0),
     starts AS (
       SELECT doc_id, t,
-             unnest(generate_series(1, greatest(len(t) - {_CHUNK - 1}, 1), {_STRIDE}))
+             unnest(generate_series(1, greatest(len(t) - 31, 1), 24))
                AS start
       FROM toks)
     SELECT doc_id,
-           CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
-           CAST(len(t[start : start + {_CHUNK - 1}]) AS INTEGER) AS chunk_len,
-           array_to_string(t[start : start + {_CHUNK - 1}], ' ') AS chunk_text
+           CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
+           CAST(len(t[start : start + 31]) AS INTEGER) AS chunk_len,
+           array_to_string(t[start : start + 31], ' ') AS chunk_text
     FROM starts
     """,
     tags=("E137", "D8", "F7", "F8"),
 )
 def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-context chunking: split each document into overlapping
-    {_CHUNK}-token windows with stride {_STRIDE} (8-token overlap
+    32-token windows with stride 24 (8-token overlap
     carries context across boundaries) — the row fan-out that turns a
     curated corpus into fixed-shape training sequences.
 
@@ -285,7 +285,7 @@ _PANEL_CAP = 2000
     oracle=f"""
     WITH qset AS (
       SELECT vec_id AS qid, label AS qlabel, embedding AS qv
-      FROM embeddings WHERE vec_id % {_HN_MOD} = 0 AND vec_id < {_PANEL_CAP}),
+      FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
     scored AS (
       SELECT qid, e.vec_id AS neg_id, e.label AS neg_label,
              {sql_cosine('e.embedding', 'qv')} AS cos_sim,
@@ -294,13 +294,13 @@ _PANEL_CAP = 2000
                                          e.vec_id) AS rn
       FROM embeddings e JOIN qset ON e.label <> qset.qlabel)
     SELECT qid, neg_id, neg_label, cos_sim, CAST(rn AS BIGINT) AS rn
-    FROM scored WHERE rn <= {_HN_K}
+    FROM scored WHERE rn <= 3
     """,
     tags=("E138", "D6", "O3", "W1", "F8"),
 )
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard negatives for contrastive training: for each anchor in the
-    query subset (vec_id % {_HN_MOD} = 0), the {_HN_K} most-similar
+    query subset (vec_id % 50 = 0), the 3 most-similar
     vectors with a DIFFERENT label — maximally confusable examples,
     the negatives that actually move an embedding model.
 
@@ -412,17 +412,17 @@ _KNN_MOD = 97
     oracle=f"""
     WITH test AS (
       SELECT vec_id AS tid, embedding AS tv
-      FROM embeddings WHERE vec_id % {_KNN_MOD} = 0 AND vec_id < {_PANEL_CAP}),
+      FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 2000),
     nn AS (
       SELECT tid, e.label,
              row_number() OVER (PARTITION BY tid
                                 ORDER BY {sql_cosine('e.embedding', 'tv')} DESC,
                                          e.vec_id) AS rn
       FROM embeddings e JOIN test
-        ON NOT (e.vec_id % {_KNN_MOD} = 0 AND e.vec_id < {_PANEL_CAP})),
+        ON NOT (e.vec_id % 97 = 0 AND e.vec_id < 2000)),
     votes AS (
       SELECT tid, label, COUNT(*) AS votes
-      FROM nn WHERE rn <= {_KNN_K} GROUP BY tid, label),
+      FROM nn WHERE rn <= 5 GROUP BY tid, label),
     best AS (
       SELECT tid, label, votes,
              row_number() OVER (PARTITION BY tid
@@ -436,8 +436,8 @@ _KNN_MOD = 97
 )
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label transfer: predict each held-out vector's label
-    (vec_id % {_KNN_MOD} = 0 is the unlabeled panel) as the majority
-    label of its {_KNN_K} nearest labeled neighbors by cosine — the
+    (vec_id % 97 = 0 is the unlabeled panel) as the majority
+    label of its 5 nearest labeled neighbors by cosine — the
     semi-supervised labeling pass that bootstraps classifier training
     sets from a small seed.
 
@@ -705,7 +705,7 @@ _BOOT_B = 50
     oracle=f"""
     WITH reps AS (
       SELECT e.value, b
-      FROM events e, unnest(generate_series(0, {_BOOT_B - 1})) t(b)
+      FROM events e, unnest(generate_series(0, 49)) t(b)
       WHERE substring(md5(CAST(e.event_id AS VARCHAR) || '-' || CAST(b AS VARCHAR)),
                       1, 1) <= '7'),
     means AS (
@@ -715,8 +715,8 @@ _BOOT_B = 50
       FROM reps GROUP BY b),
     ranked AS (
       SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means)
-    SELECT CAST({_BOOT_B} AS BIGINT) AS b_reps,
-           (SELECT {sql_dsum('m', 9)} / {_BOOT_B} FROM means) AS mean_of_means,
+    SELECT CAST(50 AS BIGINT) AS b_reps,
+           (SELECT {sql_dsum('m', 9)} / 50 FROM means) AS mean_of_means,
            (SELECT m FROM ranked WHERE rn = {int(0.05 * _BOOT_B) + 1}) AS ci_lo,
            (SELECT m FROM ranked WHERE rn = {int(0.95 * _BOOT_B)}) AS ci_hi
     """,
@@ -726,7 +726,7 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap-style confidence interval for mean(value) with
     DETERMINISTIC resampling: replicate b keeps event i iff the first
     md5(i-b) hex digit is < 8 (an exact-p=1/2 subsample — the
-    m-out-of-n bootstrap), so all {_BOOT_B} replicates are
+    m-out-of-n bootstrap), so all 50 replicates are
     reproducible across engines, runs, and cluster sizes, and the
     whole procedure is oracle-checkable — the property engine-RNG
     bootstraps can never have. CI bounds are the 5th/95th percentile
@@ -2570,7 +2570,7 @@ def _self_bleu_oracle() -> str:
 def q_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-BLEU-2 + distinct-2 diversity audit per language — the
     corpus-homogeneity metric generation pipelines run beside pass@k
-    (E319) and the drift divergences: every {_SB_MOD}th document is a
+    (E319) and the drift divergences: every 11th document is a
     candidate scored with BLEU-2 against the REST of its language as
     the reference pool (high self-BLEU = the corpus repeats itself;
     the metric synthetic-data pipelines gate admission on), and
@@ -2810,22 +2810,22 @@ def _rouge_oracle() -> str:
     tags=("E328", "E327", "E320", "D8", "X2", "A1"),
 )
 def q_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROUGE-L between each panel document (every {_RL_MOD}th) and
+    """ROUGE-L between each panel document (every 31th) and
     its next-in-language neighbor — the LCS-based overlap metric
     summarization/distillation evals report beside the n-gram
     family (self-BLEU E320 counts shared bags; ROUGE-L rewards
-    shared ORDER): P = LCS/{_RL_NC}, R = LCS/{_RL_NR} over asymmetric
+    shared ORDER): P = LCS/12, R = LCS/18 over asymmetric
     fixed token prefixes (the panel-freeze rule, and the asymmetry
     keeps precision and recall distinct), F1 the usual harmonic mean.
     The LCS recurrence L(i,j) = max(up, left, diag + [tok_i = tok_j])
     is the E327 wavefront discipline: the oracle unrolls
-    {_RL_NC + _RL_NR - 2} MATERIALIZED anti-diagonal CTEs carrying
+    28 MATERIALIZED anti-diagonal CTEs carrying
     (pair_id, i) rows, so EVERY pair's DP advances through the same
     join — pairs scale the wavefront's row count linearly, never its
     depth. The Spark side runs the identical integer DP in a BUCKETED
     grouped kernel (pair_id % 64 — the applyInPandas per-group-cost
     lesson), walking pairs inside the task: per-pair state is
-    {_RL_NC}x{_RL_NR} cells, domain-sized. Pure integers until the
+    12x18 cells, domain-sized. Pure integers until the
     final 1e-6-quantized ratios; pairs with short texts drop
     identically in both engines."""
     import math

@@ -750,14 +750,14 @@ _WS_K = 50
              AS es_key
     FROM keyed
     ORDER BY es_key DESC, doc_id
-    LIMIT {_WS_K}
+    LIMIT 50
     """,
     tags=("E145", "O4", "O3", "F11", "F6"),
 )
 def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
     each doc draws u from a DETERMINISTIC md5-derived uniform (first
-    13 hex chars = 52 bits, exact in a double) and the top-{_WS_K} by
+    13 hex chars = 52 bits, exact in a double) and the top-50 by
     key = ln(u)^(1/w) order — here the log form ln(u)/w with
     w = n_chars, so longer documents are proportionally likelier, and
     the whole draw is reproducible across engines, runs, and cluster
@@ -810,12 +810,12 @@ _NEG_CUST_CAP = 15_000
     oracle=f"""
     WITH panel AS (
       SELECT c_custkey FROM customer
-      WHERE c_custkey % {_NEG_CUST_MOD} = 0 AND c_custkey < {_NEG_CUST_CAP}),
+      WHERE c_custkey % 100 = 0 AND c_custkey < 15000),
     seen AS (
       SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-      WHERE o.o_custkey % {_NEG_CUST_MOD} = 0
-        AND o.o_custkey < {_NEG_CUST_CAP}),
+      WHERE o.o_custkey % 100 = 0
+        AND o.o_custkey < 15000),
     cand AS (
       SELECT panel.c_custkey, p.p_partkey,
              md5(CAST(panel.c_custkey AS VARCHAR) || ':'
@@ -833,13 +833,13 @@ _NEG_CUST_CAP = 15_000
       FROM unseen)
     SELECT c_custkey AS custkey, p_partkey AS neg_partkey,
            CAST(rn AS BIGINT) AS rn
-    FROM ranked WHERE rn <= {_NEG_K}
+    FROM ranked WHERE rn <= 2
     """,
     tags=("E156", "J4", "O3", "F11", "W1"),
 )
 def q_negative_item_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for recommender/contrastive
-    training: for each customer in the panel, {_NEG_K} parts they
+    training: for each customer in the panel, 2 parts they
     have NEVER ordered, drawn by md5 rank — reproducible across
     engines/runs (the draw IS the hash), and the anti-join against
     interaction history is what makes a negative a true negative
@@ -929,16 +929,16 @@ _NEYMAN_BUDGET = 5000
     SELECT stratum,
            CAST(nh AS BIGINT) AS stratum_n,
            CAST(nh_sh AS DOUBLE) / t AS weight,
-           CAST(FLOOR(CAST(nh_sh AS DOUBLE) * {_NEYMAN_BUDGET} / t) AS BIGINT)
+           CAST(FLOOR(CAST(nh_sh AS DOUBLE) * 5000 / t) AS BIGINT)
              AS alloc_floor,
-           LEAST(CAST(nh_sh AS DOUBLE) * {_NEYMAN_BUDGET} / t / nh, 1.0)
+           LEAST(CAST(nh_sh AS DOUBLE) * 5000 / t / nh, 1.0)
              AS sample_rate
     FROM scored, tot
     """,
     tags=("E169", "E111", "A6", "A1", "O4"),
 )
 def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Neyman allocation: distribute a {_NEYMAN_BUDGET}-row sampling
+    """Neyman allocation: distribute a 5000-row sampling
     budget across strata proportional to N_h x S_h (stratum size
     times stratum stddev) — the variance-OPTIMAL stratified design,
     vs. proportional allocation which over-samples homogeneous

@@ -724,8 +724,8 @@ _PROX_SLOP = 5
       SELECT a.doc_id, ABS(b.pos - a.pos) AS gap
       FROM posting a
       JOIN posting b ON b.doc_id = a.doc_id
-      WHERE a.term = '{_PROX_T1}' AND b.term = '{_PROX_T2}'
-        AND ABS(b.pos - a.pos) <= {_PROX_SLOP})
+      WHERE a.term = 'spark' AND b.term = 'stream'
+        AND ABS(b.pos - a.pos) <= 5)
     SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_hits,
            CAST(MIN(gap) AS BIGINT) AS min_gap,
@@ -736,7 +736,7 @@ _PROX_SLOP = 5
     tags=("E199", "E180", "D9", "J6", "A1"),
 )
 def q_proximity_slop_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Proximity search: '{_PROX_T1}' NEAR/{_PROX_SLOP} '{_PROX_T2}'
+    """Proximity search: 'spark' NEAR/5 'stream'
     in either order — the slop operator between exact-phrase and
     bag-of-words retrieval. Term-selective filters prune the
     postings BEFORE the position join (two tiny filtered lists per

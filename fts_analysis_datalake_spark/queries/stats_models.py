@@ -271,7 +271,7 @@ _SEATS = 10_000
       SELECT lang, source, COUNT(*) AS docs FROM documents GROUP BY 1, 2),
     quotas AS (
       SELECT lang, source, docs,
-             CAST({_SEATS} * docs AS BIGINT) AS num,
+             CAST(10000 * docs AS BIGINT) AS num,
              CAST(SUM(docs) OVER () AS BIGINT) AS total
       FROM counts),
     parts AS (
@@ -281,7 +281,7 @@ _SEATS = 10_000
     ranked AS (
       SELECT lang, source, docs, base,
              row_number() OVER (ORDER BY rem DESC, lang, source) AS rn,
-             CAST({_SEATS} - SUM(base) OVER () AS BIGINT) AS k
+             CAST(10000 - SUM(base) OVER () AS BIGINT) AS k
       FROM parts)
     SELECT lang, source, docs,
            CAST(base + CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT)
@@ -292,7 +292,7 @@ _SEATS = 10_000
 )
 def q_seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamilton (largest-remainder) apportionment: split an integer
-    budget of {_SEATS} sample slots across (lang, source) buckets
+    budget of 10000 sample slots across (lang, source) buckets
     proportionally to doc counts such that the allocations are
     integers and sum EXACTLY to the budget — floors of the exact
     rational quotas plus one bonus seat to the largest remainders
@@ -781,11 +781,11 @@ _BT_H_DAYS = 2
       FROM events),
     folds AS (
       SELECT k,
-             d1 - to_days(CAST(({_BT_FOLDS} - k + 1) * {_BT_H_DAYS} AS INTEGER))
+             d1 - to_days(CAST((4 - k + 1) * 2 AS INTEGER))
                AS train_end,
-             d1 - to_days(CAST(({_BT_FOLDS} - k) * {_BT_H_DAYS} AS INTEGER))
+             d1 - to_days(CAST((4 - k) * 2 AS INTEGER))
                AS test_end
-      FROM bounds, unnest(generate_series(1, {_BT_FOLDS})) t(k))
+      FROM bounds, unnest(generate_series(1, 4)) t(k))
     SELECT CAST(k AS BIGINT) AS fold, train_end, test_end,
            CAST((SELECT COUNT(*) FROM events e WHERE e.ts < f.train_end) AS BIGINT)
              AS train_n,
@@ -797,9 +797,9 @@ _BT_H_DAYS = 2
     tags=("E152", "J8", "A7", "F4"),
 )
 def q_backtest_fold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-origin (expanding-window) backtest plan: {_BT_FOLDS}
+    """Rolling-origin (expanding-window) backtest plan: 4
     folds anchored to the data's own last day, each training on
-    everything before its cut and testing on the next {_BT_H_DAYS}
+    everything before its cut and testing on the next 2
     days — the split discipline that keeps time-series evaluation
     honest (no future leakage, every fold's test window disjoint).
     Emits each fold's boundaries and realized row counts, the sanity
@@ -4028,14 +4028,14 @@ _HILL_K = 200  # top-k order statistics per series
       FROM events WHERE value > 0),
     agg AS (
       SELECT event_type,
-             SUM(CASE WHEN rk < {_HILL_K} THEN
+             SUM(CASE WHEN rk < 200 THEN
                    CAST(FLOOR(ln(value) * 1000000000 + 0.5) AS BIGINT)
                  ELSE 0 END) AS s_q,
-             SUM(CASE WHEN rk < {_HILL_K} THEN 1 ELSE 0 END) AS cnt,
-             MAX(CASE WHEN rk = {_HILL_K} THEN
+             SUM(CASE WHEN rk < 200 THEN 1 ELSE 0 END) AS cnt,
+             MAX(CASE WHEN rk = 200 THEN
                    CAST(FLOOR(ln(value) * 1000000000 + 0.5) AS BIGINT)
                  END) AS xk_q
-      FROM ranked WHERE rk <= {_HILL_K} GROUP BY 1)
+      FROM ranked WHERE rk <= 200 GROUP BY 1)
     SELECT event_type,
            CAST(cnt AS BIGINT) AS k_used,
            CAST(FLOOR(CAST(s_q - cnt * xk_q AS DOUBLE) / 1000000000e0 / cnt
@@ -4056,7 +4056,7 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs alpha > 1, finite variance alpha > 2; the fixture's
     exponential values have gamma -> 0 as the effective index, which
     the estimator reports faithfully): gamma_Hill = mean over the
-    top-{_HILL_K} order statistics of ln(x_i) - ln(x_k). Each ln is
+    top-200 order statistics of ln(x_i) - ln(x_k). Each ln is
     1e-9-quantized BEFORE the sum (libm house guard, E74/E76
     pattern), so the per-series total is an exact BIGINT and the
     only doubles are two final fixed-order ops (mean, reciprocal),
