@@ -206,6 +206,74 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def ensure_shuffle_parallelism(
+    df: DataFrame,
+    workload_rows: int,
+    keys: list[str],
+    n_keys: int | None = None,
+    max_key_workload: int | None = None,
+    rows_per_task: int = 1_000_000,
+    max_partitions: int = 32_768,
+) -> DataFrame:
+    """Floor a work-amplifying join's partition count by its estimated
+    OUTPUT workload (pair count), not its input bytes.
+
+    Spark (and AQE's coalescing) size every exchange by map-output
+    BYTES. For pair-generating joins — PPJoin prefix postings,
+    SemDeDup cluster blocks, bipartite link prediction — the shuffle
+    INPUT is tiny while each task then materializes
+    ``workload / partitions`` pairs and sorts/aggregates them, so AQE
+    coalesces the join down to a handful of tasks that hit the spill
+    knee the moment per-core memory can't hold a block (the r8 32x
+    probe measured q_resource_allocation_links at 13 s -> 187 s for
+    exactly-linear pair growth; raising AQE initialPartitionNum to
+    256 recovered 115 s session-wide). This helper encodes the same
+    floor PER PLAN instead of as a blanket conf: an explicit hash
+    repartition on the join key, sized by the measured workload. The
+    join reuses the partitioning (no extra exchange beyond the one
+    the join itself required) and AQE never coalesces user-specified
+    repartitions, so the pair stage keeps ``<= rows_per_task`` pairs
+    per task at any scale. ``workload_rows`` comes from a cheap
+    domain-sized aggregate the caller already has (sum of squared
+    block sizes) — the same workload-not-bytes principle as the
+    allpairs-cosine parallelism floor (SURVEY §6a-cont.).
+
+    ``n_keys`` (distinct join-key count, available from the same
+    aggregate as the workload) GATES the floor: hash partitioning by
+    key can never spread the work over more tasks than there are
+    keys, and a user-pinned repartition DISABLES AQE's skew-join
+    splitting — so when the keys are fewer than the target the floor
+    would concentrate each hot key in one task and make spill
+    STRICTLY worse (measured: the 30-word-vocab prefix-join probe
+    went from 102 s to OOM under an unconditional floor). Few fat
+    keys is precisely the regime where AQE's OptimizeSkewedJoin is
+    the right mitigation; the floor is for the many-keys-tiny-bytes
+    regime where AQE's byte-based coalescing is the failure mode.
+
+    ``max_key_workload`` (the LARGEST single key's pair workload,
+    max(c)^2, from the same aggregate) gates the SKEWED case the key
+    count alone misses: hash partitioning can never split one key
+    across tasks, so when any single key already exceeds the task
+    budget the floor pins that key whole in one task while blocking
+    AQE from splitting it (measured: the saturated-vocab PPJoin probe
+    has 15k keys — past the n_keys gate — but its rarest-shingle
+    postings carry ~100x a task budget each; the floor made it 2.3x
+    slower / OOM-prone vs leaving AQE in charge). Fat-key workloads
+    need salting or AQE skew-split, not more partitions.
+    """
+    import math
+
+    target = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        math.ceil(max(int(workload_rows), 1) / rows_per_task),
+    )
+    if n_keys is not None and n_keys < target:
+        return df
+    if max_key_workload is not None and max_key_workload > rows_per_task:
+        return df
+    return df.repartition(min(target, max_partitions), *keys)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every table as a temp view (name -> DF registry)."""
     dfs = load_tables(spark, sf_dir)

@@ -402,6 +402,19 @@ def prefix_filter_candidates(
         .where(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
         .select(F.col(id_col), "shingle")
     )
+    # NO workload-partition floor here, by measurement (r9): the
+    # candidate rows this join emits are two ids (~20 B), so AQE's
+    # byte-based sizing is ADEQUATE — unlike the wide-row pair joins
+    # (resource-allocation links, SemDeDup blocks) where the r8 32x
+    # spill knee lives and catalog.ensure_shuffle_parallelism measured
+    # 187 s -> 51 s. Here the same floor measured 148 s -> 309 s at
+    # the v1 32x probe (pinning the partitioning blocks AQE's runtime
+    # choices and buys nothing), and persisting `ranked` to measure
+    # the exact posting workload was worse still (422 s: the window
+    # sort otherwise pipelines straight into the join's shuffle
+    # write). On the Zipfian v2 fixture the floor is within variance
+    # either way. Both join sides read the identical `ranked` subplan,
+    # so the exchange is planned once and reused.
     a = ranked.withColumnRenamed(id_col, "id_a")
     b = ranked.withColumnRenamed(id_col, "id_b")
     return (

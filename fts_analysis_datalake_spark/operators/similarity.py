@@ -631,8 +631,29 @@ def semantic_dedup_pairs(
             F.col(id_col), F.col(vec_col), F.col("cent_id"), norm(F.col(vec_col)).alias("_n")
         )
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    # Floor the block join's partition count by the MEASURED pair
+    # workload (sum of cluster sizes squared, a domain-sized scalar
+    # read off the persisted assignment): the cluster-block shuffle is
+    # byte-tiny, so AQE coalesces it onto a handful of tasks that hit
+    # the spill knee once per-task pair blocks outgrow memory (the r8
+    # 32x probe; see catalog.ensure_shuffle_parallelism).
+    from fts_analysis_datalake_spark.catalog import ensure_shuffle_parallelism
+
+    csizes = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("c"))
+    wl = csizes.agg(
+        F.sum(F.col("c") * F.col("c")).alias("w"),
+        F.count(F.lit(1)).alias("k"),
+        F.max(F.col("c") * F.col("c")).alias("m"),
+    ).first()
+    blocked = ensure_shuffle_parallelism(
+        assigned,
+        int(wl["w"] or 0),
+        ["cent_id"],
+        n_keys=int(wl["k"]),
+        max_key_workload=int(wl["m"] or 0),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
     return (
         a.join(
             b,

@@ -22,9 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fts_analysis_datalake_spark.caching import fixpoint_confs
+from fts_analysis_datalake_spark.caching import fixpoint_confs, tracked_persist
 from fts_analysis_datalake_spark import probe
-from fts_analysis_datalake_spark.catalog import load_table
+from fts_analysis_datalake_spark.catalog import (
+    ensure_shuffle_parallelism,
+    load_table,
+)
 from fts_analysis_datalake_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -693,14 +696,35 @@ def q_resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bounded by sum-over-parts of deg^2, NOT suppliers^2, which is
     the scale story: hub parts (deg ~ thousands) would be capped or
     salted in a 100 TB deployment, exactly like the LSH band-bucket
-    joins. Top-20 by (score, u, v) via one TakeOrdered."""
+    joins. The pair join's partition count is floored by the MEASURED
+    pair workload (sum of deg^2 — a gate-style scalar read off the
+    persisted degree table), not input bytes: the r8 32x probe showed
+    AQE coalescing this byte-tiny shuffle onto a handful of tasks
+    that spill the moment the per-task pair block outgrows memory
+    (13 s -> 187 s for exactly-linear pair growth; see
+    catalog.ensure_shuffle_parallelism). Top-20 by (score, u, v) via
+    one TakeOrdered."""
     li = load_table(spark, sf_dir, "lineitem")
-    sp = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    sp = tracked_persist(
+        li.select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
     pd_ = sp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    a = sp.select(F.col("s").alias("u"), "p")
-    b = sp.select(F.col("s").alias("v"), "p")
+    wl = pd_.agg(
+        F.sum(F.col("d") * F.col("d")).alias("w"),
+        F.count(F.lit(1)).alias("k"),
+        F.max(F.col("d") * F.col("d")).alias("m"),
+    ).first()
+    spb = ensure_shuffle_parallelism(
+        sp,
+        int(wl["w"] or 0),
+        ["p"],
+        n_keys=int(wl["k"]),
+        max_key_workload=int(wl["m"] or 0),
+    )
+    a = spb.select(F.col("s").alias("u"), "p")
+    b = spb.select(F.col("s").alias("v"), "p")
     scores = (
         a.join(b, "p")
         .filter(F.col("u") < F.col("v"))

@@ -111,7 +111,21 @@ def _ts_us(day_int64):
     return pa.array(day_int64 * US_PER_DAY, type=pa.timestamp("us"))
 
 
-def gen(outdir: str, mult: int, seed: int = SEED) -> None:
+def gen(outdir: str, mult: int, seed: int = SEED, regime: str = "v1") -> None:
+    """regime v1: copy the driver fixture's laws verbatim (31-word
+    uniform doc vocabulary, dense sequential name keys) — the r8
+    probes' fixture, kept reproducible. regime v2 (VERDICT r8 task
+    #5): the laws real corpora follow where v1's are degenerate —
+    (a) the document vocabulary GROWS with corpus size (Heaps-style,
+    V = 31 * mult^0.7, the driver's 31 words as the head) and word
+    draws are ZIPFIAN (p ∝ 1/rank), so rare-shingle blocking keys
+    (PPJoin prefixes) keep their cardinality growth instead of
+    saturating on a closed 30-word vocabulary; (b) customer name
+    digits come from a SPARSE 9-digit space (Knuth-hash of the key)
+    instead of dense sequential integers, so edit-distance-2
+    neighborhoods have realistic occupancy instead of the dense-key
+    regime where every increment is someone's name. Everything else
+    is identical to v1."""
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(seed)
     dom = _domains()
@@ -123,7 +137,14 @@ def gen(outdir: str, mult: int, seed: int = SEED) -> None:
     n_cust = BASE["customer"] * mult
     _write(outdir, "customer", pa.table({
         "c_custkey": pa.array(np.arange(n_cust), type=pa.int64()),
-        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_name": (
+            [f"Customer#{i:09d}" for i in range(n_cust)]
+            if regime == "v1"
+            else [
+                f"Customer#{(i * 2654435761) % 1_000_000_000:09d}"
+                for i in range(n_cust)
+            ]
+        ),
         "c_nationkey": pa.array(rng.integers(0, 25, n_cust), type=pa.int32()),
         "c_acctbal": np.round(rng.uniform(0, 10_000, n_cust), 2),
         "c_mktsegment": pa.array(
@@ -219,12 +240,30 @@ def gen(outdir: str, mult: int, seed: int = SEED) -> None:
     # dup regime by construction — 70% base docs, 15% exact dups,
     # 15% near-dups (2-word mutations of an earlier base doc)
     n_doc = BASE["documents"] * mult
-    vocab = np.array(dom["vocab"])
+    base_vocab = list(dom["vocab"])
+    if regime == "v2":
+        n_vocab = max(len(base_vocab), int(round(len(base_vocab) * mult**0.7)))
+        vocab = np.array(
+            base_vocab
+            + [f"w{k:05d}" for k in range(n_vocab - len(base_vocab))]
+        )
+        zipf_p = 1.0 / np.arange(1, len(vocab) + 1)
+        zipf_p /= zipf_p.sum()
+
+        def draw(k):
+            return rng.choice(len(vocab), size=k, p=zipf_p)
+
+    else:
+        vocab = np.array(base_vocab)
+
+        def draw(k):
+            return rng.integers(0, len(vocab), k)
+
     texts: list[str] = []
     n_base = int(n_doc * 0.7)
     for _ in range(n_base):
         ln = rng.integers(10, 61)
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), ln)]))
+        texts.append(" ".join(vocab[draw(ln)]))
     for _ in range(n_doc - n_base):
         src_txt = texts[rng.integers(0, n_base)]
         if rng.random() < 0.5:
@@ -232,7 +271,7 @@ def gen(outdir: str, mult: int, seed: int = SEED) -> None:
         else:
             ws = src_txt.split(" ")
             for _ in range(2):
-                ws[rng.integers(0, len(ws))] = vocab[rng.integers(0, len(vocab))]
+                ws[rng.integers(0, len(ws))] = vocab[draw(1)[0]]
             texts.append(" ".join(ws))
     order = rng.permutation(n_doc)
     texts = [texts[i] for i in order]
@@ -432,6 +471,7 @@ def main():
     g.add_argument("--mult", type=int, default=8)
     g.add_argument("--out", required=True)
     g.add_argument("--seed", type=int, default=SEED)
+    g.add_argument("--regime", choices=["v1", "v2"], default="v1")
     r = sub.add_parser("run")
     r.add_argument("--probe-dir", required=True)
     r.add_argument("--mult", type=int, default=8)
@@ -441,7 +481,7 @@ def main():
     r.add_argument("--names", default=None, help="comma-separated query names: re-probe just these")
     a = ap.parse_args()
     if a.cmd == "gen":
-        gen(a.out, a.mult, a.seed)
+        gen(a.out, a.mult, a.seed, a.regime)
     else:
         run(a.probe_dir, a.mult, a.json, all_queries=a.all, reps=a.reps,
             names_filter=a.names.split(",") if a.names else None)

@@ -1884,3 +1884,282 @@ def test_granger_betas_match_numpy_lstsq(spark, seed, n_hours):
             assert abs(r.f_stat - f) / max(f, 1.0) < 1e-3, (
                 direction, r.f_stat, f,
             )
+
+
+# ---------------------------------------------------------------------------
+# r9: Kalman Riccati fixed point, banded-DTW bounds, self-BLEU replay
+# (VERDICT r8 task #4 — the new-row family still on oracle-only evidence)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=3), min_size=120, max_size=140
+    )
+)
+def test_kalman_gain_converges_to_riccati_fixed_point(spark, counts):
+    """q_kalman_level_hourly's converged gain and posterior variance
+    equal the CLOSED-FORM Riccati fixed point — the predicted
+    variance M* solves M^2 - Q*M - Q*R = 0, K* = M*/(M*+R),
+    P* = (1-K*)*M* — derived by solving the quadratic, independent of
+    both the kernel's recursion and the oracle's WITH RECURSIVE
+    replay. Level and innovation MAE are additionally checked against
+    an UNQUANTIZED textbook filter (tolerance covers the 5e-10
+    per-step quantization). 120+ hourly steps put the trajectory
+    ~0.67^119 past P0 — numerically AT the fixed point."""
+    import datetime
+    import math
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.event_analytics import (
+        _KF_P0,
+        _KF_Q,
+        _KF_R,
+        q_kalman_level_hourly,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, k in enumerate(counts):
+        for j in range(k):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(hours=h, minutes=j),
+                    0,
+                    "a",
+                    0.0,
+                    "{}",
+                )
+            )
+            eid += 1
+
+    m_star = (_KF_Q + math.sqrt(_KF_Q * _KF_Q + 4 * _KF_Q * _KF_R)) / 2
+    k_star = m_star / (m_star + _KF_R)
+    p_star = (1 - k_star) * m_star
+
+    y = [float(k) for k in counts]
+    level, p = y[0], _KF_P0
+    abs_sum = 0.0
+    for t in range(1, len(y)):
+        m = p + _KF_Q
+        gain = m / (m + _KF_R)
+        abs_sum += abs(y[t] - level)
+        level = level + gain * (y[t] - level)
+        p = (1 - gain) * m
+
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        [r] = q_kalman_level_hourly(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert r.n_hours == len(counts)
+    assert abs(r.gain - k_star) < 1e-6, (r.gain, k_star)
+    assert abs(r.p_var - p_star) < 1e-6, (r.p_var, p_star)
+    assert abs(r.level - level) < 1e-4, (r.level, level)
+    assert abs(r.innov_mae - abs_sum / (len(y) - 1)) < 1e-4
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    a=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=20, max_size=20
+    ),
+    b=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=20, max_size=20
+    ),
+    identical=st.booleans(),
+)
+def test_dtw_band_bounds_and_replay(spark, a, b, identical):
+    """q_dtw_band_alignment sandwiched by theory and replayed
+    independently: banded DTW >= the UNBANDED full-DP optimum (the
+    band restricts the path set — the lower-bound theorem the oracle
+    cannot check because it replays the same banded recursion),
+    banded DTW <= euclid (the lock-step diagonal lies inside any
+    band), and == a textbook ROW-WISE banded DP (vs the kernel's
+    anti-diagonal wavefront). identical=True forces the euclid == 0
+    edge: elasticity_gain must be exactly 1.0 in both engines (the
+    r8 ADVICE guard)."""
+    import datetime
+    import math
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.event_analytics import (
+        _DTW_BAND,
+        _DTW_N,
+        q_dtw_band_alignment,
+    )
+
+    if identical:
+        b = list(a)
+    assert len(a) == len(b) == _DTW_N
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for et, series in (("view", a), ("purchase", b)):
+        for day, cents in enumerate(series):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(days=day),
+                    0,
+                    et,
+                    cents / 100.0,
+                    "{}",
+                )
+            )
+            eid += 1
+
+    inf = float("inf")
+    n = _DTW_N
+
+    def dp(band):
+        t = [[inf] * (n + 1) for _ in range(n + 1)]
+        for i in range(1, n + 1):
+            lo = max(1, i - band) if band is not None else 1
+            hi = min(n, i + band) if band is not None else n
+            for j in range(lo, hi + 1):
+                cost = abs(a[i - 1] - b[j - 1])
+                if i == 1 and j == 1:
+                    t[i][j] = cost
+                else:
+                    t[i][j] = cost + min(
+                        t[i - 1][j], t[i][j - 1], t[i - 1][j - 1]
+                    )
+        return t[n][n]
+
+    banded, full = dp(_DTW_BAND), dp(None)
+    euclid = sum(abs(x - y) for x, y in zip(a, b))
+
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        [r] = q_dtw_band_alignment(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert r.dtw_cents == banded
+    assert full <= banded <= euclid
+    assert r.euclid_cents == euclid
+    if euclid == 0:
+        assert r.elasticity_gain == 1.0
+    else:
+        assert r.elasticity_gain == math.floor(
+            banded / euclid * 1e6 + 0.5
+        ) / 1e6
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.lists(
+                st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                min_size=0,
+                max_size=6,
+            ),
+        ),
+        min_size=12,
+        max_size=30,
+    )
+)
+def test_self_bleu_matches_python_replay(spark, docs):
+    """q_self_bleu_diversity == a from-the-definition Python BLEU-2
+    replay on random token bags: per-(lang, gram) reference-max
+    clipping, closest-reference-length brevity penalty (tie to the
+    SHORTER length), sqrt geomean, the house quantization chain, and
+    the distinct-2 ratio — written from Papineni's definitions, not
+    from the union-tagged gram pipeline the query and its oracle
+    share. Random bags cover repeated-gram clipping (cnt > rmax),
+    langs with zero references (clip == 0), empty reference docs
+    (rlen includes 0), and candidate-free languages (absent rows)."""
+    import math
+    import shutil
+    from collections import Counter
+
+    from fts_analysis_datalake_spark.queries.ml_eval import (
+        _SB_MOD,
+        q_self_bleu_diversity,
+    )
+
+    rows = [
+        (i, " ".join(toks), lang, "s", len(" ".join(toks)))
+        for i, (lang, toks) in enumerate(docs)
+    ]
+    toks_by = {i: toks for i, (_, toks) in enumerate(docs)}
+    lang_by = {i: lang for i, (lang, _) in enumerate(docs)}
+
+    def bigrams(ts):
+        return [" ".join(ts[k : k + 2]) for k in range(len(ts) - 1)]
+
+    cand = [i for i in toks_by if i % _SB_MOD == 0 and len(toks_by[i]) >= 2]
+    refs = [i for i in toks_by if i % _SB_MOD != 0]
+    expected = {}
+    for lang in sorted({lang_by[i] for i in cand}):
+        lc = [i for i in cand if lang_by[i] == lang]
+        lr = [i for i in refs if lang_by[i] == lang]
+        r1max: dict = {}
+        r2max: dict = {}
+        for i in lr:
+            for g, c in Counter(toks_by[i]).items():
+                r1max[g] = max(r1max.get(g, 0), c)
+            for g, c in Counter(bigrams(toks_by[i])).items():
+                r2max[g] = max(r2max.get(g, 0), c)
+        rlens = sorted({len(toks_by[i]) for i in lr})
+        bleu_qs, p1_qs, p2_qs = [], [], []
+        dg: set = set()
+        tg = 0
+        for i in lc:
+            ts = toks_by[i]
+            c1, c2 = Counter(ts), Counter(bigrams(ts))
+            clip1 = sum(min(c, r1max.get(g, 0)) for g, c in c1.items())
+            tot1 = sum(c1.values())
+            clip2 = sum(min(c, r2max.get(g, 0)) for g, c in c2.items())
+            tot2 = sum(c2.values())
+            dg.update(c2)
+            tg += tot2
+            n_tok = len(ts)
+            r = (
+                min(abs(rl - n_tok) * 1000000 + rl for rl in rlens) % 1000000
+                if rlens
+                else 0
+            )
+            pr1, pr2 = clip1 / tot1, clip2 / tot2
+            bp = (
+                1.0
+                if n_tok >= r
+                else math.exp(math.floor((1.0 - r / n_tok) * 1e9 + 0.5) / 1e9)
+            )
+            p1_qs.append(math.floor(pr1 * 1e6 + 0.5))
+            p2_qs.append(math.floor(pr2 * 1e6 + 0.5))
+            bleu_qs.append(math.floor(bp * math.sqrt(pr1 * pr2) * 1e6 + 0.5))
+        expected[lang] = (
+            len(lc),
+            math.floor(sum(bleu_qs) / len(lc) + 0.5) / 1e6,
+            math.floor(sum(p1_qs) / len(lc) + 0.5) / 1e6,
+            math.floor(sum(p2_qs) / len(lc) + 0.5) / 1e6,
+            math.floor(len(dg) / tg * 1e6 + 0.5) / 1e6,
+        )
+
+    schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    d = _tmp_fixture(spark, "documents", rows, schema)
+    try:
+        got = {
+            r.lang: (r.n_cands, r.avg_self_bleu2, r.avg_p1, r.avg_p2,
+                     r.distinct2_ratio)
+            for r in q_self_bleu_diversity(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert set(got) == set(expected)
+    for lang, (nc, bleu, p1, p2, d2) in expected.items():
+        g = got[lang]
+        assert g[0] == nc
+        # exp() is the one libm call in the chain; everything else is
+        # IEEE-exact, so allow a single 1e-6 quantum of slack on the
+        # bleu mean and require exactness elsewhere.
+        assert abs(g[1] - bleu) <= 1e-6 + 1e-9, (lang, g[1], bleu)
+        assert g[2] == p1 and g[3] == p2 and g[4] == d2, (lang, g, expected[lang])
