@@ -3792,3 +3792,157 @@ def q_matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# E334: optimal multi-changepoint segmentation — penalized DP, exact
+# --------------------------------------------------------------------------
+
+_OP_LAM_DIV = 16  # penalty = total weighted variance / 16 (scale-free)
+_OP_DAY_CAP = 64  # integer-encode bound: n_days < 64 or both engines raise
+
+
+def _op_oracle() -> str:
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) // COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    seq AS MATERIALIZED (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY d) AS c1,
+             SUM(x*x) OVER (PARTITION BY event_type ORDER BY d) AS c2
+      FROM daily),
+    pre AS MATERIALIZED (
+      SELECT event_type,
+             CAST(MAX(i) AS BIGINT) AS n,
+             [CAST(0 AS BIGINT)] || list(c1 ORDER BY i) AS s1,
+             [CAST(0 AS BIGINT)] || list(c2 ORDER BY i) AS s2
+      FROM seq GROUP BY event_type),
+    lamt AS MATERIALIZED (
+      SELECT event_type, n, s1, s2,
+             CAST((n * (s2[n+1]) - (s1[n+1]) * (s1[n+1]))
+                  // {_OP_LAM_DIV} AS BIGINT) AS lam
+      FROM pre
+      WHERE CASE WHEN n < {_OP_DAY_CAP} THEN TRUE
+                 ELSE error('optimal-changepoints: n_days exceeds encode bound')
+            END),
+    rec(event_type, n, s1, s2, lam, t, fs, ks, las) AS (
+      SELECT event_type, n, s1, s2, lam, CAST(0 AS BIGINT),
+             [CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)]
+      FROM lamt
+      UNION ALL
+      SELECT event_type, n, s1, s2, lam, t + 1,
+             list_append(fs, best // 4096),
+             list_append(ks, best % 4096 // 64),
+             list_append(las, best % 64 + 1)
+      FROM (
+        SELECT *, list_min(list_transform(
+          generate_series(1, CAST(t+1 AS INTEGER)),
+          a -> (fs[a]
+                + (t + 2 - a) * (s2[t+2] - s2[a])
+                - (s1[t+2] - s1[a]) * (s1[t+2] - s1[a])
+                + lam) * 4096
+               + (ks[a] + 1) * 64 + (a - 1))) AS best
+        FROM rec WHERE t < n)
+    )
+    SELECT event_type,
+           n AS n_days,
+           CAST(ks[n+1] AS BIGINT) AS n_segments,
+           CAST(fs[n+1] AS BIGINT) AS total_cost,
+           lam,
+           CAST(las[n+1] AS BIGINT) AS last_seg_start
+    FROM rec WHERE t = n ORDER BY event_type
+    """
+
+
+@query(
+    "q_optimal_changepoints",
+    oracle=_op_oracle(),
+    tags=("E334", "E118", "E303", "X2", "A1", "W4"),
+)
+def q_optimal_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT penalized multi-changepoint segmentation of each event
+    type's daily mean-cents series — the optimal-partitioning DP
+    (Jackson/PELT's exact ancestor) that CUSUM (one shift, E118) and
+    Page-Hinkley (online alarm, E303) approximate: minimize
+    sum-over-segments of the integer weighted variance
+    len*sum(x^2) - sum(x)^2 plus a per-segment penalty, over ALL 2^n
+    segmentations, via F(b) = min_a F(a-1) + cost(a,b) + lam. The
+    penalty derives from the series' own total weighted variance
+    (/16), so the objective is scale-free; using the per-day MEAN
+    (intensive, ~constant cents at any SF) rather than the day total
+    keeps every intermediate bounded at 100 TB. Ties pin to (fewer
+    segments, earliest split) via the integer encode
+    F*4096 + nseg*64 + (a-1), valid for n_days < 64 — both engines
+    RAISE identically past the bound (the matrix-profile guard
+    discipline). The oracle replays the DP as a list-carrying
+    WITH RECURSIVE (the F-vector rides the recursion as a list — the
+    wavefront-unroll alternative for history-dependent DPs); the
+    Spark side is the identical integer DP in a bounded Arrow task
+    per series (X2 grouped map, day-grain state — at 100 TB the cost
+    is the events scan + the daily shuffle, DP state is 64 BIGINTs)."""
+    import math as _math
+
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.expr(
+            "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) DIV COUNT(*)"
+        ).alias("x")
+    )
+    lam_div, day_cap = _OP_LAM_DIV, _OP_DAY_CAP
+
+    def seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        x = [int(v) for v in pdf["x"].to_list()]
+        n = len(x)
+        if n >= day_cap:
+            raise ValueError(
+                "optimal-changepoints: n_days exceeds encode bound"
+            )
+        s1 = [0] * (n + 1)
+        s2 = [0] * (n + 1)
+        for i, v in enumerate(x, start=1):
+            s1[i] = s1[i - 1] + v
+            s2[i] = s2[i - 1] + v * v
+        lam = (n * s2[n] - s1[n] * s1[n]) // lam_div
+        fs, ks, las = [0], [0], [0]
+        for t in range(n):
+            best = min(
+                (
+                    fs[a - 1]
+                    + (t + 2 - a) * (s2[t + 1] - s2[a - 1])
+                    - (s1[t + 1] - s1[a - 1]) ** 2
+                    + lam
+                )
+                * 4096
+                + (ks[a - 1] + 1) * 64
+                + (a - 1)
+                for a in range(1, t + 2)
+            )
+            fs.append(best // 4096)
+            ks.append(best % 4096 // 64)
+            las.append(best % 64 + 1)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [n],
+                "n_segments": [ks[n]],
+                "total_cost": [fs[n]],
+                "lam": [lam],
+                "last_seg_start": [las[n]],
+            }
+        )
+
+    schema = (
+        "event_type string, n_days bigint, n_segments bigint, "
+        "total_cost bigint, lam bigint, last_seg_start bigint"
+    )
+    return (
+        daily.groupBy("event_type").applyInPandas(seg, schema).orderBy(
+            "event_type"
+        )
+    )

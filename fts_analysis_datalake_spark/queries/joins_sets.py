@@ -1715,3 +1715,133 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_HC_TOPK)
         .select("node", "harmonic", "n_seeds_reached")
     )
+
+
+# --------------------------------------------------------------------------
+# E333: functional-graph rho decomposition — pointer-doubled cycle finding
+# --------------------------------------------------------------------------
+
+_FG_A = 48271  # MINSTD multiplier; any fixed odd constant works
+_FG_C = 12345
+_FG_ORACLE_DOUBLINGS = 28  # 2^28 = 268M >= any test-SF order count
+
+
+def _fg_oracle() -> str:
+    parts = [f"""
+    WITH idx AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS v,
+             COUNT(*) OVER () AS n
+      FROM orders),
+    j0 AS MATERIALIZED (
+      SELECT v, ({_FG_A} * v + {_FG_C}) % n AS J,
+             LEAST(v, ({_FG_A} * v + {_FG_C}) % n) AS M
+      FROM idx)"""]
+    for k in range(1, _FG_ORACLE_DOUBLINGS + 1):
+        parts.append(f""",
+    j{k} AS MATERIALIZED (
+      SELECT a.v, b.J AS J, LEAST(a.M, b.M) AS M
+      FROM j{k - 1} a JOIN j{k - 1} b ON b.v = a.J)""")
+    last = f"j{_FG_ORACLE_DOUBLINGS}"
+    parts.append(f""",
+    final AS MATERIALIZED (
+      SELECT a.v, a.J AS cyc_node, b.M AS comp
+      FROM {last} a JOIN {last} b ON b.v = a.J),
+    cyc AS (SELECT DISTINCT cyc_node AS v FROM final)
+    SELECT f.comp AS comp_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN c.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS cycle_len,
+           CAST(COUNT(*) - SUM(CASE WHEN c.v IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS tree_size
+    FROM final f LEFT JOIN cyc c ON c.v = f.v
+    GROUP BY f.comp ORDER BY f.comp""")
+    return "".join(parts)
+
+
+@query(
+    "q_functional_graph_rho",
+    oracle=_fg_oracle(),
+    tags=("E333", "E15", "J11", "J6", "A1", "W1"),
+)
+def q_functional_graph_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rho decomposition of a functional graph (every node has exactly
+    ONE out-edge) in O(log n) rounds of POINTER DOUBLING — the graph
+    shape CC/star contraction (E15) never sees: successor chains with
+    cycles, i.e. linked-record chains, redirect graphs, next-version
+    pointers, hash-chain probing, Pollard-rho style iteration. The
+    successor is the deterministic LCG s(v) = (48271*v + 12345) mod n
+    over dense order ranks (n = COUNT(*), so structure scales with
+    the fixture like the dbscan grid). Each doubling composes the
+    jump table with itself — J <- J(J(v)) — while carrying the
+    path-min M over the covered 2^k successors (the E306
+    pointer-double discipline applied to graphs): after
+    ceil(log2(n)) rounds every node has jumped >= n steps, so J(v)
+    provably sits ON its cycle, comp(v) = M(J(v)) is the CYCLE MIN
+    (a path of >= n steps starting on the cycle wraps it), and the
+    cyclic set is exactly the image of J (any >= max-tail power
+    works — the oracle's fixed 2^28 unroll and Spark's adaptive
+    ceil(log2(n)) rounds land on identical components by that
+    theorem, which the test layer checks against a brute-force
+    replay). Per component: total size, cycle length, tree mass.
+    At 100 TB: log2(n) self-joins of an (v, J, M) table — ~40 rounds
+    for a trillion rows, each a single hash-join shuffle; the
+    rerooted lineage keeps plans constant-size (caching.reroot, the
+    self-join loop lesson)."""
+    from fts_analysis_datalake_spark.caching import reroot
+
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    w = Window.orderBy("o_orderkey")
+    idx = o.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("v")
+    )
+    st = idx.select(
+        "v",
+        ((F.lit(_FG_A) * F.col("v") + F.lit(_FG_C)) % F.lit(n)).alias("J"),
+        F.least(
+            F.col("v"),
+            (F.lit(_FG_A) * F.col("v") + F.lit(_FG_C)) % F.lit(n),
+        ).alias("M"),
+    )
+    st = reroot(st)
+    for _ in range(max((n - 1).bit_length(), 1)):
+        b = st.select(
+            F.col("v").alias("bv"),
+            F.col("J").alias("bJ"),
+            F.col("M").alias("bM"),
+        )
+        st = reroot(
+            st.join(b, F.col("J") == F.col("bv")).select(
+                "v",
+                F.col("bJ").alias("J"),
+                F.least(F.col("M"), F.col("bM")).alias("M"),
+            )
+        )
+    fin = st.select(F.col("v").alias("fv"), F.col("M").alias("fM"))
+    final = st.join(
+        fin, F.col("J") == F.col("fv")
+    ).select("v", F.col("J").alias("cyc_node"), F.col("fM").alias("comp"))
+    cyc = final.select(F.col("cyc_node").alias("cv")).distinct()
+    return (
+        final.join(cyc, final["v"] == cyc["cv"], "left")
+        .groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(F.when(F.col("cv").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cycle_len"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.when(F.col("cv").isNotNull(), 1).otherwise(0))
+            )
+            .cast("bigint")
+            .alias("tree_size"),
+        )
+        .select(
+            F.col("comp").alias("comp_id"),
+            "n_nodes",
+            "cycle_len",
+            "tree_size",
+        )
+        .orderBy("comp_id")
+    )

@@ -2009,3 +2009,81 @@ def q_code_prose_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# E336: l-diversity audit — attribute disclosure, the risk k-anonymity misses
+# --------------------------------------------------------------------------
+
+_LD_L = 3  # groups whose sensitive attribute takes < 3 values are at risk
+
+
+@query(
+    "q_l_diversity_audit",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_b,
+             COALESCE(({sql_tokens('text')})[1], '') AS sens
+      FROM documents),
+    grp AS (
+      SELECT lang, source, len_b,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(DISTINCT sens) AS BIGINT) AS l
+      FROM rows_ GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(l) AS BIGINT) AS l_min,
+           CAST(SUM(CASE WHEN l < {_LD_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_low_l,
+           CAST(SUM(CASE WHEN l < {_LD_L} THEN c ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(FLOOR(CAST(SUM(CASE WHEN l < {_LD_L} THEN c ELSE 0 END)
+                           AS DOUBLE) / SUM(c) * 1000000 + 0.5) AS BIGINT)
+             / 1e6 AS risk_frac
+    FROM grp
+    """,
+    tags=("E336", "E314", "E39", "A3", "A1"),
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala) over the E314 k-anonymity
+    quasi-identifier grouping (lang, source, 100-char length bucket)
+    — the ATTRIBUTE-DISCLOSURE risk k-anonymity cannot see: a group
+    can hold k >= 5 rows (safe by E314's count test) and still leak
+    its members' sensitive value if all k agree on it; l-diversity
+    requires each QI group's sensitive attribute to take at least l
+    distinct values. The sensitive stand-in is the document's leading
+    normalized token (deterministic in both engines; empty docs
+    coalesce to ''). Output: group count, worst-group l, low-l group
+    and row mass, risk fraction. Scale shape: one groupBy over the
+    QI key with a per-group COUNT DISTINCT — map-side combinable,
+    one shuffle; the audit an erasure/PII pipeline (E39/E288) runs
+    before release, beside the E314 count test."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        (F.col("n_chars") / 100).cast("bigint").alias("len_b"),
+        F.coalesce(
+            F.element_at(tokens(normalize_text(F.col("text"))), 1),
+            F.lit(""),
+        ).alias("sens"),
+    )
+    grp = d.groupBy("lang", "source", "len_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.countDistinct("sens").cast("bigint").alias("l"),
+    )
+    low = F.when(F.col("l") < _LD_L, 1).otherwise(0)
+    low_rows = F.when(F.col("l") < _LD_L, F.col("c")).otherwise(0)
+    return grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("l").cast("bigint").alias("l_min"),
+        F.sum(low).cast("bigint").alias("n_groups_low_l"),
+        F.sum(low_rows).cast("bigint").alias("n_rows_at_risk"),
+        (
+            F.floor(
+                F.sum(low_rows).cast("double")
+                / F.sum("c")
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("risk_frac"),
+    )

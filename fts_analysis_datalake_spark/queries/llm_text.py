@@ -1614,3 +1614,108 @@ def q_greedy_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# E331: character-entropy quality score — the repetition-junk screen
+# --------------------------------------------------------------------------
+
+_CE_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "  # normalize_text's range
+_CE_LOW_Q = 2_720_000_000  # "low-diversity" cut, 1e-9-quantized nats (~p05)
+
+
+def _ce_oracle() -> str:
+    chars = ", ".join(f"'{c}'" for c in _CE_ALPHABET)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, t, len(t) AS L FROM (
+        SELECT doc_id, lang, {sql_normalize_text('text')} AS t
+        FROM documents) WHERE len(t) > 0),
+    ent AS (
+      SELECT doc_id, lang,
+             CAST(list_sum(list_transform([{chars}],
+               ch -> CASE WHEN len(t) - len(replace(t, ch, '')) > 0
+                     THEN CAST(FLOOR(
+                       -(CAST(len(t) - len(replace(t, ch, '')) AS DOUBLE) / L)
+                       * ln(CAST(len(t) - len(replace(t, ch, '')) AS DOUBLE) / L)
+                       * 1000000000 + 0.5) AS BIGINT)
+                     ELSE 0 END)) AS BIGINT) AS ent_q
+      FROM base)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(FLOOR(CAST(SUM(ent_q) AS DOUBLE) / COUNT(*) / 1000 + 0.5)
+                AS BIGINT) / 1e6 AS avg_char_entropy,
+           MIN(ent_q) / 1e9 AS min_char_entropy,
+           CAST(SUM(CASE WHEN ent_q < {_CE_LOW_Q} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_entropy
+    FROM ent GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "q_char_entropy_quality",
+    oracle=_ce_oracle(),
+    tags=("E331", "D13", "F1", "F6", "F8", "A1"),
+)
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy as a quality signal — the
+    repetition-junk screen curation pipelines run beside the
+    token-level filters (D13 length/stopword ratios, E60 repetition):
+    machine-generated spam, padding runs, and template boilerplate
+    collapse to low CHARACTER diversity even when their token stats
+    look plausible, and char entropy is the cheapest proxy for the
+    compression-ratio filters (zlib-ratio) production pipelines use.
+    Entropy is computed WITHOUT exploding characters: per doc, one
+    higher-order fold over the fixed 37-char alphabet (normalize_text
+    guarantees the range), each count via the length-delta trick
+    len(t) - len(replace(t, ch)) — an entirely MAP-SIDE expression, so
+    the only shuffle in the whole plan is the final language-grain
+    aggregate (at 100 TB: scan + one 5-row-out shuffle; no doc-grain
+    exchange at all). Each -p*ln(p) term is 1e-9 BIGINT-quantized
+    before the per-doc sum (the libm guard: ln is the one
+    implementation-defined call), per-language means quantize to 1e-6,
+    and the low-diversity count compares quantized integers so the
+    threshold can't straddle an ulp."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", normalize_text(F.col("text")).alias("t")
+    )
+    base = d.select("doc_id", "lang", "t", F.length("t").alias("L")).filter(
+        F.col("L") > 0
+    )
+
+    def term(acc, ch):
+        cnt = F.length(F.col("t")) - F.length(
+            F.replace(F.col("t"), ch, F.lit(""))
+        )
+        p = cnt.cast("double") / F.col("L")
+        q = F.floor((-p) * F.log(p) * 1000000000 + F.lit(0.5)).cast("long")
+        return acc + F.when(cnt > 0, q).otherwise(F.lit(0).cast("long"))
+
+    ent = base.select(
+        "lang",
+        F.aggregate(
+            F.array(*[F.lit(c) for c in _CE_ALPHABET]),
+            F.lit(0).cast("long"),
+            term,
+        ).alias("ent_q"),
+    )
+    return (
+        ent.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.floor(
+                    F.sum("ent_q").cast("double") / F.count(F.lit(1)) / 1000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("avg_char_entropy"),
+            (F.min("ent_q") / 1e9).alias("min_char_entropy"),
+            F.sum(
+                F.when(F.col("ent_q") < F.lit(_CE_LOW_Q), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low_entropy"),
+        )
+        .orderBy("lang")
+    )

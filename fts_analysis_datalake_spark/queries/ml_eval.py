@@ -2915,3 +2915,264 @@ def q_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# E335: Elo league ratings — sequential integer rating walk per nation
+# --------------------------------------------------------------------------
+
+_ELO_K = 16
+_ELO_R0 = 1000
+# expected-score table (milli-units) over 25-point buckets of the
+# clamped rating diff d = Ra-Rb in [-400, 400]: the classic integer
+# Elo implementation trick that removes the only transcendental
+# (10^(d/400)) from the update, making the sequential walk EXACT in
+# both engines instead of libm-drift-prone across thousands of steps.
+_ELO_E = [round(1000 / (1 + 10 ** (-(i * 25 - 400) / 400))) for i in range(33)]
+
+
+def _elo_oracle() -> str:
+    tbl = ", ".join(str(v) for v in _ELO_E)
+    ea = (
+        f"([{tbl}])[CAST((GREATEST(LEAST(r.rats[s.ia] - r.rats[s.ib], 400),"
+        f" -400) + 400) // 25 AS INTEGER) + 1]"
+    )
+    return f"""
+    WITH RECURSIVE sup AS MATERIALIZED (
+      SELECT s_suppkey, s_nationkey,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_suppkey) AS idx,
+             COUNT(*) OVER (PARTITION BY s_nationkey) AS np
+      FROM supplier),
+    l2 AS MATERIALIZED (
+      SELECT l_orderkey, l_suppkey,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_suppkey,
+                                         CAST(FLOOR(l_extendedprice * 100
+                                                    + 0.5) AS BIGINT)) AS rn
+      FROM lineitem),
+    ms AS MATERIALIZED (
+      SELECT nat, ia, ib, sa_win,
+             ROW_NUMBER() OVER (PARTITION BY nat
+                                ORDER BY o_orderdate, ok) AS t,
+             COUNT(*) OVER (PARTITION BY nat) AS m
+      FROM (
+        SELECT a.l_orderkey AS ok, sa.s_nationkey AS nat,
+               sa.idx AS ia, sb.idx AS ib,
+               CASE WHEN a.cents > b.cents THEN 1
+                    WHEN a.cents < b.cents THEN 0
+                    WHEN sa.s_suppkey < sb.s_suppkey THEN 1 ELSE 0
+               END AS sa_win
+        FROM l2 a
+        JOIN l2 b ON b.l_orderkey = a.l_orderkey AND b.rn = 2
+        JOIN sup sa ON sa.s_suppkey = a.l_suppkey
+        JOIN sup sb ON sb.s_suppkey = b.l_suppkey
+        WHERE a.rn = 1 AND sa.s_nationkey = sb.s_nationkey
+          AND sa.s_suppkey <> sb.s_suppkey)
+      JOIN orders ON o_orderkey = ok),
+    init AS MATERIALIZED (
+      SELECT s.s_nationkey AS nat, MAX(s.np) AS np,
+             list_transform(generate_series(1, CAST(MAX(s.np) AS INTEGER)),
+                            i -> CAST({_ELO_R0} AS BIGINT)) AS rats,
+             COALESCE(MAX(x.m), 0) AS m
+      FROM sup s LEFT JOIN (SELECT nat, MAX(m) AS m FROM ms GROUP BY 1) x
+        ON x.nat = s.s_nationkey
+      GROUP BY 1),
+    rec(nat, t, m, rats) AS (
+      SELECT nat, CAST(0 AS BIGINT), m, rats FROM init
+      UNION ALL
+      SELECT nat, t + 1, m,
+             list_transform(rats, (v, i) ->
+               CASE WHEN i = ia
+                    THEN v + ((da - ((da % 1000) + 1000) % 1000) // 1000)
+                    WHEN i = ib
+                    THEN v + ((db - ((db % 1000) + 1000) % 1000) // 1000)
+                    ELSE v END)
+      FROM (
+        SELECT r.nat, r.t, r.m, r.rats, s.ia, s.ib,
+               {_ELO_K} * (s.sa_win * 1000 - {ea}) AS da,
+               {_ELO_K} * ((1 - s.sa_win) * 1000 - (1000 - {ea})) AS db
+        FROM rec r JOIN ms s ON s.nat = r.nat AND s.t = r.t + 1)),
+    fin AS MATERIALIZED (
+      SELECT r.nat, r.m, u.rating, u.idx
+      FROM rec r,
+           LATERAL (SELECT unnest(r.rats) AS rating,
+                           unnest(generate_series(1, CAST(len(r.rats) AS INTEGER))) AS idx) u
+      WHERE r.t = r.m),
+    ranked AS (
+      SELECT f.nat, f.m, s.s_suppkey, f.rating,
+             ROW_NUMBER() OVER (PARTITION BY f.nat
+                                ORDER BY f.rating DESC, s.s_suppkey) AS rk,
+             MIN(f.rating) OVER (PARTITION BY f.nat) AS min_rating,
+             COUNT(*) OVER (PARTITION BY f.nat) AS n_players
+      FROM fin f JOIN sup s ON s.s_nationkey = f.nat AND s.idx = f.idx)
+    SELECT CAST(nat AS BIGINT) AS nationkey,
+           CAST(m AS BIGINT) AS n_matches,
+           CAST(n_players AS BIGINT) AS n_players,
+           CAST(s_suppkey AS BIGINT) AS top_suppkey,
+           CAST(rating AS BIGINT) AS top_rating,
+           CAST(min_rating AS BIGINT) AS min_rating
+    FROM ranked WHERE rk = 1 ORDER BY nationkey
+    """
+
+
+@query(
+    "q_elo_league_ratings",
+    oracle=_elo_oracle(),
+    tags=("E335", "E154", "X2", "J6", "W1", "A1"),
+)
+def q_elo_league_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elo ratings from a SEQUENTIAL match walk — the online sibling
+    of Bradley-Terry (E154, a batch MLE over aggregate win counts):
+    Elo processes matches in time order, so a supplier's rating
+    reflects WHEN it won, not just how often — the rating system
+    running evals, matchmaking, and human-preference leaderboards
+    actually use. Matches: each order's first two lineitems pit their
+    suppliers (same nation only — nations are the LEAGUES, which is
+    also the scale story: leagues are independent, so the walk
+    parallelizes per league while staying sequential within one,
+    exactly applyInPandas' grouping contract); winner = higher
+    line price in cents, ties to the lower suppkey. The update is
+    CLASSIC INTEGER Elo: expected score from a 33-entry 25-point
+    bucket table (kills the 10^(d/400) transcendental — the one libm
+    call that would drift across thousands of sequential steps),
+    K=16, milli-unit deltas lowered with an explicit nonneg-mod floor
+    division written identically in the kernel (Python //) and the
+    oracle (the kmeans E289 negative-safe form). The oracle replays
+    the walk as a rating-LIST-carrying WITH RECURSIVE per nation
+    (the E334 list-carry discipline); leagues with no matches emit
+    their roster at the initial 1000. Output: per-nation champion,
+    match count, rating floor."""
+    import pandas as pd
+
+    sup = load_table(spark, sf_dir, "supplier")
+    wn = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    sup_idx = sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.row_number().over(wn).alias("idx"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    # l_linenumber is NOT unique per order in the fixture — break the
+    # row_number tie on full content so both engines pick the same
+    # (and on full ties, an identical) line for each match slot.
+    wl = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+    )
+    l2 = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.row_number().over(wl).alias("rn"),
+    )
+    a = l2.filter(F.col("rn") == 1).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("ka"),
+        F.col("cents").alias("ca"),
+    )
+    b = l2.filter(F.col("rn") == 2).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("kb"),
+        F.col("cents").alias("cb"),
+    )
+    sa = sup_idx.select(
+        F.col("s_suppkey").alias("ka"),
+        F.col("s_nationkey").alias("nat"),
+        F.col("idx").alias("ia"),
+    )
+    sb = sup_idx.select(
+        F.col("s_suppkey").alias("kb"),
+        F.col("s_nationkey").alias("natb"),
+        F.col("idx").alias("ib"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), "o_orderdate"
+    )
+    ms = (
+        a.join(b, "ok")
+        .join(sa, "ka")
+        .join(sb, "kb")
+        .filter((F.col("nat") == F.col("natb")) & (F.col("ka") != F.col("kb")))
+        .join(o, "ok")
+        .select(
+            "nat",
+            "ia",
+            "ib",
+            F.when(F.col("ca") > F.col("cb"), 1)
+            .when(F.col("ca") < F.col("cb"), 0)
+            .when(F.col("ka") < F.col("kb"), 1)
+            .otherwise(0)
+            .alias("sa_win"),
+            "o_orderdate",
+            "ok",
+        )
+    )
+    np_by_nat = sup_idx.groupBy(F.col("s_nationkey").alias("nat")).agg(
+        F.max("idx").alias("np")
+    )
+    ms = ms.join(np_by_nat, "nat")
+    k, r0, etab = _ELO_K, _ELO_R0, list(_ELO_E)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "ok"]).reset_index(drop=True)
+        np_ = int(pdf["np"].iloc[0])
+        rats = [r0] * (np_ + 1)  # 1-indexed
+        for ia, ib, win in zip(pdf["ia"], pdf["ib"], pdf["sa_win"]):
+            ia, ib, win = int(ia), int(ib), int(win)
+            d = max(min(rats[ia] - rats[ib], 400), -400)
+            ea = etab[(d + 400) // 25]
+            rats[ia] += (k * (win * 1000 - ea)) // 1000
+            rats[ib] += (k * ((1 - win) * 1000 - (1000 - ea))) // 1000
+        return pd.DataFrame(
+            {
+                "nat": pdf["nat"].iloc[0],
+                "idx": list(range(1, np_ + 1)),
+                "rating": rats[1:],
+                "n_matches": len(pdf),
+            }
+        )
+
+    ratings = ms.groupBy("nat").applyInPandas(
+        walk, "nat long, idx long, rating long, n_matches long"
+    )
+    joined = sup_idx.join(
+        ratings,
+        (sup_idx["s_nationkey"] == ratings["nat"])
+        & (sup_idx["idx"] == ratings["idx"]),
+        "left",
+    ).select(
+        "s_nationkey",
+        "s_suppkey",
+        F.coalesce(F.col("rating"), F.lit(r0)).alias("rating"),
+        F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+    )
+    wr = Window.partitionBy("s_nationkey").orderBy(
+        F.col("rating").desc(), "s_suppkey"
+    )
+    wp = Window.partitionBy("s_nationkey")
+    return (
+        joined.select(
+            "s_nationkey",
+            "s_suppkey",
+            "rating",
+            "n_matches",
+            F.row_number().over(wr).alias("rk"),
+            F.min("rating").over(wp).alias("min_rating"),
+            F.count(F.lit(1)).over(wp).alias("n_players"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("s_nationkey").cast("bigint").alias("nationkey"),
+            F.col("n_matches").cast("bigint").alias("n_matches"),
+            F.col("n_players").cast("bigint").alias("n_players"),
+            F.col("s_suppkey").cast("bigint").alias("top_suppkey"),
+            F.col("rating").cast("bigint").alias("top_rating"),
+            F.col("min_rating").cast("bigint").alias("min_rating"),
+        )
+        .orderBy("nationkey")
+    )

@@ -773,3 +773,114 @@ def q_proximity_slop_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("avg_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# E332: AMS F2 sketch — second frequency moment with md5-derived signs
+# --------------------------------------------------------------------------
+
+_AMS_K = 16  # independent estimators (mean-of-k variance = 2*F2^2/k)
+
+
+def _ams_sign_sql(i: int, tok: str) -> str:
+    """+1/-1 from the first hex digit of md5('<i>:' || token) — md5 is
+    byte-identical across engines, so the SKETCH VALUES themselves are
+    hash-verifiable, not just the envelope (unlike xxhash64 sketches,
+    which are Spark-internal and rows-only by contract)."""
+    return (
+        f"CASE WHEN substr(md5('{i}:' || {tok}), 1, 1) "
+        f"IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END"
+    )
+
+
+def _ams_oracle() -> str:
+    xs = ", ".join(
+        f"CAST(SUM({_ams_sign_sql(i, 't')} * f) AS BIGINT) AS x{i}"
+        for i in range(_AMS_K)
+    )
+    sq = " + ".join(f"x{i} * x{i}" for i in range(_AMS_K))
+    return f"""
+    WITH tok AS (
+      SELECT unnest({sql_tokens('text')}) AS t FROM documents),
+    cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t),
+    sk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                  CAST(SUM(f) AS BIGINT) AS n_tokens,
+                  CAST(SUM(f * f) AS BIGINT) AS exact_f2,
+                  {xs}
+           FROM cnt)
+    SELECT n_tokens, n_distinct, exact_f2,
+           ({sq}) // {_AMS_K} AS est_f2,
+           abs(({sq}) // {_AMS_K} - exact_f2) * 1000 <= 1415 * exact_f2
+             AS within_4sigma
+    FROM sk
+    """
+
+
+@query(
+    "q_ams_f2_sketch",
+    oracle=_ams_oracle(),
+    tags=("E332", "A4", "F11", "D9", "A2"),
+)
+def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch over
+    the corpus token distribution — the classic tug-of-war estimator
+    behind join-size estimation, self-join sizing and skew detection:
+    F2 = sum of squared token frequencies, estimated as the mean of
+    16 X_i^2 where X_i = sum_j sign_i(token_j) * f_j with 4-wise-ish
+    signs. Signs come from md5 (byte-identical in both engines), so
+    the 16 sketch counters — not just an envelope — are value-checked
+    by the oracle; the 4-sigma bound rides along as a cross-multiplied
+    integer boolean (Var(mean) <= 2*F2^2/k). All-integer end to end.
+    Scale shape: the sketch is ONE aggregate over the token-count
+    table (itself one map-side-combinable groupBy), and each X_i is
+    trivially MERGEABLE across partitions/sources (a sum) — the
+    property that lets 1000 executors sketch 100 TB with no second
+    pass, unlike the exact F2's full frequency table. Beside KMV
+    (E-distinct), CMS (point frequency) and HLL this completes the
+    frequency-moment corner of the sketch family (F0/F1/F2)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("t")
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+
+    def sign(i: int):
+        return (
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("t"))), 1, 1
+                ).isin(*"01234567"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+        )
+
+    sk = cnt.agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("exact_f2"),
+        *[
+            F.sum(sign(i) * F.col("f")).cast("bigint").alias(f"x{i}")
+            for i in range(_AMS_K)
+        ],
+    )
+    sq = None
+    for i in range(_AMS_K):
+        t = F.col(f"x{i}") * F.col(f"x{i}")
+        sq = t if sq is None else sq + t
+    est = F.expr(
+        "("
+        + " + ".join(f"x{i} * x{i}" for i in range(_AMS_K))
+        + f") DIV {_AMS_K}"
+    )
+    return sk.select(
+        "n_tokens",
+        "n_distinct",
+        "exact_f2",
+        est.alias("est_f2"),
+        (
+            F.abs(est - F.col("exact_f2")) * 1000
+            <= F.lit(1415) * F.col("exact_f2")
+        ).alias("within_4sigma"),
+    )

@@ -73,6 +73,10 @@ PYTHON_SURFACE = {
     "q_dtw_band_alignment",  # E327 bounded 20x20 banded DP in one
     # Arrow task (the unit a per-pair grouped map fans out at scale)
     "q_rouge_l_pairs",  # E328 bucketed per-pair LCS DP kernel
+    "q_optimal_changepoints",  # E334 X2 per-series penalized
+    # segmentation DP (F(b) depends on all F(a<b) — no window form)
+    "q_elo_league_ratings",  # E335 X2 per-league sequential rating
+    # walk (each match update depends on both players' running state)
 }
 
 ALL_QUERIES = sorted(REGISTRY)

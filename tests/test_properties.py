@@ -2163,3 +2163,130 @@ def test_self_bleu_matches_python_replay(spark, docs):
         # bleu mean and require exactness elsewhere.
         assert abs(g[1] - bleu) <= 1e-6 + 1e-9, (lang, g[1], bleu)
         assert g[2] == p1 and g[3] == p2 and g[4] == d2, (lang, g, expected[lang])
+
+
+# ---------------------------------------------------------------------------
+# r9 new rows: functional-graph rho brute force, changepoint DP optimum
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(n=st.integers(min_value=1, max_value=40))
+def test_functional_graph_rho_matches_brute_force(spark, n):
+    """q_functional_graph_rho == a brute-force walk: for every node,
+    follow s(v) = (48271 v + 12345) mod n for n steps to land on the
+    cycle, collect each cycle by walking it closed, and aggregate
+    (comp = cycle min, sizes by membership). Exercises the theorem
+    the pointer-doubling form relies on (image of s^N for ANY
+    N >= max tail length is exactly the cyclic set) at a DIFFERENT N
+    than either engine uses, plus n=1 self-loops and power-of-two n."""
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _FG_A,
+        _FG_C,
+        q_functional_graph_rho,
+    )
+
+    def s(v):
+        return (_FG_A * v + _FG_C) % n
+
+    # brute force: cycle node for each v by n-step walk
+    on_cycle_from = {}
+    for v in range(n):
+        w = v
+        for _ in range(n):
+            w = s(w)
+        on_cycle_from[v] = w  # guaranteed on a cycle
+    comp_of_cycle_node = {}
+    for c in set(on_cycle_from.values()):
+        cyc = [c]
+        w = s(c)
+        while w != c:
+            cyc.append(w)
+            w = s(w)
+        m = min(cyc)
+        for x in cyc:
+            comp_of_cycle_node[x] = (m, len(cyc))
+    expected = {}
+    for v in range(n):
+        m, clen = comp_of_cycle_node[on_cycle_from[v]]
+        tot, _ = expected.get(m, (0, clen))
+        expected[m] = (tot + 1, clen)
+    exp_rows = {
+        (m, tot, clen, tot - clen) for m, (tot, clen) in expected.items()
+    }
+
+    rows = [(i * 10,) for i in range(n)]  # sparse keys; ranks are dense
+    d = _tmp_fixture(spark, "orders", rows, "o_orderkey BIGINT")
+    try:
+        got = {
+            (r.comp_id, r.n_nodes, r.cycle_len, r.tree_size)
+            for r in q_functional_graph_rho(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == exp_rows
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=300), min_size=1, max_size=11
+    )
+)
+def test_optimal_changepoints_match_brute_force(spark, xs):
+    """q_optimal_changepoints' total_cost == the brute-force minimum
+    over ALL 2^(n-1) segmentations of sum-of-segment weighted
+    variances + lam per segment, and its (n_segments,
+    last_seg_start) are attained by at least one optimal segmentation
+    — enumeration is independent of both engines' shared DP. Short
+    random series cover constant series (everything ties), single
+    days, and spike patterns where the penalty must arbitrate."""
+    import datetime
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.event_analytics import (
+        _OP_LAM_DIV,
+        q_optimal_changepoints,
+    )
+
+    # one event per day; daily mean cents == value*100 rounded
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=i), 0, "a", v / 100.0, "{}")
+        for i, v in enumerate(xs)
+    ]
+    n = len(xs)
+    s1 = [0] * (n + 1)
+    s2 = [0] * (n + 1)
+    for i, v in enumerate(xs, start=1):
+        s1[i] = s1[i - 1] + v
+        s2[i] = s2[i - 1] + v * v
+    lam = (n * s2[n] - s1[n] * s1[n]) // _OP_LAM_DIV
+
+    def cost(a, b):  # 1-indexed inclusive
+        ln = b - a + 1
+        return ln * (s2[b] - s2[a - 1]) - (s1[b] - s1[a - 1]) ** 2
+
+    best = None  # (total, {(nseg, last_start), ...})
+    for mask in range(1 << (n - 1)):  # bit i set = cut after day i+1
+        starts = [1] + [i + 2 for i in range(n - 1) if mask >> i & 1]
+        tot = 0
+        for a, e in zip(starts, [x - 1 for x in starts[1:]] + [n]):
+            tot += cost(a, e) + lam
+        key = (len(starts), starts[-1])
+        if best is None or tot < best[0]:
+            best = (tot, {key})
+        elif tot == best[0]:
+            best[1].add(key)
+
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        [r] = q_optimal_changepoints(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert r.n_days == n
+    assert r.lam == lam
+    assert r.total_cost == best[0], (r.total_cost, best[0])
+    assert (r.n_segments, r.last_seg_start) in best[1]
