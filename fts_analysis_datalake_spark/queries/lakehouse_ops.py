@@ -1287,3 +1287,91 @@ def q_fd_discovery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("candidate")
+
+
+# --------------------------------------------------------------------------
+# E338: inclusion-dependency discovery — FK inference across the schema
+# --------------------------------------------------------------------------
+
+# candidate directed INDs: (name, lhs_table, lhs_col, rhs_table, rhs_col).
+# The panel mixes true FKs, reverse directions (hold only if the child
+# side covers the parent), and a cross-domain pair expected to fail —
+# so the verdict column is informative, not vacuously TRUE.
+_IND_PANEL = [
+    ("lineitem.l_orderkey<orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey<part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey<supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey<customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey<nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey<nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey<region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_orderkey<lineitem.l_orderkey", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part.p_partkey<lineitem.l_partkey", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("events.user_id<customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _ind_oracle() -> str:
+    parts = []
+    for name, lt, lc, rt, rc in _IND_PANEL:
+        parts.append(f"""
+    SELECT '{name}' AS ind,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_distinct,
+           CAST(SUM(CASE WHEN r.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           SUM(CASE WHEN r.v IS NULL THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT DISTINCT CAST({lc} AS BIGINT) AS v FROM {lt}) l
+    LEFT JOIN (SELECT DISTINCT CAST({rc} AS BIGINT) AS v FROM {rt}) r
+      USING (v)""")
+    return " UNION ALL ".join(parts) + " ORDER BY ind"
+
+
+@query(
+    "q_inclusion_dependencies",
+    oracle=_ind_oracle(),
+    tags=("E338", "E307", "J4", "A3", "U1"),
+)
+def q_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (IND) discovery over a fixed candidate
+    panel — the cross-TABLE profiling primitive that pairs with
+    within-table functional-dependency mining (E307): LHS ⊆ RHS on
+    the distinct value sets is exactly "LHS is a foreign key
+    candidate into RHS", the inference schema-matching and
+    data-quality tools run before anyone declares constraints. The
+    panel mixes the true FK edges, their REVERSES (orders⊆lineitem
+    holds only if every order has at least one line; part⊆lineitem
+    fails when parts go unsold), and a cross-domain pair
+    (events.user_id vs c_custkey) expected to fail — each verdict
+    row carries the distinct count and the violation count, not just
+    a boolean. Per pair: DISTINCT on each side then a left join
+    counting misses — map-side-combinable distincts and an
+    equi-join per pair; at 100 TB the RHS distinct of a dimension
+    key broadcasts, and Spark's exchange reuse shares repeated
+    distincts (lineitem appears in four pairs). Unary INDs over a
+    FIXED panel — the n² column-pair search space is the caller's
+    loop, not the operator's."""
+    out = None
+    for name, lt, lc, rt, rc in _IND_PANEL:
+        lhs = (
+            load_table(spark, sf_dir, lt)
+            .select(F.col(lc).cast("bigint").alias("v"))
+            .distinct()
+        )
+        rhs = (
+            load_table(spark, sf_dir, rt)
+            .select(F.col(rc).cast("bigint").alias("v"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        one = lhs.join(rhs, "v", "left").agg(
+            F.lit(name).alias("ind"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_distinct"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+            (
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)) == 0
+            ).alias("holds"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("ind")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.operators.graphs import connected_components_star
 from fts_analysis_datalake_spark.operators.text import (
@@ -1048,4 +1049,162 @@ def q_max_drawdown_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_peak") / 100.0).alias("peak_balance"),
         )
         .orderBy("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# E337: RANSAC consensus line fit — all-integer, cross-multiplied inliers
+# --------------------------------------------------------------------------
+
+_RS_TRIALS = 64
+_RS_TOL = 500_000  # inlier band: |residual| <= $5000 in cents
+
+
+def _rs_oracle() -> str:
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+             md5(concat_ws('|', l_orderkey, l_linenumber, l_suppkey,
+                           l_partkey,
+                           CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                AS BIGINT))) AS h
+      FROM lineitem),
+    samp AS MATERIALIZED (
+      SELECT x, y, ROW_NUMBER() OVER (ORDER BY h, x, y) AS r
+      FROM (SELECT * FROM pts ORDER BY h, x, y LIMIT {2 * _RS_TRIALS})),
+    lines AS MATERIALIZED (
+      SELECT a.r AS t, a.x AS x1, a.y AS y1,
+             b.x - a.x AS dx, b.y - a.y AS dy
+      FROM samp a JOIN samp b ON b.r = a.r + {_RS_TRIALS}
+      WHERE b.x <> a.x),
+    scored AS (
+      SELECT l.t, l.x1, l.y1, l.dx, l.dy,
+             CAST(SUM(CASE WHEN abs((p.y - l.y1) * l.dx
+                                    - (p.x - l.x1) * l.dy)
+                                <= {_RS_TOL} * abs(l.dx)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers,
+             CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM lines l, pts p GROUP BY 1, 2, 3, 4, 5),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_inliers DESC, t) AS rk
+      FROM scored)
+    SELECT CAST(t AS BIGINT) AS trial, n_points, n_inliers,
+           CAST(FLOOR(CAST(n_inliers AS DOUBLE) / n_points * 1000000 + 0.5)
+                AS BIGINT) / 1e6 AS inlier_frac,
+           CAST(dy AS BIGINT) AS slope_num, CAST(dx AS BIGINT) AS slope_den,
+           CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1
+    FROM best WHERE rk = 1
+    """
+
+
+@query(
+    "q_ransac_price_line",
+    oracle=_rs_oracle(),
+    tags=("E337", "E129", "E226", "J10", "A1", "O3"),
+)
+def q_ransac_price_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC consensus line fit of price-vs-quantity — the
+    CONSENSUS-based robust regression beside the reweighting family
+    (Huber IRLS E129, Theil-Sen E226): propose a line from a minimal
+    2-point sample, count inliers inside a fixed residual band, keep
+    the proposal the most data AGREES with — immune to any outlier
+    mass that stays under 50%, where IRLS can still be dragged. Fully
+    INTEGER: the inlier test cross-multiplies
+    |(y-y1)*dx - (x-x1)*dy| <= tol*|dx| (no slope division ever), so
+    both engines agree bit-for-bit; the best trial ties to the lowest
+    trial id, and the fit is reported as an integer RATIONAL slope
+    (dy, dx). Determinized sampling with no RNG and no global sort:
+    the 128 sample points are the smallest md5(row-content) rows —
+    a TakeOrderedAndProject top-k in Spark (no full sort
+    materializes), content-derived so it scales with the corpus —
+    paired 1st-with-65th etc; vertical pairs (dx=0) are excluded
+    identically in both engines. Scale shape: the 64 candidate lines
+    BROADCAST onto one scan of the points (64 integer ops per row,
+    map-side), one 64-row aggregate — RANSAC's data pass is
+    embarrassingly parallel, which is why it survives 100 TB while
+    leverage-based fits need the full design matrix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        cents.alias("y"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                "l_orderkey",
+                "l_linenumber",
+                "l_suppkey",
+                "l_partkey",
+                cents,
+            )
+        ).alias("h"),
+    )
+    pts = tracked_persist(pts)
+    samp = (
+        pts.orderBy("h", "x", "y")
+        .limit(2 * _RS_TRIALS)
+        .select(
+            "x",
+            "y",
+            F.row_number()
+            .over(Window.orderBy("h", "x", "y"))
+            .alias("r"),
+        )
+    )
+    a = samp.select(
+        F.col("r").alias("t"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = samp.select(
+        (F.col("r") - _RS_TRIALS).alias("t"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    lines = (
+        a.join(b, "t")
+        .filter(F.col("x2") != F.col("x1"))
+        .select(
+            "t",
+            "x1",
+            "y1",
+            (F.col("x2") - F.col("x1")).alias("dx"),
+            (F.col("y2") - F.col("y1")).alias("dy"),
+        )
+    )
+    resid = F.abs(
+        (F.col("y") - F.col("y1")) * F.col("dx")
+        - (F.col("x") - F.col("x1")) * F.col("dy")
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(lines))
+        .groupBy("t", "x1", "y1", "dx", "dy")
+        .agg(
+            F.sum(
+                F.when(resid <= F.lit(_RS_TOL) * F.abs(F.col("dx")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_inliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        )
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("n_inliers").desc(), "t")),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("t").cast("bigint").alias("trial"),
+        "n_points",
+        "n_inliers",
+        (
+            F.floor(
+                F.col("n_inliers").cast("double") / F.col("n_points") * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("inlier_frac"),
+        F.col("dy").cast("bigint").alias("slope_num"),
+        F.col("dx").cast("bigint").alias("slope_den"),
+        F.col("x1").cast("bigint").alias("x1"),
+        F.col("y1").cast("bigint").alias("y1"),
     )
