@@ -1719,3 +1719,138 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# E339: Huffman code audit — optimal prefix-code cost of the token dist
+# --------------------------------------------------------------------------
+
+_HUF_TOPK = 4096  # symbols beyond the top-K collapse into one escape symbol
+
+
+def _huf_oracle() -> str:
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT unnest({sql_tokens('text')}) AS t FROM documents),
+    cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t),
+    top AS (SELECT t, f FROM cnt ORDER BY f DESC, t LIMIT {_HUF_TOPK}),
+    tail AS (
+      SELECT (SELECT COALESCE(SUM(f), 0) FROM cnt)
+             - (SELECT COALESCE(SUM(f), 0) FROM top) AS tf),
+    syms AS (
+      SELECT f FROM top
+      UNION ALL SELECT tf FROM tail WHERE tf > 0),
+    base AS (
+      SELECT list(f ORDER BY f) AS fs,
+             CAST(SUM(f) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(CAST(FLOOR(f * log2(CAST((SELECT SUM(f) FROM syms)
+                                               AS DOUBLE) / f)
+                                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS ent_q
+      FROM syms),
+    rec(fs, bits) AS (
+      SELECT fs, CAST(0 AS BIGINT) FROM base
+      UNION ALL
+      SELECT list_sort(list_append(fs[3:], fs[1] + fs[2])),
+             bits + fs[1] + fs[2]
+      FROM rec WHERE len(fs) > 1)
+    SELECT b.v AS n_symbols, b.n AS total_tokens,
+           (SELECT bits FROM rec WHERE len(fs) = 1) AS huffman_bits,
+           b.ent_q / 1e6 AS entropy_bits,
+           CAST(CEIL(log2(CAST(b.v AS DOUBLE))) AS BIGINT) * b.n
+             AS fixed_bits,
+           CAST(FLOOR(CAST((SELECT bits FROM rec WHERE len(fs) = 1)
+                           AS DOUBLE) / b.n * 1000000 + 0.5) AS BIGINT)
+             / 1e6 AS bits_per_token
+    FROM base b
+    """
+
+
+@query(
+    "q_huffman_code_audit",
+    oracle=_huf_oracle(),
+    tags=("E339", "E294", "E309", "D9", "A1"),
+)
+def q_huffman_code_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal prefix-code (Huffman) cost of the corpus token
+    distribution — the compression-efficiency audit beside BPE
+    training (E294: merges grow the vocab; this prices a FIXED vocab)
+    and the Gorilla storage audit (E309): huffman_bits is the exact
+    integer-coded floor any entropy coder can reach with whole-bit
+    codes, bracketed by the Shannon bound below and fixed-length
+    coding above — the bits-per-token headline tokenizer and storage
+    teams compare. Symbols = the top-4096 tokens by frequency plus
+    ONE escape symbol carrying the tail mass (the real-coder pattern
+    that also bounds the kernel state by a constant at any corpus
+    size — no count gate needed). The Huffman total is computed by
+    the classic two-smallest merge; the TOTAL cost is invariant
+    across optimal tie-breaks (all Huffman trees are optimal), so
+    only tie-invariant aggregates are emitted. The oracle replays
+    the merge as a sorted-LIST-carrying WITH RECURSIVE (E334
+    discipline); Spark runs the identical integer heap in ONE bounded
+    Arrow task over the <= 4097-row symbol frame. Scale shape: one
+    map-side-combinable token count, one TakeOrdered top-K, one
+    constant-size kernel; entropy terms are per-symbol
+    1e-6-quantized before the exact BIGINT sum (log2 libm guard)."""
+    import heapq
+
+    import pandas as pd
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select(
+            F.explode(tokens(normalize_text(F.col("text")))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    cnt = tracked_persist(cnt)
+    top = cnt.orderBy(F.col("f").desc(), "t").limit(_HUF_TOPK).select("f")
+    totals = cnt.agg(F.sum("f").cast("bigint").alias("all_f"))
+    tail = (
+        top.agg(F.sum("f").cast("bigint").alias("top_f"))
+        .crossJoin(F.broadcast(totals))
+        .select((F.col("all_f") - F.col("top_f")).alias("f"))
+        .filter(F.col("f") > 0)
+    )
+    syms = top.unionAll(tail)
+
+    def huff(batches):
+        fs = []
+        for pdf in batches:
+            fs.extend(int(x) for x in pdf["f"])
+        if not fs:
+            return
+        import math
+
+        n = sum(fs)
+        v = len(fs)
+        ent_q = sum(
+            math.floor(f * math.log2(n / f) * 1000000 + 0.5) for f in fs
+        )
+        heapq.heapify(fs)
+        bits = 0
+        while len(fs) > 1:
+            a = heapq.heappop(fs)
+            b = heapq.heappop(fs)
+            bits += a + b
+            heapq.heappush(fs, a + b)
+        yield pd.DataFrame(
+            {
+                "n_symbols": [v],
+                "total_tokens": [n],
+                "huffman_bits": [bits],
+                "entropy_bits": [ent_q / 1e6],
+                "fixed_bits": [math.ceil(math.log2(v)) * n],
+                "bits_per_token": [
+                    math.floor(bits / n * 1000000 + 0.5) / 1e6
+                ],
+            }
+        )
+
+    return syms.repartition(1).mapInPandas(
+        huff,
+        "n_symbols bigint, total_tokens bigint, huffman_bits bigint, "
+        "entropy_bits double, fixed_bits bigint, bits_per_token double",
+    )

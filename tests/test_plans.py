@@ -77,6 +77,8 @@ PYTHON_SURFACE = {
     # segmentation DP (F(b) depends on all F(a<b) — no window form)
     "q_elo_league_ratings",  # E335 X2 per-league sequential rating
     # walk (each match update depends on both players' running state)
+    "q_huffman_code_audit",  # E339 bounded <=4097-symbol heap merge
+    # in one Arrow task (sequential two-smallest merges)
 }
 
 ALL_QUERIES = sorted(REGISTRY)
