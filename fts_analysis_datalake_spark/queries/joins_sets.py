@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark import probe
+from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import load_table
 from fts_analysis_datalake_spark.registry import query
 
@@ -1844,4 +1845,215 @@ def q_functional_graph_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tree_size",
         )
         .orderBy("comp_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# E340: betweenness centrality — integer Brandes on the co-purchase backbone
+# --------------------------------------------------------------------------
+
+_BC_SEED_MOD = 17  # seed panel: every 17th supplier node
+_BC_Q = 1_000_000  # dependency quantization (1e-6 units)
+_BC_SIG_CAP = 10_000_000  # loud guard: path counts must fit the Q arithmetic
+
+
+def _bc_oracle() -> str:
+    q, cap = _BC_Q, _BC_SIG_CAP
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY u, v),
+    nn AS (SELECT COUNT(DISTINCT x) AS n FROM
+             (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)),
+    edges0 AS MATERIALIZED (
+      SELECT u, v FROM pairs ORDER BY w DESC, u, v
+      LIMIT (SELECT 4 * n FROM nn)),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+    seeds AS MATERIALIZED (
+      SELECT DISTINCT u AS s FROM sym WHERE u % {_BC_SEED_MOD} = 1),
+    l0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT) AS sig FROM seeds),
+    l1 AS MATERIALIZED (
+      SELECT l0.s, e.v, CAST(SUM(l0.sig) AS BIGINT) AS sig
+      FROM l0 JOIN sym e ON e.u = l0.v WHERE e.v <> l0.s GROUP BY 1, 2),
+    l2 AS MATERIALIZED (
+      SELECT l1.s, e.v, CAST(SUM(l1.sig) AS BIGINT) AS sig
+      FROM l1 JOIN sym e ON e.u = l1.v
+      LEFT JOIN l0 p0 ON p0.s = l1.s AND p0.v = e.v
+      LEFT JOIN l1 p1 ON p1.s = l1.s AND p1.v = e.v
+      WHERE p0.v IS NULL AND p1.v IS NULL GROUP BY 1, 2),
+    l3 AS MATERIALIZED (
+      SELECT s, v,
+             CASE WHEN sig <= {cap} THEN sig
+                  ELSE CAST(error('betweenness: sigma exceeds Q cap')
+                            AS BIGINT) END AS sig
+      FROM (
+        SELECT l2.s, e.v, CAST(SUM(l2.sig) AS BIGINT) AS sig
+        FROM l2 JOIN sym e ON e.u = l2.v
+        LEFT JOIN l0 p0 ON p0.s = l2.s AND p0.v = e.v
+        LEFT JOIN l1 p1 ON p1.s = l2.s AND p1.v = e.v
+        LEFT JOIN l2 p2 ON p2.s = l2.s AND p2.v = e.v
+        WHERE p0.v IS NULL AND p1.v IS NULL AND p2.v IS NULL
+        GROUP BY 1, 2)),
+    d2 AS MATERIALIZED (
+      SELECT l2.s, l2.v,
+             CAST(COALESCE(SUM(l2.sig * {q} // l3.sig), 0) AS BIGINT) AS dq
+      FROM l2
+      LEFT JOIN sym e ON e.u = l2.v
+      LEFT JOIN l3 ON l3.s = l2.s AND l3.v = e.v
+      GROUP BY 1, 2),
+    d1 AS MATERIALIZED (
+      SELECT l1.s, l1.v,
+             CAST(COALESCE(SUM(l1.sig * ({q} + d2.dq) // l2.sig), 0)
+                  AS BIGINT) AS dq
+      FROM l1
+      LEFT JOIN sym e ON e.u = l1.v
+      LEFT JOIN l2 ON l2.s = l1.s AND l2.v = e.v
+      LEFT JOIN d2 ON d2.s = l2.s AND d2.v = l2.v
+      GROUP BY 1, 2),
+    btw AS (
+      SELECT v AS node, CAST(SUM(dq) AS BIGINT) AS bq,
+             CAST(COUNT(CASE WHEN dq > 0 THEN 1 END) AS BIGINT) AS ns
+      FROM (SELECT s, v, dq FROM d1 UNION ALL SELECT s, v, dq FROM d2)
+      GROUP BY v)
+    SELECT CAST(node AS BIGINT) AS node, bq / 1e6 AS betweenness,
+           ns AS n_seed_contribs
+    FROM btw ORDER BY bq DESC, node LIMIT 20
+    """
+
+
+@query(
+    "q_betweenness_centrality",
+    oracle=_bc_oracle(),
+    tags=("E340", "E316", "E124", "J11", "A1", "O3"),
+)
+def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality (Brandes) from a seed panel over the
+    co-purchase BACKBONE — the broker/bottleneck metric the centrality
+    family lacked (harmonic E316 measures reach; betweenness measures
+    who sits ON other nodes' shortest paths — the cut vertex a supply
+    chain should worry about). Bounded-hop Brandes (<= 3), the
+    standard panel approximation: a forward multi-source BFS builds
+    per-level shortest-PATH COUNTS sigma (exact integers — level sums
+    over the BFS DAG, prior levels excluded by anti-joins), then the
+    backward dependency pass accumulates
+    delta(v) = sum over successors w of sigma_v*(Q + delta_w)/sigma_w
+    as an ALL-INTEGER floor division in 1e-6 units (the rational is
+    floored identically in both engines; a LOUD guard raises if sigma
+    outgrows the cap). The graph is the top-4n strongest co-purchase
+    pairs (n = node count), so the edge list is degree-bounded and
+    content-derived at every SF — the blocking-key rule applied to
+    graphs; the fixture's raw >=5-count filter yields a COMPLETE
+    graph at sf0.01 where betweenness degenerates to zero. Scale
+    shape: per level one frontier-edge join + one (seed, node)
+    aggregate (the E316 two-shuffle contract), backward two more
+    joins; seeds merge (adding seeds only adds delta terms). Top-20
+    brokers reported."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pairs = tracked_persist(pairs)
+    n_nodes = (
+        pairs.select(F.col("u").alias("x"))
+        .unionAll(pairs.select(F.col("v").alias("x")))
+        .distinct()
+        .count()
+    )
+    edges0 = (
+        pairs.orderBy(F.col("w").desc(), "u", "v")
+        .limit(4 * n_nodes)
+        .select("u", "v")
+    )
+    sym = tracked_persist(
+        edges0.unionAll(edges0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    seeds = (
+        sym.select("u")
+        .distinct()
+        .filter(F.col("u") % _BC_SEED_MOD == 1)
+        .select(F.col("u").alias("s"))
+    )
+    l0 = seeds.select("s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sig"))
+
+    def expand(prev: DataFrame, *earlier: DataFrame) -> DataFrame:
+        e = sym.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+        cand = (
+            prev.join(e, e["eu"] == prev["v"])
+            .select("s", F.col("ev").alias("nv"), "sig")
+            .groupBy("s", F.col("nv").alias("v"))
+            .agg(F.sum("sig").cast("long").alias("sig"))
+        )
+        for e in earlier:
+            cand = cand.join(e.select("s", "v"), ["s", "v"], "left_anti")
+        return cand
+
+    l1 = tracked_persist(expand(l0, l0))
+    l2 = tracked_persist(expand(l1, l0, l1))
+    l3 = tracked_persist(
+        expand(l2, l0, l1, l2).select(
+            "s",
+            "v",
+            F.when(F.col("sig") <= _BC_SIG_CAP, F.col("sig"))
+            .otherwise(
+                F.raise_error(
+                    F.lit("betweenness: sigma exceeds Q cap")
+                ).cast("long")
+            )
+            .alias("sig"),
+        )
+    )
+
+    def backward(level: DataFrame, nxt: DataFrame) -> DataFrame:
+        """delta for `level` given the next level's (s, v, sig, dq)."""
+        e = sym.select(F.col("u").alias("ev"), F.col("v").alias("ew"))
+        nx = nxt.select(
+            "s",
+            F.col("v").alias("ew"),
+            F.col("sig").alias("nsig"),
+            F.col("dq").alias("ndq"),
+        )
+        j = (
+            level.join(e, level["v"] == e["ev"], "left")
+            .join(nx, ["s", "ew"], "left")
+            .withColumn(
+                "term",
+                F.expr(f"sig * ({_BC_Q} + ndq) DIV nsig"),
+            )
+        )
+        return j.groupBy("s", "v").agg(
+            F.coalesce(F.sum("term"), F.lit(0)).cast("long").alias("dq"),
+            F.first("sig").alias("sig"),
+        )
+
+    d2 = tracked_persist(
+        backward(l2, l3.withColumn("dq", F.lit(0).cast("long")))
+    )
+    d1 = backward(l1, d2)
+    btw = (
+        d1.select("s", "v", "dq")
+        .unionAll(d2.select("s", "v", "dq"))
+        .groupBy(F.col("v").alias("node"))
+        .agg(
+            F.sum("dq").cast("bigint").alias("bq"),
+            F.count(F.when(F.col("dq") > 0, 1)).cast("bigint").alias(
+                "n_seed_contribs"
+            ),
+        )
+    )
+    return (
+        btw.orderBy(F.col("bq").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            (F.col("bq") / 1e6).alias("betweenness"),
+            "n_seed_contribs",
+        )
     )

@@ -2290,3 +2290,94 @@ def test_optimal_changepoints_match_brute_force(spark, xs):
     assert r.lam == lam
     assert r.total_cost == best[0], (r.total_cost, best[0])
     assert (r.n_segments, r.last_seg_start) in best[1]
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_betweenness_matches_python_replay(spark, edges):
+    """q_betweenness_centrality == an independent Python replay of the
+    full spec on random small graphs: backbone = top-4n co-count
+    pairs (ties (count desc, u, v)), 3-hop BFS levels with exact
+    path counts, floor-divided 1e-6 dependency accumulation, top-20
+    by (betweenness desc, node). Covers multi-edges (co-counts > 1),
+    self-pair-free orders, disconnected nodes, and seeds with no
+    2-hop neighborhood."""
+    import shutil
+    from collections import Counter, defaultdict
+
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _BC_Q,
+        _BC_SEED_MOD,
+        q_betweenness_centrality,
+    )
+
+    edges = [(u, v) for u, v in edges if u != v]
+    if not edges:
+        return
+    rows = []
+    for ok, (u, v) in enumerate(edges):
+        rows.append((ok, u))
+        rows.append((ok, v))
+
+    cnt = Counter((min(u, v), max(u, v)) for u, v in edges)
+    nodes = {x for e in cnt for x in e}
+    n = len(nodes)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: 4 * n]
+    adj = defaultdict(set)
+    for (u, v), _ in top:
+        adj[u].add(v)
+        adj[v].add(u)
+    sym_nodes = sorted(adj)
+    seeds = [s for s in sym_nodes if s % _BC_SEED_MOD == 1]
+    bq: dict = defaultdict(int)
+    contrib: dict = defaultdict(int)
+    for s in seeds:
+        levels = [{s: 1}]
+        seen = {s}
+        for _ in range(3):
+            nxt: dict = defaultdict(int)
+            for v, sig in levels[-1].items():
+                for w in adj[v]:
+                    if w not in seen:
+                        nxt[w] += sig
+            seen |= set(nxt)
+            levels.append(dict(nxt))
+        # backward: delta over levels 2 then 1 (level 3 contributes 0)
+        dq = [dict() for _ in range(4)]
+        for lv in (2, 1):
+            for v, sig in levels[lv].items():
+                t = 0
+                for w in adj[v]:
+                    if w in levels[lv + 1]:
+                        nd = dq[lv + 1].get(w, 0)
+                        t += sig * (_BC_Q + nd) // levels[lv + 1][w]
+                dq[lv][v] = t
+        for lv in (1, 2):
+            for v, d in dq[lv].items():
+                bq[v] += d
+                if d > 0:
+                    contrib[v] += 1
+    agg = sorted(
+        ((v, bq[v], contrib.get(v, 0)) for v in bq),
+        key=lambda r: (-r[1], r[0]),
+    )[:20]
+    expected = [(v, b / 1e6, c) for v, b, c in agg]
+
+    d = _tmp_fixture(spark, "lineitem", rows, "l_orderkey BIGINT, l_suppkey BIGINT")
+    try:
+        got = [
+            (r.node, r.betweenness, r.n_seed_contribs)
+            for r in q_betweenness_centrality(spark, d).collect()
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected, (got, expected)
