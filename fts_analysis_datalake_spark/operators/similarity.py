@@ -616,7 +616,15 @@ def semantic_dedup_pairs(
     ``centroids`` takes kmeans_train output; default is the seeded
     deterministic stand-in (same contract as ivf_topk). Row norms are
     computed once per vector before the self-join, so each candidate
-    pair costs one dot-product fold."""
+    pair costs one dot-product fold.
+
+    NOT LAZY: construction runs one eager Spark job (a ``.first()``
+    on the cluster-size aggregate over the persisted assignment) to
+    read the pair workload that floors the block join's partition
+    count (catalog.ensure_shuffle_parallelism; the r8 32x spill
+    knee). Deliberate house style — the same count-gated-finisher
+    discipline every graph/ML kernel uses — but callers that only
+    build or EXPLAIN the plan pay that probe job up front."""
     cents = (
         centroids
         if centroids is not None

@@ -3170,9 +3170,9 @@ _SAX_W = 4  # days per PAA window (complete windows only)
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
       FROM daily),
     paa AS MATERIALIZED (
-      SELECT event_type, (rn - 1) // 4 AS win,
+      SELECT event_type, (rn - 1) // {_SAX_W} AS win,
              SUM(cents) AS pv
-      FROM seq GROUP BY 1, 2 HAVING COUNT(*) = 4),
+      FROM seq GROUP BY 1, 2 HAVING COUNT(*) = {_SAX_W}),
     pos AS (
       SELECT event_type, win, pv,
              ROW_NUMBER() OVER (PARTITION BY event_type
@@ -3655,17 +3655,17 @@ _MP_W = 5  # subsequence length (days); also the trivial-match exclusion
     els AS MATERIALIZED (
       SELECT s.event_type, s.rn - o.p AS i, o.p, s.cents
       FROM seq s
-      JOIN (SELECT unnest(generate_series(0, 4)) AS p) o ON TRUE
+      JOIN (SELECT unnest(generate_series(0, {_MP_W - 1})) AS p) o ON TRUE
       WHERE s.rn - o.p >= 1),
     lim AS (
-      SELECT event_type, MAX(rn) - 4 AS n_sub FROM seq GROUP BY 1),
+      SELECT event_type, MAX(rn) - {_MP_W - 1} AS n_sub FROM seq GROUP BY 1),
     pairs AS MATERIALIZED (
       SELECT e1.event_type, e1.i AS i, e2.i AS j,
              SUM(abs(e1.cents - e2.cents)) AS dist
       FROM els e1
       JOIN els e2 ON e2.event_type = e1.event_type AND e2.p = e1.p
       JOIN lim ON lim.event_type = e1.event_type
-      WHERE abs(e1.i - e2.i) >= 5
+      WHERE abs(e1.i - e2.i) >= {_MP_W}
         AND e1.i <= lim.n_sub AND e2.i <= lim.n_sub
         AND CASE WHEN lim.n_sub < 1000 THEN TRUE
                  ELSE error('matrix-profile: n_sub exceeds encoding bound')

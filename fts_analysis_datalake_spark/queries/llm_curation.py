@@ -2062,7 +2062,11 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("n_chars") / 100).cast("bigint").alias("len_b"),
         F.coalesce(
-            F.element_at(tokens(normalize_text(F.col("text"))), 1),
+            # try_element_at: ANSI element_at(arr, 1) RAISES on an empty
+            # array (punctuation-only doc -> zero tokens), so the
+            # coalesce branch would never fire; try_ yields NULL -> ''
+            # exactly like the oracle's DuckDB [1] indexing (ADVICE r9).
+            F.try_element_at(tokens(normalize_text(F.col("text"))), F.lit(1)),
             F.lit(""),
         ).alias("sens"),
     )

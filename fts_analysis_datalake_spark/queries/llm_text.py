@@ -1748,7 +1748,11 @@ def _huf_oracle() -> str:
                                                AS DOUBLE) / f)
                                  * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
                AS ent_q
-      FROM syms),
+      -- HAVING without GROUP BY: an empty corpus yields ZERO rows
+      -- (matching the Spark kernel, which emits nothing when the
+      -- symbol frame is empty) instead of one NULL-list row with an
+      -- ill-defined CEIL(log2(0)) (ADVICE r9).
+      FROM syms HAVING COUNT(*) > 0),
     rec(fs, bits) AS (
       SELECT fs, CAST(0 AS BIGINT) FROM base
       UNION ALL

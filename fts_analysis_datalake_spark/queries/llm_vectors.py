@@ -1601,7 +1601,7 @@ _MAT_K = 10  # retrieval depth audited
     oracle=f"""
     WITH qs AS (
       SELECT vec_id AS q_id, embedding AS qv
-      FROM embeddings WHERE vec_id % 53 = 1 AND vec_id < 2000),
+      FROM embeddings WHERE vec_id % {_MAT_STRIDE} = 1 AND vec_id < {_MAT_CAP}),
     ranked AS (
       SELECT qs.q_id, e.vec_id,
              ROW_NUMBER() OVER (

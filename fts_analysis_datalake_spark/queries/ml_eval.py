@@ -285,7 +285,7 @@ _PANEL_CAP = 2000
     oracle=f"""
     WITH qset AS (
       SELECT vec_id AS qid, label AS qlabel, embedding AS qv
-      FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
+      FROM embeddings WHERE vec_id % {_HN_MOD} = 0 AND vec_id < {_PANEL_CAP}),
     scored AS (
       SELECT qid, e.vec_id AS neg_id, e.label AS neg_label,
              {sql_cosine('e.embedding', 'qv')} AS cos_sim,
@@ -294,7 +294,7 @@ _PANEL_CAP = 2000
                                          e.vec_id) AS rn
       FROM embeddings e JOIN qset ON e.label <> qset.qlabel)
     SELECT qid, neg_id, neg_label, cos_sim, CAST(rn AS BIGINT) AS rn
-    FROM scored WHERE rn <= 3
+    FROM scored WHERE rn <= {_HN_K}
     """,
     tags=("E138", "D6", "O3", "W1", "F8"),
 )
@@ -412,17 +412,17 @@ _KNN_MOD = 97
     oracle=f"""
     WITH test AS (
       SELECT vec_id AS tid, embedding AS tv
-      FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 2000),
+      FROM embeddings WHERE vec_id % {_KNN_MOD} = 0 AND vec_id < {_PANEL_CAP}),
     nn AS (
       SELECT tid, e.label,
              row_number() OVER (PARTITION BY tid
                                 ORDER BY {sql_cosine('e.embedding', 'tv')} DESC,
                                          e.vec_id) AS rn
       FROM embeddings e JOIN test
-        ON NOT (e.vec_id % 97 = 0 AND e.vec_id < 2000)),
+        ON NOT (e.vec_id % {_KNN_MOD} = 0 AND e.vec_id < {_PANEL_CAP})),
     votes AS (
       SELECT tid, label, COUNT(*) AS votes
-      FROM nn WHERE rn <= 5 GROUP BY tid, label),
+      FROM nn WHERE rn <= {_KNN_K} GROUP BY tid, label),
     best AS (
       SELECT tid, label, votes,
              row_number() OVER (PARTITION BY tid

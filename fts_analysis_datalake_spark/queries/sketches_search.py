@@ -865,10 +865,6 @@ def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_AMS_K)
         ],
     )
-    sq = None
-    for i in range(_AMS_K):
-        t = F.col(f"x{i}") * F.col(f"x{i}")
-        sq = t if sq is None else sq + t
     est = F.expr(
         "("
         + " + ".join(f"x{i} * x{i}" for i in range(_AMS_K))

@@ -2381,3 +2381,78 @@ def test_betweenness_matches_python_replay(spark, edges):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expected, (got, expected)
+
+
+# --------------------------------------------------------------------------
+# ADVICE r9 edge contracts: ANSI-safe empty-token docs (l-diversity) and
+# empty-corpus agreement (Huffman) — engine and oracle must agree on
+# inputs the sf fixtures happen never to contain.
+# --------------------------------------------------------------------------
+
+_DOCS_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def test_l_diversity_survives_punct_only_doc(spark):
+    """A punctuation-only doc normalizes to zero tokens; ANSI
+    element_at(arr, 1) would RAISE, try_element_at yields NULL -> ''
+    — exactly DuckDB's ([])[1]. Parity must hold WITH such a doc in
+    the corpus (ADVICE r9, llm_curation q_l_diversity_audit)."""
+    import shutil
+
+    import duckdb
+
+    from fts_analysis_datalake_spark.queries.llm_curation import (
+        q_l_diversity_audit,
+    )
+    from fts_analysis_datalake_spark.registry import REGISTRY
+
+    from conftest import assert_parity
+
+    rows = [
+        (1, "alpha beta gamma", "en", "web", 16),
+        (2, "!!! ... ???", "en", "web", 11),  # zero tokens after normalize
+        (3, "", "en", "web", 0),  # empty text
+        (4, "alpha beta", "fr", "book", 10),
+        (5, "delta", "en", "web", 5),
+    ]
+    d = _tmp_fixture(spark, "documents", rows, _DOCS_SCHEMA)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        assert_parity(
+            q_l_diversity_audit(spark, d),
+            con,
+            REGISTRY["q_l_diversity_audit"].oracle,
+            "l_diversity_punct_doc",
+        )
+    finally:
+        con.close()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_huffman_empty_corpus_zero_rows_both_engines(spark):
+    """On an empty corpus the Spark kernel yields no rows; the oracle's
+    aggregate base CTE must match (HAVING COUNT(*) > 0 — ADVICE r9)
+    instead of emitting one NULL-list row with CEIL(log2(0))."""
+    import shutil
+
+    import duckdb
+
+    from fts_analysis_datalake_spark.queries.llm_text import (
+        q_huffman_code_audit,
+    )
+    from fts_analysis_datalake_spark.registry import REGISTRY
+
+    d = _tmp_fixture(spark, "documents", [], _DOCS_SCHEMA)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        assert q_huffman_code_audit(spark, d).count() == 0
+        assert len(con.execute(REGISTRY["q_huffman_code_audit"].oracle).fetchdf()) == 0
+    finally:
+        con.close()
+        shutil.rmtree(d, ignore_errors=True)
