@@ -78,12 +78,39 @@ def main() -> None:
     wq.stop()
     wq.awaitTermination(15)
 
+    # Multi-anchor protocol (VERDICT r9): a single q1 anchor at
+    # position ~0 cannot see window-local machine interference — the
+    # r9 driver bench had one contiguous alphabetical window reading
+    # 1.5-3.7x slow while every other window read 0.70-0.98x. Re-run
+    # the q1 anchor plan interleaved through the sweep (before the
+    # suite, after every ~1/5 of it, and at the end => >= 6 points)
+    # so drift triage can normalize each query by its NEAREST anchor.
+    from fts_analysis_datalake_spark.queries.relational_core import (
+        q1_pricing_summary,
+    )
+
+    def _anchor_point(after_n: int) -> dict[str, float]:
+        t0 = time.perf_counter()
+        q1_pricing_summary(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return {"after_n_queries": after_n, "sec": round(time.perf_counter() - t0, 4)}
+
+    names = sorted(REGISTRY)
+    stride = max(1, (len(names) + 4) // 5)
+    anchors: list[dict[str, float]] = [_anchor_point(0)]
+
     per_query: dict[str, float] = {}
+    mid_anchor_sec = 0.0  # subtracted so `total` stays suite-only
     t_all = time.perf_counter()
-    for name, q in sorted(REGISTRY.items()):
+    for i, name in enumerate(names):
+        q = REGISTRY[name]
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 4)
+        if (i + 1) % stride == 0 and (i + 1) < len(names):
+            anchors.append(_anchor_point(i + 1))
+            mid_anchor_sec += anchors[-1]["sec"]
         # Drop persisted intermediates (e.g. MinHash signatures) so cached
         # blocks never accumulate across the suite. release_tracked() is
         # the library's own lifecycle hook; clearCache stays as a belt.
@@ -94,7 +121,8 @@ def main() -> None:
         release_tracked()
         spark.catalog.clearCache()
         gc.collect()
-    total = round(time.perf_counter() - t_all, 4)
+    total = round(time.perf_counter() - t_all - mid_anchor_sec, 4)
+    anchors.append(_anchor_point(len(names)))
 
     # Per-query detail: to a file (survives any stdout truncation) and
     # to an early stdout line (may be head-truncated by log capture) ...
@@ -107,6 +135,10 @@ def main() -> None:
         "sf": sf,
         "queries": per_query,
         "anchor_q1_sec": per_query.get("q1_pricing_summary"),
+        # >= 6 interleaved anchor re-runs of the q1 plan (same machine
+        # probe, fresh timing) — normalize each query by its NEAREST
+        # anchor (by alphabetical position) when triaging drift.
+        "anchors": anchors,
     }
     with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -136,6 +168,7 @@ def main() -> None:
                 "n_queries": len(per_query),
                 "sf": sf,
                 "anchor_q1_sec": per_query.get("q1_pricing_summary"),
+                "anchors": anchors,
             }
         )
     )

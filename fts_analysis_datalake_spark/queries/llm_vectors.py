@@ -402,6 +402,11 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMQ_K = 4  # centroids in the integer-exact twin
 _KMQ_ROUNDS = 3  # fixed Lloyd rounds (unrolled in the oracle)
+# Single-task finisher gate: bounds the n x _KMQ_DIM int64 matrix the
+# numpy kernel allocates (1M rows x 16 dims x 8 B = 128 MB, plus one
+# same-shape diff transient per centroid pass). Patchable for the
+# forced branch-equivalence test.
+_KMQ_FINISH_ROWS = 1_000_000
 # 16-dim slice of the 64-dim embeddings: the bit-exact-replay proof
 # is independent of dimensionality (the E289 "third of the parts"
 # discipline), while the 64-wide per-dimension sum/floor-div
@@ -469,6 +474,86 @@ def _kmq_oracle() -> str:
     """
 
 
+def _kmq_single_task(q: DataFrame) -> DataFrame:
+    """One bounded Arrow task replaying the distributed BIGINT Lloyd
+    bit-exactly: first-k seeds (vec_id < _KMQ_K, centroid id = the
+    vec_id), per-round argmin of integer squared-L2 with ties to the
+    LOWEST cid, centroid update by negative-safe floor division
+    (Python // == (s - pmod(s, n)) / n for n > 0), and clusters that
+    lose all members DROP from the next round exactly as the groupBy
+    update loses their key. int64 never overflows inside the gate:
+    |q| <= ~2e6 so diff^2 * dim <= ~6.4e13, and per-cluster sums are
+    bounded by gate * 2e6 << 2^63."""
+
+    def lloyd(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids: list[int] = []
+        rows: list[list[int]] = []
+        for pdf in batches:
+            ids.extend(int(x) for x in pdf["vec_id"])
+            rows.extend([int(v) for v in vec] for vec in pdf["q"])
+        if not ids:
+            return
+        idarr = np.asarray(ids, dtype=np.int64)
+        mat = np.asarray(rows, dtype=np.int64)
+        seed_ids = np.sort(idarr[idarr < _KMQ_K])
+        if seed_ids.size == 0:
+            return
+        cids = [int(c) for c in seed_ids]
+        cents = np.stack(
+            [mat[np.flatnonzero(idarr == c)[0]] for c in cids]
+        ).astype(np.int64)
+
+        def assign_to(cent_mat: np.ndarray) -> np.ndarray:
+            # dists column-per-centroid; argmin's first-match rule ==
+            # lowest-cid tie-break because rows are cid-ascending.
+            d = np.empty((mat.shape[0], cent_mat.shape[0]), dtype=np.int64)
+            for j in range(cent_mat.shape[0]):
+                diff = mat - cent_mat[j]
+                d[:, j] = np.einsum("ij,ij->i", diff, diff)
+            return d
+
+        for _ in range(_KMQ_ROUNDS):
+            d = assign_to(cents)
+            a = np.argmin(d, axis=1)
+            nxt_ids: list[int] = []
+            nxt: list[np.ndarray] = []
+            for j, cid in enumerate(cids):
+                m = a == j
+                nj = int(m.sum())
+                if nj == 0:
+                    continue  # empty cluster drops, like the groupBy
+                s = mat[m].sum(axis=0)
+                nxt_ids.append(cid)
+                nxt.append((s - np.mod(s, nj)) // nj)
+            cids = nxt_ids
+            cents = np.stack(nxt).astype(np.int64)
+
+        d = assign_to(cents)
+        a = np.argmin(d, axis=1)
+        best = d[np.arange(d.shape[0]), a]
+        out = []
+        for j, cid in enumerate(cids):
+            m = a == j
+            nj = int(m.sum())
+            if nj == 0:
+                continue
+            out.append(
+                (cid, nj, int(best[m].sum()), int(cents[j].sum()))
+            )
+        out.sort()
+        yield pd.DataFrame(
+            out, columns=["cid", "n_vectors", "total_qdist", "cent_sum"]
+        )
+
+    return q.repartition(1).mapInPandas(
+        lloyd,
+        "cid bigint, n_vectors bigint, total_qdist bigint, cent_sum bigint",
+    )
+
+
 @query(
     "q_kmeans_quantized_exact",
     oracle=_kmq_oracle(),
@@ -498,6 +583,24 @@ def q_kmeans_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
         ).alias("q"),
     ).localCheckpoint()
+
+    # Count-gated single-task finisher (r10): the distributed loop
+    # below compiles all rounds into one linear-lineage job, but its
+    # inlined assign() expression (k x dim folds nested 4 deep) pays
+    # ~20 scheduled stages + heavy Janino codegen — ~6 s at sf0.1 on
+    # a slow-scheduler container for what is integer arithmetic over
+    # a <= n x 16 int64 matrix. When the vector count fits one task's
+    # memory (the gate bounds exactly the n x dim matrix the kernel
+    # allocates, ~128 MB at the gate plus per-centroid transients),
+    # replay the identical BIGINT Lloyd in numpy int64 — same seeds,
+    # same lowest-cid tie-break, same floor-division update, same
+    # drop-empty-cluster semantics, so the outputs are bit-identical
+    # (forced branch-equivalence: tests/test_algorithms.py). The
+    # distributed loop stays the else-branch and the 100 TB path.
+    n_vecs = q.count()
+    if 0 < n_vecs <= _KMQ_FINISH_ROWS:
+        return _kmq_single_task(q)
+
     cents = q.filter(F.col("vec_id") < _KMQ_K).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("c")
     ).localCheckpoint()

@@ -449,93 +449,73 @@ def q_logistic_newton_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-bin sum, and the updated (b0, b1) are re-quantized to 1e-9
     after every round, so both engines enter each exp() with
     bit-identical arguments (the libm-quantization recipe applied to
-    an optimizer loop). Spark localCheckpoints the 1-row beta frame
-    per round — beta feeds both the score expression and the update,
-    the 2^k lineage rule from the verify notes."""
+    an optimizer loop). r10: the four Newton rounds run in ONE
+    bounded Arrow task over the <= 10-row binned frame (the
+    E202/E241 small-finish discipline for domain-sized state — the
+    previous per-round eager-localCheckpoint chain paid ~5 scheduled
+    jobs of fixed cost for 40 rows of algebra); the data-sized scan
+    and binning stay fully distributed, and the kernel's C-libm exp
+    is the SAME libm the DuckDB oracle calls, so the quantized
+    contributions agree bit-for-bit by construction."""
+    import math
+
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "events")
-    binned = (
-        e.groupBy(
-            F.least(
-                F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DIV 4900"),
-                F.lit(9),
-            )
-            .cast("double")
-            .alias("x")
+    binned = e.groupBy(
+        F.least(
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DIV 4900"),
+            F.lit(9),
         )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("m"),
-            F.sum((F.col("event_type") == "purchase").cast("bigint"))
-            .cast("bigint")
-            .alias("s"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    beta = binned.sparkSession.range(1).select(
-        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+        .cast("double")
+        .alias("x")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
     )
 
-    def q6int(c):
-        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint")
-
-    for _ in range(4):
-        p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
-        x, m, s = F.col("x"), F.col("m"), F.col("s")
-        sums = (
-            binned.crossJoin(F.broadcast(beta))
-            .select(
-                "b0",
-                "b1",
-                q6int(s - m * p).alias("tg0"),
-                q6int(x * (s - m * p)).alias("tg1"),
-                q6int(m * p * (1.0 - p)).alias("th00"),
-                q6int(x * m * p * (1.0 - p)).alias("th01"),
-                q6int(x * x * m * p * (1.0 - p)).alias("th11"),
+    def newton(batches):
+        bins: list[tuple[float, int, int]] = []
+        for pdf in batches:
+            bins.extend(
+                (float(x), int(m), int(s))
+                for x, m, s in zip(pdf["x"], pdf["m"], pdf["s"])
             )
-            .groupBy("b0", "b1")
-            .agg(
-                F.sum("tg0").cast("bigint").alias("g0"),
-                F.sum("tg1").cast("bigint").alias("g1"),
-                F.sum("th00").cast("bigint").alias("h00"),
-                F.sum("th01").cast("bigint").alias("h01"),
-                F.sum("th11").cast("bigint").alias("h11"),
-            )
-        )
-        det = (
-            F.col("h00").cast("double") * F.col("h11")
-            - F.col("h01").cast("double") * F.col("h01")
-        )
-        d0 = (
-            (F.col("h11").cast("double") * F.col("g0")
-             - F.col("h01").cast("double") * F.col("g1"))
-            / det
-        )
-        d1 = (
-            (F.col("h00").cast("double") * F.col("g1")
-             - F.col("h01").cast("double") * F.col("g0"))
-            / det
-        )
+        if not bins:
+            return
 
-        def q9(c):
-            return (
-                F.floor(c * 1000000000 + F.lit(0.5)).cast("bigint")
-                / 1000000000.0
-            )
+        def q6(v: float) -> int:
+            return int(math.floor(v * 1000000 + 0.5))
 
-        beta = sums.select(
-            q9(F.col("b0") + d0).alias("b0"), q9(F.col("b1") + d1).alias("b1")
-        ).localCheckpoint(eager=True)
-    return beta.select(
-        F.col("b0").alias("beta0"),
-        F.col("b1").alias("beta1"),
-        (
-            F.floor(
-                1.0
-                / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * 9.0)))
-                * 1000000
-                + F.lit(0.5)
-            ).cast("bigint")
+        b0, b1 = 0.0, 0.0
+        for _ in range(4):
+            g0 = g1 = h00 = h01 = h11 = 0
+            for x, m, s in bins:
+                p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+                g0 += q6(s - m * p)
+                g1 += q6(x * (s - m * p))
+                h00 += q6(m * p * (1.0 - p))
+                h01 += q6(x * m * p * (1.0 - p))
+                h11 += q6(x * x * m * p * (1.0 - p))
+            det = float(h00) * float(h11) - float(h01) * float(h01)
+            d0 = (float(h11) * float(g0) - float(h01) * float(g1)) / det
+            d1 = (float(h00) * float(g1) - float(h01) * float(g0)) / det
+            b0 = math.floor((b0 + d0) * 1000000000 + 0.5) / 1000000000.0
+            b1 = math.floor((b1 + d1) * 1000000000 + 0.5) / 1000000000.0
+        p_top = (
+            math.floor(
+                1.0 / (1.0 + math.exp(-(b0 + b1 * 9.0))) * 1000000 + 0.5
+            )
             / 1000000.0
-        ).alias("p_at_top_decile"),
+        )
+        yield pd.DataFrame(
+            {"beta0": [b0], "beta1": [b1], "p_at_top_decile": [p_top]}
+        )
+
+    return binned.repartition(1).mapInPandas(
+        newton, "beta0 double, beta1 double, p_at_top_decile double"
     )
 
 

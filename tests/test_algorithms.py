@@ -608,6 +608,7 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         joins_sets,
         llm_curation,
         llm_text,
+        llm_vectors,
     )
     from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
 
@@ -626,6 +627,9 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         # the join branch even when edges AND nodes pass their gates
         ("q_harmonic_centrality", joins_sets, "_HC_SEED_GATE"),
         ("q_greedy_cover_selection", llm_curation, "_COVER_GATE"),
+        # r10: single-task BIGINT-Lloyd finisher vs the distributed
+        # linear-lineage loop — integer-exact, so equality is exact
+        ("q_kmeans_quantized_exact", llm_vectors, "_KMQ_FINISH_ROWS"),
     ]
     for name, mod, gate in cases:
         kernel = sorted(

@@ -79,6 +79,13 @@ PYTHON_SURFACE = {
     # walk (each match update depends on both players' running state)
     "q_huffman_code_audit",  # E339 bounded <=4097-symbol heap merge
     # in one Arrow task (sequential two-smallest merges)
+    "q_kmeans_quantized_exact",  # E289 count-gated single-task BIGINT
+    # Lloyd replay (r10: the inlined k x dim fold chain paid ~20
+    # scheduled stages + Janino codegen; distributed loop stays the
+    # else-branch)
+    "q_logistic_newton_purchase",  # E229 Newton rounds on the <= 10-row
+    # binned sufficient-statistics frame in one bounded task (r10;
+    # data-sized scan + binning stay distributed)
 }
 
 ALL_QUERIES = sorted(REGISTRY)

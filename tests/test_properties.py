@@ -2456,3 +2456,333 @@ def test_huffman_empty_corpus_zero_rows_both_engines(spark):
     finally:
         con.close()
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# r10 (VERDICT r9 task 4): independent replays for the r9 rows that were
+# on oracle-only evidence — Elo trajectory, RANSAC exhaustive trials,
+# Huffman optimal total, AMS F2 estimator.
+# --------------------------------------------------------------------------
+
+
+def _tmp_multi_fixture(spark, tables: dict) -> str:
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="props_multi_")
+    for t, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+    return d
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(
+    n_players=st.integers(min_value=2, max_value=5),
+    raw_matches=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # player a
+            st.integers(min_value=1, max_value=5),  # player b
+            st.sampled_from(["a", "b", "tie"]),  # outcome
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_elo_matches_definition_replay(spark, n_players, raw_matches):
+    """The Elo walk (bucketed integer expected-score table, K=16,
+    floor-division deltas) must equal a from-the-definition replay
+    that recomputes each expected score from the 10^(d/400) logistic
+    at test time (bucketed to the same 25-point grid — the subtle
+    part the 33-entry table bakes in) — independent of both the
+    kernel's table constant and the oracle's recursion."""
+    import datetime
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.ml_eval import (
+        q_elo_league_ratings,
+    )
+
+    matches = [
+        (a % n_players + 1, b % n_players + 1, out)
+        for a, b, out in raw_matches
+    ]
+    matches = [(a, b, out) for a, b, out in matches if a != b]
+    if not matches:
+        return
+    sup_rows = [(s, f"S{s}", 7, 0.0) for s in range(1, n_players + 1)]
+    li_rows, ord_rows = [], []
+    d0 = datetime.datetime(1995, 1, 1)
+    for t, (a, b, out) in enumerate(matches, start=1):
+        pa, pb = {"a": (20.0, 10.0), "b": (10.0, 20.0), "tie": (15.0, 15.0)}[
+            out
+        ]
+        li_rows.append((t, 1, a, 1, 1.0, pa))
+        li_rows.append((t, 1, b, 2, 1.0, pb))
+        ord_rows.append((t, 1, "O", 0.0, d0))  # same date: ok breaks ties
+    d = _tmp_multi_fixture(
+        spark,
+        {
+            "supplier": (
+                sup_rows,
+                "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE",
+            ),
+            "lineitem": (
+                li_rows,
+                "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+                "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE",
+            ),
+            "orders": (
+                ord_rows,
+                "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+                "o_totalprice DOUBLE, o_orderdate TIMESTAMP",
+            ),
+        },
+    )
+    # from-the-definition replay (suppkey s == roster idx s here since
+    # suppkeys are 1..n in one nation)
+    rats = {s: 1000 for s in range(1, n_players + 1)}
+    for a, b, out in matches:
+        win = {"a": 1, "b": 0, "tie": 1 if a < b else 0}[out]
+        dlt = max(min(rats[a] - rats[b], 400), -400)
+        bucket = (dlt + 400) // 25
+        ea = round(1000.0 / (1.0 + 10.0 ** (-(bucket * 25 - 400) / 400.0)))
+        rats[a] += (16 * (win * 1000 - ea)) // 1000
+        rats[b] += (16 * ((1 - win) * 1000 - (1000 - ea))) // 1000
+    top = max(rats, key=lambda s: (rats[s], -s))
+    expected = (
+        7,
+        len(matches),
+        n_players,
+        top,
+        rats[top],
+        min(rats.values()),
+    )
+    try:
+        rows = q_elo_league_ratings(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(rows) == 1
+    got = tuple(rows[0])
+    assert got == expected, (got, expected, matches)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),  # quantity
+            st.integers(min_value=100, max_value=50000),  # price cents
+        ),
+        min_size=66,
+        max_size=160,
+    )
+)
+def test_ransac_matches_exhaustive_trial_evaluation(spark, pts):
+    """The RANSAC winner must equal an exhaustive Python evaluation of
+    every candidate line: same md5-ranked deterministic sample, same
+    cross-multiplied integer inlier test over ALL points, ties to the
+    lowest trial id — independent of the oracle SQL."""
+    import hashlib
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.robust_models import (
+        _RS_TOL,
+        _RS_TRIALS,
+        q_ransac_price_line,
+    )
+
+    rows = [
+        (i + 1, 1 + i % 7, 1 + i % 5, 1 + i % 3, float(q), c / 100.0)
+        for i, (q, c) in enumerate(pts)
+    ]
+    d = _tmp_multi_fixture(
+        spark,
+        {
+            "lineitem": (
+                rows,
+                "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+                "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE",
+            )
+        },
+    )
+    # replay: md5(content) over the same concat_ws text
+    pset = []
+    for ok, pk, sk, ln, q, price in rows:
+        y = int(_pyfloor(price * 100 + 0.5))
+        h = hashlib.md5(f"{ok}|{ln}|{sk}|{pk}|{y}".encode()).hexdigest()
+        pset.append((h, int(q), y))
+    samp = sorted(pset)[: 2 * _RS_TRIALS]
+    best = None
+    for t in range(1, len(samp) - _RS_TRIALS + 1):
+        _, x1, y1 = samp[t - 1]
+        _, x2, y2 = samp[t - 1 + _RS_TRIALS]
+        dx, dy = x2 - x1, y2 - y1
+        if dx == 0:
+            continue
+        n_in = sum(
+            1
+            for _, x, y in pset
+            if abs((y - y1) * dx - (x - x1) * dy) <= _RS_TOL * abs(dx)
+        )
+        key = (-n_in, t)
+        if best is None or key < best[0]:
+            best = (key, (t, len(pset), n_in, dy, dx, x1, y1))
+    try:
+        out = q_ransac_price_line(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    if best is None:
+        assert out == []
+        return
+    (t, n_pts, n_in, dy, dx, x1, y1) = best[1]
+    assert len(out) == 1
+    r = out[0]
+    got = (
+        r.trial,
+        r.n_points,
+        r.n_inliers,
+        r.slope_num,
+        r.slope_den,
+        r.x1,
+        r.y1,
+    )
+    assert got == (t, n_pts, n_in, dy, dx, x1, y1), (got, best)
+    assert r.inlier_frac == _pyfloor(n_in / n_pts * 1000000 + 0.5) / 1e6
+
+
+def _pyfloor(v: float) -> int:
+    import math
+
+    return int(math.floor(v))
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(
+    freqs=st.dictionaries(
+        st.sampled_from(
+            ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+        ),
+        st.integers(min_value=1, max_value=20),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_huffman_total_matches_two_queue_optimum(spark, freqs):
+    """huffman_bits must equal the optimal total from an INDEPENDENT
+    two-queue Huffman construction (different merge-tie handling than
+    the kernel's heapq — the total weighted length is tie-invariant,
+    which is exactly the claim the query rests on), and the
+    entropy/fixed-bits columns must match their definitions."""
+    import math
+    import shutil
+    from collections import deque
+
+    from fts_analysis_datalake_spark.queries.llm_text import (
+        q_huffman_code_audit,
+    )
+
+    text = " ".join(t for t, f in sorted(freqs.items()) for _ in range(f))
+    d = _tmp_multi_fixture(
+        spark,
+        {
+            "documents": (
+                [(1, text, "en", "web", len(text))],
+                "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+            )
+        },
+    )
+    fs = sorted(freqs.values())
+    n, v = sum(fs), len(fs)
+    # two-queue O(n) optimal merge (leaves sorted; merged nodes are
+    # produced in nondecreasing order so a second queue suffices)
+    q1, q2 = deque(fs), deque()
+    bits = 0
+    while len(q1) + len(q2) > 1:
+        picks = []
+        for _ in range(2):
+            if q1 and (not q2 or q1[0] <= q2[0]):
+                picks.append(q1.popleft())
+            else:
+                picks.append(q2.popleft())
+        s = picks[0] + picks[1]
+        bits += s
+        q2.append(s)
+    ent_q = sum(
+        int(math.floor(f * math.log2(n / f) * 1000000 + 0.5)) for f in fs
+    )
+    try:
+        out = q_huffman_code_audit(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_symbols == v and r.total_tokens == n
+    assert r.huffman_bits == bits, (r.huffman_bits, bits, fs)
+    assert r.entropy_bits == ent_q / 1e6
+    assert r.fixed_bits == math.ceil(math.log2(v)) * n
+    assert r.bits_per_token == math.floor(bits / n * 1000000 + 0.5) / 1e6
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    bag=st.dictionaries(
+        st.sampled_from(
+            ["tok%d" % i for i in range(12)]
+        ),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ams_f2_matches_md5_sign_replay(spark, bag):
+    """Every AMS F2 output (sketch estimate included) must equal a
+    Python replay that recomputes the 16 md5-sign estimators with
+    hashlib over the same token bag — the sketch VALUES are
+    deterministic given the corpus, so this checks the estimator
+    arithmetic end to end, not just the envelope boolean."""
+    import hashlib
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.sketches_search import (
+        _AMS_K,
+        q_ams_f2_sketch,
+    )
+
+    text = " ".join(t for t, f in sorted(bag.items()) for _ in range(f))
+    d = _tmp_multi_fixture(
+        spark,
+        {
+            "documents": (
+                [(1, text, "en", "web", len(text))],
+                "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+            )
+        },
+    )
+
+    def sign(i: int, t: str) -> int:
+        return (
+            1
+            if hashlib.md5(f"{i}:{t}".encode()).hexdigest()[0] in "01234567"
+            else -1
+        )
+
+    n_tokens = sum(bag.values())
+    n_distinct = len(bag)
+    exact = sum(f * f for f in bag.values())
+    est = (
+        sum(
+            sum(sign(i, t) * f for t, f in bag.items()) ** 2
+            for i in range(_AMS_K)
+        )
+        // _AMS_K
+    )
+    within = abs(est - exact) * 1000 <= 1415 * exact
+    try:
+        out = q_ams_f2_sketch(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 1
+    r = out[0]
+    got = (r.n_tokens, r.n_distinct, r.exact_f2, r.est_f2, r.within_4sigma)
+    assert got == (n_tokens, n_distinct, exact, est, within), (got, bag)
