@@ -1960,3 +1960,112 @@ def q_welch_ttest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# E344: 0/1 knapsack — optimal selection under a capacity budget
+# --------------------------------------------------------------------------
+
+_KS_ITEMS = 24  # fixed shortlist size (panel-cap discipline)
+_KS_CAP = 100  # capacity budget in p_size units
+
+
+def _ks_oracle() -> str:
+    w = _KS_CAP
+    return f"""
+    WITH RECURSIVE top AS MATERIALIZED (
+      SELECT CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(p_size AS BIGINT) AS wt
+      FROM part ORDER BY v DESC, p_partkey LIMIT {_KS_ITEMS}),
+    items AS MATERIALIZED (
+      SELECT v, wt, ROW_NUMBER() OVER (ORDER BY v DESC, wt) AS rn
+      FROM top),
+    rec(i, best) AS (
+      SELECT CAST(0 AS BIGINT),
+             list_transform(generate_series(0, {w}),
+                            x -> CAST(0 AS BIGINT))
+      FROM (SELECT 1)
+      UNION ALL
+      SELECT r.i + 1,
+             list_transform(generate_series(0, {w}), x ->
+               GREATEST(r.best[x + 1],
+                        CASE WHEN x >= it.wt
+                             THEN r.best[x - it.wt + 1] + it.v
+                             ELSE r.best[x + 1] END))
+      FROM rec r JOIN items it ON it.rn = r.i + 1)
+    SELECT CAST((SELECT COUNT(*) FROM items) AS BIGINT) AS n_items,
+           CAST({w} AS BIGINT) AS capacity,
+           best[{w // 4} + 1] AS best_at_quarter,
+           best[{w // 2} + 1] AS best_at_half,
+           best[{3 * w // 4} + 1] AS best_at_three_quarters,
+           best[{w} + 1] AS best_at_full
+    FROM rec WHERE i = (SELECT COUNT(*) FROM items)
+    """
+
+
+@query(
+    "q_knapsack_part_budget",
+    oracle=_ks_oracle(),
+    tags=("E344", "E334", "E292", "O3", "A1", "X2"),
+)
+def q_knapsack_part_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0/1 knapsack over the part shortlist — exact COMBINATORIAL
+    budgeting the greedy planners (set-cover E301, mixture E292)
+    approximate: from the top-{_KS_ITEMS} parts by price, pick the
+    subset maximizing total price under a p_size capacity budget,
+    reporting the optimal value at 1/4, 1/2, 3/4 and full capacity
+    (the value-of-budget curve a curation planner reads to set the
+    budget itself). All-integer DP (cents values, integer weights):
+    best[w] after item i = max(best[w], best[w - w_i] + v_i) — the
+    classic capacity-indexed recurrence; the oracle replays it as a
+    {_KS_CAP + 1}-slot list-carrying WITH RECURSIVE (the E334/E335
+    list-carry discipline), Spark runs the identical loop in ONE
+    bounded Arrow task over the {_KS_ITEMS}-row shortlist (panel-cap
+    rule: the DP state is (items x capacity), domain-sized, never
+    data-sized). Scale shape: the corpus-sized work is the top-k
+    shortlist (TakeOrderedAndProject — no global sort); the DP cost
+    is a constant."""
+    import pandas as pd
+
+    p = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    top = (
+        p.select(cents.alias("v"), F.col("p_size").cast("long").alias("wt"))
+        .orderBy(F.col("v").desc(), "p_partkey")
+        .limit(_KS_ITEMS)
+    )
+    cap = _KS_CAP
+
+    def solve(batches):
+        items: list[tuple[int, int]] = []
+        for pdf in batches:
+            items.extend(
+                (int(v), int(w)) for v, w in zip(pdf["v"], pdf["wt"])
+            )
+        if not items:
+            return
+        # replay the oracle's processing order (v DESC, wt ASC)
+        items.sort(key=lambda t: (-t[0], t[1]))
+        best = [0] * (cap + 1)
+        for v, wt in items:
+            for w in range(cap, int(wt) - 1, -1):
+                cand = best[w - wt] + v
+                if cand > best[w]:
+                    best[w] = cand
+        yield pd.DataFrame(
+            {
+                "n_items": [len(items)],
+                "capacity": [cap],
+                "best_at_quarter": [best[cap // 4]],
+                "best_at_half": [best[cap // 2]],
+                "best_at_three_quarters": [best[3 * cap // 4]],
+                "best_at_full": [best[cap]],
+            }
+        )
+
+    return top.repartition(1).mapInPandas(
+        solve,
+        "n_items bigint, capacity bigint, best_at_quarter bigint, "
+        "best_at_half bigint, best_at_three_quarters bigint, "
+        "best_at_full bigint",
+    )

@@ -3946,3 +3946,208 @@ def q_optimal_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E345: interval scheduling — max non-overlapping activities per user
+# --------------------------------------------------------------------------
+
+_IS_GATE = 2_000_000  # events; tests patch to 0 for the doubled-join branch
+_IS_ROUNDS = 12  # pointer-doubling rounds: chains to 2^12 selections
+
+
+def _is_oracle() -> str:
+    return """
+    WITH RECURSIVE iv AS MATERIALIZED (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + (CAST(FLOOR(value * 100 + 0.5) AS BIGINT) + 1) * 10000000
+               AS e,
+             event_id
+      FROM events),
+    rk AS MATERIALIZED (
+      SELECT user_id, s, e,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY e, s, event_id) AS BIGINT)
+               AS rn
+      FROM iv),
+    uni AS (
+      SELECT user_id, s AS key, 0 AS tag, rn, CAST(NULL AS BIGINT) AS qrn
+      FROM rk
+      UNION ALL
+      SELECT user_id, e AS key, 1 AS tag, CAST(NULL AS BIGINT), rn FROM rk),
+    scan AS (
+      SELECT user_id, qrn,
+             MIN(CASE WHEN tag = 0 THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY key DESC, tag
+                     ROWS UNBOUNDED PRECEDING) AS nx
+      FROM uni),
+    nxt AS MATERIALIZED (
+      SELECT user_id, qrn AS rn, nx FROM scan WHERE qrn IS NOT NULL),
+    walk(user_id, rn, cnt) AS (
+      SELECT user_id, rn, CAST(1 AS BIGINT) FROM nxt WHERE rn = 1
+      UNION ALL
+      SELECT w.user_id, n.nx, w.cnt + 1
+      FROM walk w JOIN nxt n ON n.user_id = w.user_id AND n.rn = w.rn
+      WHERE n.nx IS NOT NULL),
+    sel AS (SELECT user_id, MAX(cnt) AS n_selected FROM walk GROUP BY 1),
+    base AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+             FROM rk GROUP BY 1)
+    SELECT b.user_id, b.n_events, CAST(s.n_selected AS BIGINT) AS n_selected
+    FROM base b JOIN sel s USING (user_id)
+    ORDER BY b.user_id
+    """
+
+
+@query(
+    "q_interval_scheduling_users",
+    oracle=_is_oracle(),
+    tags=("E345", "E306", "J9", "W1", "A1", "F4"),
+)
+def q_interval_scheduling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum non-overlapping activity selection per user — the
+    exact greedy-optimal scheduling operator (earliest-end-first,
+    provably maximum): each event opens an interval [ts, ts +
+    (value-cents + 1) * 10s] (hours-to-weeks long, so schedules
+    genuinely conflict; the +1 makes every duration STRICTLY positive
+    — a zero-length interval would be its own greedy successor and
+    the successor walk would cycle, the bug the sf0.1 oracle found), and the answer is how many can be attended
+    without overlap. The relational construction never walks rows
+    one-by-one: (1) rank intervals per user by end; (2) the greedy
+    SUCCESSOR nxt(i) = first end-ranked interval whose start >= end_i
+    falls out of ONE descending-key union window (starts as quotes,
+    ends as queries, running MIN of quote ranks — the E22/as-of
+    UNION trick pointed at a step function); (3) the chain length
+    from rank 1 is a POINTER-DOUBLED walk (log2 rounds of rerooted
+    self-joins, the E306/rho discipline), with a LOUD guard raising
+    if a chain outruns the 2^12 unroll (distributed-branch-only: the
+    kernel sweep and the oracle's recursive walk are depth-unbounded,
+    so driver parity never meets the guard).
+    Count-gated kernel (house rule): under the gate, one bucketed
+    applyInPandas replays the same earliest-end sweep per user
+    bit-exactly; the doubled-join path is the else-branch and the
+    100 TB path. Successor ranks strictly increase (end_j > start_j
+    >= end_i), so the walk always terminates. Oracle replays the
+    same nxt table with a plain per-user WITH RECURSIVE walk."""
+    from fts_analysis_datalake_spark import probe
+    from fts_analysis_datalake_spark.caching import reroot
+
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") + 1)
+            * F.lit(10000000)
+        ).alias("e"),
+        "event_id",
+    )
+    if probe.gate("interval_scheduling", iv.count() <= _IS_GATE):
+
+        def sweep(pdf):
+            import pandas as pd
+
+            out = []
+            for uid, grp in pdf.groupby("user_id"):
+                rows = sorted(
+                    zip(grp["e"], grp["s"], grp["event_id"])
+                )
+                n_sel, last_end = 0, None
+                for ee, ss, _ in rows:
+                    if last_end is None or ss >= last_end:
+                        n_sel += 1
+                        last_end = ee
+                out.append((int(uid), len(rows), n_sel))
+            return pd.DataFrame(
+                out, columns=["user_id", "n_events", "n_selected"]
+            )
+
+        return (
+            iv.withColumn("_b", F.pmod(F.col("user_id"), F.lit(64)))
+            .groupBy("_b")
+            .applyInPandas(
+                lambda pdf: sweep(pdf),
+                "user_id bigint, n_events bigint, n_selected bigint",
+            )
+            .orderBy("user_id")
+        )
+
+    # distributed path: rank -> union-window successor -> doubled walk
+    wr = Window.partitionBy("user_id").orderBy("e", "s", "event_id")
+    rk = iv.select(
+        "user_id", "s", "e", F.row_number().over(wr).cast("bigint").alias("rn")
+    )
+    rk = tracked_persist(rk)
+    quotes = rk.select(
+        "user_id",
+        F.col("s").alias("key"),
+        F.lit(0).alias("tag"),
+        "rn",
+        F.lit(None).cast("bigint").alias("qrn"),
+    )
+    queries_ = rk.select(
+        "user_id",
+        F.col("e").alias("key"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("rn"),
+        F.col("rn").alias("qrn"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("key").desc(), "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scan = quotes.unionAll(queries_).select(
+        "user_id",
+        "qrn",
+        F.min(F.when(F.col("tag") == 0, F.col("rn"))).over(ws).alias("nx"),
+    )
+    nxt = scan.filter(F.col("qrn").isNotNull()).select(
+        "user_id", F.col("qrn").alias("rn"), "nx"
+    )
+    nxt = tracked_persist(nxt)
+    # state: every interval starts a 1-step chain pointing at its
+    # successor; doubling composes jumps
+    st = nxt.select(
+        "user_id", "rn", F.col("nx").alias("jump"), F.lit(1).cast("bigint").alias("steps")
+    )
+    st = reroot(st)
+    for _ in range(_IS_ROUNDS):
+        o = st.select(
+            F.col("user_id").alias("u2"),
+            F.col("rn").alias("rn2"),
+            F.col("jump").alias("jump2"),
+            F.col("steps").alias("steps2"),
+        )
+        st = reroot(
+            st.join(
+                o,
+                (F.col("user_id") == F.col("u2"))
+                & (F.col("jump") == F.col("rn2")),
+                "left",
+            ).select(
+                "user_id",
+                "rn",
+                F.col("jump2").alias("jump"),
+                (
+                    F.col("steps")
+                    + F.coalesce(F.col("steps2"), F.lit(0))
+                ).alias("steps"),
+            )
+        )
+    base = rk.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    guard = F.when(
+        F.col("jump").isNotNull(),
+        F.raise_error(
+            F.lit("interval-scheduling: chain exceeds 2^rounds bound")
+        ).cast("bigint"),
+    ).otherwise(F.col("steps"))
+    sel = st.filter(F.col("rn") == 1).select(
+        "user_id", guard.alias("n_selected")
+    )
+    return base.join(sel, "user_id").select(
+        "user_id", "n_events", "n_selected"
+    ).orderBy("user_id")

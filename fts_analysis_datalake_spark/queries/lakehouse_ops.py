@@ -1375,3 +1375,141 @@ def q_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionAll(one)
     return out.orderBy("ind")
+
+
+# --------------------------------------------------------------------------
+# E341: RLE storage-layout audit — runs per column under clustered order
+# --------------------------------------------------------------------------
+
+# (audited column, plain bits per value) — widths are the parquet
+# PLAIN-encoding costs (BIGINT/TIMESTAMP 64, DOUBLE 64, 1-char flag 8).
+_RLE_COLS = (
+    ("l_orderkey", 64),
+    ("l_suppkey", 64),
+    ("l_quantity", 64),
+    ("l_returnflag", 8),
+    ("l_linestatus", 8),
+    ("l_shipdate", 64),
+)
+
+
+def _rle_oracle() -> str:
+    order = (
+        "l_orderkey, l_linenumber, l_suppkey, l_partkey, "
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT), l_quantity, "
+        "l_returnflag, l_linestatus, l_shipdate"
+    )
+    sel = []
+    for c, width in _RLE_COLS:
+        sel.append(
+            f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN p_{c} IS NULL
+                           OR p_{c} IS DISTINCT FROM {c}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST({width} AS BIGINT) * COUNT(*) AS plain_bits,
+           CAST(SUM(CASE WHEN p_{c} IS NULL
+                           OR p_{c} IS DISTINCT FROM {c}
+                         THEN 1 ELSE 0 END) AS BIGINT) * ({width} + 32)
+             AS rle_bits
+    FROM lagged"""
+        )
+    lags = ", ".join(
+        f"lag({c}) OVER (PARTITION BY l_orderkey ORDER BY {order}) AS p_{c}"
+        for c, _ in _RLE_COLS
+    )
+    body = " UNION ALL ".join(sel)
+    return f"""
+    WITH lagged AS MATERIALIZED (
+      SELECT l_orderkey, l_suppkey, l_quantity, l_returnflag,
+             l_linestatus, l_shipdate, {lags}
+      FROM lineitem)
+    SELECT col_name, n_rows, n_runs, n_distinct, plain_bits, rle_bits,
+           CAST(FLOOR(CAST(rle_bits AS DOUBLE) / plain_bits * 1000000 + 0.5)
+                AS BIGINT) / 1e6 AS rle_ratio
+    FROM ({body}) ORDER BY col_name
+    """
+
+
+@query(
+    "q_rle_compression_audit",
+    oracle=_rle_oracle(),
+    tags=("E341", "E309", "E25", "W3", "A3", "A1"),
+)
+def q_rle_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding storage audit of lineitem under its
+    clustered order — the LAYOUT-planning sibling of the Gorilla
+    timestamp audit (E309): for each audited column, count the value
+    RUNS the writer would emit if rows were laid out clustered by
+    (l_orderkey, l_linenumber, ...full content tiebreak...), and
+    compare estimated RLE bits (runs x (width + 32-bit run length))
+    against PLAIN bits — the audit that decides which columns earn
+    dictionary/RLE encoding and which sort order to OPTIMIZE a table
+    into. Run boundaries are counted WITHIN each order (every order
+    opens fresh runs), so the window is partitioned by l_orderkey and
+    the lag shuffle scales like any keyed window — no global sort,
+    no single-partition window (the 100 TB constraint the naive
+    whole-table lag would violate; cross-order run merges are given
+    up, which UNDERCOUNTS compression by at most one run per order —
+    stated, deterministic, and identical in both engines). The order
+    key extends to full row content so tied (orderkey, linenumber)
+    rows lag deterministically. One window pass computes every
+    column's lag; one aggregate emits all six audits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    order_cols = [
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_suppkey"),
+        F.col("l_partkey"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+        F.col("l_quantity"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.col("l_shipdate"),
+    ]
+    w = Window.partitionBy("l_orderkey").orderBy(*order_cols)
+    lagged = li.select(
+        *[F.col(c) for c, _ in _RLE_COLS],
+        *[F.lag(c).over(w).alias(f"p_{c}") for c, _ in _RLE_COLS],
+    )
+    outs = []
+    for c, width in _RLE_COLS:
+        is_break = F.when(
+            F.col(f"p_{c}").isNull()
+            | ~F.col(f"p_{c}").eqNullSafe(F.col(c)),
+            1,
+        ).otherwise(0)
+        outs.append(
+            lagged.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(is_break).cast("bigint").alias("n_runs"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                (F.lit(width).cast("bigint") * F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("plain_bits"),
+                (F.sum(is_break).cast("bigint") * F.lit(width + 32))
+                .cast("bigint")
+                .alias("rle_bits"),
+            )
+        )
+    all_cols = outs[0]
+    for o in outs[1:]:
+        all_cols = all_cols.unionAll(o)
+    return all_cols.select(
+        "col_name",
+        "n_rows",
+        "n_runs",
+        "n_distinct",
+        "plain_bits",
+        "rle_bits",
+        (
+            F.floor(
+                F.col("rle_bits").cast("double") / F.col("plain_bits") * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("rle_ratio"),
+    ).orderBy("col_name")

@@ -4113,3 +4113,403 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("alpha"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# E342: Jarque-Bera normality test — exact small-integer power sums
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_jarque_bera_quantity",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s2,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s4
+      FROM lineitem GROUP BY 1),
+    cm AS (
+      SELECT l_returnflag, n,
+             CAST(s1 AS DOUBLE) / n AS m,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM sums),
+    mom AS (
+      SELECT l_returnflag, n, m,
+             r2 - m * m AS m2,
+             r3 - 3.0e0 * m * r2 + 2.0e0 * m * m * m AS m3,
+             r4 - 4.0e0 * m * r3 + 6.0e0 * m * m * r2
+                - 3.0e0 * m * m * m * m AS m4
+      FROM cm),
+    stat AS (
+      SELECT l_returnflag, n,
+             m3 / (m2 * sqrt(m2)) AS s,
+             m4 / (m2 * m2) AS k
+      FROM mom),
+    jb AS (
+      SELECT l_returnflag, n, s, k,
+             n / 6.0e0 * (s * s + (k - 3.0e0) * (k - 3.0e0) / 4.0e0) AS jb
+      FROM stat)
+    SELECT l_returnflag, n AS n_rows,
+           CAST(FLOOR(s * 1000000 + 0.5) AS BIGINT) / 1e6 AS skewness,
+           CAST(FLOOR(k * 1000000 + 0.5) AS BIGINT) / 1e6 AS kurtosis,
+           CAST(FLOOR(jb * 1000000 + 0.5) AS BIGINT) / 1e6 AS jb_stat,
+           CAST(FLOOR(exp(-jb / 2.0e0) * 1000000 + 0.5) AS BIGINT) / 1e6
+             AS p_value
+    FROM jb ORDER BY l_returnflag
+    """,
+    tags=("E342", "E112", "A6", "A1", "F6"),
+)
+def q_jarque_bera_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of l_quantity per return flag — the
+    moment-based goodness-of-fit the drift family (PSI E104, MMD E329)
+    lacks: JB = n/6 (S^2 + (K-3)^2/4) rejects normality from exact
+    skewness and kurtosis alone, and its null distribution is
+    chi-square(2), whose survival function is the CLOSED FORM
+    exp(-JB/2) — no incomplete-gamma needed. Determinism: quantity is
+    integer-valued 1..50, so all four raw power sums are exact BIGINTs
+    (q^4 * rows stays far under 2^63 through the 32x probe); central
+    moments, S and K are then ONE fixed-shape double expression over
+    those integers written identically in both engines, and the only
+    libm call (exp) is output-quantized at 1e-6 (the r6 recipe).
+    Scale shape: one map-side-combinable groupBy over a 3-value key —
+    the whole test is a single aggregate pass at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qv = F.col("l_quantity").cast("bigint")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(qv).cast("bigint").alias("s1"),
+        F.sum(qv * qv).cast("bigint").alias("s2"),
+        F.sum(qv * qv * qv).cast("bigint").alias("s3"),
+        F.sum(qv * qv * qv * qv).cast("bigint").alias("s4"),
+    )
+    n = F.col("n")
+    m = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    cm = sums.select(
+        "l_returnflag",
+        "n",
+        m.alias("m"),
+        (r2 - m * m).alias("m2"),
+        (r3 - F.lit(3.0) * m * r2 + F.lit(2.0) * m * m * m).alias("m3"),
+        (
+            r4
+            - F.lit(4.0) * m * r3
+            + F.lit(6.0) * m * m * r2
+            - F.lit(3.0) * m * m * m * m
+        ).alias("m4"),
+    )
+    s = F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))
+    k = F.col("m4") / (F.col("m2") * F.col("m2"))
+    stat = cm.select("l_returnflag", "n", s.alias("s"), k.alias("k"))
+    jb = (
+        F.col("n") / F.lit(6.0)
+        * (
+            F.col("s") * F.col("s")
+            + (F.col("k") - F.lit(3.0)) * (F.col("k") - F.lit(3.0)) / F.lit(4.0)
+        )
+    )
+
+    def q6(c: Column) -> Column:
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1e6
+
+    return (
+        stat.select(
+            "l_returnflag",
+            F.col("n").alias("n_rows"),
+            q6(F.col("s")).alias("skewness"),
+            q6(F.col("k")).alias("kurtosis"),
+            jb.alias("_jb"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "skewness",
+            "kurtosis",
+            q6(F.col("_jb")).alias("jb_stat"),
+            q6(F.exp(-F.col("_jb") / F.lit(2.0))).alias("p_value"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# E343: Durbin-Watson — serial correlation of OLS residuals over time
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_durbin_watson_daily",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1, 2),
+    seq AS MATERIALIZED (
+      SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                  AS BIGINT) AS x
+      FROM daily),
+    mo AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM seq GROUP BY 1),
+    fit AS (
+      SELECT event_type, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             sx, sy
+      FROM mo),
+    fit2 AS (
+      SELECT event_type, n, b,
+             (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n AS a
+      FROM fit),
+    resid AS (
+      SELECT s.event_type, s.x,
+             CAST(s.y AS DOUBLE) - (f.a + f.b * CAST(s.x AS DOUBLE)) AS e
+      FROM seq s JOIN fit2 f USING (event_type)),
+    lagd AS (
+      SELECT event_type, e,
+             lag(e) OVER (PARTITION BY event_type ORDER BY x) AS ep
+      FROM resid),
+    terms AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN ep IS NULL THEN 0
+                           ELSE CAST(FLOOR((e - ep) * (e - ep) * 0.01e0 + 0.5)
+                                     AS BIGINT) END) AS BIGINT) AS num_q,
+             CAST(SUM(CAST(FLOOR(e * e * 0.01e0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS den_q,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM lagd GROUP BY 1)
+    SELECT t.event_type, t.n_days,
+           CAST(FLOOR(f.b * 1000000 + 0.5) AS BIGINT) / 1e6 AS slope_cents,
+           CAST(FLOOR(CAST(t.num_q AS DOUBLE) / t.den_q * 1000000 + 0.5)
+                AS BIGINT) / 1e6 AS dw_stat
+    FROM terms t JOIN fit2 f USING (event_type)
+    ORDER BY t.event_type
+    """,
+    tags=("E343", "E109", "E110", "W3", "A1", "F4"),
+)
+def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation test of detrended daily
+    revenue per event type — the regression DIAGNOSTIC the closed-form
+    OLS family (E109) reports nothing about: DW = sum((e_t -
+    e_{t-1})^2) / sum(e_t^2) over the TIME-ORDERED residuals of the
+    day-index trend fit (~2 means independent errors; toward 0,
+    positive autocorrelation — i.e. the trend line is NOT capturing
+    the series dynamics and the E110 ACF family should be consulted).
+    Determinism: the fit comes from exact BIGINT moments; residuals
+    are one fixed-shape double expression; and because double sums
+    are summation-order-dependent, each residual TERM is quantized to
+    a BIGINT (at 1e-2 scale for 32x headroom) BEFORE the order-free
+    integer sum (the r6 recipe). Scale shape: events collapse to the
+    day grain in one map-side-combinable pass; everything after runs
+    on day-count-bounded state (one small window shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(w).cast("bigint").alias("x"),
+    )
+    x, y = F.col("x"), F.col("y")
+    mo = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    b = (n * F.col("sxy") - sx * sy).cast("double") / (
+        n * F.col("sxx") - sx * sx
+    ).cast("double")
+    fit2 = mo.select(
+        "event_type", "n", b.alias("b"), "sx", "sy"
+    ).select(
+        "event_type",
+        "n",
+        "b",
+        (
+            (F.col("sy").cast("double") - F.col("b") * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("a"),
+    )
+    resid = seq.join(F.broadcast(fit2), "event_type").select(
+        "event_type",
+        "x",
+        (y.cast("double") - (F.col("a") + F.col("b") * x.cast("double"))).alias(
+            "e"
+        ),
+    )
+    lw = Window.partitionBy("event_type").orderBy("x")
+    lagd = resid.select(
+        "event_type", "e", F.lag("e").over(lw).alias("ep")
+    )
+    diff2 = (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+    terms = lagd.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("ep").isNull(), F.lit(0)).otherwise(
+                F.floor(diff2 * F.lit(0.01) + F.lit(0.5)).cast("bigint")
+            )
+        )
+        .cast("bigint")
+        .alias("num_q"),
+        F.sum(
+            F.floor(F.col("e") * F.col("e") * F.lit(0.01) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("den_q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return (
+        terms.join(F.broadcast(fit2.select("event_type", "b")), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            (
+                F.floor(F.col("b") * 1000000 + F.lit(0.5)).cast("bigint") / 1e6
+            ).alias("slope_cents"),
+            (
+                F.floor(
+                    F.col("num_q").cast("double") / F.col("den_q") * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("dw_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E346: Lorenz curve — cumulative revenue share at customer deciles
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_lorenz_customer_revenue",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT v,
+             CAST(ROW_NUMBER() OVER (ORDER BY v, o_custkey) AS BIGINT) AS rn,
+             CAST(SUM(v) OVER (ORDER BY v, o_custkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(v) OVER () AS BIGINT) AS total,
+             CAST(SUM(rn_v) OVER () AS BIGINT) AS a_sum
+      FROM (SELECT o_custkey, v,
+                   CAST(ROW_NUMBER() OVER (ORDER BY v, o_custkey) AS BIGINT)
+                     * v AS rn_v
+            FROM per_cust)),
+    pts AS (
+      SELECT d.d, r.rn, r.cum, r.n, r.total, r.a_sum
+      FROM ranked r
+      JOIN (SELECT unnest(generate_series(1, 10)) AS d) d
+        ON r.rn = r.n * d.d // 10)
+    SELECT CAST(d AS BIGINT) AS decile,
+           rn AS n_customers,
+           cum AS cum_cents,
+           CAST(FLOOR(CAST(cum AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT)
+             / 1e6 AS cum_share,
+           CAST(FLOOR((2.0e0 * a_sum - (n + 1.0e0) * total)
+                      / (n * 1.0e0 * total) * 1000000 + 0.5) AS BIGINT)
+             / 1e6 AS gini
+    FROM pts ORDER BY decile
+    """,
+    tags=("E346", "E111", "W4", "W1", "A1"),
+)
+def q_lorenz_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration — the
+    distributional PICTURE behind a scalar inequality index: sort
+    customers by exact lifetime cents ascending, and report the
+    cumulative revenue share held by the bottom d/10 of customers at
+    each decile cut (rank floor(n*d/10)), plus the exact-rank Gini
+    cross-check gini = (2*sum(rank*v) - (n+1)*total) / (n*total)
+    derived from the SAME ranking (doubles enter only in the final
+    fixed-shape division — rank products and totals are exact
+    BIGINTs through the 32x probe). The training-data-curation use is
+    source/contributor concentration auditing: "the top 10% of
+    customers carry 1 - L(9) of revenue" is the same audit as "the
+    top 10% of domains carry X% of the corpus" (E42/E292 planners).
+    Scale shape: one groupBy to customer grain, one global sort of
+    the customer-grain frame (domain-sized, not event-sized), decile
+    rows selected by rank equality — no self-join, no explode."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    wo = Window.orderBy("v", "o_custkey")
+    ranked = per_cust.select(
+        "v",
+        F.row_number().over(wo).cast("bigint").alias("rn"),
+    ).select(
+        "v",
+        "rn",
+        (F.col("rn") * F.col("v")).alias("rn_v"),
+    )
+    wall = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curve = ranked.select(
+        "rn",
+        F.sum("v").over(wall).cast("bigint").alias("cum"),
+        F.count(F.lit(1)).over(wtot).cast("bigint").alias("n"),
+        F.sum("v").over(wtot).cast("bigint").alias("total"),
+        F.sum("rn_v").over(wtot).cast("bigint").alias("a_sum"),
+    )
+    deciles = spark.range(1, 11).select(F.col("id").alias("d"))
+    pts = curve.join(
+        F.broadcast(deciles),
+        F.col("rn") == F.expr("n * d DIV 10"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("a_sum") - (F.col("n") + F.lit(1.0)) * F.col("total")
+    ) / (F.col("n") * F.lit(1.0) * F.col("total"))
+    return pts.select(
+        F.col("d").cast("bigint").alias("decile"),
+        F.col("rn").alias("n_customers"),
+        F.col("cum").alias("cum_cents"),
+        (
+            F.floor(
+                F.col("cum").cast("double") / F.col("total") * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("cum_share"),
+        (
+            F.floor(gini * 1000000 + F.lit(0.5)).cast("bigint") / 1e6
+        ).alias("gini"),
+    ).orderBy("decile")

@@ -605,6 +605,7 @@ def test_count_gated_branches_agree(spark, monkeypatch):
     are integer-exact, so equality is exact, not approximate."""
     from fts_analysis_datalake_spark.queries import (
         advanced_models,
+        event_analytics,
         joins_sets,
         llm_curation,
         llm_text,
@@ -630,6 +631,8 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         # r10: single-task BIGINT-Lloyd finisher vs the distributed
         # linear-lineage loop — integer-exact, so equality is exact
         ("q_kmeans_quantized_exact", llm_vectors, "_KMQ_FINISH_ROWS"),
+        # r10: bucketed greedy sweep vs the pointer-doubled join walk
+        ("q_interval_scheduling_users", event_analytics, "_IS_GATE"),
     ]
     for name, mod, gate in cases:
         kernel = sorted(

@@ -86,6 +86,10 @@ PYTHON_SURFACE = {
     "q_logistic_newton_purchase",  # E229 Newton rounds on the <= 10-row
     # binned sufficient-statistics frame in one bounded task (r10;
     # data-sized scan + binning stay distributed)
+    "q_knapsack_part_budget",  # E344 capacity-indexed DP in one bounded
+    # Arrow task over the 24-row TakeOrdered shortlist
+    "q_interval_scheduling_users",  # E345 count-gated bucketed greedy
+    # sweep; pointer-doubled join walk is the else-branch
 }
 
 ALL_QUERIES = sorted(REGISTRY)
