@@ -2069,3 +2069,214 @@ def q_knapsack_part_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_at_half bigint, best_at_three_quarters bigint, "
         "best_at_full bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# E351: Gale-Shapley stable matching — suppliers x customers
+# --------------------------------------------------------------------------
+
+_GS_N = 8  # panel size per side (fixed — the DP state is domain-sized)
+
+
+def _gs_oracle() -> str:
+    n = _GS_N
+    return f"""
+    WITH RECURSIVE inter AS MATERIALIZED (
+      SELECT l.l_suppkey AS sk, o.o_custkey AS ck,
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    sup AS MATERIALIZED (
+      SELECT sk, ROW_NUMBER() OVER (ORDER BY tot DESC, sk) AS si
+      FROM (SELECT sk, SUM(cents) AS tot FROM inter GROUP BY 1)
+      ORDER BY tot DESC, sk LIMIT {n}),
+    cus AS MATERIALIZED (
+      SELECT ck, ROW_NUMBER() OVER (ORDER BY tot DESC, ck) AS ci
+      FROM (SELECT ck, SUM(cents) AS tot FROM inter GROUP BY 1)
+      ORDER BY tot DESC, ck LIMIT {n}),
+    mat AS MATERIALIZED (
+      SELECT s.si, c.ci, s.sk, c.ck,
+             CAST(COALESCE(i.cents, 0) AS BIGINT) AS cents
+      FROM sup s CROSS JOIN cus c
+      LEFT JOIN inter i ON i.sk = s.sk AND i.ck = c.ck),
+    prefs AS MATERIALIZED (
+      SELECT si, list(ci ORDER BY cents DESC, ci) AS pl
+      FROM mat GROUP BY si),
+    packed AS MATERIALIZED (
+      SELECT (SELECT list(pl ORDER BY si) FROM prefs) AS pp,
+             (SELECT list(cents ORDER BY (si - 1) * {n} + ci)
+              FROM mat) AS cl),
+    gs(step, nxt, cur) AS (
+      SELECT CAST(0 AS BIGINT),
+             list_transform(generate_series(1, {n}), x -> CAST(1 AS BIGINT)),
+             list_transform(generate_series(1, {n}), x -> CAST(0 AS BIGINT))
+      FROM packed
+      UNION ALL
+      SELECT step + 1,
+             list_transform(nxt, (v, i) ->
+               CASE WHEN i = s THEN v + 1 ELSE v END),
+             list_transform(cur, (v, i) ->
+               CASE
+                 WHEN i <> c THEN v
+                 WHEN v = 0 THEN s
+                 WHEN cl[(s - 1) * {n} + c] > cl[(v - 1) * {n} + c]
+                   OR (cl[(s - 1) * {n} + c] = cl[(v - 1) * {n} + c]
+                       AND s < v)
+                   THEN s
+                 ELSE v
+               END)
+      FROM (
+        SELECT q1.*, CAST(q1.pp[q1.s][q1.nxt[q1.s]] AS BIGINT) AS c
+        FROM (
+          SELECT g.step, g.nxt, g.cur, p.cl, p.pp,
+                 list_min(list_filter(generate_series(1, {n}), i ->
+                   g.nxt[i] <= {n}
+                   AND NOT list_contains(g.cur, CAST(i AS BIGINT)))) AS s
+          FROM gs g CROSS JOIN packed p) q1
+        WHERE q1.s IS NOT NULL) q),
+    fin AS MATERIALIZED (
+      SELECT cur, step FROM gs
+      ORDER BY step DESC LIMIT 1),
+    pairs AS (
+      SELECT unnest(f.cur) AS s_of_c,
+             unnest(generate_series(1, {n})) AS ci_pos,
+             f.step
+      FROM fin f)
+    SELECT m.sk AS s_suppkey, m.ck AS c_custkey, m.cents,
+           CAST(t.step AS BIGINT) AS n_proposals
+    FROM pairs t
+    JOIN mat m ON m.si = t.s_of_c AND m.ci = t.ci_pos
+    ORDER BY m.si
+    """
+
+
+@query(
+    "q_stable_matching_panel",
+    oracle=_gs_oracle(),
+    tags=("E351", "E335", "E292", "J6", "A1", "X2"),
+)
+def q_stable_matching_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gale-Shapley stable matching of the top-{_GS_N} suppliers to
+    the top-{_GS_N} customers, preferences = exact interaction cents
+    (both sides prefer heavier trading partners; ties to the lower
+    panel index) — the ASSIGNMENT operator the ranking family lacks:
+    a matching is STABLE when no supplier-customer pair prefers each
+    other over their assigned partners, the guarantee marketplace /
+    resource-pairing systems actually need (an unstable assignment
+    unravels). Supplier-proposing GS, ONE proposal per step with the
+    LOWEST-index free supplier moving (fully deterministic walk,
+    <= {_GS_N}^2 steps, supplier-optimal by the classic theorem).
+    The oracle replays the identical walk as a WITH RECURSIVE
+    carrying (next-proposal, current-match) lists (E334/E335
+    discipline); Spark runs it in ONE bounded Arrow task over the
+    {_GS_N}x{_GS_N} cents matrix. Scale shape: the corpus-sized work
+    is the interaction aggregate + two top-k panels; the walk is
+    constant-size domain state."""
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    inter = (
+        li.select(
+            "l_orderkey",
+            F.col("l_suppkey").alias("sk"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("sk", F.col("o_custkey").alias("ck"))
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    inter = tracked_persist(inter)
+    sup = (
+        inter.groupBy("sk")
+        .agg(F.sum("cents").alias("tot"))
+        .orderBy(F.col("tot").desc(), "sk")
+        .limit(_GS_N)
+        .select("sk", F.row_number().over(
+            Window.orderBy(F.col("tot").desc(), "sk")).alias("si"))
+    )
+    cus = (
+        inter.groupBy("ck")
+        .agg(F.sum("cents").alias("tot"))
+        .orderBy(F.col("tot").desc(), "ck")
+        .limit(_GS_N)
+        .select("ck", F.row_number().over(
+            Window.orderBy(F.col("tot").desc(), "ck")).alias("ci"))
+    )
+    mat = (
+        sup.crossJoin(cus)
+        .join(F.broadcast(inter), ["sk", "ck"], "left")
+        .select(
+            "si",
+            "ci",
+            "sk",
+            "ck",
+            F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents"),
+        )
+    )
+    n = _GS_N
+
+    def gale_shapley(batches):
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                (int(si), int(ci), int(sk), int(ck), int(c))
+                for si, ci, sk, ck, c in zip(
+                    pdf["si"], pdf["ci"], pdf["sk"], pdf["ck"], pdf["cents"]
+                )
+            )
+        if not rows:
+            return
+        cents = {}
+        keys = {}
+        for si, ci, sk, ck, c in rows:
+            cents[(si, ci)] = c
+            keys[(si, ci)] = (sk, ck)
+        prefs = {
+            si: sorted(
+                range(1, n + 1), key=lambda ci: (-cents[(si, ci)], ci)
+            )
+            for si in range(1, n + 1)
+        }
+        nxt = {si: 0 for si in range(1, n + 1)}
+        cur = {ci: 0 for ci in range(1, n + 1)}
+        steps = 0
+        while True:
+            free = [
+                si
+                for si in range(1, n + 1)
+                if si not in cur.values() and nxt[si] < n
+            ]
+            if not free:
+                break
+            s = min(free)
+            c = prefs[s][nxt[s]]
+            nxt[s] += 1
+            steps += 1
+            v = cur[c]
+            if v == 0:
+                cur[c] = s
+            elif cents[(s, c)] > cents[(v, c)] or (
+                cents[(s, c)] == cents[(v, c)] and s < v
+            ):
+                cur[c] = s
+        out = []
+        for ci in range(1, n + 1):
+            s = cur[ci]
+            if s == 0:
+                continue
+            sk, ck = keys[(s, ci)]
+            out.append((s, sk, ck, cents[(s, ci)], steps))
+        out.sort()
+        yield pd.DataFrame(
+            [(sk, ck, c, st) for _, sk, ck, c, st in out],
+            columns=["s_suppkey", "c_custkey", "cents", "n_proposals"],
+        )
+
+    return mat.repartition(1).mapInPandas(
+        gale_shapley,
+        "s_suppkey bigint, c_custkey bigint, cents bigint, n_proposals bigint",
+    )

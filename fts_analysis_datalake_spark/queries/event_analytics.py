@@ -4151,3 +4151,118 @@ def q_interval_scheduling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(sel, "user_id").select(
         "user_id", "n_events", "n_selected"
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# E350: Fano factor + burstiness coefficient of hourly arrivals
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_burstiness_hourly",
+    oracle="""
+    WITH hourly AS MATERIALIZED (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, MIN(h) AS h0, MAX(h) AS h1,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2_obs
+      FROM hourly GROUP BY 1),
+    span AS (
+      SELECT event_type, s1, s2_obs,
+             CAST(date_diff('hour', h0, h1) AS BIGINT) + 1 AS n
+      FROM bounds),
+    mo AS (
+      -- empty spine hours contribute c = 0: s1/s2 unchanged, n = span
+      SELECT event_type, n, s1,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             (CAST(s2_obs AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+               / (n - 1) AS var
+      FROM span),
+    stat AS (
+      SELECT event_type, n, s1, mean, var,
+             var / mean AS fano,
+             (sqrt(var) - mean) / (sqrt(var) + mean) AS burstiness
+      FROM mo)
+    SELECT event_type,
+           n AS n_hours,
+           s1 AS n_events,
+           CAST(FLOOR(mean * 1000000 + 0.5) AS BIGINT) / 1e6 AS mean_rate,
+           CAST(FLOOR(fano * 1000000 + 0.5) AS BIGINT) / 1e6 AS fano_factor,
+           CAST(FLOOR(burstiness * 1000000 + 0.5) AS BIGINT) / 1e6
+             AS burstiness
+    FROM stat ORDER BY event_type
+    """,
+    tags=("E350", "E110", "E34", "A6", "A1", "F4"),
+)
+def q_burstiness_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor and Goh-Barabasi burstiness of each event type's
+    hourly arrival process — the dispersion diagnostic that separates
+    Poisson-like traffic (Fano ~ 1, burstiness ~ negative) from
+    clumped/bursty arrivals (Fano >> 1, burstiness -> +1), the
+    signal a rate-limiter or capacity planner reads before trusting
+    a mean rate. Computed over the COMPLETE hourly spine (missing
+    hours are zero counts — handled in closed form: zeros change
+    neither sum nor sum-of-squares, so n is just the span, and no
+    spine explode is ever materialized, unlike the E110 ACF where
+    lags need the physical rows). Integer moments are exact BIGINTs;
+    mean/variance/Fano/burstiness are one fixed-shape double
+    expression quantized at 1e-6 (sqrt is IEEE-exact). Scale shape:
+    one map-side-combinable groupBy to the hour grain, one tiny
+    per-type aggregate — arrival volume never shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"),
+        F.max("h").alias("h1"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2_obs"),
+    )
+    span = bounds.select(
+        "event_type",
+        "s1",
+        "s2_obs",
+        (
+            (F.unix_timestamp("h1") - F.unix_timestamp("h0")) / 3600
+        ).cast("bigint").alias("_dh"),
+    ).select(
+        "event_type", "s1", "s2_obs", (F.col("_dh") + 1).alias("n")
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2_obs").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    stat = span.select(
+        "event_type",
+        "n",
+        "s1",
+        mean.alias("mean"),
+        var.alias("var"),
+    ).select(
+        "event_type",
+        "n",
+        "s1",
+        "mean",
+        (F.col("var") / F.col("mean")).alias("fano"),
+        (
+            (F.sqrt(F.col("var")) - F.col("mean"))
+            / (F.sqrt(F.col("var")) + F.col("mean"))
+        ).alias("burstiness"),
+    )
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1e6
+
+    return stat.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("s1").alias("n_events"),
+        q6(F.col("mean")).alias("mean_rate"),
+        q6(F.col("fano")).alias("fano_factor"),
+        q6(F.col("burstiness")).alias("burstiness"),
+    ).orderBy("event_type")

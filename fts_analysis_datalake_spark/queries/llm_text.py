@@ -1858,3 +1858,112 @@ def q_huffman_code_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_symbols bigint, total_tokens bigint, huffman_bits bigint, "
         "entropy_bits double, fixed_bits bigint, bits_per_token double",
     )
+
+
+# --------------------------------------------------------------------------
+# E347: Good-Turing frequency smoothing — frequency-of-frequencies
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_good_turing_smoothing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({sql_tokens('text')}) AS t FROM documents),
+    cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY t),
+    fof AS MATERIALIZED (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS nr FROM cnt GROUP BY r),
+    tot AS (SELECT CAST(SUM(r * nr) AS BIGINT) AS n,
+                   CAST(SUM(nr) AS BIGINT) AS v
+            FROM fof)
+    SELECT f.r,
+           f.nr,
+           f1.nr AS nr_plus_1,
+           CAST(FLOOR((f.r + 1) * CAST(f1.nr AS DOUBLE) / f.nr * 1000000
+                      + 0.5) AS BIGINT) / 1e6 AS r_star,
+           CAST(FLOOR((f.r + 1) * CAST(f1.nr AS DOUBLE) / f.nr
+                      / t.n * 1000000000 + 0.5) AS BIGINT) / 1e9
+             AS p_smoothed,
+           CAST(FLOOR(CAST((SELECT nr FROM fof WHERE r = 1) AS DOUBLE)
+                      / t.n * 1000000000 + 0.5) AS BIGINT) / 1e9
+             AS p_unseen_mass
+    FROM fof f
+    JOIN fof f1 ON f1.r = f.r + 1
+    CROSS JOIN tot t
+    ORDER BY f.r
+    """,
+    tags=("E347", "E132", "D9", "A1", "J6"),
+)
+def q_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing over the token unigram counts
+    — the count-of-counts estimator under every held-out-likelihood
+    and unseen-mass computation in language modeling (and the
+    Zipf-fit E132's inferential sibling): N_r = how many types occur
+    exactly r times; the smoothed count r* = (r+1) N_(r+1)/N_r, the
+    smoothed probability r*/N, and the total unseen mass P_0 = N_1/N
+    (Good 1953). Emitted for every r that has a successor N_(r+1) > 0
+    (the raw estimator's domain — no fitted tail, stated); P_0 is
+    NULL when the corpus has no singletons (the closed driver vocab
+    has none — the Zipf/Heaps probe regime does), identically in
+    both engines via the 1-row aggregate / scalar-subquery NULL. All counts
+    are exact BIGINTs; the estimates are single fixed-shape double
+    divisions quantized at output. Scale shape: token counts are one
+    map-side-combinable groupBy; the frequency-of-frequencies table
+    is tiny (hundreds of distinct r at any corpus size — it grows
+    like the max count's log), and the r+1 self-join runs on it, not
+    on the vocabulary."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select(F.explode(tokens(normalize_text(F.col("text")))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    fof = cnt.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    fof = tracked_persist(fof)
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("nr")).cast("bigint").alias("n"),
+        F.sum("nr").cast("bigint").alias("v"),
+    )
+    # 1-row aggregate, NULL when no r=1 bucket exists — mirrors the
+    # oracle's scalar subquery (which yields NULL, not zero rows)
+    n1 = fof.agg(
+        F.sum(F.when(F.col("r") == 1, F.col("nr"))).cast("bigint").alias("n1")
+    )
+    fa = fof.alias("fa")
+    fb = fof.alias("fb")
+    joined = (
+        fa.join(fb, F.col("fa.r") + 1 == F.col("fb.r"))
+        .select(
+            F.col("fa.r").alias("r"),
+            F.col("fa.nr").alias("nr"),
+            F.col("fb.nr").alias("nr_plus_1"),
+        )
+    )
+    est = (F.col("r") + 1) * F.col("nr_plus_1").cast("double") / F.col("nr")
+    return (
+        joined
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "nr",
+            "nr_plus_1",
+            (
+                F.floor(est * 1000000 + F.lit(0.5)).cast("bigint") / 1e6
+            ).alias("r_star"),
+            (
+                F.floor(est / F.col("n") * 1000000000 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+                / 1e9
+            ).alias("p_smoothed"),
+            (
+                F.floor(
+                    F.col("n1").cast("double") / F.col("n") * 1000000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e9
+            ).alias("p_unseen_mass"),
+        )
+        .orderBy("r")
+    )

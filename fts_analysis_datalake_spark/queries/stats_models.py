@@ -4513,3 +4513,350 @@ def q_lorenz_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(gini * 1000000 + F.lit(0.5)).cast("bigint") / 1e6
         ).alias("gini"),
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# E348: weekly seasonal decomposition — MA trend, dow seasonal, strength
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonal_decomposition_weekly",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1, 2),
+    win AS MATERIALIZED (
+      SELECT event_type, d, y,
+             CAST(isodow(d) AS BIGINT) AS dow,
+             CAST(SUM(y) OVER w AS BIGINT) AS s7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS c7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS MATERIALIZED (
+      SELECT event_type, dow, 7 * y - s7 AS d7
+      FROM win WHERE c7 = 7),
+    seas AS MATERIALIZED (
+      SELECT event_type, dow,
+             CAST(SUM(d7) AS BIGINT) AS num,
+             CAST(COUNT(*) AS BIGINT) AS den
+      FROM det GROUP BY 1, 2),
+    ss AS (
+      SELECT t.event_type,
+             CAST(SUM(CAST(FLOOR(CAST(t.d7 AS DOUBLE) * t.d7 * 0.0001e0
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS ssd,
+             CAST(SUM(CAST(FLOOR((t.d7 - CAST(s.num AS DOUBLE) / s.den)
+                                 * (t.d7 - CAST(s.num AS DOUBLE) / s.den)
+                                 * 0.0001e0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS ssr,
+             CAST(COUNT(*) AS BIGINT) AS n_complete
+      FROM det t JOIN seas s
+        ON s.event_type = t.event_type AND s.dow = t.dow
+      GROUP BY 1)
+    SELECT s.event_type,
+           s.dow,
+           s.den AS n_days,
+           CAST(FLOOR(CAST(s.num AS DOUBLE) / (s.den * 7.0e0) * 1000000
+                      + 0.5) AS BIGINT) / 1e6 AS seasonal_cents,
+           x.n_complete,
+           CAST(FLOOR((1.0e0 - CAST(x.ssr AS DOUBLE) / x.ssd) * 1000000
+                      + 0.5) AS BIGINT) / 1e6 AS seasonal_strength
+    FROM seas s JOIN ss x ON x.event_type = s.event_type
+    ORDER BY s.event_type, s.dow
+    """,
+    tags=("E348", "E110", "E34", "W5", "A1", "F4"),
+)
+def q_seasonal_decomposition_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical weekly seasonal decomposition of each event type's
+    daily revenue — trend = centered 7-day moving average (complete
+    windows only), seasonal = day-of-week mean of the detrended
+    series, plus the STL-style strength-of-seasonality statistic
+    1 - SS_resid/SS_detrended that says whether the weekly pattern
+    is signal or noise (the planning decision behind E97/E110).
+    Integer-exact detrending: the detrended value is carried as
+    d7 = 7*y - sum7 (exact BIGINT in 1/7-cents units — no division,
+    no doubles, until the final readout), the seasonal mean is an
+    exact (num, den) rational, and the two sums of squares quantize
+    each term to BIGINT before the order-free sum (the E343 recipe;
+    1e-4 scale for 32x headroom). Day-of-week is ISO (isodow /
+    weekday+1 — identical in both engines). Scale shape: one
+    map-side day-grain collapse, one day-count-bounded window, one
+    7-row-per-type broadcast join back."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    win = daily.select(
+        "event_type",
+        (F.weekday(F.col("d")) + 1).cast("bigint").alias("dow"),
+        "y",
+        F.sum("y").over(w).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("c7"),
+    )
+    det = win.filter(F.col("c7") == 7).select(
+        "event_type", "dow", (F.lit(7) * F.col("y") - F.col("s7")).alias("d7")
+    )
+    det = tracked_persist(det)
+    seas = det.groupBy("event_type", "dow").agg(
+        F.sum("d7").cast("bigint").alias("num"),
+        F.count(F.lit(1)).cast("bigint").alias("den"),
+    )
+    seas = tracked_persist(seas)
+    smean = F.col("num").cast("double") / F.col("den")
+    joined = det.join(F.broadcast(seas), ["event_type", "dow"])
+    resid = F.col("d7") - smean
+    ss = joined.groupBy("event_type").agg(
+        F.sum(
+            F.floor(
+                F.col("d7").cast("double") * F.col("d7") * F.lit(0.0001)
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("ssd"),
+        F.sum(
+            F.floor(resid * resid * F.lit(0.0001) + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("ssr"),
+        F.count(F.lit(1)).cast("bigint").alias("n_complete"),
+    )
+    return (
+        seas.join(ss, "event_type")
+        .select(
+            "event_type",
+            "dow",
+            F.col("den").alias("n_days"),
+            (
+                F.floor(
+                    F.col("num").cast("double") / (F.col("den") * F.lit(7.0))
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("seasonal_cents"),
+            "n_complete",
+            (
+                F.floor(
+                    (
+                        F.lit(1.0)
+                        - F.col("ssr").cast("double") / F.col("ssd")
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("seasonal_strength"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# --------------------------------------------------------------------------
+# E349: partial autocorrelation (PACF) via unrolled Durbin-Levinson
+# --------------------------------------------------------------------------
+
+
+def _pacf_oracle() -> str:
+    gam = {}
+    for k in range(4):
+        gam[k] = (
+            f"(CAST(s{k} AS DOUBLE) - (CAST(s1t AS DOUBLE) / n)"
+            f" * (a{k} + b{k}) + (n - {k}) * (CAST(s1t AS DOUBLE) / n)"
+            f" * (CAST(s1t AS DOUBLE) / n)) / n"
+        )
+    return f"""
+    WITH hourly AS MATERIALIZED (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+               FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    serie AS MATERIALIZED (
+      SELECT s.event_type, s.h,
+             CAST(COALESCE(hy.c, 0) AS BIGINT) AS y
+      FROM spine s LEFT JOIN hourly hy
+        ON s.event_type = hy.event_type AND s.h = hy.h),
+    lagd AS (
+      SELECT event_type, y,
+             lag(y, 1) OVER w AS l1,
+             lag(y, 2) OVER w AS l2,
+             lag(y, 3) OVER w AS l3
+      FROM serie WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+    mo AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s1t,
+             CAST(SUM(y * y) AS BIGINT) AS s0,
+             CAST(SUM(y) AS BIGINT) AS a0,
+             CAST(SUM(y) AS BIGINT) AS b0,
+             CAST(SUM(y * l1) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN l1 IS NULL THEN NULL ELSE y END) AS BIGINT) AS b1,
+             CAST(SUM(l1) AS BIGINT) AS a1,
+             CAST(SUM(y * l2) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN l2 IS NULL THEN NULL ELSE y END) AS BIGINT) AS b2,
+             CAST(SUM(l2) AS BIGINT) AS a2,
+             CAST(SUM(y * l3) AS BIGINT) AS s3,
+             CAST(SUM(CASE WHEN l3 IS NULL THEN NULL ELSE y END) AS BIGINT) AS b3,
+             CAST(SUM(l3) AS BIGINT) AS a3
+      FROM lagd GROUP BY 1),
+    gam AS (
+      SELECT event_type, n,
+             {gam[0]} AS g0, {gam[1]} AS g1, {gam[2]} AS g2, {gam[3]} AS g3
+      FROM mo),
+    rho AS (
+      SELECT event_type, n,
+             g1 / g0 AS r1, g2 / g0 AS r2, g3 / g0 AS r3
+      FROM gam),
+    dl AS (
+      SELECT event_type, n, r1, r2, r3,
+             (r2 - r1 * r1) / (1.0e0 - r1 * r1) AS p2
+      FROM rho),
+    dl2 AS (
+      SELECT event_type, n, r1, r2, r3, p2,
+             r1 - p2 * r1 AS c21
+      FROM dl),
+    dl3 AS (
+      SELECT event_type, n, r1, r2, r3, p2,
+             (r3 - c21 * r2 - p2 * r1)
+               / (1.0e0 - c21 * r1 - p2 * r2) AS p3
+      FROM dl2)
+    SELECT event_type, n AS n_hours,
+           CAST(FLOOR(r1 * 1000000 + 0.5) AS BIGINT) / 1e6 AS acf_1,
+           CAST(FLOOR(r2 * 1000000 + 0.5) AS BIGINT) / 1e6 AS acf_2,
+           CAST(FLOOR(r3 * 1000000 + 0.5) AS BIGINT) / 1e6 AS acf_3,
+           CAST(FLOOR(r1 * 1000000 + 0.5) AS BIGINT) / 1e6 AS pacf_1,
+           CAST(FLOOR(p2 * 1000000 + 0.5) AS BIGINT) / 1e6 AS pacf_2,
+           CAST(FLOOR(p3 * 1000000 + 0.5) AS BIGINT) / 1e6 AS pacf_3
+    FROM dl3 ORDER BY event_type
+    """
+
+
+@query(
+    "q_pacf_hourly",
+    oracle=_pacf_oracle(),
+    tags=("E349", "E110", "E343", "W3", "A1", "F4"),
+)
+def q_pacf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of each event type's hourly arrival
+    series at lags 1-3, via the Durbin-Levinson recursion UNROLLED to
+    closed form — the AR-order diagnostic the raw ACF (E110) cannot
+    give (ACF of an AR(1) decays forever; its PACF cuts off at 1 —
+    the cutoff lag is how Box-Jenkins picks p). Stationary-convention
+    autocovariances: gamma_k = (S_k - m(A_k + B_k) + (n-k) m^2)/n
+    where S_k, A_k, B_k are EXACT BIGINT lag-product/truncated sums
+    over the zero-filled hourly spine and m = s1/n enters once as a
+    double; rho_k = gamma_k/gamma_0, then phi11 = rho1, phi22 =
+    (rho2 - rho1^2)/(1 - rho1^2), phi33 from the second DL step with
+    phi21 = rho1 - phi22*rho1 — one fixed-shape double expression
+    written identically in both engines (the E342 recipe), outputs
+    quantized at 1e-6. Scale shape: one hour-grain collapse, one
+    keyed window for the three lags, one per-type aggregate — the
+    spine is time-bounded, never event-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "h"
+        ),
+    )
+    serie = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("y"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagd = serie.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("l1"),
+        F.lag("y", 2).over(w).alias("l2"),
+        F.lag("y", 3).over(w).alias("l3"),
+    )
+    y = F.col("y")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(y).cast("bigint").alias("s1t"),
+        F.sum(y * y).cast("bigint").alias("s0"),
+        F.sum(y).cast("bigint").alias("a0"),
+        F.sum(y).cast("bigint").alias("b0"),
+    ]
+    for k in (1, 2, 3):
+        lk = F.col(f"l{k}")
+        aggs += [
+            F.sum(y * lk).cast("bigint").alias(f"s{k}"),
+            F.sum(F.when(lk.isNotNull(), y)).cast("bigint").alias(f"b{k}"),
+            F.sum(lk).cast("bigint").alias(f"a{k}"),
+        ]
+    mo = lagd.groupBy("event_type").agg(*aggs)
+    n = F.col("n")
+    m = F.col("s1t").cast("double") / n
+
+    def gamma(k: int):
+        return (
+            F.col(f"s{k}").cast("double")
+            - m * (F.col(f"a{k}") + F.col(f"b{k}"))
+            + (n - F.lit(k)) * m * m
+        ) / n
+
+    rho = mo.select(
+        "event_type",
+        "n",
+        (gamma(1) / gamma(0)).alias("r1"),
+        (gamma(2) / gamma(0)).alias("r2"),
+        (gamma(3) / gamma(0)).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    dl = rho.select(
+        "event_type",
+        "n",
+        "r1",
+        "r2",
+        "r3",
+        ((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)).alias("p2"),
+    )
+    dl2 = dl.select(
+        "*", (r1 - F.col("p2") * r1).alias("c21")
+    )
+    p3 = (
+        (r3 - F.col("c21") * r2 - F.col("p2") * r1)
+        / (F.lit(1.0) - F.col("c21") * r1 - F.col("p2") * r2)
+    )
+    dl3 = dl2.select("event_type", "n", "r1", "r2", "r3", "p2", p3.alias("p3"))
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1e6
+
+    return dl3.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        q6(r1).alias("acf_1"),
+        q6(r2).alias("acf_2"),
+        q6(r3).alias("acf_3"),
+        q6(r1).alias("pacf_1"),
+        q6(F.col("p2")).alias("pacf_2"),
+        q6(F.col("p3")).alias("pacf_3"),
+    ).orderBy("event_type")

@@ -90,6 +90,8 @@ PYTHON_SURFACE = {
     # Arrow task over the 24-row TakeOrdered shortlist
     "q_interval_scheduling_users",  # E345 count-gated bucketed greedy
     # sweep; pointer-doubled join walk is the else-branch
+    "q_stable_matching_panel",  # E351 Gale-Shapley walk in one bounded
+    # Arrow task over the 8x8 panel cents matrix
 }
 
 ALL_QUERIES = sorted(REGISTRY)
