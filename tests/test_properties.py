@@ -2786,3 +2786,265 @@ def test_ams_f2_matches_md5_sign_replay(spark, bag):
     r = out[0]
     got = (r.n_tokens, r.n_distinct, r.exact_f2, r.est_f2, r.within_4sigma)
     assert got == (n_tokens, n_distinct, exact, est, within), (got, bag)
+
+
+# --------------------------------------------------------------------------
+# r10 rows: independent replays — knapsack vs exhaustive subsets,
+# interval scheduling vs brute-force max independent set, Gale-Shapley
+# stability (no blocking pairs) + textbook replay.
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=100, max_value=99999),  # price cents
+            st.integers(min_value=1, max_value=50),  # size
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_knapsack_matches_exhaustive_subsets(spark, items):
+    """The DP's value-of-budget readouts must equal brute-force
+    maximization over all 2^n subsets at each audited capacity."""
+    import itertools
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.advanced_models import (
+        _KS_CAP,
+        q_knapsack_part_budget,
+    )
+
+    rows = [
+        (i + 1, f"part{i}", sz, cents / 100.0)
+        for i, (cents, sz) in enumerate(items)
+    ]
+    d = _tmp_multi_fixture(
+        spark,
+        {
+            "part": (
+                rows,
+                "p_partkey BIGINT, p_name STRING, p_size INT, p_retailprice DOUBLE",
+            )
+        },
+    )
+
+    def brute(cap):
+        best = 0
+        vals = [(c, s) for c, s in items]
+        for r in range(len(vals) + 1):
+            for comb in itertools.combinations(vals, r):
+                if sum(s for _, s in comb) <= cap:
+                    best = max(best, sum(c for c, _ in comb))
+        return best
+
+    try:
+        out = q_knapsack_part_budget(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_items == len(items)
+    assert r.best_at_quarter == brute(_KS_CAP // 4)
+    assert r.best_at_half == brute(_KS_CAP // 2)
+    assert r.best_at_three_quarters == brute(3 * _KS_CAP // 4)
+    assert r.best_at_full == brute(_KS_CAP)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # start slot
+            st.integers(min_value=0, max_value=30),  # raw duration value
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_interval_scheduling_matches_max_independent_set(spark, iv):
+    """Earliest-end greedy is provably MAXIMUM for interval
+    scheduling — check the query's n_selected equals brute-force
+    maximum non-overlapping subset size over all 2^n subsets."""
+    import datetime
+    import itertools
+    import math
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.event_analytics import (
+        q_interval_scheduling_users,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, base + datetime.timedelta(hours=s), 7, "view", float(v), "{}")
+        for i, (s, v) in enumerate(iv)
+    ]
+    d = _tmp_multi_fixture(spark, {"events": (rows, _EVENTS_SCHEMA)})
+    # replay the query's interval construction exactly
+    spans = []
+    for i, (s, v) in enumerate(iv):
+        s_us = int((base + datetime.timedelta(hours=s)).timestamp() * 1e6)
+        e_us = s_us + (int(math.floor(v * 100 + 0.5)) + 1) * 10000000
+        spans.append((s_us, e_us))
+    best = 0
+    for r in range(len(spans), 0, -1):
+        if r <= best:
+            break
+        for comb in itertools.combinations(spans, r):
+            c = sorted(comb)
+            if all(c[k][1] <= c[k + 1][0] for k in range(len(c) - 1)):
+                best = max(best, r)
+                break
+    try:
+        out = q_interval_scheduling_users(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.n_events) == (7, len(iv))
+    assert r.n_selected == best, (r.n_selected, best, spans)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=9),
+        min_size=64,
+        max_size=64,
+    )
+)
+def test_stable_matching_is_stable_and_matches_textbook_replay(
+    spark, cents
+):
+    """The matching must (a) contain NO blocking pair — the defining
+    stability property, checked from first principles against the
+    preference matrix — and (b) equal a textbook supplier-proposing
+    Gale-Shapley replay written independently of the query/oracle."""
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.advanced_models import (
+        _GS_N,
+        q_stable_matching_panel,
+    )
+
+    n = _GS_N
+    # panel identity: make supplier k = suppkey k, customer k = custkey k
+    # with totals forced so the top-8 panels are exactly 1..8 in order:
+    # add a dominant diagonal bonus keyed to (9-k) so totals order by key.
+    m = {}
+    for si in range(1, n + 1):
+        for ci in range(1, n + 1):
+            m[(si, ci)] = cents[(si - 1) * n + (ci - 1)] + 1
+    # per-(s,c) interaction = one order with one line of that many dollars
+    li_rows, ord_rows = [], []
+    ok = 0
+    import datetime
+
+    d0 = datetime.datetime(1996, 1, 1)
+    big = 10_000  # dominance bonus so totals sort panels by key
+    for si in range(1, n + 1):
+        for ci in range(1, n + 1):
+            ok += 1
+            amount = m[(si, ci)] + (big * (n - si) if si == ci else 0)
+            # totals: supplier si gets sum_ci m + big*(n-si) -> sorted by si
+            li_rows.append((ok, 1, si, 1, 1.0, float(amount)))
+            ord_rows.append((ok, ci, "O", 0.0, d0))
+    d = _tmp_multi_fixture(
+        spark,
+        {
+            "lineitem": (
+                li_rows,
+                "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+                "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE",
+            ),
+            "orders": (
+                ord_rows,
+                "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+                "o_totalprice DOUBLE, o_orderdate TIMESTAMP",
+            ),
+        },
+    )
+    try:
+        out = q_stable_matching_panel(spark, d).collect()
+        got = {(r.s_suppkey, r.c_custkey): r.cents for r in out}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # reconstruct the ACTUAL panel indices + cents the query saw
+    # (totals may not order by key for customer side) — recompute
+    # from the fixture exactly as the query does
+    import collections
+
+    inter = collections.defaultdict(int)
+    for (okey, _, sk, _, _, price), (_, ck, _, _, _) in zip(
+        li_rows, ord_rows
+    ):
+        inter[(sk, ck)] += int(price * 100 + 0.5)
+    stot = collections.defaultdict(int)
+    ctot = collections.defaultdict(int)
+    for (sk, ck), c in inter.items():
+        stot[sk] += c
+        ctot[ck] += c
+    sup = sorted(stot, key=lambda k: (-stot[k], k))[:n]
+    cus = sorted(ctot, key=lambda k: (-ctot[k], k))[:n]
+    si_of = {sk: i + 1 for i, sk in enumerate(sup)}
+    ci_of = {ck: i + 1 for i, ck in enumerate(cus)}
+    mm = {
+        (si_of[sk], ci_of[ck]): inter.get((sk, ck), 0)
+        for sk in sup
+        for ck in cus
+    }
+    # textbook replay
+    prefs = {
+        si: sorted(range(1, n + 1), key=lambda ci: (-mm[(si, ci)], ci))
+        for si in range(1, n + 1)
+    }
+    nxt = {si: 0 for si in range(1, n + 1)}
+    cur = {ci: 0 for ci in range(1, n + 1)}
+    while True:
+        free = [
+            si
+            for si in range(1, n + 1)
+            if si not in cur.values() and nxt[si] < n
+        ]
+        if not free:
+            break
+        s = min(free)
+        c = prefs[s][nxt[s]]
+        nxt[s] += 1
+        v = cur[c]
+        if v == 0 or mm[(s, c)] > mm[(v, c)] or (
+            mm[(s, c)] == mm[(v, c)] and s < v
+        ):
+            cur[c] = s
+    expected = {
+        (sup[cur[ci] - 1], cus[ci - 1]): mm[(cur[ci], ci)]
+        for ci in range(1, n + 1)
+        if cur[ci] != 0
+    }
+    assert got == expected, (got, expected)
+    # stability: no (s, c) prefers each other over assigned partners
+    match_of_s = {s: c for (s, c) in (
+        (cur[ci], ci) for ci in range(1, n + 1) if cur[ci] != 0)}
+    match_of_c = {c: s for s, c in match_of_s.items()}
+    for s in range(1, n + 1):
+        for c in range(1, n + 1):
+            ms = match_of_s.get(s)
+            mc = match_of_c.get(c)
+            if ms == c:
+                continue
+            s_prefers = ms is None or (
+                mm[(s, c)],
+                -c,
+            ) > (mm[(s, ms)], -ms)
+            c_prefers = mc is None or (
+                mm[(s, c)],
+                -s,
+            ) > (mm[(mc, c)], -mc)
+            assert not (s_prefers and c_prefers), (
+                "blocking pair",
+                s,
+                c,
+            )
