@@ -1724,6 +1724,10 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FG_A = 48271  # MINSTD multiplier; any fixed odd constant works
 _FG_C = 12345
+# Single-task finisher gate (r10): bounds the three n-length int64
+# arrays the numpy doubling kernel allocates (4M -> 3 x 32 MB).
+# Patchable; tests force the distributed branch by patching to 0.
+_FG_GATE = 4_000_000
 _FG_ORACLE_DOUBLINGS = 28  # 2^28 = 268M >= any test-SF order count
 
 
@@ -1788,10 +1792,63 @@ def q_functional_graph_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a trillion rows, each a single hash-join shuffle; the
     rerooted lineage keeps plans constant-size (caching.reroot, the
     self-join loop lesson)."""
+    from fts_analysis_datalake_spark import probe
     from fts_analysis_datalake_spark.caching import reroot
 
     o = load_table(spark, sf_dir, "orders")
     n = o.count()
+    # Count-gated single-task finisher (r10): the node domain is dense
+    # ranks 0..n-1 with an LCG successor, so the ENTIRE structure is a
+    # function of n — under the gate, one bounded Arrow task replays
+    # the identical ceil(log2 n) doubling (J <- J[J], M <- min(M, M[J]))
+    # in numpy int64 and emits the same per-component aggregates
+    # bit-exactly (forced branch-equivalence tested). The rerooted
+    # self-join loop below stays the else-branch and the 100 TB path
+    # (the 18-round scheduling floor was the suite's slowest query,
+    # 10.3 s at sf0.1 for ~1 s of arithmetic).
+    if probe.gate("functional_rho", 0 < n <= _FG_GATE):
+        nn = n
+
+        def rho_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            consumed = False
+            for _ in batches:
+                consumed = True
+            if not consumed:
+                return
+            v = np.arange(nn, dtype=np.int64)
+            J = (_FG_A * v + _FG_C) % nn
+            M = np.minimum(v, J)
+            for _ in range(max((nn - 1).bit_length(), 1)):
+                M = np.minimum(M, M[J])
+                J = J[J]
+            comp = M[J]
+            cyc = np.zeros(nn, dtype=bool)
+            cyc[np.unique(J)] = True
+            out = []
+            for c in np.unique(comp):
+                mask = comp == c
+                total = int(mask.sum())
+                clen = int((mask & cyc).sum())
+                out.append((int(c), total, clen, total - clen))
+            out.sort()
+            yield pd.DataFrame(
+                out,
+                columns=["comp_id", "n_nodes", "cycle_len", "tree_size"],
+            )
+
+        return (
+            o.sparkSession.range(1)
+            .repartition(1)
+            .mapInPandas(
+                rho_kernel,
+                "comp_id bigint, n_nodes bigint, cycle_len bigint, "
+                "tree_size bigint",
+            )
+        )
+
     w = Window.orderBy("o_orderkey")
     idx = o.select(
         (F.row_number().over(w) - 1).cast("bigint").alias("v")
@@ -1855,6 +1912,10 @@ def q_functional_graph_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BC_SEED_MOD = 17  # seed panel: every 17th supplier node
 _BC_Q = 1_000_000  # dependency quantization (1e-6 units)
 _BC_SIG_CAP = 10_000_000  # loud guard: path counts must fit the Q arithmetic
+# Single-task finisher gate (r10): bounds the collected backbone the
+# Brandes kernel walks (edges <= 8 * nodes after the top-4n cut, so
+# 200k nodes -> <= 1.6M edge tuples in one task). Patchable.
+_BC_NODE_GATE = 200_000
 
 
 def _bc_oracle() -> str:
@@ -1975,6 +2036,78 @@ def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = tracked_persist(
         edges0.unionAll(edges0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
+    # Count-gated single-task finisher (r10): after the top-4n cut the
+    # backbone is degree-bounded (<= 8n directed tuples), so under the
+    # node gate ONE bounded Arrow task replays the identical bounded-hop
+    # Brandes — same exclusive BFS levels, same exact integer sigma
+    # level sums, same sigma-cap raise, same Q-unit floor-division
+    # dependency terms — bit-exactly (forced branch-equivalence
+    # tested). The 5-join level pipeline below stays the else-branch
+    # and the 100 TB path (its per-level scheduling floor made this
+    # the suite's second-slowest query, 8.5 s at sf0.1).
+    from fts_analysis_datalake_spark import probe as _probe
+
+    if _probe.gate("betweenness", 0 < n_nodes <= _BC_NODE_GATE):
+
+        def brandes(batches):
+            import pandas as pd
+
+            adj: dict = {}
+            for pdf in batches:
+                for u, v in zip(pdf["u"], pdf["v"]):
+                    adj.setdefault(int(u), []).append(int(v))
+            if not adj:
+                return
+            seeds_ = sorted(
+                x for x in adj if x % _BC_SEED_MOD == 1
+            )
+            bq: dict = {}
+            contribs: dict = {}
+            for s in seeds_:
+                levels = [{s: 1}]
+                seen = {s}
+                for _ in range(3):
+                    nxt: dict = {}
+                    for v, sig in levels[-1].items():
+                        for w in adj.get(v, ()):
+                            if w not in seen:
+                                nxt[w] = nxt.get(w, 0) + sig
+                    # exclusive levels: mark AFTER the full frontier
+                    seen.update(nxt)
+                    levels.append(nxt)
+                for v, sig in levels[3].items():
+                    if sig > _BC_SIG_CAP:
+                        raise ValueError(
+                            "betweenness: sigma exceeds Q cap"
+                        )
+                dq = [dict() for _ in range(4)]
+                for lv in (2, 1):
+                    for v, sig in levels[lv].items():
+                        t = 0
+                        for w in adj.get(v, ()):
+                            if w in levels[lv + 1]:
+                                nd = dq[lv + 1].get(w, 0)
+                                t += sig * (_BC_Q + nd) // levels[lv + 1][w]
+                        dq[lv][v] = t
+                for lv in (1, 2):
+                    for v, d in dq[lv].items():
+                        bq[v] = bq.get(v, 0) + d
+                        if d > 0:
+                            contribs[v] = contribs.get(v, 0) + 1
+            top = sorted(
+                ((v, bq[v], contribs.get(v, 0)) for v in bq),
+                key=lambda r: (-r[1], r[0]),
+            )[:20]
+            yield pd.DataFrame(
+                [(v, b / 1e6, c) for v, b, c in top],
+                columns=["node", "betweenness", "n_seed_contribs"],
+            )
+
+        return sym.repartition(1).mapInPandas(
+            brandes,
+            "node bigint, betweenness double, n_seed_contribs bigint",
+        )
+
     seeds = (
         sym.select("u")
         .distinct()

@@ -633,6 +633,10 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         ("q_kmeans_quantized_exact", llm_vectors, "_KMQ_FINISH_ROWS"),
         # r10: bucketed greedy sweep vs the pointer-doubled join walk
         ("q_interval_scheduling_users", event_analytics, "_IS_GATE"),
+        # r10: numpy doubling replay vs the rerooted self-join loop
+        ("q_functional_graph_rho", joins_sets, "_FG_GATE"),
+        # r10: single-task Brandes replay vs the 5-join level pipeline
+        ("q_betweenness_centrality", joins_sets, "_BC_NODE_GATE"),
     ]
     for name, mod, gate in cases:
         kernel = sorted(

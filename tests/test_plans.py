@@ -92,6 +92,12 @@ PYTHON_SURFACE = {
     # sweep; pointer-doubled join walk is the else-branch
     "q_stable_matching_panel",  # E351 Gale-Shapley walk in one bounded
     # Arrow task over the 8x8 panel cents matrix
+    "q_functional_graph_rho",  # E333 count-gated numpy doubling replay
+    # (structure is a pure function of n); rerooted self-join loop is
+    # the else-branch
+    "q_betweenness_centrality",  # E340 node-gated Brandes replay over
+    # the collected degree-bounded backbone; the 5-join level pipeline
+    # is the else-branch
 }
 
 ALL_QUERIES = sorted(REGISTRY)
