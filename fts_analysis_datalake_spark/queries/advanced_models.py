@@ -2206,9 +2206,17 @@ def q_stable_matching_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ck", F.row_number().over(
             Window.orderBy(F.col("tot").desc(), "ck")).alias("ci"))
     )
+    # Filter the interaction table to panel keys BEFORE broadcasting:
+    # inter is corpus-sized (every supplier x customer pair that ever
+    # traded) — broadcasting it whole is a 100 TB bug; after the two
+    # panel semijoins it is <= {n}^2 rows.
+    pan_inter = (
+        inter.join(F.broadcast(sup.select("sk")), "sk")
+        .join(F.broadcast(cus.select("ck")), "ck")
+    )
     mat = (
         sup.crossJoin(cus)
-        .join(F.broadcast(inter), ["sk", "ck"], "left")
+        .join(F.broadcast(pan_inter), ["sk", "ck"], "left")
         .select(
             "si",
             "ci",
