@@ -2190,3 +2190,274 @@ def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_seed_contribs",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E352: degree assortativity — do hubs trade with hubs?
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_degree_assortativity",
+    oracle="""
+    WITH pairs AS MATERIALIZED (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2),
+    nn0 AS (SELECT COUNT(DISTINCT x) AS n FROM
+              (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)),
+    edges0 AS MATERIALIZED (
+      SELECT u, v FROM pairs
+      ORDER BY w DESC, u, v LIMIT (SELECT 4 * n FROM nn0)),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+    deg AS MATERIALIZED (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM sym GROUP BY 1),
+    ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM sym e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM ends)
+    SELECT m AS n_directed_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(FLOOR((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / NULLIF(sqrt(CAST(m AS DOUBLE) * sxx
+                                    - CAST(sx AS DOUBLE) * sx)
+                               * sqrt(CAST(m AS DOUBLE) * syy
+                                      - CAST(sy AS DOUBLE) * sy), 0.0e0)
+                      * 1000000 + 0.5) AS BIGINT) / 1e6 AS assortativity
+    FROM mo
+    """,
+    tags=("E352", "E340", "E298", "A6", "J6"),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman r) of the co-purchase graph — the
+    one-number answer to "do hubs trade with hubs (r > 0) or do hubs
+    serve the periphery (r < 0)?", the mixing diagnostic that decides
+    whether hub-targeted dedup/removal fragments the graph (the
+    robustness question under E15/E340). r = Pearson correlation of
+    the degrees at the two ends of every DIRECTED edge (each
+    undirected edge counted once per direction — the standard
+    convention that symmetrizes the statistic), over the SAME top-4n
+    strongest-pair backbone the betweenness row (E340) walks — the
+    raw co-purchase graph is COMPLETE at sf0.01, where every degree
+    is equal and r is 0/0 (NULLIF-guarded to NULL identically in
+    both engines; the backbone keeps the statistic informative).
+    All moments are exact
+    BIGINTs; r is one fixed-shape double expression quantized at 1e-6
+    (sqrt is IEEE-exact). Scale shape: one data-sized co-purchase
+    aggregate, one degree groupBy, two degree-lookup joins (the
+    degree table broadcasts at any scale — it is node-sized), one
+    global moment aggregate. No per-node state, no iteration."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pairs = tracked_persist(pairs)
+    n0 = (
+        pairs.select(F.col("u").alias("x"))
+        .unionAll(pairs.select(F.col("v").alias("x")))
+        .distinct()
+        .count()
+    )
+    edges0 = (
+        pairs.orderBy(F.col("w").desc(), "u", "v")
+        .limit(4 * n0)
+        .select("u", "v")
+    )
+    sym = tracked_persist(
+        edges0.unionAll(
+            edges0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+    ends = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    x, y = F.col("x"), F.col("y")
+    mo = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+        F.sum(y * y).cast("bigint").alias("syy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    r = (
+        (m.cast("double") * F.col("sxy") - sx.cast("double") * sy)
+        / F.nullif(
+            F.sqrt(m.cast("double") * F.col("sxx") - sx.cast("double") * sx)
+            * F.sqrt(m.cast("double") * F.col("syy") - sy.cast("double") * sy),
+            F.lit(0.0),
+        )
+    )
+    return mo.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("m").alias("n_directed_edges"),
+        F.col("nn").alias("n_nodes"),
+        (F.floor(r * 1000000 + F.lit(0.5)).cast("bigint") / 1e6).alias(
+            "assortativity"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# E354: Katz centrality — attenuated bounded-hop path counts
+# --------------------------------------------------------------------------
+
+_KZ_CAP = 1_000_000_000_000  # loud guard: path counts must fit 8^3 scaling
+
+
+@query(
+    "q_katz_centrality",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2),
+    nn0 AS (SELECT COUNT(DISTINCT x) AS n FROM
+              (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)),
+    edges0 AS MATERIALIZED (
+      SELECT u, v FROM pairs
+      ORDER BY w DESC, u, v LIMIT (SELECT 4 * n FROM nn0)),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+    p1 AS MATERIALIZED (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS p FROM sym GROUP BY 1),
+    p2 AS MATERIALIZED (
+      SELECT e.v, CAST(SUM(p1.p) AS BIGINT) AS p
+      FROM sym e JOIN p1 ON p1.v = e.u GROUP BY 1),
+    p3 AS MATERIALIZED (
+      SELECT e.v,
+             CAST(SUM(CASE WHEN p2.p <= {_KZ_CAP} THEN p2.p
+                           ELSE CAST(error('katz: path count exceeds cap')
+                                     AS BIGINT) END) AS BIGINT) AS p
+      FROM sym e JOIN p2 ON p2.v = e.u GROUP BY 1),
+    katz AS (
+      SELECT p1.v AS node,
+             p1.p AS paths_1,
+             COALESCE(p2.p, 0) AS paths_2,
+             COALESCE(p3.p, 0) AS paths_3,
+             64 * p1.p + 8 * COALESCE(p2.p, 0) + COALESCE(p3.p, 0) AS kq
+      FROM p1
+      LEFT JOIN p2 ON p2.v = p1.v
+      LEFT JOIN p3 ON p3.v = p1.v)
+    SELECT CAST(node AS BIGINT) AS node,
+           kq / 512.0e0 AS katz,
+           CAST(paths_1 AS BIGINT) AS paths_1,
+           CAST(paths_2 AS BIGINT) AS paths_2,
+           CAST(paths_3 AS BIGINT) AS paths_3
+    FROM katz ORDER BY kq DESC, node LIMIT 20
+    """,
+    tags=("E354", "E340", "E316", "A1", "J6", "O3"),
+)
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (bounded-hop form) over the co-purchase
+    backbone — the attenuated-influence metric between degree (paths
+    of length 1) and eigenvector centrality (paths of all lengths):
+    katz(v) = sum over k <= 3 of alpha^k * #walks of length k ending
+    at v, with alpha = 1/8 a POWER OF TWO so the whole sum is the
+    exact integer 64*p1 + 8*p2 + p3 in 1/512 units — no doubles
+    until the final division, hash-exact by construction. Walk
+    counts come from three frontier join+agg rounds on the same
+    degree-bounded top-4n backbone as E340/E352 (p_k = A p_(k-1));
+    a LOUD cap guard raises identically in both engines before a
+    path count could overflow the 8^3 scaling. Top-20 reported.
+    Scale shape: the E316 two-shuffle-per-hop contract, three hops,
+    node-sized state; at 100 TB each round is one hash join on the
+    degree-bounded edge list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pairs = tracked_persist(pairs)
+    n0 = (
+        pairs.select(F.col("u").alias("x"))
+        .unionAll(pairs.select(F.col("v").alias("x")))
+        .distinct()
+        .count()
+    )
+    edges0 = (
+        pairs.orderBy(F.col("w").desc(), "u", "v")
+        .limit(4 * n0)
+        .select("u", "v")
+    )
+    sym = tracked_persist(
+        edges0.unionAll(
+            edges0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    p1 = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("p"))
+    p1 = tracked_persist(p1)
+    e = sym.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    p2 = (
+        e.join(p1.select(F.col("v").alias("eu"), "p"), "eu")
+        .groupBy(F.col("ev").alias("v"))
+        .agg(F.sum("p").cast("bigint").alias("p"))
+    )
+    p2 = tracked_persist(p2)
+    guarded = F.when(F.col("p") <= _KZ_CAP, F.col("p")).otherwise(
+        F.raise_error(F.lit("katz: path count exceeds cap")).cast("long")
+    )
+    p3 = (
+        e.join(p2.select(F.col("v").alias("eu"), guarded.alias("p")), "eu")
+        .groupBy(F.col("ev").alias("v"))
+        .agg(F.sum("p").cast("bigint").alias("p"))
+    )
+    k = (
+        p1.select("v", F.col("p").alias("paths_1"))
+        .join(p2.select("v", F.col("p").alias("paths_2")), "v", "left")
+        .join(p3.select("v", F.col("p").alias("paths_3")), "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            "paths_1",
+            F.coalesce(F.col("paths_2"), F.lit(0)).alias("paths_2"),
+            F.coalesce(F.col("paths_3"), F.lit(0)).alias("paths_3"),
+        )
+        .select(
+            "node",
+            "paths_1",
+            "paths_2",
+            "paths_3",
+            (
+                F.lit(64) * F.col("paths_1")
+                + F.lit(8) * F.col("paths_2")
+                + F.col("paths_3")
+            ).alias("kq"),
+        )
+    )
+    return (
+        k.orderBy(F.col("kq").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            (F.col("kq") / F.lit(512.0)).alias("katz"),
+            F.col("paths_1").cast("bigint").alias("paths_1"),
+            F.col("paths_2").cast("bigint").alias("paths_2"),
+            F.col("paths_3").cast("bigint").alias("paths_3"),
+        )
+    )

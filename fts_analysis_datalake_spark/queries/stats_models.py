@@ -4860,3 +4860,331 @@ def q_pacf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.col("p2")).alias("pacf_2"),
         q6(F.col("p3")).alias("pacf_3"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# E353: Wald-Wolfowitz runs test — randomness of detrended residual signs
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_runs_test_daily",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1, 2),
+    seq AS MATERIALIZED (
+      SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                  AS BIGINT) AS x
+      FROM daily),
+    mo AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM seq GROUP BY 1),
+    fit AS (
+      SELECT event_type, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b, sx, sy
+      FROM mo),
+    fit2 AS (
+      SELECT event_type, n, b,
+             (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n AS a
+      FROM fit),
+    sgn AS (
+      SELECT s.event_type, s.x,
+             CASE WHEN CAST(s.y AS DOUBLE)
+                       - (f.a + f.b * CAST(s.x AS DOUBLE)) >= 0
+                  THEN 1 ELSE 0 END AS pos
+      FROM seq s JOIN fit2 f USING (event_type)),
+    runs AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN prev IS NULL OR prev <> pos
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r,
+             CAST(SUM(pos) AS BIGINT) AS np,
+             CAST(SUM(1 - pos) AS BIGINT) AS nm,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT event_type, pos,
+                   lag(pos) OVER (PARTITION BY event_type ORDER BY x)
+                     AS prev
+            FROM sgn)
+      GROUP BY 1),
+    stat AS (
+      SELECT event_type, r, np, nm, n,
+             2.0e0 * np * nm / n + 1.0e0 AS mu,
+             (2.0e0 * np * nm) * (2.0e0 * np * nm - n)
+               / (CAST(n AS DOUBLE) * n * (n - 1)) AS var
+      FROM runs)
+    SELECT event_type, n AS n_days, r AS n_runs, np AS n_pos, nm AS n_neg,
+           CAST(FLOOR(mu * 1000000 + 0.5) AS BIGINT) / 1e6 AS expected_runs,
+           CAST(FLOOR((r - mu) / NULLIF(sqrt(var), 0.0e0) * 1000000 + 0.5)
+                AS BIGINT) / 1e6 AS z_stat
+    FROM stat ORDER BY event_type
+    """,
+    tags=("E353", "E343", "E110", "W3", "A1"),
+)
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the SIGNS of the detrended daily
+    revenue residuals — the nonparametric randomness check that
+    complements Durbin-Watson (E343): DW measures the magnitude of
+    lag-1 correlation, the runs test asks only whether +/- residuals
+    CLUSTER (too few runs) or alternate (too many) versus the
+    exchangeable null, so it catches regime-switching behavior a
+    near-2 DW can hide. Same exact-moment trend fit as E343;
+    residual signs (>= 0 is positive, a pinned deterministic
+    convention), runs counted as sign-change boundaries via one
+    keyed window lag, then the classic mu = 2 n+ n-/n + 1 and
+    variance in one fixed-shape double expression, z quantized at
+    1e-6 with a NULLIF guard for the all-one-sign degenerate case.
+    Scale shape: day-grain collapse + one keyed window — identical
+    to the E343 plan."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.select(
+        "event_type", "y", F.row_number().over(w).cast("bigint").alias("x")
+    )
+    x, y = F.col("x"), F.col("y")
+    mo = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    b = (n * F.col("sxy") - sx * sy).cast("double") / (
+        n * F.col("sxx") - sx * sx
+    ).cast("double")
+    fit2 = mo.select("event_type", "n", b.alias("b"), "sx", "sy").select(
+        "event_type",
+        "n",
+        "b",
+        (
+            (F.col("sy").cast("double") - F.col("b") * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("a"),
+    )
+    sgn = seq.join(F.broadcast(fit2.select("event_type", "a", "b")), "event_type").select(
+        "event_type",
+        "x",
+        F.when(
+            y.cast("double") - (F.col("a") + F.col("b") * x.cast("double"))
+            >= 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("pos"),
+    )
+    lw = Window.partitionBy("event_type").orderBy("x")
+    lagd = sgn.select(
+        "event_type", "pos", F.lag("pos").over(lw).alias("prev")
+    )
+    runs = lagd.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("pos")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r"),
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("nm"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    mu = F.lit(2.0) * F.col("np") * F.col("nm") / F.col("n") + F.lit(1.0)
+    var = (
+        (F.lit(2.0) * F.col("np") * F.col("nm"))
+        * (F.lit(2.0) * F.col("np") * F.col("nm") - F.col("n"))
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    )
+    return runs.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("r").alias("n_runs"),
+        F.col("np").alias("n_pos"),
+        F.col("nm").alias("n_neg"),
+        (F.floor(mu * 1000000 + F.lit(0.5)).cast("bigint") / 1e6).alias(
+            "expected_runs"
+        ),
+        (
+            F.floor(
+                (F.col("r") - mu) / F.nullif(F.sqrt(var), F.lit(0.0)) * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("z_stat"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# E355: Hurst exponent — aggregated-variance method over hourly arrivals
+# --------------------------------------------------------------------------
+
+
+def _hurst_oracle() -> str:
+    aggs = []
+    for k, m in enumerate((1, 2, 4, 8)):
+        aggs.append(
+            f"""
+    v{k} AS (
+      SELECT event_type,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nb) / (nb - 1)
+               / ({m} * {m}.0e0) AS vm
+      FROM (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(bs) AS BIGINT) AS s1,
+               CAST(SUM(bs * bs) AS BIGINT) AS s2
+        FROM (
+          SELECT event_type, (x - 1) // {m} AS blk,
+                 CAST(SUM(y) AS BIGINT) AS bs
+          FROM serie GROUP BY 1, 2 HAVING COUNT(*) = {m})
+        GROUP BY 1))"""
+        )
+    return f"""
+    WITH hourly AS MATERIALIZED (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+               FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    serie AS MATERIALIZED (
+      SELECT s.event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                     ORDER BY s.h) AS BIGINT) AS x,
+             CAST(COALESCE(hy.c, 0) AS BIGINT) AS y
+      FROM spine s LEFT JOIN hourly hy
+        ON s.event_type = hy.event_type AND s.h = hy.h),
+    {','.join(aggs)},
+    lv AS (
+      SELECT v0.event_type,
+             CAST(FLOOR(ln(v0.vm) * 1000000000 + 0.5) AS BIGINT) / 1e9 AS y0,
+             CAST(FLOOR(ln(v1.vm) * 1000000000 + 0.5) AS BIGINT) / 1e9 AS y1,
+             CAST(FLOOR(ln(v2.vm) * 1000000000 + 0.5) AS BIGINT) / 1e9 AS y2,
+             CAST(FLOOR(ln(v3.vm) * 1000000000 + 0.5) AS BIGINT) / 1e9 AS y3
+      FROM v0 JOIN v1 USING (event_type) JOIN v2 USING (event_type)
+              JOIN v3 USING (event_type)),
+    fit AS (
+      SELECT event_type, y0, y3,
+             (4.0e0 * (y1 + 2.0e0 * y2 + 3.0e0 * y3)
+              - 6.0e0 * (y0 + y1 + y2 + y3)) / 20.0e0 AS slope_k
+      FROM lv)
+    SELECT event_type,
+           CAST(FLOOR((1.0e0 + slope_k / (2.0e0 * 0.6931471805599453e0))
+                      * 1000000 + 0.5) AS BIGINT) / 1e6 AS hurst,
+           CAST(FLOOR(slope_k * 1000000 + 0.5) AS BIGINT) / 1e6 AS var_slope,
+           CAST(FLOOR(y0 * 1000000 + 0.5) AS BIGINT) / 1e6 AS ln_var_m1,
+           CAST(FLOOR(y3 * 1000000 + 0.5) AS BIGINT) / 1e6 AS ln_var_m8
+    FROM fit ORDER BY event_type
+    """
+
+
+@query(
+    "q_hurst_aggregated_variance",
+    oracle=_hurst_oracle(),
+    tags=("E355", "E350", "E110", "A6", "A1", "F4"),
+)
+def q_hurst_aggregated_variance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hurst exponent of each event type's hourly arrival process by
+    the AGGREGATED-VARIANCE method — the long-range-dependence
+    diagnostic beyond lag-k ACF (E110) and dispersion (E350): for a
+    self-similar process the variance of the m-aggregated series
+    decays like m^(2H-2), so H > 0.5 (persistent/bursty-at-all-
+    scales) vs H = 0.5 (short-memory) falls out of the slope of
+    ln var(block mean) against ln m over m in (1, 2, 4, 8)
+    (complete blocks only). Block-sum moments are exact BIGINTs;
+    each ln(var) is quantized at 1e-9 straight after the ONLY libm
+    call (the r6 recipe), and the 4-point OLS reduces to the closed
+    form (4*Sxy - 6*Sy)/20 since x = k in 0..3 — one fixed-shape
+    double expression per type. Scale shape: one hour-grain
+    collapse, four block aggregates over the time-bounded spine,
+    one 4-column join — never event-sized state."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "h"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    serie = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        F.row_number().over(w).cast("bigint").alias("x"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("y"),
+    )
+    serie = tracked_persist(serie)
+    vs = []
+    for k, m in enumerate((1, 2, 4, 8)):
+        blocks = (
+            serie.groupBy(
+                "event_type",
+                ((F.col("x") - 1) / m).cast("long").alias("blk"),
+            )
+            .agg(
+                F.sum("y").cast("bigint").alias("bs"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .filter(F.col("cnt") == m)
+        )
+        mo = blocks.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+            F.sum("bs").cast("bigint").alias("s1"),
+            F.sum(F.col("bs") * F.col("bs")).cast("bigint").alias("s2"),
+        )
+        vm = (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("nb")
+            )
+            / (F.col("nb") - 1)
+            / F.lit(float(m * m))
+        )
+        lnq = (
+            F.floor(F.log(vm) * 1000000000 + F.lit(0.5)).cast("bigint") / 1e9
+        )
+        vs.append(mo.select("event_type", lnq.alias(f"y{k}")))
+    lv = vs[0]
+    for v in vs[1:]:
+        lv = lv.join(v, "event_type")
+    slope = (
+        F.lit(4.0)
+        * (F.col("y1") + F.lit(2.0) * F.col("y2") + F.lit(3.0) * F.col("y3"))
+        - F.lit(6.0)
+        * (F.col("y0") + F.col("y1") + F.col("y2") + F.col("y3"))
+    ) / F.lit(20.0)
+    fit = lv.select("event_type", "y0", "y3", slope.alias("slope_k"))
+
+    def q6(c):
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1e6
+
+    return fit.select(
+        "event_type",
+        q6(
+            F.lit(1.0)
+            + F.col("slope_k") / (F.lit(2.0) * F.lit(0.6931471805599453))
+        ).alias("hurst"),
+        q6(F.col("slope_k")).alias("var_slope"),
+        q6(F.col("y0")).alias("ln_var_m1"),
+        q6(F.col("y3")).alias("ln_var_m8"),
+    ).orderBy("event_type")
