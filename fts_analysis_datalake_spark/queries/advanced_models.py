@@ -2104,13 +2104,20 @@ def _gs_oracle() -> str:
       SELECT si, list(ci ORDER BY cents DESC, ci) AS pl
       FROM mat GROUP BY si),
     packed AS MATERIALIZED (
+      -- panel dims derived from the ACTUAL panel (a corpus with fewer
+      -- than {n} distinct suppliers/customers yields a short panel;
+      -- fixed literals would index pp/cl out of bounds -> NULL c and a
+      -- silently corrupted walk)
       SELECT (SELECT list(pl ORDER BY si) FROM prefs) AS pp,
-             (SELECT list(cents ORDER BY (si - 1) * {n} + ci)
-              FROM mat) AS cl),
+             (SELECT list(cents ORDER BY
+                            (si - 1) * (SELECT COUNT(*) FROM cus) + ci)
+              FROM mat) AS cl,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sup) AS ns,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cus) AS nc),
     gs(step, nxt, cur) AS (
       SELECT CAST(0 AS BIGINT),
-             list_transform(generate_series(1, {n}), x -> CAST(1 AS BIGINT)),
-             list_transform(generate_series(1, {n}), x -> CAST(0 AS BIGINT))
+             list_transform(generate_series(1, ns), x -> CAST(1 AS BIGINT)),
+             list_transform(generate_series(1, nc), x -> CAST(0 AS BIGINT))
       FROM packed
       UNION ALL
       SELECT step + 1,
@@ -2120,8 +2127,8 @@ def _gs_oracle() -> str:
                CASE
                  WHEN i <> c THEN v
                  WHEN v = 0 THEN s
-                 WHEN cl[(s - 1) * {n} + c] > cl[(v - 1) * {n} + c]
-                   OR (cl[(s - 1) * {n} + c] = cl[(v - 1) * {n} + c]
+                 WHEN cl[(s - 1) * nc + c] > cl[(v - 1) * nc + c]
+                   OR (cl[(s - 1) * nc + c] = cl[(v - 1) * nc + c]
                        AND s < v)
                    THEN s
                  ELSE v
@@ -2129,9 +2136,9 @@ def _gs_oracle() -> str:
       FROM (
         SELECT q1.*, CAST(q1.pp[q1.s][q1.nxt[q1.s]] AS BIGINT) AS c
         FROM (
-          SELECT g.step, g.nxt, g.cur, p.cl, p.pp,
-                 list_min(list_filter(generate_series(1, {n}), i ->
-                   g.nxt[i] <= {n}
+          SELECT g.step, g.nxt, g.cur, p.cl, p.pp, p.ns, p.nc,
+                 list_min(list_filter(generate_series(1, p.ns), i ->
+                   g.nxt[i] <= p.nc
                    AND NOT list_contains(g.cur, CAST(i AS BIGINT)))) AS s
           FROM gs g CROSS JOIN packed p) q1
         WHERE q1.s IS NOT NULL) q),
@@ -2140,9 +2147,9 @@ def _gs_oracle() -> str:
       ORDER BY step DESC LIMIT 1),
     pairs AS (
       SELECT unnest(f.cur) AS s_of_c,
-             unnest(generate_series(1, {n})) AS ci_pos,
+             unnest(generate_series(1, p.nc)) AS ci_pos,
              f.step
-      FROM fin f)
+      FROM fin f CROSS JOIN packed p)
     SELECT m.sk AS s_suppkey, m.ck AS c_custkey, m.cents,
            CAST(t.step AS BIGINT) AS n_proposals
     FROM pairs t
@@ -2225,8 +2232,6 @@ def q_stable_matching_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents"),
         )
     )
-    n = _GS_N
-
     def gale_shapley(batches):
         rows = []
         for pdf in batches:
@@ -2243,20 +2248,26 @@ def q_stable_matching_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for si, ci, sk, ck, c in rows:
             cents[(si, ci)] = c
             keys[(si, ci)] = (sk, ck)
+        # Panel dims from the ACTUAL panel: a corpus with fewer than
+        # _GS_N distinct suppliers/customers yields a short panel and
+        # fixed range(1, _GS_N + 1) bounds would KeyError on cents —
+        # mirror the oracle's (SELECT COUNT(*) FROM sup/cus) bounds.
+        ns = max(si for si, _ in cents)
+        nc = max(ci for _, ci in cents)
         prefs = {
             si: sorted(
-                range(1, n + 1), key=lambda ci: (-cents[(si, ci)], ci)
+                range(1, nc + 1), key=lambda ci: (-cents[(si, ci)], ci)
             )
-            for si in range(1, n + 1)
+            for si in range(1, ns + 1)
         }
-        nxt = {si: 0 for si in range(1, n + 1)}
-        cur = {ci: 0 for ci in range(1, n + 1)}
+        nxt = {si: 0 for si in range(1, ns + 1)}
+        cur = {ci: 0 for ci in range(1, nc + 1)}
         steps = 0
         while True:
             free = [
                 si
-                for si in range(1, n + 1)
-                if si not in cur.values() and nxt[si] < n
+                for si in range(1, ns + 1)
+                if si not in cur.values() and nxt[si] < nc
             ]
             if not free:
                 break
@@ -2272,7 +2283,7 @@ def q_stable_matching_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 cur[c] = s
         out = []
-        for ci in range(1, n + 1):
+        for ci in range(1, nc + 1):
             s = cur[ci]
             if s == 0:
                 continue

@@ -4178,8 +4178,10 @@ def q_interval_scheduling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- empty spine hours contribute c = 0: s1/s2 unchanged, n = span
       SELECT event_type, n, s1,
              CAST(s1 AS DOUBLE) / n AS mean,
+             -- NULLIF: a one-hour span (n = 1) must yield NULL, not
+             -- DuckDB's IEEE Inf/NaN (Spark's Divide gives NULL on /0)
              (CAST(s2_obs AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
-               / (n - 1) AS var
+               / NULLIF(n - 1, 0) AS var
       FROM span),
     stat AS (
       SELECT event_type, n, s1, mean, var,
@@ -4233,10 +4235,14 @@ def q_burstiness_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "s1", "s2_obs", (F.col("_dh") + 1).alias("n")
     )
     mean = F.col("s1").cast("double") / F.col("n")
+    # NULLIF-style guard: a one-hour span (n = 1) yields NULL variance
+    # on BOTH engines (Spark Divide -> NULL on /0 only with ANSI off;
+    # the explicit when() keeps it NULL under any ANSI setting and
+    # matches the oracle's NULLIF(n - 1, 0)).
     var = (
         F.col("s2_obs").cast("double")
         - F.col("s1").cast("double") * F.col("s1") / F.col("n")
-    ) / (F.col("n") - 1)
+    ) / F.when(F.col("n") > 1, F.col("n") - 1)
     stat = span.select(
         "event_type",
         "n",

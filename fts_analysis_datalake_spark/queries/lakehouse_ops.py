@@ -1474,30 +1474,45 @@ def q_rle_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(c) for c, _ in _RLE_COLS],
         *[F.lag(c).over(w).alias(f"p_{c}") for c, _ in _RLE_COLS],
     )
-    outs = []
-    for c, width in _RLE_COLS:
+    # ONE aggregate over ONE window pass (ADVICE r10: six unioned
+    # aggregates re-executed the scan+window up to six times unless
+    # exchange reuse happened to kick in): all per-column run counts
+    # and distinct counts land in a single 1-row agg, then a 6-struct
+    # explode unpivots it. The multi-countDistinct Expand multiplies
+    # rows map-side but partial aggregation collapses each leg to its
+    # distinct values — far cheaper at scale than re-running the
+    # per-order lag window per audited column.
+    agg_exprs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c, _width in _RLE_COLS:
         is_break = F.when(
             F.col(f"p_{c}").isNull()
             | ~F.col(f"p_{c}").eqNullSafe(F.col(c)),
             1,
         ).otherwise(0)
-        outs.append(
-            lagged.agg(
-                F.lit(c).alias("col_name"),
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.sum(is_break).cast("bigint").alias("n_runs"),
-                F.countDistinct(c).cast("bigint").alias("n_distinct"),
-                (F.lit(width).cast("bigint") * F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("plain_bits"),
-                (F.sum(is_break).cast("bigint") * F.lit(width + 32))
-                .cast("bigint")
-                .alias("rle_bits"),
+        agg_exprs.append(F.sum(is_break).cast("bigint").alias(f"runs_{c}"))
+        agg_exprs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
+    one = lagged.agg(*agg_exprs)
+    all_cols = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"runs_{c}").alias("n_runs"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                        (F.lit(width).cast("bigint") * F.col("n_rows"))
+                        .cast("bigint")
+                        .alias("plain_bits"),
+                        (F.col(f"runs_{c}") * F.lit(width + 32))
+                        .cast("bigint")
+                        .alias("rle_bits"),
+                    )
+                    for c, width in _RLE_COLS
+                ]
             )
-        )
-    all_cols = outs[0]
-    for o in outs[1:]:
-        all_cols = all_cols.unionAll(o)
+        ).alias("r")
+    ).select("r.*")
     return all_cols.select(
         "col_name",
         "n_rows",

@@ -481,9 +481,13 @@ def _kmq_single_task(q: DataFrame) -> DataFrame:
     LOWEST cid, centroid update by negative-safe floor division
     (Python // == (s - pmod(s, n)) / n for n > 0), and clusters that
     lose all members DROP from the next round exactly as the groupBy
-    update loses their key. int64 never overflows inside the gate:
-    |q| <= ~2e6 so diff^2 * dim <= ~6.4e13, and per-cluster sums are
-    bounded by gate * 2e6 << 2^63."""
+    update loses their key. int64 bounds inside the gate: |q| <= ~2e6
+    so diff^2 * dim <= ~2.6e14 per ROW and centroid-component sums
+    are <= gate * 2e6 << 2^63 — but the per-cluster DISTANCE sum can
+    reach ~2.6e20 at the gate bound, so it is summed in exact Python
+    ints with a loud OverflowError guard (matching Spark's ANSI SUM
+    error and DuckDB's HUGEINT->BIGINT cast error, instead of numpy's
+    silent wrap)."""
 
     def lloyd(batches):
         import numpy as np
@@ -540,9 +544,20 @@ def _kmq_single_task(q: DataFrame) -> DataFrame:
             nj = int(m.sum())
             if nj == 0:
                 continue
-            out.append(
-                (cid, nj, int(best[m].sum()), int(cents[j].sum()))
-            )
+            # Loud overflow guard (the _BC_SIG_CAP pattern): the
+            # per-row distance fits int64 inside the gate (~2.6e14
+            # max) but the PER-CLUSTER SUM can reach ~2.6e20 at the
+            # 1e6-row gate bound — numpy would wrap silently where
+            # Spark's ANSI SUM and DuckDB's HUGEINT->BIGINT cast both
+            # raise. Sum in exact Python ints and raise to match.
+            tot = sum(int(x) for x in best[m])
+            if not (-(2**63) <= tot < 2**63):
+                raise OverflowError(
+                    f"q_kmeans_quantized_exact: cluster {cid} total_qdist "
+                    f"{tot} exceeds int64 — quantized magnitudes too large "
+                    "for the BIGINT contract"
+                )
+            out.append((cid, nj, tot, int(cents[j].sum())))
         out.sort()
         yield pd.DataFrame(
             out, columns=["cid", "n_vectors", "total_qdist", "cent_sum"]

@@ -5039,8 +5039,8 @@ def _hurst_oracle() -> str:
             f"""
     v{k} AS (
       SELECT event_type,
-             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nb) / (nb - 1)
-               / ({m} * {m}.0e0) AS vm
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nb)
+               / NULLIF(nb - 1, 0) / ({m} * {m}.0e0) AS vm
       FROM (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb,
                CAST(SUM(bs) AS BIGINT) AS s1,
@@ -5152,12 +5152,15 @@ def q_hurst_aggregated_variance(
             F.sum("bs").cast("bigint").alias("s1"),
             F.sum(F.col("bs") * F.col("bs")).cast("bigint").alias("s2"),
         )
+        # NULLIF guard (ADVICE r10): a single complete block (nb = 1)
+        # yields NULL variance on both engines instead of DuckDB's
+        # IEEE Inf vs Spark's /0 NULL divergence.
         vm = (
             (
                 F.col("s2").cast("double")
                 - F.col("s1").cast("double") * F.col("s1") / F.col("nb")
             )
-            / (F.col("nb") - 1)
+            / F.when(F.col("nb") > 1, F.col("nb") - 1)
             / F.lit(float(m * m))
         )
         lnq = (

@@ -692,3 +692,155 @@ def test_harmonic_blockwise_matmul_exact(spark, monkeypatch):
     finally:
         monkeypatch.undo()
     assert base == blocked and len(base) > 0
+
+
+def test_stable_matching_short_panel_parity(spark, tmp_path):
+    """ADVICE r10: a corpus with fewer than _GS_N distinct suppliers /
+    customers must yield a short panel that BOTH engines walk
+    identically (the old fixed range(1, _GS_N + 1) bounds raised
+    KeyError in the kernel while the oracle's out-of-bounds list
+    indexing silently mis-assigned). Build a 3-supplier x 3-customer
+    corpus by filtering sf0.001 and assert full engine/oracle parity."""
+    import duckdb
+
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR_SMALL, assert_parity
+
+    _load_all()
+    q = REGISTRY["q_stable_matching_panel"]
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (SELECT * FROM read_parquet('{SF_DIR_SMALL}/orders.parquet')
+              WHERE o_custkey % 50 = 1)
+        TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (SELECT l.* FROM read_parquet('{SF_DIR_SMALL}/lineitem.parquet') l
+              WHERE l.l_suppkey <= 3
+                AND l.l_orderkey IN (
+                  SELECT o_orderkey
+                  FROM read_parquet('{tmp_path}/orders.parquet')))
+        TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    n_sup, n_cus = con.execute(
+        f"""
+        SELECT COUNT(DISTINCT l.l_suppkey), COUNT(DISTINCT o.o_custkey)
+        FROM read_parquet('{tmp_path}/lineitem.parquet') l
+        JOIN read_parquet('{tmp_path}/orders.parquet') o
+          ON o.o_orderkey = l.l_orderkey
+        """
+    ).fetchone()
+    from fts_analysis_datalake_spark.queries.advanced_models import _GS_N
+
+    assert 0 < n_sup < _GS_N and 0 < n_cus < _GS_N, (
+        f"fixture must exercise the short-panel path: {n_sup=} {n_cus=}"
+    )
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    try:
+        assert_parity(
+            q.fn(spark, str(tmp_path)), con, q.oracle,
+            "q_stable_matching_panel[short-panel]",
+        )
+    finally:
+        con.close()
+
+
+def test_kmq_kernel_overflow_guard_is_loud(spark):
+    """ADVICE r10: the single-task Lloyd kernel's per-cluster distance
+    sum can exceed int64 inside the row gate; numpy would wrap
+    silently where Spark ANSI SUM and DuckDB's HUGEINT->BIGINT cast
+    both raise. The kernel must raise loudly instead of emitting a
+    wrapped value. Two rows at +/-2.4e9 on one dim keep every per-row
+    distance inside int64 (5.76e18) while their cluster sum (1.15e19)
+    overflows."""
+    import pytest
+
+    from fts_analysis_datalake_spark.queries.llm_vectors import (
+        _KMQ_DIM,
+        _kmq_single_task,
+    )
+
+    big = 2_400_000_000
+    rows = [
+        (0, [0] * _KMQ_DIM),
+        (10, [big] + [0] * (_KMQ_DIM - 1)),
+        (11, [-big] + [0] * (_KMQ_DIM - 1)),
+    ]
+    q = spark.createDataFrame(rows, "vec_id bigint, q array<bigint>")
+    with pytest.raises(Exception, match="total_qdist"):
+        _kmq_single_task(q).collect()
+
+
+def _events_window_fixture(tmp_path, hours: int) -> str:
+    """Filter sf0.001 events to the first `hours` hours (global h0
+    anchor), preserving the fixture schema, for degenerate-span
+    regression tests."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (
+              WITH h0 AS (SELECT MIN(date_trunc('hour', ts)) AS h
+                          FROM read_parquet('{SF_DIR_SMALL}/events.parquet'))
+              SELECT e.* FROM read_parquet('{SF_DIR_SMALL}/events.parquet') e,
+                   h0
+              WHERE e.ts < h0.h + INTERVAL {hours} HOUR)
+            TO '{tmp_path}/events.parquet' (FORMAT PARQUET)
+            """
+        )
+    finally:
+        con.close()
+    return str(tmp_path)
+
+
+def _parity_on_dir(spark, name: str, sf_dir: str):
+    import duckdb
+
+    from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
+    from tests.conftest import assert_parity
+
+    _load_all()
+    q = REGISTRY[name]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+        )
+        sdf = q.fn(spark, sf_dir)
+        assert_parity(sdf, con, q.oracle, f"{name}[degenerate-span]")
+        return sdf
+    finally:
+        con.close()
+
+
+def test_burstiness_one_hour_span_yields_null_not_nan(spark, tmp_path):
+    """ADVICE r10: a one-hour span gives n = 1; the (n - 1) divisor
+    must be NULLIF-guarded so BOTH engines emit NULL (DuckDB's IEEE
+    0/0 NaN previously errored at the BIGINT quantize cast while
+    Spark returned NULL)."""
+    d = _events_window_fixture(tmp_path, hours=1)
+    sdf = _parity_on_dir(spark, "q_burstiness_hourly", d)
+    rows = sdf.collect()
+    assert len(rows) > 0
+    assert all(r["n_hours"] == 1 and r["fano_factor"] is None for r in rows)
+
+
+def test_hurst_single_block_yields_null_not_nan(spark, tmp_path):
+    """ADVICE r10: a 9-hour span gives exactly ONE complete m=8 block
+    (nb = 1) — the (nb - 1) divisor must be NULLIF-guarded so the
+    m=8 variance is NULL on both engines instead of DuckDB NaN."""
+    d = _events_window_fixture(tmp_path, hours=9)
+    sdf = _parity_on_dir(spark, "q_hurst_aggregated_variance", d)
+    rows = sdf.collect()
+    assert len(rows) > 0
+    assert all(r["ln_var_m8"] is None for r in rows)

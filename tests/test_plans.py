@@ -323,3 +323,14 @@ def test_negative_sampling_fanout_is_spread(spark, plans):
     md5 draws) runs in a single task."""
     p = plans["q_negative_item_samples"]
     assert "REPARTITION_BY_NUM" in p, p
+
+
+def test_rle_audit_runs_one_window_pass(spark, plans):
+    """ADVICE r10: the six per-column RLE audits must share ONE
+    per-order lag window and ONE lineitem scan (the old six-way union
+    of separate aggregates relied on exchange reuse to avoid 6x the
+    window work)."""
+    p = plans["q_rle_compression_audit"]
+    # physical plan prints one "Window [" node per window pass
+    assert p.count("Window [") == 1, p
+    assert p.count("Scan parquet") <= 1, p
