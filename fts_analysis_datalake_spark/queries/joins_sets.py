@@ -1913,9 +1913,58 @@ _BC_SEED_MOD = 17  # seed panel: every 17th supplier node
 _BC_Q = 1_000_000  # dependency quantization (1e-6 units)
 _BC_SIG_CAP = 10_000_000  # loud guard: path counts must fit the Q arithmetic
 # Single-task finisher gate (r10): bounds the collected backbone the
-# Brandes kernel walks (edges <= 8 * nodes after the top-4n cut, so
+# Brandes kernel walks (edges <= 8 * nodes after the per-node cut, so
 # 200k nodes -> <= 1.6M edge tuples in one task). Patchable.
 _BC_NODE_GATE = 200_000
+
+# Backbone quota (r11): each node keeps its _BB_DEG strongest incident
+# co-purchase pairs (w DESC, partner ASC tiebreak); an undirected pair
+# survives if EITHER endpoint ranks it. This replaces the r10 global
+# `ORDER BY w DESC LIMIT 4*n` cut, whose k grew linearly with the node
+# count (a driver-side TakeOrdered merge of ~40M rows at 100 TB). The
+# per-node form is a keyed window with LITERAL k (WindowGroupLimit:
+# per-partition heaps, zero global coordination) and keeps the same
+# size bound: <= _BB_DEG * n kept rows -> <= 4n undirected edges,
+# <= 8n directed tuples after symmetrization.
+_BB_DEG = 4
+
+# Mirrored oracle CTE text: pairs(u, v, w) -> edges0(u, v).
+_BB_SQL = f"""
+    inc AS (
+      SELECT u AS node, v AS other, w FROM pairs
+      UNION ALL SELECT v AS node, u AS other, w FROM pairs),
+    keep AS (
+      SELECT node, other FROM (
+        SELECT node, other,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY w DESC, other) AS rn
+        FROM inc) WHERE rn <= {_BB_DEG}),
+    edges0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(node, other) AS u, GREATEST(node, other) AS v
+      FROM keep)"""
+
+
+def _backbone_edges(pairs: DataFrame) -> DataFrame:
+    """Per-node top-_BB_DEG backbone of an undirected weighted pair
+    list (u < v, weight w): edges0(u, v), deduped. Deterministic —
+    (w DESC, other ASC) is a total order within each node."""
+    inc = pairs.select(
+        F.col("u").alias("node"), F.col("v").alias("other"), "w"
+    ).unionAll(
+        pairs.select(F.col("v").alias("node"), F.col("u").alias("other"), "w")
+    )
+    wnd = Window.partitionBy("node").orderBy(F.col("w").desc(), "other")
+    return (
+        inc.select(
+            "node", "other", F.row_number().over(wnd).alias("rn")
+        )
+        .filter(F.col("rn") <= _BB_DEG)
+        .select(
+            F.least("node", "other").alias("u"),
+            F.greatest("node", "other").alias("v"),
+        )
+        .distinct()
+    )
 
 
 def _bc_oracle() -> str:
@@ -1926,11 +1975,7 @@ def _bc_oracle() -> str:
       FROM lineitem a JOIN lineitem b
         ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
       GROUP BY u, v),
-    nn AS (SELECT COUNT(DISTINCT x) AS n FROM
-             (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)),
-    edges0 AS MATERIALIZED (
-      SELECT u, v FROM pairs ORDER BY w DESC, u, v
-      LIMIT (SELECT 4 * n FROM nn)),
+    {_BB_SQL},
     sym AS MATERIALIZED (
       SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
     seeds AS MATERIALIZED (
@@ -2003,10 +2048,15 @@ def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta(v) = sum over successors w of sigma_v*(Q + delta_w)/sigma_w
     as an ALL-INTEGER floor division in 1e-6 units (the rational is
     floored identically in both engines; a LOUD guard raises if sigma
-    outgrows the cap). The graph is the top-4n strongest co-purchase
-    pairs (n = node count), so the edge list is degree-bounded and
-    content-derived at every SF — the blocking-key rule applied to
-    graphs; the fixture's raw >=5-count filter yields a COMPLETE
+    outgrows the cap). The graph is the per-node top-{_BB_DEG}
+    strongest-pair backbone (each node keeps its {_BB_DEG} heaviest
+    co-purchase partners; a pair survives if either endpoint ranks
+    it), so the edge list is size-bounded (<= {_BB_DEG}n undirected)
+    and content-derived at every SF with ZERO global coordination —
+    a keyed WindowGroupLimit with literal k, replacing the r10 global
+    ORDER BY w LIMIT 4n whose k grew with the node count (a
+    driver-side TakeOrdered merge at 100 TB). The fixture's raw
+    >=5-count filter yields a COMPLETE
     graph at sf0.01 where betweenness degenerates to zero. Scale
     shape: per level one frontier-edge join + one (seed, node)
     aggregate (the E316 two-shuffle contract), backward two more
@@ -2028,15 +2078,11 @@ def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
-    edges0 = (
-        pairs.orderBy(F.col("w").desc(), "u", "v")
-        .limit(4 * n_nodes)
-        .select("u", "v")
-    )
+    edges0 = _backbone_edges(pairs)
     sym = tracked_persist(
         edges0.unionAll(edges0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
-    # Count-gated single-task finisher (r10): after the top-4n cut the
+    # Count-gated single-task finisher (r10): after the per-node cut the
     # backbone is degree-bounded (<= 8n directed tuples), so under the
     # node gate ONE bounded Arrow task replays the identical bounded-hop
     # Brandes — same exclusive BFS levels, same exact integer sigma
@@ -2205,11 +2251,9 @@ def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem a JOIN lineitem b
         ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
       GROUP BY 1, 2),
-    nn0 AS (SELECT COUNT(DISTINCT x) AS n FROM
-              (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)),
-    edges0 AS MATERIALIZED (
-      SELECT u, v FROM pairs
-      ORDER BY w DESC, u, v LIMIT (SELECT 4 * n FROM nn0)),
+    """
+    + _BB_SQL
+    + """,
     sym AS MATERIALIZED (
       SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
     deg AS MATERIALIZED (
@@ -2248,8 +2292,9 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     robustness question under E15/E340). r = Pearson correlation of
     the degrees at the two ends of every DIRECTED edge (each
     undirected edge counted once per direction — the standard
-    convention that symmetrizes the statistic), over the SAME top-4n
-    strongest-pair backbone the betweenness row (E340) walks — the
+    convention that symmetrizes the statistic), over the SAME
+    per-node top-{_BB_DEG} backbone the betweenness row (E340)
+    walks (keyed window, literal k — no global top-k) — the
     raw co-purchase graph is COMPLETE at sf0.01, where every degree
     is equal and r is 0/0 (NULLIF-guarded to NULL identically in
     both engines; the backbone keeps the statistic informative).
@@ -2269,17 +2314,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     pairs = tracked_persist(pairs)
-    n0 = (
-        pairs.select(F.col("u").alias("x"))
-        .unionAll(pairs.select(F.col("v").alias("x")))
-        .distinct()
-        .count()
-    )
-    edges0 = (
-        pairs.orderBy(F.col("w").desc(), "u", "v")
-        .limit(4 * n0)
-        .select("u", "v")
-    )
+    edges0 = _backbone_edges(pairs)
     sym = tracked_persist(
         edges0.unionAll(
             edges0.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -2334,11 +2369,7 @@ _KZ_CAP = 1_000_000_000_000  # loud guard: path counts must fit 8^3 scaling
       FROM lineitem a JOIN lineitem b
         ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
       GROUP BY 1, 2),
-    nn0 AS (SELECT COUNT(DISTINCT x) AS n FROM
-              (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)),
-    edges0 AS MATERIALIZED (
-      SELECT u, v FROM pairs
-      ORDER BY w DESC, u, v LIMIT (SELECT 4 * n FROM nn0)),
+    {_BB_SQL},
     sym AS MATERIALIZED (
       SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
     p1 AS MATERIALIZED (
@@ -2379,7 +2410,8 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer 64*p1 + 8*p2 + p3 in 1/512 units — no doubles
     until the final division, hash-exact by construction. Walk
     counts come from three frontier join+agg rounds on the same
-    degree-bounded top-4n backbone as E340/E352 (p_k = A p_(k-1));
+    size-bounded per-node top-{_BB_DEG} backbone as E340/E352
+    (keyed window, literal k — no global top-k; p_k = A p_(k-1));
     a LOUD cap guard raises identically in both engines before a
     path count could overflow the 8^3 scaling. Top-20 reported.
     Scale shape: the E316 two-shuffle-per-hop contract, three hops,
@@ -2395,17 +2427,7 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     pairs = tracked_persist(pairs)
-    n0 = (
-        pairs.select(F.col("u").alias("x"))
-        .unionAll(pairs.select(F.col("v").alias("x")))
-        .distinct()
-        .count()
-    )
-    edges0 = (
-        pairs.orderBy(F.col("w").desc(), "u", "v")
-        .limit(4 * n0)
-        .select("u", "v")
-    )
+    edges0 = _backbone_edges(pairs)
     sym = tracked_persist(
         edges0.unionAll(
             edges0.select(F.col("v").alias("u"), F.col("u").alias("v"))

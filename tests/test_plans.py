@@ -334,3 +334,72 @@ def test_rle_audit_runs_one_window_pass(spark, plans):
     # physical plan prints one "Window [" node per window pass
     assert p.count("Window [") == 1, p
     assert p.count("Scan parquet") <= 1, p
+
+
+def test_no_data_dependent_limit_k():
+    """VERDICT r10 #2: a global top-k whose k is computed from the
+    data (e.g. the old backbone `orderBy(w).limit(4 * n_nodes)`) is a
+    driver-side merge that grows with the corpus. Every `.limit(...)`
+    in the queries package must be STATIC: an int literal, a
+    module-level int constant, or arithmetic over those."""
+    import ast
+    import pathlib
+
+    root = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "fts_analysis_datalake_spark"
+        / "queries"
+    )
+
+    def is_static(node: ast.AST, consts: set[str]) -> bool:
+        if isinstance(node, ast.Constant) and isinstance(node.value, int):
+            return True
+        if isinstance(node, ast.Name):
+            return node.id in consts
+        if isinstance(node, ast.BinOp):
+            return is_static(node.left, consts) and is_static(
+                node.right, consts
+            )
+        if isinstance(node, ast.UnaryOp):
+            return is_static(node.operand, consts)
+        return False
+
+    offenders = []
+    for f in sorted(root.glob("*.py")):
+        tree = ast.parse(f.read_text())
+        consts = {
+            t.targets[0].id
+            for t in tree.body
+            if isinstance(t, ast.Assign)
+            and len(t.targets) == 1
+            and isinstance(t.targets[0], ast.Name)
+            and isinstance(t.value, ast.Constant)
+            and isinstance(t.value.value, int)
+        }
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "limit"
+                and node.args
+                and not is_static(node.args[0], consts)
+            ):
+                offenders.append(f"{f.name}:{node.lineno}")
+    assert not offenders, offenders
+
+
+def test_no_oversized_global_limit_in_plans(spark, plans):
+    """Belt for the SQL-text surface the AST audit can't see: every
+    TakeOrdered / CollectLimit / GlobalLimit k that reaches a physical
+    plan must be a bounded constant."""
+    import re
+
+    offenders = {}
+    pat = re.compile(
+        r"(?:TakeOrderedAndProject\s*\(limit=|CollectLimit\s+|GlobalLimit\s+)(\d+)"
+    )
+    for name, p in plans.items():
+        big = [int(k) for k in pat.findall(p) if int(k) > 100_000]
+        if big:
+            offenders[name] = big
+    assert not offenders, offenders

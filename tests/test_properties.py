@@ -2305,8 +2305,9 @@ def test_optimal_changepoints_match_brute_force(spark, xs):
 )
 def test_betweenness_matches_python_replay(spark, edges):
     """q_betweenness_centrality == an independent Python replay of the
-    full spec on random small graphs: backbone = top-4n co-count
-    pairs (ties (count desc, u, v)), 3-hop BFS levels with exact
+    full spec on random small graphs: backbone = per-node top-_BB_DEG
+    strongest incident pairs (ties (count desc, partner asc); a pair
+    survives if either endpoint ranks it), 3-hop BFS levels with exact
     path counts, floor-divided 1e-6 dependency accumulation, top-20
     by (betweenness desc, node). Covers multi-edges (co-counts > 1),
     self-pair-free orders, disconnected nodes, and seeds with no
@@ -2315,6 +2316,7 @@ def test_betweenness_matches_python_replay(spark, edges):
     from collections import Counter, defaultdict
 
     from fts_analysis_datalake_spark.queries.joins_sets import (
+        _BB_DEG,
         _BC_Q,
         _BC_SEED_MOD,
         q_betweenness_centrality,
@@ -2329,11 +2331,16 @@ def test_betweenness_matches_python_replay(spark, edges):
         rows.append((ok, v))
 
     cnt = Counter((min(u, v), max(u, v)) for u, v in edges)
-    nodes = {x for e in cnt for x in e}
-    n = len(nodes)
-    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: 4 * n]
+    nbrs = defaultdict(list)
+    for (u, v), w in cnt.items():
+        nbrs[u].append((-w, v))
+        nbrs[v].append((-w, u))
+    kept = set()
+    for node, lst in nbrs.items():
+        for _negw, other in sorted(lst)[:_BB_DEG]:
+            kept.add((min(node, other), max(node, other)))
     adj = defaultdict(set)
-    for (u, v), _ in top:
+    for u, v in kept:
         adj[u].add(v)
         adj[v].add(u)
     sym_nodes = sorted(adj)
