@@ -3055,3 +3055,565 @@ def test_stable_matching_is_stable_and_matches_textbook_replay(
                 s,
                 c,
             )
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=3), min_size=5, max_size=18
+    )
+)
+def test_pacf_matches_durbin_levinson_replay(spark, counts):
+    """q_pacf_hourly == a GENERIC Durbin-Levinson recursion replayed
+    in Python over the same stationary-convention autocovariances —
+    the query unrolls DL to closed form (p2, c21, p3), so an
+    independent loop-form recursion over random small hourly series
+    checks the unrolling algebra, the zero-filled spine, and the
+    exact-BIGINT moment plumbing at once."""
+    import datetime
+    import math
+    import shutil
+
+    from hypothesis import assume
+
+    from fts_analysis_datalake_spark.queries.stats_models import q_pacf_hourly
+
+    # pin the endpoints so the replay's series == the engine's spine
+    counts = list(counts)
+    counts[0] = max(counts[0], 1)
+    counts[-1] = max(counts[-1], 1)
+
+    ys = counts
+    n = len(ys)
+    m = sum(ys) / n
+
+    def S(k):
+        return sum(ys[t] * ys[t - k] for t in range(k, n))
+
+    def A(k):
+        return sum(ys[t - k] for t in range(k, n))
+
+    def B(k):
+        return sum(ys[t] for t in range(k, n))
+
+    gam = [(S(k) - m * (A(k) + B(k)) + (n - k) * m * m) / n for k in range(4)]
+    assume(abs(gam[0]) > 1e-9)
+    r = [g / gam[0] for g in gam]
+    # generic Durbin-Levinson: phi[k][k] from phi[k-1][*]
+    phi = {1: {1: r[1]}}
+    for k in (2, 3):
+        num = r[k] - sum(phi[k - 1][j] * r[k - j] for j in range(1, k))
+        den = 1.0 - sum(phi[k - 1][j] * r[j] for j in range(1, k))
+        assume(abs(den) > 1e-6)
+        phi[k] = {k: num / den}
+        for j in range(1, k):
+            phi[k][j] = phi[k - 1][j] - phi[k][k] * phi[k - 1][k - j]
+    expected = {
+        "n_hours": n,
+        "acf": [r[1], r[2], r[3]],
+        "pacf": [phi[1][1], phi[2][2], phi[3][3]],
+    }
+    # stay away from 1e-6 quantization boundaries: the engine unrolls
+    # the identical algebra but in a different float op order
+    for v in expected["acf"] + expected["pacf"]:
+        assume(abs(v * 1e6 + 0.5 - math.floor(v * 1e6 + 0.5)) > 1e-3)
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(hours=h, minutes=j),
+                    0,
+                    "a",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        out = q_pacf_hourly(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_hours == n
+    got = [
+        row.acf_1, row.acf_2, row.acf_3, row.pacf_1, row.pacf_2, row.pacf_3
+    ]
+    want = expected["acf"] + [expected["pacf"][0]] + expected["pacf"][1:]
+    for g, w in zip(got, want):
+        assert abs(g - w) <= 1.5e-6, (got, want)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=17, max_size=40
+    )
+)
+def test_hurst_matches_direct_variance_of_aggregates(spark, counts):
+    """q_hurst_aggregated_variance == the aggregated-variance method
+    computed DIRECTLY with numpy: block-mean variances (ddof=1) at
+    m in (1,2,4,8) over complete blocks of the zero-filled hourly
+    series, ln quantized at 1e-9, and the 4-point OLS slope via
+    numpy lstsq — independently of the engine's exact-BIGINT moment
+    and closed-form-slope plumbing."""
+    import datetime
+    import math
+    import shutil
+
+    import numpy as np
+    from hypothesis import assume
+
+    from fts_analysis_datalake_spark.queries.stats_models import (
+        q_hurst_aggregated_variance,
+    )
+
+    counts = list(counts)
+    counts[0] = max(counts[0], 1)
+    counts[-1] = max(counts[-1], 1)
+    ys = np.asarray(counts, dtype=np.float64)
+
+    lnq = []
+    for m in (1, 2, 4, 8):
+        nb = len(ys) // m
+        assume(nb >= 2)
+        means = ys[: nb * m].reshape(nb, m).mean(axis=1)
+        vm = float(np.var(means, ddof=1))
+        assume(vm > 1e-12)
+        lnq.append(math.floor(math.log(vm) * 1e9 + 0.5) / 1e9)
+    xk = np.arange(4.0)
+    slope = float(
+        np.linalg.lstsq(
+            np.stack([xk, np.ones(4)], axis=1), np.asarray(lnq), rcond=None
+        )[0][0]
+    )
+    hurst = 1.0 + slope / (2.0 * math.log(2.0))
+    # stay off the final 1e-6 quantization boundaries
+    for v in (hurst, slope, lnq[0], lnq[3]):
+        assume(abs(v * 1e6 + 0.5 - math.floor(v * 1e6 + 0.5)) > 1e-3)
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(hours=h, minutes=j),
+                    0,
+                    "a",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        out = q_hurst_aggregated_variance(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 1
+    row = out[0]
+    assert abs(row.hurst - hurst) <= 1.5e-6, (row, hurst, slope, lnq)
+    assert abs(row.var_slope - slope) <= 1.5e-6
+    assert abs(row.ln_var_m1 - lnq[0]) <= 1.5e-6
+    assert abs(row.ln_var_m8 - lnq[3]) <= 1.5e-6
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    dollars=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=9, max_size=28
+    )
+)
+def test_seasonal_strength_matches_numpy_replay(spark, dollars):
+    """q_seasonal_decomposition_weekly == a numpy replay of the
+    classical decomposition from its definition: daily cents,
+    centered 7-day MA trend on complete windows, detrended
+    d7 = 7y - s7, ISO-dow seasonal means, and the STL-style strength
+    1 - SS_resid/SS_detrended with each squared term floor-quantized
+    at 1e-4 before the sum — checked per (event_type, dow) row."""
+    import datetime
+    import math
+    import shutil
+    from collections import defaultdict
+
+    import numpy as np
+    from hypothesis import assume
+
+    from fts_analysis_datalake_spark.queries.stats_models import (
+        q_seasonal_decomposition_weekly,
+    )
+
+    # one value per consecutive day; 2024-01-01 is a Monday (isodow 1)
+    cents = [d * 100 for d in dollars]
+    y = np.asarray(cents, dtype=np.int64)
+    n = len(y)
+    d7 = {}
+    for i in range(3, n - 3):
+        d7[i] = 7 * int(y[i]) - int(y[i - 3 : i + 4].sum())
+    assume(len(d7) >= 2)
+    by_dow = defaultdict(list)
+    for i, v in d7.items():
+        by_dow[(i % 7) + 1].append(v)
+    ssd = sum(
+        math.floor(float(v) * v * 1e-4 + 0.5) for v in d7.values()
+    )
+    assume(ssd > 0)
+    ssr = 0
+    for dow, vs in by_dow.items():
+        mean = sum(vs) / len(vs)
+        ssr += sum(math.floor((v - mean) ** 2 * 1e-4 + 0.5) for v in vs)
+    strength = 1.0 - ssr / ssd
+    expected = {}
+    for dow, vs in by_dow.items():
+        seasonal = sum(vs) / (len(vs) * 7.0)
+        expected[dow] = (
+            len(vs),
+            math.floor(seasonal * 1e6 + 0.5) / 1e6,
+            len(d7),
+            math.floor(strength * 1e6 + 0.5) / 1e6,
+        )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (i, base + datetime.timedelta(days=i), 0, "a", float(v), "{}")
+        for i, v in enumerate(dollars)
+    ]
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        got = {
+            r.dow: (
+                r.n_days,
+                r.seasonal_cents,
+                r.n_complete,
+                r.seasonal_strength,
+            )
+            for r in q_seasonal_decomposition_weekly(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert set(got) == set(expected)
+    for dow in expected:
+        ge, we = got[dow], expected[dow]
+        assert ge[0] == we[0] and ge[2] == we[2], (got, expected)
+        assert abs(ge[1] - we[1]) <= 1.5e-6
+        assert abs(ge[3] - we[3]) <= 1.5e-6
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    dollars=st.lists(
+        st.integers(min_value=0, max_value=300), min_size=4, max_size=9
+    )
+)
+def test_runs_test_matches_exhaustive_enumeration(spark, dollars):
+    """q_runs_test_daily checked two ways: (1) the residual-sign
+    sequence and run count are replayed from the exact-moment trend
+    fit; (2) the mu / var closed forms are verified against the
+    EXHAUSTIVE exchangeable null — mean and variance of the run count
+    over all C(n, n+) arrangements of the observed sign multiset,
+    computed in exact rationals."""
+    import datetime
+    import math
+    import shutil
+    from fractions import Fraction
+    from itertools import combinations
+
+    from hypothesis import assume
+
+    from fts_analysis_datalake_spark.queries.stats_models import (
+        q_runs_test_daily,
+    )
+
+    n = len(dollars)
+    ys = [d * 100 for d in dollars]
+    xs = list(range(1, n + 1))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    b = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    a = (float(sy) - b * float(sx)) / n
+    pos = [1 if float(y) - (a + b * float(x)) >= 0 else 0
+           for x, y in zip(xs, ys)]
+    runs = 1 + sum(1 for i in range(1, n) if pos[i] != pos[i - 1])
+    np_, nm = sum(pos), n - sum(pos)
+    assume(np_ > 0 and nm > 0)
+
+    # exhaustive exchangeable null over all arrangements of the multiset
+    def run_count(seq):
+        return 1 + sum(1 for i in range(1, len(seq)) if seq[i] != seq[i - 1])
+
+    counts = []
+    for ones in combinations(range(n), np_):
+        seq = [1 if i in set(ones) else 0 for i in range(n)]
+        counts.append(run_count(seq))
+    mean_null = Fraction(sum(counts), len(counts))
+    var_null = (
+        Fraction(sum(c * c for c in counts), len(counts)) - mean_null**2
+    )
+    mu_formula = Fraction(2 * np_ * nm, n) + 1
+    var_formula = Fraction(
+        2 * np_ * nm * (2 * np_ * nm - n), n * n * (n - 1)
+    )
+    assert mu_formula == mean_null
+    assert var_formula == var_null
+
+    mu = 2.0 * np_ * nm / n + 1.0
+    var = (2.0 * np_ * nm) * (2.0 * np_ * nm - n) / (float(n) * n * (n - 1))
+    z = (runs - mu) / math.sqrt(var) if var > 0 else None
+    if z is not None:
+        assume(abs(z * 1e6 + 0.5 - math.floor(z * 1e6 + 0.5)) > 1e-3)
+    assume(abs(mu * 1e6 + 0.5 - math.floor(mu * 1e6 + 0.5)) > 1e-3)
+
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (i, base + datetime.timedelta(days=i), 0, "a", float(v), "{}")
+        for i, v in enumerate(dollars)
+    ]
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        out = q_runs_test_daily(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_days, r.n_runs, r.n_pos, r.n_neg) == (n, runs, np_, nm)
+    assert abs(r.expected_runs - mu) <= 1.5e-6
+    if z is None:
+        assert r.z_stat is None
+    else:
+        assert abs(r.z_stat - z) <= 1.5e-6, (r.z_stat, z)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["ant", "bee", "cat", "dog", "elk", "fox"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_good_turing_matches_definition_replay(spark, docs):
+    """q_good_turing_smoothing == Good (1953) from the definition:
+    Counter the tokens, Counter the counts, and for every r with a
+    successor emit r* = (r+1) N_{r+1}/N_r, p = r*/N, P0 = N_1/N
+    (None when the corpus has no singletons) — replayed with plain
+    Python dicts against the engine's groupBy/self-join pipeline."""
+    import shutil
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from fts_analysis_datalake_spark.queries.llm_text import (
+        q_good_turing_smoothing,
+    )
+
+    texts = [" ".join(words) for words in docs]
+    cnt = Counter(t for text in texts for t in text.split())
+    fof = Counter(cnt.values())
+    n_tot = sum(r * nr for r, nr in fof.items())
+    n1 = fof.get(1)
+    expected = {}
+    for r, nr in fof.items():
+        nr1 = fof.get(r + 1)
+        if nr1 is None:
+            continue
+        import math
+
+        est = (r + 1) * float(nr1) / nr
+        expected[r] = (
+            nr,
+            nr1,
+            math.floor(est * 1e6 + 0.5) / 1e6,
+            math.floor(est / n_tot * 1e9 + 0.5) / 1e9,
+            None
+            if n1 is None
+            else math.floor(float(n1) / n_tot * 1e9 + 0.5) / 1e9,
+        )
+    assume(expected)
+
+    rows = [
+        (i, t, "en", "s0", len(t)) for i, t in enumerate(texts)
+    ]
+    d = _tmp_fixture(spark, "documents", rows, _DOCS_SCHEMA)
+    try:
+        got = {
+            r.r: (r.nr, r.nr_plus_1, r.r_star, r.p_smoothed, r.p_unseen_mass)
+            for r in q_good_turing_smoothing(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert set(got) == set(expected), (got, expected)
+    for r in expected:
+        ge, we = got[r], expected[r]
+        assert ge[0] == we[0] and ge[1] == we[1]
+        assert abs(ge[2] - we[2]) <= 1.5e-6
+        assert abs(ge[3] - we[3]) <= 1.5e-9
+        if we[4] is None:
+            assert ge[4] is None
+        else:
+            assert abs(ge[4] - we[4]) <= 1.5e-9
+
+
+def _backbone_replay(cnt):
+    """Per-node top-_BB_DEG backbone replay: {(u,v): w} co-counts ->
+    set of kept undirected (u, v) pairs (w DESC, partner ASC ranks;
+    a pair survives if either endpoint ranks it)."""
+    from collections import defaultdict
+
+    from fts_analysis_datalake_spark.queries.joins_sets import _BB_DEG
+
+    nbrs = defaultdict(list)
+    for (u, v), w in cnt.items():
+        nbrs[u].append((-w, v))
+        nbrs[v].append((-w, u))
+    kept = set()
+    for node, lst in nbrs.items():
+        for _negw, other in sorted(lst)[:_BB_DEG]:
+            kept.add((min(node, other), max(node, other)))
+    return kept
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_katz_matches_adjacency_power_replay(spark, edges):
+    """q_katz_centrality == numpy adjacency-power replay on the same
+    per-node backbone: p1 = A·1, p2 = A·p1, p3 = A·p2 in exact int64,
+    kq = 64 p1 + 8 p2 + p3, top-20 by (kq DESC, node), katz = kq/512
+    (a power-of-two division — bit-exact)."""
+    import shutil
+    from collections import Counter
+
+    import numpy as np
+
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        q_katz_centrality,
+    )
+
+    edges = [(u, v) for u, v in edges if u != v]
+    if not edges:
+        return
+    rows = []
+    for ok, (u, v) in enumerate(edges):
+        rows.append((ok, u))
+        rows.append((ok, v))
+    cnt = Counter((min(u, v), max(u, v)) for u, v in edges)
+    kept = _backbone_replay(cnt)
+    nodes = sorted({x for e in kept for x in e})
+    idx = {x: i for i, x in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for u, v in kept:
+        A[idx[u], idx[v]] = 1
+        A[idx[v], idx[u]] = 1
+    p1 = A @ np.ones(len(nodes), dtype=np.int64)
+    p2 = A @ p1
+    p3 = A @ p2
+    kq = 64 * p1 + 8 * p2 + p3
+    order = sorted(
+        ((int(kq[i]), nodes[i], i) for i in range(len(nodes))),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    expected = [
+        (node, k / 512.0, int(p1[i]), int(p2[i]), int(p3[i]))
+        for k, node, i in order
+    ]
+
+    d = _tmp_fixture(spark, "lineitem", rows, "l_orderkey BIGINT, l_suppkey BIGINT")
+    try:
+        got = [
+            (r.node, r.katz, r.paths_1, r.paths_2, r.paths_3)
+            for r in q_katz_centrality(spark, d).collect()
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected, (got, expected)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_assortativity_matches_newman_formula(spark, edges):
+    """q_degree_assortativity == Newman's r computed from the
+    definition: Pearson correlation of the endpoint degrees over the
+    DIRECTED edges of the same per-node backbone, in plain Python
+    floats; NULL when every degree is equal (0/0 guard)."""
+    import math
+    import shutil
+    from collections import Counter
+
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        q_degree_assortativity,
+    )
+
+    edges = [(u, v) for u, v in edges if u != v]
+    if not edges:
+        return
+    rows = []
+    for ok, (u, v) in enumerate(edges):
+        rows.append((ok, u))
+        rows.append((ok, v))
+    cnt = Counter((min(u, v), max(u, v)) for u, v in edges)
+    kept = _backbone_replay(cnt)
+    sym = [(u, v) for u, v in kept] + [(v, u) for u, v in kept]
+    deg = Counter(u for u, _ in sym)
+    xs = [deg[u] for u, _ in sym]
+    ys = [deg[v] for _, v in sym]
+    m = len(sym)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    den = math.sqrt(float(m) * sxx - float(sx) * sx) * math.sqrt(
+        float(m) * syy - float(sy) * sy
+    )
+    if den == 0.0:
+        expected_r = None
+    else:
+        r = (float(m) * sxy - float(sx) * sy) / den
+        expected_r = math.floor(r * 1e6 + 0.5) / 1e6
+
+    d = _tmp_fixture(spark, "lineitem", rows, "l_orderkey BIGINT, l_suppkey BIGINT")
+    try:
+        out = q_degree_assortativity(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_directed_edges == m
+    assert row.n_nodes == len(deg)
+    if expected_r is None:
+        assert row.assortativity is None
+    else:
+        assert abs(row.assortativity - expected_r) <= 1.5e-6, (
+            row.assortativity,
+            expected_r,
+        )
