@@ -4426,10 +4426,18 @@ def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
              CAST(COUNT(*) OVER () AS BIGINT) AS n,
              CAST(SUM(v) OVER () AS BIGINT) AS total,
-             CAST(SUM(rn_v) OVER () AS BIGINT) AS a_sum
+             CAST(SUM(rnv_q6) OVER () AS BIGINT) AS a_sum
       FROM (SELECT o_custkey, v,
-                   CAST(ROW_NUMBER() OVER (ORDER BY v, o_custkey) AS BIGINT)
-                     * v AS rn_v
+                   -- rank x cents quantized per term at 1e-6 BEFORE the
+                   -- sum: the exact BIGINT product overflows int64 at
+                   -- 32x (caught by the r11 probe — Spark ANSI raised
+                   -- where DuckDB silently widened to HUGEINT); the
+                   -- 1e-6 scale keeps the SUM inside int64 to ~1e9
+                   -- customers and both engines run the identical
+                   -- double->floor shape
+                   CAST(FLOOR(CAST(ROW_NUMBER() OVER (ORDER BY v, o_custkey)
+                                   AS DOUBLE) * v * 1e-6 + 0.5) AS BIGINT)
+                     AS rnv_q6
             FROM per_cust)),
     pts AS (
       SELECT d.d, r.rn, r.cum, r.n, r.total, r.a_sum
@@ -4441,7 +4449,7 @@ def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            cum AS cum_cents,
            CAST(FLOOR(CAST(cum AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT)
              / 1e6 AS cum_share,
-           CAST(FLOOR((2.0e0 * a_sum - (n + 1.0e0) * total)
+           CAST(FLOOR((2.0e0 * a_sum * 1e6 - (n + 1.0e0) * total)
                       / (n * 1.0e0 * total) * 1000000 + 0.5) AS BIGINT)
              / 1e6 AS gini
     FROM pts ORDER BY decile
@@ -4453,11 +4461,15 @@ def q_lorenz_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributional PICTURE behind a scalar inequality index: sort
     customers by exact lifetime cents ascending, and report the
     cumulative revenue share held by the bottom d/10 of customers at
-    each decile cut (rank floor(n*d/10)), plus the exact-rank Gini
+    each decile cut (rank floor(n*d/10)), plus the rank-based Gini
     cross-check gini = (2*sum(rank*v) - (n+1)*total) / (n*total)
-    derived from the SAME ranking (doubles enter only in the final
-    fixed-shape division — rank products and totals are exact
-    BIGINTs through the 32x probe). The training-data-curation use is
+    derived from the SAME ranking. The rank-x-cents terms are
+    1e-6-quantized to BIGINT BEFORE the sum (the E343 recipe): the
+    exact product sum overflows int64 at 32x — Spark's ANSI SUM
+    raised where DuckDB silently widened to HUGEINT (caught by the
+    r11 probe) — while the quantized sum fits int64 to ~1e9 customers
+    and runs the identical double->floor shape in both engines.
+    The training-data-curation use is
     source/contributor concentration auditing: "the top 10% of
     customers carry 1 - L(9) of revenue" is the same audit as "the
     top 10% of domains carry X% of the corpus" (E42/E292 planners).
@@ -4471,13 +4483,21 @@ def q_lorenz_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v")
     )
     wo = Window.orderBy("v", "o_custkey")
+    # rank x cents quantized per term at 1e-6 BEFORE the sum (r11 32x
+    # probe: the exact BIGINT product sum overflowed int64 — Spark ANSI
+    # raised where DuckDB silently widened to HUGEINT; the quantized
+    # form fits int64 to ~1e9 customers, identical shape both engines).
     ranked = per_cust.select(
         "v",
         F.row_number().over(wo).cast("bigint").alias("rn"),
     ).select(
         "v",
         "rn",
-        (F.col("rn") * F.col("v")).alias("rn_v"),
+        F.floor(
+            F.col("rn").cast("double") * F.col("v") * F.lit(1e-6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rnv_q6"),
     )
     wall = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
     wtot = Window.orderBy("rn").rowsBetween(
@@ -4488,7 +4508,7 @@ def q_lorenz_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").over(wall).cast("bigint").alias("cum"),
         F.count(F.lit(1)).over(wtot).cast("bigint").alias("n"),
         F.sum("v").over(wtot).cast("bigint").alias("total"),
-        F.sum("rn_v").over(wtot).cast("bigint").alias("a_sum"),
+        F.sum("rnv_q6").over(wtot).cast("bigint").alias("a_sum"),
     )
     deciles = spark.range(1, 11).select(F.col("id").alias("d"))
     pts = curve.join(
@@ -4496,7 +4516,8 @@ def q_lorenz_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") == F.expr("n * d DIV 10"),
     )
     gini = (
-        F.lit(2.0) * F.col("a_sum") - (F.col("n") + F.lit(1.0)) * F.col("total")
+        F.lit(2.0) * F.col("a_sum") * F.lit(1e6)
+        - (F.col("n") + F.lit(1.0)) * F.col("total")
     ) / (F.col("n") * F.lit(1.0) * F.col("total"))
     return pts.select(
         F.col("d").cast("bigint").alias("decile"),
