@@ -5212,3 +5212,666 @@ def q_hurst_aggregated_variance(
         q6(F.col("y0")).alias("ln_var_m1"),
         q6(F.col("y3")).alias("ln_var_m8"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# E356: 1-D Wasserstein (earth mover's) distance between value distributions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_wasserstein_value_pairs",
+    oracle="""
+    WITH hist AS MATERIALIZED (
+      SELECT event_type AS t, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    types AS (SELECT DISTINCT t FROM hist),
+    sup AS MATERIALIZED (
+      SELECT x, LEAD(x) OVER (ORDER BY x) - x AS dx
+      FROM (SELECT DISTINCT x FROM hist)),
+    grid AS (SELECT ty.t, s.x, s.dx FROM types ty CROSS JOIN sup s),
+    cum AS MATERIALIZED (
+      SELECT g.t, g.x, g.dx,
+             CAST(SUM(COALESCE(h.c, 0)) OVER (PARTITION BY g.t ORDER BY g.x)
+                  AS BIGINT) AS cum
+      FROM grid g LEFT JOIN hist h ON h.t = g.t AND h.x = g.x),
+    tot AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+    terms AS (
+      SELECT a.t AS type_a, b.t AS type_b, na.n AS n_a, nb.n AS n_b,
+             CAST(FLOOR(ABS(CAST(a.cum AS DOUBLE) / na.n
+                            - CAST(b.cum AS DOUBLE) / nb.n)
+                        * a.dx * 1e6 + 0.5) AS BIGINT) AS q
+      FROM cum a JOIN cum b ON b.x = a.x AND a.t < b.t
+      JOIN tot na ON na.t = a.t
+      JOIN tot nb ON nb.t = b.t
+      WHERE a.dx IS NOT NULL)
+    SELECT type_a, type_b, n_a, n_b,
+           CAST(SUM(q) AS BIGINT) / 1e6 AS w1_cents
+    FROM terms GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
+    """,
+    tags=("E356", "E219", "E135", "W4", "J6", "A1"),
+)
+def q_wasserstein_value_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between every pair
+    of event types' value distributions — the distribution-shift
+    metric with UNITS (cents of work to morph one distribution into
+    the other) that KS (sup of CDF gap, unitless) and JS divergence
+    (bits, support-sensitive) cannot give; the drift number a
+    data-mixture planner can budget with. W1 on the line is the
+    integral of |CDF_a - CDF_b|: computed over the merged distinct-
+    cents support as sum |cum_a/n_a - cum_b/n_b| * gap-to-next-point,
+    each term floor-quantized at 1e-6 to BIGINT before the order-free
+    sum (the E343 recipe — both engines run the identical
+    double->floor shape). Scale shape: the only corpus-sized work is
+    the (type, cents) histogram groupBy (map-side combinable); all
+    windows run on the distinct-cents support, which is bounded by
+    the VALUE DOMAIN (~56k cents here), not the corpus — the E135
+    score-histogram discipline; the pair fan-out is types^2 x
+    support, with the type domain a fixed categorical."""
+    e = load_table(spark, sf_dir, "events")
+    hist = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    hist = tracked_persist(hist)
+    types = hist.select("t").distinct()
+    ws = Window.orderBy("x")
+    sup = (
+        hist.select("x")
+        .distinct()
+        .select("x", (F.lead("x").over(ws) - F.col("x")).alias("dx"))
+    )
+    grid = F.broadcast(types).crossJoin(sup)
+    wt = Window.partitionBy("t").orderBy("x")
+    cum = (
+        grid.join(hist, ["t", "x"], "left")
+        .select(
+            "t",
+            "x",
+            "dx",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c0"),
+        )
+        .select(
+            "t",
+            "x",
+            "dx",
+            F.sum("c0").over(wt).cast("bigint").alias("cum"),
+        )
+    )
+    cum = tracked_persist(cum)
+    tot = hist.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
+    a = cum.alias("a")
+    b = cum.alias("b")
+    na = tot.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
+    nb = tot.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
+    q = F.floor(
+        F.abs(
+            F.col("a.cum").cast("double") / F.col("n_a")
+            - F.col("b.cum").cast("double") / F.col("n_b")
+        )
+        * F.col("a.dx")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    terms = (
+        a.join(b, (F.col("b.x") == F.col("a.x")) & (F.col("a.t") < F.col("b.t")))
+        .join(F.broadcast(na), F.col("a.t") == F.col("ta"))
+        .join(F.broadcast(nb), F.col("b.t") == F.col("tb"))
+        .filter(F.col("a.dx").isNotNull())
+        .select(
+            F.col("a.t").alias("type_a"),
+            F.col("b.t").alias("type_b"),
+            "n_a",
+            "n_b",
+            q.alias("q"),
+        )
+    )
+    return (
+        terms.groupBy("type_a", "type_b", "n_a", "n_b")
+        .agg((F.sum("q").cast("bigint") / 1e6).alias("w1_cents"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# E360: Cliff's delta — ordinal effect size between value distributions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cliffs_delta_pairs",
+    oracle="""
+    WITH hist AS MATERIALIZED (
+      SELECT event_type AS t, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    types AS (SELECT DISTINCT t FROM hist),
+    sup AS (SELECT DISTINCT x FROM hist),
+    grid AS (SELECT ty.t, s.x FROM types ty CROSS JOIN sup s),
+    cum AS MATERIALIZED (
+      SELECT g.t, g.x, CAST(COALESCE(h.c, 0) AS BIGINT) AS c,
+             CAST(SUM(COALESCE(h.c, 0)) OVER (PARTITION BY g.t ORDER BY g.x)
+                  AS BIGINT) AS cum
+      FROM grid g LEFT JOIN hist h ON h.t = g.t AND h.x = g.x),
+    tot AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+    pairs AS (
+      SELECT a.t AS type_a, b.t AS type_b, na.n AS n_a, nb.n AS n_b,
+             CAST(SUM(a.c * (b.cum - b.c)) AS BIGINT) AS n_greater,
+             CAST(SUM(a.c * (nb.n - b.cum)) AS BIGINT) AS n_less
+      FROM cum a JOIN cum b ON b.x = a.x AND a.t < b.t
+      JOIN tot na ON na.t = a.t
+      JOIN tot nb ON nb.t = b.t
+      GROUP BY 1, 2, 3, 4)
+    SELECT type_a, type_b, n_a, n_b, n_greater, n_less,
+           CAST(FLOOR((CAST(n_greater AS DOUBLE) - n_less)
+                      / (CAST(n_a AS DOUBLE) * n_b) * 1000000 + 0.5)
+                AS BIGINT) / 1e6 AS cliffs_delta
+    FROM pairs ORDER BY type_a, type_b
+    """,
+    tags=("E360", "E219", "E305", "W4", "J6", "A1"),
+)
+def q_cliffs_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between every pair of event types' values — the
+    ORDINAL effect size behind Mann-Whitney (E219): delta =
+    (#(a > b) - #(a < b)) / (n_a n_b) over all cross pairs, the
+    robust 'how often does one group dominate' number a significance
+    test (which only says the shift is nonzero) cannot give. Computed
+    WITHOUT the quadratic cross join: on the merged distinct-cents
+    support, #(a > b) = sum_v c_a(v) * cumB(< v) and #(a < b) =
+    sum_v c_a(v) * (n_b - cumB(<= v)) — exact BIGINT pair counts from
+    histogram prefix sums (documented bound: pair counts fit int64 to
+    ~3e9 rows per group). One double division quantized at 1e-6.
+    Scale shape: identical to E356 — map-side histogram, value-
+    domain-bounded support windows, fixed-categorical pair fan-out."""
+    e = load_table(spark, sf_dir, "events")
+    hist = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    hist = tracked_persist(hist)
+    types = hist.select("t").distinct()
+    sup = hist.select("x").distinct()
+    grid = F.broadcast(types).crossJoin(sup)
+    wt = Window.partitionBy("t").orderBy("x")
+    cum = (
+        grid.join(hist, ["t", "x"], "left")
+        .select("t", "x", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .select(
+            "t",
+            "x",
+            F.col("c").cast("bigint").alias("c"),
+            F.sum("c").over(wt).cast("bigint").alias("cum"),
+        )
+    )
+    cum = tracked_persist(cum)
+    tot = hist.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
+    a = cum.alias("a")
+    b = cum.alias("b")
+    na = tot.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
+    nb = tot.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
+    pairs = (
+        a.join(b, (F.col("b.x") == F.col("a.x")) & (F.col("a.t") < F.col("b.t")))
+        .join(F.broadcast(na), F.col("a.t") == F.col("ta"))
+        .join(F.broadcast(nb), F.col("b.t") == F.col("tb"))
+        .groupBy(
+            F.col("a.t").alias("type_a"),
+            F.col("b.t").alias("type_b"),
+            F.col("n_a"),
+            F.col("n_b"),
+        )
+        .agg(
+            F.sum(F.col("a.c") * (F.col("b.cum") - F.col("b.c")))
+            .cast("bigint")
+            .alias("n_greater"),
+            F.sum(F.col("a.c") * (F.col("n_b") - F.col("b.cum")))
+            .cast("bigint")
+            .alias("n_less"),
+        )
+    )
+    delta = (
+        (F.col("n_greater").cast("double") - F.col("n_less"))
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_greater",
+        "n_less",
+        (F.floor(delta * 1000000 + F.lit(0.5)).cast("bigint") / 1e6).alias(
+            "cliffs_delta"
+        ),
+    ).orderBy("type_a", "type_b")
+
+
+# --------------------------------------------------------------------------
+# E357: Kruskal-Wallis H — k-group rank test on the value histogram
+# --------------------------------------------------------------------------
+
+# Loud cap on a single distinct value's multiplicity: the tie term
+# t^3 - t must stay inside int64 (2e6^3 = 8e18 < 2^63).
+_KW_TIE_CAP = 2_000_000
+
+
+@query(
+    "q_kruskal_wallis_value",
+    oracle=f"""
+    WITH hist AS MATERIALIZED (
+      SELECT event_type AS t, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    mv AS MATERIALIZED (
+      SELECT x, CAST(SUM(c) AS BIGINT) AS m,
+             CAST(SUM(SUM(c)) OVER (ORDER BY x) AS BIGINT) AS cum
+      FROM hist GROUP BY x),
+    ranked AS (
+      SELECT h.t, h.c,
+             2 * (mv.cum - mv.m) + mv.m + 1 AS mr2
+      FROM hist h JOIN mv ON mv.x = h.x),
+    grp AS MATERIALIZED (
+      SELECT t, CAST(SUM(c) AS BIGINT) AS n_g,
+             CAST(SUM(c * mr2) AS BIGINT) AS r2
+      FROM ranked GROUP BY t),
+    ties AS (
+      SELECT CAST(SUM(CASE WHEN m <= {_KW_TIE_CAP} THEN m * m * m - m
+                           ELSE CAST(error('kruskal: tie cap') AS BIGINT)
+                      END) AS BIGINT) AS tt
+      FROM mv),
+    gl AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             SUM(CAST(r2 AS DOUBLE) * r2 / n_g) AS s
+      FROM grp),
+    stat AS (
+      SELECT g.n,
+             3.0e0 / (CAST(g.n AS DOUBLE) * (g.n + 1)) * g.s / 4.0e0 * 4.0e0
+               - 3.0e0 * (g.n + 1) AS h0,
+             1.0e0 - CAST(t.tt AS DOUBLE)
+               / (CAST(g.n AS DOUBLE) * g.n * g.n - g.n) AS corr
+      FROM gl g CROSS JOIN ties t)
+    SELECT p.t AS event_type, p.n_g AS n_obs, p.r2 AS rank_sum_x2,
+           s.n AS n_total,
+           CAST(FLOOR(s.h0 * 1000000 + 0.5) AS BIGINT) / 1e6 AS h_stat,
+           CAST(FLOOR(s.h0 / NULLIF(s.corr, 0.0e0) * 1000000 + 0.5)
+                AS BIGINT) / 1e6 AS h_corrected
+    FROM grp p CROSS JOIN stat s
+    ORDER BY p.t
+    """,
+    tags=("E357", "E219", "E218", "W4", "A1", "J6"),
+)
+def q_kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the k event types' value distributions
+    — the k-group NONPARAMETRIC one-way test between Mann-Whitney
+    (E219, two groups) and parametric ANOVA (E218): H = 12/(N(N+1))
+    sum_g R_g^2/n_g - 3(N+1) with the standard tie correction
+    1 - sum(t^3 - t)/(N^3 - N). Midranks come from the distinct-value
+    histogram (the E219 discipline — no event-row ranking): for value
+    v, 2*midrank = 2*C(<v) + m_v + 1 stays an exact BIGINT, so every
+    rank sum is exact; doubles enter only in the final fixed-shape H
+    expression (R^2 in double — it exceeds int64 by design), quantized
+    at 1e-6. A LOUD cap raises in both engines if a single value's
+    multiplicity could overflow the t^3 tie term. Scale shape:
+    map-side histogram groupBy, one value-domain-bounded prefix-sum
+    window, one k-row aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    hist = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    hist = tracked_persist(hist)
+    ws = Window.orderBy("x")
+    mv = (
+        hist.groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("m"))
+        .select(
+            "x", "m", F.sum("m").over(ws).cast("bigint").alias("cum")
+        )
+    )
+    ranked = hist.join(F.broadcast(mv), "x").select(
+        "t",
+        "c",
+        (F.lit(2) * (F.col("cum") - F.col("m")) + F.col("m") + 1).alias(
+            "mr2"
+        ),
+    )
+    grp = ranked.groupBy("t").agg(
+        F.sum("c").cast("bigint").alias("n_g"),
+        F.sum(F.col("c") * F.col("mr2")).cast("bigint").alias("r2"),
+    )
+    grp = tracked_persist(grp)
+    tie_term = F.when(
+        F.col("m") <= _KW_TIE_CAP,
+        F.col("m") * F.col("m") * F.col("m") - F.col("m"),
+    ).otherwise(
+        F.raise_error(F.lit("kruskal: tie cap")).cast("long")
+    )
+    ties = mv.agg(F.sum(tie_term).cast("bigint").alias("tt"))
+    gl = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(
+            F.col("r2").cast("double") * F.col("r2") / F.col("n_g")
+        ).alias("s"),
+    )
+    n = F.col("n")
+    h0 = (
+        F.lit(3.0) / (n.cast("double") * (n + 1)) * F.col("s") / F.lit(4.0)
+        * F.lit(4.0)
+        - F.lit(3.0) * (n + 1)
+    )
+    corr = F.lit(1.0) - F.col("tt").cast("double") / (
+        n.cast("double") * n * n - n
+    )
+    stat = gl.crossJoin(F.broadcast(ties)).select(
+        "n", h0.alias("h0"), corr.alias("corr")
+    )
+    return (
+        grp.crossJoin(F.broadcast(stat))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("n_g").alias("n_obs"),
+            F.col("r2").alias("rank_sum_x2"),
+            F.col("n").alias("n_total"),
+            (
+                F.floor(F.col("h0") * 1000000 + F.lit(0.5)).cast("bigint")
+                / 1e6
+            ).alias("h_stat"),
+            (
+                F.floor(
+                    F.col("h0") / F.nullif(F.col("corr"), F.lit(0.0))
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("h_corrected"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E358: Friedman test — k treatments ranked within day blocks
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_friedman_daily_types",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type AS t, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1, 2),
+    kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM daily),
+    full_days AS MATERIALIZED (
+      SELECT d FROM daily GROUP BY d
+      HAVING COUNT(*) = (SELECT k FROM kk)),
+    r AS MATERIALIZED (
+      SELECT dl.t, dl.d,
+             2 * RANK() OVER (PARTITION BY dl.d ORDER BY dl.y)
+               + COUNT(*) OVER (PARTITION BY dl.d, dl.y) - 1 AS r2
+      FROM daily dl JOIN full_days fd ON fd.d = dl.d),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM full_days),
+    sq AS (SELECT CAST(SUM(r2 * r2) AS BIGINT) AS ssq FROM r),
+    grp AS MATERIALIZED (
+      SELECT t, CAST(SUM(r2) AS BIGINT) AS rs2 FROM r GROUP BY t),
+    stat AS (
+      SELECT n.n, k.k,
+             (k.k - 1) * CAST((SELECT SUM((g.rs2 - n.n * (k.k + 1))
+                                          * (g.rs2 - n.n * (k.k + 1)))
+                               FROM grp g) AS DOUBLE)
+               / NULLIF(s.ssq - n.n * k.k * (k.k + 1) * (k.k + 1), 0)
+               AS chi2
+      FROM nb n CROSS JOIN kk k CROSS JOIN sq s)
+    SELECT g.t AS event_type, s.n AS n_blocks, g.rs2 AS rank_sum_x2,
+           s.k AS k_types, s.k - 1 AS df,
+           CAST(FLOOR(s.chi2 * 1000000 + 0.5) AS BIGINT) / 1e6
+             AS chi2_friedman
+    FROM grp g CROSS JOIN stat s
+    ORDER BY g.t
+    """,
+    tags=("E358", "E218", "E219", "W1", "A1", "F4"),
+)
+def q_friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test of whether the k event types keep a consistent
+    revenue ORDERING across days — the repeated-measures (blocked)
+    rank test Kruskal-Wallis (E357) is not: KW pools all observations
+    (a busy day inflates every type), Friedman ranks types WITHIN each
+    complete day block, so day-level volume cancels and only the
+    ordering signal remains. Midranks stay exact integers as 2r =
+    2*RANK + |ties| - 1; the tie-general statistic chi2 = (k-1) *
+    sum_j (2R_j - n(k+1))^2 / (sum(2r)^2 - n k (k+1)^2) is ALL-INTEGER
+    (the x4 scaling cancels between numerator and denominator) until
+    one final double division, NULLIF-guarded for the all-tied
+    degenerate block set; quantized at 1e-6. Scale shape: map-side
+    day-grain collapse; every window runs on the (day x type) frame,
+    which is bounded by the date domain times a fixed categorical —
+    never event-sized."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("y")
+    )
+    daily = tracked_persist(daily)
+    kk = daily.agg(F.countDistinct("t").cast("bigint").alias("k"))
+    full_days = (
+        daily.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("ct") == F.col("k"))
+        .select("d")
+    )
+    wd = Window.partitionBy("d").orderBy("y")
+    wdy = Window.partitionBy("d", "y")
+    r = (
+        daily.join(F.broadcast(full_days), "d")
+        .select(
+            "t",
+            "d",
+            (
+                F.lit(2) * F.rank().over(wd)
+                + F.count(F.lit(1)).over(wdy)
+                - 1
+            )
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    r = tracked_persist(r)
+    nb = full_days.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sq = r.agg(F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("ssq"))
+    grp = r.groupBy("t").agg(F.sum("r2").cast("bigint").alias("rs2"))
+    grp = tracked_persist(grp)
+    dev = grp.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(kk)).select(
+        (
+            (F.col("rs2") - F.col("n") * (F.col("k") + 1))
+            * (F.col("rs2") - F.col("n") * (F.col("k") + 1))
+        ).alias("dd")
+    )
+    num = dev.agg(F.sum("dd").cast("bigint").alias("sdev"))
+    stat = (
+        nb.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(sq))
+        .crossJoin(F.broadcast(num))
+        .select(
+            "n",
+            "k",
+            (
+                (F.col("k") - 1) * F.col("sdev").cast("double")
+                / F.nullif(
+                    (
+                        F.col("ssq")
+                        - F.col("n")
+                        * F.col("k")
+                        * (F.col("k") + 1)
+                        * (F.col("k") + 1)
+                    ).cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("chi2"),
+        )
+    )
+    return (
+        grp.crossJoin(F.broadcast(stat))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("n").alias("n_blocks"),
+            F.col("rs2").alias("rank_sum_x2"),
+            F.col("k").alias("k_types"),
+            (F.col("k") - 1).alias("df"),
+            (
+                F.floor(F.col("chi2") * 1000000 + F.lit(0.5)).cast("bigint")
+                / 1e6
+            ).alias("chi2_friedman"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E359: Kaplan-Meier survival of customer order-activity lifetimes
+# --------------------------------------------------------------------------
+
+# Right-censoring horizon: customers whose LAST order falls within this
+# many days of the corpus's max order date are still-active (censored).
+_KM_CENSOR_DAYS = 365
+
+
+@query(
+    "q_kaplan_meier_customers",
+    oracle=f"""
+    WITH life AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) + 1
+                  AS BIGINT) AS t,
+             MAX(o_orderdate) AS last_d
+      FROM orders GROUP BY 1),
+    mx AS (SELECT MAX(last_d) AS m FROM life),
+    lab AS (
+      SELECT l.t,
+             CASE WHEN l.last_d < x.m - INTERVAL {_KM_CENSOR_DAYS} DAY
+                  THEN 1 ELSE 0 END AS died
+      FROM life l CROSS JOIN mx x),
+    per_t AS MATERIALIZED (
+      SELECT t, CAST(SUM(died) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM lab GROUP BY t),
+    risk AS MATERIALIZED (
+      SELECT t, d,
+             CAST(SUM(tot) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+      FROM per_t),
+    ev AS MATERIALIZED (
+      SELECT t, d, n_risk,
+             CASE WHEN n_risk > d
+                  THEN CAST(FLOOR(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                                  * 1000000000 + 0.5) AS BIGINT)
+                  ELSE NULL END AS lnq,
+             n_risk - d AS alive
+      FROM risk WHERE d > 0),
+    km AS (
+      SELECT t, d, n_risk,
+             CAST(SUM(lnq) OVER (ORDER BY t) AS BIGINT) AS cln,
+             CAST(MIN(alive) OVER (ORDER BY t) AS BIGINT) AS zmin
+      FROM ev)
+    SELECT t AS t_days, n_risk, d AS n_deaths,
+           CASE WHEN zmin = 0 AND cln IS NULL THEN 0.0e0
+                WHEN zmin = 0 THEN 0.0e0
+                ELSE CAST(FLOOR(exp(CAST(cln AS DOUBLE) / 1e9) * 1000000
+                                + 0.5) AS BIGINT) / 1e6 END AS survival
+    FROM km ORDER BY t_days
+    """,
+    tags=("E359", "E110", "E346", "W4", "W3", "A1", "F4"),
+)
+def q_kaplan_meier_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve of customer order-activity
+    lifetimes — the right-censoring-aware estimator the engine's
+    retention/churn rows (E34 weekly churn, E110 ACF) cannot give:
+    lifetime = days from a customer's first to last order; customers
+    still ordering within the final {_KM_CENSOR_DAYS} days are
+    CENSORED (alive), not churned — dropping them (naive survival)
+    biases lifetimes down, which is the whole reason KM exists.
+    S(t) = prod over event times t_i <= t of (1 - d_i/n_i) with
+    n_i = customers whose lifetime >= t_i (a reverse prefix sum over
+    the distinct-duration frame). Each log-factor is 1e-9-quantized
+    straight after the ONLY libm call (the r6 recipe), the prefix sum
+    of quantized logs is exact BIGINT, exp at readout quantized 1e-6;
+    a duration where everyone at risk dies drives S to exactly 0.0
+    via the prefix-min guard in both engines. Scale shape: one
+    customer-grain aggregate (map-side combinable); every window runs
+    on the distinct-duration frame, bounded by the DATE domain
+    (~2,400 rows), never the customer count."""
+    o = load_table(spark, sf_dir, "orders")
+    life = o.groupBy("o_custkey").agg(
+        (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) + 1)
+        .cast("bigint")
+        .alias("t"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    mx = life.agg(F.max("last_d").alias("m"))
+    lab = life.crossJoin(F.broadcast(mx)).select(
+        "t",
+        F.when(
+            F.col("last_d") < F.col("m") - F.expr(
+                f"INTERVAL {_KM_CENSOR_DAYS} DAY"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("died"),
+    )
+    per_t = lab.groupBy("t").agg(
+        F.sum("died").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+    )
+    wdesc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_t.select(
+        "t", "d", F.sum("tot").over(wdesc).cast("bigint").alias("n_risk")
+    )
+    ev = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.when(
+            F.col("n_risk") > F.col("d"),
+            F.floor(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                )
+                * 1000000000
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("lnq"),
+        (F.col("n_risk") - F.col("d")).alias("alive"),
+    )
+    wasc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = ev.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum("lnq").over(wasc).cast("bigint").alias("cln"),
+        F.min("alive").over(wasc).cast("bigint").alias("zmin"),
+    )
+    surv = F.when(F.col("zmin") == 0, F.lit(0.0)).otherwise(
+        F.floor(
+            F.exp(F.col("cln").cast("double") / F.lit(1e9)) * 1000000
+            + F.lit(0.5)
+        ).cast("bigint")
+        / 1e6
+    )
+    return km.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        surv.alias("survival"),
+    ).orderBy("t_days")
