@@ -5238,17 +5238,25 @@ def q_hurst_aggregated_variance(
       FROM grid g LEFT JOIN hist h ON h.t = g.t AND h.x = g.x),
     tot AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1),
     terms AS (
-      SELECT a.t AS type_a, b.t AS type_b, na.n AS n_a, nb.n AS n_b,
-             CAST(FLOOR(ABS(CAST(a.cum AS DOUBLE) / na.n
-                            - CAST(b.cum AS DOUBLE) / nb.n)
-                        * a.dx * 1e6 + 0.5) AS BIGINT) AS q
+      SELECT a.t AS type_a, b.t AS type_b,
+             CAST(SUM(CAST(FLOOR(ABS(CAST(a.cum AS DOUBLE) / na.n
+                                     - CAST(b.cum AS DOUBLE) / nb.n)
+                                 * a.dx * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sq
       FROM cum a JOIN cum b ON b.x = a.x AND a.t < b.t
       JOIN tot na ON na.t = a.t
       JOIN tot nb ON nb.t = b.t
-      WHERE a.dx IS NOT NULL)
-    SELECT type_a, type_b, n_a, n_b,
-           CAST(SUM(q) AS BIGINT) / 1e6 AS w1_cents
-    FROM terms GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
+      WHERE a.dx IS NOT NULL
+      GROUP BY 1, 2)
+    -- anchor on the pair list so a single-point support (identical
+    -- distributions, no gap terms) still emits its pair with W1 = 0
+    SELECT pa.t AS type_a, pb.t AS type_b, na.n AS n_a, nb.n AS n_b,
+           CAST(COALESCE(t.sq, 0) AS BIGINT) / 1e6 AS w1_cents
+    FROM types pa JOIN types pb ON pa.t < pb.t
+    JOIN tot na ON na.t = pa.t
+    JOIN tot nb ON nb.t = pb.t
+    LEFT JOIN terms t ON t.type_a = pa.t AND t.type_b = pb.t
+    ORDER BY 1, 2
     """,
     tags=("E356", "E219", "E135", "W4", "J6", "A1"),
 )
@@ -5324,14 +5332,35 @@ def q_wasserstein_value_pairs(
         .select(
             F.col("a.t").alias("type_a"),
             F.col("b.t").alias("type_b"),
-            "n_a",
-            "n_b",
             q.alias("q"),
         )
+        .groupBy("type_a", "type_b")
+        .agg(F.sum("q").cast("bigint").alias("sq"))
+    )
+    # Anchor on the pair list so a single-point support (identical
+    # distributions, no gap terms) still emits its pair with W1 = 0.
+    pa = types.select(F.col("t").alias("pa"))
+    pb = types.select(F.col("t").alias("pb"))
+    pairs = (
+        pa.join(F.broadcast(pb), F.col("pa") < F.col("pb"))
+        .join(F.broadcast(na), F.col("pa") == F.col("ta"))
+        .join(F.broadcast(nb), F.col("pb") == F.col("tb"))
     )
     return (
-        terms.groupBy("type_a", "type_b", "n_a", "n_b")
-        .agg((F.sum("q").cast("bigint") / 1e6).alias("w1_cents"))
+        pairs.join(
+            F.broadcast(terms),
+            (F.col("pa") == F.col("type_a")) & (F.col("pb") == F.col("type_b")),
+            "left",
+        )
+        .select(
+            F.col("pa").alias("type_a"),
+            F.col("pb").alias("type_b"),
+            "n_a",
+            "n_b",
+            (
+                F.coalesce(F.col("sq"), F.lit(0)).cast("bigint") / 1e6
+            ).alias("w1_cents"),
+        )
         .orderBy("type_a", "type_b")
     )
 

@@ -3617,3 +3617,119 @@ def test_assortativity_matches_newman_formula(spark, edges):
             row.assortativity,
             expected_r,
         )
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    va=st.lists(
+        st.integers(min_value=0, max_value=400), min_size=2, max_size=20
+    ),
+    vb=st.lists(
+        st.integers(min_value=0, max_value=400), min_size=2, max_size=20
+    ),
+)
+def test_wasserstein_matches_definition_replay(spark, va, vb):
+    """q_wasserstein_value_pairs == the textbook 1-D W1: integral of
+    |F_a - F_b| over the line, replayed independently as a step-
+    function integral over the merged support. The engine quantizes
+    each term at 1e-6, so agreement is within support_size * 1e-6."""
+    import datetime
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.stats_models import (
+        q_wasserstein_value_pairs,
+    )
+
+    xs = sorted({*va, *vb})
+    cents = [x * 100 for x in xs]
+    w1 = 0.0
+    for i in range(len(xs) - 1):
+        fa = sum(1 for v in va if v <= xs[i]) / len(va)
+        fb = sum(1 for v in vb if v <= xs[i]) / len(vb)
+        w1 += abs(fa - fb) * (cents[i + 1] - cents[i])
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate(va):
+        rows.append((i, base + datetime.timedelta(minutes=i), 0, "a", float(v), "{}"))
+    for i, v in enumerate(vb):
+        rows.append(
+            (1000 + i, base + datetime.timedelta(minutes=i), 0, "b", float(v), "{}")
+        )
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        out = q_wasserstein_value_pairs(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b, r.n_a, r.n_b) == ("a", "b", len(va), len(vb))
+    assert abs(r.w1_cents - w1) <= len(xs) * 1e-6 + 1e-9, (r.w1_cents, w1)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1200),  # first-order day
+            st.integers(min_value=0, max_value=1200),  # lifetime extent
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_kaplan_meier_matches_definition_replay(spark, custs):
+    """q_kaplan_meier_customers == the textbook product-limit
+    estimator replayed directly: lifetimes and censoring labels from
+    the fixture, risk sets by counting, S(t) as a running float
+    product — independent of the engine's quantized-log-sum form."""
+    import datetime
+    import shutil
+    from collections import Counter
+
+    from fts_analysis_datalake_spark.queries.stats_models import (
+        _KM_CENSOR_DAYS,
+        q_kaplan_meier_customers,
+    )
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = []
+    lives = []
+    for ck, (start, ext) in enumerate(custs):
+        first = base + datetime.timedelta(days=start)
+        last = base + datetime.timedelta(days=start + ext)
+        rows.append((2 * ck, ck, first))
+        rows.append((2 * ck + 1, ck, last))
+        lives.append((ext + 1, last))
+    mx = max(last for _, last in lives)
+    lab = [
+        (t, 1 if last < mx - datetime.timedelta(days=_KM_CENSOR_DAYS) else 0)
+        for t, last in lives
+    ]
+    deaths = Counter(t for t, died in lab if died)
+    expected = []
+    s = 1.0
+    zero_seen = False
+    for t in sorted(deaths):
+        n_risk = sum(1 for tt, _ in lab if tt >= t)
+        d = deaths[t]
+        if n_risk == d:
+            zero_seen = True
+        s = 0.0 if zero_seen else s * (n_risk - d) / n_risk
+        expected.append((t, n_risk, d, s))
+
+    d = _tmp_fixture(
+        spark, "orders", rows,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderdate TIMESTAMP",
+    )
+    try:
+        got = [
+            (r.t_days, r.n_risk, r.n_deaths, r.survival)
+            for r in q_kaplan_meier_customers(spark, d).collect()
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(got) == len(expected), (got, expected)
+    for g, w in zip(got, expected):
+        assert g[:3] == w[:3], (got, expected)
+        assert abs(g[3] - w[3]) <= 2e-6, (got, expected)
