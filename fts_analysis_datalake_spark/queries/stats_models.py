@@ -5904,3 +5904,260 @@ def q_kaplan_meier_customers(
         F.col("d").alias("n_deaths"),
         surv.alias("survival"),
     ).orderBy("t_days")
+
+
+# --------------------------------------------------------------------------
+# E361: log-rank test — do two customer segments churn at the same rate?
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_logrank_segment_churn",
+    oracle=f"""
+    WITH ol AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) + 1
+                  AS BIGINT) AS t,
+             MAX(o_orderdate) AS last_d
+      FROM orders GROUP BY 1),
+    life AS MATERIALIZED (
+      SELECT ol.t,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+             ol.last_d
+      FROM ol JOIN customer c ON c.c_custkey = ol.o_custkey),
+    mx AS (SELECT MAX(last_d) AS m FROM life),
+    lab AS MATERIALIZED (
+      SELECT t, g,
+             CASE WHEN last_d < x.m - INTERVAL {_KM_CENSOR_DAYS} DAY
+                  THEN 1 ELSE 0 END AS died
+      FROM life CROSS JOIN mx x),
+    per_tg AS MATERIALIZED (
+      SELECT t, g, CAST(SUM(died) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM lab GROUP BY 1, 2),
+    grid AS (
+      SELECT s.t, gg.g
+      FROM (SELECT DISTINCT t FROM per_tg) s
+      CROSS JOIN (SELECT DISTINCT g FROM per_tg) gg),
+    risk AS MATERIALIZED (
+      SELECT gr.t, gr.g, CAST(COALESCE(p.d, 0) AS BIGINT) AS d,
+             CAST(SUM(COALESCE(p.tot, 0))
+                  OVER (PARTITION BY gr.g ORDER BY gr.t DESC) AS BIGINT)
+               AS nr
+      FROM grid gr LEFT JOIN per_tg p ON p.t = gr.t AND p.g = gr.g),
+    ev AS (
+      SELECT t, CAST(SUM(d) AS BIGINT) AS dt,
+             CAST(SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(nr) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN g = 1 THEN nr ELSE 0 END) AS BIGINT) AS n1
+      FROM risk GROUP BY t HAVING SUM(d) > 0),
+    terms AS (
+      SELECT d1,
+             CAST(FLOOR(CAST(dt AS DOUBLE) * n1 / nt * 1e9 + 0.5) AS BIGINT)
+               AS e1q,
+             CAST(FLOOR(CAST(dt AS DOUBLE) * n1 / nt
+                        * (1.0e0 - CAST(n1 AS DOUBLE) / nt)
+                        * (nt - dt) / NULLIF(nt - 1, 0) * 1e9 + 0.5)
+                  AS BIGINT) AS vq
+      FROM ev),
+    agg AS (
+      -- COALESCE: zero observed deaths must yield E = V = 0 (and a
+      -- NULL z via the sqrt guard), not a NULL expected_deaths
+      SELECT CAST(COALESCE(SUM(e1q), 0) AS BIGINT) AS e1,
+             CAST(COALESCE(SUM(vq), 0) AS BIGINT) AS v
+      FROM terms),
+    cnt AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS nc1,
+             CAST(SUM(1 - g) AS BIGINT) AS nc0,
+             CAST(SUM(CASE WHEN g = 1 THEN died ELSE 0 END) AS BIGINT)
+               AS od1,
+             CAST(SUM(CASE WHEN g = 0 THEN died ELSE 0 END) AS BIGINT)
+               AS od0,
+             CAST(SUM(died) AS BIGINT) AS dd
+      FROM lab),
+    z AS (
+      SELECT c.*, a.e1,
+             CAST(FLOOR((c.od1 - CAST(a.e1 AS DOUBLE) / 1e9)
+                        / NULLIF(sqrt(CAST(a.v AS DOUBLE) / 1e9), 0.0e0)
+                        * 1000000 + 0.5) AS BIGINT) / 1e6 AS zz
+      FROM agg a CROSS JOIN cnt c)
+    SELECT 'BUILDING' AS segment_group, nc1 AS n_customers,
+           od1 AS n_deaths,
+           CAST(FLOOR(CAST(e1 AS DOUBLE) / 1e9 * 1000000 + 0.5) AS BIGINT)
+             / 1e6 AS expected_deaths,
+           zz AS logrank_z
+    FROM z
+    UNION ALL
+    SELECT 'OTHER', nc0, od0,
+           CAST(FLOOR((dd - CAST(e1 AS DOUBLE) / 1e9) * 1000000 + 0.5)
+                AS BIGINT) / 1e6,
+           zz
+    FROM z
+    ORDER BY segment_group
+    """,
+    tags=("E361", "E359", "E305", "W4", "A7", "J1"),
+)
+def q_logrank_segment_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing the BUILDING segment's churn curve
+    against everyone else — the two-sample SIGNIFICANCE companion to
+    Kaplan-Meier (E359): KM draws each curve, the log-rank asks
+    whether they differ beyond chance, correctly crediting censored
+    customers for their time at risk (a naive churned-fraction z-test
+    throws that information away). At every distinct lifetime with
+    deaths, observed group-1 deaths are compared to the
+    hypergeometric expectation d*n1/n with variance
+    d*(n1/n)(1-n1/n)(n-d)/(n-1); each expectation/variance term is
+    floor-quantized to BIGINT at 1e-9 before the order-free sum (E343
+    recipe), z = (O-E)/sqrt(V) quantized at 1e-6 with NULLIF guards
+    for the one-at-risk and zero-variance degenerate cases. Scale
+    shape: one customer-grain aggregate + one segment hash join;
+    every window runs on the (group x distinct-duration) frame,
+    bounded by 2 x the DATE domain."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    ol = o.groupBy("o_custkey").agg(
+        (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) + 1)
+        .cast("bigint")
+        .alias("t"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    life = ol.join(c, ol["o_custkey"] == c["c_custkey"]).select(
+        "t", "g", "last_d"
+    )
+    mx = life.agg(F.max("last_d").alias("m"))
+    lab = life.crossJoin(F.broadcast(mx)).select(
+        "t",
+        "g",
+        F.when(
+            F.col("last_d") < F.col("m") - F.expr(
+                f"INTERVAL {_KM_CENSOR_DAYS} DAY"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("died"),
+    )
+    lab = tracked_persist(lab)
+    per_tg = lab.groupBy("t", "g").agg(
+        F.sum("died").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+    )
+    per_tg = tracked_persist(per_tg)
+    sup = per_tg.select("t").distinct()
+    gg = per_tg.select("g").distinct()
+    grid = sup.crossJoin(F.broadcast(gg))
+    wg = Window.partitionBy("g").orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = (
+        grid.join(per_tg, ["t", "g"], "left")
+        .select(
+            "t",
+            "g",
+            F.coalesce(F.col("d"), F.lit(0)).cast("bigint").alias("d"),
+            F.coalesce(F.col("tot"), F.lit(0)).alias("tot0"),
+        )
+        .select(
+            "t",
+            "g",
+            "d",
+            F.sum("tot0").over(wg).cast("bigint").alias("nr"),
+        )
+    )
+    ev = (
+        risk.groupBy("t")
+        .agg(
+            F.sum("d").cast("bigint").alias("dt"),
+            F.sum(F.when(F.col("g") == 1, F.col("d")).otherwise(0))
+            .cast("bigint")
+            .alias("d1"),
+            F.sum("nr").cast("bigint").alias("nt"),
+            F.sum(F.when(F.col("g") == 1, F.col("nr")).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+        )
+        .filter(F.col("dt") > 0)
+    )
+    dt, n1, nt = F.col("dt"), F.col("n1"), F.col("nt")
+    e1q = F.floor(
+        dt.cast("double") * n1 / nt * F.lit(1e9) + F.lit(0.5)
+    ).cast("bigint")
+    vq = F.floor(
+        dt.cast("double")
+        * n1
+        / nt
+        * (F.lit(1.0) - n1.cast("double") / nt)
+        * (nt - dt)
+        / F.nullif((nt - 1).cast("double"), F.lit(0.0))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    # COALESCE: zero observed deaths must yield E = V = 0 (and a NULL
+    # z via the sqrt guard), not a NULL expected_deaths.
+    agg = ev.agg(
+        F.coalesce(F.sum(e1q), F.lit(0)).cast("bigint").alias("e1"),
+        F.coalesce(F.sum(vq), F.lit(0)).cast("bigint").alias("v"),
+    )
+    cnt = lab.agg(
+        F.sum("g").cast("bigint").alias("nc1"),
+        F.sum(F.lit(1) - F.col("g")).cast("bigint").alias("nc0"),
+        F.sum(F.when(F.col("g") == 1, F.col("died")).otherwise(0))
+        .cast("bigint")
+        .alias("od1"),
+        F.sum(F.when(F.col("g") == 0, F.col("died")).otherwise(0))
+        .cast("bigint")
+        .alias("od0"),
+        F.sum("died").cast("bigint").alias("dd"),
+    )
+    zz = (
+        F.floor(
+            (F.col("od1") - F.col("e1").cast("double") / F.lit(1e9))
+            / F.nullif(
+                F.sqrt(F.col("v").cast("double") / F.lit(1e9)), F.lit(0.0)
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).cast("bigint")
+        / 1e6
+    )
+    z = agg.crossJoin(F.broadcast(cnt)).select(
+        "e1", "nc1", "nc0", "od1", "od0", "dd", zz.alias("zz")
+    )
+    exp1 = (
+        F.floor(
+            F.col("e1").cast("double") / F.lit(1e9) * 1000000 + F.lit(0.5)
+        ).cast("bigint")
+        / 1e6
+    )
+    exp0 = (
+        F.floor(
+            (F.col("dd") - F.col("e1").cast("double") / F.lit(1e9)) * 1000000
+            + F.lit(0.5)
+        ).cast("bigint")
+        / 1e6
+    )
+    return z.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("BUILDING").alias("segment_group"),
+                    F.col("nc1").alias("n_customers"),
+                    F.col("od1").alias("n_deaths"),
+                    exp1.alias("expected_deaths"),
+                    F.col("zz").alias("logrank_z"),
+                ),
+                F.struct(
+                    F.lit("OTHER").alias("segment_group"),
+                    F.col("nc0").alias("n_customers"),
+                    F.col("od0").alias("n_deaths"),
+                    exp0.alias("expected_deaths"),
+                    F.col("zz").alias("logrank_z"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*").orderBy("segment_group")

@@ -3733,3 +3733,101 @@ def test_kaplan_meier_matches_definition_replay(spark, custs):
     for g, w in zip(got, expected):
         assert g[:3] == w[:3], (got, expected)
         assert abs(g[3] - w[3]) <= 2e-6, (got, expected)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.booleans(),  # in the BUILDING group?
+            st.integers(min_value=0, max_value=1200),  # first-order day
+            st.integers(min_value=0, max_value=1200),  # lifetime extent
+        ),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_logrank_matches_definition_replay(spark, custs):
+    """q_logrank_segment_churn == the textbook log-rank replayed
+    directly: per death time, hypergeometric expectation and variance
+    from counted risk sets, z = (O - E)/sqrt(V) — independent of the
+    engine's grid/window/quantized-term pipeline."""
+    import datetime
+    import math
+    import shutil
+    from collections import Counter
+
+    from fts_analysis_datalake_spark.queries.stats_models import (
+        _KM_CENSOR_DAYS,
+        q_logrank_segment_churn,
+    )
+
+    base = datetime.datetime(2020, 1, 1)
+    o_rows, c_rows, lives = [], [], []
+    for ck, (bld, start, ext) in enumerate(custs):
+        first = base + datetime.timedelta(days=start)
+        last = base + datetime.timedelta(days=start + ext)
+        o_rows.append((2 * ck, ck, first))
+        o_rows.append((2 * ck + 1, ck, last))
+        c_rows.append((ck, "BUILDING" if bld else "AUTOMOBILE"))
+        lives.append((ext + 1, last, 1 if bld else 0))
+    mx = max(last for _, last, _ in lives)
+    lab = [
+        (t, g, 1 if last < mx - datetime.timedelta(days=_KM_CENSOR_DAYS) else 0)
+        for t, last, g in lives
+    ]
+    deaths = Counter(t for t, _g, died in lab if died)
+    e1s = vs = 0.0
+    for t in sorted(deaths):
+        dt = deaths[t]
+        nt = sum(1 for tt, _g, _ in lab if tt >= t)
+        n1 = sum(1 for tt, g, _ in lab if tt >= t and g == 1)
+        e1s += math.floor(float(dt) * n1 / nt * 1e9 + 0.5) / 1e9
+        if nt > 1:
+            vs += (
+                math.floor(
+                    float(dt) * n1 / nt * (1.0 - float(n1) / nt)
+                    * (nt - dt) / (nt - 1) * 1e9 + 0.5
+                )
+                / 1e9
+            )
+    od1 = sum(d for t, g, d in lab if g == 1)
+    od0 = sum(d for t, g, d in lab if g == 0)
+    nc1 = sum(1 for _t, g, _ in lab if g == 1)
+    z = (od1 - e1s) / math.sqrt(vs) if vs > 0 else None
+
+    d = _tmp_fixture(
+        spark, "orders", o_rows,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderdate TIMESTAMP",
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": [r[0] for r in c_rows],
+                "c_mktsegment": [r[1] for r in c_rows],
+            }
+        ),
+        f"{d}/customer.parquet",
+    )
+    try:
+        got = {
+            r.segment_group: (
+                r.n_customers, r.n_deaths, r.expected_deaths, r.logrank_z
+            )
+            for r in q_logrank_segment_churn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert set(got) == {"BUILDING", "OTHER"}
+    gb, go = got["BUILDING"], got["OTHER"]
+    assert gb[0] == nc1 and go[0] == len(lab) - nc1
+    assert gb[1] == od1 and go[1] == od0
+    assert abs(gb[2] - e1s) <= 2e-6
+    assert abs(go[2] - (od1 + od0 - e1s)) <= 2e-6
+    if z is None:
+        assert gb[3] is None and go[3] is None
+    else:
+        assert abs(gb[3] - z) <= 2e-6 and abs(go[3] - z) <= 2e-6
