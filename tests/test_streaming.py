@@ -52,7 +52,7 @@ def _run_stream(spark, transform, stream_dir, mode):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     assert not q.isActive
     return spark.table(name)
 
@@ -119,7 +119,7 @@ def test_foreach_batch_sink_writes_all_rows(spark, stream_dir, tmp_path):
         .parquet(stream_dir)
     )
     q = write_stream_foreach_batch(src, out, ckpt).trigger(availableNow=True).start()
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     written = spark.read.parquet(out)
     n_src = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir).count()
     assert written.count() == n_src
@@ -159,7 +159,7 @@ def test_stream_stream_join_equals_batch(spark, stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     assert not q.isActive
     cols = ["user_id", "view_id", "click_id", "delay_s"]
     got = _canon(spark.table("mem_ss_join"), cols)
@@ -249,7 +249,7 @@ def test_stream_stream_outer_join_equals_batch(spark, stream_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     assert not q.isActive
     cols = ["user_id", "view_id", "click_id", "delay_s"]
     got = _canon(spark.table("mem_ss_outer").filter(F.col("user_id") >= 0), cols)
