@@ -6161,3 +6161,834 @@ def q_logrank_segment_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*").orderBy("segment_group")
+
+
+# --------------------------------------------------------------------------
+# E362: Jonckheere-Terpstra ordered-alternative trend across order priorities
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_jonckheere_priority_trend",
+    oracle="""
+    WITH hist AS MATERIALIZED (
+      SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    spine AS (SELECT DISTINCT x FROM hist),
+    grps AS (SELECT DISTINCT g FROM hist),
+    grid AS MATERIALIZED (
+      SELECT gr.g, s.x, COALESCE(h.c, 0) AS c0,
+             CAST(SUM(COALESCE(h.c, 0))
+                  OVER (PARTITION BY gr.g ORDER BY s.x) AS BIGINT) AS cum
+      FROM spine s CROSS JOIN grps gr
+      LEFT JOIN hist h ON h.g = gr.g AND h.x = s.x),
+    terms AS (
+      SELECT i.g AS gi, h.g AS gj,
+             h.c * (2 * (i.cum - i.c0) + i.c0) AS t
+      FROM hist h JOIN grid i ON i.x = h.x AND i.g < h.g),
+    pairs AS MATERIALIZED (
+      SELECT gi, gj, CAST(SUM(t) AS BIGINT) AS u_x2
+      FROM terms GROUP BY 1, 2),
+    sizes AS MATERIALIZED (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM hist GROUP BY 1),
+    gl AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(n_g * n_g) AS BIGINT) AS sn2,
+             SUM(CAST(n_g AS DOUBLE) * n_g * (2 * n_g + 3)) AS sn23
+      FROM sizes),
+    tot AS (SELECT CAST(SUM(u_x2) AS BIGINT) AS jt2 FROM pairs),
+    z AS (
+      SELECT t.jt2,
+             (0.5e0 * t.jt2
+              - 0.25e0 * (CAST(g.n AS DOUBLE) * g.n - g.sn2))
+             / NULLIF(sqrt((CAST(g.n AS DOUBLE) * g.n * (2 * g.n + 3)
+                            - g.sn23) / 72.0e0), 0.0e0) AS zz
+      FROM tot t CROSS JOIN gl g)
+    SELECT p.gi AS g_low, p.gj AS g_high,
+           si.n_g AS n_low, sj.n_g AS n_high, p.u_x2 AS u_x2,
+           z.jt2 AS jt_x2_total,
+           CAST(FLOOR(z.zz * 1000000 + 0.5) AS BIGINT) / 1e6 AS jt_z
+    FROM pairs p
+    JOIN sizes si ON si.g = p.gi
+    JOIN sizes sj ON sj.g = p.gj
+    CROSS JOIN z
+    ORDER BY g_low, g_high
+    """,
+    tags=("E362", "E357", "E219", "W4", "A1", "J6"),
+)
+def q_jonckheere_priority_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test: does order
+    value INCREASE along the o_orderpriority ordering (1-URGENT <
+    2-HIGH < ... < 5-LOW)? Kruskal-Wallis (E357) only asks "are the
+    groups different"; JT pools the k(k-1)/2 pairwise Mann-Whitney
+    counts IN THE HYPOTHESIZED DIRECTION, gaining power for monotone
+    alternatives. 2*U_ij per ordered pair is exact BIGINT via the
+    E219/E360 histogram discipline — no cross join: for each distinct
+    whole-dollar value v held by the higher group j, the lower group's
+    prefix count gives 2*U += c_j(v) * (2*C_i(<v) + c_i(v)) (ties
+    count half). The spine x groups grid is value-domain x k bounded,
+    never order-sized; the only windows run per-group over that grid.
+    z uses the untied normal approximation (whole-dollar ties are
+    sparse; documented) with mu = (N^2 - sum n^2)/4 and
+    sigma^2 = (N^2(2N+3) - sum n^2(2n+3))/72 evaluated in one
+    fixed-shape double expression, quantized 1e-6. int64 bound:
+    2U <= 2 n_i n_j, exact below ~2.1e9 rows/group (the E360
+    documented-bound pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.groupBy(
+        F.substring(F.col("o_orderpriority"), 1, 1)
+        .cast("int")
+        .alias("g"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    hist = tracked_persist(hist)
+    spine = hist.select("x").distinct()
+    grps = hist.select("g").distinct()
+    wg = Window.partitionBy("g").orderBy("x")
+    grid = (
+        spine.crossJoin(F.broadcast(grps))
+        .join(hist, ["g", "x"], "left")
+        .select(
+            "g", "x", F.coalesce(F.col("c"), F.lit(0)).alias("c0")
+        )
+        .select(
+            "g",
+            "x",
+            "c0",
+            F.sum("c0").over(wg).cast("bigint").alias("cum"),
+        )
+    )
+    terms = (
+        hist.alias("h")
+        .join(grid.alias("i"), F.col("i.x") == F.col("h.x"))
+        .filter(F.col("i.g") < F.col("h.g"))
+        .select(
+            F.col("i.g").alias("gi"),
+            F.col("h.g").alias("gj"),
+            (
+                F.col("h.c")
+                * (
+                    F.lit(2) * (F.col("i.cum") - F.col("i.c0"))
+                    + F.col("i.c0")
+                )
+            ).alias("t"),
+        )
+    )
+    pairs = terms.groupBy("gi", "gj").agg(
+        F.sum("t").cast("bigint").alias("u_x2")
+    )
+    pairs = tracked_persist(pairs)
+    sizes = hist.groupBy("g").agg(
+        F.sum("c").cast("bigint").alias("n_g")
+    )
+    sizes = tracked_persist(sizes)
+    gl = sizes.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(F.col("n_g") * F.col("n_g")).cast("bigint").alias("sn2"),
+        F.sum(
+            F.col("n_g").cast("double")
+            * F.col("n_g")
+            * (F.lit(2) * F.col("n_g") + 3)
+        ).alias("sn23"),
+    )
+    tot = pairs.agg(F.sum("u_x2").cast("bigint").alias("jt2"))
+    zz = (
+        F.lit(0.5) * F.col("jt2")
+        - F.lit(0.25)
+        * (F.col("n").cast("double") * F.col("n") - F.col("sn2"))
+    ) / F.nullif(
+        F.sqrt(
+            (
+                F.col("n").cast("double")
+                * F.col("n")
+                * (F.lit(2) * F.col("n") + 3)
+                - F.col("sn23")
+            )
+            / F.lit(72.0)
+        ),
+        F.lit(0.0),
+    )
+    z = tot.crossJoin(F.broadcast(gl)).select(
+        "jt2", zz.alias("zz")
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("g").alias("gi"), F.col("n_g").alias("n_low"))),
+            "gi",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("gj"), F.col("n_g").alias("n_high"))),
+            "gj",
+        )
+        .crossJoin(F.broadcast(z))
+        .select(
+            F.col("gi").alias("g_low"),
+            F.col("gj").alias("g_high"),
+            "n_low",
+            "n_high",
+            "u_x2",
+            F.col("jt2").alias("jt_x2_total"),
+            (
+                F.floor(F.col("zz") * 1000000 + F.lit(0.5)).cast("bigint")
+                / 1e6
+            ).alias("jt_z"),
+        )
+        .orderBy("g_low", "g_high")
+    )
+
+
+# --------------------------------------------------------------------------
+# E363: Page's trend test — ordered alternative over the Friedman blocks
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_page_trend_daily_types",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type AS t, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1, 2),
+    kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM daily),
+    full_days AS MATERIALIZED (
+      SELECT d FROM daily GROUP BY d
+      HAVING COUNT(*) = (SELECT k FROM kk)),
+    r AS MATERIALIZED (
+      SELECT dl.t, dl.d,
+             2 * RANK() OVER (PARTITION BY dl.d ORDER BY dl.y)
+               + COUNT(*) OVER (PARTITION BY dl.d, dl.y) - 1 AS r2
+      FROM daily dl JOIN full_days fd ON fd.d = dl.d),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM full_days),
+    idx AS MATERIALIZED (
+      SELECT t, CAST(RANK() OVER (ORDER BY t) AS BIGINT) AS j
+      FROM (SELECT DISTINCT t FROM r)),
+    grp AS MATERIALIZED (
+      SELECT r.t, i.j, CAST(SUM(r.r2) AS BIGINT) AS rs2
+      FROM r JOIN idx i ON i.t = r.t GROUP BY 1, 2),
+    l2 AS (SELECT CAST(SUM(j * rs2) AS BIGINT) AS lx2 FROM grp),
+    stat AS (
+      SELECT l.lx2, n.n, k.k,
+             (CAST(l.lx2 AS DOUBLE)
+              - CAST(n.n AS DOUBLE) * k.k * (k.k + 1) * (k.k + 1) / 2.0e0)
+             / NULLIF(sqrt(CAST(n.n AS DOUBLE) * k.k * k.k * (k.k + 1)
+                           * (k.k + 1) * (k.k - 1) / 36.0e0), 0.0e0) AS zz
+      FROM l2 l CROSS JOIN nb n CROSS JOIN kk k)
+    SELECT g.t AS event_type, g.j AS hyp_rank, g.rs2 AS rank_sum_x2,
+           s.n AS n_blocks, s.lx2 AS page_l_x2,
+           CAST(FLOOR(s.zz * 1000000 + 0.5) AS BIGINT) / 1e6 AS page_z
+    FROM grp g CROSS JOIN stat s
+    ORDER BY g.t
+    """,
+    tags=("E363", "E358", "E357", "W1", "A1", "F4"),
+)
+def q_page_trend_daily_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Page's L trend test over the Friedman day blocks (E358): does
+    daily revenue rank MONOTONICALLY along the lexicographic event-type
+    order (the declared a-priori ordering: click < error < purchase <
+    signup < view)? Friedman is an omnibus "any ordering difference";
+    Page weights each type's within-day midrank by its hypothesized
+    position j, L = sum_j j * R_j, gaining power for monotone trends —
+    the repeated-measures sibling of Jonckheere (E362). Midranks stay
+    exact BIGINT as 2r = 2*RANK + |ties| - 1 (the E358 recipe), so
+    2L = sum j * rs2 is exact; E[2L] = n k(k+1)^2 / 2 and the untied
+    sigma(2L) = sqrt(n k^2 (k+1)^2 (k-1) / 36) enter one fixed-shape
+    double z expression, quantized 1e-6 (tie correction omitted;
+    documented, matching the JT/Page textbook normal form). Scale
+    shape identical to E358: map-side day collapse, windows only on
+    the (day x type) date-domain x fixed-categorical frame."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("y")
+    )
+    daily = tracked_persist(daily)
+    kk = daily.agg(F.countDistinct("t").cast("bigint").alias("k"))
+    full_days = (
+        daily.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("ct") == F.col("k"))
+        .select("d")
+    )
+    wd = Window.partitionBy("d").orderBy("y")
+    wdy = Window.partitionBy("d", "y")
+    r = daily.join(F.broadcast(full_days), "d").select(
+        "t",
+        "d",
+        (
+            F.lit(2) * F.rank().over(wd)
+            + F.count(F.lit(1)).over(wdy)
+            - 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    r = tracked_persist(r)
+    nb = full_days.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wi = Window.orderBy("t")
+    idx = (
+        r.select("t")
+        .distinct()
+        .select("t", F.rank().over(wi).cast("bigint").alias("j"))
+    )
+    grp = (
+        r.join(F.broadcast(idx), "t")
+        .groupBy("t", "j")
+        .agg(F.sum("r2").cast("bigint").alias("rs2"))
+    )
+    grp = tracked_persist(grp)
+    l2 = grp.agg(
+        F.sum(F.col("j") * F.col("rs2")).cast("bigint").alias("lx2")
+    )
+    k = F.col("k")
+    n = F.col("n")
+    zz = (
+        F.col("lx2").cast("double")
+        - n.cast("double") * k * (k + 1) * (k + 1) / F.lit(2.0)
+    ) / F.nullif(
+        F.sqrt(
+            n.cast("double")
+            * k
+            * k
+            * (k + 1)
+            * (k + 1)
+            * (k - 1)
+            / F.lit(36.0)
+        ),
+        F.lit(0.0),
+    )
+    stat = (
+        l2.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(kk))
+        .select("lx2", "n", "k", zz.alias("zz"))
+    )
+    return (
+        grp.crossJoin(F.broadcast(stat))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("j").alias("hyp_rank"),
+            F.col("rs2").alias("rank_sum_x2"),
+            F.col("n").alias("n_blocks"),
+            F.col("lx2").alias("page_l_x2"),
+            (
+                F.floor(F.col("zz") * 1000000 + F.lit(0.5)).cast("bigint")
+                / 1e6
+            ).alias("page_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E364: Cochran's Q — k matched binary treatments per user block
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cochran_q_event_types",
+    oracle="""
+    WITH pres AS MATERIALIZED (
+      SELECT DISTINCT user_id, event_type FROM events),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM pres),
+    cj AS MATERIALIZED (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pres GROUP BY 1),
+    ri AS MATERIALIZED (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS r
+      FROM pres GROUP BY 1),
+    mc AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS sc2
+      FROM cj),
+    mr AS (
+      SELECT CAST(SUM(r) AS BIGINT) AS sr,
+             CAST(SUM(r * r) AS BIGINT) AS sr2,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM ri),
+    stat AS (
+      SELECT k.k, r.n_users,
+             (k.k - 1)
+               * CAST(k.k * c.sc2 - c.sc * c.sc AS DOUBLE)
+               / NULLIF(CAST(k.k * r.sr - r.sr2 AS DOUBLE), 0.0e0) AS q
+      FROM kk k CROSS JOIN mc c CROSS JOIN mr r)
+    SELECT j.event_type, j.c AS n_users_with, s.n_users, s.k AS k_types,
+           s.k - 1 AS df,
+           CAST(FLOOR(s.q * 1000000 + 0.5) AS BIGINT) / 1e6 AS cochran_q
+    FROM cj j CROSS JOIN stat s
+    ORDER BY j.event_type
+    """,
+    tags=("E364", "E358", "E221", "A3", "A1", "J6"),
+)
+def q_cochran_q_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran's Q: do the k event types have equal per-user reach?
+    Each user is a matched block of k binary outcomes ("ever performed
+    type t"), the k-treatment generalization of McNemar (E221) and the
+    binary sibling of Friedman (E358) — a plain per-type rate z-test
+    ignores that the SAME users underlie every column. Q = (k-1)
+    (k sum C_j^2 - (sum C_j)^2) / (k sum R_i - sum R_i^2) with column
+    totals C_j and user row totals R_i is ALL-INTEGER until one
+    NULLIF-guarded division (all-k users zero the denominator term by
+    term; Q is provably invariant to all-0/all-1 blocks so the
+    distinct-pair collapse loses nothing), quantized 1e-6. Scale
+    shape: one distinct over (user, type) — map-side combine on the
+    pair key — then two user/type-grain aggregates; no windows, no
+    joins beyond k-row broadcasts. int64 bound: sum C_j^2 <= k N^2,
+    exact below ~1.3e9 users at k=5 (documented-bound pattern)."""
+    e = load_table(spark, sf_dir, "events")
+    pres = e.select("user_id", "event_type").distinct()
+    pres = tracked_persist(pres)
+    kk = pres.agg(
+        F.countDistinct("event_type").cast("bigint").alias("k")
+    )
+    cj = pres.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cj = tracked_persist(cj)
+    ri = pres.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    mc = cj.agg(
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    mr = ri.agg(
+        F.sum("r").cast("bigint").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sr2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    k = F.col("k")
+    q = (
+        (k - 1)
+        * (k * F.col("sc2") - F.col("sc") * F.col("sc")).cast("double")
+        / F.nullif(
+            (k * F.col("sr") - F.col("sr2")).cast("double"), F.lit(0.0)
+        )
+    )
+    stat = (
+        kk.crossJoin(F.broadcast(mc))
+        .crossJoin(F.broadcast(mr))
+        .select("k", "n_users", q.alias("q"))
+    )
+    return (
+        cj.crossJoin(F.broadcast(stat))
+        .select(
+            "event_type",
+            F.col("c").alias("n_users_with"),
+            "n_users",
+            F.col("k").alias("k_types"),
+            (F.col("k") - 1).alias("df"),
+            (
+                F.floor(F.col("q") * 1000000 + F.lit(0.5)).cast("bigint")
+                / 1e6
+            ).alias("cochran_q"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E365: Brown-Forsythe — variance homogeneity via deviations from the median
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_brown_forsythe_value",
+    oracle="""
+    WITH hist AS MATERIALIZED (
+      SELECT event_type AS t,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    cm AS MATERIALIZED (
+      SELECT t, x, c,
+             CAST(SUM(c) OVER (PARTITION BY t ORDER BY x) AS BIGINT)
+               AS cum
+      FROM hist),
+    sz AS MATERIALIZED (
+      SELECT t, CAST(SUM(c) AS BIGINT) AS n_g FROM hist GROUP BY 1),
+    med AS MATERIALIZED (
+      SELECT c.t,
+             MIN(CASE WHEN c.cum >= (s.n_g + 1) // 2 THEN c.x END)
+             + MIN(CASE WHEN c.cum >= s.n_g // 2 + 1 THEN c.x END)
+               AS m2
+      FROM cm c JOIN sz s ON s.t = c.t GROUP BY c.t),
+    dev AS (
+      SELECT h.t, h.c, abs(2 * h.x - m.m2) AS d
+      FROM hist h JOIN med m ON m.t = h.t),
+    grp AS MATERIALIZED (
+      SELECT t, CAST(SUM(c * d) AS BIGINT) AS s_d,
+             CAST(SUM(c * CAST(FLOOR(CAST(d * d AS DOUBLE) * 0.0001e0
+                                     + 0.5) AS BIGINT)) AS BIGINT) AS q_d
+      FROM dev GROUP BY t),
+    gl AS (
+      SELECT CAST(SUM(s.n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(g.s_d) AS BIGINT) AS s_tot,
+             SUM(CAST(g.s_d AS DOUBLE) * g.s_d * 0.0001e0 / s.n_g)
+               AS ssb_part,
+             CAST(SUM(g.q_d) AS BIGINT) AS q_tot
+      FROM grp g JOIN sz s ON s.t = g.t),
+    stat AS (
+      SELECT n, k,
+             CAST(n - k AS DOUBLE) / (k - 1)
+               * (ssb_part
+                  - CAST(s_tot AS DOUBLE) * s_tot * 0.0001e0 / n)
+               / NULLIF(CAST(q_tot AS DOUBLE) - ssb_part, 0.0e0) AS f
+      FROM gl)
+    SELECT g.t AS event_type, s2.n_g AS n_obs, m.m2 AS median_cents_x2,
+           g.s_d AS absdev_sum_x2,
+           CAST(FLOOR(CAST(g.s_d AS DOUBLE) / (2 * s2.n_g) / 100.0e0
+                      * 1000000 + 0.5) AS BIGINT) / 1e6 AS mean_absdev,
+           st.k - 1 AS df_between, st.n - st.k AS df_within,
+           CAST(FLOOR(st.f * 1000000 + 0.5) AS BIGINT) / 1e6 AS bf_f
+    FROM grp g
+    JOIN sz s2 ON s2.t = g.t
+    JOIN med m ON m.t = g.t
+    CROSS JOIN stat st
+    ORDER BY g.t
+    """,
+    tags=("E365", "E218", "E357", "W4", "A5", "A6"),
+)
+def q_brown_forsythe_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown-Forsythe test: do the k event types have equal value
+    SPREAD? ANOVA (E218) compares means and Kruskal-Wallis (E357)
+    locations; BF runs the one-way F on absolute deviations from each
+    group's MEDIAN — the robust variance-homogeneity test (Levene with
+    median centers). The exact per-group median comes from the
+    cents-histogram prefix sums (low+high mid in m2 = x_lo + x_hi, so
+    2*median stays BIGINT even for even n); deviations d = |2x - m2|
+    are exact half-cent integers, the within sum quantizes each d^2
+    term to the 1e-4 grid BEFORE the BIGINT sum (the E343
+    per-term-quantize recipe; keeps sum(c*d^2) under int64 past 1e10
+    rows/group at a $10k value domain), and the k-term between/within
+    combination runs in one fixed-shape double expression, F quantized
+    1e-6. Scale shape: map-side histogram, one per-group prefix-sum
+    window on the value-domain-bounded frame, k-row broadcasts."""
+    e = load_table(spark, sf_dir, "events")
+    hist = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    hist = tracked_persist(hist)
+    wt = Window.partitionBy("t").orderBy("x")
+    cm = hist.select(
+        "t", "x", "c", F.sum("c").over(wt).cast("bigint").alias("cum")
+    )
+    sz = hist.groupBy("t").agg(F.sum("c").cast("bigint").alias("n_g"))
+    sz = tracked_persist(sz)
+    med = (
+        cm.join(F.broadcast(sz), "t")
+        .groupBy("t")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.floor((F.col("n_g") + 1) / 2).cast("long"),
+                        F.col("x"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.floor(F.col("n_g") / 2).cast("long") + 1,
+                        F.col("x"),
+                    )
+                )
+            ).alias("m2")
+        )
+    )
+    dev = hist.join(F.broadcast(med), "t").select(
+        "t",
+        "c",
+        F.abs(F.lit(2) * F.col("x") - F.col("m2")).alias("d"),
+    )
+    qterm = F.floor(
+        (F.col("d") * F.col("d")).cast("double") * F.lit(0.0001)
+        + F.lit(0.5)
+    ).cast("bigint")
+    grp = dev.groupBy("t").agg(
+        F.sum(F.col("c") * F.col("d")).cast("bigint").alias("s_d"),
+        F.sum(F.col("c") * qterm).cast("bigint").alias("q_d"),
+    )
+    grp = tracked_persist(grp)
+    gl = (
+        grp.join(F.broadcast(sz), "t")
+        .agg(
+            F.sum("n_g").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("s_d").cast("bigint").alias("s_tot"),
+            F.sum(
+                F.col("s_d").cast("double")
+                * F.col("s_d")
+                * F.lit(0.0001)
+                / F.col("n_g")
+            ).alias("ssb_part"),
+            F.sum("q_d").cast("bigint").alias("q_tot"),
+        )
+    )
+    f_stat = (
+        (F.col("n") - F.col("k")).cast("double")
+        / (F.col("k") - 1)
+        * (
+            F.col("ssb_part")
+            - F.col("s_tot").cast("double")
+            * F.col("s_tot")
+            * F.lit(0.0001)
+            / F.col("n")
+        )
+        / F.nullif(
+            F.col("q_tot").cast("double") - F.col("ssb_part"),
+            F.lit(0.0),
+        )
+    )
+    stat = gl.select("n", "k", f_stat.alias("f"))
+    return (
+        grp.join(F.broadcast(sz), "t")
+        .join(F.broadcast(med), "t")
+        .crossJoin(F.broadcast(stat))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("n_g").alias("n_obs"),
+            F.col("m2").alias("median_cents_x2"),
+            F.col("s_d").alias("absdev_sum_x2"),
+            (
+                F.floor(
+                    F.col("s_d").cast("double")
+                    / (F.lit(2) * F.col("n_g"))
+                    / F.lit(100.0)
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("mean_absdev"),
+            (F.col("k") - 1).alias("df_between"),
+            (F.col("n") - F.col("k")).alias("df_within"),
+            (
+                F.floor(F.col("f") * 1000000 + F.lit(0.5)).cast("bigint")
+                / 1e6
+            ).alias("bf_f"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E366: Breusch-Pagan — heteroskedasticity of the daily OLS residuals
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_breusch_pagan_daily",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1, 2),
+    seq AS MATERIALIZED (
+      SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                  AS BIGINT) AS x
+      FROM daily),
+    mo AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM seq GROUP BY 1),
+    fit AS (
+      SELECT event_type, n, sx, sxx,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             sy
+      FROM mo),
+    fit2 AS (
+      SELECT event_type, n, sx, sxx, b,
+             (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n AS a
+      FROM fit),
+    tq AS MATERIALIZED (
+      SELECT s.event_type, s.x,
+             CAST(FLOOR((CAST(s.y AS DOUBLE) - (f.a + f.b * s.x))
+                        * (CAST(s.y AS DOUBLE) - (f.a + f.b * s.x))
+                        * 0.01e0 + 0.5) AS BIGINT) AS t
+      FROM seq s JOIN fit2 f USING (event_type)),
+    tt AS (
+      SELECT event_type, CAST(SUM(t) AS BIGINT) AS sse_q
+      FROM tq GROUP BY 1),
+    u AS MATERIALIZED (
+      SELECT q.event_type, q.x,
+             CAST(FLOOR(CAST(q.t AS DOUBLE) * 1000000.0e0
+                        / NULLIF(CAST(w.sse_q AS DOUBLE), 0.0e0) + 0.5)
+                  AS BIGINT) AS u
+      FROM tq q JOIN tt w USING (event_type)),
+    aux AS (
+      SELECT event_type,
+             CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(x * u) AS BIGINT) AS sxu,
+             CAST(SUM(u * u) AS BIGINT) AS suu
+      FROM u GROUP BY 1),
+    stat AS (
+      SELECT f.event_type, f.n, w.sse_q,
+             (CAST(f.n AS DOUBLE) * a.sxu
+              - CAST(f.sx AS DOUBLE) * a.su)
+             * (CAST(f.n AS DOUBLE) * a.sxu
+                - CAST(f.sx AS DOUBLE) * a.su)
+             / NULLIF((CAST(f.n AS DOUBLE) * f.sxx
+                       - CAST(f.sx AS DOUBLE) * f.sx)
+                      * (CAST(f.n AS DOUBLE) * a.suu
+                         - CAST(a.su AS DOUBLE) * a.su), 0.0e0) AS r2
+      FROM fit2 f JOIN aux a USING (event_type)
+      JOIN tt w USING (event_type))
+    SELECT event_type, n AS n_days, sse_q,
+           CAST(1 AS BIGINT) AS df,
+           CAST(FLOOR(n * r2 * 1000000 + 0.5) AS BIGINT) / 1e6 AS bp_lm
+    FROM stat
+    ORDER BY event_type
+    """,
+    tags=("E366", "E343", "E109", "W3", "A1", "F4"),
+)
+def q_breusch_pagan_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity test on each event type's
+    daily-revenue-vs-day-index OLS — the variance diagnostic the
+    Durbin-Watson row (E343) is not: DW asks "are residuals
+    autocorrelated", BP asks "does residual VARIANCE grow along the
+    regressor", i.e. is the trend fit's error fanning out over time.
+    LM = n * R^2 of the auxiliary regression of squared residuals on
+    x. Determinism recipe extends E343: each squared residual is
+    floor-quantized to BIGINT on the 0.01 grid (t), then NORMALIZED by
+    the group's quantized SSE via one fixed-order double
+    multiply-divide (u = floor(t * 1e6 / sse + 0.5) <= 1e6, making
+    every aux moment an exact BIGINT regardless of scale — the
+    normalization cancels in R^2, which is scale-invariant, so no
+    precision is lost and sum(u^2) stays under int64 forever); R^2
+    itself is one fixed-shape double expression over the six BIGINT
+    moments, NULLIF-guarded for the zero-SSE and constant-u
+    degenerates, quantized 1e-6. Scale shape identical to E343:
+    map-side day collapse, per-type windows on the date-domain-bounded
+    frame, k-row joins."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("y")
+    )
+    wseq = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(wseq).cast("bigint").alias("x"),
+    )
+    seq = tracked_persist(seq)
+    mo = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    b = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    fit = mo.select("event_type", "n", "sx", "sxx", b.alias("b"), "sy")
+    fit2 = fit.select(
+        "event_type",
+        "n",
+        "sx",
+        "sxx",
+        "b",
+        (
+            (F.col("sy").cast("double") - F.col("b") * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("a"),
+    )
+    resid = F.col("y").cast("double") - (
+        F.col("a") + F.col("b") * F.col("x")
+    )
+    tq = seq.join(F.broadcast(fit2), "event_type").select(
+        "event_type",
+        "x",
+        F.floor(resid * resid * F.lit(0.01) + F.lit(0.5))
+        .cast("bigint")
+        .alias("t"),
+    )
+    tq = tracked_persist(tq)
+    tt = tq.groupBy("event_type").agg(
+        F.sum("t").cast("bigint").alias("sse_q")
+    )
+    u = tq.join(F.broadcast(tt), "event_type").select(
+        "event_type",
+        "x",
+        F.floor(
+            F.col("t").cast("double")
+            * F.lit(1000000.0)
+            / F.nullif(F.col("sse_q").cast("double"), F.lit(0.0))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    aux = u.groupBy("event_type").agg(
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum(F.col("x") * F.col("u")).cast("bigint").alias("sxu"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("suu"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxu")
+        - F.col("sx").cast("double") * F.col("su")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * (
+        F.col("n").cast("double") * F.col("suu")
+        - F.col("su").cast("double") * F.col("su")
+    )
+    stat = (
+        fit2.join(aux, "event_type")
+        .join(F.broadcast(tt), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "sse_q",
+            (num * num / F.nullif(den, F.lit(0.0))).alias("r2"),
+        )
+    )
+    return stat.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "sse_q",
+        F.lit(1).cast("bigint").alias("df"),
+        (
+            F.floor(F.col("n") * F.col("r2") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            / 1e6
+        ).alias("bp_lm"),
+    ).orderBy("event_type")

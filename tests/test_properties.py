@@ -3831,3 +3831,221 @@ def test_logrank_matches_definition_replay(spark, custs):
         assert gb[3] is None and go[3] is None
     else:
         assert abs(gb[3] - z) <= 2e-6 and abs(go[3] - z) <= 2e-6
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # priority class
+            st.integers(min_value=100, max_value=9999),  # price cents
+        ),
+        min_size=4,
+        max_size=30,
+    )
+)
+def test_jonckheere_matches_bruteforce_pairs(spark, obs):
+    """q_jonckheere_priority_trend == the textbook JT statistic
+    counted pair by brute-force pair on whole-dollar values: for every
+    ordered group pair, 2U = sum(2*[a<b] + [a==b]) over the cross
+    product, and z from the untied mu/sigma closed forms — independent
+    of the engine's spine-grid prefix-sum pipeline."""
+    import math
+    import shutil
+    from collections import defaultdict
+
+    from hypothesis import assume
+
+    from fts_analysis_datalake_spark.queries.stats_models import (
+        q_jonckheere_priority_trend,
+    )
+
+    groups = defaultdict(list)
+    for g, cents in obs:
+        groups[g].append(math.floor(cents / 100.0))
+    assume(len(groups) >= 2)
+
+    names = {1: "1-URGENT", 2: "2-HIGH", 3: "3-MEDIUM", 4: "4-NOT SPECIFIED"}
+    rows = [
+        (i, names[g], cents / 100.0)
+        for i, (g, cents) in enumerate(obs)
+    ]
+
+    expected_pairs = {}
+    jt2 = 0
+    for gi in sorted(groups):
+        for gj in sorted(groups):
+            if gi >= gj:
+                continue
+            u2 = sum(
+                2 * (a < b) + (a == b)
+                for a in groups[gi]
+                for b in groups[gj]
+            )
+            expected_pairs[(gi, gj)] = u2
+            jt2 += u2
+    ns = [len(v) for v in groups.values()]
+    n = sum(ns)
+    sn2 = sum(x * x for x in ns)
+    var = (n * n * (2 * n + 3) - sum(x * x * (2 * x + 3) for x in ns)) / 72.0
+    mu = (n * n - sn2) / 4.0
+    z = (0.5 * jt2 - mu) / math.sqrt(var) if var > 0 else None
+
+    d = _tmp_fixture(
+        spark,
+        "orders",
+        rows,
+        "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE",
+    )
+    try:
+        got = q_jonckheere_priority_trend(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(got) == len(expected_pairs), (got, expected_pairs)
+    for r in got:
+        assert r.u_x2 == expected_pairs[(r.g_low, r.g_high)], (r, expected_pairs)
+        assert (r.n_low, r.n_high) == (
+            len(groups[r.g_low]),
+            len(groups[r.g_high]),
+        )
+        assert r.jt_x2_total == jt2
+        if z is None:
+            assert r.jt_z is None
+        else:
+            assert abs(r.jt_z - z) <= 2e-6, (r.jt_z, z)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    pres=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # user
+            st.sampled_from(["click", "error", "purchase", "view"]),
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_cochran_q_matches_definition_replay(spark, pres):
+    """q_cochran_q_event_types == Cochran's Q computed from the
+    explicit 0/1 user-by-type matrix: column totals C_j, row totals
+    R_i, Q = (k-1)(k*sum C^2 - (sum C)^2)/(k*sum R - sum R^2) — the
+    definition the engine's distinct-pair collapse must reproduce."""
+    import datetime
+    import shutil
+
+    from fts_analysis_datalake_spark.queries.stats_models import (
+        q_cochran_q_event_types,
+    )
+
+    cells = sorted(set(pres))
+    types = sorted({t for _, t in cells})
+    users = sorted({u for u, _ in cells})
+    k = len(types)
+    c = {t: sum(1 for _, tt in cells if tt == t) for t in types}
+    r = {u: sum(1 for uu, _ in cells if uu == u) for u in users}
+    sc = sum(c.values())
+    sc2 = sum(v * v for v in c.values())
+    sr = sum(r.values())
+    sr2 = sum(v * v for v in r.values())
+    den = k * sr - sr2
+    q = (k - 1) * (k * sc2 - sc * sc) / den if den else None
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), u, t, 1.0, "{}")
+        for i, (u, t) in enumerate(pres)
+    ]
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        got = q_cochran_q_event_types(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert [row.event_type for row in got] == types
+    for row in got:
+        assert row.n_users_with == c[row.event_type]
+        assert row.n_users == len(users) and row.k_types == k
+        if q is None:
+            assert row.cochran_q is None
+        else:
+            assert abs(row.cochran_q - q) <= 2e-6, (row.cochran_q, q)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # day
+            st.sampled_from(["click", "error", "purchase"]),
+            st.integers(min_value=0, max_value=500),  # cents
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_page_trend_matches_definition_replay(spark, cells):
+    """q_page_trend_daily_types == Page's L replayed directly:
+    complete day blocks only, within-day midranks of the daily cents
+    totals, L = sum j * R_j with lexicographic j, untied z closed
+    form — independent of the engine's window/rank pipeline."""
+    import datetime
+    import math
+    import shutil
+    from collections import defaultdict
+
+    from hypothesis import assume
+
+    from fts_analysis_datalake_spark.queries.stats_models import (
+        q_page_trend_daily_types,
+    )
+
+    daily = defaultdict(int)
+    for day, t, cents in cells:
+        daily[(day, t)] += cents
+    types = sorted({t for _, t in daily})
+    k = len(types)
+    days = sorted(
+        d
+        for d in {dd for dd, _ in daily}
+        if sum(1 for (dd, _) in daily if dd == d) == k
+    )
+    assume(days and k >= 2)
+    rs2 = {t: 0 for t in types}
+    for d_ in days:
+        ys = {t: daily[(d_, t)] for t in types}
+        for t in types:
+            less = sum(1 for v in ys.values() if v < ys[t])
+            ties = sum(1 for v in ys.values() if v == ys[t])
+            rs2[t] += 2 * (less + 1) + ties - 1
+    l2 = sum((j + 1) * rs2[t] for j, t in enumerate(types))
+    n = len(days)
+    mean2 = n * k * (k + 1) ** 2 / 2.0
+    sig2 = math.sqrt(n * k * k * (k + 1) ** 2 * (k - 1) / 36.0)
+    z = (l2 - mean2) / sig2 if sig2 > 0 else None
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(days=day, minutes=i % 1000),
+            0,
+            t,
+            cents / 100.0,
+            "{}",
+        )
+        for i, (day, t, cents) in enumerate(cells)
+    ]
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        got = q_page_trend_daily_types(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert [row.event_type for row in got] == types
+    for j, row in enumerate(got):
+        assert row.hyp_rank == j + 1
+        assert row.rank_sum_x2 == rs2[row.event_type], (got, rs2)
+        assert row.n_blocks == n and row.page_l_x2 == l2
+        if z is None:
+            assert row.page_z is None
+        else:
+            assert abs(row.page_z - z) <= 2e-6, (row.page_z, z)
