@@ -6992,3 +6992,479 @@ def q_breusch_pagan_daily(
             / 1e6
         ).alias("bp_lm"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# E367: Mood's median test — above/below the grand median, per group
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_mood_median_value",
+    oracle="""
+    WITH hist AS MATERIALIZED (
+      SELECT event_type AS t,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    mv AS MATERIALIZED (
+      SELECT x, CAST(SUM(c) AS BIGINT) AS m,
+             CAST(SUM(SUM(c)) OVER (ORDER BY x) AS BIGINT) AS cum
+      FROM hist GROUP BY x),
+    nn AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM mv),
+    gm AS (
+      SELECT MIN(CASE WHEN v.cum >= (w.n + 1) // 2 THEN v.x END)
+             + MIN(CASE WHEN v.cum >= w.n // 2 + 1 THEN v.x END) AS m2
+      FROM mv v CROSS JOIN nn w),
+    cl AS MATERIALIZED (
+      SELECT h.t,
+             CAST(SUM(CASE WHEN 2 * h.x > g.m2 THEN h.c ELSE 0 END)
+                  AS BIGINT) AS above,
+             CAST(SUM(CASE WHEN 2 * h.x < g.m2 THEN h.c ELSE 0 END)
+                  AS BIGINT) AS below
+      FROM hist h CROSS JOIN gm g GROUP BY h.t),
+    tot AS (
+      SELECT CAST(SUM(above) AS BIGINT) AS ta,
+             CAST(SUM(below) AS BIGINT) AS tb,
+             CAST(SUM(above + below) AS BIGINT) AS tn,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cl),
+    chi AS (
+      SELECT t.k, t.tn,
+             SUM(
+               (c.above - CAST(c.above + c.below AS DOUBLE) * t.ta / t.tn)
+               * (c.above - CAST(c.above + c.below AS DOUBLE) * t.ta / t.tn)
+               / NULLIF(CAST(c.above + c.below AS DOUBLE) * t.ta / t.tn,
+                        0.0e0)
+               + (c.below - CAST(c.above + c.below AS DOUBLE) * t.tb / t.tn)
+               * (c.below - CAST(c.above + c.below AS DOUBLE) * t.tb / t.tn)
+               / NULLIF(CAST(c.above + c.below AS DOUBLE) * t.tb / t.tn,
+                        0.0e0)
+             ) AS chi2
+      FROM cl c CROSS JOIN tot t GROUP BY t.k, t.tn)
+    SELECT c.t AS event_type, c.above AS n_above, c.below AS n_below,
+           h.k - 1 AS df,
+           CAST(FLOOR(h.chi2 * 1000000 + 0.5) AS BIGINT) / 1e6
+             AS mood_chi2
+    FROM cl c CROSS JOIN chi h
+    ORDER BY c.t
+    """,
+    tags=("E367", "E365", "E357", "W4", "A1", "F6"),
+)
+def q_mood_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do the k event types straddle the GRAND
+    median of value equally? The coarsest, most outlier-proof of the
+    k-group location tests (KW E357 uses full ranks; this uses one
+    bit per row), exactly the 2 x k Pearson chi2 on above/below
+    counts. The grand median comes from the pooled cents-histogram
+    prefix sums (m2 = x_lo + x_hi, the E365 recipe — 2*median stays
+    BIGINT); rows AT the median (2x = m2) are excluded, the standard
+    convention, so every cell count is an exact BIGINT and chi2 is a
+    k-term fixed-shape double sum over the k-row frame (E357
+    precedent), quantized 1e-6, NULLIF-guarded for empty margins.
+    Scale shape: map-side histogram, ONE global prefix-sum window on
+    the value-domain-bounded spine, k-row aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    hist = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    hist = tracked_persist(hist)
+    ws = Window.orderBy("x")
+    mv = (
+        hist.groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("m"))
+        .select("x", "m", F.sum("m").over(ws).cast("bigint").alias("cum"))
+    )
+    nn = mv.agg(F.sum("m").cast("bigint").alias("n"))
+    gm = (
+        mv.crossJoin(F.broadcast(nn))
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.floor((F.col("n") + 1) / 2).cast("long"),
+                        F.col("x"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.floor(F.col("n") / 2).cast("long") + 1,
+                        F.col("x"),
+                    )
+                )
+            ).alias("m2")
+        )
+    )
+    cl = (
+        hist.crossJoin(F.broadcast(gm))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(F.lit(2) * F.col("x") > F.col("m2"), F.col("c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("above"),
+            F.sum(
+                F.when(F.lit(2) * F.col("x") < F.col("m2"), F.col("c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("below"),
+        )
+    )
+    cl = tracked_persist(cl)
+    tot = cl.agg(
+        F.sum("above").cast("bigint").alias("ta"),
+        F.sum("below").cast("bigint").alias("tb"),
+        F.sum(F.col("above") + F.col("below")).cast("bigint").alias("tn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    ea = (F.col("above") + F.col("below")).cast("double") * F.col("ta") / F.col("tn")
+    eb = (F.col("above") + F.col("below")).cast("double") * F.col("tb") / F.col("tn")
+    cell = (F.col("above") - ea) * (F.col("above") - ea) / F.nullif(
+        ea, F.lit(0.0)
+    ) + (F.col("below") - eb) * (F.col("below") - eb) / F.nullif(
+        eb, F.lit(0.0)
+    )
+    chi = (
+        cl.crossJoin(F.broadcast(tot))
+        .groupBy("k", "tn")
+        .agg(F.sum(cell).alias("chi2"))
+    )
+    return (
+        cl.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("above").alias("n_above"),
+            F.col("below").alias("n_below"),
+            (F.col("k") - 1).alias("df"),
+            (
+                F.floor(F.col("chi2") * 1000000 + F.lit(0.5)).cast("bigint")
+                / 1e6
+            ).alias("mood_chi2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E368: Mood's dispersion test — exact permutation moments with ties
+# --------------------------------------------------------------------------
+
+# The two a-priori arms being compared for dispersion (declared, not
+# data-derived): purchase values vs view values.
+_MD_ARM_A = "purchase"
+_MD_ARM_B = "view"
+
+
+@query(
+    "q_mood_dispersion_value",
+    oracle=f"""
+    WITH hist AS MATERIALIZED (
+      SELECT event_type AS t,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events
+      WHERE event_type IN ('{_MD_ARM_A}', '{_MD_ARM_B}')
+      GROUP BY 1, 2),
+    mv AS MATERIALIZED (
+      SELECT x, CAST(SUM(c) AS BIGINT) AS m,
+             CAST(SUM(SUM(c)) OVER (ORDER BY x) AS BIGINT) AS cum
+      FROM hist GROUP BY x),
+    nn AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM mv),
+    sc AS MATERIALIZED (
+      SELECT v.x, v.m,
+             CAST(FLOOR(
+               CAST((2 * (v.cum - v.m) + v.m + 1 - (w.n + 1))
+                    * (2 * (v.cum - v.m) + v.m + 1 - (w.n + 1)) AS DOUBLE)
+               / ((w.n + 1) * CAST(w.n + 1 AS DOUBLE))
+               * 1000000000 + 0.5) AS BIGINT) AS s2q
+      FROM mv v CROSS JOIN nn w),
+    pop AS (
+      SELECT CAST(SUM(m * s2q) AS BIGINT) AS sum_s2,
+             CAST(SUM(m * CAST(FLOOR(CAST(s2q AS DOUBLE) * s2q * 1e-9
+                                     + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_s4
+      FROM sc),
+    arm AS (
+      SELECT CAST(SUM(h.c) AS BIGINT) AS n_a,
+             CAST(SUM(h.c * s.s2q) AS BIGINT) AS t_a
+      FROM hist h JOIN sc s ON s.x = h.x
+      WHERE h.t = '{_MD_ARM_A}'),
+    stat AS (
+      SELECT a.n_a, w.n, a.t_a,
+             CAST(a.n_a AS DOUBLE) * p.sum_s2 / w.n AS mean_t,
+             CAST(a.n_a AS DOUBLE) * (w.n - a.n_a) / (w.n - 1)
+               * (CAST(p.sum_s4 AS DOUBLE) / w.n * 1e9
+                  - (CAST(p.sum_s2 AS DOUBLE) / w.n)
+                    * (CAST(p.sum_s2 AS DOUBLE) / w.n))
+               AS var_t
+      FROM arm a CROSS JOIN nn w CROSS JOIN pop p)
+    SELECT '{_MD_ARM_A}' AS arm_a, '{_MD_ARM_B}' AS arm_b,
+           n_a, n - n_a AS n_b, t_a AS t_q,
+           CAST(FLOOR(mean_t * 1000000 + 0.5) AS BIGINT) / 1e6
+             AS expected_t_q,
+           CAST(FLOOR((t_a - mean_t)
+                      / NULLIF(sqrt(var_t), 0.0e0) * 1000000 + 0.5)
+                AS BIGINT) / 1e6 AS mood_z
+    FROM stat
+    """,
+    tags=("E368", "E357", "E219", "E365", "W4", "A1"),
+)
+def q_mood_dispersion_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood's dispersion (squared-rank) test between the purchase and
+    view value distributions: are purchases more SPREAD than views,
+    rank-wise? The two-sample scale test next to Brown-Forsythe
+    (E365, k-group, deviation-based): score each observation by its
+    squared centered midrank s^2 = ((2r - (N+1))/(N+1))^2 in [0,1]
+    and compare arm A's score sum against its permutation moments.
+    Rather than the untied textbook E/Var, BOTH engines compute the
+    EXACT finite-population permutation moments from the observed
+    midrank multiset — E[T] = n_a * mean(s^2), Var[T] = n_a (N-n_a)
+    / (N-1) * var(s^2) — so ties are handled exactly, not
+    approximated. Midranks come from the pooled cents-histogram
+    (E219 discipline); the NORMALIZED s^2 is floor-quantized to the
+    1e-9 grid per DISTINCT VALUE before any sum, keeping every
+    aggregate an exact BIGINT at any corpus size (sum <= N * 1e9 —
+    the E366 normalize-then-quantize recipe; the s^4 term quantizes
+    the product of two quantized factors, identical in both
+    engines), and z is one fixed-shape double expression, quantized
+    1e-6. Scale shape: map-side histogram, ONE prefix-sum window on
+    the value-domain-bounded spine, two scalar aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    hist = (
+        e.filter(F.col("event_type").isin(_MD_ARM_A, _MD_ARM_B))
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    hist = tracked_persist(hist)
+    ws = Window.orderBy("x")
+    mv = (
+        hist.groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("m"))
+        .select("x", "m", F.sum("m").over(ws).cast("bigint").alias("cum"))
+    )
+    nn = mv.agg(F.sum("m").cast("bigint").alias("n"))
+    dev = (
+        F.lit(2) * (F.col("cum") - F.col("m"))
+        + F.col("m")
+        + 1
+        - (F.col("n") + 1)
+    )
+    s2q = F.floor(
+        (dev * dev).cast("double")
+        / ((F.col("n") + 1) * (F.col("n") + 1).cast("double"))
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    sc = mv.crossJoin(F.broadcast(nn)).select(
+        "x", "m", s2q.alias("s2q")
+    )
+    sc = tracked_persist(sc)
+    s4q = F.floor(
+        F.col("s2q").cast("double") * F.col("s2q") * F.lit(1e-9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    pop = sc.agg(
+        F.sum(F.col("m") * F.col("s2q")).cast("bigint").alias("sum_s2"),
+        F.sum(F.col("m") * s4q).cast("bigint").alias("sum_s4"),
+    )
+    arm = (
+        hist.filter(F.col("t") == _MD_ARM_A)
+        .join(sc.select("x", "s2q"), "x")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_a"),
+            F.sum(F.col("c") * F.col("s2q")).cast("bigint").alias("t_a"),
+        )
+    )
+    mean_t = F.col("n_a").cast("double") * F.col("sum_s2") / F.col("n")
+    var_t = (
+        F.col("n_a").cast("double")
+        * (F.col("n") - F.col("n_a"))
+        / (F.col("n") - 1)
+        * (
+            F.col("sum_s4").cast("double") / F.col("n") * F.lit(1e9)
+            - (F.col("sum_s2").cast("double") / F.col("n"))
+            * (F.col("sum_s2").cast("double") / F.col("n"))
+        )
+    )
+    stat = (
+        arm.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(pop))
+        .select(
+            "n_a",
+            "n",
+            "t_a",
+            mean_t.alias("mean_t"),
+            var_t.alias("var_t"),
+        )
+    )
+    return stat.select(
+        F.lit(_MD_ARM_A).alias("arm_a"),
+        F.lit(_MD_ARM_B).alias("arm_b"),
+        "n_a",
+        (F.col("n") - F.col("n_a")).alias("n_b"),
+        F.col("t_a").alias("t_q"),
+        (
+            F.floor(F.col("mean_t") * 1000000 + F.lit(0.5)).cast("bigint")
+            / 1e6
+        ).alias("expected_t_q"),
+        (
+            F.floor(
+                (F.col("t_a") - F.col("mean_t"))
+                / F.nullif(F.sqrt(F.col("var_t")), F.lit(0.0))
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("mood_z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E369: Theil's U — directional uncertainty coefficient U(type | weekday)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_theil_u_type_weekday",
+    oracle="""
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(date_part('dow', ts) AS BIGINT) AS dw,
+             event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    mx AS MATERIALIZED (
+      SELECT dw, CAST(SUM(c) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+    my AS MATERIALIZED (
+      SELECT t, CAST(SUM(c) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    mi AS (
+      SELECT CAST(SUM(cl.c * CAST(FLOOR(
+               ln(CAST(cl.c AS DOUBLE) * w.n
+                  / (CAST(x.n_x AS DOUBLE) * y.n_y))
+               * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_q
+      FROM cells cl
+      JOIN mx x ON x.dw = cl.dw
+      JOIN my y ON y.t = cl.t
+      CROSS JOIN nn w),
+    hy AS (
+      SELECT CAST(-SUM(y.n_y * CAST(FLOOR(
+               ln(CAST(y.n_y AS DOUBLE) / w.n) * 1000000000 + 0.5)
+               AS BIGINT)) AS BIGINT) AS hy_q
+      FROM my y CROSS JOIN nn w)
+    SELECT y.t AS event_type, y.n_y,
+           CAST(FLOOR(CAST(h.hy_q AS DOUBLE) / w.n / 1e9 * 1000000
+                      + 0.5) AS BIGINT) / 1e6 AS h_y_nats,
+           CAST(FLOOR(CAST(m.mi_q AS DOUBLE) / w.n / 1e9 * 1000000
+                      + 0.5) AS BIGINT) / 1e6 AS mi_nats,
+           CAST(FLOOR(CAST(m.mi_q AS DOUBLE)
+                      / NULLIF(CAST(h.hy_q AS DOUBLE), 0.0e0)
+                      * 1000000 + 0.5) AS BIGINT) / 1e6 AS theil_u
+    FROM my y CROSS JOIN mi m CROSS JOIN hy h CROSS JOIN nn w
+    ORDER BY y.t
+    """,
+    tags=("E369", "E125", "E221", "A1", "F4", "J6"),
+)
+def q_theil_u_type_weekday(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(event_type | weekday): what
+    FRACTION of event-type entropy does knowing the weekday remove?
+    The directional, [0,1]-normalized sibling of mutual information
+    (E125) and chi-square association (E221): U = I(X;Y)/H(Y), so 0
+    = weekday tells nothing, 1 = weekday determines the type.
+    Determinism recipe: each ln output is floor-quantized to the
+    1e-9 grid straight after the libm call (the E359/E361
+    discipline — ln arguments are identical fixed-order double
+    ratios of exact BIGINT counts in both engines), so I*N and
+    H(Y)*N become exact BIGINT-weighted sums over the (weekday x
+    type) cell frame — 7 x k cells, categorically bounded — and U
+    is ONE BIGINT/BIGINT double division, quantized 1e-6, NULLIF-
+    guarded for the single-type degenerate. Scale shape: map-side
+    cell collapse, marginal broadcasts, no windows at all."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.dayofweek(F.col("ts")) - 1).cast("bigint").alias("dw"),
+        F.col("event_type").alias("t"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cells = tracked_persist(cells)
+    mx = cells.groupBy("dw").agg(
+        F.sum("c").cast("bigint").alias("n_x")
+    )
+    my = cells.groupBy("t").agg(F.sum("c").cast("bigint").alias("n_y"))
+    my = tracked_persist(my)
+    nn = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    lnq_cell = F.floor(
+        F.log(
+            F.col("c").cast("double")
+            * F.col("n")
+            / (F.col("n_x").cast("double") * F.col("n_y"))
+        )
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    mi = (
+        cells.join(F.broadcast(mx), "dw")
+        .join(F.broadcast(my), "t")
+        .crossJoin(F.broadcast(nn))
+        .agg(F.sum(F.col("c") * lnq_cell).cast("bigint").alias("mi_q"))
+    )
+    lnq_y = F.floor(
+        F.log(F.col("n_y").cast("double") / F.col("n"))
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    hy = (
+        my.crossJoin(F.broadcast(nn))
+        .agg((-F.sum(F.col("n_y") * lnq_y)).cast("bigint").alias("hy_q"))
+    )
+    return (
+        my.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("t").alias("event_type"),
+            "n_y",
+            (
+                F.floor(
+                    F.col("hy_q").cast("double")
+                    / F.col("n")
+                    / F.lit(1e9)
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("h_y_nats"),
+            (
+                F.floor(
+                    F.col("mi_q").cast("double")
+                    / F.col("n")
+                    / F.lit(1e9)
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("mi_nats"),
+            (
+                F.floor(
+                    F.col("mi_q").cast("double")
+                    / F.nullif(F.col("hy_q").cast("double"), F.lit(0.0))
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("theil_u"),
+        )
+        .orderBy("event_type")
+    )

@@ -4049,3 +4049,135 @@ def test_page_trend_matches_definition_replay(spark, cells):
             assert row.page_z is None
         else:
             assert abs(row.page_z - z) <= 2e-6, (row.page_z, z)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.sampled_from(["purchase", "view"]),
+            st.integers(min_value=0, max_value=50),  # cents
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_mood_dispersion_matches_permutation_moments(spark, obs):
+    """q_mood_dispersion_value == the squared-centered-midrank score
+    sum with EXACT finite-population permutation moments, replayed
+    from the definition: midranks by counting, s^2 = ((2r - (N+1))
+    /(N+1))^2 per observation, E and Var from the score multiset —
+    independent of the engine's histogram/quantized-grid pipeline."""
+    import datetime
+    import math
+    import shutil
+
+    from hypothesis import assume
+
+    from fts_analysis_datalake_spark.queries.stats_models import (
+        q_mood_dispersion_value,
+    )
+
+    a = [c for t, c in obs if t == "purchase"]
+    b = [c for t, c in obs if t == "view"]
+    assume(len(a) >= 1 and len(b) >= 1 and len(a) + len(b) >= 3)
+    allv = a + b
+    n = len(allv)
+
+    def s2q(v):
+        less = sum(1 for w in allv if w < v)
+        eq = sum(1 for w in allv if w == v)
+        mr2 = 2 * less + eq + 1
+        dev = mr2 - (n + 1)
+        return math.floor(dev * dev / ((n + 1) * float(n + 1)) * 1e9 + 0.5)
+
+    t_a = sum(s2q(v) for v in a)
+    qs = [s2q(v) for v in allv]
+    q4 = [math.floor(float(q) * q * 1e-9 + 0.5) for q in qs]
+    mean_t = len(a) * sum(qs) / n
+    var_t = (
+        len(a)
+        * (n - len(a))
+        / (n - 1)
+        * (sum(q4) / n * 1e9 - (sum(qs) / n) * (sum(qs) / n))
+    )
+    z = (t_a - mean_t) / math.sqrt(var_t) if var_t > 0 else None
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 0, t, c / 100.0, "{}")
+        for i, (t, c) in enumerate(obs)
+    ]
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        got = q_mood_dispersion_value(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_a, r.n_b, r.t_q) == (len(a), len(b), t_a), (r, t_a)
+    assert abs(r.expected_t_q - mean_t) <= 2e-6 * max(1.0, abs(mean_t))
+    if z is None:
+        assert r.mood_z is None
+    else:
+        assert abs(r.mood_z - z) <= 2e-6, (r.mood_z, z)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # weekday offset
+            st.sampled_from(["click", "error", "purchase"]),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_theil_u_matches_entropy_replay(spark, cells):
+    """q_theil_u_type_weekday == U = I(X;Y)/H(Y) replayed from plain
+    Counter entropies (float logs, no quantization) — the engine's
+    1e-9 per-term ln grid must land within the support-size error
+    bound of the true value."""
+    import datetime
+    import math
+    import shutil
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from fts_analysis_datalake_spark.queries.stats_models import (
+        q_theil_u_type_weekday,
+    )
+
+    types = sorted({t for _, t in cells})
+    assume(len(types) >= 2)
+    n = len(cells)
+    cxy = Counter(cells)
+    cx = Counter(d for d, _ in cells)
+    cy = Counter(t for _, t in cells)
+    mi = sum(
+        c / n * math.log(c * n / (cx[d] * cy[t]))
+        for (d, t), c in cxy.items()
+    )
+    hy = -sum(c / n * math.log(c / n) for c in cy.values())
+    u = mi / hy
+
+    # 2024-06-02 is a Sunday -> date_part('dow') == 0 == the offset.
+    base = datetime.datetime(2024, 6, 2)
+    rows = [
+        (i, base + datetime.timedelta(days=dw, minutes=i % 600), 0, t, 1.0, "{}")
+        for i, (dw, t) in enumerate(cells)
+    ]
+    d = _tmp_fixture(spark, "events", rows, _EVENTS_SCHEMA)
+    try:
+        got = q_theil_u_type_weekday(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert [r.event_type for r in got] == types
+    tol = (len(cxy) + len(cy)) * 1e-6 + 2e-6
+    for r in got:
+        assert r.n_y == cy[r.event_type]
+        assert abs(r.h_y_nats - hy) <= tol, (r.h_y_nats, hy)
+        assert abs(r.mi_nats - mi) <= tol, (r.mi_nats, mi)
+        assert abs(r.theil_u - u) <= tol, (r.theil_u, u)
