@@ -775,6 +775,87 @@ def q_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shared co-purchase graph preambles (E189/E210/E316/E340/E352/E355 family)
+# --------------------------------------------------------------------------
+
+
+def _copurchase_pairs(li: DataFrame, key: str) -> DataFrame:
+    """Canonical co-purchase row-pair counts ``(u, v, w)``: ``w`` =
+    number of lineitem row pairs sharing an order with ``a.key < b.key``
+    — value-identical to the ``lineitem a JOIN lineitem b ON same
+    order AND a.key < b.key GROUP BY`` oracle form, computed without
+    the self-join (guide §2.4): ONE shuffle of the fact table keyed by
+    order collects the per-order key list (line count per order is
+    schema-bounded, so the array and its in-array pair expansion are
+    O(1) per order at any scale), then the exploded pairs feed the
+    same (u, v) count. The self-join form shuffled lineitem TWICE and
+    burned a sort-merge join to rediscover per-order locality the
+    grouping already had."""
+    arr = li.groupBy("l_orderkey").agg(F.collect_list(F.col(key)).alias("xs"))
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "xs",
+                lambda x: F.transform(
+                    "xs", lambda y: F.struct(x.alias("u"), y.alias("v"))
+                ),
+            )
+        ),
+        lambda p: p["u"] < p["v"],
+    )
+    return (
+        arr.select(F.explode(pair).alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def _banded_part_pairs(li: DataFrame) -> DataFrame:
+    """Exploded quantity-banded co-purchase row pairs ``(u, v, d)``:
+    same order, ``l_partkey`` ``u < v``, ``d = abs(qu - qv) <= 2`` —
+    the E221/E308/E355 edge-builder predicate, one order-keyed shuffle
+    instead of the lineitem self-join (same rewrite as
+    :func:`_copurchase_pairs`; the band filter runs inside the
+    per-order array before the explode)."""
+    arr = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(F.col("l_partkey").alias("k"), F.col("l_quantity").alias("q"))
+        ).alias("xs")
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "xs",
+                lambda x: F.transform(
+                    "xs",
+                    lambda y: F.struct(
+                        x["k"].alias("u"),
+                        y["k"].alias("v"),
+                        F.abs(x["q"] - y["q"]).alias("d"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: (p["u"] < p["v"]) & (p["d"] <= 2),
+    )
+    return arr.select(F.explode(pair).alias("p")).select("p.u", "p.v", "p.d")
+
+
+def _undirect(e: DataFrame, *extra: str) -> DataFrame:
+    """Both orientations of a canonical ``(u, v, *extra)`` edge list in
+    ONE pass over ``e``: explode of a 2-struct array replaces the
+    ``unionAll(swapped)`` idiom, whose two branches each re-ran the
+    (often expensive, not always persisted) edge subtree (guide §2.4)."""
+    keep = [F.col(c) for c in extra]
+    both = F.array(
+        F.struct(F.col("u"), F.col("v"), *keep),
+        F.struct(F.col("v").alias("u"), F.col("u").alias("v"), *keep),
+    )
+    return e.select(F.explode(both).alias("p")).select("p.*")
+
+
+# --------------------------------------------------------------------------
 # E189: triangle counting + global clustering coefficient
 # --------------------------------------------------------------------------
 
@@ -820,22 +901,20 @@ def q_cosupplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation dedup pass — two hash joins over the edge list —
     and the clustering coefficient 3T/wedges comes from the same
     degree aggregate. At scale the remaining mitigation for
-    wedge-heavy hubs is degree-ordered orientation."""
+    wedge-heavy hubs is degree-ordered orientation. r11: the edge
+    list comes from the shared order-grouped pair builder (one
+    lineitem shuffle, no self-join) and is persisted — the r10 plan
+    re-ran the self-join subtree for every one of its FIVE consumers
+    (deg, e1, e2, e3, n_edges: 12 parquet scans in one plan)."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
+    edges = tracked_persist(
+        _copurchase_pairs(li, "l_suppkey")
         .filter(F.col("w") >= 5)
         .select("u", "v")
     )
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
+        _undirect(edges)
+        .groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).alias("d"))
     )
     e1 = edges
@@ -917,16 +996,12 @@ def q_cosupplier_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated for a fixed split so the metric itself is the declared
     operator (a Q near 0 says supplier parity is no community
     structure — the null check a clustering pipeline needs). Shares
-    the E189 edge builder; one edge aggregate + one degree aggregate
-    produce every term."""
+    the E189 edge builder (r11: order-grouped pair expansion, no
+    lineitem self-join; persisted for its two consumers); one edge
+    aggregate + one degree aggregate produce every term."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
+    edges = tracked_persist(
+        _copurchase_pairs(li, "l_suppkey")
         .filter(F.col("w") >= 5)
         .select("u", "v")
     )
@@ -940,9 +1015,8 @@ def q_cosupplier_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("e11"),
     )
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy((F.col("node") % 2).cast("int").alias("c"))
+        _undirect(edges)
+        .groupBy((F.col("u") % 2).cast("int").alias("c"))
         .agg(F.count(F.lit(1)).cast("double").alias("dc"))
     )
     pick = lambda cc: F.max(F.when(F.col("c") == cc, F.col("dc")))  # noqa: E731
@@ -1159,22 +1233,8 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-sized; the same round shape GraphX's LPA runs, here as
     plain DataFrame ops. Reports the top-20 communities by size."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("u"),
-                  F.col("l_quantity").alias("qu"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"),
-                  F.col("l_quantity").alias("qv"))
-    e0 = (
-        a.join(b, "l_orderkey")
-        .filter(
-            (F.col("u") < F.col("v"))
-            & (F.abs(F.col("qu") - F.col("qv")) <= 2)
-        )
-        .select("u", "v")
-        .distinct()
-    )
-    edges = e0.unionAll(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    e0 = _banded_part_pairs(li).select("u", "v").distinct()
+    edges = _undirect(e0).localCheckpoint()
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -1263,24 +1323,12 @@ def q_bellman_ford_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank discipline). Returns the top-20 nearest nodes
     (dist, node tiebreak) via TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("u"),
-                  F.col("l_quantity").alias("qu"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"),
-                  F.col("l_quantity").alias("qv"))
     e0 = (
-        a.join(b, "l_orderkey")
-        .filter(
-            (F.col("u") < F.col("v"))
-            & (F.abs(F.col("qu") - F.col("qv")) <= 2)
-        )
+        _banded_part_pairs(li)
         .groupBy("u", "v")
-        .agg(
-            (F.min(F.abs(F.col("qu") - F.col("qv"))).cast("bigint") + 1).alias("w")
-        )
+        .agg((F.min("d").cast("bigint") + 1).alias("w"))
     )
-    sym = e0.select("u", "v", "w").unionAll(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    )
+    sym = _undirect(e0, "w")
     # Weight-0 self-loops make each relaxation round a SINGLE
     # join+min over the edge table (the self-loop row carries the
     # node's current dist), so `dist` is referenced once per round
@@ -1386,19 +1434,10 @@ def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle unrolls; the scheduled loop remains the else-branch
     and the 100 TB path."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("u"),
-                  F.col("l_quantity").alias("qu"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"),
-                  F.col("l_quantity").alias("qv"))
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(
-            (F.col("u") < F.col("v"))
-            & (F.abs(F.col("qu") - F.col("qv")) <= 2)
-        )
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_w"))
+        _banded_part_pairs(li)
         .select("u", "v")
+        .distinct()
         .localCheckpoint(eager=True)
     )
     def peel_round(e: DataFrame) -> DataFrame:
@@ -1551,19 +1590,12 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reports the top-20 most panel-central suppliers with how many
     seeds reach them."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
     e0 = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
+        _copurchase_pairs(li, "l_suppkey")
         .filter(F.col("w") >= 5)
         .select("u", "v")
     )
-    sym = e0.unionAll(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    sym = _undirect(e0).localCheckpoint(eager=True)
     seeds = (
         sym.filter(F.col("u") % _HC_SEED_MOD == 1)
         .select(F.col("u").alias("s"))
@@ -1948,10 +1980,8 @@ def _backbone_edges(pairs: DataFrame) -> DataFrame:
     """Per-node top-_BB_DEG backbone of an undirected weighted pair
     list (u < v, weight w): edges0(u, v), deduped. Deterministic —
     (w DESC, other ASC) is a total order within each node."""
-    inc = pairs.select(
+    inc = _undirect(pairs, "w").select(
         F.col("u").alias("node"), F.col("v").alias("other"), "w"
-    ).unionAll(
-        pairs.select(F.col("v").alias("node"), F.col("u").alias("other"), "w")
     )
     wnd = Window.partitionBy("node").orderBy(F.col("w").desc(), "other")
     return (
@@ -2063,25 +2093,14 @@ def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins; seeds merge (adding seeds only adds delta terms). Top-20
     brokers reported."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    pairs = tracked_persist(pairs)
+    pairs = tracked_persist(_copurchase_pairs(li, "l_suppkey"))
     n_nodes = (
-        pairs.select(F.col("u").alias("x"))
-        .unionAll(pairs.select(F.col("v").alias("x")))
+        pairs.select(F.explode(F.array("u", "v")).alias("x"))
         .distinct()
         .count()
     )
     edges0 = _backbone_edges(pairs)
-    sym = tracked_persist(
-        edges0.unionAll(edges0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    )
+    sym = tracked_persist(_undirect(edges0))
     # Count-gated single-task finisher (r10): after the per-node cut the
     # backbone is degree-bounded (<= 8n directed tuples), so under the
     # node gate ONE bounded Arrow task replays the identical bounded-hop
@@ -2305,21 +2324,9 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree table broadcasts at any scale — it is node-sized), one
     global moment aggregate. No per-node state, no iteration."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    pairs = tracked_persist(pairs)
+    pairs = tracked_persist(_copurchase_pairs(li, "l_suppkey"))
     edges0 = _backbone_edges(pairs)
-    sym = tracked_persist(
-        edges0.unionAll(
-            edges0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-    )
+    sym = tracked_persist(_undirect(edges0))
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
@@ -2418,21 +2425,9 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-sized state; at 100 TB each round is one hash join on the
     degree-bounded edge list."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    pairs = tracked_persist(pairs)
+    pairs = tracked_persist(_copurchase_pairs(li, "l_suppkey"))
     edges0 = _backbone_edges(pairs)
-    sym = tracked_persist(
-        edges0.unionAll(
-            edges0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-    )
+    sym = tracked_persist(_undirect(edges0))
     p1 = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("p"))
     p1 = tracked_persist(p1)
     e = sym.select(F.col("u").alias("eu"), F.col("v").alias("ev"))

@@ -249,9 +249,16 @@ def q_son_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     recounts only that small candidate set. The raw token stream is
     never shuffled; the only exchanges carry candidates and partial
     counts. This is the 100 TB shape for heavy-hitter mining where a
-    full groupBy over all tokens would shuffle the entire corpus."""
+    full groupBy over all tokens would shuffle the entire corpus.
+    r11: the token stream feeds phase 1, the total count AND the
+    phase-2 recount — persisted so tokenization runs once, not three
+    times (same fix the CMS sibling already carries; guide §5
+    cache-on-reuse). The candidate superset guarantee holds under any
+    partitioning, so caching cannot change the final recounted set."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    tok = d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    tok = tracked_persist(
+        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    )
     cands = son_candidates(tok, "token", _SON_SUPPORT)
     total = tok.agg(F.count(F.lit(1)).alias("total"))
     return (

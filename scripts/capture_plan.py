@@ -11,6 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from fts_analysis_datalake_spark.caching import release_tracked
 from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
 from fts_analysis_datalake_spark.session import get_spark
 
@@ -30,6 +31,12 @@ def main() -> int:
     spark = get_spark("fts-plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
     for name in args.names:
+        # A persist() registered while BUILDING one query's frame stays in
+        # the CacheManager and substitutes InMemoryRelation into every later
+        # explain that contains a matching subtree — clear between names so
+        # each captured plan is what a standalone run of that query executes.
+        release_tracked()
+        spark.catalog.clearCache()
         df = REGISTRY[name].fn(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
