@@ -1694,23 +1694,32 @@ def q_reorder_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
     except Exception:  # noqa: BLE001 — a locked conf must not fail the query
         pass
+    # r11 (guide §2.4): `succ` is a plain CTE, so Spark INLINES it into
+    # the recursive term and re-runs the orders scan + window at every
+    # recursion step (chain-depth x full window passes). Materialize it
+    # once (localCheckpoint) and let the recursion join the materialized
+    # rows; the WITH RECURSIVE surface and the emitted values are
+    # unchanged. The unused next_key column is dropped (project early).
+    succ = spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CASE WHEN datediff(lead(o_orderdate) OVER w, o_orderdate) <= 30
+                    THEN lead(o_orderkey) OVER w END AS next_in_chain,
+               CASE WHEN datediff(o_orderdate, lag(o_orderdate) OVER w) <= 30
+                    THEN 1 ELSE 0 END AS has_prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """
+    )
+    succ.localCheckpoint(eager=True).createOrReplaceTempView("succ_mat_reorder")
     return spark.sql(
         """
-        WITH RECURSIVE succ AS (
-          SELECT o_custkey, o_orderkey, o_orderdate,
-                 lead(o_orderkey) OVER w AS next_key,
-                 CASE WHEN datediff(lead(o_orderdate) OVER w, o_orderdate) <= 30
-                      THEN lead(o_orderkey) OVER w END AS next_in_chain,
-                 CASE WHEN datediff(o_orderdate, lag(o_orderdate) OVER w) <= 30
-                      THEN 1 ELSE 0 END AS has_prev
-          FROM orders
-          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-        chain(start_key, cur_key, streak_len) AS (
+        WITH RECURSIVE chain(start_key, cur_key, streak_len) AS (
           SELECT o_orderkey, o_orderkey, 1
-          FROM succ WHERE has_prev = 0
+          FROM succ_mat_reorder WHERE has_prev = 0
           UNION ALL
           SELECT c.start_key, s.next_in_chain, c.streak_len + 1
-          FROM chain c JOIN succ s ON s.o_orderkey = c.cur_key
+          FROM chain c JOIN succ_mat_reorder s ON s.o_orderkey = c.cur_key
           WHERE s.next_in_chain IS NOT NULL),
         lens AS (
           SELECT start_key, MAX(streak_len) AS streak_len

@@ -3070,15 +3070,23 @@ def q_elo_league_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.row_number().over(wl).alias("rn"),
     )
-    a = l2.filter(F.col("rn") == 1).select(
-        F.col("l_orderkey").alias("ok"),
-        F.col("l_suppkey").alias("ka"),
-        F.col("cents").alias("ca"),
-    )
-    b = l2.filter(F.col("rn") == 2).select(
-        F.col("l_orderkey").alias("ok"),
-        F.col("l_suppkey").alias("kb"),
-        F.col("cents").alias("cb"),
+    # r11 (guide §2.4): slots 1 and 2 come from ONE conditional
+    # aggregate over the windowed frame — the former rn=1/rn=2
+    # filter + self-join re-ran the window subtree twice and paid a
+    # sort-merge join; groupBy(l_orderkey) rides the partitioning the
+    # window already established (no second exchange). The inner
+    # self-join kept only orders with both slots; kb IS NULL drops
+    # the same rows.
+    ab = (
+        l2.filter(F.col("rn") <= 2)
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("l_suppkey"))).alias("ka"),
+            F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("ca"),
+            F.max(F.when(F.col("rn") == 2, F.col("l_suppkey"))).alias("kb"),
+            F.max(F.when(F.col("rn") == 2, F.col("cents"))).alias("cb"),
+        )
+        .filter(F.col("kb").isNotNull())
     )
     sa = sup_idx.select(
         F.col("s_suppkey").alias("ka"),
@@ -3094,8 +3102,7 @@ def q_elo_league_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("ok"), "o_orderdate"
     )
     ms = (
-        a.join(b, "ok")
-        .join(sa, "ka")
+        ab.join(sa, "ka")
         .join(sb, "kb")
         .filter((F.col("nat") == F.col("natb")) & (F.col("ka") != F.col("kb")))
         .join(o, "ok")
