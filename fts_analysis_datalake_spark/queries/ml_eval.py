@@ -2629,34 +2629,49 @@ def q_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n", "g")
         .agg(F.max("cnt").alias("rmax"))
     )
-    clip = (
+    # r11 (guide §2.4): ONE conditional aggregate straight to
+    # (lang, doc_id) replaces the former (lang, doc_id, n) clip
+    # aggregate + (lang, doc_id) re-aggregate — integer sums split by
+    # the n tag are order-free, so the two-level result is identical
+    # and one exchange disappears.
+    per_cand = (
         cand_cnt.join(ref_max, ["lang", "n", "g"], "left")
-        .groupBy("lang", "doc_id", "n")
-        .agg(
-            F.sum(
-                F.least(F.col("cnt"), F.coalesce(F.col("rmax"), F.lit(0)))
-            ).alias("clip"),
-            F.sum("cnt").alias("tot"),
-        )
-    )
-    per_cand = clip.groupBy("lang", "doc_id").agg(
-        F.max(F.when(F.col("n") == 1, F.col("clip"))).alias("clip1"),
-        F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("tot1"),
-        F.max(F.when(F.col("n") == 2, F.col("clip"))).alias("clip2"),
-        F.max(F.when(F.col("n") == 2, F.col("tot"))).alias("tot2"),
-    )
-
-    rlen = refs.select("lang", F.col("n_tok").alias("rl")).distinct()
-    closest = (
-        cand.join(rlen, "lang", "left")
         .groupBy("lang", "doc_id")
         .agg(
-            (
-                F.min(F.abs(F.col("rl") - F.col("n_tok")) * 1000000 + F.col("rl"))
-                % 1000000
-            ).alias("r")
+            *[
+                F.sum(
+                    F.when(
+                        F.col("n") == k,
+                        F.least(F.col("cnt"), F.coalesce(F.col("rmax"), F.lit(0)))
+                        if which == "clip"
+                        else F.col("cnt"),
+                    )
+                ).alias(f"{which}{k}")
+                for k in (1, 2)
+                for which in ("clip", "tot")
+            ]
         )
     )
+
+    # r11 (guide §2.4): the closest-reference-length pass was a
+    # cand x distinct-length join followed by a groupBy(lang, doc_id)
+    # exchange over the candidate rows. The distinct lengths per lang
+    # are DOMAIN-BOUNDED (the docstring's broadcastable dimension), so
+    # collect them into one per-lang array and take the same MIN-encoded
+    # |len-c|*1e6+len key map-side with array higher-order functions —
+    # identical integer arithmetic over the identical distinct set, no
+    # candidate-side exchange. A lang with no refs gives a NULL array
+    # -> NULL r, exactly the former left join's NULL.
+    rlens = refs.groupBy("lang").agg(F.collect_set("n_tok").alias("rls"))
+    closest_r = (
+        F.array_min(
+            F.transform(
+                F.col("rls"),
+                lambda rl: F.abs(rl - F.col("n_tok")) * 1000000 + rl,
+            )
+        )
+        % 1000000
+    ).alias("r")
 
     pr1 = F.col("clip1").cast("double") / F.col("tot1")
     pr2 = F.col("clip2").cast("double") / F.col("tot2")
@@ -2673,10 +2688,14 @@ def q_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000000.0
         )
     )
+    cand_meta = (
+        cand.select("lang", "doc_id", "n_tok")
+        .join(F.broadcast(rlens), "lang", "left")
+        .select("lang", "doc_id", "n_tok", closest_r)
+    )
     scored = (
         per_cand
-        .join(cand.select("lang", "doc_id", "n_tok"), ["lang", "doc_id"])
-        .join(closest, ["lang", "doc_id"])
+        .join(cand_meta, ["lang", "doc_id"])
         .select(
             "lang",
             F.floor(pr1 * 1000000 + F.lit(0.5)).cast("long").alias("p1_q"),
