@@ -704,45 +704,66 @@ def q_resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     (13 s -> 187 s for exactly-linear pair growth; see
     catalog.ensure_shuffle_parallelism). Top-20 by (score, u, v) via
     one TakeOrdered."""
+    # r11 (guide §2.4, same rewrite as the co-purchase graph preamble):
+    # ONE groupBy(p) collects each part's sorted supplier list; the
+    # in-array i<j expansion emits exactly the self-join's u<v pairs
+    # (sp is distinct, the array is sorted, so ss[i] < ss[j] iff i<j),
+    # and deg(part) comes free as size(ss) — the former plan's
+    # bipartite self-join (two scans of the persisted pair table) and
+    # the separate degree join are gone. The per-part k^2 expansion has
+    # the same hub-part workload as the join had (both materialize
+    # deg^2 pairs per part); the workload-floored repartition spreads
+    # parts over tasks identically. Top-20 via orderBy().limit(20)
+    # (TakeOrderedAndProject, a distributed literal-k top-k) replaces
+    # the former single-task row_number window over every score — same
+    # (score_q desc, u, v) total order, same 20 rows.
     li = load_table(spark, sf_dir, "lineitem")
-    sp = tracked_persist(
-        li.select(
-            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-        ).distinct()
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    parts = tracked_persist(
+        sp.groupBy("p").agg(F.sort_array(F.collect_list("s")).alias("ss"))
     )
-    pd_ = sp.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    wl = pd_.agg(
-        F.sum(F.col("d") * F.col("d")).alias("w"),
+    dcol = F.size("ss")
+    wl = parts.agg(
+        F.sum(dcol.cast("bigint") * dcol).alias("w"),
         F.count(F.lit(1)).alias("k"),
-        F.max(F.col("d") * F.col("d")).alias("m"),
+        F.max(dcol.cast("bigint") * dcol).alias("m"),
     ).first()
-    spb = ensure_shuffle_parallelism(
-        sp,
+    partsb = ensure_shuffle_parallelism(
+        parts,
         int(wl["w"] or 0),
         ["p"],
         n_keys=int(wl["k"]),
         max_key_workload=int(wl["m"] or 0),
     )
-    a = spb.select(F.col("s").alias("u"), "p")
-    b = spb.select(F.col("s").alias("v"), "p")
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "ss",
+                lambda x: F.transform(
+                    "ss", lambda y: F.struct(x.alias("u"), y.alias("v"))
+                ),
+            )
+        ),
+        lambda q: q["u"] < q["v"],
+    )
     scores = (
-        a.join(b, "p")
-        .filter(F.col("u") < F.col("v"))
-        .join(pd_, "p")
+        partsb.select(
+            F.explode(pair).alias("q"),
+            F.expr("1000000000 DIV size(ss)").alias("term"),
+        )
+        .select("q.u", "q.v", "term")
         .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("common_parts"),
-            F.sum(F.expr("1000000000 DIV d")).cast("bigint").alias("score_q"),
+            F.sum("term").cast("bigint").alias("score_q"),
         )
     )
-    rn = F.row_number().over(
-        Window.orderBy(F.col("score_q").desc(), "u", "v")
-    )
     return (
-        scores.withColumn("rn", rn)
-        .filter(F.col("rn") <= 20)
-        .select("u", "v", "common_parts", (F.col("score_q") / 1000000000.0).alias("ra_score"))
-        .orderBy("rn")
+        scores.orderBy(F.col("score_q").desc(), "u", "v")
+        .limit(20)
+        .select(
+            "u", "v", "common_parts", (F.col("score_q") / 1000000000.0).alias("ra_score")
+        )
     )
 
 
