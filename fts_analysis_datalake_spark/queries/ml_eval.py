@@ -1792,30 +1792,41 @@ def q_ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv"), F.col("label").alias("q_label")
     )
-    ranked = (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
-        .select(
+    rest = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    # r11 (guide §2.4): the DCG branch only reads ranks <= K of the
+    # (cosine desc, vec_id) total order, so the corpus-wide single-task
+    # row_number window becomes a distributed TakeOrdered(K) (the
+    # 10-row re-rank window is trivial); npos = total positives needs
+    # NO ranking at all — a plain conditional aggregate. The old plan
+    # sorted the whole corpus in one task for both branches.
+    top = (
+        rest.select(
+            "vec_id",
             (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    cosine(F.col("embedding"), F.col("qv")).desc(), F.col("vec_id")
-                )
-            )
-            .alias("rnk"),
+            cosine(F.col("embedding"), F.col("qv")).alias("cs"),
         )
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(_NDCG_K)
+    )
+    ranked_top = top.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.col("cs").desc(), F.col("vec_id")))
+        .alias("rnk"),
     )
     log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
-    dcg = ranked.filter(F.col("rnk") <= _NDCG_K).agg(
+    dcg = ranked_top.agg(
         F.sum(
             F.floor(
                 F.col("rel") / log2(F.col("rnk") + 1.0) * _NDCG_Q + F.lit(0.5)
             ).cast("bigint")
         ).alias("dcg_q")
     )
-    npos = ranked.agg(
-        F.least(F.sum("rel").cast("bigint"), F.lit(_NDCG_K).cast("bigint")).alias("np")
+    npos = rest.agg(
+        F.least(
+            F.sum((F.col("label") == F.col("q_label")).cast("int")).cast("bigint"),
+            F.lit(_NDCG_K).cast("bigint"),
+        ).alias("np")
     )
     idcg = (
         spark.range(1, _NDCG_K + 1)

@@ -1,0 +1,584 @@
+"""Candidate rewrites for the r11 optimization round, A/B'd against the
+registry implementations by scripts/ab.py before being applied in place.
+Each function mirrors a registry query's signature and MUST be
+value-identical (ab.py --verify + oracle parity before adoption).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fts_analysis_datalake_spark.caching import tracked_persist
+from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
+from fts_analysis_datalake_spark.functions.deterministic import dsum
+from fts_analysis_datalake_spark.functions.vector import cosine, dot
+from fts_analysis_datalake_spark.operators.text import ngrams, normalize_text, tokens
+from fts_analysis_datalake_spark.queries.llm_text import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_Q,
+    _BM25_TERMS,
+    _RRF_C,
+    _RRF_TOPK,
+)
+from fts_analysis_datalake_spark.queries.llm_dedup import _MH_P, _MH_SEEDS
+from fts_analysis_datalake_spark.queries.ml_eval import _BOOT_B, _NDCG_K, _NDCG_Q, QUERY_VEC_ID
+from fts_analysis_datalake_spark.queries.sketches_search import _h52
+from fts_analysis_datalake_spark.queries.stats_models import _GR_DIRS
+
+
+# ---------------------------------------------------------------- BM25 family
+
+
+def _bm25_base(d: DataFrame) -> DataFrame:
+    """(doc_id, s{dl, tf0..tfk}) — ONE tokenization pass, persisted
+    narrow (5 ints/doc). The struct lambda binds the token array once
+    (higher-order fns have no CSE — same trick as operators.text.ngrams)."""
+    toks_expr = tokens(normalize_text(F.col("text")))
+
+    def eq_term(w):
+        # NB: a default-arg capture (lambda t, w=term: ...) would change
+        # the lambda's arity and make pyspark treat it as an
+        # (element, index) HOF lambda — capture via closure instead.
+        return lambda t: t == F.lit(w)
+
+    def stats(ts):
+        cols = [F.size(ts).alias("dl")]
+        for i, term in enumerate(_BM25_TERMS):
+            cols.append(F.size(F.filter(ts, eq_term(term))).alias(f"tf{i}"))
+        return F.struct(*cols)
+
+    s = F.element_at(F.transform(F.array(toks_expr), stats), 1)
+    return tracked_persist(d.select("doc_id", s.alias("s")))
+
+
+def _bm25_scores_new(d: DataFrame) -> DataFrame:
+    base = _bm25_base(d)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("s.dl")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ]
+    for i in range(len(_BM25_TERMS)):
+        aggs.append(F.sum((F.col(f"s.tf{i}") > 0).cast("long")).alias(f"df{i}"))
+    g = base.agg(*aggs)
+    any_hit = None
+    for i in range(len(_BM25_TERMS)):
+        c = F.col(f"s.tf{i}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    hit = base.filter(any_hit)
+    scored = hit.crossJoin(F.broadcast(g))
+    total = None
+    for i in range(len(_BM25_TERMS)):
+        idf = (
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+                    + 1.0
+                )
+                * _BM25_Q
+                + F.lit(0.5)
+            )
+            / _BM25_Q
+        )
+        score = (
+            idf
+            * (F.col(f"s.tf{i}") * (_BM25_K1 + 1.0))
+            / (
+                F.col(f"s.tf{i}")
+                + _BM25_K1
+                * (1.0 - _BM25_B + _BM25_B * F.col("s.dl") / F.col("avgdl"))
+            )
+        )
+        qscore = F.floor(score * _BM25_Q + F.lit(0.5)).cast("long")
+        total = qscore if total is None else total + qscore
+    return scored.select("doc_id", (total / float(_BM25_Q)).alias("bm25"))
+
+
+def q_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return _bm25_scores_new(d).orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+
+def q_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = (
+        _bm25_scores_new(d)
+        .filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .cast("bigint")
+            .alias("lex_rank"),
+        )
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            dot(F.col("embedding"), F.col("qv")).alias("score"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), "doc_id"))
+            .cast("bigint")
+            .alias("sem_rank"),
+        )
+    )
+    rrf = F.lit(1.0) / (_RRF_C + F.col("sem_rank")) + F.coalesce(
+        F.lit(1.0) / (_RRF_C + F.col("lex_rank")), F.lit(0.0)
+    )
+    return (
+        sem.join(lex, "doc_id", "left")
+        .select(
+            "doc_id",
+            "sem_rank",
+            "lex_rank",
+            (F.floor(rrf * 1e12 + F.lit(0.5)).cast("bigint") / 1e12).alias("rrf_q"),
+        )
+        .orderBy(F.col("rrf_q").desc(), "doc_id")
+        .limit(_RRF_TOPK)
+    )
+
+
+# ---------------------------------------------------------------- nDCG
+
+
+def q_ndcg_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("label").alias("q_label")
+    )
+    rest = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    # Top-K of the (cosine desc, vec_id) total order is a distributed
+    # TakeOrdered; the original ranked the WHOLE corpus in a single-task
+    # window twice (dcg + npos branches).
+    top = (
+        rest.select(
+            "vec_id",
+            (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
+            cosine(F.col("embedding"), F.col("qv")).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(_NDCG_K)
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    ranked_top = top.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.col("cs").desc(), F.col("vec_id")))
+        .alias("rnk"),
+    )
+    dcg = ranked_top.agg(
+        F.sum(
+            F.floor(
+                F.col("rel") / log2(F.col("rnk") + 1.0) * _NDCG_Q + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("dcg_q")
+    )
+    # npos = total positives in the corpus — an aggregate, no ranking.
+    npos = rest.agg(
+        F.least(
+            F.sum((F.col("label") == F.col("q_label")).cast("int")).cast("bigint"),
+            F.lit(_NDCG_K).cast("bigint"),
+        ).alias("np")
+    )
+    idcg = (
+        spark.range(1, _NDCG_K + 1)
+        .crossJoin(F.broadcast(npos))
+        .filter(F.col("id") <= F.col("np"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.lit(1.0) / log2(F.col("id") + 1.0) * _NDCG_Q + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("idcg_q")
+        )
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            (F.col("dcg_q").cast("double") / _NDCG_Q).alias("dcg"),
+            (F.col("idcg_q").cast("double") / _NDCG_Q).alias("idcg"),
+            (
+                F.floor(
+                    F.col("dcg_q").cast("double") / F.col("idcg_q") * 1e6 + F.lit(0.5)
+                ).cast("bigint")
+                / 1e6
+            ).alias("ndcg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- bootstrap
+
+
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    reps = e.select(
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).filter(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit("-"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        <= "7"
+    )
+    # means is consumed by THREE branches (mean-of-means, ci_lo, ci_hi);
+    # without the persist each branch re-ran the 50x fan-out + 25M md5
+    # pass (before-plan: 6 scans).
+    means = tracked_persist(
+        reps.groupBy("b").agg(
+            (
+                F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint"))
+                / 1e6
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    w = Window.orderBy("m", "b")
+    ranked = means.withColumn("rn", F.row_number().over(w))
+    lo_rn = int(0.05 * _BOOT_B) + 1
+    hi_rn = int(0.95 * _BOOT_B)
+    stats = means.agg((dsum(F.col("m"), 9) / _BOOT_B).alias("mean_of_means"))
+    lo = ranked.filter(F.col("rn") == lo_rn).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == hi_rn).select(F.col("m").alias("ci_hi"))
+    return (
+        stats.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_BOOT_B).cast("bigint").alias("b_reps"),
+            "mean_of_means",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+# ---------------------------------------------------------------- Nelson-Aalen
+
+
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # ONE corpus pass: per-order spans, then the (life_days, s1) grid —
+    # domain-bounded — carries everything the old plan re-scanned
+    # lineitem for (t_end, n_total, risk: 4 scans before).
+    spans = li.groupBy("l_orderkey").agg(
+        F.min(F.unix_timestamp("l_shipdate")).alias("s0"),
+        F.max(F.unix_timestamp("l_shipdate")).alias("s1"),
+    )
+    g = tracked_persist(
+        spans.select(F.expr("(s1 - s0) DIV 86400").alias("life_days"), "s1")
+        .groupBy("life_days", "s1")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t_end = g.agg(F.max("s1").alias("end_s"))
+    n_total = g.agg(F.sum("cnt").alias("n_total"))
+    risk = (
+        g.crossJoin(F.broadcast(t_end))
+        .groupBy("life_days")
+        .agg(
+            F.sum(
+                F.when(F.col("s1") < F.col("end_s") - 5184000, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("d"),
+            F.sum("cnt").alias("ended"),
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    wprev = Window.orderBy("life_days").rowsBetween(Window.unboundedPreceding, -1)
+    steps = (
+        risk.select(
+            F.col("life_days").alias("t"),
+            "d",
+            (
+                F.col("n_total") - F.coalesce(F.sum("ended").over(wprev), F.lit(0))
+            ).alias("at_risk"),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            "t",
+            "d",
+            "at_risk",
+            F.expr("(d * 1000000000) DIV at_risk").alias("dh_q"),
+        )
+    )
+    wcum = Window.orderBy("t")
+    return steps.select(
+        F.col("t").alias("life_days"),
+        F.col("d").cast("bigint").alias("deaths"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        (F.sum("dh_q").over(wcum).cast("bigint") / 1000000000.0).alias("cum_hazard"),
+    ).orderBy("life_days")
+
+
+# ---------------------------------------------------------------- Granger
+
+
+def q_granger_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("long")
+        .alias("hs"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    # Pivot the two series onto one hour-keyed frame: the lag alignment
+    # becomes ONE self-join (vs 2 joins x 2 directions), and both
+    # directions' moment sums come from ONE conditional aggregate.
+    hp = hourly.filter(F.col("event_type").isin("purchase", "view")).groupBy("hs").agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("cents"))).alias("p"),
+        F.max(F.when(F.col("event_type") == "view", F.col("cents"))).alias("v"),
+    )
+    prev = hp.select(
+        (F.col("hs") + 1).alias("hs"), F.col("p").alias("p1"), F.col("v").alias("v1")
+    )
+    j = hp.join(prev, "hs")
+
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("bigint") / 1e6  # noqa: E731
+    series = {"purchase": ("p", "p1"), "view": ("v", "v1")}
+    aggs = []
+    for label, a, b in _GR_DIRS:
+        yv = F.col(series[a][0])
+        x1v = F.col(series[a][1])
+        x2v = F.col(series[b][1])
+        cond = yv.isNotNull() & x1v.isNotNull() & x2v.isNotNull()
+        d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+        d28 = lambda c: c.cast("decimal(28,0)")  # noqa: E731
+        tag = label
+        aggs += [
+            F.count(F.when(cond, F.lit(1))).cast("double").alias(f"n_{tag}"),
+            F.sum(F.when(cond, d19(x1v))).cast("double").alias(f"sx1_{tag}"),
+            F.sum(F.when(cond, d19(x2v))).cast("double").alias(f"sx2_{tag}"),
+            F.sum(F.when(cond, d19(yv))).cast("double").alias(f"sy_{tag}"),
+            F.sum(F.when(cond, d28(x1v) * d28(x1v))).cast("double").alias(f"sx11_{tag}"),
+            F.sum(F.when(cond, d19(x1v) * d19(x2v))).cast("double").alias(f"sx12_{tag}"),
+            F.sum(F.when(cond, d28(x2v) * d28(x2v))).cast("double").alias(f"sx22_{tag}"),
+            F.sum(F.when(cond, d19(x1v) * d19(yv))).cast("double").alias(f"sx1y_{tag}"),
+            F.sum(F.when(cond, d19(x2v) * d19(yv))).cast("double").alias(f"sx2y_{tag}"),
+            F.sum(F.when(cond, d28(yv) * d28(yv))).cast("double").alias(f"syy_{tag}"),
+        ]
+    m = j.agg(*aggs)
+
+    out = None
+    for label, a, b in _GR_DIRS:
+        t = label
+        n, sx1, sx2, sy = (
+            F.col(f"n_{t}"),
+            F.col(f"sx1_{t}"),
+            F.col(f"sx2_{t}"),
+            F.col(f"sy_{t}"),
+        )
+        sx11, sx12, sx22 = F.col(f"sx11_{t}"), F.col(f"sx12_{t}"), F.col(f"sx22_{t}")
+        sx1y, sx2y, syy = F.col(f"sx1y_{t}"), F.col(f"sx2y_{t}"), F.col(f"syy_{t}")
+        z = F.lit(0.0)
+        det = (
+            n * (sx11 * sx22 - sx12 * sx12)
+            - sx1 * (sx1 * sx22 - sx12 * sx2)
+            + sx2 * (sx1 * sx12 - sx11 * sx2)
+        )
+        det0 = (
+            sy * (sx11 * sx22 - sx12 * sx12)
+            - sx1 * (sx1y * sx22 - sx12 * sx2y)
+            + sx2 * (sx1y * sx12 - sx11 * sx2y)
+        )
+        det1 = (
+            n * (sx1y * sx22 - sx12 * sx2y)
+            - sy * (sx1 * sx22 - sx12 * sx2)
+            + sx2 * (sx1 * sx2y - sx1y * sx2)
+        )
+        det2 = (
+            n * (sx11 * sx2y - sx1y * sx12)
+            - sx1 * (sx1 * sx2y - sx1y * sx2)
+            + sy * (sx1 * sx12 - sx11 * sx2)
+        )
+        detn = F.nullif(det, z)
+        br = (n * sx1y - sx1 * sy) / F.nullif(n * sx11 - sx1 * sx1, z)
+        rss_u = (
+            syy - (det0 / detn) * sy - (det1 / detn) * sx1y - (det2 / detn) * sx2y
+        )
+        rss_r = syy - ((sy - br * sx1) / n) * sy - br * sx1y
+        sst = syy - sy * sy / n
+        part = m.select(
+            F.lit(label).alias("direction"),
+            n.cast("bigint").alias("n_obs"),
+            q6(det1 / detn).alias("b_own"),
+            q6(det2 / detn).alias("b_cross"),
+            q6((rss_r - rss_u) * (n - F.lit(3.0)) / F.nullif(rss_u, z)).alias("f_stat"),
+            q6(F.lit(1.0) - rss_u / F.nullif(sst, z)).alias("r2_u"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("direction")
+
+
+# ---------------------------------------------------------------- source MinHash affinity
+
+
+def q_source_minhash_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "source", F.explode(ngrams(tokens(F.col("text")), 3)).alias("s")
+    )
+    # ONE (shingle)-keyed aggregate replaces {corpus-sized persist,
+    # (source, s) distinct, posting self-join}: collect_set(source) is
+    # the per-shingle source set (domain-bounded), and signatures, set
+    # sizes AND pairwise intersections all derive from it map-side.
+    bysh = tracked_persist(
+        ex.groupBy("s").agg(F.collect_set("source").alias("srcs"))
+    )
+    exp = bysh.select(_h52("mh", F.col("s")).alias("h"), F.explode("srcs").alias("source"))
+    stats = tracked_persist(
+        exp.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            *[
+                F.min(
+                    (F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i)) % F.lit(_MH_P)
+                ).alias(f"m{i}")
+                for i in range(_MH_SEEDS)
+            ],
+        )
+    )
+    matches = None
+    for i in range(_MH_SEEDS):
+        t = F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    est = (
+        stats.alias("a")
+        .join(F.broadcast(stats.alias("b")), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            matches.cast("bigint").alias("n_sig_matches"),
+        )
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "srcs",
+                lambda x: F.transform(
+                    "srcs", lambda y: F.struct(x.alias("sa"), y.alias("sb"))
+                ),
+            )
+        ),
+        lambda p: p["sa"] < p["sb"],
+    )
+    inter = (
+        bysh.select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.sa").alias("src_a"), F.col("p.sb").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    na = stats.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = stats.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        est.join(F.broadcast(inter), ["src_a", "src_b"], "left")
+        .join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_sig_matches",
+            (
+                F.expr(f"n_sig_matches * 1000000 DIV {_MH_SEEDS}") / 1000000.0
+            ).alias("est_jaccard"),
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("bigint")
+            .alias("n_common_shingles"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                    / (
+                        F.col("na")
+                        + F.col("nb")
+                        - F.coalesce(F.col("n_common"), F.lit(0))
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1000000.0
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------- fuzzy names
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = ensure_parallelism(load_table(spark, sf_dir, "customer"))
+    base = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", 10, 9).alias("d"),
+    )
+    variants = [F.col("d")]
+    for j in range(1, 10):
+        variants.append(
+            F.concat(F.expr(f"substr(d, 1, {j - 1})"), F.expr(f"substr(d, {j + 1}, 9)"))
+        )
+    for i in range(1, 10):
+        for j in range(i + 1, 10):
+            variants.append(
+                F.concat(
+                    F.expr(f"substr(d, 1, {i - 1})"),
+                    F.expr(f"substr(d, {i + 1}, {j - i - 1})"),
+                    F.expr(f"substr(d, {j + 1}, 9)"),
+                )
+            )
+    v = base.select(
+        "c_custkey",
+        "seg",
+        "d",
+        F.explode(F.array_distinct(F.array(*variants))).alias("var"),
+    )
+    # Grouped pair expansion replaces the variant-table self-join: one
+    # (seg, var)-keyed shuffle collects each block's members, the i<j
+    # in-array expansion emits exactly the join's key_a < key_b pairs
+    # (block sizes are bounded — zero-heavy variants collapse to ~50
+    # members), and levenshtein verifies map-side as before.
+    g = v.groupBy("seg", "var").agg(
+        F.collect_list(F.struct(F.col("c_custkey").alias("k"), F.col("d").alias("dd"))).alias("xs")
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "xs",
+                lambda x: F.transform(
+                    "xs",
+                    lambda y: F.struct(
+                        x["k"].alias("ka"),
+                        y["k"].alias("kb"),
+                        x["dd"].alias("da"),
+                        y["dd"].alias("db"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["ka"] < p["kb"],
+    )
+    return (
+        g.select(F.explode(pair).alias("p"))
+        .select(
+            F.col("p.ka").alias("key_a"),
+            F.col("p.kb").alias("key_b"),
+            F.levenshtein(F.col("p.da"), F.col("p.db")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .distinct()
+    )
