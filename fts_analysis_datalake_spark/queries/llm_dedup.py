@@ -1334,7 +1334,10 @@ def q_pagerank_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("r_q")
             )
             .withColumnRenamed("v", "u")
-            .localCheckpoint(eager=True)
+            # r11: no per-round checkpoint — the rank state is
+            # referenced exactly once per round, so the lineage stays
+            # linear and all rounds compile into one job (the same
+            # measured x0.80 as q_personalized_pagerank).
         )
     label = F.when(
         F.col("u") % 2 == 0, F.concat(F.lit("p"), F.expr("u div 2"))
@@ -1963,20 +1966,22 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("85 * sum(c) div 100").cast("bigint").alias("contrib"))
             .withColumnRenamed("v", "cnode")
         )
-        r = (
-            contrib.join(
-                base, F.col("cnode") == F.col("node"), "full_outer"
+        # r11 (guide §2.4; r6 house lesson): NO per-round checkpoint —
+        # the rank state is referenced exactly ONCE per round (the
+        # contrib join; the teleport side joins the checkpointed seed
+        # table), so the lineage stays linear and all 4 rounds compile
+        # into one job instead of 4 eager actions. Interleaved A/B:
+        # 3.34 -> 2.67 s best (x0.80), every rep faster.
+        r = contrib.join(
+            base, F.col("cnode") == F.col("node"), "full_outer"
+        ).select(
+            F.coalesce(F.col("cnode"), F.col("node")).alias("node"),
+            (
+                F.coalesce(F.col("base"), F.lit(0))
+                + F.coalesce(F.col("contrib"), F.lit(0))
             )
-            .select(
-                F.coalesce(F.col("cnode"), F.col("node")).alias("node"),
-                (
-                    F.coalesce(F.col("base"), F.lit(0))
-                    + F.coalesce(F.col("contrib"), F.lit(0))
-                )
-                .cast("bigint")
-                .alias("r_q"),
-            )
-            .localCheckpoint(eager=True)
+            .cast("bigint")
+            .alias("r_q"),
         )
     label = F.when(
         F.col("node") % 2 == 0, F.concat(F.lit("p"), F.expr("node div 2"))

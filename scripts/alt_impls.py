@@ -582,3 +582,324 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .distinct()
     )
+
+
+# ------------------------------------------------------- dedup_clusters (OLD)
+# REVERSE A/B: the registry now carries the fused block-join form; this
+# is the previous pairs->exact_jaccard_for_pairs form for comparison.
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark.operators.dedup import exact_jaccard_for_pairs
+    from fts_analysis_datalake_spark.operators.graphs import dedup_clusters
+    from fts_analysis_datalake_spark.queries.llm_dedup import _CLUSTER_J
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    verified = exact_jaccard_for_pairs(d, "doc_id", "text", pairs).filter(
+        F.col("jaccard") >= _CLUSTER_J
+    )
+    return dedup_clusters(verified.select("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------- RANSAC
+# Arm A: 64 conditional sums in ONE global aggregate over the points
+# (no 64x row fan-out); trials come back via a 64-entry unpivot joined
+# to the broadcast line table.
+
+
+def q_ransac_price_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark.queries.robust_models import (
+        _RS_TOL,
+        _RS_TRIALS,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        cents.alias("y"),
+        F.md5(
+            F.concat_ws(
+                "|", "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", cents
+            )
+        ).alias("h"),
+    )
+    pts = tracked_persist(pts)
+    samp = (
+        pts.orderBy("h", "x", "y")
+        .limit(2 * _RS_TRIALS)
+        .select(
+            "x",
+            "y",
+            F.row_number().over(Window.orderBy("h", "x", "y")).alias("r"),
+        )
+    )
+    a = samp.select(
+        F.col("r").alias("t"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = samp.select(
+        (F.col("r") - _RS_TRIALS).alias("t"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    lines = (
+        a.join(b, "t")
+        .filter(F.col("x2") != F.col("x1"))
+        .select(
+            "t",
+            "x1",
+            "y1",
+            (F.col("x2") - F.col("x1")).alias("dx"),
+            (F.col("y2") - F.col("y1")).alias("dy"),
+        )
+    )
+    # one row: sorted array of line structs
+    larr = lines.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "x1", "y1", "dx", "dy"))
+        ).alias("ls")
+    )
+    fanned = pts.crossJoin(F.broadcast(larr))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_points")]
+    for i in range(1, _RS_TRIALS + 1):
+        l = F.element_at(F.col("ls"), i)
+        resid = F.abs(
+            (F.col("y") - l["y1"]) * l["dx"] - (F.col("x") - l["x1"]) * l["dy"]
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    resid <= F.lit(_RS_TOL) * F.abs(l["dx"]), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"c{i}")
+        )
+    counts = fanned.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).cast("bigint").alias("slot"), F.col(f"c{i}").alias("n"))
+            for i in range(1, _RS_TRIALS + 1)
+        ]
+    )
+    per_trial = counts.select(
+        "n_points", F.explode(pairs).alias("p")
+    ).select("n_points", F.col("p.slot").alias("slot"), F.col("p.n").alias("n_inliers"))
+    # slot i corresponds to ls[i] — the i-th line in (t,...) sorted order;
+    # re-attach trial metadata by position via the same sorted array.
+    meta = lines.select(
+        F.row_number().over(Window.orderBy("t")).alias("slot"), "t", "x1", "y1", "dx", "dy"
+    )
+    scored = per_trial.join(F.broadcast(meta), "slot").filter(F.col("t").isNotNull())
+    best = scored.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("n_inliers").desc(), "t"))
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("t").cast("bigint").alias("trial"),
+        "n_points",
+        "n_inliers",
+        (
+            F.floor(
+                F.col("n_inliers").cast("double") / F.col("n_points") * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("inlier_frac"),
+        F.col("dy").cast("bigint").alias("slope_num"),
+        F.col("dx").cast("bigint").alias("slope_den"),
+        F.col("x1").cast("bigint").alias("x1"),
+        F.col("y1").cast("bigint").alias("y1"),
+    )
+
+
+# ---------------------------------------------------- personalized pagerank
+# Arm: drop the per-round eager localCheckpoint (state referenced once
+# per round -> linear lineage, one job; r6 lesson) — keep everything else.
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark.queries.llm_dedup import (
+        _PPR_BASE,
+        _PPR_ONE,
+        _PPR_ROUNDS,
+        _PPR_TOPK,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") % 3 == 0)
+        .select(
+            (F.col("l_partkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    edges_deg = edges.join(deg, "u").localCheckpoint()
+    seeds = (
+        e0.filter(F.expr("(v - 1) div 2") % 7 == 0)
+        .select(F.col("v").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    r = seeds.select("node", F.lit(_PPR_ONE).cast("bigint").alias("r_q"))
+    base = seeds.select("node", F.lit(_PPR_BASE).cast("bigint").alias("base"))
+    for _ in range(_PPR_ROUNDS):
+        contrib = (
+            edges_deg.join(
+                r.withColumnsRenamed({"node": "ru", "r_q": "prev_q"}),
+                F.col("ru") == F.col("u"),
+            )
+            .select(F.col("v"), F.expr("prev_q div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.expr("85 * sum(c) div 100").cast("bigint").alias("contrib"))
+            .withColumnRenamed("v", "cnode")
+        )
+        r = contrib.join(base, F.col("cnode") == F.col("node"), "full_outer").select(
+            F.coalesce(F.col("cnode"), F.col("node")).alias("node"),
+            (
+                F.coalesce(F.col("base"), F.lit(0))
+                + F.coalesce(F.col("contrib"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("r_q"),
+        )
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("p"), F.expr("node div 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
+    return (
+        r.join(
+            seeds.withColumnRenamed("node", "snode"),
+            F.col("node") == F.col("snode"),
+            "left",
+        )
+        .select(
+            label.alias("node_label"),
+            F.col("snode").isNotNull().alias("is_seed"),
+            (F.col("r_q") / 1000000000.0).alias("rank"),
+            F.col("r_q"),
+            F.col("node"),
+        )
+        .orderBy(F.desc("r_q"), "node")
+        .limit(_PPR_TOPK)
+        .select(
+            F.col("node_label").alias("node"),
+            "is_seed",
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------- LPA (no round ckpt)
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _LPA_ROUNDS,
+        _LPA_TOPK,
+        _banded_part_pairs,
+        _undirect,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = _banded_part_pairs(li).select("u", "v").distinct()
+    edges = _undirect(e0).localCheckpoint()
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    rk_w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(
+                labels.withColumnsRenamed({"node": "ln"}),
+                F.col("ln") == F.col("v"),
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rk", F.row_number().over(rk_w))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+        )
+    return (
+        labels.groupBy(F.col("lbl").cast("bigint").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(_LPA_TOPK)
+    )
+
+
+# ------------------------------------------------- textrank (no round ckpt)
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i - 1] AS x, t[i] AS y))"
+            )
+        ).alias("pr")
+    ).select(
+        F.least("pr.x", "pr.y").alias("w1"), F.greatest("pr.x", "pr.y").alias("w2")
+    ).filter(F.col("w1") != F.col("w2"))
+    edges = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+        .select("w1", "w2")
+    )
+    direct = edges.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).unionAll(edges.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+    deg = direct.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    direct = direct.localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
+    pr = deg.select("node", F.lit(1000000000).cast("bigint").alias("pr_q"))
+    for _ in range(5):
+        contrib = (
+            direct.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg.select(F.col("node").alias("src"), "d"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("pr_q DIV d")).alias("contrib"))
+        )
+        pr = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000000)
+                    + F.expr("(17 * COALESCE(contrib, 0)) DIV 20")
+                )
+                .cast("bigint")
+                .alias("pr_q"),
+            )
+        )
+    rn = F.row_number().over(Window.orderBy(F.col("pr_q").desc(), "node"))
+    return (
+        pr.withColumn("rn", rn)
+        .filter(F.col("rn") <= 15)
+        .select(
+            F.col("node").alias("keyword"),
+            (F.col("pr_q") / 1000000000.0).alias("textrank"),
+        )
+    )
