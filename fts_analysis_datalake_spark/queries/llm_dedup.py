@@ -1190,18 +1190,37 @@ def q_simhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = corpus.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("t")
     ).select("doc_id", _h52("sh", F.col("t")).alias("h"))
+    # r11: SWAR vote (same as operators/dedup.simhash_table) — bits i
+    # and i+16 share one accumulator with two 32-bit lanes (exact: a
+    # string cell < 2^31 bytes bounds tokens/doc < 2^31, no lane
+    # carry), halving the aggregate width and its codegen unit. The
+    # reconstructed per-bit counts — and therefore every signature —
+    # are bit-identical to the oracle's per-bit SUM form.
+    half = _SH_BITS // 2
     votes = toks.groupBy("doc_id").agg(
         *[
-            F.sum(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)))
+            F.sum(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))
+                + F.shiftleft(
+                    F.shiftrightunsigned(F.col("h"), i + half).bitwiseAND(
+                        F.lit(1)
+                    ),
+                    32,
+                )
+            )
             .cast("bigint")
             .alias(f"b{i}")
-            for i in range(_SH_BITS)
+            for i in range(half)
         ],
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     sig = None
-    for i in range(_SH_BITS):
-        term = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1 << i)).otherwise(0)
+    for i in range(half):
+        lo = F.col(f"b{i}").bitwiseAND(F.lit(0xFFFFFFFF))
+        hi = F.shiftrightunsigned(F.col(f"b{i}"), 32)
+        term = F.when(lo * 2 > F.col("n"), F.lit(1 << i)).otherwise(0) + F.when(
+            hi * 2 > F.col("n"), F.lit(1 << (i + half))
+        ).otherwise(0)
         sig = term if sig is None else sig + term
     sigs = tracked_persist(
         votes.select("doc_id", sig.cast("bigint").alias("sig"))

@@ -903,3 +903,62 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pr_q") / 1000000000.0).alias("textrank"),
         )
     )
+
+
+# ------------------------------------------------------ simhash SWAR vote
+
+
+def _simhash_table_swar(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Bit-vote via 32 two-lane SWAR accumulators (bits i and i+32
+    share one long; each lane is a 32-bit count). Exact: a string
+    cell is < 2^31 bytes, so tokens/doc < 2^31 and a lane can never
+    overflow into its neighbor."""
+    base = ensure_parallelism(df)
+    toks = base.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("t"),
+    )
+    h = F.xxhash64(F.col("t"))
+    # lane pair: bit i in low lane, bit i+32 in high lane
+    sums = [
+        F.sum(
+            F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))
+            + F.shiftleft(
+                F.shiftrightunsigned(h, i + 32).bitwiseAND(F.lit(1)), 32
+            )
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    votes = toks.groupBy(id_col).agg(*sums, F.count(F.lit(1)).alias("n"))
+    sig = None
+    one = F.lit(1).cast("long")
+    for i in range(32):
+        lo = F.col(f"b{i}").bitwiseAND(F.lit(0xFFFFFFFF))
+        hi = F.shiftrightunsigned(F.col(f"b{i}"), 32)
+        t_lo = F.when(lo * 2 > F.col("n"), F.shiftleft(one, i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        t_hi = F.when(hi * 2 > F.col("n"), F.shiftleft(one, i + 32)).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = t_lo.bitwiseOR(t_hi)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    sigs = votes.select(F.col(id_col), sig.alias("simhash"))
+    return (
+        base.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"),
+        )
+    )
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark.operators.dedup import simhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    sim = tracked_persist(_simhash_table_swar(d, "doc_id", "text"))
+    return simhash_candidate_pairs(sim, "doc_id").filter(F.col("hamming") <= 16)
