@@ -962,3 +962,66 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sim = tracked_persist(_simhash_table_swar(d, "doc_id", "text"))
     return simhash_candidate_pairs(sim, "doc_id").filter(F.col("hamming") <= 16)
+
+
+# ------------------------------------------------ minhash shingle reuse
+
+
+def _near_dup_pairs_shared(df, id_col, text_col, threshold=0.8,
+                           num_hashes=32, bands=8, shingle_n=3):
+    from fts_analysis_datalake_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
+        lsh_candidate_pairs,
+        shingle_table,
+        MERSENNE_P,
+        _hash_params,
+    )
+
+    sh = tracked_persist(shingle_table(df, id_col, text_col, shingle_n))
+    x = F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE_P)).alias("x")
+    based = sh.select(F.col(id_col), x)
+    mins = [
+        F.min(F.pmod(F.col("x") * a + b, F.lit(MERSENNE_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes))
+    ]
+    sigs = tracked_persist(
+        based.groupBy(id_col).agg(*mins).select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return exact_jaccard_for_pairs(
+        df, id_col, text_col, cands, shingle_n,
+        elem_rows=sh.withColumnRenamed("shingle", "elem"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return _near_dup_pairs_shared(d, "doc_id", "text", threshold=0.8)
+
+
+def q_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark.operators.graphs import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = tracked_persist(_near_dup_pairs_shared(d, "doc_id", "text", threshold=0.8))
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"), small_finish_rows=2_000_000)
+    cstats = clusters.agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    pstats = pairs.agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    dstats = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        dstats.crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(cstats))
+        .select(
+            "n_docs",
+            "n_dup_pairs",
+            "n_clusters",
+            "n_members",
+            (F.col("n_docs") - F.col("n_members") + F.col("n_clusters")).alias("n_kept"),
+        )
+    )
