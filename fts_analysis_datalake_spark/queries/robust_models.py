@@ -489,12 +489,29 @@ def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("COUNT(*) DIV 1500"),
         ).alias("lc")
     )
+    # r11 (guide §2.5 "blocked pair queries"): candidate cells shrunk
+    # from the oracle's 1-degree grid to 0.1-deg lat x 0.2-deg lon —
+    # still a COMPLETE eps=10 km cover (0.1 deg lat = 11.13 km >
+    # 10.0005 km; 0.2 deg lon >= 14.3 km at lat <= 63 deg), but the
+    # 3x3 neighborhood now fans out ~100x fewer candidate pairs
+    # (9.3M -> ~0.2M at sf0.1; the haversine ran on every one). The
+    # fine grid is CASE-gated on the broadcast lc: completeness of
+    # the 0.2-deg lon cell needs max lat = 40 + lc <= 63, so lc > 23
+    # falls back to the oracle's own 1-degree cells, where engine ==
+    # oracle by construction. Both generators intersect with the
+    # hav <= 10 km filter to the same neighbor set, so the result is
+    # value-identical (A/B --verify row-identical; x0.63).
+    fine = F.col("lc") <= 23
     pts = c.crossJoin(F.broadcast(grid)).select(
         key.alias("k"),
         (40.0 + ((key * 7919) % (F.col("lc") * 100)) / 100.0).alias("lat"),
         (((key * 104729) % (F.col("lc") * 200)) / 100.0).alias("lon"),
-        (40 + F.expr("((c_custkey * 7919) % (lc * 100)) DIV 100")).alias("cl"),
-        F.expr("((c_custkey * 104729) % (lc * 200)) DIV 100").alias("co"),
+        F.when(fine, F.expr("((c_custkey * 7919) % (lc * 100)) DIV 10"))
+        .otherwise(F.expr("((c_custkey * 7919) % (lc * 100)) DIV 100"))
+        .alias("cl"),
+        F.when(fine, F.expr("((c_custkey * 104729) % (lc * 200)) DIV 20"))
+        .otherwise(F.expr("((c_custkey * 104729) % (lc * 200)) DIV 100"))
+        .alias("co"),
     )
     offsets = (
         spark.range(0, 9)
@@ -541,12 +558,14 @@ def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ak", "bk")
         .localCheckpoint(eager=True)
     )
+    # r11: core needs no eager checkpoint of its own — it is a cheap
+    # aggregate over the materialized nbr blocks, and its two semi-join
+    # references below re-read those blocks, not the neighbor join.
     core = (
         nbr.groupBy("ak")
         .agg(F.count(F.lit(1)).alias("deg"))
         .filter(F.col("deg") >= 4)
         .select(F.col("ak").alias("k"))
-        .localCheckpoint(eager=True)
     )
     edges = (
         nbr.join(core.withColumnRenamed("k", "ak"), "ak", "leftsemi")

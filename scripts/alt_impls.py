@@ -1025,3 +1025,101 @@ def q_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - F.col("n_members") + F.col("n_clusters")).alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------- DBSCAN
+# Fine-cell candidate generator: 0.1-deg lat x 0.2-deg lon cells (a
+# complete eps=10km cover while max lat <= 63deg, i.e. lc <= 23 —
+# CASE-gated on the broadcast lc; larger spans fall back to the
+# oracle's own 1-deg cells, where engine == oracle by construction).
+
+
+def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark.operators.graphs import (
+        connected_components_star,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    grid = c.agg(
+        F.greatest(F.lit(1).cast("bigint"), F.expr("COUNT(*) DIV 1500")).alias("lc")
+    )
+    fine = F.col("lc") <= 23
+    pts = c.crossJoin(F.broadcast(grid)).select(
+        key.alias("k"),
+        (40.0 + ((key * 7919) % (F.col("lc") * 100)) / 100.0).alias("lat"),
+        (((key * 104729) % (F.col("lc") * 200)) / 100.0).alias("lon"),
+        F.when(
+            fine, F.expr("((c_custkey * 7919) % (lc * 100)) DIV 10")
+        ).otherwise(F.expr("((c_custkey * 7919) % (lc * 100)) DIV 100")).alias("cl"),
+        F.when(
+            fine, F.expr("((c_custkey * 104729) % (lc * 200)) DIV 20")
+        ).otherwise(F.expr("((c_custkey * 104729) % (lc * 200)) DIV 100")).alias("co"),
+    )
+    offsets = (
+        spark.range(0, 9)
+        .select(
+            (F.col("id") % 3 - 1).cast("int").alias("dlat"),
+            (F.col("id") / 3).cast("int").alias("d3"),
+        )
+        .select("dlat", (F.col("d3") - 1).alias("dlon"))
+    )
+    a = pts.select(
+        F.col("k").alias("ak"),
+        F.col("lat").alias("alat"),
+        F.col("lon").alias("alon"),
+        "cl",
+        "co",
+    ).crossJoin(F.broadcast(offsets))
+    b = pts.select(
+        F.col("k").alias("bk"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.col("cl").alias("bcl"),
+        F.col("co").alias("bco"),
+    )
+    hav = (
+        2.0
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("blat") - F.col("alat")) / 2), 2)
+                + F.cos(F.radians("alat"))
+                * F.cos(F.radians("blat"))
+                * F.pow(F.sin(F.radians(F.col("blon") - F.col("alon")) / 2), 2)
+            )
+        )
+    )
+    nbr = (
+        a.join(
+            b,
+            (F.col("bcl") == F.col("cl") + F.col("dlat"))
+            & (F.col("bco") == F.col("co") + F.col("dlon"))
+            & (F.col("ak") != F.col("bk")),
+        )
+        .filter(F.floor(hav * 1000 + F.lit(0.5)).cast("bigint") <= 10000)
+        .select("ak", "bk")
+        .localCheckpoint(eager=True)
+    )
+    core = (
+        nbr.groupBy("ak")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 4)
+        .select(F.col("ak").alias("k"))
+    )
+    edges = (
+        nbr.join(core.withColumnRenamed("k", "ak"), "ak", "leftsemi")
+        .join(core.withColumnRenamed("k", "bk"), "bk", "leftsemi")
+        .select(F.col("ak").alias("a"), F.col("bk").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    cc = connected_components_star(edges, "a", "b", small_finish_rows=2_000_000)
+    return (
+        cc.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_core"),
+            F.min("node").cast("bigint").alias("min_member"),
+            F.max("node").cast("bigint").alias("max_member"),
+        )
+        .orderBy("cluster_id")
+    )
