@@ -426,17 +426,24 @@ def q_bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # r11 (guide §2.4): the filter is an ACTUAL bit array now — one
+    # 1-row aggregate builds a {_BLOOM_M}-bool mask, broadcast once,
+    # and the three membership probes are O(1) element_at lookups
+    # map-side. Before, each of the 3 hash positions was checked with
+    # its own broadcast hash join — three extra join operators per
+    # probe row for what a Bloom filter does with an array index.
+    # Same bits, same passes (A/B --verify identical; x0.73).
+    mask = bits.agg(F.collect_set("b").alias("bs")).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_M - 1)),
+            lambda i: F.array_contains(F.col("bs"), i),
+        ).alias("mask")
+    )
     probe = li.select(
         "l_suppkey",
         "l_extendedprice",
         *[(_h52(f"bf{i}", F.col("l_suppkey")) % _BLOOM_M).alias(f"p{i}") for i in range(3)],
-    )
-    for i in range(3):
-        probe = probe.join(
-            F.broadcast(bits.select(F.col("b").alias(f"p{i}"), F.lit(1).alias(f"m{i}"))),
-            f"p{i}",
-            "left",
-        )
+    ).crossJoin(F.broadcast(mask))
     probe = probe.join(
         F.broadcast(
             build.select(F.col("s_suppkey").alias("l_suppkey"), F.lit(1).alias("mx"))
@@ -445,7 +452,9 @@ def q_bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     bloom_pass = (
-        F.col("m0").isNotNull() & F.col("m1").isNotNull() & F.col("m2").isNotNull()
+        F.element_at(F.col("mask"), F.col("p0").cast("int") + 1)
+        & F.element_at(F.col("mask"), F.col("p1").cast("int") + 1)
+        & F.element_at(F.col("mask"), F.col("p2").cast("int") + 1)
     )
     exact_pass = F.col("mx").isNotNull()
     n_build = build.count()

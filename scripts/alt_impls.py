@@ -1123,3 +1123,69 @@ def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------- bloom mask
+
+
+def q_bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark.queries.sketches_search import (
+        _BLOOM_M,
+        _BLOOM_NATION_CAP,
+    )
+    from fts_analysis_datalake_spark.functions.deterministic import dsum
+
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = s.filter(F.col("s_nationkey") < _BLOOM_NATION_CAP).select("s_suppkey")
+    bits = build.select(
+        F.explode(
+            F.array(
+                *[
+                    (_h52(f"bf{i}", F.col("s_suppkey")) % _BLOOM_M).alias("b")
+                    for i in range(3)
+                ]
+            )
+        ).alias("b")
+    ).distinct()
+    # one row: 4096-bool mask indexed by bit position
+    mask = bits.agg(F.collect_set("b").alias("bs")).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_M - 1)),
+            lambda i: F.array_contains(F.col("bs"), i),
+        ).alias("mask")
+    )
+    probe = li.select(
+        "l_suppkey",
+        "l_extendedprice",
+        *[
+            (_h52(f"bf{i}", F.col("l_suppkey")) % _BLOOM_M).alias(f"p{i}")
+            for i in range(3)
+        ],
+    ).crossJoin(F.broadcast(mask))
+    probe = probe.join(
+        F.broadcast(
+            build.select(F.col("s_suppkey").alias("l_suppkey"), F.lit(1).alias("mx"))
+        ),
+        "l_suppkey",
+        "left",
+    )
+    bloom_pass = (
+        F.element_at(F.col("mask"), F.col("p0").cast("int") + 1)
+        & F.element_at(F.col("mask"), F.col("p1").cast("int") + 1)
+        & F.element_at(F.col("mask"), F.col("p2").cast("int") + 1)
+    )
+    exact_pass = F.col("mx").isNotNull()
+    n_build = build.count()
+    return probe.agg(
+        F.sum(bloom_pass.cast("long")).alias("n_candidates"),
+        F.sum(exact_pass.cast("long")).alias("n_exact"),
+        F.sum((bloom_pass & ~exact_pass).cast("long")).alias("n_false_pos"),
+        dsum(F.when(exact_pass, F.col("l_extendedprice"))).alias("exact_revenue"),
+    ).select(
+        F.lit(n_build).cast("bigint").alias("n_build_keys"),
+        "n_candidates",
+        "n_exact",
+        "n_false_pos",
+        "exact_revenue",
+    )
