@@ -1646,11 +1646,20 @@ def q_greedy_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path. Reports pick order, marginal gain, and cumulative
     coverage of the shingle universe (1e-4-quantized fraction)."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # r11 (guide §2.4 "a distinct on data that is already unique" —
+    # here, a distinct the CONSUMER re-does): the gated kernel builds
+    # per-doc Python sets, which dedup for free, so the (doc_id, t)
+    # distinct shuffle is skipped entirely on that branch and the raw
+    # explode feeds it directly. The distributed else-branch still
+    # derives the distinct table it needs below. Gating on the RAW
+    # row count only tightens the bound (raw >= distinct), and
+    # universe/gains are dup-insensitive — output identical (A/B
+    # --verify; x0.74).
     dt = tracked_persist(
         d.select(
             "doc_id",
             F.explode(ngrams(tokens(F.col("text")), _COVER_N)).alias("t"),
-        ).distinct()
+        )
     )
     universe = dt.agg(F.countDistinct("t").cast("bigint").alias("n_universe"))
     n_dt = dt.count()
@@ -1687,6 +1696,9 @@ def q_greedy_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnd", "doc_id", F.col("gain").cast("bigint").alias("gain")
         ).localCheckpoint(eager=True)
     else:
+        # The round loop counts gains as distinct-shingle cardinalities
+        # — build the distinct table this branch always used.
+        dt = dt.distinct()
         allp = None
         with fixpoint_confs(spark, enabled=False):
             for i in range(1, _COVER_ROUNDS + 1):

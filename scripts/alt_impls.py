@@ -1189,3 +1189,104 @@ def q_bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_pos",
         "exact_revenue",
     )
+
+
+# ------------------------------------------------------- greedy cover
+
+
+def q_greedy_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark import probe
+    from fts_analysis_datalake_spark.caching import fixpoint_confs
+    from fts_analysis_datalake_spark.queries.llm_curation import (
+        _COVER_GATE,
+        _COVER_N,
+        _COVER_ROUNDS,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # RAW (doc, shingle) rows: the kernel's per-doc sets dedup for
+    # free, so the (doc_id, t) distinct shuffle is skipped entirely
+    # in the gated branch; the distributed else-branch still builds
+    # the distinct table it needs. Gate on the RAW count (>= the
+    # distinct count, so it bounds the kernel's input at least as
+    # tightly).
+    raw = tracked_persist(
+        d.select(
+            "doc_id",
+            F.explode(ngrams(tokens(F.col("text")), _COVER_N)).alias("t"),
+        )
+    )
+    universe = raw.agg(F.countDistinct("t").cast("bigint").alias("n_universe"))
+    n_raw = raw.count()
+    if probe.gate("set_cover", n_raw < _COVER_GATE):
+        rounds = _COVER_ROUNDS
+
+        def greedy(iters):
+            import pandas as pd
+
+            docs: dict[int, set] = {}
+            for pdf in iters:
+                for did, t in zip(pdf["doc_id"], pdf["t"]):
+                    docs.setdefault(int(did), set()).add(t)
+            covered: set = set()
+            out = []
+            for i in range(1, rounds + 1):
+                best_id, best_gain = None, 0
+                for did in sorted(docs):
+                    g = len(docs[did] - covered)
+                    if g > best_gain:
+                        best_id, best_gain = did, g
+                if best_id is None:
+                    break
+                covered |= docs[best_id]
+                out.append((i, best_id, best_gain))
+            yield pd.DataFrame(out, columns=["rnd", "doc_id", "gain"])
+
+        allp = raw.repartition(1).mapInPandas(
+            greedy, "rnd int, doc_id bigint, gain bigint"
+        )
+        allp = allp.select(
+            "rnd", "doc_id", F.col("gain").cast("bigint").alias("gain")
+        ).localCheckpoint(eager=True)
+    else:
+        dt = raw.distinct()
+        allp = None
+        with fixpoint_confs(spark, enabled=False):
+            for i in range(1, _COVER_ROUNDS + 1):
+                if allp is None:
+                    uncov = dt
+                else:
+                    covered = dt.join(
+                        F.broadcast(allp.select("doc_id")), "doc_id", "leftsemi"
+                    ).select("t")
+                    uncov = dt.join(F.broadcast(covered), "t", "left_anti")
+                pick = (
+                    uncov.groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+                    .orderBy(F.desc("gain"), "doc_id")
+                    .limit(1)
+                    .select(F.lit(i).cast("int").alias("rnd"), "doc_id", "gain")
+                )
+                allp = (
+                    pick if allp is None else allp.unionAll(pick)
+                ).localCheckpoint(eager=True)
+    cum_w = Window.orderBy("rnd")
+    return (
+        allp.crossJoin(F.broadcast(universe))
+        .select(
+            F.col("rnd").cast("int").alias("round"),
+            "doc_id",
+            "gain",
+            F.sum("gain").over(cum_w).cast("bigint").alias("covered_cum"),
+            (
+                F.floor(
+                    F.sum("gain").over(cum_w).cast("double")
+                    / F.col("n_universe")
+                    * 10000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 10000.0
+            ).alias("covered_frac"),
+        )
+        .orderBy("round")
+    )
