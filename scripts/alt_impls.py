@@ -1290,3 +1290,171 @@ def q_greedy_cover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+# ------------------------------------------------------------------- RANSAC
+
+
+def q_ransac_price_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate: drop the persist. The sample pass is the ONLY consumer
+    of the md5 draw; the scoring pass needs just (x, y). Two pruned
+    parquet scans (one with md5 for the top-128, one 2-int-column scan
+    for the broadcast-lines pass) are cheaper than materializing a
+    600k-row cache with a 32-char hash column and reading it back
+    (guide §5: cache only when recompute costs more than the persist)."""
+    from fts_analysis_datalake_spark.queries.robust_models import _RS_TOL, _RS_TRIALS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    hpts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        cents.alias("y"),
+        F.md5(
+            F.concat_ws(
+                "|", "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", cents
+            )
+        ).alias("h"),
+    )
+    pts = li.select(F.col("l_quantity").cast("bigint").alias("x"), cents.alias("y"))
+    samp = (
+        hpts.orderBy("h", "x", "y")
+        .limit(2 * _RS_TRIALS)
+        .select(
+            "x", "y", F.row_number().over(Window.orderBy("h", "x", "y")).alias("r")
+        )
+    )
+    a = samp.select(F.col("r").alias("t"), F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = samp.select(
+        (F.col("r") - _RS_TRIALS).alias("t"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    lines = (
+        a.join(b, "t")
+        .filter(F.col("x2") != F.col("x1"))
+        .select(
+            "t",
+            "x1",
+            "y1",
+            (F.col("x2") - F.col("x1")).alias("dx"),
+            (F.col("y2") - F.col("y1")).alias("dy"),
+        )
+    )
+    slim = lines.select(
+        "t",
+        "dx",
+        "dy",
+        (F.col("y1") * F.col("dx") - F.col("x1") * F.col("dy")).alias("c0"),
+        (F.lit(_RS_TOL) * F.abs(F.col("dx"))).alias("bound"),
+    )
+    resid = F.abs(F.col("y") * F.col("dx") - F.col("x") * F.col("dy") - F.col("c0"))
+    scored = (
+        pts.crossJoin(F.broadcast(slim))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(resid <= F.col("bound"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        )
+        .join(F.broadcast(lines), "t")
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("n_inliers").desc(), "t")),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("t").cast("bigint").alias("trial"),
+        "n_points",
+        "n_inliers",
+        (
+            F.floor(
+                F.col("n_inliers").cast("double") / F.col("n_points") * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("inlier_frac"),
+        F.col("dy").cast("bigint").alias("slope_num"),
+        F.col("dx").cast("bigint").alias("slope_den"),
+        F.col("x1").cast("bigint").alias("x1"),
+        F.col("y1").cast("bigint").alias("y1"),
+    )
+
+
+# ------------------------------------------------------- RLE audit
+
+
+def q_rle_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate: keep the one-window-pass plan, but split the 6 exact
+    countDistincts out of the lagged aggregate: the multi-distinct
+    Expand then multiplies the RAW 6-column scan, not the window's
+    12-column output (and the run-count agg over the window output
+    stays Expand-free). Two 1-row aggregates meet in a broadcast
+    crossJoin."""
+    from fts_analysis_datalake_spark.queries.lakehouse_ops import _RLE_COLS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    order_cols = [
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_suppkey"),
+        F.col("l_partkey"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+        F.col("l_quantity"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.col("l_shipdate"),
+    ]
+    w = Window.partitionBy("l_orderkey").orderBy(*order_cols)
+    lagged = li.select(
+        *[F.col(c) for c, _ in _RLE_COLS],
+        *[F.lag(c).over(w).alias(f"p_{c}") for c, _ in _RLE_COLS],
+    )
+    agg_exprs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c, _width in _RLE_COLS:
+        is_break = F.when(
+            F.col(f"p_{c}").isNull() | ~F.col(f"p_{c}").eqNullSafe(F.col(c)),
+            1,
+        ).otherwise(0)
+        agg_exprs.append(F.sum(is_break).cast("bigint").alias(f"runs_{c}"))
+    runs = lagged.agg(*agg_exprs)
+    nd = li.agg(
+        *[F.countDistinct(c).cast("bigint").alias(f"nd_{c}") for c, _ in _RLE_COLS]
+    )
+    one = runs.crossJoin(F.broadcast(nd))
+    all_cols = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"runs_{c}").alias("n_runs"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                        (F.lit(width).cast("bigint") * F.col("n_rows"))
+                        .cast("bigint")
+                        .alias("plain_bits"),
+                        (F.col(f"runs_{c}") * F.lit(width + 32))
+                        .cast("bigint")
+                        .alias("rle_bits"),
+                    )
+                    for c, width in _RLE_COLS
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return all_cols.select(
+        "col_name",
+        "n_rows",
+        "n_runs",
+        "n_distinct",
+        "plain_bits",
+        "rle_bits",
+        (
+            F.floor(
+                F.col("rle_bits").cast("double") / F.col("plain_bits") * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("rle_ratio"),
+    ).orderBy("col_name")
