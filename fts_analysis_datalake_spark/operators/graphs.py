@@ -515,6 +515,19 @@ def connected_components_star(
         .localCheckpoint()
     )
 
+    if small_finish_rows is not None:
+        # Fast path (r11): if the CANONICAL edge set already fits the
+        # one-task finisher, skip seed contraction outright — the seed
+        # pass costs two checkpointed shuffle subtrees plus a
+        # fingerprint job, pure per-job scheduling floor on a graph the
+        # union-find kernel finishes in one bounded task anyway. The
+        # count is one cheap job over the already-checkpointed blocks.
+        # Output is identical: the kernel emits (node, comp=component
+        # min) for exactly the edge-incident nodes, the same contract
+        # expand(memb) reconstructs on the contracted path.
+        if probe.gate("cc_star", edges0.count() <= small_finish_rows):
+            return _union_find_one_task(edges0)
+
     def sym_of(e: DataFrame) -> DataFrame:
         return e.select("u", "v").union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
