@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fts_analysis_datalake_spark import probe
 from fts_analysis_datalake_spark.caching import tracked_persist
 from fts_analysis_datalake_spark.catalog import ensure_parallelism, load_table
 from fts_analysis_datalake_spark.functions.deterministic import dcorr, sql_dcorr
@@ -3683,6 +3684,12 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LOF_K = 5
 _LOF_LRD = 5_000_000  # lrd scale: k * 1e6 (bounds the lof numerator in int64)
 _LOF_TOPK = 15
+# Kernel gates (patchable; tests force the distributed branch): the
+# single-task kernel allocates chunked n_series x n_series distance
+# blocks, so both the TOTAL profile-point count and the largest single
+# series must be bounded before routing to it.
+_LOF_KERNEL_PTS = 200_000
+_LOF_KERNEL_SERIES = 8_192
 
 
 @query(
@@ -3739,75 +3746,152 @@ def q_lof_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     are per-SERIES (hours_per_series^2, never corpus^2 — the
     per-group k-NN contract), one window for the k-NN cut, two
     broadcast-sized joins for kdist/lrd lookups. Top-15 anomalies
-    with deterministic (lof desc, series, hour) order."""
+    with deterministic (lof desc, series, hour) order.
+
+    r11: the (et, hour) profile is DOMAIN-sized (series x hours), so
+    the per-series k-NN + lrd + lof algebra runs in ONE bounded Arrow
+    task when the gates admit it (chunked |x_a - x_b| blocks, stable
+    argsort = the window's (d, hb) order since columns are pre-sorted
+    by hour) — replacing a pair-expansion join, a 2.6M-row window and
+    three keyed joins with a single small task. The distributed
+    pipeline below stays the 100 TB else-branch; forced
+    branch-equivalence is tested (integer-exact). Hours ride as epoch
+    seconds (unix_timestamp is monotonic, so every ordering and join
+    key is unchanged)."""
     e = load_table(spark, sf_dir, "events")
-    pts = e.groupBy(
-        F.col("event_type").alias("et"), F.date_trunc("hour", "ts").alias("h")
-    ).agg(
-        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
-            "x"
-        )
-    )
-    a = pts.select("et", F.col("h").alias("ha"), F.col("x").alias("xa"))
-    b = pts.select("et", F.col("h").alias("hb"), F.col("x").alias("xb"))
-    pairs = (
-        a.join(b, "et")
-        .filter(F.col("ha") != F.col("hb"))
-        .select("et", "ha", "hb", F.abs(F.col("xa") - F.col("xb")).alias("d"))
-    )
-    wk = Window.partitionBy("et", "ha").orderBy("d", "hb")
-    k5 = (
-        pairs.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= _LOF_K)
-        .select("et", "ha", "hb", "d")
-        .localCheckpoint(eager=True)
-    )
-    kdist = k5.groupBy("et", "ha").agg(F.max("d").alias("kd")).select(
-        F.col("et").alias("kb_et"), F.col("ha").alias("kb_h"), "kd"
-    )
-    reach = k5.join(
-        kdist,
-        (F.col("kb_et") == F.col("et")) & (F.col("kb_h") == F.col("hb")),
-    ).select("et", "ha", F.greatest(F.col("d"), F.col("kd")).alias("r"))
-    lrd = reach.groupBy("et", "ha").agg(
-        F.expr(
-            f"CAST({_LOF_LRD} AS BIGINT) div greatest(sum(r), 1)"
-        ).alias("lrd")
-    )
-    ln = lrd.select(
-        F.col("et").alias("n_et"), F.col("ha").alias("n_h"),
-        F.col("lrd").alias("lrd_n"),
-    )
-    la = lrd.select(
-        F.col("et").alias("a_et"), F.col("ha").alias("a_h"),
-        F.col("lrd").alias("lrd_a"),
-    )
-    lof = (
-        k5.join(
-            ln, (F.col("n_et") == F.col("et")) & (F.col("n_h") == F.col("hb"))
-        )
-        .join(
-            la, (F.col("a_et") == F.col("et")) & (F.col("a_h") == F.col("ha"))
-        )
-        .groupBy("et", "ha", "lrd_a")
-        .agg(
-            F.expr(
-                f"CAST(1000000000 AS BIGINT) * sum(lrd_n)"
-                f" div ({_LOF_K} * greatest(lrd_a, 1))"
+    pts = tracked_persist(
+        e.groupBy(
+            F.col("event_type").alias("et"),
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hs"),
+        ).agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "x"
             )
-            .cast("bigint")
-            .alias("lof_q")
         )
     )
+    sizes = pts.groupBy("et").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.sum("c").alias("n"), F.max("c").alias("m")
+    ).first()
+    n_pts, max_series = int(sizes["n"] or 0), int(sizes["m"] or 0)
+    if probe.gate(
+        "lof_kernel",
+        0 < n_pts <= _LOF_KERNEL_PTS and max_series <= _LOF_KERNEL_SERIES,
+    ):
+        kk, lrd_scale, chunk = _LOF_K, _LOF_LRD, 1024
+
+        def lof_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            et_all = allp["et"].to_numpy()
+            hs_all = allp["hs"].to_numpy(dtype=np.int64)
+            x_all = allp["x"].to_numpy(dtype=np.int64)
+            out = []
+            sentinel = np.iinfo(np.int64).max
+            for g in np.unique(et_all):
+                m = et_all == g
+                gh, gx = hs_all[m], x_all[m]
+                n = len(gh)
+                if n < 2:
+                    continue
+                o = np.argsort(gh)  # column order = hb order -> stable
+                gh, gx = gh[o], gx[o]  # argsort below ties on hb exactly
+                k = min(kk, n - 1)
+                idx_parts, dnb_parts = [], []
+                for s in range(0, n, chunk):
+                    dc = np.abs(gx[s : s + chunk, None] - gx[None, :])
+                    for i in range(dc.shape[0]):
+                        dc[i, s + i] = sentinel  # exclude self
+                    ic = np.argsort(dc, axis=1, kind="stable")[:, :k]
+                    idx_parts.append(ic)
+                    dnb_parts.append(np.take_along_axis(dc, ic, axis=1))
+                idx = np.vstack(idx_parts)  # (n, k) neighbors by (d, hb)
+                dnb = np.vstack(dnb_parts)  # their distances
+                kd = dnb[:, -1]  # k-distance per point
+                reach = np.maximum(dnb, kd[idx])
+                lrd = lrd_scale // np.maximum(reach.sum(axis=1), 1)
+                lof_q = (10**9 * lrd[idx].sum(axis=1)) // (
+                    kk * np.maximum(lrd, 1)
+                )
+                out.append(
+                    pd.DataFrame({"et": g, "hs": gh, "lof_q": lof_q})
+                )
+            if out:
+                yield pd.concat(out)
+
+        lof = pts.repartition(1).mapInPandas(
+            lof_kernel, "et string, hs bigint, lof_q bigint"
+        )
+    else:
+        a = pts.select("et", F.col("hs").alias("ha"), F.col("x").alias("xa"))
+        b = pts.select("et", F.col("hs").alias("hb"), F.col("x").alias("xb"))
+        pairs = (
+            a.join(b, "et")
+            .filter(F.col("ha") != F.col("hb"))
+            .select(
+                "et", "ha", "hb", F.abs(F.col("xa") - F.col("xb")).alias("d")
+            )
+        )
+        wk = Window.partitionBy("et", "ha").orderBy("d", "hb")
+        k5 = (
+            pairs.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= _LOF_K)
+            .select("et", "ha", "hb", "d")
+            .localCheckpoint(eager=True)
+        )
+        kdist = k5.groupBy("et", "ha").agg(F.max("d").alias("kd")).select(
+            F.col("et").alias("kb_et"), F.col("ha").alias("kb_h"), "kd"
+        )
+        reach = k5.join(
+            kdist,
+            (F.col("kb_et") == F.col("et")) & (F.col("kb_h") == F.col("hb")),
+        ).select("et", "ha", F.greatest(F.col("d"), F.col("kd")).alias("r"))
+        lrd = reach.groupBy("et", "ha").agg(
+            F.expr(
+                f"CAST({_LOF_LRD} AS BIGINT) div greatest(sum(r), 1)"
+            ).alias("lrd")
+        )
+        ln = lrd.select(
+            F.col("et").alias("n_et"), F.col("ha").alias("n_h"),
+            F.col("lrd").alias("lrd_n"),
+        )
+        la = lrd.select(
+            F.col("et").alias("a_et"), F.col("ha").alias("a_h"),
+            F.col("lrd").alias("lrd_a"),
+        )
+        lof = (
+            k5.join(
+                ln,
+                (F.col("n_et") == F.col("et")) & (F.col("n_h") == F.col("hb")),
+            )
+            .join(
+                la,
+                (F.col("a_et") == F.col("et")) & (F.col("a_h") == F.col("ha")),
+            )
+            .groupBy("et", "ha", "lrd_a")
+            .agg(
+                F.expr(
+                    f"CAST(1000000000 AS BIGINT) * sum(lrd_n)"
+                    f" div ({_LOF_K} * greatest(lrd_a, 1))"
+                )
+                .cast("bigint")
+                .alias("lof_q")
+            )
+            .select("et", F.col("ha").alias("hs"), "lof_q")
+        )
     return (
         lof.select(
             F.col("et").alias("event_type"),
-            F.unix_timestamp("ha").alias("hour_s"),
+            F.col("hs").alias("hour_s"),
             (F.col("lof_q") / 1000000000.0).alias("lof"),
             "lof_q",
-            "ha",
+            "hs",
         )
-        .orderBy(F.desc("lof_q"), "event_type", "ha")
+        .orderBy(F.desc("lof_q"), "event_type", "hs")
         .limit(_LOF_TOPK)
         .select("event_type", "hour_s", "lof")
     )

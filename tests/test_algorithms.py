@@ -610,6 +610,7 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         llm_curation,
         llm_text,
         llm_vectors,
+        stats_models,
     )
     from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
 
@@ -637,6 +638,11 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         ("q_functional_graph_rho", joins_sets, "_FG_GATE"),
         # r10: single-task Brandes replay vs the 5-join level pipeline
         ("q_betweenness_centrality", joins_sets, "_BC_NODE_GATE"),
+        # r11: single-task per-series LOF kernel vs the pair-join +
+        # window + keyed-joins pipeline (integer-exact lof_q; the
+        # emitted lof double is one division of it in both branches)
+        ("q_lof_hourly_anomalies", stats_models, "_LOF_KERNEL_PTS"),
+        ("q_lof_hourly_anomalies", stats_models, "_LOF_KERNEL_SERIES"),
     ]
     for name, mod, gate in cases:
         kernel = sorted(

@@ -98,6 +98,9 @@ PYTHON_SURFACE = {
     "q_betweenness_centrality",  # E340 node-gated Brandes replay over
     # the collected degree-bounded backbone; the 5-join level pipeline
     # is the else-branch
+    "q_lof_hourly_anomalies",  # E317 count-gated per-series 1-D k-NN
+    # + lrd/lof integer algebra in one bounded task (r11); the
+    # pair-join + window + three keyed joins stay the else-branch
 }
 
 ALL_QUERIES = sorted(REGISTRY)
