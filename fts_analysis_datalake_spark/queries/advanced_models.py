@@ -2203,44 +2203,51 @@ def q_stable_matching_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size domain state."""
     import pandas as pd
 
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    inter = (
-        li.select(
-            "l_orderkey",
-            F.col("l_suppkey").alias("sk"),
-            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("cents"),
-        )
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("sk", F.col("o_custkey").alias("ck"))
-        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    # r11: no corpus-sized (sk, ck) interaction materialization — at
+    # sf0.1 that groupBy barely reduced lineitem (587k rows persisted
+    # to feed two top-8 panels and an 8x8 matrix). Supplier totals are
+    # a straight lineitem aggregate (each line belongs to exactly one
+    # customer, so the ck-marginal is the plain sk sum); customer
+    # totals aggregate per-order cents BEFORE the orders join (guide
+    # §2.3 aggregate-before-shuffle); the panel's own interactions come
+    # from broadcast-semi-pruned lineitem x orders (hundreds of rows).
+    # Every sum is BIGINT — grouping order cannot change a value.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("sk"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
     )
-    inter = tracked_persist(inter)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("ck")
+    )
     sup = (
-        inter.groupBy("sk")
-        .agg(F.sum("cents").alias("tot"))
+        li.groupBy("sk")
+        .agg(F.sum("cents").cast("bigint").alias("tot"))
         .orderBy(F.col("tot").desc(), "sk")
         .limit(_GS_N)
         .select("sk", F.row_number().over(
             Window.orderBy(F.col("tot").desc(), "sk")).alias("si"))
     )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("cents").cast("bigint").alias("ocents")
+    )
     cus = (
-        inter.groupBy("ck")
-        .agg(F.sum("cents").alias("tot"))
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("ck")
+        .agg(F.sum("ocents").cast("bigint").alias("tot"))
         .orderBy(F.col("tot").desc(), "ck")
         .limit(_GS_N)
         .select("ck", F.row_number().over(
             Window.orderBy(F.col("tot").desc(), "ck")).alias("ci"))
     )
-    # Filter the interaction table to panel keys BEFORE broadcasting:
-    # inter is corpus-sized (every supplier x customer pair that ever
-    # traded) — broadcasting it whole is a 100 TB bug; after the two
-    # panel semijoins it is <= {n}^2 rows.
+    pan_o = o.join(F.broadcast(cus.select("ck")), "ck")
     pan_inter = (
-        inter.join(F.broadcast(sup.select("sk")), "sk")
-        .join(F.broadcast(cus.select("ck")), "ck")
+        li.join(F.broadcast(sup.select("sk")), "sk")
+        .join(F.broadcast(pan_o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("sk", "ck")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
     )
     mat = (
         sup.crossJoin(cus)

@@ -1458,3 +1458,137 @@ def q_rle_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("rle_ratio"),
     ).orderBy("col_name")
+
+
+# -------------------------------------------------------- stable matching
+
+
+def q_stable_matching_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate: kill the corpus-sized (sk, ck) interaction persist
+    (587k rows at sf0.1 — the groupBy barely reduces lineitem).
+    Supplier totals are a straight lineitem aggregate (every line
+    belongs to exactly one customer, so the ck-marginal is the plain
+    sk sum); customer totals aggregate per-order cents BEFORE the
+    orders join (guide §2.3); the 8x8 panel interactions come from
+    broadcast-semi-pruned lineitem x orders (hundreds of rows). All
+    sums are BIGINT - grouping order cannot change them."""
+    import pandas as pd
+
+    from fts_analysis_datalake_spark.queries.advanced_models import _GS_N
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("sk"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("ck")
+    )
+    sup = (
+        li.groupBy("sk")
+        .agg(F.sum("cents").cast("bigint").alias("tot"))
+        .orderBy(F.col("tot").desc(), "sk")
+        .limit(_GS_N)
+        .select("sk", F.row_number().over(
+            Window.orderBy(F.col("tot").desc(), "sk")).alias("si"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("cents").cast("bigint").alias("ocents")
+    )
+    cus = (
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("ck")
+        .agg(F.sum("ocents").cast("bigint").alias("tot"))
+        .orderBy(F.col("tot").desc(), "ck")
+        .limit(_GS_N)
+        .select("ck", F.row_number().over(
+            Window.orderBy(F.col("tot").desc(), "ck")).alias("ci"))
+    )
+    pan_o = o.join(F.broadcast(cus.select("ck")), "ck")
+    pan_inter = (
+        li.join(F.broadcast(sup.select("sk")), "sk")
+        .join(F.broadcast(pan_o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("sk", "ck")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    mat = (
+        sup.crossJoin(cus)
+        .join(F.broadcast(pan_inter), ["sk", "ck"], "left")
+        .select(
+            "si",
+            "ci",
+            "sk",
+            "ck",
+            F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents"),
+        )
+    )
+    from fts_analysis_datalake_spark.queries.advanced_models import (
+        q_stable_matching_panel as _orig,
+    )
+
+    # reuse the registry kernel tail by replicating it verbatim
+    def gale_shapley(batches):
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                (int(si), int(ci), int(sk), int(ck), int(c))
+                for si, ci, sk, ck, c in zip(
+                    pdf["si"], pdf["ci"], pdf["sk"], pdf["ck"], pdf["cents"]
+                )
+            )
+        if not rows:
+            return
+        cents = {}
+        keys = {}
+        for si, ci, sk, ck, c in rows:
+            cents[(si, ci)] = c
+            keys[(si, ci)] = (sk, ck)
+        ns = max(si for si, _ in cents)
+        nc = max(ci for _, ci in cents)
+        prefs = {
+            si: sorted(
+                range(1, nc + 1), key=lambda ci: (-cents[(si, ci)], ci)
+            )
+            for si in range(1, ns + 1)
+        }
+        nxt = {si: 0 for si in range(1, ns + 1)}
+        cur = {ci: 0 for ci in range(1, nc + 1)}
+        steps = 0
+        while True:
+            free = [
+                si
+                for si in range(1, ns + 1)
+                if si not in cur.values() and nxt[si] < nc
+            ]
+            if not free:
+                break
+            s = min(free)
+            c = prefs[s][nxt[s]]
+            nxt[s] += 1
+            steps += 1
+            v = cur[c]
+            if v == 0:
+                cur[c] = s
+            elif cents[(s, c)] > cents[(v, c)] or (
+                cents[(s, c)] == cents[(v, c)] and s < v
+            ):
+                cur[c] = s
+        out = []
+        for ci in range(1, nc + 1):
+            s = cur[ci]
+            if s == 0:
+                continue
+            sk, ck = keys[(s, ci)]
+            out.append((s, sk, ck, cents[(s, ci)], steps))
+        out.sort()
+        yield pd.DataFrame(
+            [(sk, ck, c, st) for _, sk, ck, c, st in out],
+            columns=["s_suppkey", "c_custkey", "cents", "n_proposals"],
+        )
+
+    return mat.repartition(1).mapInPandas(
+        gale_shapley,
+        "s_suppkey bigint, c_custkey bigint, cents bigint, n_proposals bigint",
+    )
