@@ -212,11 +212,11 @@ def pagerank(
             yield pd.DataFrame({"node": uniq, "rank": r})
 
         out_type = dict(sym.dtypes)["a"]
-        return (
-            sym.repartition(1)
-            .mapInPandas(pr, f"node {out_type}, rank double")
-            .localCheckpoint(eager=True)
-        )
+        # No trailing checkpoint (r11): every caller references the
+        # rank table exactly once, so the eager materialization job
+        # bought nothing — the consumer's own action runs the kernel
+        # directly (single-reference loop discipline, r6 lesson).
+        return sym.repartition(1).mapInPandas(pr, f"node {out_type}, rank double")
 
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     # Hoist the loop-invariant degree join OUT of the iteration: the
