@@ -1592,3 +1592,80 @@ def q_stable_matching_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         gale_shapley,
         "s_suppkey bigint, c_custkey bigint, cents bigint, n_proposals bigint",
     )
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate: persist the exploded md5-bucket token stream (it fed
+    raw, tgt AND docw as three separate subtree executions) and fuse
+    the raw/target histograms into ONE conditional aggregate — the
+    64-row left join disappears; ct = conditional count reproduces the
+    join's COALESCE(ct, 0) exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tracked_persist(
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(tokens(normalize_text(F.col("text")))).alias("tok"),
+        ).select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+                % 64
+            ).alias("bucket"),
+        )
+    )
+    hist = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("ct"),
+    )
+    masses = hist.agg(
+        F.sum("cr").cast("bigint").alias("tot_r"),
+        F.sum("ct").cast("bigint").alias("tot_t"),
+    )
+    weights = hist.crossJoin(F.broadcast(masses)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("tot_t") + 64))
+                - F.log((F.col("cr") + 1.0) / (F.col("tot_r") + 64))
+            )
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    docw = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w_q").cast("bigint").alias("dw_q"),
+        )
+    )
+    ranked = docw.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("dw_q DIV n_tokens").alias("avg_q"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("avg_q").desc(), "doc_id")),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 20)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("avg_q").cast("bigint") / 1000000000.0).alias(
+                "importance_logratio"
+            ),
+        )
+        .orderBy("rn")
+    )
