@@ -1669,3 +1669,141 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+# ----------------------------------------------------------- naive Bayes
+
+
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate: persist the exploded token stream (it fed counts,
+    vocab, n_train, priors and the test side as separate subtree
+    executions) and derive the small scalars from the aggregates
+    already built: vocab = distinct tok over the (lang, tok) counts
+    table; n_train = sum of per-lang distinct-doc counts (each doc has
+    exactly one lang). Three cache reads replace ~6 corpus passes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 5 < 4).alias("is_train"),
+        F.explode(tokens(normalize_text(F.col("text")))).alias("tok"),
+    )
+    train = toks.filter("is_train")
+    counts = train.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tot"))
+    vocab = counts.agg(F.countDistinct("tok").alias("v"))
+    pl = train.groupBy("lang").agg(F.countDistinct("doc_id").alias("nd"))
+    n_train = pl.agg(F.sum("nd").alias("n_train"))
+    priors = pl.crossJoin(F.broadcast(n_train)).select(
+        "lang",
+        F.floor(
+            F.log(F.col("nd").cast("double") / F.col("n_train"))
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("prior_q"),
+    )
+    test_toks = toks.filter(~F.col("is_train")).select(
+        "doc_id", F.col("lang").alias("true_lang"), "tok"
+    )
+    scored = (
+        test_toks.crossJoin(
+            F.broadcast(totals.select(F.col("lang").alias("cand"), "tot"))
+        )
+        .join(
+            F.broadcast(
+                counts.select(F.col("lang").alias("cand"), "tok", "c")
+            ),
+            ["cand", "tok"],
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                        / (F.col("tot") + F.col("v"))
+                    )
+                    * 1000000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("like_q")
+        )
+    )
+    best = scored.join(
+        F.broadcast(priors.select(F.col("lang").alias("cand"), "prior_q")), "cand"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                (F.col("like_q") + F.col("prior_q")).desc(), "cand"
+            )
+        ),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+# -------------------------------------------------- feature-hashed vectors
+
+
+def q_feature_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate: bind the l2 norm ONCE per row via the array-binding
+    trick (HOF lambdas have no CSE, so the original's unit_vec
+    re-evaluated the 64-element norm fold per ELEMENT — 64 folds/row
+    of interpreted expression evals)."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token")
+    )
+    h = F.xxhash64("token")
+    cells = tok.select(
+        "doc_id",
+        F.pmod(h, F.lit(64)).cast("int").alias("bucket"),
+        F.when(F.pmod(h, F.lit(2)) == 0, 1).otherwise(-1).alias("sign"),
+    ).groupBy("doc_id", "bucket").agg(F.sum("sign").alias("w"))
+    vec = (
+        cells.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "w"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("int")), F.lit(0).cast("long")
+                ).cast("double"),
+            ).alias("vec"),
+        )
+    )
+    nrm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x))
+    packed = F.element_at(
+        F.transform(
+            F.array(nrm),
+            lambda n: F.struct(
+                n.alias("l2_norm"),
+                F.transform(
+                    "vec", lambda x: x / F.greatest(n, F.lit(1e-12))
+                ).alias("unit_vec"),
+            ),
+        ),
+        1,
+    )
+    return vec.select(
+        "doc_id",
+        F.size(F.filter("vec", lambda x: x != 0)).alias("nnz"),
+        packed["l2_norm"].alias("l2_norm"),
+        packed["unit_vec"].alias("unit_vec"),
+    )
