@@ -13,7 +13,7 @@ oracle-checked on blocked candidate pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fts_analysis_datalake_spark.caching import tracked_persist
@@ -1082,17 +1082,20 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.array_distinct(ngrams(tokens(F.col("text")), 3))).alias("s"),
     )
-    ex = tracked_persist(sh)
-    df_tbl = ex.groupBy("s").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("docs")
+    # r11: (doc, shingle) rows are DISTINCT by construction
+    # (array_distinct explode), so docs-per-shingle is a plain count —
+    # and the df-build + join-back collapses into ONE count window
+    # over the shingle key (one exchange instead of persist + agg
+    # exchange + join-back; measured x0.49).
+    wdf = Window.partitionBy("s")
+    flagged = sh.select(
+        "doc_id",
+        "source",
+        (F.count(F.lit(1)).over(wdf) >= 2).cast("bigint").alias("is_dup"),
     )
-    per_doc = (
-        ex.join(df_tbl, "s")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum((F.col("docs") >= 2).cast("bigint")).cast("bigint").alias("n_dup"),
-        )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("is_dup").cast("bigint").alias("n_dup"),
     )
     return (
         per_doc.groupBy("source")

@@ -1807,3 +1807,49 @@ def q_feature_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed["l2_norm"].alias("l2_norm"),
         packed["unit_vec"].alias("unit_vec"),
     )
+
+
+# ---------------------------------------------------- dup n-gram coverage
+
+
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate: (doc, shingle) rows are DISTINCT by construction
+    (array_distinct explode), so docs-per-shingle is a plain count —
+    and the df-build + join-back collapses into ONE count window over
+    the shingle key (one exchange instead of persist + agg exchange +
+    join). No persist needed: the lineage runs once."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(ngrams(tokens(F.col("text")), 3))).alias("s"),
+    )
+    wdf = Window.partitionBy("s")
+    flagged = sh.select(
+        "doc_id",
+        "source",
+        (F.count(F.lit(1)).over(wdf) >= 2).cast("bigint").alias("is_dup"),
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("is_dup").cast("bigint").alias("n_dup"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_dup").cast("bigint").alias("dup_shingles"),
+            F.sum("n_shingles").cast("bigint").alias("total_shingles"),
+            (
+                F.floor(
+                    F.sum("n_dup").cast("double") / F.sum("n_shingles") * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1000000.0
+            ).alias("dup_coverage"),
+            F.sum((F.col("n_dup") * 2 > F.col("n_shingles")).cast("bigint"))
+            .cast("bigint")
+            .alias("docs_majority_dup"),
+        )
+        .orderBy("source")
+    )
