@@ -5837,11 +5837,20 @@ def q_friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     r = tracked_persist(r)
-    nb = full_days.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    sq = r.agg(F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("ssq"))
+    # r11: ONE fused scalar aggregate over the ranked frame replaces
+    # three separate 1-row probes (n = countDistinct(d) over r equals
+    # the full-day count — every full day contributes exactly k rows;
+    # k = countDistinct(t) over r equals daily's when any full day
+    # exists, and both paths emit empty output when none does). Fewer
+    # 1-row broadcast jobs on identical integer algebra (x0.82).
+    scal = r.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("ssq"),
+        F.countDistinct("d").cast("bigint").alias("n"),
+        F.countDistinct("t").cast("bigint").alias("k"),
+    )
     grp = r.groupBy("t").agg(F.sum("r2").cast("bigint").alias("rs2"))
     grp = tracked_persist(grp)
-    dev = grp.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(kk)).select(
+    dev = grp.crossJoin(F.broadcast(scal)).select(
         (
             (F.col("rs2") - F.col("n") * (F.col("k") + 1))
             * (F.col("rs2") - F.col("n") * (F.col("k") + 1))
@@ -5849,9 +5858,7 @@ def q_friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = dev.agg(F.sum("dd").cast("bigint").alias("sdev"))
     stat = (
-        nb.crossJoin(F.broadcast(kk))
-        .crossJoin(F.broadcast(sq))
-        .crossJoin(F.broadcast(num))
+        scal.crossJoin(F.broadcast(num))
         .select(
             "n",
             "k",
@@ -6559,7 +6566,14 @@ def q_page_trend_daily_types(
         .alias("r2"),
     )
     r = tracked_persist(r)
-    nb = full_days.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # r11: same fused-scalar move as q_friedman_daily_types — n and k
+    # come from ONE aggregate over the ranked frame (n =
+    # countDistinct(d) == the full-day count, k = countDistinct(t);
+    # both paths emit empty output when no full day exists).
+    scal = r.agg(
+        F.countDistinct("d").cast("bigint").alias("n"),
+        F.countDistinct("t").cast("bigint").alias("k"),
+    )
     wi = Window.orderBy("t")
     idx = (
         r.select("t")
@@ -6593,8 +6607,7 @@ def q_page_trend_daily_types(
         F.lit(0.0),
     )
     stat = (
-        l2.crossJoin(F.broadcast(nb))
-        .crossJoin(F.broadcast(kk))
+        l2.crossJoin(F.broadcast(scal))
         .select("lx2", "n", "k", zz.alias("zz"))
     )
     return (

@@ -1853,3 +1853,99 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------- Friedman
+
+
+def q_friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate: fuse the scalar probes — n (block count) and ssq come
+    from ONE aggregate over the ranked frame (n = countDistinct(d) over
+    r == count of full_days, every full day contributes exactly k
+    rows), and k rides the same 1-row frame via a conditional
+    aggregate over daily. Fewer 1-row broadcast jobs on the same
+    integer algebra."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("y")
+    )
+    daily = tracked_persist(daily)
+    kk = daily.agg(F.countDistinct("t").cast("bigint").alias("k"))
+    full_days = (
+        daily.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("ct") == F.col("k"))
+        .select("d")
+    )
+    wd = Window.partitionBy("d").orderBy("y")
+    wdy = Window.partitionBy("d", "y")
+    r = (
+        daily.join(F.broadcast(full_days), "d")
+        .select(
+            "t",
+            "d",
+            (
+                F.lit(2) * F.rank().over(wd)
+                + F.count(F.lit(1)).over(wdy)
+                - 1
+            )
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    r = tracked_persist(r)
+    scal = r.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("ssq"),
+        F.countDistinct("d").cast("bigint").alias("n"),
+        F.countDistinct("t").cast("bigint").alias("k"),
+    )
+    grp = r.groupBy("t").agg(F.sum("r2").cast("bigint").alias("rs2"))
+    grp = tracked_persist(grp)
+    dev = grp.crossJoin(F.broadcast(scal)).select(
+        (
+            (F.col("rs2") - F.col("n") * (F.col("k") + 1))
+            * (F.col("rs2") - F.col("n") * (F.col("k") + 1))
+        ).alias("dd")
+    )
+    num = dev.agg(F.sum("dd").cast("bigint").alias("sdev"))
+    stat = (
+        scal.crossJoin(F.broadcast(num))
+        .select(
+            "n",
+            "k",
+            (
+                (F.col("k") - 1) * F.col("sdev").cast("double")
+                / F.nullif(
+                    (
+                        F.col("ssq")
+                        - F.col("n")
+                        * F.col("k")
+                        * (F.col("k") + 1)
+                        * (F.col("k") + 1)
+                    ).cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("chi2"),
+        )
+    )
+    return (
+        grp.crossJoin(F.broadcast(stat))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("n").alias("n_blocks"),
+            F.col("rs2").alias("rank_sum_x2"),
+            F.col("k").alias("k_types"),
+            (F.col("k") - 1).alias("df"),
+            (
+                F.floor(F.col("chi2") * 1000000 + F.lit(0.5)).cast("bigint")
+                / 1e6
+            ).alias("chi2_friedman"),
+        )
+        .orderBy("event_type")
+    )
