@@ -101,6 +101,12 @@ PYTHON_SURFACE = {
     "q_lof_hourly_anomalies",  # E317 count-gated per-series 1-D k-NN
     # + lrd/lof integer algebra in one bounded task (r11); the
     # pair-join + window + three keyed joins stay the else-branch
+    "q_pagerank_parts_suppliers",  # E47 count-gated numpy power-iteration
+    # finisher (operators/graphs.pagerank, r6) — ALWAYS ran through this
+    # kernel; its trailing eager checkpoint used to truncate the lineage
+    # so the MapInPandas node was invisible to this audit. r11 dropped
+    # that single-reference checkpoint (one fewer materialization job),
+    # so the kernel now shows in the plan and is declared here.
 }
 
 ALL_QUERIES = sorted(REGISTRY)
@@ -336,7 +342,16 @@ def test_rle_audit_runs_one_window_pass(spark, plans):
     p = plans["q_rle_compression_audit"]
     # physical plan prints one "Window [" node per window pass
     assert p.count("Window [") == 1, p
-    assert p.count("Scan parquet") <= 1, p
+    # r11: exactly TWO scans by design — the run-count aggregate reads
+    # the lag window's output (Expand-free), and the multi-countDistinct
+    # Expand reads its own raw 6-column scan instead of multiplying the
+    # window's 12-column output 7x (measured x0.81). The Expand must
+    # stay BELOW a plain scan, never above the Window.
+    assert p.count("Scan parquet") <= 2, p
+    assert "Expand" in p, p
+    w = p.index("Window [")
+    x = p.index("Expand")
+    assert x > w, "Expand must sit in the raw-scan branch, not above the window"
 
 
 def test_no_data_dependent_limit_k():
