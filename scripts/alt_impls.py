@@ -1949,3 +1949,56 @@ def q_friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate: the original exploded (doc_id, pos, t) — every
+    position row MATERIALIZED the document's whole token array so
+    slice(t, pos, 3) could run post-explode, O(len^2) row bytes per
+    doc. ngrams() builds the identical space-joined 3-gram strings
+    once per row (single-eval binding); posexplode carries only the
+    shingle string. Same md5 input bytes -> identical fingerprints."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("t"))
+    hashed = (
+        toks.filter(F.size("t") >= 3)
+        .select("doc_id", F.posexplode(ngrams(F.col("t"), 3)).alias("pos0", "s"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("s"), 1, 13), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    winnowed = (
+        hashed.select(
+            "doc_id",
+            F.min("h").over(w.rowsBetween(-3, 0)).alias("mh"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") >= 4)
+        .select("doc_id", F.col("mh").alias("fp"))
+        .distinct()
+    )
+    a = winnowed.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = winnowed.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
+    )
+    return (
+        pairs.withColumn("rn", rn)
+        .filter(F.col("rn") <= 20)
+        .select("doc_a", "doc_b", "shared_fps")
+        .orderBy("rn")
+    )
