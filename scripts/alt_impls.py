@@ -2002,3 +2002,455 @@ def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "shared_fps")
         .orderBy("rn")
     )
+
+
+# ============================================================== r12 candidates
+# Mid-band job-floor cuts (VERDICT r11 #2): fuse scalar-probe aggregates
+# into full-frame windows / one wide aggregate so each query runs 1-2
+# jobs instead of 5-7 broadcast-build probes.
+
+
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark.catalog import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    reps = e.select(
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).filter(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit("-"),
+                           F.col("b").cast("string"))),
+            1,
+            1,
+        )
+        <= "7"
+    )
+    means = reps.groupBy("b").agg(
+        (
+            F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")) / 1e6
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    w = Window.orderBy("m", "b")
+    ranked = means.withColumn("rn", F.row_number().over(w))
+    lo_rn = int(0.05 * _BOOT_B) + 1
+    hi_rn = int(0.95 * _BOOT_B)
+    return ranked.agg(
+        (dsum(F.col("m"), 9) / _BOOT_B).alias("mean_of_means"),
+        F.min(F.when(F.col("rn") == lo_rn, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == hi_rn, F.col("m"))).alias("ci_hi"),
+    ).select(
+        F.lit(_BOOT_B).cast("bigint").alias("b_reps"),
+        "mean_of_means",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+def q_mood_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark.catalog import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    hist = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    hist = tracked_persist(hist)
+    ws = Window.orderBy("x")
+    wfull = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mv = (
+        hist.groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("m"))
+        .select(
+            "x",
+            F.sum("m").over(ws).cast("bigint").alias("cum"),
+            F.sum("m").over(wfull).cast("bigint").alias("n"),
+        )
+    )
+    gm = mv.agg(
+        (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor((F.col("n") + 1) / 2).cast("long"),
+                    F.col("x"),
+                )
+            )
+            + F.min(
+                F.when(
+                    F.col("cum") >= F.floor(F.col("n") / 2).cast("long") + 1,
+                    F.col("x"),
+                )
+            )
+        ).alias("m2")
+    )
+    cl = (
+        hist.crossJoin(F.broadcast(gm))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(F.lit(2) * F.col("x") > F.col("m2"), F.col("c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("above"),
+            F.sum(
+                F.when(F.lit(2) * F.col("x") < F.col("m2"), F.col("c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("below"),
+        )
+    )
+    clw = cl.select(
+        "t",
+        "above",
+        "below",
+        F.sum("above").over(wfull).cast("bigint").alias("ta"),
+        F.sum("below").over(wfull).cast("bigint").alias("tb"),
+        F.sum(F.col("above") + F.col("below")).over(wfull).cast("bigint").alias("tn"),
+        F.count(F.lit(1)).over(wfull).cast("bigint").alias("k"),
+    )
+    ea = (F.col("above") + F.col("below")).cast("double") * F.col("ta") / F.col("tn")
+    eb = (F.col("above") + F.col("below")).cast("double") * F.col("tb") / F.col("tn")
+    cell = (F.col("above") - ea) * (F.col("above") - ea) / F.nullif(
+        ea, F.lit(0.0)
+    ) + (F.col("below") - eb) * (F.col("below") - eb) / F.nullif(
+        eb, F.lit(0.0)
+    )
+    return (
+        clw.withColumn("chi2", F.sum(cell).over(wfull))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("above").alias("n_above"),
+            F.col("below").alias("n_below"),
+            (F.col("k") - 1).alias("df"),
+            (
+                F.floor(F.col("chi2") * 1000000 + F.lit(0.5)).cast("bigint")
+                / 1e6
+            ).alias("mood_chi2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_jonckheere_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivoted single-plan form: o_orderpriority's domain is the fixed
+    # TPC-H '1-URGENT'..'5-LOW' set, so the per-group histogram pivots
+    # to 5 conditional-count columns on one (x)-keyed aggregate; all
+    # 10 pairwise U statistics, the group sizes and the z moments then
+    # come out of ONE wide aggregate over the cumulative grid, and the
+    # 10 output rows are an explode of a literal struct array.
+    from fts_analysis_datalake_spark.catalog import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders")
+    gs = list(range(1, 6))
+    g = F.substring(F.col("o_orderpriority"), 1, 1).cast("int")
+    hist = o.groupBy(
+        F.floor(F.col("o_totalprice")).cast("long").alias("x")
+    ).agg(
+        *[
+            F.sum(F.when(g == i, 1).otherwise(0)).cast("bigint").alias(f"c{i}")
+            for i in gs
+        ]
+    )
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    grid = hist.select(
+        "x",
+        *[F.col(f"c{i}") for i in gs],
+        *[F.sum(f"c{i}").over(wcum).cast("bigint").alias(f"cum{i}") for i in gs],
+    )
+    aggs = []
+    for i in gs:
+        aggs.append(F.sum(F.col(f"c{i}")).cast("bigint").alias(f"n{i}"))
+    for i in gs:
+        for j in gs:
+            if i < j:
+                aggs.append(
+                    F.sum(
+                        F.col(f"c{j}")
+                        * (
+                            F.lit(2) * (F.col(f"cum{i}") - F.col(f"c{i}"))
+                            + F.col(f"c{i}")
+                        )
+                    )
+                    .cast("bigint")
+                    .alias(f"u{i}{j}")
+                )
+    wide = grid.agg(*aggs)
+    n = sum((F.col(f"n{i}") for i in gs[1:]), F.col(f"n{gs[0]}")).cast("bigint")
+    sn2 = sum(
+        (F.col(f"n{i}") * F.col(f"n{i}") for i in gs[1:]),
+        F.col(f"n{gs[0]}") * F.col(f"n{gs[0]}"),
+    ).cast("bigint")
+    sn23_terms = [
+        F.col(f"n{i}").cast("double")
+        * F.col(f"n{i}")
+        * (F.lit(2) * F.col(f"n{i}") + 3)
+        for i in gs
+    ]
+    sn23 = sum(sn23_terms[1:], sn23_terms[0])
+    jt2 = sum(
+        (F.col(f"u{i}{j}") for i in gs for j in gs if i < j and (i, j) != (1, 2)),
+        F.col("u12"),
+    ).cast("bigint")
+    scal = wide.select(
+        *[F.col(f"n{i}") for i in gs],
+        *[F.col(f"u{i}{j}") for i in gs for j in gs if i < j],
+        n.alias("n"),
+        sn2.alias("sn2"),
+        sn23.alias("sn23"),
+        jt2.alias("jt2"),
+    )
+    zz = (
+        F.lit(0.5) * F.col("jt2")
+        - F.lit(0.25)
+        * (F.col("n").cast("double") * F.col("n") - F.col("sn2"))
+    ) / F.nullif(
+        F.sqrt(
+            (
+                F.col("n").cast("double")
+                * F.col("n")
+                * (F.lit(2) * F.col("n") + 3)
+                - F.col("sn23")
+            )
+            / F.lit(72.0)
+        ),
+        F.lit(0.0),
+    )
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("g_low"),
+                F.lit(j).alias("g_high"),
+                F.col(f"n{i}").alias("n_low"),
+                F.col(f"n{j}").alias("n_high"),
+                F.col(f"u{i}{j}").alias("u_x2"),
+            )
+            for i in gs
+            for j in gs
+            if i < j
+        ]
+    )
+    return (
+        scal.select(
+            F.explode(pair_structs).alias("p"),
+            F.col("jt2").alias("jt_x2_total"),
+            (
+                F.floor(zz * 1000000 + F.lit(0.5)).cast("bigint") / 1e6
+            ).alias("jt_z"),
+        )
+        .filter((F.col("p.n_low") > 0) & (F.col("p.n_high") > 0))
+        .select(
+            F.col("p.g_low").alias("g_low"),
+            F.col("p.g_high").alias("g_high"),
+            F.col("p.n_low").alias("n_low"),
+            F.col("p.n_high").alias("n_high"),
+            F.col("p.u_x2").alias("u_x2"),
+            "jt_x2_total",
+            "jt_z",
+        )
+        .orderBy("g_low", "g_high")
+    )
+
+
+def q_prefix_filtered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PPJoin length filter (guide §3, VERDICT r11 #3): J(a,b) >= t
+    # forces min(|a|,|b|) >= t * max(|a|,|b|) (|A∩B| <= min, |A∪B| >=
+    # max), so posting rows carry sz and the shingle equi-join drops
+    # length-incompatible pairs BEFORE the distinct + verify joins.
+    # Lossless: every dropped pair has exact J < t and would have been
+    # filtered by the final jaccard >= t anyway.
+    from pyspark.sql import Window as W
+
+    from fts_analysis_datalake_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
+        shingle_table,
+    )
+
+    t = 0.8
+    d = load_table(spark, sf_dir, "documents")
+    sh = tracked_persist(shingle_table(d, "doc_id", "text", 3).distinct())
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = W.partitionBy("doc_id").orderBy("freq", "shingle")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("rn") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+        .select(F.col("doc_id"), "shingle", "sz")
+    )
+    a = ranked.withColumnsRenamed({"doc_id": "id_a", "sz": "sz_a"})
+    b = ranked.withColumnsRenamed({"doc_id": "id_b", "sz": "sz_b"})
+    cands = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_a") >= F.ceil(F.lit(t) * F.col("sz_b") - F.lit(1e-9)))
+            & (F.col("sz_b") >= F.ceil(F.lit(t) * F.col("sz_a") - F.lit(1e-9)))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return exact_jaccard_for_pairs(
+        d,
+        "doc_id",
+        "text",
+        cands,
+        shingle_n=3,
+        elem_rows=sh.withColumnRenamed("shingle", "elem"),
+    ).filter(F.col("jaccard") >= t)
+
+
+def q_ransac_price_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-gated single-task kernel (VERDICT r11 #4, LOF pattern):
+    # sample selection (lexsort on md5) + all 64 trial scores run
+    # vectorized in numpy in one bounded task when the point count
+    # admits it; the BNLJ 64-trial expansion stays as the else-branch.
+    from pyspark.sql import Window as W
+
+    from fts_analysis_datalake_spark.queries.robust_models import (
+        _RS_TOL,
+        _RS_TRIALS,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        cents.alias("y"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                "l_orderkey",
+                "l_linenumber",
+                "l_suppkey",
+                "l_partkey",
+                cents,
+            )
+        ).alias("h"),
+    )
+    n_pts = li.count()
+    if 0 < n_pts <= 4_000_000:
+        trials, tol = _RS_TRIALS, _RS_TOL
+
+        def rs_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            x = allp["x"].to_numpy(dtype=np.int64)
+            y = allp["y"].to_numpy(dtype=np.int64)
+            h = allp["h"].to_numpy(dtype="U32")  # md5 hex: ASCII == binary order
+            order = np.lexsort((y, x, h))[: 2 * trials]
+            sx, sy = x[order], y[order]
+            best = None  # (n_inliers, t, x1, y1, dx, dy)
+            n = len(x)
+            for t_i in range(trials):
+                if t_i + trials >= len(order):
+                    break  # fewer than 2*trials points: same pairs as the join
+                x1, y1 = int(sx[t_i]), int(sy[t_i])
+                x2, y2 = int(sx[t_i + trials]), int(sy[t_i + trials])
+                if x2 == x1:
+                    continue
+                dx, dy = x2 - x1, y2 - y1
+                resid = np.abs((y - y1) * dx - (x - x1) * dy)
+                n_in = int((resid <= tol * abs(dx)).sum())
+                if best is None or n_in > best[0]:
+                    best = (n_in, t_i + 1, x1, y1, dx, dy)
+            if best is None:
+                return
+            n_in, t, x1, y1, dx, dy = best
+            yield pd.DataFrame(
+                {
+                    "trial": [t],
+                    "n_points": [n],
+                    "n_inliers": [n_in],
+                    "inlier_frac": [
+                        (int(n_in / n * 1000000 + 0.5)) / 1e6
+                    ],
+                    "slope_num": [dy],
+                    "slope_den": [dx],
+                    "x1": [x1],
+                    "y1": [y1],
+                }
+            )
+
+        return pts.repartition(1).mapInPandas(
+            rs_kernel,
+            "trial bigint, n_points bigint, n_inliers bigint, "
+            "inlier_frac double, slope_num bigint, slope_den bigint, "
+            "x1 bigint, y1 bigint",
+        )
+    pts = tracked_persist(pts)
+    samp = (
+        pts.orderBy("h", "x", "y")
+        .limit(2 * _RS_TRIALS)
+        .select(
+            "x",
+            "y",
+            F.row_number().over(W.orderBy("h", "x", "y")).alias("r"),
+        )
+    )
+    a = samp.select(
+        F.col("r").alias("t"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = samp.select(
+        (F.col("r") - _RS_TRIALS).alias("t"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    lines = (
+        a.join(b, "t")
+        .filter(F.col("x2") != F.col("x1"))
+        .select(
+            "t",
+            "x1",
+            "y1",
+            (F.col("x2") - F.col("x1")).alias("dx"),
+            (F.col("y2") - F.col("y1")).alias("dy"),
+        )
+    )
+    resid = F.abs(
+        (F.col("y") - F.col("y1")) * F.col("dx")
+        - (F.col("x") - F.col("x1")) * F.col("dy")
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(lines))
+        .groupBy("t", "x1", "y1", "dx", "dy")
+        .agg(
+            F.sum(
+                F.when(resid <= F.lit(_RS_TOL) * F.abs(F.col("dx")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_inliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        )
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.col("n_inliers").desc(), "t")),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("t").cast("bigint").alias("trial"),
+        "n_points",
+        "n_inliers",
+        (
+            F.floor(
+                F.col("n_inliers").cast("double") / F.col("n_points") * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+            / 1e6
+        ).alias("inlier_frac"),
+        F.col("dy").cast("bigint").alias("slope_num"),
+        F.col("dx").cast("bigint").alias("slope_den"),
+        F.col("x1").cast("bigint").alias("x1"),
+        F.col("y1").cast("bigint").alias("y1"),
+    )
