@@ -449,7 +449,7 @@ def prefix_filter_candidates(
         .withColumn("rn", F.row_number().over(w))
         .join(sizes, id_col)
         .where(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select(F.col(id_col), "shingle")
+        .select(F.col(id_col), "shingle", "sz")
     )
     # NO workload-partition floor here, by measurement (r9): the
     # candidate rows this join emits are two ids (~20 B), so AQE's
@@ -464,11 +464,22 @@ def prefix_filter_candidates(
     # write). On the Zipfian v2 fixture the floor is within variance
     # either way. Both join sides read the identical `ranked` subplan,
     # so the exchange is planned once and reused.
-    a = ranked.withColumnRenamed(id_col, "id_a")
-    b = ranked.withColumnRenamed(id_col, "id_b")
+    # r12 (guide §3, PPJoin length filter): J(a,b) >= t forces
+    # min(|a|,|b|) >= t * max(|a|,|b|) (|A∩B| <= min, |A∪B| >= max), so
+    # posting rows carry sz and the equi-join drops length-incompatible
+    # pairs BEFORE the distinct and the verify joins. Lossless: every
+    # dropped pair has exact J < t (the 1e-9 slack errs keep-side on
+    # float boundaries, so no true pair is ever cut). A/B x0.78 on
+    # q_prefix_filtered_pairs, outputs row-identical.
+    a = ranked.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"})
+    b = ranked.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"})
     return (
         a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_a") >= F.ceil(F.lit(threshold) * F.col("sz_b") - F.lit(1e-9)))
+            & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a") - F.lit(1e-9)))
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -757,22 +757,25 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("m")
     )
+    # r12 (guide §2.4): the mean-of-means and both order-statistic CI
+    # bounds fold into ONE aggregate over the ranked 50-row replicate
+    # table (conditional min at the rank instead of filter + broadcast
+    # probe builds) — one linear plan, no separate stats/lo/hi jobs.
+    # dsum is order-independent (scaled-integer sum), so the aggregate
+    # form is value-identical; interleaved A/B x0.95.
     w = Window.orderBy("m", "b")
     ranked = means.withColumn("rn", F.row_number().over(w))
     lo_rn = int(0.05 * _BOOT_B) + 1
     hi_rn = int(0.95 * _BOOT_B)
-    stats = means.agg((dsum(F.col("m"), 9) / _BOOT_B).alias("mean_of_means"))
-    lo = ranked.filter(F.col("rn") == lo_rn).select(F.col("m").alias("ci_lo"))
-    hi = ranked.filter(F.col("rn") == hi_rn).select(F.col("m").alias("ci_hi"))
-    return (
-        stats.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-        .select(
-            F.lit(_BOOT_B).cast("bigint").alias("b_reps"),
-            "mean_of_means",
-            "ci_lo",
-            "ci_hi",
-        )
+    return ranked.agg(
+        (dsum(F.col("m"), 9) / _BOOT_B).alias("mean_of_means"),
+        F.min(F.when(F.col("rn") == lo_rn, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == hi_rn, F.col("m"))).alias("ci_hi"),
+    ).select(
+        F.lit(_BOOT_B).cast("bigint").alias("b_reps"),
+        "mean_of_means",
+        "ci_lo",
+        "ci_hi",
     )
 
 

@@ -1077,6 +1077,10 @@ def q_max_drawdown_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RS_TRIALS = 64
 _RS_TOL = 500_000  # inlier band: |residual| <= $5000 in cents
+# Kernel gate (patchable; tests force the distributed branch): the
+# single-task kernel holds two int64 arrays over every point, so the
+# point count must be bounded before routing to it (~64 MB at the gate).
+_RS_KERNEL_PTS = 4_000_000
 
 
 def _rs_oracle() -> str:
@@ -1143,21 +1147,111 @@ def q_ransac_price_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side), one 64-row aggregate — RANSAC's data pass is
     embarrassingly parallel, which is why it survives 100 TB while
     leverage-based fits need the full design matrix."""
+    from fts_analysis_datalake_spark import probe
+
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "l_partkey",
+            cents,
+        )
+    )
+    # r12 (guide §4.2, VERDICT #4, the LOF/Brandes house pattern): the
+    # 64 trial scores are domain-sized sequential algebra, so under the
+    # point-count gate they run vectorized in ONE bounded task. The 128
+    # sample rows arrive via Spark's TakeOrderedAndProject (md5 computed
+    # JVM-side, top-k, no full sort) tagged-unioned with the bare (x, y)
+    # points — the kernel never ships a corpus-sized md5 string column
+    # (~16 B/row crosses). The kernel replays the exact arithmetic of
+    # the BNLJ else-branch below: same (h, x, y) lexicographic sample
+    # order, same r-with-r+64 pairing, same vertical-pair skip, same
+    # integer cross-multiplied inlier test, same (n_inliers desc, t)
+    # tie-break, same floor-quantized inlier_frac (int() == floor for
+    # positive doubles). Forced branch-equivalence is tested. A/B x0.56.
+    n_pts = li.count()
+    if probe.gate("ransac", 0 < n_pts <= _RS_KERNEL_PTS):
+        trials, tol = _RS_TRIALS, _RS_TOL
+        samp = (
+            li.select(
+                F.col("l_quantity").cast("bigint").alias("x"),
+                cents.alias("y"),
+                h.alias("h"),
+                F.lit(1).alias("is_s"),
+            )
+            .orderBy("h", "x", "y")
+            .limit(2 * trials)
+        )
+        bare = li.select(
+            F.col("l_quantity").cast("bigint").alias("x"),
+            cents.alias("y"),
+            F.lit("").alias("h"),
+            F.lit(0).alias("is_s"),
+        )
+        both = bare.unionByName(samp)
+
+        def rs_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            is_s = allp["is_s"].to_numpy()
+            pm = is_s == 0
+            x = allp["x"].to_numpy(dtype=np.int64)[pm]
+            y = allp["y"].to_numpy(dtype=np.int64)[pm]
+            sm = ~pm
+            sh_ = allp["h"].to_numpy(dtype="U32")[sm]  # md5 hex: ASCII == binary order
+            sx0 = allp["x"].to_numpy(dtype=np.int64)[sm]
+            sy0 = allp["y"].to_numpy(dtype=np.int64)[sm]
+            order = np.lexsort((sy0, sx0, sh_))
+            sx, sy = sx0[order], sy0[order]
+            best = None  # (n_inliers, t, x1, y1, dx, dy)
+            n = len(x)
+            for t_i in range(trials):
+                if t_i + trials >= len(sx):
+                    break  # fewer than 2*trials points: same pairs as the join
+                x1, y1 = int(sx[t_i]), int(sy[t_i])
+                x2, y2 = int(sx[t_i + trials]), int(sy[t_i + trials])
+                if x2 == x1:
+                    continue
+                dx, dy = x2 - x1, y2 - y1
+                resid = np.abs((y - y1) * dx - (x - x1) * dy)
+                n_in = int((resid <= tol * abs(dx)).sum())
+                if best is None or n_in > best[0]:
+                    best = (n_in, t_i + 1, x1, y1, dx, dy)
+            if best is None:
+                return
+            n_in, t, x1, y1, dx, dy = best
+            yield pd.DataFrame(
+                {
+                    "trial": [t],
+                    "n_points": [n],
+                    "n_inliers": [n_in],
+                    "inlier_frac": [(int(n_in / n * 1000000 + 0.5)) / 1e6],
+                    "slope_num": [dy],
+                    "slope_den": [dx],
+                    "x1": [x1],
+                    "y1": [y1],
+                }
+            )
+
+        return both.repartition(1).mapInPandas(
+            rs_kernel,
+            "trial bigint, n_points bigint, n_inliers bigint, "
+            "inlier_frac double, slope_num bigint, slope_den bigint, "
+            "x1 bigint, y1 bigint",
+        )
     pts = li.select(
         F.col("l_quantity").cast("bigint").alias("x"),
         cents.alias("y"),
-        F.md5(
-            F.concat_ws(
-                "|",
-                "l_orderkey",
-                "l_linenumber",
-                "l_suppkey",
-                "l_partkey",
-                cents,
-            )
-        ).alias("h"),
+        h.alias("h"),
     )
     pts = tracked_persist(pts)
     samp = (

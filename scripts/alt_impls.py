@@ -2305,7 +2305,7 @@ def q_prefix_filtered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= t)
 
 
-def q_ransac_price_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ransac_price_line_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Count-gated single-task kernel (VERDICT r11 #4, LOF pattern):
     # sample selection (lexsort on md5) + all 64 trial scores run
     # vectorized in numpy in one bounded task when the point count
@@ -2453,4 +2453,317 @@ def q_ransac_price_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dx").cast("bigint").alias("slope_den"),
         F.col("x1").cast("bigint").alias("x1"),
         F.col("y1").cast("bigint").alias("y1"),
+    )
+
+
+def q_ransac_price_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # v2: the kernel never ships the corpus md5 strings — the 128
+    # sample rows come via Spark's TakeOrderedAndProject (md5 computed
+    # JVM-side, top-k, no full sort), tagged-unioned with the bare
+    # (x, y) points; one repartition(1) moves ~16 B/row to the task.
+    from fts_analysis_datalake_spark.queries.robust_models import (
+        _RS_TOL,
+        _RS_TRIALS,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    h = F.md5(
+        F.concat_ws(
+            "|", "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", cents
+        )
+    )
+    n_pts = li.count()
+    if 0 < n_pts <= 4_000_000:
+        trials, tol = _RS_TRIALS, _RS_TOL
+        samp = (
+            li.select(
+                F.col("l_quantity").cast("bigint").alias("x"),
+                cents.alias("y"),
+                h.alias("h"),
+                F.lit(1).alias("is_s"),
+            )
+            .orderBy("h", "x", "y")
+            .limit(2 * trials)
+        )
+        pts = li.select(
+            F.col("l_quantity").cast("bigint").alias("x"),
+            cents.alias("y"),
+            F.lit("").alias("h"),
+            F.lit(0).alias("is_s"),
+        )
+        both = pts.unionByName(samp)
+
+        def rs_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            is_s = allp["is_s"].to_numpy()
+            pm = is_s == 0
+            x, y = (
+                allp["x"].to_numpy(dtype=np.int64)[pm],
+                allp["y"].to_numpy(dtype=np.int64)[pm],
+            )
+            sm = ~pm
+            sh_ = allp["h"].to_numpy(dtype="U32")[sm]
+            sx0 = allp["x"].to_numpy(dtype=np.int64)[sm]
+            sy0 = allp["y"].to_numpy(dtype=np.int64)[sm]
+            order = np.lexsort((sy0, sx0, sh_))
+            sx, sy = sx0[order], sy0[order]
+            best = None
+            n = len(x)
+            for t_i in range(trials):
+                if t_i + trials >= len(sx):
+                    break
+                x1, y1 = int(sx[t_i]), int(sy[t_i])
+                x2, y2 = int(sx[t_i + trials]), int(sy[t_i + trials])
+                if x2 == x1:
+                    continue
+                dx, dy = x2 - x1, y2 - y1
+                resid = np.abs((y - y1) * dx - (x - x1) * dy)
+                n_in = int((resid <= tol * abs(dx)).sum())
+                if best is None or n_in > best[0]:
+                    best = (n_in, t_i + 1, x1, y1, dx, dy)
+            if best is None:
+                return
+            n_in, t, x1, y1, dx, dy = best
+            yield pd.DataFrame(
+                {
+                    "trial": [t],
+                    "n_points": [n],
+                    "n_inliers": [n_in],
+                    "inlier_frac": [(int(n_in / n * 1000000 + 0.5)) / 1e6],
+                    "slope_num": [dy],
+                    "slope_den": [dx],
+                    "x1": [x1],
+                    "y1": [y1],
+                }
+            )
+
+        return both.repartition(1).mapInPandas(
+            rs_kernel,
+            "trial bigint, n_points bigint, n_inliers bigint, "
+            "inlier_frac double, slope_num bigint, slope_den bigint, "
+            "x1 bigint, y1 bigint",
+        )
+    return q_ransac_price_line_v1(spark, sf_dir)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Directional length filter: containment(A,B) >= t needs
+    # |B| >= |A∩B| >= t*|A|, so posting rows carry sizes and the
+    # candidate join drops incompatible pairs before distinct+verify.
+    from pyspark.sql import Window as W
+
+    from fts_analysis_datalake_spark.operators.dedup import shingle_table
+
+    t = 0.9
+    d = load_table(spark, sf_dir, "documents")
+    sh = tracked_persist(shingle_table(d, "doc_id", "text", 3).distinct())
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    wr = W.partitionBy("doc_id").orderBy("freq", "shingle")
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(wr))
+        .join(sizes, "doc_id")
+        .where(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        )
+        .select(F.col("doc_id").alias("contained_id"), "shingle",
+                F.col("sz").alias("sz_a"))
+    )
+    bside = sh.join(sizes, "doc_id").withColumnsRenamed(
+        {"doc_id": "container_id", "sz": "sz_b"}
+    )
+    cands = (
+        prefix.join(bside, "shingle")
+        .where(
+            (F.col("contained_id") != F.col("container_id"))
+            & (F.col("sz_b") >= F.ceil(F.lit(t) * F.col("sz_a") - F.lit(1e-9)))
+        )
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    return (
+        cands.join(
+            sets.withColumnsRenamed({"doc_id": "contained_id", "s": "s_a"}),
+            "contained_id",
+        )
+        .join(
+            sets.withColumnsRenamed({"doc_id": "container_id", "s": "s_b"}),
+            "container_id",
+        )
+        .select(
+            "contained_id",
+            "container_id",
+            (
+                F.size(F.array_intersect("s_a", "s_b")).cast("double")
+                / F.size("s_a")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= t)
+    )
+
+
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-gated single-task kernel: p1/p2/p3 are three sparse
+    # matvecs over the degree-bounded backbone — np.bincount/add.at
+    # in one bounded task instead of two persisted join+agg rounds.
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _KZ_CAP,
+        _backbone_edges,
+        _copurchase_pairs,
+        _undirect,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = tracked_persist(_copurchase_pairs(li, "l_suppkey"))
+    edges0 = _backbone_edges(pairs)
+    sym = tracked_persist(_undirect(edges0))
+    if 0 < sym.count() <= 2_000_000:
+        cap = _KZ_CAP
+
+        def katz_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            u = allp["u"].to_numpy(dtype=np.int64)
+            v = allp["v"].to_numpy(dtype=np.int64)
+            if not len(u):
+                return
+            nodes, ui = np.unique(u, return_inverse=True)
+            vi = np.searchsorted(nodes, v)  # sym is symmetric: set(v)==set(u)
+            n = len(nodes)
+            p1 = np.bincount(vi, minlength=n).astype(np.int64)
+            p2 = np.zeros(n, dtype=np.int64)
+            np.add.at(p2, vi, p1[ui])
+            if (p2 > cap).any():
+                raise ValueError("katz: path count exceeds cap")
+            p3 = np.zeros(n, dtype=np.int64)
+            np.add.at(p3, vi, p2[ui])
+            kq = 64 * p1 + 8 * p2 + p3
+            top = np.lexsort((nodes, -kq))[:20]
+            yield pd.DataFrame(
+                {
+                    "node": nodes[top],
+                    "katz": kq[top] / 512.0,
+                    "paths_1": p1[top],
+                    "paths_2": p2[top],
+                    "paths_3": p3[top],
+                }
+            )
+
+        return sym.repartition(1).mapInPandas(
+            katz_kernel,
+            "node bigint, katz double, paths_1 bigint, "
+            "paths_2 bigint, paths_3 bigint",
+        )
+    p1 = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("p"))
+    p1 = tracked_persist(p1)
+    e = sym.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    p2 = (
+        e.join(p1.select(F.col("v").alias("eu"), "p"), "eu")
+        .groupBy(F.col("ev").alias("v"))
+        .agg(F.sum("p").cast("bigint").alias("p"))
+    )
+    p2 = tracked_persist(p2)
+    guarded = F.when(F.col("p") <= _KZ_CAP, F.col("p")).otherwise(
+        F.raise_error(F.lit("katz: path count exceeds cap")).cast("long")
+    )
+    p3 = (
+        e.join(p2.select(F.col("v").alias("eu"), guarded.alias("p")), "eu")
+        .groupBy(F.col("ev").alias("v"))
+        .agg(F.sum("p").cast("bigint").alias("p"))
+    )
+    k = (
+        p1.select("v", F.col("p").alias("paths_1"))
+        .join(p2.select("v", F.col("p").alias("paths_2")), "v", "left")
+        .join(p3.select("v", F.col("p").alias("paths_3")), "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            "paths_1",
+            F.coalesce(F.col("paths_2"), F.lit(0)).alias("paths_2"),
+            F.coalesce(F.col("paths_3"), F.lit(0)).alias("paths_3"),
+        )
+        .select(
+            "node",
+            "paths_1",
+            "paths_2",
+            "paths_3",
+            (
+                F.lit(64) * F.col("paths_1")
+                + F.lit(8) * F.col("paths_2")
+                + F.col("paths_3")
+            ).alias("kq"),
+        )
+    )
+    return (
+        k.orderBy(F.col("kq").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            (F.col("kq") / F.lit(512.0)).alias("katz"),
+            F.col("paths_1").cast("bigint").alias("paths_1"),
+            F.col("paths_2").cast("bigint").alias("paths_2"),
+            F.col("paths_3").cast("bigint").alias("paths_3"),
+        )
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_nodes folds into the moment aggregate as count_distinct(u)
+    # (every backbone node appears as u in sym), removing the separate
+    # deg-count aggregate + broadcast crossJoin probe.
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _backbone_edges,
+        _copurchase_pairs,
+        _undirect,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = tracked_persist(_copurchase_pairs(li, "l_suppkey"))
+    edges0 = _backbone_edges(pairs)
+    sym = tracked_persist(_undirect(edges0))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+    ends = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    x, y = F.col("x"), F.col("y")
+    mo = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+        F.sum(y * y).cast("bigint").alias("syy"),
+        F.count_distinct(F.col("u")).cast("bigint").alias("nn"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    r = (
+        (m.cast("double") * F.col("sxy") - sx.cast("double") * sy)
+        / F.nullif(
+            F.sqrt(m.cast("double") * F.col("sxx") - sx.cast("double") * sx)
+            * F.sqrt(m.cast("double") * F.col("syy") - sy.cast("double") * sy),
+            F.lit(0.0),
+        )
+    )
+    return mo.select(
+        F.col("m").alias("n_directed_edges"),
+        F.col("nn").alias("n_nodes"),
+        (F.floor(r * 1000000 + F.lit(0.5)).cast("bigint") / 1e6).alias(
+            "assortativity"
+        ),
     )

@@ -610,6 +610,7 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         llm_curation,
         llm_text,
         llm_vectors,
+        robust_models,
         stats_models,
     )
     from fts_analysis_datalake_spark.registry import REGISTRY, _load_all
@@ -643,6 +644,12 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         # emitted lof double is one division of it in both branches)
         ("q_lof_hourly_anomalies", stats_models, "_LOF_KERNEL_PTS"),
         ("q_lof_hourly_anomalies", stats_models, "_LOF_KERNEL_SERIES"),
+        # r12: single-task vectorized 64-trial scorer (sample via
+        # TakeOrdered + tagged union) vs the BNLJ expansion + wide
+        # hash aggregate. The emitted inlier_frac double is the same
+        # single floor-quantized division in both branches; everything
+        # else is integer-exact
+        ("q_ransac_price_line", robust_models, "_RS_KERNEL_PTS"),
     ]
     for name, mod, gate in cases:
         kernel = sorted(
