@@ -2369,6 +2369,12 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _KZ_CAP = 1_000_000_000_000  # loud guard: path counts must fit 8^3 scaling
+# Kernel gate (patchable; tests force the distributed branch): the
+# single-task kernel holds O(nodes + directed edges) int64 arrays, so the
+# directed backbone row count must be bounded before routing to it
+# (~50 MB at the gate; nodes <= edges on a backbone where every node
+# has an incident edge).
+_KZ_GATE = 2_000_000
 
 
 @query(
@@ -2431,6 +2437,58 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = tracked_persist(_copurchase_pairs(li, "l_suppkey"))
     edges0 = _backbone_edges(pairs)
     sym = tracked_persist(_undirect(edges0))
+    # r12 (guide §4.2, the Brandes/LOF house pattern): p1/p2/p3 are
+    # three sparse matvecs over the degree-bounded backbone — under
+    # the edge gate they run as np.bincount/np.add.at in ONE bounded
+    # task (same integer path counts, same cap raise, same
+    # (kq desc, node) top-20 via lexsort) instead of two persisted
+    # join+agg rounds plus a three-way join. The scheduled pipeline
+    # below stays the 100 TB else-branch; forced branch-equivalence
+    # is tested (integer-exact). Interleaved A/B x0.64.
+    from fts_analysis_datalake_spark import probe as _probe
+
+    if _probe.gate("katz", 0 < sym.count() <= _KZ_GATE):
+        cap = _KZ_CAP
+
+        def katz_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            u = allp["u"].to_numpy(dtype=np.int64)
+            v = allp["v"].to_numpy(dtype=np.int64)
+            if not len(u):
+                return
+            nodes, ui = np.unique(u, return_inverse=True)
+            vi = np.searchsorted(nodes, v)  # sym is symmetric: set(v)==set(u)
+            n = len(nodes)
+            p1 = np.bincount(vi, minlength=n).astype(np.int64)
+            p2 = np.zeros(n, dtype=np.int64)
+            np.add.at(p2, vi, p1[ui])
+            if (p2 > cap).any():
+                raise ValueError("katz: path count exceeds cap")
+            p3 = np.zeros(n, dtype=np.int64)
+            np.add.at(p3, vi, p2[ui])
+            kq = 64 * p1 + 8 * p2 + p3
+            top = np.lexsort((nodes, -kq))[:20]
+            yield pd.DataFrame(
+                {
+                    "node": nodes[top],
+                    "katz": kq[top] / 512.0,
+                    "paths_1": p1[top],
+                    "paths_2": p2[top],
+                    "paths_3": p3[top],
+                }
+            )
+
+        return sym.repartition(1).mapInPandas(
+            katz_kernel,
+            "node bigint, katz double, paths_1 bigint, "
+            "paths_2 bigint, paths_3 bigint",
+        )
     p1 = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("p"))
     p1 = tracked_persist(p1)
     e = sym.select(F.col("u").alias("eu"), F.col("v").alias("ev"))

@@ -650,6 +650,10 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         # single floor-quantized division in both branches; everything
         # else is integer-exact
         ("q_ransac_price_line", robust_models, "_RS_KERNEL_PTS"),
+        # r12: single-task bincount/add.at bounded-hop path counts vs
+        # the two persisted join+agg rounds + three-way join (integer
+        # path counts; katz double is one exact /512 in both branches)
+        ("q_katz_centrality", joins_sets, "_KZ_GATE"),
     ]
     for name, mod, gate in cases:
         kernel = sorted(

@@ -101,6 +101,9 @@ PYTHON_SURFACE = {
     "q_lof_hourly_anomalies",  # E317 count-gated per-series 1-D k-NN
     # + lrd/lof integer algebra in one bounded task (r11); the
     # pair-join + window + three keyed joins stay the else-branch
+    "q_katz_centrality",  # E354 edge-gated single-task bincount/add.at
+    # path counts over the backbone (r12); the join+agg rounds are the
+    # else-branch
     "q_ransac_price_line",  # E337 count-gated single-task 64-trial
     # scorer (r12): sample via TakeOrdered + tagged union, numpy
     # integer inlier counts; the BNLJ expansion is the else-branch
