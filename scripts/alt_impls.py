@@ -2767,3 +2767,320 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assortativity"
         ),
     )
+
+
+def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Latitude-banded candidate grid, exact at EVERY scale (VERDICT #5):
+    # lat cells stay 0.1 deg (hav <= 10.0005 km forces dphi <= 0.0899 deg
+    # at any latitude); lon cell width comes from the 1-deg band's
+    # cosine (complete cover while the oracle's own 1-deg grid is
+    # complete, i.e. bands < 84), and 2.0-deg cells above that, where
+    # an explicit 1-deg-cell adjacency filter reproduces the oracle
+    # grid's own drops bit-for-bit. Replaces the lc<=23 CASE fallback
+    # to 1-deg cells that made the 8x probe slope 5.5.
+    from fts_analysis_datalake_spark.operators.graphs import (
+        connected_components_star,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    grid = c.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("COUNT(*) DIV 1500"),
+        ).alias("lc")
+    )
+
+    def w_of(bnd):
+        # bnd = floor(latitude in degrees) of the 0.1-deg lat cell.
+        # Complete for hav <= 10.0005 km over [bnd-0.2, bnd+1.2]:
+        # 10.0005/(111.0*cos(bnd+2)) >= 10.0005/(111.19*cos(phi_max)),
+        # and 2.0 covers every pair the >=84-deg oracle grid keeps
+        # (1-deg-cell lon adjacency => dlon < 2).
+        return F.when(bnd >= 83, F.lit(2.0)).otherwise(
+            F.lit(10.0005) / (F.lit(111.0) * F.cos(F.radians(bnd + F.lit(2))))
+        )
+
+    base = c.crossJoin(F.broadcast(grid)).select(
+        key.alias("k"),
+        F.expr("(c_custkey * 7919) % (lc * 100)").alias("slat"),
+        F.expr("(c_custkey * 104729) % (lc * 200)").alias("slon"),
+    )
+    lat = (40.0 + F.col("slat") / 100.0)
+    lon = (F.col("slon") / 100.0)
+    cl = F.floor(F.col("slat") / 10).cast("long")  # 0.1-deg lat cell
+    bnd_own = F.lit(40) + F.floor(F.col("slat") / 100).cast("long")
+    pts = base.select(
+        "k",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        cl.alias("cl"),
+        F.floor(F.col("slat") / 100).cast("long").alias("la1"),  # 1-deg lat cell
+        F.floor(F.col("slon") / 100).cast("long").alias("lo1"),  # 1-deg lon cell
+        F.floor(lon / w_of(bnd_own)).alias("co"),
+    )
+    # a fans out to the 9 (lat-cell, lon-cell) keys its 10 km ball can
+    # touch; the lon index for each target lat cell uses THAT cell's
+    # band width, so keys align with b's own (cl, co) exactly.
+    fan = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("cl") + F.lit(dl)).alias("jcl"),
+                    (
+                        F.floor(
+                            F.col("lon")
+                            / w_of(F.lit(40) + F.floor((F.col("cl") + F.lit(dl)) / 10).cast("long"))
+                        )
+                        + F.lit(do)
+                    ).alias("jco"),
+                )
+                for dl in (-1, 0, 1)
+                for do in (-1, 0, 1)
+            ]
+        )
+    )
+    a = pts.select(
+        F.col("k").alias("ak"),
+        F.col("lat").alias("alat"),
+        F.col("lon").alias("alon"),
+        F.col("la1").alias("ala1"),
+        F.col("lo1").alias("alo1"),
+        "cl",
+        "co",
+        fan.alias("j"),
+    )
+    b = pts.select(
+        F.col("k").alias("bk"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.col("la1").alias("bla1"),
+        F.col("lo1").alias("blo1"),
+        F.col("cl").alias("bcl"),
+        F.col("co").alias("bco"),
+    )
+    hav = (
+        2.0
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("blat") - F.col("alat")) / 2), 2)
+                + F.cos(F.radians("alat"))
+                * F.cos(F.radians("blat"))
+                * F.pow(F.sin(F.radians(F.col("blon") - F.col("alon")) / 2), 2)
+            )
+        )
+    )
+    nbr = (
+        a.join(
+            b,
+            (F.col("bcl") == F.col("j.jcl"))
+            & (F.col("bco") == F.col("j.jco"))
+            & (F.col("ak") != F.col("bk")),
+        )
+        # 1-deg-cell adjacency = the oracle's OWN candidate predicate:
+        # a no-op below 84 deg (hav <= 10 km implies it there) and the
+        # exact drop-replication above.
+        .filter(
+            (F.abs(F.col("ala1") - F.col("bla1")) <= 1)
+            & (F.abs(F.col("alo1") - F.col("blo1")) <= 1)
+        )
+        .filter(F.floor(hav * 1000 + F.lit(0.5)).cast("bigint") <= 10000)
+        .select("ak", "bk")
+        .localCheckpoint(eager=True)
+    )
+    core = (
+        nbr.groupBy("ak")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 4)
+        .select(F.col("ak").alias("k"))
+    )
+    edges = (
+        nbr.join(core.withColumnRenamed("k", "ak"), "ak", "leftsemi")
+        .join(core.withColumnRenamed("k", "bk"), "bk", "leftsemi")
+        .select(F.col("ak").alias("a"), F.col("bk").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    cc = connected_components_star(edges, "a", "b", small_finish_rows=2_000_000)
+    return (
+        cc.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_core"),
+            F.min("node").cast("bigint").alias("min_member"),
+            F.max("node").cast("bigint").alias("max_member"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def q_bellman_ford_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edge-gated single-task relaxation: _BF_ROUNDS rounds of
+    # dist[v] = min(dist[v], min over (u,v,w) of dist[u]+w) as
+    # np.minimum.at over the banded part graph in one bounded task.
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _BF_ROUNDS,
+        _BF_TOPK,
+        _banded_part_pairs,
+        _undirect,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        _banded_part_pairs(li)
+        .groupBy("u", "v")
+        .agg((F.min("d").cast("bigint") + 1).alias("w"))
+    )
+    sym = tracked_persist(_undirect(e0, "w"))
+    if 0 < sym.count() <= 2_000_000:
+        rounds, topk = _BF_ROUNDS, _BF_TOPK
+
+        def bf_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            u = allp["u"].to_numpy(dtype=np.int64)
+            v = allp["v"].to_numpy(dtype=np.int64)
+            w = allp["w"].to_numpy(dtype=np.int64)
+            if not len(u):
+                return
+            nodes = np.unique(u)  # sym is symmetric: set(u) == set(v)
+            ui = np.searchsorted(nodes, u)
+            vi = np.searchsorted(nodes, v)
+            inf = np.iinfo(np.int64).max
+            dist = np.full(len(nodes), inf, dtype=np.int64)
+            dist[0] = 0  # source = min node = nodes[0]
+            for _ in range(rounds):
+                fin = dist[ui] != inf
+                nd = dist.copy()
+                np.minimum.at(nd, vi[fin], dist[ui[fin]] + w[fin])
+                dist = nd
+            fin = dist != inf
+            dn, dd = nodes[fin], dist[fin]
+            top = np.lexsort((dn, dd))[:topk]
+            yield pd.DataFrame({"node": dn[top], "dist": dd[top]})
+
+        return sym.repartition(1).mapInPandas(
+            bf_kernel, "node bigint, dist bigint"
+        )
+    edges = sym.unionAll(
+        sym.select("u").distinct().select(
+            "u", F.col("u").alias("v"), F.lit(0).cast("bigint").alias("w")
+        )
+    ).localCheckpoint()
+    dist = (
+        edges.agg(F.min("u").alias("node"))
+        .select("node", F.lit(0).cast("bigint").alias("d"))
+    )
+    for _ in range(_BF_ROUNDS):
+        dist = (
+            edges.join(
+                dist.withColumnsRenamed({"node": "pu", "d": "pd"}),
+                F.col("pu") == F.col("u"),
+            )
+            .select(F.col("v").alias("node"), (F.col("pd") + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    return (
+        dist.select(F.col("node").cast("bigint"), F.col("d").alias("dist"))
+        .orderBy("dist", "node")
+        .limit(_BF_TOPK)
+    )
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edge-gated single-task synchronous LPA: per round, neighbor-label
+    # counts + (count desc, label asc) argmax per node, vectorized via
+    # lexsort + run-length boundaries.
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _LPA_ROUNDS,
+        _LPA_TOPK,
+        _banded_part_pairs,
+        _undirect,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = _banded_part_pairs(li).select("u", "v").distinct()
+    edges = tracked_persist(_undirect(e0))
+    if 0 < edges.count() <= 2_000_000:
+        rounds, topk = _LPA_ROUNDS, _LPA_TOPK
+
+        def lpa_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            u = allp["u"].to_numpy(dtype=np.int64)
+            v = allp["v"].to_numpy(dtype=np.int64)
+            if not len(u):
+                return
+            nodes = np.unique(u)
+            ui = np.searchsorted(nodes, u)
+            vi = np.searchsorted(nodes, v)
+            lbl = nodes.copy()
+            for _ in range(rounds):
+                lv = lbl[vi]  # neighbor labels seen by node ui
+                order = np.lexsort((lv, ui))
+                su, sl = ui[order], lv[order]
+                # run boundaries of (node, label)
+                newrun = np.empty(len(su), dtype=bool)
+                newrun[0] = True
+                np.not_equal(su[1:], su[:-1], out=newrun[1:])
+                chg = sl[1:] != sl[:-1]
+                newrun[1:] |= chg
+                starts = np.flatnonzero(newrun)
+                run_u = su[starts]
+                run_l = sl[starts]
+                run_c = np.diff(np.append(starts, len(su)))
+                # per node: max count, tie -> min label (runs are
+                # label-ascending within node, lexsort is stable)
+                pick = np.lexsort((run_l, -run_c, run_u))
+                first = np.flatnonzero(
+                    np.r_[True, run_u[pick][1:] != run_u[pick][:-1]]
+                )
+                win_u = run_u[pick][first]  # node indices (one per node)
+                win_l = run_l[pick][first]
+                nl = lbl.copy()
+                nl[win_u] = win_l
+                lbl = nl
+            cnt_l, cnt_c = np.unique(lbl, return_counts=True)
+            top = np.lexsort((cnt_l, -cnt_c))[:topk]
+            yield pd.DataFrame(
+                {"community": cnt_l[top], "n_members": cnt_c[top]}
+            )
+
+        return edges.repartition(1).mapInPandas(
+            lpa_kernel, "community bigint, n_members bigint"
+        )
+    edges = edges.localCheckpoint()
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    rk_w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(
+                labels.withColumnsRenamed({"node": "ln"}),
+                F.col("ln") == F.col("v"),
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rk", F.row_number().over(rk_w))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+        )
+    return (
+        labels.groupBy(F.col("lbl").cast("bigint").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(_LPA_TOPK)
+    )
