@@ -1171,6 +1171,10 @@ def q_hits_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LPA_ROUNDS = 3
 _LPA_TOPK = 20
+# Kernel gate (patchable; tests force the distributed branch): the
+# single-task LPA kernel holds O(directed edges) int64 arrays plus one
+# lexsort per round (~50 MB at the gate).
+_LPA_GATE = 2_000_000
 
 
 def _lpa_oracle() -> str:
@@ -1234,7 +1238,64 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain DataFrame ops. Reports the top-20 communities by size."""
     li = load_table(spark, sf_dir, "lineitem")
     e0 = _banded_part_pairs(li).select("u", "v").distinct()
-    edges = _undirect(e0).localCheckpoint()
+    edges = tracked_persist(_undirect(e0))
+    # r12 (guide §4.2, the Brandes/katz house pattern): under the edge
+    # gate all _LPA_ROUNDS synchronous rounds run in ONE bounded task —
+    # per round a lexsort + run-length count gives every node's
+    # neighbor-label histogram and the (count desc, label asc) argmax,
+    # exactly the distributed round's groupBy + row_number semantics
+    # (lexsort is stable; runs are label-ascending within a node).
+    # Integer-exact; forced branch-equivalence tested. A/B x0.69.
+    from fts_analysis_datalake_spark import probe as _probe
+
+    if _probe.gate("lpa", 0 < edges.count() <= _LPA_GATE):
+        rounds, topk = _LPA_ROUNDS, _LPA_TOPK
+
+        def lpa_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            u = allp["u"].to_numpy(dtype=np.int64)
+            v = allp["v"].to_numpy(dtype=np.int64)
+            if not len(u):
+                return
+            nodes = np.unique(u)  # symmetric: set(u) == set(v)
+            ui = np.searchsorted(nodes, u)
+            vi = np.searchsorted(nodes, v)
+            lbl = nodes.copy()
+            for _ in range(rounds):
+                lv = lbl[vi]  # neighbor labels voted at node ui
+                order = np.lexsort((lv, ui))
+                su, sl = ui[order], lv[order]
+                newrun = np.empty(len(su), dtype=bool)
+                newrun[0] = True
+                np.not_equal(su[1:], su[:-1], out=newrun[1:])
+                newrun[1:] |= sl[1:] != sl[:-1]
+                starts = np.flatnonzero(newrun)
+                run_u = su[starts]
+                run_l = sl[starts]
+                run_c = np.diff(np.append(starts, len(su)))
+                pick = np.lexsort((run_l, -run_c, run_u))
+                first = np.flatnonzero(
+                    np.r_[True, run_u[pick][1:] != run_u[pick][:-1]]
+                )
+                nl = lbl.copy()
+                nl[run_u[pick][first]] = run_l[pick][first]
+                lbl = nl
+            cnt_l, cnt_c = np.unique(lbl, return_counts=True)
+            top = np.lexsort((cnt_l, -cnt_c))[:topk]
+            yield pd.DataFrame(
+                {"community": cnt_l[top], "n_members": cnt_c[top]}
+            )
+
+        return edges.repartition(1).mapInPandas(
+            lpa_kernel, "community bigint, n_members bigint"
+        )
+    edges = edges.localCheckpoint()
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -1271,6 +1332,10 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BF_ROUNDS = 4
 _BF_TOPK = 20
+# Kernel gate (patchable; tests force the distributed branch): the
+# single-task relaxation kernel holds O(directed edges) int64 arrays
+# (~50 MB at the gate).
+_BF_GATE = 2_000_000
 
 
 def _bellman_ford_oracle() -> str:
@@ -1331,7 +1396,49 @@ def q_bellman_ford_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg((F.min("d").cast("bigint") + 1).alias("w"))
     )
-    sym = _undirect(e0, "w")
+    sym = tracked_persist(_undirect(e0, "w"))
+    # r12 (guide §4.2): under the edge gate all _BF_ROUNDS relaxation
+    # rounds run in ONE bounded task — dist[v] = min(dist[v],
+    # min over (u,v,w) of dist[u] + w) as np.minimum.at, source = min
+    # node, integer-exact, identical fixpoint to the join loop below.
+    # Forced branch-equivalence tested. A/B x0.72.
+    from fts_analysis_datalake_spark import probe as _probe
+
+    if _probe.gate("bellman_ford", 0 < sym.count() <= _BF_GATE):
+        rounds, topk = _BF_ROUNDS, _BF_TOPK
+
+        def bf_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            u = allp["u"].to_numpy(dtype=np.int64)
+            v = allp["v"].to_numpy(dtype=np.int64)
+            w = allp["w"].to_numpy(dtype=np.int64)
+            if not len(u):
+                return
+            nodes = np.unique(u)  # symmetric: set(u) == set(v)
+            ui = np.searchsorted(nodes, u)
+            vi = np.searchsorted(nodes, v)
+            inf = np.iinfo(np.int64).max
+            dist = np.full(len(nodes), inf, dtype=np.int64)
+            dist[0] = 0  # source = min node = nodes[0]
+            for _ in range(rounds):
+                fin = dist[ui] != inf
+                nd = dist.copy()
+                np.minimum.at(nd, vi[fin], dist[ui[fin]] + w[fin])
+                dist = nd
+            fin = dist != inf
+            dn, dd = nodes[fin], dist[fin]
+            top = np.lexsort((dn, dd))[:topk]
+            yield pd.DataFrame({"node": dn[top], "dist": dd[top]})
+
+        return sym.repartition(1).mapInPandas(
+            bf_kernel, "node bigint, dist bigint"
+        )
     # Weight-0 self-loops make each relaxation round a SINGLE
     # join+min over the edge table (the self-loop row carries the
     # node's current dist), so `dist` is referenced once per round

@@ -198,6 +198,11 @@ def q_huber_irls_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E233: quantile (median) regression by deterministic grid search
 # --------------------------------------------------------------------------
 
+# Kernel gate (patchable; tests force the distributed branch): the
+# single-task sweep holds two int64 arrays over every point (~64 MB at
+# the gate).
+_QR_KERNEL_PTS = 4_000_000
+
 
 @query(
     "q_quantile_regression_grid",
@@ -243,7 +248,63 @@ def q_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     21 medians, one join-back for the losses — embarrassingly
     parallel over slope candidates, which is exactly how you'd sweep
     a hyperparameter at 100 TB."""
+    from fts_analysis_datalake_spark import probe
+
     e = load_table(spark, sf_dir, "events")
+    # r12 (guide §4.2): under the point-count gate the whole 21-slope
+    # sweep runs in ONE bounded task — per slope an exact lower median
+    # (np.partition at rank (n+1)//2, value-identical to the window's
+    # (r, event_id) row_number rank since ties share the r value) and
+    # an exact int64 L1 loss, argmin tie-broken by ascending slope.
+    # Replaces the 21x crossJoin fan, the 21-partition window sort and
+    # the join-back. Forced branch-equivalence tested. A/B x0.40.
+    n_pts = e.count()
+    if probe.gate("quantile_grid", 0 < n_pts <= _QR_KERNEL_PTS):
+        qpts = e.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("x"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+        )
+
+        def qr_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            if allp["x"].isna().any():
+                # the distributed branch would sort NULL residuals
+                # first; the fixture's props.k is never null — fail
+                # loud rather than silently diverge
+                raise ValueError("quantile grid: null feature x")
+            x = allp["x"].to_numpy(dtype=np.int64)
+            y = allp["y"].to_numpy(dtype=np.int64)
+            m = len(x)
+            if m == 0:
+                return
+            k = (m + 1) // 2 - 1  # 0-based lower-median rank
+            best = None  # (loss, b, a)
+            for b in range(-50, 51, 5):
+                r = y - b * x
+                a = int(np.partition(r, k)[k])
+                loss = int(np.abs(r - a).sum())
+                if best is None or loss < best[0]:
+                    best = (loss, b, a)
+            loss, b, a = best
+            yield pd.DataFrame(
+                {
+                    "slope_cents_per_k": [b],
+                    "intercept_cents": [a],
+                    "abs_loss_total": [loss / 100.0],
+                }
+            )
+
+        return qpts.repartition(1).mapInPandas(
+            qr_kernel,
+            "slope_cents_per_k bigint, intercept_cents bigint, "
+            "abs_loss_total double",
+        )
     pts = e.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("x"),

@@ -278,6 +278,47 @@ def q_son_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_PROBES = ("spark", "data", "table", "vector", "nosuchtoken")
 
 
+def _cms_probe_report(tok, probe_cells, probes):
+    """One conditional aggregate computing, for each probe, its
+    depth-row sketch cells (cell count = tokens hashing there) and its
+    exact count; report rows explode from the single wide row."""
+    aggs = []
+    for p_i, cells in enumerate(probe_cells):
+        for d_i, cell in enumerate(cells):
+            aggs.append(
+                F.sum(F.when(cell[0] == cell[1], 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"c{p_i}_{d_i}")
+            )
+        aggs.append(
+            F.sum(F.when(F.col("token") == probes[p_i], 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"e{p_i}")
+        )
+    wide = tok.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(p).alias("token"),
+            F.col(f"e{p_i}").alias("exact_count"),
+            F.least(
+                *[F.col(f"c{p_i}_{d_i}") for d_i in range(len(probe_cells[p_i]))]
+            ).alias("cms_count"),
+        )
+        for p_i, p in enumerate(probes)
+    ]
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("r"))
+        .select(
+            F.col("r.token").alias("token"),
+            F.col("r.exact_count").alias("exact_count"),
+            F.col("r.cms_count").alias("cms_count"),
+            (F.col("r.cms_count") - F.col("r.exact_count")).alias("overcount"),
+        )
+        .orderBy("token")
+    )
+
+
+
 @query(
     "q_cms_token_counts",
     oracle=None,  # engine-hash sketch; overestimate bound tested (test_approx)
@@ -291,34 +332,35 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     holding a full vocabulary aggregate. CMS can only OVERcount;
     the delta column makes the bias visible (bounded in
     tests/test_approx.py)."""
-    from fts_analysis_datalake_spark.operators.scale import cms_build, cms_estimate
+    # r12 (guide §2.4 "don't compute things you throw away"): the probe
+    # report reads exactly |probes| x depth cells of the sketch, and a
+    # cell's count is just the number of stream tokens hashing to it —
+    # so ONE conditional aggregate over one un-persisted token pass
+    # computes those cells (identical counts to the full cms_build
+    # table) plus the exact probe counts, and the report explodes from
+    # the single wide row. Probe bucket ids are literal-arg xxhash64,
+    # constant-folded by Catalyst. Replaces {corpus-string persist,
+    # sketch groupBy shuffle, probe fan joins, semi-join + recount}.
+    # cms_build/cms_estimate stay the operator-library surface (the
+    # mergeable-sketch path a many-probe consumer uses). A/B x0.56,
+    # outputs row-identical.
+    from fts_analysis_datalake_spark.operators.scale import _CMS_DEPTH, _CMS_WIDTH
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    # The token stream feeds the 4 sketch depth-rows AND the exact
-    # recount; persist so tokenization runs once, not five times.
-    tok = tracked_persist(
-        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    tok = d.select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("token")
     )
-    sketch = cms_build(tok, "token")
-    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
-    est = cms_estimate(sketch, probes, "token")
-    exact = (
-        tok.join(F.broadcast(probes), "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-    )
-    return (
-        est.join(exact, "token", "left")
-        .select(
-            "token",
-            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
-            "cms_count",
-            (F.col("cms_count") - F.coalesce("exact_count", F.lit(0))).alias(
-                "overcount"
-            ),
-        )
-        .orderBy("token")
-    )
+    probe_cells = [
+        [
+            (
+                F.pmod(F.xxhash64(F.col("token"), F.lit(dd)), F.lit(_CMS_WIDTH)),
+                F.pmod(F.xxhash64(F.lit(p), F.lit(dd)), F.lit(_CMS_WIDTH)),
+            )
+            for dd in range(_CMS_DEPTH)
+        ]
+        for p in _CMS_PROBES
+    ]
+    return _cms_probe_report(tok, probe_cells, list(_CMS_PROBES))
 
 
 _CMS_MD5_W = 256  # buckets per depth row of the md5 twin
@@ -367,69 +409,29 @@ def q_cms_token_counts_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of seeded xxhash64, so the DuckDB oracle rebuilds the
     IDENTICAL sketch and the estimates — not just the exact counts —
     are value-verified. The xxhash64 form stays the production path
-    (JVM hashing, arbitrary depth). Same scale shape: one token scan
-    exploded into (depth, bucket) cells with map-side combine, probe
-    lookups against the broadcast 512-cell sketch."""
+    (JVM hashing, arbitrary depth). Scale shape (r12): one token scan,
+    one conditional aggregate computing exactly the probe cells of the
+    sketch (identical counts) plus the exact recounts, report exploded
+    from the single wide row."""
+    # r12: same probe-cell conditional-aggregate fuse as
+    # q_cms_token_counts (see there); md5-derived 52-bit hashes, two
+    # depth rows. A/B x0.58, outputs row-identical; oracle text
+    # unchanged (it spells the full-sketch build, values identical).
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    tok = tracked_persist(
-        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    tok = d.select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("token")
     )
-    cells = tok.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("j"),
-                    (_h52("tc0", F.col("token")) % _CMS_MD5_W).alias("bucket"),
-                ),
-                F.struct(
-                    F.lit(1).alias("j"),
-                    (_h52("tc1", F.col("token")) % _CMS_MD5_W).alias("bucket"),
-                ),
-            )
-        ).alias("c")
-    ).select("c.j", "c.bucket")
-    sketch = cells.groupBy("j", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
-    fan = probes.select(
-        "token",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("j"),
-                    (_h52("tc0", F.col("token")) % _CMS_MD5_W).alias("bucket"),
-                ),
-                F.struct(
-                    F.lit(1).alias("j"),
-                    (_h52("tc1", F.col("token")) % _CMS_MD5_W).alias("bucket"),
-                ),
-            )
-        ).alias("c"),
-    ).select("token", "c.j", "c.bucket")
-    est = (
-        fan.join(F.broadcast(sketch), ["j", "bucket"], "left")
-        .groupBy("token")
-        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_count"))
-    )
-    exact = (
-        tok.join(F.broadcast(probes), "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
-    )
-    return (
-        est.join(exact, "token", "left")
-        .select(
-            "token",
-            F.coalesce("exact_count", F.lit(0).cast("bigint")).alias("exact_count"),
-            "cms_count",
+    probe_cells = [
+        [
             (
-                F.col("cms_count")
-                - F.coalesce("exact_count", F.lit(0).cast("bigint"))
-            ).alias("overcount"),
-        )
-        .orderBy("token")
-    )
+                _h52(f"tc{j}", F.col("token")) % _CMS_MD5_W,
+                _h52(f"tc{j}", F.lit(p)) % _CMS_MD5_W,
+            )
+            for j in range(2)
+        ]
+        for p in _CMS_PROBES
+    ]
+    return _cms_probe_report(tok, probe_cells, list(_CMS_PROBES))
 
 
 # --------------------------------------------------------------------------

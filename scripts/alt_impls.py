@@ -3084,3 +3084,188 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(_LPA_TOPK)
     )
+
+
+def q_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-gated single-task grid sweep: 21 exact lower medians
+    # (np.partition at rank (n+1)//2) + integer L1 losses in one
+    # bounded task, replacing the 21x crossJoin fan, the 21-partition
+    # window sort and the join-back.
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    n = e.count()
+    if 0 < n <= 4_000_000:
+
+        def qr_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            if allp["x"].isna().any():
+                # the distributed branch would sort NULL residuals
+                # first; the fixture's props.k is never null — fail
+                # loud rather than silently diverge
+                raise ValueError("quantile grid: null feature x")
+            x = allp["x"].to_numpy(dtype=np.int64)
+            y = allp["y"].to_numpy(dtype=np.int64)
+            m = len(x)
+            if m == 0:
+                return
+            k = (m + 1) // 2 - 1  # 0-based lower-median rank
+            best = None  # (loss, b, a)
+            for b in range(-50, 51, 5):
+                r = y - b * x
+                a = int(np.partition(r, k)[k])
+                loss = int(np.abs(r - a).sum())
+                if best is None or loss < best[0]:
+                    best = (loss, b, a)
+            loss, b, a = best
+            yield pd.DataFrame(
+                {
+                    "slope_cents_per_k": [b],
+                    "intercept_cents": [a],
+                    "abs_loss_total": [loss / 100.0],
+                }
+            )
+
+        return pts.repartition(1).mapInPandas(
+            qr_kernel,
+            "slope_cents_per_k bigint, intercept_cents bigint, "
+            "abs_loss_total double",
+        )
+    pts = e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    ).localCheckpoint(eager=True)
+    grid = spark.range(0, 21).select(((F.col("id") - 10) * 5).alias("b"))
+    resid = pts.crossJoin(F.broadcast(grid)).select(
+        "b", "event_id", (F.col("y") - F.col("b") * F.col("x")).alias("r")
+    )
+    wspec = Window.partitionBy("b").orderBy("r", "event_id")
+    wall = Window.partitionBy("b")
+    med = (
+        resid.select(
+            "b",
+            "r",
+            F.row_number().over(wspec).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("b", F.col("r").alias("a"))
+    )
+    losses = (
+        resid.join(F.broadcast(med), "b")
+        .groupBy("b")
+        .agg(
+            F.min("a").alias("a"),
+            F.sum(F.abs(F.col("r") - F.col("a"))).cast("bigint").alias("loss_q"),
+        )
+    )
+    rn = F.row_number().over(Window.orderBy("loss_q", "b"))
+    return (
+        losses.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("b").alias("slope_cents_per_k"),
+            F.col("a").cast("bigint").alias("intercept_cents"),
+            (F.col("loss_q") / 100.0).alias("abs_loss_total"),
+        )
+    )
+
+
+def _cms_probe_report(tok, probe_cells, probes, exact_eq):
+    # ONE conditional aggregate computes exactly the sketch cells the
+    # probes read (|probes| x depth cells of the full sketch — counts
+    # identical: a cell's count is the number of stream tokens hashing
+    # to it) plus the exact probe counts; the report rows explode from
+    # the single wide row. Probe bucket ids are literal-arg hashes, so
+    # Catalyst constant-folds them.
+    aggs = []
+    for p_i, cells in enumerate(probe_cells):
+        for d_i, cell in enumerate(cells):
+            aggs.append(
+                F.sum(F.when(cell[0] == cell[1], 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"c{p_i}_{d_i}")
+            )
+        aggs.append(
+            F.sum(F.when(exact_eq(probes[p_i]), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"e{p_i}")
+        )
+    wide = tok.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(p).alias("token"),
+            F.col(f"e{p_i}").alias("exact_count"),
+            F.least(
+                *[F.col(f"c{p_i}_{d_i}") for d_i in range(len(probe_cells[p_i]))]
+            ).alias("cms_count"),
+        )
+        for p_i, p in enumerate(probes)
+    ]
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("r"))
+        .select(
+            F.col("r.token").alias("token"),
+            F.col("r.exact_count").alias("exact_count"),
+            F.col("r.cms_count").alias("cms_count"),
+            (F.col("r.cms_count") - F.col("r.exact_count")).alias("overcount"),
+        )
+        .orderBy("token")
+    )
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark.operators.scale import _CMS_DEPTH, _CMS_WIDTH
+    from fts_analysis_datalake_spark.queries.scale_toolkit import _CMS_PROBES
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("token")
+    )
+    probe_cells = [
+        [
+            (
+                F.pmod(F.xxhash64(F.col("token"), F.lit(dd)), F.lit(_CMS_WIDTH)),
+                F.pmod(F.xxhash64(F.lit(p), F.lit(dd)), F.lit(_CMS_WIDTH)),
+            )
+            for dd in range(_CMS_DEPTH)
+        ]
+        for p in _CMS_PROBES
+    ]
+    return _cms_probe_report(
+        tok, probe_cells, list(_CMS_PROBES), lambda p: F.col("token") == p
+    )
+
+
+def q_cms_token_counts_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_analysis_datalake_spark.queries.scale_toolkit import (
+        _CMS_MD5_W,
+        _CMS_PROBES,
+    )
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("token")
+    )
+    probe_cells = [
+        [
+            (
+                _h52(f"tc{j}", F.col("token")) % _CMS_MD5_W,
+                _h52(f"tc{j}", F.lit(p)) % _CMS_MD5_W,
+            )
+            for j in range(2)
+        ]
+        for p in _CMS_PROBES
+    ]
+    return _cms_probe_report(
+        tok, probe_cells, list(_CMS_PROBES), lambda p: F.col("token") == p
+    )

@@ -654,6 +654,17 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         # the two persisted join+agg rounds + three-way join (integer
         # path counts; katz double is one exact /512 in both branches)
         ("q_katz_centrality", joins_sets, "_KZ_GATE"),
+        # r12: single-task minimum.at relaxation vs the self-loop join
+        # loop (integer distances, same min-node source and fixpoint)
+        ("q_bellman_ford_nearest", joins_sets, "_BF_GATE"),
+        # r12: single-task lexsort/run-length synchronous LPA vs the
+        # per-round join + groupBy + row_number pipeline (integer
+        # labels, same (count desc, label asc) argmax)
+        ("q_lpa_communities", joins_sets, "_LPA_GATE"),
+        # r12: single-task 21-slope exact-median sweep vs the
+        # crossJoin fan + window + join-back (integer medians/losses;
+        # abs_loss_total is the same /100.0 in both branches)
+        ("q_quantile_regression_grid", robust_models, "_QR_KERNEL_PTS"),
     ]
     for name, mod, gate in cases:
         kernel = sorted(

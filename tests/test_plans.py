@@ -101,9 +101,16 @@ PYTHON_SURFACE = {
     "q_lof_hourly_anomalies",  # E317 count-gated per-series 1-D k-NN
     # + lrd/lof integer algebra in one bounded task (r11); the
     # pair-join + window + three keyed joins stay the else-branch
+    "q_bellman_ford_nearest",  # E301 edge-gated single-task minimum.at
+    # relaxation (r12); the self-loop join loop is the else-branch
+    "q_lpa_communities",  # E299 edge-gated single-task lexsort LPA
+    # rounds (r12); the join + argmax-window loop is the else-branch
     "q_katz_centrality",  # E354 edge-gated single-task bincount/add.at
     # path counts over the backbone (r12); the join+agg rounds are the
     # else-branch
+    "q_quantile_regression_grid",  # E233 count-gated single-task
+    # 21-slope exact-median sweep (r12); the crossJoin fan + window is
+    # the else-branch
     "q_ransac_price_line",  # E337 count-gated single-task 64-trial
     # scorer (r12): sample via TakeOrdered + tagged union, numpy
     # integer inlier counts; the BNLJ expansion is the else-branch
