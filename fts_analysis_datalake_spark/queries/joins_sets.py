@@ -2477,11 +2477,10 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KZ_CAP = 1_000_000_000_000  # loud guard: path counts must fit 8^3 scaling
 # Kernel gate (patchable; tests force the distributed branch): the
-# single-task kernel holds O(nodes + directed edges) int64 arrays, so the
-# directed backbone row count must be bounded before routing to it
-# (~50 MB at the gate; nodes <= edges on a backbone where every node
-# has an incident edge).
-_KZ_GATE = 2_000_000
+# single-task kernel holds O(weighted pair rows) int64 arrays (the
+# backbone it derives from them is strictly smaller), so the canonical
+# pair count must be bounded before routing to it (~25 MB at the gate).
+_KZ_GATE = 1_000_000
 
 
 @query(
@@ -2542,20 +2541,23 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-bounded edge list."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = tracked_persist(_copurchase_pairs(li, "l_suppkey"))
-    edges0 = _backbone_edges(pairs)
-    sym = tracked_persist(_undirect(edges0))
     # r12 (guide §4.2, the Brandes/LOF house pattern): p1/p2/p3 are
     # three sparse matvecs over the degree-bounded backbone — under
-    # the edge gate they run as np.bincount/np.add.at in ONE bounded
+    # the pair gate they run as np.bincount/np.add.at in ONE bounded
     # task (same integer path counts, same cap raise, same
     # (kq desc, node) top-20 via lexsort) instead of two persisted
-    # join+agg rounds plus a three-way join. The scheduled pipeline
-    # below stays the 100 TB else-branch; forced branch-equivalence
-    # is tested (integer-exact). Interleaved A/B x0.64.
+    # join+agg rounds plus a three-way join; the kernel also absorbs
+    # backbone construction (per-node top-_BB_DEG lexsort rank +
+    # canonical dedup + undirect), so the window shuffle, the sym
+    # persist and its count job disappear with it. The scheduled
+    # pipeline below stays the 100 TB else-branch; forced
+    # branch-equivalence is tested (integer-exact). Interleaved A/B
+    # x0.64 for the matvec kernel, a further x0.88 for the in-kernel
+    # backbone.
     from fts_analysis_datalake_spark import probe as _probe
 
-    if _probe.gate("katz", 0 < sym.count() <= _KZ_GATE):
-        cap = _KZ_CAP
+    if _probe.gate("katz", 0 < pairs.count() <= _KZ_GATE):
+        cap, bb = _KZ_CAP, _BB_DEG
 
         def katz_kernel(batches):
             import numpy as np
@@ -2565,12 +2567,37 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not parts:
                 return
             allp = pd.concat(parts)
-            u = allp["u"].to_numpy(dtype=np.int64)
-            v = allp["v"].to_numpy(dtype=np.int64)
-            if not len(u):
+            pu = allp["u"].to_numpy(dtype=np.int64)
+            pv = allp["v"].to_numpy(dtype=np.int64)
+            pw = allp["w"].to_numpy(dtype=np.int64)
+            if not len(pu):
                 return
+            # backbone + undirect in numpy: per-node top-bb incident
+            # edges by (w desc, other asc) — the _backbone_edges
+            # window order — canonical (min, max) dedup, then both
+            # orientations
+            node = np.concatenate([pu, pv])
+            other = np.concatenate([pv, pu])
+            ww = np.concatenate([pw, pw])
+            order = np.lexsort((other, -ww, node))
+            sn, so = node[order], other[order]
+            newn = np.r_[True, sn[1:] != sn[:-1]]
+            starts = np.flatnonzero(newn)
+            rank = np.arange(len(sn)) - np.repeat(
+                starts, np.diff(np.append(starts, len(sn)))
+            )
+            keep = rank < bb
+            kn, ko = sn[keep], so[keep]
+            cu = np.minimum(kn, ko)
+            cv = np.maximum(kn, ko)
+            o2 = np.lexsort((cv, cu))
+            cu, cv = cu[o2], cv[o2]
+            uniq = np.r_[True, (cu[1:] != cu[:-1]) | (cv[1:] != cv[:-1])]
+            cu, cv = cu[uniq], cv[uniq]
+            u = np.concatenate([cu, cv])
+            v = np.concatenate([cv, cu])
             nodes, ui = np.unique(u, return_inverse=True)
-            vi = np.searchsorted(nodes, v)  # sym is symmetric: set(v)==set(u)
+            vi = np.searchsorted(nodes, v)  # symmetric: set(v)==set(u)
             n = len(nodes)
             p1 = np.bincount(vi, minlength=n).astype(np.int64)
             p2 = np.zeros(n, dtype=np.int64)
@@ -2591,11 +2618,13 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-        return sym.repartition(1).mapInPandas(
+        return pairs.repartition(1).mapInPandas(
             katz_kernel,
             "node bigint, katz double, paths_1 bigint, "
             "paths_2 bigint, paths_3 bigint",
         )
+    edges0 = _backbone_edges(pairs)
+    sym = tracked_persist(_undirect(edges0))
     p1 = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("p"))
     p1 = tracked_persist(p1)
     e = sym.select(F.col("u").alias("eu"), F.col("v").alias("ev"))

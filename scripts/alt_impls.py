@@ -3269,3 +3269,190 @@ def q_cms_token_counts_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cms_probe_report(
         tok, probe_cells, list(_CMS_PROBES), lambda p: F.col("token") == p
     )
+
+
+def _np_backbone_sym(u, v, w, bb_deg):
+    """Replicate _backbone_edges + _undirect in numpy: per-node top
+    bb_deg incident edges by (w desc, other asc), canonical (min,max)
+    dedup, then both orientations. Returns (u2, v2) int64 arrays."""
+    import numpy as np
+
+    node = np.concatenate([u, v])
+    other = np.concatenate([v, u])
+    ww = np.concatenate([w, w])
+    order = np.lexsort((other, -ww, node))
+    sn, so = node[order], other[order]
+    newn = np.r_[True, sn[1:] != sn[:-1]]
+    starts = np.flatnonzero(newn)
+    rank = np.arange(len(sn)) - np.repeat(starts, np.diff(np.append(starts, len(sn))))
+    keep = rank < bb_deg
+    kn, ko = sn[keep], so[keep]
+    cu = np.minimum(kn, ko)
+    cv = np.maximum(kn, ko)
+    o2 = np.lexsort((cv, cu))
+    cu, cv = cu[o2], cv[o2]
+    uniq = np.r_[True, (cu[1:] != cu[:-1]) | (cv[1:] != cv[:-1])]
+    cu, cv = cu[uniq], cv[uniq]
+    return np.concatenate([cu, cv]), np.concatenate([cv, cu])
+
+
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # v2: the kernel also absorbs backbone construction (per-node
+    # top-_BB_DEG window + canonical dedup + undirect), so only the
+    # (u, v, w) pair list crosses — the window shuffle, sym persist
+    # and its count job disappear.
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _BB_DEG,
+        _KZ_CAP,
+        _backbone_edges,
+        _copurchase_pairs,
+        _undirect,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = tracked_persist(_copurchase_pairs(li, "l_suppkey"))
+    if 0 < pairs.count() <= 1_000_000:
+        cap, bb = _KZ_CAP, _BB_DEG
+
+        def katz_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            pu = allp["u"].to_numpy(dtype=np.int64)
+            pv = allp["v"].to_numpy(dtype=np.int64)
+            pw = allp["w"].to_numpy(dtype=np.int64)
+            if not len(pu):
+                return
+            # backbone + undirect in numpy (per-node top-bb by
+            # (w desc, other asc), canonical dedup, both orientations)
+            node = np.concatenate([pu, pv])
+            other = np.concatenate([pv, pu])
+            ww = np.concatenate([pw, pw])
+            order = np.lexsort((other, -ww, node))
+            sn, so = node[order], other[order]
+            newn = np.r_[True, sn[1:] != sn[:-1]]
+            starts = np.flatnonzero(newn)
+            rank = np.arange(len(sn)) - np.repeat(
+                starts, np.diff(np.append(starts, len(sn)))
+            )
+            keep = rank < bb
+            kn, ko = sn[keep], so[keep]
+            cu = np.minimum(kn, ko)
+            cv = np.maximum(kn, ko)
+            o2 = np.lexsort((cv, cu))
+            cu, cv = cu[o2], cv[o2]
+            uniq = np.r_[True, (cu[1:] != cu[:-1]) | (cv[1:] != cv[:-1])]
+            cu, cv = cu[uniq], cv[uniq]
+            u = np.concatenate([cu, cv])
+            v = np.concatenate([cv, cu])
+            nodes, ui = np.unique(u, return_inverse=True)
+            vi = np.searchsorted(nodes, v)
+            n = len(nodes)
+            p1 = np.bincount(vi, minlength=n).astype(np.int64)
+            p2 = np.zeros(n, dtype=np.int64)
+            np.add.at(p2, vi, p1[ui])
+            if (p2 > cap).any():
+                raise ValueError("katz: path count exceeds cap")
+            p3 = np.zeros(n, dtype=np.int64)
+            np.add.at(p3, vi, p2[ui])
+            kq = 64 * p1 + 8 * p2 + p3
+            top = np.lexsort((nodes, -kq))[:20]
+            yield pd.DataFrame(
+                {
+                    "node": nodes[top],
+                    "katz": kq[top] / 512.0,
+                    "paths_1": p1[top],
+                    "paths_2": p2[top],
+                    "paths_3": p3[top],
+                }
+            )
+
+        return pairs.repartition(1).mapInPandas(
+            katz_kernel,
+            "node bigint, katz double, paths_1 bigint, "
+            "paths_2 bigint, paths_3 bigint",
+        )
+    edges0 = _backbone_edges(pairs)
+    sym = tracked_persist(_undirect(edges0))
+    p1 = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("p"))
+    p1 = tracked_persist(p1)
+    e = sym.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    p2 = (
+        e.join(p1.select(F.col("v").alias("eu"), "p"), "eu")
+        .groupBy(F.col("ev").alias("v"))
+        .agg(F.sum("p").cast("bigint").alias("p"))
+    )
+    p2 = tracked_persist(p2)
+    guarded = F.when(F.col("p") <= _KZ_CAP, F.col("p")).otherwise(
+        F.raise_error(F.lit("katz: path count exceeds cap")).cast("long")
+    )
+    p3 = (
+        e.join(p2.select(F.col("v").alias("eu"), guarded.alias("p")), "eu")
+        .groupBy(F.col("ev").alias("v"))
+        .agg(F.sum("p").cast("bigint").alias("p"))
+    )
+    k = (
+        p1.select("v", F.col("p").alias("paths_1"))
+        .join(p2.select("v", F.col("p").alias("paths_2")), "v", "left")
+        .join(p3.select("v", F.col("p").alias("paths_3")), "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            "paths_1",
+            F.coalesce(F.col("paths_2"), F.lit(0)).alias("paths_2"),
+            F.coalesce(F.col("paths_3"), F.lit(0)).alias("paths_3"),
+        )
+        .select(
+            "node",
+            "paths_1",
+            "paths_2",
+            "paths_3",
+            (
+                F.lit(64) * F.col("paths_1")
+                + F.lit(8) * F.col("paths_2")
+                + F.col("paths_3")
+            ).alias("kq"),
+        )
+    )
+    return (
+        k.orderBy(F.col("kq").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            (F.col("kq") / F.lit(512.0)).alias("katz"),
+            F.col("paths_1").cast("bigint").alias("paths_1"),
+            F.col("paths_2").cast("bigint").alias("paths_2"),
+            F.col("paths_3").cast("bigint").alias("paths_3"),
+        )
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Route CC through the star-contraction/union-find fast path
+    # (identical fixpoint) instead of min-label rounds — the near-
+    # clique dup graph fits the one-task finisher outright, skipping
+    # per-round reroot + convergence-count jobs.
+    from fts_analysis_datalake_spark.operators.dedup import exact_jaccard_for_pairs
+    from fts_analysis_datalake_spark.operators.graphs import dedup_clusters
+    from fts_analysis_datalake_spark.queries.llm_dedup import _CLUSTER_J
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    verified = exact_jaccard_for_pairs(d, "doc_id", "text", pairs).filter(
+        F.col("jaccard") >= _CLUSTER_J
+    )
+    return dedup_clusters(
+        verified.select("id_a", "id_b"), small_finish_rows=2_000_000
+    )
