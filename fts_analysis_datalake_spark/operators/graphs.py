@@ -155,7 +155,13 @@ def pagerank(
     (0.85^10 ≈ 0.20 of the initial gap after 10) — accepted because
     rank ORDERING stabilizes much earlier than the values, the
     standard fixed-round batch tradeoff instead of a fixpoint loop
-    with per-round convergence actions."""
+    with per-round convergence actions.
+
+    Caller contract (ADVICE r11): the returned rank table is NOT
+    checkpointed/persisted — reference it ONCE per action. A caller
+    that consumes it from two places (both join sides, repeated
+    actions) re-executes the whole kernel (and the upstream distinct)
+    per reference and must checkpoint/persist at the call site."""
     # symmetrize_dedup=False lets a caller who GUARANTEES the input
     # is already duplicate-free with disjoint orientations (e.g. the
     # even/odd-encoded bipartite graphs, where a swapped pair can

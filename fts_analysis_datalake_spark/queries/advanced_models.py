@@ -2222,6 +2222,11 @@ def q_stable_matching_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_custkey").alias("ck")
     )
+    # Data contract (ADVICE r11): supplier totals aggregate lineitem
+    # WITHOUT the orders join — correct because every l_orderkey has a
+    # matching order in the TPC-H-shaped generator (FK integrity; the
+    # r11 rewrite dropped the join on that guarantee). Orphan
+    # lineitems would shift totals and the top-8 panel.
     sup = (
         li.groupBy("sk")
         .agg(F.sum("cents").cast("bigint").alias("tot"))

@@ -1079,11 +1079,11 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     that decides whether a source needs span-level dedup before
     training, which doc-level near-dup (D3/E275) cannot see.
 
-    Scale shape: one explode to (doc, shingle), one groupBy for
-    corpus-wide document frequency, one join back keyed on the
-    shingle (both sides shuffle on the same key), one rollup — no
-    pairwise anything; at 100 TB the df table is the classic
-    inverted-index build."""
+    Scale shape (r11 form): one explode to distinct (doc, shingle)
+    rows, ONE count window over the shingle key (each row sees its
+    shingle's corpus document frequency with a single exchange on s —
+    rows are distinct by construction, so the count IS the df; no
+    df-build + join-back), one rollup — no pairwise anything."""
     d = load_table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id",

@@ -3787,6 +3787,14 @@ def q_lof_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not parts:
                 return
             allp = pd.concat(parts)
+            # ADVICE r11: a NULL event_type would make the mixed
+            # None/str np.unique sort raise; the distributed branch
+            # tolerates a null group — drop the same rows it would
+            # keep as their own group only if the generator ever
+            # emitted one (it does not; this keeps the kernel from
+            # crashing rather than changing any current result).
+            nn = pd.notna(allp["et"]).to_numpy()
+            allp = allp[nn] if not nn.all() else allp
             et_all = allp["et"].to_numpy()
             hs_all = allp["hs"].to_numpy(dtype=np.int64)
             x_all = allp["x"].to_numpy(dtype=np.int64)
