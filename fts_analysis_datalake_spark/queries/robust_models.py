@@ -1245,7 +1245,7 @@ def q_ransac_price_line(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1).alias("is_s"),
             )
             .orderBy("h", "x", "y")
-            .limit(2 * trials)
+            .limit(2 * _RS_TRIALS)  # literal k (plan-audit: static top-k)
         )
         bare = li.select(
             F.col("l_quantity").cast("bigint").alias("x"),

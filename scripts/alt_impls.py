@@ -3456,3 +3456,220 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(
         verified.select("id_a", "id_b"), small_finish_rows=2_000_000
     )
+
+
+def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Backbone construction absorbed into the Brandes kernel (the r12
+    # katz treatment): only the (u, v, w) pair list crosses; the
+    # n_nodes distinct-count gate is unchanged.
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _BB_DEG,
+        _BC_NODE_GATE,
+        _BC_Q,
+        _BC_SEED_MOD,
+        _BC_SIG_CAP,
+        _copurchase_pairs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = tracked_persist(_copurchase_pairs(li, "l_suppkey"))
+    n_nodes = (
+        pairs.select(F.explode(F.array("u", "v")).alias("x"))
+        .distinct()
+        .count()
+    )
+    if 0 < n_nodes <= _BC_NODE_GATE:
+        bb, seed_mod, sig_cap, bcq = _BB_DEG, _BC_SEED_MOD, _BC_SIG_CAP, _BC_Q
+
+        def brandes(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            pu = allp["u"].to_numpy(dtype=np.int64)
+            pv = allp["v"].to_numpy(dtype=np.int64)
+            pw = allp["w"].to_numpy(dtype=np.int64)
+            if not len(pu):
+                return
+            node = np.concatenate([pu, pv])
+            other = np.concatenate([pv, pu])
+            ww = np.concatenate([pw, pw])
+            order = np.lexsort((other, -ww, node))
+            sn, so = node[order], other[order]
+            newn = np.r_[True, sn[1:] != sn[:-1]]
+            starts = np.flatnonzero(newn)
+            rank = np.arange(len(sn)) - np.repeat(
+                starts, np.diff(np.append(starts, len(sn)))
+            )
+            keep = rank < bb
+            kn, ko = sn[keep], so[keep]
+            cu = np.minimum(kn, ko)
+            cv = np.maximum(kn, ko)
+            o2 = np.lexsort((cv, cu))
+            cu, cv = cu[o2], cv[o2]
+            uniq = np.r_[True, (cu[1:] != cu[:-1]) | (cv[1:] != cv[:-1])]
+            cu, cv = cu[uniq], cv[uniq]
+            adj: dict = {}
+            for u, v in zip(cu, cv):
+                adj.setdefault(int(u), []).append(int(v))
+                adj.setdefault(int(v), []).append(int(u))
+            if not adj:
+                return
+            seeds_ = sorted(x for x in adj if x % seed_mod == 1)
+            bq: dict = {}
+            contribs: dict = {}
+            for s in seeds_:
+                levels = [{s: 1}]
+                seen = {s}
+                for _ in range(3):
+                    nxt: dict = {}
+                    for v, sig in levels[-1].items():
+                        for w in adj.get(v, ()):
+                            if w not in seen:
+                                nxt[w] = nxt.get(w, 0) + sig
+                    seen.update(nxt)
+                    levels.append(nxt)
+                for v, sig in levels[3].items():
+                    if sig > sig_cap:
+                        raise ValueError("betweenness: sigma exceeds Q cap")
+                dq = [dict() for _ in range(4)]
+                for lv in (2, 1):
+                    for v, sig in levels[lv].items():
+                        t = 0
+                        for w in adj.get(v, ()):
+                            if w in levels[lv + 1]:
+                                nd = dq[lv + 1].get(w, 0)
+                                t += sig * (bcq + nd) // levels[lv + 1][w]
+                        dq[lv][v] = t
+                for lv in (1, 2):
+                    for v, d in dq[lv].items():
+                        bq[v] = bq.get(v, 0) + d
+                        if d > 0:
+                            contribs[v] = contribs.get(v, 0) + 1
+            top = sorted(
+                ((v, bq[v], contribs.get(v, 0)) for v in bq),
+                key=lambda r: (-r[1], r[0]),
+            )[:20]
+            yield pd.DataFrame(
+                [(v, b / 1e6, c) for v, b, c in top],
+                columns=["node", "betweenness", "n_seed_contribs"],
+            )
+
+        return pairs.repartition(1).mapInPandas(
+            brandes,
+            "node bigint, betweenness double, n_seed_contribs bigint",
+        )
+    from fts_analysis_datalake_spark.registry import REGISTRY as _R
+
+    raise RuntimeError("alt only covers the kernel branch at sf0.1")
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Absorb thresholding + undirect into the matmul kernel: one agg
+    # over the exploded pair ends computes all three gate quantities
+    # (sym rows, nodes, seeds) in a single job, replacing the sym
+    # localCheckpoint + count + distinct-agg chain; the trailing
+    # kernel-output checkpoint (single-reference) is dropped too.
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _HC_GATE,
+        _HC_HOPS,
+        _HC_MM_BLOCK,
+        _HC_NODE_GATE,
+        _HC_SEED_GATE,
+        _HC_SEED_MOD,
+        _HC_TOPK,
+        _copurchase_pairs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = tracked_persist(
+        _copurchase_pairs(li, "l_suppkey").filter(F.col("w") >= 5).select("u", "v")
+    )
+    g = pairs.select(F.explode(F.array("u", "v")).alias("x")).agg(
+        F.count(F.lit(1)).alias("sym_rows"),
+        F.countDistinct("x").alias("nodes"),
+        F.countDistinct(
+            F.when(F.col("x") % _HC_SEED_MOD == 1, F.col("x"))
+        ).alias("seeds"),
+    ).first()
+    take = (
+        0 < int(g["sym_rows"] or 0) <= _HC_GATE
+        and int(g["nodes"] or 0) <= _HC_NODE_GATE
+        and int(g["seeds"] or 0) <= _HC_SEED_GATE
+    )
+    if take:
+        hops_cap, seed_mod, mm_block = _HC_HOPS, _HC_SEED_MOD, _HC_MM_BLOCK
+
+        def multi_bfs(batches):
+            import numpy as np
+            import pandas as pd
+
+            frames = [pdf for pdf in batches]
+            if not frames:
+                return
+            pu = pd.concat([f["u"] for f in frames], ignore_index=True)
+            pv = pd.concat([f["v"] for f in frames], ignore_index=True)
+            ua = pd.concat([pu, pv], ignore_index=True)  # both orientations
+            va = pd.concat([pv, pu], ignore_index=True)
+            codes, uniq = pd.factorize(pd.concat([ua, va], ignore_index=True))
+            m = len(ua)
+            ui, vi = codes[:m], codes[m:]
+            n = len(uniq)
+            adj = np.zeros((n, n), dtype=bool)
+            adj[ui, vi] = True
+            seed_idx = np.where((np.asarray(uniq) % seed_mod) == 1)[0]
+            k = len(seed_idx)
+            assert hops_cap < 128, "int8 dist matrix requires _HC_HOPS < 128"
+            dist = np.full((k, n), -1, dtype=np.int8)
+            frontier = np.zeros((k, n), dtype=bool)
+            frontier[np.arange(k), seed_idx] = True
+            dist[np.arange(k), seed_idx] = 0
+            adj_i = adj.astype(np.int32)
+            for h in range(1, hops_cap + 1):
+                nxt = np.zeros((k, n), dtype=bool)
+                for b0 in range(0, k, mm_block):
+                    blk = slice(b0, min(b0 + mm_block, k))
+                    nxt[blk] = (frontier[blk].astype(np.int32) @ adj_i) > 0
+                nxt &= dist < 0
+                if not nxt.any():
+                    break
+                dist[nxt] = h
+                frontier = nxt
+            term = np.where(
+                dist >= 1,
+                np.floor(1000000000.0 / np.maximum(dist, 1) + 0.5).astype(
+                    np.int64
+                ),
+                0,
+            )
+            h_q = term.sum(axis=0)
+            reached = (dist >= 1).sum(axis=0)
+            keep = reached > 0
+            yield pd.DataFrame(
+                {
+                    "node": np.asarray(uniq)[keep],
+                    "h_q": h_q[keep],
+                    "n_seeds_reached": reached[keep].astype(np.int64),
+                }
+            )
+
+        out_type = dict(pairs.dtypes)["u"]
+        cent = pairs.repartition(1).mapInPandas(
+            multi_bfs,
+            f"node {out_type}, h_q bigint, n_seeds_reached bigint",
+        )
+        return (
+            cent.select(
+                "node",
+                (F.col("h_q") / 1000000000.0).alias("harmonic"),
+                "n_seeds_reached",
+                "h_q",
+            )
+            .orderBy(F.desc("h_q"), "node")
+            .limit(_HC_TOPK)
+            .select("node", "harmonic", "n_seeds_reached")
+        )
+    raise RuntimeError("alt only covers the kernel branch at sf0.1")

@@ -49,6 +49,8 @@ PYTHON_SURFACE = {
     "q_dedup_pipeline_report",  # E57 union-find finisher on the
     # bounded verified-pair graph
     "q_dedup_pipeline_md5_report",  # E293 same finisher, md5 twin
+    "q_dedup_clusters",  # E15 union-find finisher on the blocked
+    # verified-pair graph (r12: routed off min-label rounds)
     "q_mmr_diversified_topk",  # E190 greedy on the bounded 20-row
     # shortlist in one mapInPandas task (corpus stage stays JVM-side)
     "q_diversification_audit",  # E197 reuses the E190 subplan
