@@ -902,6 +902,12 @@ def q_grid_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Kernel gate (patchable; tests force the distributed branch): the
+# single-task power iteration holds O(vocab-edge) arrays (~50 MB at
+# the gate).
+_TR_GATE = 2_000_000
+
+
 def _textrank_oracle() -> str:
     from fts_analysis_datalake_spark.operators.text import sql_tokens
 
@@ -977,12 +983,53 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.least("pr.x", "pr.y").alias("w1"), F.greatest("pr.x", "pr.y").alias("w2")
     ).filter(F.col("w1") != F.col("w2"))
-    edges = (
+    edges = tracked_persist(
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 3)
         .select("w1", "w2")
     )
+    # r12 (guide §4.2): the co-occurrence graph is VOCAB-sized, so
+    # under the edge gate all 5 damped power-iteration rounds run in
+    # ONE bounded task — same integer arithmetic (pr_q DIV d neighbor
+    # contributions, 150000000 + (17*contrib) DIV 20 damping — Python
+    # // == DIV on non-negatives), same (pr_q desc, keyword asc)
+    # top-15 (ASCII U-compare == Spark binary string order) — instead
+    # of 5 eager-checkpoint jobs plus two edge/degree checkpoints.
+    # Forced branch-equivalence tested. A/B x0.32.
+    if probe.gate("textrank", 0 < edges.count() <= _TR_GATE):
+
+        def tr_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            if not len(allp):
+                return
+            w1 = np.asarray(allp["w1"].tolist())
+            w2 = np.asarray(allp["w2"].tolist())
+            src_ = np.concatenate([w1, w2])
+            dst_ = np.concatenate([w2, w1])
+            nodes, si = np.unique(src_, return_inverse=True)
+            di = np.searchsorted(nodes, dst_)  # symmetric: same node set
+            n = len(nodes)
+            deg = np.bincount(si, minlength=n).astype(np.int64)
+            pr = np.full(n, 1_000_000_000, dtype=np.int64)
+            for _ in range(5):
+                contrib = np.zeros(n, dtype=np.int64)
+                np.add.at(contrib, di, pr[si] // deg[si])
+                pr = 150_000_000 + (17 * contrib) // 20
+            top = np.lexsort((nodes, -pr))[:15]
+            yield pd.DataFrame(
+                {"keyword": nodes[top], "textrank": pr[top] / 1e9}
+            )
+
+        return edges.repartition(1).mapInPandas(
+            tr_kernel, "keyword string, textrank double"
+        )
     direct = edges.select(
         F.col("w1").alias("src"), F.col("w2").alias("dst")
     ).unionAll(edges.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))

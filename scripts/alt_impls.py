@@ -3673,3 +3673,105 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "harmonic", "n_seeds_reached")
         )
     raise RuntimeError("alt only covers the kernel branch at sf0.1")
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vocab-sized integer power iteration in ONE bounded task (the
+    # house kernel pattern): 5 rounds of pr_q DIV d contributions +
+    # the exact 17/20 damping, replacing 7 eager-checkpoint jobs.
+    from fts_analysis_datalake_spark.operators.text import normalize_text, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i - 1] AS x, t[i] AS y))"
+            )
+        ).alias("pr")
+    ).select(
+        F.least("pr.x", "pr.y").alias("w1"), F.greatest("pr.x", "pr.y").alias("w2")
+    ).filter(F.col("w1") != F.col("w2"))
+    edges = tracked_persist(
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+        .select("w1", "w2")
+    )
+    if 0 < edges.count() <= 2_000_000:
+
+        def tr_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            if not len(allp):
+                return
+            # fixed-width unicode: lexsort/unique need a sortable
+            # dtype, and ASCII U-compare == Spark's binary string order
+            w1 = np.asarray(allp["w1"].tolist())
+            w2 = np.asarray(allp["w2"].tolist())
+            src = np.concatenate([w1, w2])
+            dst = np.concatenate([w2, w1])
+            nodes, si = np.unique(src, return_inverse=True)
+            di = np.searchsorted(nodes, dst)  # symmetric: same node set
+            n = len(nodes)
+            deg = np.bincount(si, minlength=n).astype(np.int64)
+            pr = np.full(n, 1_000_000_000, dtype=np.int64)
+            for _ in range(5):
+                contrib = np.zeros(n, dtype=np.int64)
+                np.add.at(contrib, di, pr[si] // deg[si])
+                pr = 150_000_000 + (17 * contrib) // 20
+            top = np.lexsort((nodes, -pr))[:15]
+            yield pd.DataFrame(
+                {"keyword": nodes[top], "textrank": pr[top] / 1e9}
+            )
+
+        return edges.repartition(1).mapInPandas(
+            tr_kernel, "keyword string, textrank double"
+        )
+    direct = edges.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).unionAll(edges.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+    deg = direct.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    direct = direct.localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
+    pr = deg.select("node", F.lit(1000000000).cast("bigint").alias("pr_q"))
+    for _ in range(5):
+        contrib = (
+            direct.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(
+                deg.select(F.col("node").alias("src"), "d"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("pr_q DIV d")).alias("contrib"))
+        )
+        pr = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000000)
+                    + F.expr("(17 * COALESCE(contrib, 0)) DIV 20")
+                )
+                .cast("bigint")
+                .alias("pr_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    rn = F.row_number().over(Window.orderBy(F.col("pr_q").desc(), "node"))
+    return (
+        pr.withColumn("rn", rn)
+        .filter(F.col("rn") <= 15)
+        .select(
+            F.col("node").alias("keyword"),
+            (F.col("pr_q") / 1000000000.0).alias("textrank"),
+        )
+    )

@@ -665,6 +665,10 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         # crossJoin fan + window + join-back (integer medians/losses;
         # abs_loss_total is the same /100.0 in both branches)
         ("q_quantile_regression_grid", robust_models, "_QR_KERNEL_PTS"),
+        # r12: single-task vocab-sized integer power iteration vs the
+        # 5 eager-checkpoint join rounds (pr_q DIV d arithmetic is
+        # integer-exact in both branches)
+        ("q_textrank_keywords", advanced_models, "_TR_GATE"),
     ]
     for name, mod, gate in cases:
         kernel = sorted(

@@ -110,6 +110,9 @@ PYTHON_SURFACE = {
     "q_katz_centrality",  # E354 edge-gated single-task bincount/add.at
     # path counts over the backbone (r12); the join+agg rounds are the
     # else-branch
+    "q_textrank_keywords",  # E224 edge-gated single-task vocab
+    # power iteration (r12); the checkpointed join rounds are the
+    # else-branch
     "q_quantile_regression_grid",  # E233 count-gated single-task
     # 21-slope exact-median sweep (r12); the crossJoin fan + window is
     # the else-branch
