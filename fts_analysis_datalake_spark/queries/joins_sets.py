@@ -1044,6 +1044,10 @@ def q_cosupplier_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HITS_ROUNDS = 2
 _HITS_ONE = 1_000_000  # score unit (1e-6 rationals)
 _HITS_TOPK = 15
+# Kernel gate (patchable; tests force the distributed branch): the
+# single-task HITS replay holds O(edges) int64 arrays (~30 MB at the
+# gate; raw * one <= deg_max * 1e12 stays far inside int64).
+_HITS_GATE = 2_000_000
 
 
 def _hits_oracle() -> str:
@@ -1105,12 +1109,63 @@ def q_hits_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     either engine (DuckDB's HUGEINT SUM is cast back to BIGINT before
     the multiply)."""
     li = load_table(spark, sf_dir, "lineitem")
-    e0 = (
+    e0 = tracked_persist(
         li.filter(F.col("l_partkey") % 3 == 0)
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint()
     )
+    # r12 (guide §4.2, the textrank/bellman house pattern): under the
+    # edge gate all _HITS_ROUNDS half-round pairs (edge-sum + L-inf
+    # integer normalization, raw * one DIV max — Python // == div on
+    # non-negatives) replay in ONE bounded task with the same
+    # (q desc, node-id asc) per-side top-15, replacing per-round
+    # eager checkpoints and broadcast-max probe jobs. Forced
+    # branch-equivalence tested. A/B x0.38.
+    from fts_analysis_datalake_spark import probe as _probe
+
+    if _probe.gate("hits", 0 < e0.count() <= _HITS_GATE):
+        one, rounds, topk = _HITS_ONE, _HITS_ROUNDS, _HITS_TOPK
+
+        def hits_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            p = allp["p"].to_numpy(dtype=np.int64)
+            s = allp["s"].to_numpy(dtype=np.int64)
+            if not len(p):
+                return
+            pn, pi = np.unique(p, return_inverse=True)
+            sn, si = np.unique(s, return_inverse=True)
+            h_ = np.full(len(pn), one, dtype=np.int64)
+            a_ = None
+            for _ in range(rounds):
+                a_raw = np.zeros(len(sn), dtype=np.int64)
+                np.add.at(a_raw, si, h_[pi])
+                a_ = a_raw * one // a_raw.max()
+                h_raw = np.zeros(len(pn), dtype=np.int64)
+                np.add.at(h_raw, pi, a_[si])
+                h_ = h_raw * one // h_raw.max()
+            ta = np.lexsort((sn, -a_))[:topk]
+            th = np.lexsort((pn, -h_))[:topk]
+            yield pd.DataFrame(
+                {
+                    "kind": ["auth"] * len(ta) + ["hub"] * len(th),
+                    "node": [f"s{x}" for x in sn[ta]]
+                    + [f"p{x}" for x in pn[th]],
+                    "score": np.concatenate(
+                        [a_[ta] / float(one), h_[th] / float(one)]
+                    ),
+                }
+            )
+
+        return e0.repartition(1).mapInPandas(
+            hits_kernel, "kind string, node string, score double"
+        )
+    e0 = e0.localCheckpoint()
     h = e0.select("p").distinct().select(
         "p", F.lit(_HITS_ONE).cast("bigint").alias("q")
     )

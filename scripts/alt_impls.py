@@ -3775,3 +3775,115 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pr_q") / 1000000000.0).alias("textrank"),
         )
     )
+
+
+def q_hits_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edge-gated single-task integer HITS: all rounds of the
+    # edge-join + L-inf normalization replay in one bounded task.
+    from fts_analysis_datalake_spark.queries.joins_sets import (
+        _HITS_ONE,
+        _HITS_ROUNDS,
+        _HITS_TOPK,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = tracked_persist(
+        li.filter(F.col("l_partkey") % 3 == 0)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    if 0 < e0.count() <= 2_000_000:
+        one, rounds, topk = _HITS_ONE, _HITS_ROUNDS, _HITS_TOPK
+
+        def hits_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            p = allp["p"].to_numpy(dtype=np.int64)
+            s = allp["s"].to_numpy(dtype=np.int64)
+            if not len(p):
+                return
+            pn, pi = np.unique(p, return_inverse=True)
+            sn, si = np.unique(s, return_inverse=True)
+            h = np.full(len(pn), one, dtype=np.int64)
+            a = None
+            for _ in range(rounds):
+                a_raw = np.zeros(len(sn), dtype=np.int64)
+                np.add.at(a_raw, si, h[pi])
+                a = a_raw * one // a_raw.max()
+                h_raw = np.zeros(len(pn), dtype=np.int64)
+                np.add.at(h_raw, pi, a[si])
+                h = h_raw * one // h_raw.max()
+            ta = np.lexsort((sn, -a))[:topk]
+            th = np.lexsort((pn, -h))[:topk]
+            yield pd.DataFrame(
+                {
+                    "kind": ["auth"] * len(ta) + ["hub"] * len(th),
+                    "node": [f"s{x}" for x in sn[ta]]
+                    + [f"p{x}" for x in pn[th]],
+                    "score": np.concatenate(
+                        [a[ta] / float(one), h[th] / float(one)]
+                    ),
+                }
+            )
+
+        return e0.repartition(1).mapInPandas(
+            hits_kernel, "kind string, node string, score double"
+        )
+    e0 = e0.localCheckpoint()
+    h = e0.select("p").distinct().select(
+        "p", F.lit(_HITS_ONE).cast("bigint").alias("q")
+    )
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        a_raw = (
+            e0.join(h.withColumnsRenamed({"p": "hp", "q": "hq"}),
+                    F.col("hp") == F.col("p"))
+            .groupBy("s")
+            .agg(F.sum("hq").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        amax = F.broadcast(a_raw.agg(F.max("raw").alias("mx")))
+        a = a_raw.crossJoin(amax).select(
+            "s", F.expr(f"raw * {_HITS_ONE} div mx").alias("q")
+        )
+        h_raw = (
+            e0.join(a.withColumnsRenamed({"s": "as_", "q": "aq"}),
+                    F.col("as_") == F.col("s"))
+            .groupBy("p")
+            .agg(F.sum("aq").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        hmax = F.broadcast(h_raw.agg(F.max("raw").alias("mx")))
+        h = h_raw.crossJoin(hmax).select(
+            "p", F.expr(f"raw * {_HITS_ONE} div mx").alias("q")
+        )
+    auth_top = (
+        a.select(
+            F.lit("auth").alias("kind"),
+            F.concat(F.lit("s"), F.col("s").cast("string")).alias("node"),
+            (F.col("q") / float(_HITS_ONE)).alias("score"),
+            F.col("q"),
+            F.col("s").alias("nid"),
+        )
+        .orderBy(F.desc("q"), "nid")
+        .limit(_HITS_TOPK)
+        .select("kind", "node", "score")
+    )
+    hub_top = (
+        h.select(
+            F.lit("hub").alias("kind"),
+            F.concat(F.lit("p"), F.col("p").cast("string")).alias("node"),
+            (F.col("q") / float(_HITS_ONE)).alias("score"),
+            F.col("q"),
+            F.col("p").alias("nid"),
+        )
+        .orderBy(F.desc("q"), "nid")
+        .limit(_HITS_TOPK)
+        .select("kind", "node", "score")
+    )
+    return auth_top.unionAll(hub_top)

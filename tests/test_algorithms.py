@@ -669,6 +669,9 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         # 5 eager-checkpoint join rounds (pr_q DIV d arithmetic is
         # integer-exact in both branches)
         ("q_textrank_keywords", advanced_models, "_TR_GATE"),
+        # r12: single-task integer HITS replay vs the per-round
+        # checkpoint + broadcast-max loop (all arithmetic int64 DIV)
+        ("q_hits_quantized_exact", joins_sets, "_HITS_GATE"),
     ]
     for name, mod, gate in cases:
         kernel = sorted(
