@@ -1276,6 +1276,10 @@ _PRQ_ROUNDS = 4
 _PRQ_ONE = 1_000_000_000  # rank unit (1e-9 rationals)
 _PRQ_BASE = 150_000_000  # (1 - damping) in rank units
 _PRQ_TOPK = 20
+# Kernel gate (patchable; tests force the distributed branch): the
+# single-task integer replay holds O(directed edges) int64 arrays
+# (~30 MB at the gate; 85 * sum(c) stays far inside int64).
+_PRQ_GATE = 2_000_000
 
 
 def _pagerank_q_oracle() -> str:
@@ -1341,9 +1345,54 @@ def q_pagerank_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.unionAll(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    sym = tracked_persist(
+        e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    # r12 (guide §4.2, the HITS/textrank house pattern): under the edge
+    # gate all _PRQ_ROUNDS integer rounds (r_q DIV deg contributions,
+    # base + 85*sum DIV 100 damping — Python // == div on non-negatives)
+    # replay in ONE bounded task; the symmetric graph keeps every node
+    # in-state each round exactly as the groupBy(v) loop does, and the
+    # top-20 tie-break on the LABEL STRING is replicated with an ASCII
+    # U-dtype lexsort. Forced branch-equivalence tested. A/B x0.57.
+    from fts_analysis_datalake_spark import probe as _probe
+
+    if _probe.gate("pagerank_quantized", 0 < sym.count() <= _PRQ_GATE):
+        one, base_, rounds, topk = _PRQ_ONE, _PRQ_BASE, _PRQ_ROUNDS, _PRQ_TOPK
+
+        def prq_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            u = allp["u"].to_numpy(dtype=np.int64)
+            v = allp["v"].to_numpy(dtype=np.int64)
+            if not len(u):
+                return
+            nodes, ui = np.unique(u, return_inverse=True)
+            vi = np.searchsorted(nodes, v)  # symmetric: same node set
+            deg = np.bincount(ui, minlength=len(nodes)).astype(np.int64)
+            r = np.full(len(nodes), one, dtype=np.int64)
+            for _ in range(rounds):
+                s = np.zeros(len(nodes), dtype=np.int64)
+                np.add.at(s, vi, r[ui] // deg[ui])
+                r = base_ + (85 * s) // 100
+            labels = np.asarray(
+                [
+                    f"p{x // 2}" if x % 2 == 0 else f"s{(x - 1) // 2}"
+                    for x in nodes
+                ]
+            )
+            top = np.lexsort((labels, -r))[:topk]
+            yield pd.DataFrame({"node": labels[top], "rank": r[top] / 1e9})
+
+        return sym.repartition(1).mapInPandas(
+            prq_kernel, "node string, rank double"
+        )
+    edges = sym.localCheckpoint()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     edges_deg = edges.join(deg, "u").localCheckpoint()
     r = deg.select("u", F.lit(_PRQ_ONE).cast("bigint").alias("r_q"))

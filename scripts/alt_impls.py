@@ -3887,3 +3887,96 @@ def q_hits_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("kind", "node", "score")
     )
     return auth_top.unionAll(hub_top)
+
+
+def q_pagerank_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edge-gated single-task integer PageRank replay (HITS/textrank
+    # pattern); label-string tie-break replicated via U-dtype lexsort.
+    from fts_analysis_datalake_spark.queries.llm_dedup import (
+        _PRQ_BASE,
+        _PRQ_ONE,
+        _PRQ_ROUNDS,
+        _PRQ_TOPK,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") % 3 == 0)
+        .select(
+            (F.col("l_partkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    sym = tracked_persist(
+        e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    if 0 < sym.count() <= 2_000_000:
+        one, base, rounds, topk = _PRQ_ONE, _PRQ_BASE, _PRQ_ROUNDS, _PRQ_TOPK
+
+        def prq_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            u = allp["u"].to_numpy(dtype=np.int64)
+            v = allp["v"].to_numpy(dtype=np.int64)
+            if not len(u):
+                return
+            nodes, ui = np.unique(u, return_inverse=True)
+            vi = np.searchsorted(nodes, v)  # symmetric: same node set
+            deg = np.bincount(ui, minlength=len(nodes)).astype(np.int64)
+            r = np.full(len(nodes), one, dtype=np.int64)
+            for _ in range(rounds):
+                s = np.zeros(len(nodes), dtype=np.int64)
+                np.add.at(s, vi, r[ui] // deg[ui])
+                r = base + (85 * s) // 100
+            labels = np.asarray(
+                [
+                    f"p{x // 2}" if x % 2 == 0 else f"s{(x - 1) // 2}"
+                    for x in nodes
+                ]
+            )
+            top = np.lexsort((labels, -r))[:topk]
+            yield pd.DataFrame(
+                {"node": labels[top], "rank": r[top] / 1e9}
+            )
+
+        return sym.repartition(1).mapInPandas(
+            prq_kernel, "node string, rank double"
+        )
+    edges = sym.localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    edges_deg = edges.join(deg, "u").localCheckpoint()
+    r = deg.select("u", F.lit(_PRQ_ONE).cast("bigint").alias("r_q"))
+    for _ in range(_PRQ_ROUNDS):
+        r = (
+            edges_deg.join(
+                r.withColumnsRenamed({"u": "ru", "r_q": "prev_q"}),
+                F.col("ru") == F.col("u"),
+            )
+            .select(F.col("v"), F.expr("prev_q div deg").alias("c"))
+            .groupBy("v")
+            .agg(
+                (
+                    F.lit(_PRQ_BASE)
+                    + F.expr("85 * sum(c) div 100")
+                )
+                .cast("bigint")
+                .alias("r_q")
+            )
+            .withColumnRenamed("v", "u")
+        )
+    label = F.when(
+        F.col("u") % 2 == 0, F.concat(F.lit("p"), F.expr("u div 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("(u - 1) div 2")))
+    return (
+        r.select(label.alias("node"), (F.col("r_q") / 1000000000.0).alias("rank"),
+                 F.col("r_q"))
+        .orderBy(F.desc("r_q"), "node")
+        .limit(_PRQ_TOPK)
+        .select("node", "rank")
+    )

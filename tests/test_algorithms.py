@@ -608,6 +608,7 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         event_analytics,
         joins_sets,
         llm_curation,
+        llm_dedup,
         llm_text,
         llm_vectors,
         robust_models,
@@ -672,6 +673,9 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         # r12: single-task integer HITS replay vs the per-round
         # checkpoint + broadcast-max loop (all arithmetic int64 DIV)
         ("q_hits_quantized_exact", joins_sets, "_HITS_GATE"),
+        # r12: single-task integer PageRank replay vs the linear-
+        # lineage join loop (same DIV arithmetic and label tie-break)
+        ("q_pagerank_quantized_exact", llm_dedup, "_PRQ_GATE"),
     ]
     for name, mod, gate in cases:
         kernel = sorted(
