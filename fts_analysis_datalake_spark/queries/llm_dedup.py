@@ -1947,6 +1947,10 @@ _PPR_ROUNDS = 4
 _PPR_ONE = 1_000_000_000
 _PPR_BASE = 150_000_000  # (1 - damping) teleport mass per seed, rank units
 _PPR_TOPK = 20
+# Kernel gate (patchable; tests force the distributed branch): the
+# single-task replay holds O(directed edges) int64 arrays plus a
+# reached mask (~30 MB at the gate).
+_PPR_GATE = 2_000_000
 
 
 def _ppr_oracle() -> str:
@@ -2021,9 +2025,68 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.unionAll(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    sym = tracked_persist(
+        e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    # r12 (guide §4.2): under the edge gate all _PPR_ROUNDS restart
+    # rounds replay in ONE bounded task. The sparse-frontier fixpoint
+    # is reproduced EXACTLY with an explicit reached mask: each round
+    # the state keys are {v with an active in-edge} UNION seeds (the
+    # full-outer join's key set), contributions draw from reached
+    # nodes regardless of value (0-valued reached rows still propagate
+    # reachability, as rows do in the join), and the top-20 tie-break
+    # is (r_q desc, numeric id asc) as in the distributed orderBy.
+    # Forced branch-equivalence tested. A/B x0.57.
+    from fts_analysis_datalake_spark import probe as _probe
+
+    if _probe.gate("personalized_pagerank", 0 < sym.count() <= _PPR_GATE):
+        one, base_, rounds, topk = _PPR_ONE, _PPR_BASE, _PPR_ROUNDS, _PPR_TOPK
+
+        def ppr_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            u = allp["u"].to_numpy(dtype=np.int64)
+            v = allp["v"].to_numpy(dtype=np.int64)
+            if not len(u):
+                return
+            nodes, ui = np.unique(u, return_inverse=True)
+            vi = np.searchsorted(nodes, v)  # symmetric: same node set
+            n = len(nodes)
+            deg = np.bincount(ui, minlength=n).astype(np.int64)
+            seed_mask = (nodes % 2 == 1) & (((nodes - 1) // 2) % 7 == 0)
+            base_arr = np.where(seed_mask, np.int64(base_), np.int64(0))
+            r = np.where(seed_mask, np.int64(one), np.int64(0))
+            reached = seed_mask.copy()
+            for _ in range(rounds):
+                am = reached[ui]
+                contrib = np.zeros(n, dtype=np.int64)
+                np.add.at(contrib, vi[am], r[ui[am]] // deg[ui[am]])
+                got = np.zeros(n, dtype=bool)
+                got[vi[am]] = True
+                new_reached = got | seed_mask
+                r = np.where(new_reached, base_arr + (85 * contrib) // 100, 0)
+                reached = new_reached
+            idx = np.flatnonzero(reached)
+            rr, nid = r[idx], nodes[idx]
+            top = np.lexsort((nid, -rr))[:topk]
+            sel_n, sel_r, sel_s = nid[top], rr[top], seed_mask[idx][top]
+            labels = [
+                f"p{x // 2}" if x % 2 == 0 else f"s{(x - 1) // 2}"
+                for x in sel_n
+            ]
+            yield pd.DataFrame(
+                {"node": labels, "is_seed": sel_s, "rank": sel_r / 1e9}
+            )
+
+        return sym.repartition(1).mapInPandas(
+            ppr_kernel, "node string, is_seed boolean, rank double"
+        )
+    edges = sym.localCheckpoint()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     edges_deg = edges.join(deg, "u").localCheckpoint()
     seeds = (

@@ -3980,3 +3980,137 @@ def q_pagerank_quantized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PRQ_TOPK)
         .select("node", "rank")
     )
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edge-gated single-task PPR replay: dense int64 arrays plus an
+    # explicit REACHED mask reproducing the sparse-frontier fixpoint
+    # (state keys = contrib keys UNION seeds each round), with the
+    # (r_q desc, numeric id asc) top-20.
+    from fts_analysis_datalake_spark.queries.llm_dedup import (
+        _PPR_BASE,
+        _PPR_ONE,
+        _PPR_ROUNDS,
+        _PPR_TOPK,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") % 3 == 0)
+        .select(
+            (F.col("l_partkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    sym = tracked_persist(
+        e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    if 0 < sym.count() <= 2_000_000:
+        one, base, rounds, topk = _PPR_ONE, _PPR_BASE, _PPR_ROUNDS, _PPR_TOPK
+
+        def ppr_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            allp = pd.concat(parts)
+            u = allp["u"].to_numpy(dtype=np.int64)
+            v = allp["v"].to_numpy(dtype=np.int64)
+            if not len(u):
+                return
+            nodes, ui = np.unique(u, return_inverse=True)
+            vi = np.searchsorted(nodes, v)  # symmetric: same node set
+            n = len(nodes)
+            deg = np.bincount(ui, minlength=n).astype(np.int64)
+            # seeds: odd-id supplier nodes with (v-1)/2 % 7 == 0
+            seed_mask = (nodes % 2 == 1) & (((nodes - 1) // 2) % 7 == 0)
+            base_arr = np.where(seed_mask, np.int64(base), np.int64(0))
+            r = np.where(seed_mask, np.int64(one), np.int64(0))
+            reached = seed_mask.copy()
+            for _ in range(rounds):
+                am = reached[ui]
+                contrib = np.zeros(n, dtype=np.int64)
+                np.add.at(contrib, vi[am], r[ui[am]] // deg[ui[am]])
+                got = np.zeros(n, dtype=bool)
+                got[vi[am]] = True
+                new_reached = got | seed_mask
+                r = np.where(new_reached, base_arr + (85 * contrib) // 100, 0)
+                reached = new_reached
+            idx = np.flatnonzero(reached)
+            rr = r[idx]
+            nid = nodes[idx]
+            top = np.lexsort((nid, -rr))[:topk]
+            sel_n = nid[top]
+            sel_r = rr[top]
+            sel_s = seed_mask[idx][top]
+            labels = [
+                f"p{x // 2}" if x % 2 == 0 else f"s{(x - 1) // 2}"
+                for x in sel_n
+            ]
+            yield pd.DataFrame(
+                {
+                    "node": labels,
+                    "is_seed": sel_s,
+                    "rank": sel_r / 1e9,
+                }
+            )
+
+        return sym.repartition(1).mapInPandas(
+            ppr_kernel, "node string, is_seed boolean, rank double"
+        )
+    edges = sym.localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    edges_deg = edges.join(deg, "u").localCheckpoint()
+    seeds = (
+        e0.filter(F.expr("(v - 1) div 2") % 7 == 0)
+        .select(F.col("v").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    r = seeds.select("node", F.lit(_PPR_ONE).cast("bigint").alias("r_q"))
+    base = seeds.select("node", F.lit(_PPR_BASE).cast("bigint").alias("base"))
+    for _ in range(_PPR_ROUNDS):
+        contrib = (
+            edges_deg.join(
+                r.withColumnsRenamed({"node": "ru", "r_q": "prev_q"}),
+                F.col("ru") == F.col("u"),
+            )
+            .select(F.col("v"), F.expr("prev_q div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.expr("85 * sum(c) div 100").cast("bigint").alias("contrib"))
+            .withColumnRenamed("v", "cnode")
+        )
+        r = contrib.join(
+            base, F.col("cnode") == F.col("node"), "full_outer"
+        ).select(
+            F.coalesce(F.col("cnode"), F.col("node")).alias("node"),
+            (
+                F.coalesce(F.col("base"), F.lit(0))
+                + F.coalesce(F.col("contrib"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("r_q"),
+        )
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("p"), F.expr("node div 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
+    return (
+        r.join(
+            seeds.withColumnRenamed("node", "snode"),
+            F.col("node") == F.col("snode"),
+            "left",
+        )
+        .select(
+            label.alias("node_label"),
+            F.col("snode").isNotNull().alias("is_seed"),
+            (F.col("r_q") / 1000000000.0).alias("rank"),
+            F.col("r_q"),
+            F.col("node"),
+        )
+        .orderBy(F.desc("r_q"), "node")
+        .limit(_PPR_TOPK)
+        .select(F.col("node_label").alias("node"), "is_seed", "rank")
+    )

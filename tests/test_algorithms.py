@@ -676,6 +676,10 @@ def test_count_gated_branches_agree(spark, monkeypatch):
         # r12: single-task integer PageRank replay vs the linear-
         # lineage join loop (same DIV arithmetic and label tie-break)
         ("q_pagerank_quantized_exact", llm_dedup, "_PRQ_GATE"),
+        # r12: single-task PPR replay with explicit reached mask vs
+        # the sparse-frontier full-outer loop (reachability semantics
+        # are part of the fixpoint; integer DIV arithmetic)
+        ("q_personalized_pagerank", llm_dedup, "_PPR_GATE"),
     ]
     for name, mod, gate in cases:
         kernel = sorted(

@@ -110,6 +110,9 @@ PYTHON_SURFACE = {
     "q_katz_centrality",  # E354 edge-gated single-task bincount/add.at
     # path counts over the backbone (r12); the join+agg rounds are the
     # else-branch
+    "q_personalized_pagerank",  # E290 edge-gated single-task PPR
+    # replay with explicit reached mask (r12); the full-outer
+    # frontier loop is the else-branch
     "q_pagerank_quantized_exact",  # E289 edge-gated single-task integer
     # PageRank replay (r12); the linear-lineage join loop is the
     # else-branch
