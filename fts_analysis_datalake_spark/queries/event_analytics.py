@@ -1271,7 +1271,13 @@ def q_decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_weekly_value_growth",
     oracle=f"""
     WITH weekly AS (
-      SELECT date_trunc('week', ts) AS wk, {sql_dsum('value')} AS wk_value
+      -- CAST to TIMESTAMP (r12 correctness): DuckDB's date_trunc
+      -- yields DATE while Spark's yields TIMESTAMP; same instant, but
+      -- the driver's row canonicalization stringifies the two types
+      -- differently (this query entered the driver sample window for
+      -- the first time this round; driver-sim caught the mismatch)
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+             {sql_dsum('value')} AS wk_value
       FROM events GROUP BY 1)
     SELECT wk, wk_value,
            LAG(wk_value) OVER (ORDER BY wk) AS prev_value,
